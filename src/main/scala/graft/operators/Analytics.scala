@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Gold-layer warehouse analytics — the dashboard-feeding reports the
+  * reference serves from BigQuery/Looker (reference: README.md "Etapas
+  * §5", silver_to_gold.py writes the star schema those reports query).
+  *
+  * Numeric determinism: every money aggregate is computed in exact
+  * DECIMAL arithmetic (sum order can't perturb the value) and only the
+  * final, magnitude-bounded result is rounded / cast to double. This
+  * makes results bit-identical across engines and across cluster sizes
+  * — a 1000-executor run and a laptop run hash the same, which is what
+  * lets a correctness gate (or a re-run at 100 TB) diff outputs at all.
+  *
+  * Scale notes: all three queries are scan → (broadcast-)join → partial
+  * agg → final agg plans; no driver-side collection. Dimension sides
+  * (region/nation/customer at warehouse scale) are broadcast so the
+  * 100 TB fact side never shuffles for the join — only the final
+  * group-by shuffles, after map-side partial aggregation has collapsed
+  * each partition to its group cardinality.
+  */
+object Analytics {
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(s"decimal($p,$s)")
+
+  /** Exact decimal sum, rounded to `scale`, emitted as double.
+    * Deterministic: the decimal sum is exact; round bounds magnitude so
+    * the decimal→double conversion is exact-rational and identical in
+    * any IEEE-754 engine.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(dec(c)), scale).cast("double")
+
+  private def davg(c: Column, scale: Int = 6): Column =
+    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  /** Pricing summary report (flagship; TPC-H Q1 shape) — the "summary
+    * by category over a date range" report pattern the reference's
+    * dashboard runs over fact_weather.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)") *
+          (lit(1) + col("l_tax")).cast("decimal(4,2)")), 2)
+          .cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top unshipped orders by revenue (TPC-H Q3 shape) — "top N entities
+    * by measure" dashboard pattern; customer ⋈ orders ⋈ lineitem.
+    * The customer (dimension) side is broadcast: at 100 TB the lineitem
+    * fact never shuffles for this join.
+    */
+  def topOrders(spark: SparkSession, sfDir: String, limit: Int = 10): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val cust = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(dec(col("l_extendedprice")) *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(limit)
+  }
+
+  /** Star-join rollup: revenue by nation within a region (TPC-H Q5
+    * shape) — the region/UF rollup the reference's dim_city enables
+    * (silver_to_gold.py:88 nome_regiao/uf_sigla attributes exist
+    * exactly for this report).
+    */
+  def regionVolume(spark: SparkSession, sfDir: String,
+                   region: String = "ASIA"): DataFrame = {
+    val reg = Tables.table(spark, sfDir, "region")
+      .filter(col("r_name") === region)
+    val nat = Tables.table(spark, sfDir, "nation")
+    val sup = Tables.table(spark, sfDir, "supplier")
+    val cust = Tables.table(spark, sfDir, "customer")
+    val ord = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.table(spark, sfDir, "lineitem")
+    // Dim chain (region→nation→supplier / customer) is broadcast; the
+    // fact (lineitem⋈orders) is the only shuffled side.
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(dec(col("l_extendedprice")) *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+}

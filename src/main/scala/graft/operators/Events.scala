@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream analytics (batch form; the streaming form with
+  * watermarks lives in [[graft.streaming.EventStream]]).
+  *
+  * The reference's cadence is daily API batches orchestrated by Airflow
+  * (airflow/dags/bigquery_weather_dag.py:23, `schedule='@daily'`);
+  * re-expressed Spark-first as time-windowed processing over the
+  * `events` table, which is the same computation the Structured
+  * Streaming pipeline runs continuously.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, type) after
+  * map-side partial agg; sessionization shuffles once on user_id and
+  * sorts within partitions — both AQE-friendly, no global windows.
+  */
+object Events {
+
+  /** Tumbling-window aggregation: hourly event counts + value sums per
+    * event type. Value sums go through decimal so results are
+    * bit-stable under any partitioning/order (see Analytics).
+    */
+  def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
+          .as("sum_value"))
+
+  /** Gap-based sessionization: a session ends after `gapMinutes` of
+    * user inactivity. One shuffle on user_id; window functions run
+    * within the per-user sort — the classic scalable formulation
+    * (break flags → running sum → group).
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapExpr = expr(s"INTERVAL $gapMinutes MINUTES")
+    val withBreak = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + gapExpr, 1).otherwise(0))
+    withBreak
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        // second-truncated: source parquet is ns-precision, which Spark
+        // floors to micros — sub-second output would be engine-dependent
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

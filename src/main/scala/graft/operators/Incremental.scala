@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental-read patterns.
+  *
+  * Reference behavior: src/etl/utils/bigquery.py:96 `read_bq_table` —
+  * facts are read as "today's partition"
+  * (`WHERE DATE(_ingestion_date) = today`) and dimensions as "latest
+  * partition" (`WHERE d = (SELECT MAX(d) FROM t)`).
+  *
+  * Scale notes: with a `partitionBy(date)` lakehouse layout
+  * ([[graft.sources.Tables.writeParquet]]) the as-of filter is pure
+  * partition pruning — zero data read outside the target date. The
+  * latest-partition read computes MAX via a tiny aggregate (map-side
+  * partial → one value) and broadcasts it back as a join — never a
+  * global window (which would single-partition the world) and never a
+  * driver collect inside the plan.
+  */
+object Incremental {
+
+  /** Rows belonging to the most recent value of `partCol`
+    * (dimension-read pattern, bigquery.py:113).
+    */
+  def latestPartition(df: DataFrame, partCol: Column): DataFrame = {
+    val mx = df.agg(max(partCol).as("__latest"))
+    df.join(broadcast(mx), partCol === col("__latest")).drop("__latest")
+  }
+
+  /** Rows belonging to one as-of value of `partCol` (fact-read pattern,
+    * bigquery.py:107). A plain pushed-down filter: on a partitioned
+    * layout this prunes to a single partition.
+    */
+  def asOfPartition(df: DataFrame, partCol: Column, asOf: Column): DataFrame =
+    df.filter(partCol === asOf)
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lakehouse table I/O.
+  *
+  * Re-expresses the reference's object-store / warehouse I/O helpers
+  * (reference: src/etl/utils/bucket.py:8 `read_from_minio`,
+  * bucket.py:36 `write_to_minio`, bigquery.py:96 `read_bq_table`) as
+  * plain Spark lakehouse reads/writes over parquet/csv/json.
+  *
+  * Scale notes (100 TB):
+  *  - Reads are schema'd; CSV `inferSchema` (which the reference uses,
+  *    bucket.py:27) is only offered for small bronze drops — inference
+  *    is a full extra scan of the data.
+  *  - All readers return lazy DataFrames so Catalyst pushes filters and
+  *    prunes columns into the scan.
+  *  - Writers support `partitionBy` so downstream incremental readers
+  *    (see [[graft.operators.Incremental]]) prune partitions instead of
+  *    scanning history.
+  */
+object Tables {
+  /** Driver testdata tables (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table from an sf directory.
+    *
+    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark 4
+    * refuses to map to TimestampType; read it as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
+    * microsecond TimestampType — the same truncation any
+    * nanos-unaware reader applies.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every testdata table as a temp view (for spark.sql use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** CSV read with explicit schema (bronze-layer ingest analog).
+    * Pass `inferSchema=true` only for small bronze drops.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schemaDdl: Option[String] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schemaDdl match {
+      case Some(ddl) => base.schema(ddl).csv(path)
+      case None      => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schemaDdl: Option[String] = None): DataFrame = {
+    val base = spark.read
+    schemaDdl match {
+      case Some(ddl) => base.schema(ddl).json(path)
+      case None      => base.json(path)
+    }
+  }
+
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Partitioned parquet write — the lakehouse layout that makes
+    * incremental reads partition-pruned scans.
+    */
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite",
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** Freshness-gated write (reference: bucket.py:96
+    * `write_to_minio_once_a_year`): rewrite a slowly-changing table only
+    * if the existing copy is older than `maxAgeDays` or absent.
+    * Returns true if a write happened.
+    *
+    * Spark-first restatement: the gate is a cheap filesystem metadata
+    * check (no data scan), so at 100 TB it costs nothing; the write
+    * itself is a normal distributed parquet write.
+    */
+  def writeIfStale(df: DataFrame, path: String, maxAgeDays: Int = 365,
+                   nowMillis: Long = System.currentTimeMillis()): Boolean = {
+    val dir = new java.io.File(path)
+    val fresh = dir.exists() &&
+      (nowMillis - dir.lastModified()) < maxAgeDays * 86400000L
+    if (fresh) false
+    else { df.write.mode("overwrite").parquet(path); true }
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Tables
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreOperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key has a query") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("pricing summary aggregates are stable across partitionings") {
+    val a = Analytics.pricingSummary(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.mkString(","))
+    val li = Tables.table(spark, sf, "lineitem").repartition(13)
+    li.createOrReplaceTempView("___tmp")
+    // same query, different physical partitioning → identical values
+    // (exact decimal internals; see Analytics scaladoc)
+    val b = Analytics.pricingSummary(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.mkString(","))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("removeNullRows keeps clean tables intact, filters injected nulls") {
+    val cust = Tables.table(spark, sf, "customer")
+    assert(Cleaning.removeNullRows(cust).count() == cust.count())
+    val dirty = cust.withColumn("c_name",
+      when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_name")))
+    val n = Cleaning.removeNullRows(dirty).count()
+    assert(n == cust.filter(col("c_custkey") % 10 =!= 0).count())
+  }
+
+  test("removeNullRows filters NaN in double columns") {
+    val cust = Tables.table(spark, sf, "customer")
+    val dirty = cust.withColumn("c_acctbal",
+      when(col("c_custkey") % 7 === 0, lit(Double.NaN))
+        .otherwise(col("c_acctbal")))
+    assert(Cleaning.removeNullRows(dirty).count() ==
+      cust.filter(col("c_custkey") % 7 =!= 0).count())
+  }
+
+  test("trimStrings trims only string columns") {
+    import spark.implicits._
+    val df = Seq((1, "  a  ", 2.0), (2, "b", 3.0)).toDF("i", "s", "d")
+    val out = Cleaning.trimStrings(df).collect().map(r => r.getString(1))
+    assert(out.toSeq == Seq("a", "b"))
+  }
+
+  test("dedupExact removes exact duplicates") {
+    import spark.implicits._
+    val df = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("a", "b")
+    assert(Cleaning.dedupExact(df).count() == 2)
+    assert(Cleaning.dedupExact(df, Seq("b")).count() == 2)
+  }
+
+  test("normalizeColumnNames replaces dashes and applies renames") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("regiao-imediata", "id")
+    val out = Cleaning.normalizeColumnNames(df, Map("id" -> "key"))
+    assert(out.columns.toSeq == Seq("regiao_imediata", "key"))
+  }
+
+  test("parseDateMulti handles all three reference formats and garbage") {
+    import spark.implicits._
+    val df = Seq("1999-03-15", "15/03/1999", "03-15-1999", "not a date")
+      .toDF("raw")
+    val out = df.select(Cleaning.parseDateMulti(col("raw")).cast("string")
+      .as("d")).collect().map(r => Option(r.getString(0)))
+    assert(out.take(3).forall(_.contains("1999-03-15")))
+    assert(out(3).isEmpty)
+  }
+
+  test("profile computes per-column stats in one pass") {
+    val p = Profiling.profile(Tables.table(spark, sf, "orders")).collect()
+    assert(p.length == 6)
+    val byCol = p.map(r => r.getString(0) -> r).toMap
+    assert(byCol("o_orderkey").getLong(1) ==
+      Tables.table(spark, sf, "orders").count())
+  }
+
+  test("consistency flags multi-valued keys") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("name", "id")
+    val bad = Profiling.consistency(df, "name", "id").collect()
+    assert(bad.length == 1 && bad.head.getString(0) == "a")
+  }
+
+  test("completeness reports 1.0 for non-null columns") {
+    val c = Profiling.completeness(Tables.table(spark, sf, "nation"))
+      .collect()
+    assert(c.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("surrogate keys are sha256 of :-joined naturals (ref encoding)") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("k", "v")
+    val got = df.select(StarSchema.surrogateKey(col("k"), col("v")).as("id"))
+      .head().getString(0)
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("1:x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == expect)
+  }
+
+  test("dimension distinct + fact fk recompute line up") {
+    val dim = StarSchema.dimDate(spark, sf)
+    val fact = StarSchema.factSales(spark, sf)
+    // every fact FK exists in the dimension built from the same column
+    val dimShip = StarSchema.dimension(
+      Tables.table(spark, sf, "lineitem")
+        .select(col("l_shipdate").cast("date").as("data")),
+      Seq("data"), Seq("data"), "id_date")
+    val missing = fact.select(col("id_ship_date"))
+      .except(dimShip.select(col("id_date").as("id_ship_date")))
+    assert(missing.count() == 0)
+    assert(dim.select("id_date").distinct().count() == dim.count())
+  }
+
+  test("incremental latestPartition keeps only max partition") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-02", 3))
+      .toDF("d", "v")
+    val out = Incremental.latestPartition(df, col("d")).collect()
+    assert(out.length == 2 && out.forall(_.getString(0) == "2024-01-02"))
+  }
+
+  test("sessionize splits on gap") {
+    val sess = Events.sessionize(spark, sf)
+    // sessions never overlap per user and n_events sums to event count
+    val total = sess.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.table(spark, sf, "events").count())
+  }
+}
