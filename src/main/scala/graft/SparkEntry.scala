@@ -98,10 +98,198 @@ object SparkEntry {
     // ---- §2.5 E1–E2 events ----
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    // ---- §2.8 T1–T4 text analysis ----
+    "q_text_tokens" -> ((s, d) => {
+      val doc = Tables.table(s, d, "documents")
+      doc.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("bigint")
+          .as("n_ws_tokens"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("bigint")
+          .as("n_bpe_tokens"))
+    }),
+    "q_text_langid" -> ((s, d) =>
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        col("lang").as("lang_label"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))),
+    "q_text_quality" -> ((s, d) => {
+      import graft.functions.TextFunctions._
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        meanTokenLen(col("text")).as("mean_token_len"),
+        qualityScore(col("text")).as("quality_score"))
+    }),
+    "q_text_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintGroups(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
+    // ---- §2.6 D1–D5 dedup ----
+    "q_dedup_exact_text" -> ((s, d) =>
+      Dedup.exactTextDedup(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashDedup(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.table(s, d, "documents"), "doc_id", "text")),
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
+    "q_dedup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", 0.35)),
+    // ---- §2.7 A1–A2 similarity search ----
+    "q_ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0)),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0)),
+    // ---- §2.9 M1 multimodal ----
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
   )
+
+  // ---- DuckDB oracle helpers (mirror the Spark expressions 1:1) ----
+
+  /** Index-ordered cosine over 64-dim list columns (mirrors
+    * Similarity.cosine's left fold; IEEE-identical).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"(list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x + y) / " +
+      s"(sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x,y) -> x + y)) * " +
+      s"sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x + y))))"
+
+  private def duckList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val duckShingles =
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id AS sid,
+      |    unnest(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM words WHERE len(w) >= 3
+      |)""".stripMargin
+
+  private val duckMh = (0 until 16)
+    .map(i => s"min(substr(sha256('$i:' || sh), 1, 8)) AS mh$i")
+    .mkString(", ")
+
+  private val duckBandCase = (0 until 8)
+    .map(b => s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}")
+    .mkString(" ")
+
+  private def duckJaccardTail(num: Int, den: Int): String =
+    s"""sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh x ON x.sid = c.id_a
+       |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.id_a, i.id_b,
+       |  ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.sid = i.id_a
+       |JOIN sizes sb ON sb.sid = i.id_b
+       |WHERE i.i * $den >= (sa.n + sb.n - i.i) * $num""".stripMargin
 
   /** DuckDB oracle SQL, same column names as the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_langid" -> {
+      val scores = graft.functions.TextFunctions.Stopwords.map { case (l, ws) =>
+        s"len(list_filter(ws, t -> list_contains(${duckList(ws)}, t))) AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_label, text,
+         |    string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang_label, text,
+         |    $scores
+         |  FROM t
+         |)
+         |SELECT doc_id, lang_label,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc""".stripMargin
+    },
+    "q_text_quality" -> {
+      val allStop = duckList(
+        graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END AS alpha_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(ws, t -> list_contains($allStop, t))) AS DOUBLE) / len(ws) END AS stopword_ratio,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) END AS mean_token_len
+         |  FROM t
+         |)
+         |SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, mean_token_len,
+         |  ROUND((stopword_ratio * 0.4) + (alpha_ratio * 0.3) +
+         |        (LEAST(mean_token_len / 10.0, 1.0) * 0.2) +
+         |        ((1.0 - punct_ratio) * 0.1), 6) AS quality_score
+         |FROM m""".stripMargin
+    },
+    "q_dedup_exact_text" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""$duckShingles, mh AS (
+         |  SELECT sid, $duckMh FROM sh GROUP BY sid
+         |), bk AS (
+         |  SELECT sid, b, CASE b $duckBandCase END AS bucket
+         |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
+         |), cand AS (
+         |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
+         |), ${duckJaccardTail(1, 2)}""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""$duckShingles, cand AS (
+         |  SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
+         |), ${duckJaccardTail(3, 10)}""".stripMargin,
+    "q_dedup_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS cand_id,
+         |    ${duckCos("qv", "c.embedding")} AS cos
+         |  FROM q JOIN embeddings c ON query_id <> c.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, rank, ROUND(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= 10""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines:
+  * tokenization, language ID, quality scoring.
+  *
+  * These extend the engine beyond the reference's surface (the
+  * reference cleans strings but never analyzes text;
+  * SURVEY.md §2.8) — they are what a 100 TB documents pipeline
+  * filters and routes on.
+  *
+  * Everything here is built from codegen'd `functions._` expressions —
+  * no UDFs — so the whole per-document computation stays inside one
+  * WholeStageCodegen stage over the scan: the per-row cost is pure CPU
+  * with zero (de)serialization, and Catalyst can still push down,
+  * prune, and fuse around it.
+  *
+  * Determinism: ratios are plain double expression trees with explicit
+  * parenthesization (same value on any engine/cluster), rounded at the
+  * output boundary.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed string. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenizer split most BPE vocab
+    * builds start from. (Regex kept to a dialect Java and RE2 agree
+    * on.)
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(expr_extract_all(c, BpePattern))
+
+  private def expr_extract_all(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern), lit(0))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val wordsArr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(wordsArr, t)))
+  }
+
+  /** Tiny per-language stopword tables for the heuristic language ID.
+    * (Shared function words; overlaps like es/fr "de"/"la" are fine —
+    * the argmax with a fixed tie order decides.)
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "les", "des"))
+
+  /** Heuristic language ID: CJK characters short-circuit to "zh";
+    * otherwise argmax of per-language stopword hits with fixed
+    * tie-break order en > es > de > fr. One expression, no UDF.
+    */
+  def langId(c: Column): Column = {
+    val scores = Stopwords.map { case (l, ws) => l -> stopwordCount(c, ws) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val zh = size(expr_extract_all(c, "[\\x{4e00}-\\x{9fff}]"))
+    when(zh > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Alphabetic-character ratio over total length (0 for empty). */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      size(expr_extract_all(c, "[A-Za-z]")).cast("double") / length(c))
+
+  /** Punctuation-character ratio over total length. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      size(expr_extract_all(c, "[^A-Za-z0-9\\s]")).cast("double") / length(c))
+
+  /** Stopword-token ratio (language-agnostic union list). */
+  def stopwordRatio(c: Column): Column = {
+    val all = Stopwords.flatMap(_._2).distinct
+    when(tokenCount(c) === 0, 0.0).otherwise(
+      stopwordCount(c, all).cast("double") / tokenCount(c))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanTokenLen(c: Column): Column =
+    when(tokenCount(c) === 0, 0.0).otherwise(
+      aggregate(transform(tokens(c), t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / tokenCount(c))
+
+  /** Composite quality score in [0,1]: the length/punctuation/stopword
+    * blend used to filter junk documents. Fixed weights; deterministic
+    * expression tree.
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      (stopwordRatio(c) * 0.4) +
+      (alphaRatio(c) * 0.3) +
+      (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
+      ((lit(1.0) - punctRatio(c)) * 0.1), 6)
+}

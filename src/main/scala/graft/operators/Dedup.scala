@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.plans.MinRollingHash
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.6) — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (the whole point of these formulations):
+  *  - Exact dedup is a hash groupBy — one shuffle on a uniformly
+  *    distributed 256-bit key, no skew.
+  *  - MinHash+LSH never forms the O(n²) pair space: signatures are one
+  *    explode + groupBy, candidate generation is an equi-join on
+  *    (band, bucket), and the expensive Jaccard verify runs only on
+  *    candidates. This is the standard web-scale near-dup pipeline
+  *    (cf. the MinHashLSH design in Spark MLlib and the Jaccard/LSH
+  *    literature).
+  *  - The inverted-index Jaccard join (`ngramJaccardPairs`) is the
+  *    exact verify; at 100 TB you run it per-LSH-bucket, never
+  *    globally.
+  *  - SimHash reduces each document to one 64-bit word; near-dups are
+  *    bucket-joins on bit-blocks (Hamming ≤ k ⇒ some block equal —
+  *    the pigeonhole trick from Manku et al., WWW 2007).
+  * All formulations are pure `functions._` column expressions —
+  * codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (empty array below n
+    * words).
+    */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val ws = TextFunctions.tokens(c)
+    when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(ws, i + j + 1)): _*)))
+  }
+
+  /** D1 — exact duplicate groups: one row per distinct text with the
+    * surviving (minimum) id and copy count.
+    */
+  def exactTextDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(sha2(col(textCol), 256).as("text_hash"),
+        col("keep_id"), col("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index base for both
+    * MinHash and exact Jaccard.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame =
+    df.select(col(idCol).as("sid"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+
+  /** D2 step 1 — k-function MinHash signature per id. Each hash
+    * function is `min over shingles of the first 8 hex chars of
+    * sha256(i ++ ":" ++ shingle)` — deterministic and engine-portable.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16): DataFrame =
+    shingleIndex(df, idCol, textCol)
+      .groupBy(col("sid"))
+      .agg(
+        min(substring(sha2(concat_ws(":", lit(0), col("sh")), 256), 1, 8))
+          .as("mh0"),
+        (1 until k).map(i =>
+          min(substring(sha2(concat_ws(":", lit(i), col("sh")), 256), 1, 8))
+            .as(s"mh$i")): _*)
+
+  /** D2 step 2 — LSH banding: signatures → (band, bucket) keys →
+    * equi-self-join → candidate pairs. bandsOf rows per band.
+    */
+  def lshCandidatePairs(sig: DataFrame, k: Int = 16,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*).as("bucket"))
+    }
+    val buckets = sig.select(col("sid"),
+      explode(array(bandCols: _*)).as("bk"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs via the shingle inverted index.
+    * Threshold is applied with integer cross-multiplication
+    * (`den*i >= num*(|A|+|B|-i)`) — no float boundary ambiguity.
+    * Emits (id_a, id_b, jaccard rounded to 6).
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame,
+                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("x"), col("x.sid") === col("id_a"))
+      .join(sh.as("y"),
+        col("y.sid") === col("id_b") && col("y.sh") === col("x.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
+      .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
+      .filter(col("i") * thresholdDen >=
+        (col("sa.n") + col("sb.n") - col("i")) * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")), 6).as("jaccard"))
+  }
+
+  /** D2 — full MinHash+LSH near-dup pipeline: shingle → minhash →
+    * band-bucket join → Jaccard-verified pairs at ≥ num/den.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol)
+    val cand = lshCandidatePairs(sig)
+    jaccardVerify(cand, shingleIndex(df, idCol, textCol),
+      thresholdNum, thresholdDen)
+  }
+
+  /** D4 — exact n-gram Jaccard over ALL pairs sharing at least one
+    * shingle (inverted-index join; at scale this runs per LSH bucket).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        thresholdNum: Int = 3,
+                        thresholdDen: Int = 10): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol)
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .distinct()
+    jaccardVerify(pairs, sh, thresholdNum, thresholdDen)
+  }
+
+  /** D3 — 64-bit SimHash per document: per-bit majority vote over
+    * xxhash64 of the tokens. One explode + one aggregation; the bit
+    * loop is unrolled into 64 codegen'd sums.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("sid"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
+    val word = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("sid"), word.as("simhash"))
+  }
+
+  /** D3 — SimHash near-dup candidates: Hamming distance ≤ maxHamming
+    * found by block-pigeonhole (split 64 bits into maxHamming+1
+    * blocks; equal somewhere ⇒ candidate), then exact bit_count
+    * verify. No O(n²) anywhere.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val blocks = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1).as("key"))
+    }
+    val keyed = sh.select(col("sid"), col("simhash"),
+      explode(array(blocks: _*)).as("bk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** T4 — winnowing fingerprint dedup: documents sharing a min-rolling
+    * hash of any k-byte window. Native codegen'd expression
+    * ([[graft.plans.MinRollingHash]]).
+    */
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16): DataFrame =
+    df.select(col(idCol),
+        MinRollingHash.min_rolling_hash(col(textCol), k).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (SURVEY.md §2.7):
+  * brute-force cosine top-k as the correctness baseline, plus the two
+  * standard scale paths — random-hyperplane LSH buckets and IVF-style
+  * centroid partitioning.
+  *
+  * Scale design: brute force is O(n·q) dot products — fine as a
+  * verification oracle, not a 100 TB plan. LSH prunes candidates to
+  * one bucket (+ multiprobe neighbors); IVF shuffles vectors once by
+  * nearest centroid and probes `nprobe` cells per query, so the scan
+  * is 1/nlist-th of the data per probe. Both keep everything as
+  * broadcast joins + column expressions (dot products via
+  * `zip_with`+`aggregate`, codegen'd, index-ordered and therefore
+  * bit-deterministic).
+  */
+object Similarity {
+
+  /** Index-ordered dot product of two float-array columns in double
+    * precision (deterministic fold, no SIMD reordering).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** A1 — exact cosine top-k: for each query vector (`queryPred`
+    * selects queries), the k nearest other vectors. The query side is
+    * broadcast; ranking is deterministic (score desc, id asc).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int = 10): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays —
+    * broadcast to every task as part of the plan.
+    */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val r = new Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector against the hyperplane set: an
+    * nPlanes-bit integer.
+    */
+  private def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      when(dot(vec, lits) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** A2 — LSH-bucketed ANN: candidates share the query's sign-bucket
+    * or any 1-bit-flipped neighbor bucket (multiprobe), then exact
+    * cosine rank within candidates. At 100 TB the bucket join replaces
+    * the full scan.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int = 10, nPlanes: Int = 12,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketed = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), planes).as("qbucket"))
+    // multiprobe: the bucket itself plus every 1-bit flip
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array((col("qbucket") +:
+        (0 until nPlanes).map(i =>
+          col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+        .as("bucket"))
+    val cand = bucketed.join(broadcast(probes),
+        Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** A3 — IVF-style ANN: `centroidPred` picks the coarse centroid set
+    * (at real scale: a k-means output); every vector is assigned to
+    * its nearest centroid (one shuffle), queries probe the `nprobe`
+    * nearest cells. Returns exact cosine rank within probed cells.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, centroidPred: Column,
+              k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = emb.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cand_id"))
+      .orderBy(col("cdist").desc, col("cent_id"))
+    val assigned = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(cent))
+      .withColumn("cdist", cosine(col("cv"), col("centv")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("cand_id"), col("cv"), col("cent_id").as("cell"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("cent_id"))
+    val probed = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("qdist", cosine(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** D5 — embedding-cosine near-duplicate pairs at ≥ `threshold`.
+    * Pairwise here (the correctness form); the scale path is
+    * `lshTopK`/`ivfTopK` with a threshold filter.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.plans.MinRollingHash
+import graft.sources.Tables
+
+/** Specs for SURVEY.md §2.6–§2.9 (dedup, similarity, text, multimodal)
+  * and §2.5 E3–E4 (streaming).
+  */
+class PipelineOperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("MinRollingHash matches a straightforward reference implementation") {
+    def reference(s: String, k: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val w = math.min(bytes.length, k)
+      if (bytes.isEmpty) 0L
+      else (0 to bytes.length - w).map { i =>
+        bytes.slice(i, i + w).foldLeft(0L)((h, b) => h * 257L + (b & 0xffL))
+      }.min
+    }
+    val samples = Seq("hello world this is a doc", "short", "",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "x")
+    import spark.implicits._
+    val got = samples.toDF("t")
+      .select(MinRollingHash.min_rolling_hash(col("t"), 16)).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == samples.map(reference(_, 16)))
+  }
+
+  test("MinRollingHash codegen and interpreted paths agree on real docs") {
+    val doc = Tables.table(spark, sf, "documents")
+    val a = doc.select(col("doc_id"),
+      MinRollingHash.min_rolling_hash(col("text"), 16).as("f"))
+    // force the interpreted path through the same expression
+    val rows = doc.select("doc_id", "text").collect()
+    val interp = rows.map { r =>
+      r.getLong(0) -> MinRollingHash.minHash(
+        r.getString(1).getBytes("UTF-8"), 16)
+    }.toMap
+    a.collect().foreach(r => assert(r.getLong(1) == interp(r.getLong(0))))
+  }
+
+  test("sharing a 16-byte window implies equal fingerprint possible (dup doc)") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "the quick brown fox jumps over the lazy dog"),
+                 (3L, "completely different content here entirely")).toDF("id", "t")
+    val groups = Dedup.fingerprintGroups(df, "id", "t").collect()
+    val dupGroup = groups.filter(_.getLong(2) == 2)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 1L)
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("doc_id", "text")
+    val out = Dedup.exactTextDedup(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    assert(out.find(_.getLong(2) == 2).get.getLong(1) == 1L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val other = (100 to 130).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(df, "doc_id", "text").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs (on testdata)") {
+    val doc = Tables.table(spark, sf, "documents")
+    val viaMinhash = Dedup.minhashDedup(doc, "doc_id", "text", 1, 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(doc, "doc_id", "text", 1, 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH at b=8,r=2 has ~97% hit rate at J=0.5; on this corpus demand ≥80%
+    if (exact.nonEmpty) {
+      val recall = exact.count(viaMinhash.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash: identical docs collide, near-identical docs are close") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 3) "X" else s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Number]("hamming").longValue == 0L))
+  }
+
+  test("brute-force ANN: self-consistent ranks and valid cosine range") {
+    val out = Similarity.bruteForceTopK(
+      Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
+      // ranks ordered by decreasing cosine
+      val sorted = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x >= y })
+      assert(rows.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates' quality") {
+    val bf = Similarity.bruteForceTopK(
+      Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 10).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val lsh = Similarity.lshTopK(
+      Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 10).collect()
+    // every LSH hit's cosine can't exceed the brute-force best
+    assert(lsh.forall(_.getDouble(3) <= 1.0001))
+    // and LSH returns at most k per query with valid ranks
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+    }
+    assert(bf.nonEmpty)
+  }
+
+  test("IVF ANN returns ranked results from probed cells") {
+    val out = Similarity.ivfTopK(
+      Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") % 100 === 0,
+      centroidPred = col("vec_id") % 37 === 1,
+      k = 5, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+    }
+  }
+
+  test("multimodal: payload bytes survive the plumbing; stub features deterministic") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.extractFeatures(media).collect()
+    val chars = Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ASCII corpus: utf-8 byte length == char count
+    feats.foreach { f => assert(f.byte_len == chars(f.media_id)) }
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.checksum))
+  }
+
+  test("multimodal: metadata-only query plan prunes the payload column") {
+    val plan = Multimodal.metadataSummary(Multimodal.mediaTable(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), "payload column not pruned:\n" + plan)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** SURVEY.md §2.5 E3–E4: the Structured Streaming pipeline produces
+  * the same answers as its batch twin, and streaming dedup bounds
+  * state with the watermark.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("E3: streaming windowed rollup == batch rollup (complete mode)") {
+    // file stream source needs a directory — stage the events file
+    val dir = java.nio.file.Files.createTempDirectory("graft-e3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.windowedRollup(stream), "stream_rollup", "complete")
+    try {
+      val streamed = spark.table("stream_rollup")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Events.hourlyRollup(spark, sf)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("E4: streaming dedup drops duplicate event_ids within watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // two files with overlapping event_ids — the "same event delivered
+    // twice" case streaming dedup exists for
+    val base = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")).limit(200)
+    base.write.mode("overwrite").parquet(s"$dir/batch1")
+    base.limit(50).write.mode("overwrite").parquet(s"$dir/batch2")
+
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = EventStream.runToMemory(
+      EventStream.dedupStream(stream), "stream_dedup", "append")
+    try {
+      val n = spark.table("stream_dedup").select("event_id").distinct().count()
+      val total = spark.table("stream_dedup").count()
+      assert(total == n, s"dup rows survived: $total vs $n distinct")
+      assert(n == 200)
+    } finally q.stop()
+  }
+}
