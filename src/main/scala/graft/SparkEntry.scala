@@ -148,6 +148,51 @@ object SparkEntry {
     // ---- §2.9 M1 multimodal ----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
+    // ---- §2.1 S2–S5 sources & sinks ----
+    "q_csv_roundtrip" -> ((s, d) => {
+      // bronze-layer CSV drop (reference: bucket.py write_to_minio
+      // format='csv') → schema'd read back — values must survive
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      Tables.writeCsv(Tables.table(s, d, "nation"), s"$tmp/nation")
+      Tables.readCsv(s, s"$tmp/nation",
+        Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    }),
+    "q_json_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      Tables.writeJson(Tables.table(s, d, "customer"), s"$tmp/customer")
+      Tables.readJson(s, s"$tmp/customer",
+        Some("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+    }),
+    "q_partitioned_write" -> ((s, d) => {
+      // lakehouse layout: write partitioned by day, read back filtered
+      // to one partition (pruned scan), aggregate
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val ev = Tables.table(s, d, "events")
+        .withColumn("event_date", col("ts").cast("date").cast("string"))
+      Tables.writeParquet(ev, s"$tmp/events", partitionBy = Seq("event_date"))
+      s.read.parquet(s"$tmp/events")
+        .filter(col("event_date").cast("string") === "2024-01-15")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
+            .as("sum_value"))
+    }),
+    "q_freshness_gate" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
+        .toString + "/nation"
+      val nation = Tables.table(s, d, "nation")
+      val first = Tables.writeIfStale(nation, tmp)
+      val second = Tables.writeIfStale(nation, tmp) // fresh → skipped
+      val forced = Tables.writeIfStale(nation, tmp,
+        nowMillis = System.currentTimeMillis() + 366L * 86400000L) // stale
+      import s.implicits._
+      Seq((first, second, forced, s.read.parquet(tmp).count()))
+        .toDF("first_write", "second_skipped_is_false", "forced_rewrite",
+          "rows_readable")
+    }),
   )
 
   // ---- DuckDB oracle helpers (mirror the Spark expressions 1:1) ----
@@ -199,6 +244,13 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, same column names as the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    "q_csv_roundtrip" -> "SELECT * FROM nation",
+    "q_json_roundtrip" -> "SELECT * FROM customer",
+    "q_partitioned_write" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,

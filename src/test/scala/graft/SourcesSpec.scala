@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** SURVEY.md §2.1: source/sink round-trips, freshness gate, and the
+  * plan-level scale properties (predicate pushdown, partition pruning,
+  * column pruning) that make 100 TB scans affordable.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("csv round-trip preserves values with an explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    val nation = Tables.table(spark, sf, "nation")
+    Tables.writeCsv(nation, s"$tmp/n")
+    val back = Tables.readCsv(spark, s"$tmp/n",
+      Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    assert(back.except(nation).count() == 0 &&
+      nation.except(back).count() == 0)
+  }
+
+  test("json round-trip preserves doubles exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    val cust = Tables.table(spark, sf, "customer")
+    Tables.writeJson(cust, s"$tmp/c")
+    val back = Tables.readJson(spark, s"$tmp/c",
+      Some("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING"))
+      .select(cust.columns.map(col).toIndexedSeq: _*)
+    assert(back.except(cust).count() == 0 &&
+      cust.except(back).count() == 0)
+  }
+
+  test("freshness gate: first write happens, fresh skip, stale rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString + "/x"
+    val nation = Tables.table(spark, sf, "nation")
+    assert(Tables.writeIfStale(nation, tmp))
+    assert(!Tables.writeIfStale(nation, tmp))
+    assert(Tables.writeIfStale(nation, tmp,
+      nowMillis = System.currentTimeMillis() + 366L * 86400000L))
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val plan = Tables.table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 25)
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,25.0)]"), plan)
+  }
+
+  test("column pruning reaches the scan (2-column projection)") {
+    val plan = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+  }
+
+  test("partitioned layout gives partition-pruned reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("event_date", col("ts").cast("date").cast("string"))
+    Tables.writeParquet(ev, s"$tmp/ev", partitionBy = Seq("event_date"))
+    val read = spark.read.parquet(s"$tmp/ev")
+      .filter(col("event_date").cast("string") === "2024-01-15")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // pruned scan reads strictly fewer files than the full table
+    assert(read.count() ==
+      ev.filter(col("event_date") === "2024-01-15").count())
+  }
+
+  test("broadcast hint holds in the region-volume star join") {
+    val plan = operators.Analytics.regionVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "dim join degraded to SMJ:\n" + plan)
+  }
+}
