@@ -219,28 +219,39 @@ object SparkEntry {
       |)""".stripMargin
 
   private val duckMh = (0 until 16)
-    .map(i => s"min(substr(sha256('$i:' || sh), 1, 8)) AS mh$i")
+    .map(i => s"min(substr(sha256(sh), ${1 + 3 * i}, 8)) AS mh$i")
     .mkString(", ")
 
   private val duckBandCase = (0 until 8)
     .map(b => s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}")
     .mkString(" ")
 
-  private def duckJaccardTail(num: Int, den: Int): String =
-    s"""sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
-       |inter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS i
-       |  FROM cand c
-       |  JOIN sh x ON x.sid = c.id_a
-       |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
-       |  GROUP BY 1, 2
-       |)
+  private def duckJaccardTail(num: Int, den: Int,
+                              restrictToCand: Boolean): String = {
+    val inter =
+      if (restrictToCand)
+        """inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.sid = c.id_a
+          |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
+          |  GROUP BY 1, 2
+          |)""".stripMargin
+      else
+        """inter AS (
+          |  SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
+          |  GROUP BY 1, 2
+          |)""".stripMargin
+    s"""$inter,
+       |sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid)
        |SELECT i.id_a, i.id_b,
        |  ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
        |FROM inter i
        |JOIN sizes sa ON sa.sid = i.id_a
        |JOIN sizes sb ON sb.sid = i.id_b
        |WHERE i.i * $den >= (sa.n + sb.n - i.i) * $num""".stripMargin
+  }
 
   /** DuckDB oracle SQL, same column names as the Spark results. */
   def oracleSql: Map[String, String] = Map(
@@ -315,12 +326,9 @@ object SparkEntry {
          |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
          |  FROM bk a JOIN bk b
          |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
-         |), ${duckJaccardTail(1, 2)}""".stripMargin,
+         |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin,
     "q_dedup_jaccard" ->
-      s"""$duckShingles, cand AS (
-         |  SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
-         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
-         |), ${duckJaccardTail(3, 10)}""".stripMargin,
+      s"""$duckShingles, ${duckJaccardTail(3, 10, restrictToCand = false)}""".stripMargin,
     "q_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim

@@ -56,20 +56,24 @@ object Dedup {
     df.select(col(idCol).as("sid"),
         explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
 
-  /** D2 step 1 — k-function MinHash signature per id. Each hash
-    * function is `min over shingles of the first 8 hex chars of
-    * sha256(i ++ ":" ++ shingle)` — deterministic and engine-portable.
+  /** D2 step 1 — k-function MinHash signature per id. ONE sha256 per
+    * (doc, shingle); the k "hash functions" are k overlapping 8-hex
+    * windows of the digest (offsets 1+3i) — each a uniform 32-bit
+    * slice, which is all MinHash banding needs. This is 1/k-th the
+    * hashing cost of k independent digests, the dominant cost of
+    * signature building at corpus scale.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 16): DataFrame =
+                       k: Int = 16): DataFrame = {
+    val digest = sha2(col("sh"), 256)
     shingleIndex(df, idCol, textCol)
+      .withColumn("dg", digest)
       .groupBy(col("sid"))
       .agg(
-        min(substring(sha2(concat_ws(":", lit(0), col("sh")), 256), 1, 8))
-          .as("mh0"),
+        min(substring(col("dg"), 1, 8)).as("mh0"),
         (1 until k).map(i =>
-          min(substring(sha2(concat_ws(":", lit(i), col("sh")), 256), 1, 8))
-            .as(s"mh$i")): _*)
+          min(substring(col("dg"), 1 + 3 * i, 8)).as(s"mh$i")): _*)
+  }
 
   /** D2 step 2 — LSH banding: signatures → (band, bucket) keys →
     * equi-self-join → candidate pairs. bandsOf rows per band.
@@ -91,19 +95,39 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given pairs via the shingle inverted index.
-    * Threshold is applied with integer cross-multiplication
-    * (`den*i >= num*(|A|+|B|-i)`) — no float boundary ambiguity.
+  /** Shared-shingle co-occurrence counts per ordered doc pair — the
+    * inverted-index self-join aggregated IN PLACE. Join fan-out is
+    * Σ_shingle df·(df−1)/2 rows straight into a partial-aggregated
+    * groupBy; materializing candidate pairs first and re-joining the
+    * index twice costs ~6× more (pairs × avg-shingles rows).
+    */
+  def cooccurrence(sh: DataFrame): DataFrame =
+    sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.sid") < col("y.sid"))
+      .groupBy(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+
+  /** Exact Jaccard from co-occurrence counts + set sizes, optionally
+    * restricted to `candidates`. With a small candidate set the
+    * intersection is counted by expanding ONLY candidate pairs against
+    * the index (cand ⋈ sh ⋈ sh — |cand|·avg-shingles rows); without
+    * one, the full co-occurrence aggregation is cheaper. Threshold
+    * applied by integer cross-multiplication
+    * (`den·i ≥ num·(|A|+|B|−i)`) — no float boundary ambiguity.
     * Emits (id_a, id_b, jaccard rounded to 6).
     */
-  def jaccardVerify(pairs: DataFrame, sh: DataFrame,
+  def jaccardVerify(sh: DataFrame, candidates: Option[DataFrame],
                     thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.as("x"), col("x.sid") === col("id_a"))
-      .join(sh.as("y"),
-        col("y.sid") === col("id_b") && col("y.sh") === col("x.sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    val inter = candidates match {
+      case Some(cand) =>
+        cand.join(sh.as("x"), col("x.sid") === col("id_a"))
+          .join(sh.as("y"),
+            col("y.sid") === col("id_b") && col("y.sh") === col("x.sh"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      case None => cooccurrence(sh)
+    }
     inter
       .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
       .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
@@ -121,24 +145,25 @@ object Dedup {
                    thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol)
     val cand = lshCandidatePairs(sig)
-    jaccardVerify(cand, shingleIndex(df, idCol, textCol),
+    jaccardVerify(shingleIndex(df, idCol, textCol), Some(cand),
       thresholdNum, thresholdDen)
   }
 
   /** D4 — exact n-gram Jaccard over ALL pairs sharing at least one
     * shingle (inverted-index join; at scale this runs per LSH bucket).
     */
+  /** D4 — exact n-gram Jaccard over all pairs sharing at least one
+    * shingle, straight from the co-occurrence aggregation. At 100 TB
+    * this is run per LSH bucket, or after a document-frequency cap on
+    * shingles (frequent shingles contribute df² join rows and almost
+    * no Jaccard evidence) — both trade a little recall for a bounded
+    * join.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         thresholdNum: Int = 3,
-                        thresholdDen: Int = 10): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol)
-    val pairs = sh.as("x")
-      .join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.sid") < col("y.sid"))
-      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
-      .distinct()
-    jaccardVerify(pairs, sh, thresholdNum, thresholdDen)
-  }
+                        thresholdDen: Int = 10): DataFrame =
+    jaccardVerify(shingleIndex(df, idCol, textCol), None,
+      thresholdNum, thresholdDen)
 
   /** D3 — 64-bit SimHash per document: per-bit majority vote over
     * xxhash64 of the tokens. One explode + one aggregation; the bit

@@ -39,29 +39,25 @@ object Profiling {
     * min_val, max_val). Reference: data_profiling.py:10.
     */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    // One single-column aggregation per field, unioned. Each branch
+    // scans ONLY its column (parquet pruning) and runs a two-phase
+    // distinct — vs a single wide agg with N count_distincts, which
+    // Expand-multiplies every row N+1 times before the shuffle. At
+    // warehouse width (dozens of columns) the union shape wins by the
+    // expand factor; branches execute concurrently within one job.
     val fields = df.schema.fields.toSeq
-    val aggs: Seq[Column] = fields.flatMap { f =>
+    fields.map { f =>
       val c = col(f.name)
       val s = asStr(f)
-      Seq(
-        count(c).as(s"${f.name}__n"),
+      df.select(c).agg(
+        count(c).as("n_nonnull"),
         (if (exact) count_distinct(c) else approx_count_distinct(c))
-          .as(s"${f.name}__d"),
-        s(min(c)).as(s"${f.name}__mn"),
-        s(max(c)).as(s"${f.name}__mx"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // Unpivot the single row into (column_name, metrics) rows — still
-    // no driver-side data movement.
-    val entries = fields.map { f =>
-      struct(
-        lit(f.name).as("column_name"),
-        col(s"${f.name}__n").as("n_nonnull"),
-        col(s"${f.name}__d").as("n_distinct"),
-        col(s"${f.name}__mn").as("min_val"),
-        col(s"${f.name}__mx").as("max_val"))
-    }
-    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+          .as("n_distinct"),
+        s(min(c)).as("min_val"),
+        s(max(c)).as("max_val"))
+        .select(lit(f.name).as("column_name"), col("n_nonnull"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _)
   }
 
   /** Unique-value count per column (reference: data_profiling.py:1,

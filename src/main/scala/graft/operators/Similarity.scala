@@ -15,25 +15,36 @@ import scala.util.Random
   * one bucket (+ multiprobe neighbors); IVF shuffles vectors once by
   * nearest centroid and probes `nprobe` cells per query, so the scan
   * is 1/nlist-th of the data per probe. Both keep everything as
-  * broadcast joins + column expressions (dot products via
-  * `zip_with`+`aggregate`, codegen'd, index-ordered and therefore
-  * bit-deterministic).
+  * broadcast joins + column expressions; dot products run through the
+  * native codegen [[graft.plans.VectorDot]] (index-ordered and
+  * therefore bit-deterministic).
   */
 object Similarity {
 
-  /** Index-ordered dot product of two float-array columns in double
-    * precision (deterministic fold, no SIMD reordering).
+  /** Index-ordered dot product in double precision — a native codegen
+    * expression ([[graft.plans.VectorDot]]): Spark's `zip_with` +
+    * `aggregate` lambdas run interpreted per element, ~100× slower on
+    * a pairwise join. Deterministic left fold either way.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorDot.vector_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private def dotPre(a: Column, b: Column): Column = dot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-row prep: vector + precomputed norm, so cosine over a pair of
+    * prepped rows is ONE dot (`/ (na·nb)`) instead of three — norms are
+    * computed once per VECTOR, not once per PAIR. Same operations in
+    * the same order as [[cosine]], so values stay bit-identical.
+    */
+  private def prepped(emb: DataFrame, idCol: String, vecCol: String,
+                      idAs: String, vAs: String, nAs: String): DataFrame =
+    emb.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+      .withColumn(nAs, norm(col(vAs)))
 
   /** A1 — exact cosine top-k: for each query vector (`queryPred`
     * selects queries), the k nearest other vectors. The query side is
@@ -41,11 +52,12 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int = 10): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = prepped(emb.filter(queryPred), idCol, vecCol,
+      "query_id", "qv", "qn")
+    val c = prepped(emb, idCol, vecCol, "cand_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dotPre(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -154,10 +166,11 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = prepped(emb, idCol, vecCol, "id_a", "va", "na")
+    val b = prepped(emb, idCol, vecCol, "id_b", "vb", "nb")
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(dotPre(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
   }
