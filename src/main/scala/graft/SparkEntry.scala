@@ -148,6 +148,8 @@ object SparkEntry {
     // ---- §2.9 M1 multimodal ----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
+    // ---- §2.2 C7 bronze nested-JSON flatten ----
+    "q_bronze_flatten" -> ((s, d) => Bronze.eventsFlattened(s, d)),
     // ---- §2.1 S2–S5 sources & sinks ----
     "q_csv_roundtrip" -> ((s, d) => {
       // bronze-layer CSV drop (reference: bucket.py write_to_minio
@@ -255,6 +257,10 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, same column names as the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    "q_bronze_flatten" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS props_k
+        |FROM events""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM nation",
     "q_json_roundtrip" -> "SELECT * FROM customer",
     "q_partitioned_write" ->

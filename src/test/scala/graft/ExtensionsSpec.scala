@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bronze
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("registered SQL functions work: min_rolling_hash and vector_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT min_rolling_hash('hello world hello world', 16) AS f, " +
+        "vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getLong(0) ==
+      graft.plans.MinRollingHash.minHash(
+        "hello world hello world".getBytes("UTF-8"), 16))
+    assert(r.getDouble(1) == 11.0)
+    // default-k single-arg form
+    assert(spark.sql("SELECT min_rolling_hash('abc') AS f").head().getLong(0) ==
+      graft.plans.MinRollingHash.minHash("abc".getBytes("UTF-8"), 16))
+  }
+
+  test("vector_dot mixes float and double arrays") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")
+    val got = df.select(
+      graft.plans.VectorDot.vector_dot(col("f"), col("d"))).head().getDouble(0)
+    assert(got == 1.0)
+  }
+
+  test("bronze flatten: json props → parent_child columns, distributed") {
+    val out = Bronze.eventsFlattened(spark, sf)
+    assert(out.columns.toSeq == Seq("event_id", "event_type", "props_k"))
+    assert(out.filter(col("props_k").isNull).count() == 0)
+  }
+
+  test("flattenStructs handles nested structs with _ naming") {
+    import spark.implicits._
+    val df = Seq((1, ("x", (2.5, "y")))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("a"),
+        struct(col("s._2._1").as("inner1"),
+          struct(lit(7).as("deep")).as("nest")).as("outer"))
+    val flat = Bronze.flattenStructs(df)
+    assert(flat.columns.toSeq ==
+      Seq("id", "a", "outer_inner1", "outer_nest_deep"))
+  }
+}
