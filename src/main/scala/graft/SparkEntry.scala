@@ -111,15 +111,9 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         col("lang").as("lang_label"),
         graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))),
-    "q_text_quality" -> ((s, d) => {
-      import graft.functions.TextFunctions._
-      Tables.table(s, d, "documents").select(col("doc_id"),
-        alphaRatio(col("text")).as("alpha_ratio"),
-        punctRatio(col("text")).as("punct_ratio"),
-        stopwordRatio(col("text")).as("stopword_ratio"),
-        meanTokenLen(col("text")).as("mean_token_len"),
-        qualityScore(col("text")).as("quality_score"))
-    }),
+    "q_text_quality" -> ((s, d) =>
+      graft.functions.TextFunctions.qualityReport(
+        Tables.table(s, d, "documents"), "doc_id", "text")),
     "q_text_fingerprint" -> ((s, d) =>
       Dedup.fingerprintGroups(Tables.table(s, d, "documents"),
         "doc_id", "text")),

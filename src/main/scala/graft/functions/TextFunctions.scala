@@ -105,4 +105,36 @@ object TextFunctions {
       (alphaRatio(c) * 0.3) +
       (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
       ((lit(1.0) - punctRatio(c)) * 0.1), 6)
+
+  /** Full per-document quality report with the token array materialized
+    * ONCE. The single-column functions above inline `tokens(c)` inside
+    * lambda bodies, where Catalyst does no CSE — fine for one metric,
+    * needlessly re-tokenizing for four. Values are identical.
+    */
+  def qualityReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val allStop = Stopwords.flatMap(_._2).distinct
+    val ws = col("__ws")
+    val metrics = df
+      .select(col(idCol), col(textCol).as("__t"),
+        tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        alphaRatio(col("__t")).as("alpha_ratio"),
+        punctRatio(col("__t")).as("punct_ratio"),
+        when(size(ws) === 0, 0.0).otherwise(
+          size(filter(ws, t => array_contains(
+            array(allStop.map(lit): _*), t))).cast("double") / size(ws))
+          .as("stopword_ratio"),
+        when(size(ws) === 0, 0.0).otherwise(
+          aggregate(transform(ws, t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(ws))
+          .as("mean_token_len"))
+    metrics.select(col(idCol), col("alpha_ratio"), col("punct_ratio"),
+      col("stopword_ratio"), col("mean_token_len"),
+      round(
+        (col("stopword_ratio") * 0.4) +
+        (col("alpha_ratio") * 0.3) +
+        (least(col("mean_token_len") / 10.0, lit(1.0)) * 0.2) +
+        ((lit(1.0) - col("punct_ratio")) * 0.1), 6).as("quality_score"))
+  }
 }

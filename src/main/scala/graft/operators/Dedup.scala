@@ -75,17 +75,17 @@ object Dedup {
     * hashing cost of k independent digests, the dominant cost of
     * signature building at corpus scale.
     */
-  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 16): DataFrame = {
-    val digest = sha2(col("sh"), 256)
-    shingleIndex(df, idCol, textCol)
-      .withColumn("dg", digest)
+  def signatureFromIndex(sh: DataFrame, k: Int = 16): DataFrame =
+    sh.withColumn("dg", sha2(col("sh"), 256))
       .groupBy(col("sid"))
       .agg(
         min(substring(col("dg"), 1, 8)).as("mh0"),
         (1 until k).map(i =>
           min(substring(col("dg"), 1 + 3 * i, 8)).as(s"mh$i")): _*)
-  }
+
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16): DataFrame =
+    signatureFromIndex(shingleIndex(df, idCol, textCol), k)
 
   /** D2 step 2 — LSH banding: signatures → (band, bucket) keys →
     * equi-self-join → candidate pairs. bandsOf rows per band.
@@ -155,10 +155,12 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol)
-    val cand = lshCandidatePairs(sig)
-    jaccardVerify(shingleIndex(df, idCol, textCol), Some(cand),
-      thresholdNum, thresholdDen)
+    // The shingle index feeds the signature build AND the verify join
+    // sides — persist it once instead of re-deriving it four times.
+    // (Cheap: |docs|·avg-shingles rows of (long, short string).)
+    val sh = shingleIndex(df, idCol, textCol).persist()
+    val cand = lshCandidatePairs(signatureFromIndex(sh))
+    jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
   }
 
   /** D4 — exact n-gram Jaccard over ALL pairs sharing at least one
