@@ -95,6 +95,10 @@ object SparkEntry {
             date_trunc("second", col("ts")).as("ts_sec"),
             col("ts").cast("date").cast("string").as("event_date")),
         col("event_date"), lit("2024-01-15"))),
+    // ---- §2.1 S8 latest record per key (append-only resolution) ----
+    "q_latest_by_key" -> ((s, d) =>
+      Incremental.latestByKey(Tables.table(s, d, "orders"),
+        Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
     // ---- §2.5 E1–E2 events ----
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
@@ -490,6 +494,10 @@ object SparkEntry {
         |  date_trunc('second', ts) AS ts_sec, CAST(ts AS DATE) :: VARCHAR AS event_date
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
+    "q_latest_by_key" ->
+      """SELECT * FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

@@ -78,7 +78,11 @@ object Analytics {
     val li = Tables.table(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") > cut)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    // orders is a FACT: at warehouse scale it cannot be broadcast, so
+    // the lineitem⋈orders join shuffles on the order key (AQE will
+    // still broadcast it when the filtered side turns out tiny).
+    // customer is the dimension side — explicit broadcast.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(dec(col("l_extendedprice")) *
@@ -104,10 +108,11 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.table(spark, sfDir, "lineitem")
-    // Dim chain (region→nation→supplier / customer) is broadcast; the
-    // fact (lineitem⋈orders) is the only shuffled side.
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    // orders and customer are fact-sized at warehouse scale — shuffle
+    // joins (AQE broadcasts them at bench scale automatically); the
+    // true dimensions (supplier chain → nation → region) are broadcast.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(sup),
         li("l_suppkey") === sup("s_suppkey") &&
         cust("c_nationkey") === sup("s_nationkey"))

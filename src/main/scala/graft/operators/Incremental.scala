@@ -34,4 +34,19 @@ object Incremental {
     */
   def asOfPartition(df: DataFrame, partCol: Column, asOf: Column): DataFrame =
     df.filter(partCol === asOf)
+
+  /** Latest record per key — the read-side resolution of the
+    * reference's append-only loading (bigquery.py:141 WRITE_APPEND +
+    * "latest" reads): successive loads append versions; consumers see
+    * only the newest row per business key. One shuffle on the key;
+    * deterministic tie-break.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderCol: Column,
+                  tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCol.desc, tieBreak.desc)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -94,8 +94,10 @@ object StarSchema {
     val li = Tables.table(spark, sfDir, "lineitem")
     val partKind = Tables.table(spark, sfDir, "part")
       .select("p_partkey", "p_brand")
+    // part is ~1% of lineitem — no forced broadcast; AQE broadcasts it
+    // while it fits and degrades to a shuffle join when it doesn't.
     li
-      .join(broadcast(partKind), li("l_partkey") === partKind("p_partkey"))
+      .join(partKind, li("l_partkey") === partKind("p_partkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("decimal(12,2)").cast("double")
