@@ -115,9 +115,9 @@ object TextFunctions {
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val allStop = Stopwords.flatMap(_._2).distinct
     val ws = col("__ws")
-    val metrics = df
+    val metrics = graft.sources.Tables.fanOut(df
       .select(col(idCol), col(textCol).as("__t"),
-        tokens(col(textCol)).as("__ws"))
+        tokens(col(textCol)).as("__ws")))
       .select(col(idCol),
         alphaRatio(col("__t")).as("alpha_ratio"),
         punctRatio(col("__t")).as("punct_ratio"),

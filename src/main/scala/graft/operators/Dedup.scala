@@ -63,8 +63,9 @@ object Dedup {
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame =
-    df.select(col(idCol).as("sid"),
-        TextFunctions.tokens(col(textCol)).as("__ws"))
+    graft.sources.Tables.fanOut(
+      df.select(col(idCol).as("sid"),
+        TextFunctions.tokens(col(textCol)).as("__ws")))
       .select(col("sid"),
         explode(array_distinct(shinglesFromTokens(col("__ws"), n))).as("sh"))
 
@@ -184,8 +185,11 @@ object Dedup {
     * loop is unrolled into 64 codegen'd sums.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("sid"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    // fan out BEFORE the explode: repartitioning 5k docs is free,
+    // repartitioning 500k exploded tokens is a full shuffle of the data
+    val tok = graft.sources.Tables
+      .fanOut(df.select(col(idCol).as("sid"), col(textCol).as("__t")))
+      .select(col("sid"), explode(TextFunctions.tokens(col("__t"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)

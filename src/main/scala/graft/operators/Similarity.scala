@@ -43,7 +43,8 @@ object Similarity {
     */
   private def prepped(emb: DataFrame, idCol: String, vecCol: String,
                       idAs: String, vAs: String, nAs: String): DataFrame =
-    emb.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+    graft.sources.Tables.fanOut(
+      emb.select(col(idCol).as(idAs), col(vecCol).as(vAs)))
       .withColumn(nAs, norm(col(vAs)))
 
   /** A1 — exact cosine top-k: for each query vector (`queryPred`

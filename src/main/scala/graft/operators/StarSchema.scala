@@ -91,7 +91,7 @@ object StarSchema {
     */
   def factSales(spark: SparkSession, sfDir: String,
                 modelingDate: String = "2026-08-12"): DataFrame = {
-    val li = Tables.table(spark, sfDir, "lineitem")
+    val li = Tables.fanOut(Tables.table(spark, sfDir, "lineitem"))
     val partKind = Tables.table(spark, sfDir, "part")
       .select("p_partkey", "p_brand")
     // part is ~1% of lineitem — no forced broadcast; AQE broadcasts it

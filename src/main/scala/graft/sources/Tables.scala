@@ -47,6 +47,20 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Restore scan parallelism when the input has fewer splits than the
+    * cluster has cores. The testdata ships as single-row-group parquet
+    * files — unsplittable, so a scan-side pipeline (sha256 keys,
+    * shingling, pairwise loops) would run on ONE core no matter how
+    * many are available. One cheap round-robin shuffle unlocks them.
+    * A production layout with many files/row groups passes through
+    * untouched.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** CSV read with explicit schema (bronze-layer ingest analog).
     * Pass `inferSchema=true` only for small bronze drops.
     */
