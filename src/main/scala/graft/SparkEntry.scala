@@ -118,6 +118,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) =>
       graft.functions.TextFunctions.qualityReport(
         Tables.table(s, d, "documents"), "doc_id", "text")),
+    "q_text_redact" -> ((s, d) =>
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.redactPII(col("text")).as("clean_text"))),
     "q_text_fingerprint" -> ((s, d) =>
       Dedup.fingerprintGroups(Tables.table(s, d, "documents"),
         "doc_id", "text")),
@@ -316,6 +319,15 @@ object SparkEntry {
          |        ((1.0 - punct_ratio) * 0.1), 6) AS quality_score
          |FROM m""".stripMargin
     },
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,3}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{4}', '[PHONE]', 'g'),
+        |    '[0-9]{8,}', '[NUMBER]', 'g') AS clean_text
+        |FROM documents""".stripMargin,
     "q_dedup_exact_text" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

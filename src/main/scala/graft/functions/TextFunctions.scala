@@ -106,6 +106,20 @@ object TextFunctions {
       (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
       ((lit(1.0) - punctRatio(c)) * 0.1), 6)
 
+  /** PII scrubbing for training corpora: emails, phone-number shapes,
+    * and long digit runs (ids/ssn-ish) replaced with typed placeholder
+    * tokens. Chained `regexp_replace` — codegen'd, one pass per
+    * pattern, patterns kept to the regex dialect Java and RE2 share.
+    */
+  def redactPII(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val phone = regexp_replace(email,
+      "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,3}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{4}",
+      "[PHONE]")
+    regexp_replace(phone, "[0-9]{8,}", "[NUMBER]")
+  }
+
   /** Full per-document quality report with the token array materialized
     * ONCE. The single-column functions above inline `tokens(c)` inside
     * lambda bodies, where Catalyst does no CSE — fine for one metric,

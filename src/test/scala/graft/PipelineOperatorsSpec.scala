@@ -143,6 +143,22 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPII scrubs emails, phones, and long digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      "contact alice.smith+x@example.co.uk now",
+      "call +1 (415) 555-0199 today",
+      "ssn-ish 123456789 stays hidden",
+      "clean text stays untouched").toDF("t")
+    val out = df.select(
+      graft.functions.TextFunctions.redactPII(col("t"))).collect()
+      .map(_.getString(0))
+    assert(out(0) == "contact [EMAIL] now")
+    assert(out(1) == "call [PHONE] today")
+    assert(out(2) == "ssn-ish [NUMBER] stays hidden")
+    assert(out(3) == "clean text stays untouched")
+  }
+
   test("multimodal: payload bytes survive the plumbing; stub features deterministic") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media).collect()
