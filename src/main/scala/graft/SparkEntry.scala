@@ -146,6 +146,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", col("vec_id") % 50 === 0)),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0,
+        centroidPred = col("vec_id") % 37 === 1)),
     // ---- §2.9 M1 multimodal ----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),

@@ -115,4 +115,26 @@ object Tables {
     if (fresh) false
     else { df.write.mode("overwrite").parquet(path); true }
   }
+
+  /** Data-derived freshness gate (reference: bigquery.py:60
+    * `upload_to_bq_once_a_year`): skip the write when the existing
+    * table's `MAX(lineageDateCol)` falls in the same period as `asOf`
+    * (year granularity, like the reference). The staleness check reads
+    * ONE aggregated value of one column — with parquet column stats
+    * it's a footer read, not a scan.
+    */
+  def appendIfStaleByColumn(spark: SparkSession, df: DataFrame, path: String,
+                            lineageDateCol: String, asOfYear: Int): Boolean = {
+    val dir = new java.io.File(path)
+    val fresh = dir.exists() && {
+      val last = spark.read.parquet(path)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col(lineageDateCol))))
+        .head()
+      !last.isNullAt(0) && last.getInt(0) == asOfYear
+    }
+    if (fresh) false
+    else { df.write.mode("append").parquet(path); true }
+  }
 }
