@@ -68,6 +68,8 @@ object SparkEntry {
       Profiling.consistency(Tables.table(s, d, "orders"),
         "o_custkey", "o_orderkey")),
     "q_completeness"  -> ((s, d) => Profiling.completeness(Tables.table(s, d, "events"))),
+    "q_histogram"     -> ((s, d) =>
+      Profiling.histogram(Tables.table(s, d, "orders"), "o_totalprice", 10000.0)),
     // ---- §2.4 G1–G4 star schema ----
     "q_dim_date"     -> ((s, d) => StarSchema.dimDate(s, d)
       .withColumn("data", col("data").cast("string"))),
@@ -102,6 +104,7 @@ object SparkEntry {
     // ---- §2.5 E1–E2 events ----
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
     // ---- §2.8 T1–T4 text analysis ----
     "q_text_tokens" -> ((s, d) => {
       val doc = Tables.table(s, d, "documents")
@@ -511,6 +514,24 @@ object SparkEntry {
         |  date_trunc('second', ts) AS ts_sec, CAST(ts AS DATE) :: VARCHAR AS event_date
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) / CAST(10000.0 AS DECIMAL(18,4))) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) / CAST(10000.0 AS DECIMAL(18,4))) AS BIGINT) * CAST(10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS bucket_low
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+    "q_events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT count(t_view) AS n_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel
+        |FROM per_user""".stripMargin,
     "q_latest_by_key" ->
       """SELECT * FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey

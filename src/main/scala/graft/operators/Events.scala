@@ -35,6 +35,29 @@ object Events {
         round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
           .as("sum_value"))
 
+  /** Staged funnel: how many users reached each step of
+    * view → click → purchase in causal order (first view before first
+    * click before first purchase). One group-by on user, then a single
+    * global aggregate of three booleans — no joins, no windows.
+    * Timestamps are second-truncated so engine timestamp precision
+    * can't flip an ordering comparison.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view",
+        date_trunc("second", col("ts")))).as("t_view"),
+      min(when(col("event_type") === "click",
+        date_trunc("second", col("ts")))).as("t_click"),
+      min(when(col("event_type") === "purchase",
+        date_trunc("second", col("ts")))).as("t_purchase"))
+    perUser.agg(
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), 1)).as("n_view_then_click"),
+      count(when(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_view"), 1)).as("n_full_funnel"))
+  }
+
   /** Gap-based sessionization: a session ends after `gapMinutes` of
     * user inactivity. One shuffle on user_id; window functions run
     * within the per-user sort — the classic scalable formulation

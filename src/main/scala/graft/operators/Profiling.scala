@@ -86,6 +86,19 @@ object Profiling {
       .agg(count_distinct(col(key)).as("unique_ids"))
       .filter(col("unique_ids") =!= 1)
 
+  /** Fixed-width value histogram of a numeric column: one group-by on
+    * the bucket index. Bucket math is exact integer/decimal so bucket
+    * boundaries can't drift between engines.
+    */
+  def histogram(df: DataFrame, c: String, bucketWidth: Double): DataFrame =
+    df.groupBy(
+        floor(col(c).cast("decimal(18,4)") / lit(bucketWidth).cast("decimal(18,4)"))
+          .cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_low",
+        (col("bucket") * lit(bucketWidth).cast("decimal(18,4)"))
+          .cast("double"))
+
   /** Completeness report: non-null ratio per column, one pass.
     * (The reference derives this implicitly in remove_null_values'
     * per-column counts; here it is a first-class report.)
