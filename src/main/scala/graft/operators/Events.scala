@@ -39,8 +39,15 @@ object Events {
     * view → click → purchase in causal order (first view before first
     * click before first purchase). One group-by on user, then a single
     * global aggregate of three booleans — no joins, no windows.
-    * Timestamps are second-truncated so engine timestamp precision
-    * can't flip an ordering comparison.
+    *
+    * Timestamps are second-truncated before comparison: the source
+    * parquet is nanosecond-precision, which Spark floors to µs at read
+    * while a ns-native engine (the DuckDB oracle) keeps whole — a raw
+    * strict `>` could disagree between engines for sub-µs gaps.
+    * Second-level flooring makes both engines compare identical
+    * values. Trade-off (deliberate): two steps inside the SAME second
+    * count as not-ordered, so sub-second conversions are excluded from
+    * the strict-order counts on BOTH engines.
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")

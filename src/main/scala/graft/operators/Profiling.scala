@@ -87,10 +87,17 @@ object Profiling {
       .filter(col("unique_ids") =!= 1)
 
   /** Fixed-width value histogram of a numeric column: one group-by on
-    * the bucket index. Bucket math is exact integer/decimal so bucket
-    * boundaries can't drift between engines.
+    * the bucket index. Bucket math runs in decimal(18,4) — exact on
+    * the Spark side; note a DOUBLE-division engine (DuckDB evaluates
+    * decimal division in double) stays boundary-consistent only while
+    * `value/width` quotients can't land within 1 ulp of an integer,
+    * which holds for coarse widths over limited-precision values
+    * (e.g. 2-dp prices, width ≥ 0.01). Values outside decimal(18,4)
+    * range are a loud error (ANSI), not a silent NULL bucket.
     */
-  def histogram(df: DataFrame, c: String, bucketWidth: Double): DataFrame =
+  def histogram(df: DataFrame, c: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth >= 0.01,
+      s"bucketWidth $bucketWidth below decimal(18,4)-safe granularity")
     df.groupBy(
         floor(col(c).cast("decimal(18,4)") / lit(bucketWidth).cast("decimal(18,4)"))
           .cast("bigint").as("bucket"))
@@ -98,6 +105,7 @@ object Profiling {
       .withColumn("bucket_low",
         (col("bucket") * lit(bucketWidth).cast("decimal(18,4)"))
           .cast("double"))
+  }
 
   /** Completeness report: non-null ratio per column, one pass.
     * (The reference derives this implicitly in remove_null_values'

@@ -143,6 +143,46 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(dim.select("id_date").distinct().count() == dim.count())
   }
 
+  test("histogram buckets cover all rows and reject unsafe widths") {
+    val orders = Tables.table(spark, sf, "orders")
+    val h = Profiling.histogram(orders, "o_totalprice", 10000.0)
+    assert(h.agg(sum("n")).head().getLong(0) == orders.count())
+    assert(h.filter(col("bucket").isNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(orders, "o_totalprice", 0.001)
+    }
+  }
+
+  test("funnel: step counts are monotonically decreasing and causal") {
+    import spark.implicits._
+    val r = Events.funnel(spark, sf).head()
+    val (v, vc, full) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= full && v > 0)
+    // hand-built causality check: click-before-view must NOT count
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      (2L, "2024-01-01 12:00:00", "view"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    df.createOrReplaceTempView("__funnel_in")
+    val perUser = df.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view",
+        date_trunc("second", col("ts")))).as("t_view"),
+      min(when(col("event_type") === "click",
+        date_trunc("second", col("ts")))).as("t_click"),
+      min(when(col("event_type") === "purchase",
+        date_trunc("second", col("ts")))).as("t_purchase"))
+    val out = perUser.agg(
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), 1)).as("n_view_then_click"),
+      count(when(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_view"), 1)).as("n_full_funnel")).head()
+    assert(out.getLong(0) == 2 && out.getLong(1) == 1 && out.getLong(2) == 1)
+  }
+
   test("incremental latestPartition keeps only max partition") {
     import spark.implicits._
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-02", 3))
