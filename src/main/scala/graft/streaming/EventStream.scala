@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming form of the event pipeline (SURVEY.md §2.5
   * E3–E4).
@@ -59,6 +59,78 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session state for [[sessionizeStream]]: the currently
+    * open session, in epoch micros.
+    */
+  case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /** E5/E6 — streaming gap sessionization with CUSTOM state
+    * (`flatMapGroupsWithState`): the one event pipeline the built-in
+    * streaming operators can't express (per-key open-session state
+    * with gap-close emission). Sessions closed by a later event in the
+    * batch are emitted immediately; the still-open session is kept in
+    * bounded per-key state and emitted when the event-time timeout
+    * (watermark + gap) fires — state never outlives the watermark,
+    * which is what keeps it finite on an infinite stream.
+    *
+    * The batch twin is [[graft.operators.Events.sessionize]]; the spec
+    * asserts closed-session parity between the two.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    // emit second-truncated bounds (same output convention as the
+    // batch twin); gap logic itself runs at full µs precision so the
+    // two twins split sessions identically
+    def toTs(micros: Long) =
+      new java.sql.Timestamp((micros / 1000000L) * 1000L)
+
+    def fn(userId: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, toTs(s.startMicros),
+          toTs(s.lastMicros), s.n))
+      }
+      // events within one trigger arrive unsorted — order them here
+      val sorted = batch.map(_._2.getTime * 1000L).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var open = state.getOption
+      sorted.foreach { t =>
+        open match {
+          case Some(s) if t - s.lastMicros <= gapMicros =>
+            open = Some(s.copy(lastMicros = t, n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, toTs(s.startMicros),
+              toTs(s.lastMicros), s.n)
+            open = Some(OpenSession(t, t, 1))
+          case None =>
+            open = Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMicros / 1000L + gapMicros / 1000L)
+      }
+      closed.iterator
+    }
+
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Run a streaming DataFrame to completion against the (finite) file
     * source into an in-memory table; returns the query after all

@@ -31,6 +31,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E6: custom-state streaming sessionization matches batch closed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e6")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.sessionizeStream(stream).toDF(), "stream_sessions",
+      "append")
+    try {
+      val streamed = spark.table("stream_sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      // batch twin: gap-closed sessions MUST stream; each user's LAST
+      // session may or may not emit depending on whether the final
+      // watermark passed its timeout — so closed ⊆ streamed ⊆ all.
+      val batchAll = operators.Events.sessionize(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4)))
+      val lastPerUser = batchAll.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2.getTime)).values.toSet
+      val batchClosed = batchAll.toSet -- lastPerUser
+      assert(batchClosed.subsetOf(streamed),
+        s"missing closed sessions: ${(batchClosed -- streamed).take(3)}")
+      assert(streamed.subsetOf(batchAll.toSet),
+        s"phantom sessions: ${(streamed -- batchAll.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("E4: streaming dedup drops duplicate event_ids within watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
