@@ -38,15 +38,21 @@ object Incremental {
   /** Latest record per key — the read-side resolution of the
     * reference's append-only loading (bigquery.py:141 WRITE_APPEND +
     * "latest" reads): successive loads append versions; consumers see
-    * only the newest row per business key. One shuffle on the key;
-    * deterministic tie-break.
+    * only the newest row per business key.
+    *
+    * Formulated as a `max_by` AGGREGATION, not a window `row_number`:
+    * aggregation gets map-side partial combine, so a hot key collapses
+    * to one row per input partition BEFORE the shuffle — skew-immune —
+    * while the window form must shuffle and sort every version of the
+    * hot key into one task. Deterministic: ordering key is the
+    * (orderCol, tieBreak) struct, compared field-by-field.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], orderCol: Column,
                   tieBreak: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(orderCol.desc, tieBreak.desc)
-    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(orderCol, tieBreak)).as("__row"))
+      .select(col("__row.*"))
   }
 }
