@@ -70,6 +70,9 @@ object SparkEntry {
     "q_completeness"  -> ((s, d) => Profiling.completeness(Tables.table(s, d, "events"))),
     "q_histogram"     -> ((s, d) =>
       Profiling.histogram(Tables.table(s, d, "orders"), "o_totalprice", 10000.0)),
+    "q_quantiles"     -> ((s, d) =>
+      Profiling.quantiles(Tables.table(s, d, "orders"),
+        "o_orderpriority", "o_totalprice")),
     // ---- §2.4 G1–G4 star schema ----
     "q_dim_date"     -> ((s, d) => StarSchema.dimDate(s, d)
       .withColumn("data", col("data").cast("string"))),
@@ -520,6 +523,11 @@ object SparkEntry {
         |  CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) / CAST(10000.0 AS DECIMAL(18,4))) AS BIGINT) * CAST(10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS bucket_low
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

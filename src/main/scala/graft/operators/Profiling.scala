@@ -107,6 +107,23 @@ object Profiling {
           .cast("double"))
   }
 
+  /** Exact interpolated quantiles of a numeric column per group —
+    * `percentile` (continuous interpolation, the quantile_cont
+    * definition). Exact quantiles shuffle the group's values; at
+    * 100 TB swap in `approx_percentile` (t-digest sketch, mergeable,
+    * one pass) — same call shape, bounded error.
+    */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+                qs: Seq[Double] = Seq(0.5, 0.9), exact: Boolean = true): DataFrame = {
+    val aggs = qs.map { q =>
+      val name = s"p${(q * 100).toInt}"
+      (if (exact) percentile(col(valueCol), lit(q))
+       else percentile_approx(col(valueCol), lit(q), lit(10000)))
+        .as(name)
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Completeness report: non-null ratio per column, one pass.
     * (The reference derives this implicitly in remove_null_values'
     * per-column counts; here it is a first-class report.)
