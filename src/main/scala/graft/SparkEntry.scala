@@ -138,7 +138,8 @@ object SparkEntry {
       Dedup.minhashDedup(Tables.table(s, d, "documents"),
         "doc_id", "text")),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.table(s, d, "documents"), "doc_id", "text")),
+      Dedup.simhashPortable(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
         "doc_id", "text")),
@@ -339,6 +340,25 @@ object SparkEntry {
         |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,3}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{4}', '[PHONE]', 'g'),
         |    '[0-9]{8,}', '[NUMBER]', 'g') AS clean_text
         |FROM documents""".stripMargin,
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 60).map { b =>
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(dg, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n    ")
+      val word = (0 until 60)
+        .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT sid, sha256(t) AS dg FROM (
+         |    SELECT doc_id AS sid,
+         |      unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |    FROM documents) x
+         |), bits AS (
+         |  SELECT sid,
+         |    $bitSums
+         |  FROM tok GROUP BY sid
+         |)
+         |SELECT sid, CAST($word AS BIGINT) AS simhash FROM bits""".stripMargin
+    },
     "q_dedup_exact_text" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

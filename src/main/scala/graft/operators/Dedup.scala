@@ -202,6 +202,36 @@ object Dedup {
     agg.select(col("sid"), word.as("simhash"))
   }
 
+  /** D3 (portable form) — SimHash from sha256-derived token hashes so
+    * ANY engine can recompute it bit-for-bit: token hash = hex nibbles
+    * of sha256(token); bit b lives at nibble b/4, position b%4;
+    * per-bit majority vote over the document's tokens (with term
+    * frequency). 60 bits so the word always fits signed 64-bit
+    * arithmetic on engines without unsigned integers.
+    *
+    * [[simhash]] (xxhash64-based) is the production-fast variant — one
+    * 64-bit hash vs a sha256 per token; this one exists for
+    * cross-engine verification gates, same trade as Profiling's
+    * `exact` flag.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String,
+                      nBits: Int = 60): DataFrame = {
+    val tok = graft.sources.Tables
+      .fanOut(df.select(col(idCol).as("sid"), col(textCol).as("__t")))
+      .select(col("sid"), explode(TextFunctions.tokens(col("__t"))).as("t"))
+      .withColumn("dg", sha2(col("t"), 256))
+    val bitSums = (0 until nBits).map { b =>
+      val nib = conv(substring(col("dg"), b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
+    val word = (0 until nBits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("sid"), word.cast("bigint").as("simhash"))
+  }
+
   /** D3 — SimHash near-dup candidates: Hamming distance ≤ maxHamming
     * found by block-pigeonhole (split 64 bits into maxHamming+1
     * blocks; equal somewhere ⇒ candidate), then exact bit_count
