@@ -381,6 +381,36 @@ object SparkEntry {
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 37 = 1
+         |), assigned AS (
+         |  SELECT cand_id, cv, cell FROM (
+         |    SELECT e.vec_id AS cand_id, e.embedding AS cv,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cent c) x
+         |  WHERE r = 1
+         |), probed AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding AS qv,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0) x
+         |  WHERE r <= 2
+         |)
+         |SELECT query_id, cand_id, rank, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT p.query_id, a.cand_id,
+         |    ${duckCos("p.qv", "a.cv")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${duckCos("p.qv", "a.cv")} DESC, a.cand_id) AS rank
+         |  FROM probed p
+         |  JOIN assigned a ON a.cell = p.cell AND p.query_id <> a.cand_id) y
+         |WHERE rank <= 10""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
