@@ -223,6 +223,20 @@ object SparkEntry {
   private def duckList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** LSH sign-bucket of a 64-dim vector column against the same seeded
+    * hyperplanes the Spark side uses, as DuckDB SQL. Plane constants
+    * are emitted via Double.toString (shortest round-trip repr), which
+    * any correctly-rounding SQL parser reads back to the identical
+    * double — so the sign tests agree bit-for-bit.
+    */
+  private def duckLshBucket(v: String): String = {
+    val planes = graft.operators.Similarity.hyperplanes(64, 12, 42L)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> $v[i]::DOUBLE * ($lits)[i]), (x,y) -> x + y) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   private val duckShingles =
     """WITH words AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -381,6 +395,33 @@ object SparkEntry {
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35""".stripMargin,
+    "q_ann_lsh" -> {
+      val flips = (0 until 12).map(i => s"xor(qbucket, CAST(${1L << i} AS BIGINT))")
+      s"""WITH b AS (
+         |  SELECT vec_id AS cand_id, embedding AS cv,
+         |    ${duckLshBucket("embedding")} AS bucket
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |    ${duckLshBucket("embedding")} AS qbucket
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |), probes AS (
+         |  SELECT query_id, qv,
+         |    unnest([qbucket, ${flips.mkString(", ")}]) AS bucket
+         |  FROM q
+         |), cand AS (
+         |  SELECT p.query_id, p.qv, b.cand_id, b.cv
+         |  FROM b JOIN probes p USING (bucket)
+         |  WHERE p.query_id <> b.cand_id
+         |)
+         |SELECT query_id, cand_id, rank, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT query_id, cand_id,
+         |    ${duckCos("qv", "cv")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cand_id) AS rank
+         |  FROM cand) x
+         |WHERE rank <= 10""".stripMargin
+    },
     "q_ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings

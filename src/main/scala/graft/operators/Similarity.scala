@@ -70,9 +70,11 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays —
-    * broadcast to every task as part of the plan.
+    * broadcast to every task as part of the plan. `private[graft]` so
+    * the oracle-SQL generator can emit the SAME plane constants as
+    * lossless double literals.
     */
-  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
     val r = new Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(r.nextGaussian()))
   }
