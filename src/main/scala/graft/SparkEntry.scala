@@ -30,6 +30,8 @@ object SparkEntry {
     "q_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_top_orders"      -> ((s, d) => Analytics.topOrders(s, d)),
     "q_region_volume"   -> ((s, d) => Analytics.regionVolume(s, d)),
+    "q_revenue_change"  -> ((s, d) => Analytics.revenueChange(s, d)),
+    "q_order_count_dist" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
     // ---- §2.2 C1–C6 silver cleaning ----
     "q_clean_nulls" -> ((s, d) =>
       Cleaning.removeNullRows(Tables.table(s, d, "customer"))),
@@ -506,6 +508,21 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q_revenue_change" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
     "q_clean_nulls" ->
       """SELECT * FROM customer
         |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL

@@ -92,6 +92,38 @@ object Analytics {
       .limit(limit)
   }
 
+  /** Forecast-revenue-change report (TPC-H Q6 shape): a pure
+    * filter-and-aggregate whose predicates all push into the parquet
+    * scan — at 100 TB the whole query is a pruned columnar scan plus
+    * one scalar partial-agg merge, no shuffle of data rows at all.
+    */
+  def revenueChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) *
+        dec(col("l_discount"), 4, 2)), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): left join so
+    * zero-order customers count, then a distribution over the group
+    * sizes — two aggregations, each shuffle bounded by its group
+    * cardinality after map-side combine.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.table(spark, sfDir, "customer")
+    val ord = Tables.table(spark, sfDir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Star-join rollup: revenue by nation within a region (TPC-H Q5
     * shape) — the region/UF rollup the reference's dim_city enables
     * (silver_to_gold.py:88 nome_regiao/uf_sigla attributes exist
