@@ -43,9 +43,18 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A crashed query must NOT read as a speedup: null total + nonzero
+    // exit make a regression in any single query fail the whole run.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total =
+      if (failed.nonEmpty) "null"
+      else results.map(_._2).sum.toString
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

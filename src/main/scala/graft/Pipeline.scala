@@ -54,14 +54,39 @@ object Pipeline {
       s"$outDir/gold/fact_sales")
   }
 
-  /** Run all three stages in dependency order; returns the gold fact
-    * for inspection.
+  /** Retry wrapper for a pipeline stage (reference:
+    * airflow/dags/bigquery_weather_dag.py `retries` / `retry_delay`):
+    * re-runs the stage up to `maxAttempts` times, rethrowing the last
+    * failure. Stages here are safe to retry because every write is
+    * overwrite-mode (idempotent) — the same property that lets a real
+    * orchestrator re-run a failed task.
+    */
+  def withRetries[T](maxAttempts: Int = 3, delayMs: Long = 0L)
+                    (stage: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      try return stage
+      catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          if (attempt < maxAttempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw last
+  }
+
+  /** Run all three stages in dependency order (each stage retried like
+    * the reference DAG's task retries); returns the gold fact for
+    * inspection.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          runDate: String): DataFrame = {
-    bronze(spark, sfDir, outDir, runDate)
-    silver(spark, outDir, runDate)
-    gold(spark, sfDir, outDir, runDate)
+          runDate: String, maxAttempts: Int = 3): DataFrame = {
+    withRetries(maxAttempts)(bronze(spark, sfDir, outDir, runDate))
+    withRetries(maxAttempts)(silver(spark, outDir, runDate))
+    withRetries(maxAttempts)(gold(spark, sfDir, outDir, runDate))
     spark.read.parquet(s"$outDir/gold/fact_sales")
   }
 }

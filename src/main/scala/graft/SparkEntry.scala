@@ -129,8 +129,12 @@ object SparkEntry {
     "q_text_redact" -> ((s, d) =>
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.redactPII(col("text")).as("clean_text"))),
+    // portable variant so the gate is a hash compare, not rows-only;
+    // the native MinRollingHash form (Dedup.fingerprintGroups) is the
+    // production path, spec-verified in ExtensionsSpec,
+    // PipelineOperatorsSpec and PropertySpec
     "q_text_fingerprint" -> ((s, d) =>
-      Dedup.fingerprintGroups(Tables.table(s, d, "documents"),
+      Dedup.fingerprintGroupsPortable(Tables.table(s, d, "documents"),
         "doc_id", "text")),
     // ---- §2.6 D1–D5 dedup ----
     "q_dedup_exact_text" -> ((s, d) =>
@@ -142,11 +146,17 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPortable(Tables.table(s, d, "documents"),
         "doc_id", "text")),
+    // df cap 1000: a no-op on the test corpora (max df 25 at sf0.1)
+    // but the bound that keeps the inverted-index join finite at scale;
+    // mirrored in the oracle's QUALIFY
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
-        "doc_id", "text")),
+        "doc_id", "text", maxDocFreq = 1000)),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", 0.35)),
+    "q_dedup_cosine_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupPairsLsh(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.35)),
     // ---- §2.7 A1–A2 similarity search ----
     "q_ann_bruteforce" -> ((s, d) =>
@@ -161,10 +171,29 @@ object SparkEntry {
         queryPred = col("vec_id") % 50 === 0,
         centroidPred = col("vec_id") % 37 === 1)),
     // ---- §2.9 M1 multimodal ----
+    // features projected to scalar columns: the driver's pandas
+    // comparator can't sort an array<float> cell, and scalars let the
+    // oracle recompute each feature independently
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("byte_len"), col("checksum"),
+          col("features")(0).cast("double").as("f_len"),
+          col("features")(1).cast("double").as("f_mean"),
+          col("features")(2).cast("double").as("f_mod"),
+          col("features")(3).cast("double").as("f_first"))),
     // ---- §2.2 C7 bronze nested-JSON flatten ----
     "q_bronze_flatten" -> ((s, d) => Bronze.eventsFlattened(s, d)),
+    // ---- §2.1 S9 manifest ingestion (data_ingestion.py analog) ----
+    // manifest built from the events table's raw JSON payloads; the
+    // file-directory manifest form is spec-verified (SourcesSpec)
+    "q_ingest_manifest" -> ((s, d) => {
+      val manifest = Tables.table(s, d, "events")
+        .select(
+          concat(lit("manifest://events/"), col("event_id"))
+            .as("source_uri"),
+          col("props").as("payload"))
+      graft.sources.Ingest.landRawJson(manifest, "k INT", Stamp)
+    }),
     // ---- §2.1 S2–S5 sources & sinks ----
     "q_csv_roundtrip" -> ((s, d) => {
       // bronze-layer CSV drop (reference: bucket.py write_to_minio
@@ -257,25 +286,25 @@ object SparkEntry {
     .map(b => s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}")
     .mkString(" ")
 
-  private def duckJaccardTail(num: Int, den: Int,
-                              restrictToCand: Boolean): String = {
+  private def duckJaccardTail(num: Int, den: Int, restrictToCand: Boolean,
+                              shTable: String = "sh"): String = {
     val inter =
       if (restrictToCand)
-        """inter AS (
-          |  SELECT c.id_a, c.id_b, count(*) AS i
-          |  FROM cand c
-          |  JOIN sh x ON x.sid = c.id_a
-          |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
-          |  GROUP BY 1, 2
-          |)""".stripMargin
+        s"""inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN $shTable x ON x.sid = c.id_a
+           |  JOIN $shTable y ON y.sid = c.id_b AND y.sh = x.sh
+           |  GROUP BY 1, 2
+           |)""".stripMargin
       else
-        """inter AS (
-          |  SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS i
-          |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
-          |  GROUP BY 1, 2
-          |)""".stripMargin
+        s"""inter AS (
+           |  SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS i
+           |  FROM $shTable x JOIN $shTable y ON x.sh = y.sh AND x.sid < y.sid
+           |  GROUP BY 1, 2
+           |)""".stripMargin
     s"""$inter,
-       |sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid)
+       |sizes AS (SELECT sid, count(*) AS n FROM $shTable GROUP BY sid)
        |SELECT i.id_a, i.id_b,
        |  ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
        |FROM inter i
@@ -286,11 +315,46 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, same column names as the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    // Mirrors Multimodal.decodeStub byte-for-byte: UTF-8 payload bytes
+    // recovered from hex(encode(text)) nibbles; checksum is the same
+    // 31-polynomial in BIGINT (range() lists are BIGINT, so no int32
+    // overflow); f_mean reproduces float32 division exactly (byte sums
+    // < 2^24 are float32-exact).
+    "q_multimodal_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents
+        |), b AS (
+        |  SELECT media_id, byte_len,
+        |    list_transform(range(1, byte_len + 1),
+        |      i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bytes
+        |  FROM h
+        |), c AS (
+        |  SELECT media_id, byte_len, bytes,
+        |    list_reduce(list_prepend(0, bytes),
+        |      (acc, x) -> (acc * 31 + x) & 2147483647) AS checksum
+        |  FROM b
+        |)
+        |SELECT media_id, byte_len, checksum,
+        |  CAST(byte_len AS DOUBLE) AS f_len,
+        |  CASE WHEN byte_len = 0 THEN 0.0
+        |       ELSE CAST(CAST(list_sum(bytes) AS FLOAT) / CAST(byte_len AS FLOAT) AS DOUBLE)
+        |  END AS f_mean,
+        |  CAST(checksum % 256 AS DOUBLE) AS f_mod,
+        |  CAST(COALESCE(bytes[1], 0) AS DOUBLE) AS f_first
+        |FROM c""".stripMargin,
     "q_bronze_flatten" ->
       """SELECT event_id, event_type,
         |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS props_k
         |FROM events""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM nation",
+    "q_ingest_manifest" ->
+      """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS k,
+        |  'manifest://events/' || event_id AS _source,
+        |  '2026-08-12' AS _ingestion_date
+        |FROM events""".stripMargin,
     "q_json_roundtrip" -> "SELECT * FROM customer",
     "q_partitioned_write" ->
       """SELECT event_type, COUNT(*) AS n_events,
@@ -379,6 +443,23 @@ object SparkEntry {
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""$duckShingles, fp AS (
+         |  SELECT sid, min(sha256(sh)) AS fp FROM sh GROUP BY sid
+         |), j AS (
+         |  SELECT d.doc_id AS sid, COALESCE(f.fp, sha256(d.text)) AS fingerprint
+         |  FROM documents d LEFT JOIN fp f ON f.sid = d.doc_id
+         |)
+         |SELECT fingerprint, min(sid) AS keep_id, count(*) AS n_docs
+         |FROM j GROUP BY fingerprint""".stripMargin,
+    // the gate checks the OUTCOME contract of the freshness-gated
+    // write: first write happens, an immediately-repeated write is
+    // skipped, a stale-aged write happens, and the landed table is
+    // readable with every source row
+    "q_freshness_gate" ->
+      """SELECT true AS first_write, false AS second_skipped_is_false,
+        |  true AS forced_rewrite,
+        |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
     "q_dedup_minhash" ->
       s"""$duckShingles, mh AS (
          |  SELECT sid, $duckMh FROM sh GROUP BY sid
@@ -391,12 +472,34 @@ object SparkEntry {
          |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
          |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin,
     "q_dedup_jaccard" ->
-      s"""$duckShingles, ${duckJaccardTail(3, 10, restrictToCand = false)}""".stripMargin,
+      s"""$duckShingles, shf AS (
+         |  SELECT sid, sh FROM sh
+         |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+         |), ${duckJaccardTail(3, 10, restrictToCand = false, shTable = "shf")}""".stripMargin,
     "q_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35""".stripMargin,
+    "q_dedup_cosine_lsh" -> {
+      val flips = (0 until 12).map(i => s"xor(bucket, CAST(${1L << i} AS BIGINT))")
+      s"""WITH b AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |    ${duckLshBucket("embedding")} AS bucket
+         |  FROM embeddings
+         |), probes AS (
+         |  SELECT id AS id_a, v AS va,
+         |    unnest([bucket, ${flips.mkString(", ")}]) AS bucket
+         |  FROM b
+         |), cand AS (
+         |  SELECT p.id_a, p.va, b.id AS id_b, b.v AS vb
+         |  FROM probes p JOIN b USING (bucket)
+         |  WHERE p.id_a < b.id
+         |)
+         |SELECT id_a, id_b, ROUND(${duckCos("va", "vb")}, 6) AS cos_sim
+         |FROM cand
+         |WHERE ROUND(${duckCos("va", "vb")}, 6) >= 0.35""".stripMargin
+    },
     "q_ann_lsh" -> {
       val flips = (0 until 12).map(i => s"xor(qbucket, CAST(${1L << i} AS BIGINT))")
       s"""WITH b AS (
@@ -657,13 +760,21 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // gap compare on µs-truncated timestamps: Spark reads the ns
+    // source floored to µs, so the oracle must compare the same values
+    // (explicit even though read_parquet already maps TIMESTAMP(NANOS)
+    // to µs TIMESTAMP in current DuckDB)
     "q_events_sessions" ->
-      """WITH b AS (
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), b AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER w IS NULL
         |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
+        |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts,

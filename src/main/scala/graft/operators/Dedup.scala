@@ -76,13 +76,18 @@ object Dedup {
     * hashing cost of k independent digests, the dominant cost of
     * signature building at corpus scale.
     */
-  def signatureFromIndex(sh: DataFrame, k: Int = 16): DataFrame =
+  def signatureFromIndex(sh: DataFrame, k: Int = 16): DataFrame = {
+    // the last window starts at offset 1+3(k-1) and spans 8 hex chars;
+    // beyond k=20 it would run off the 64-char digest and silently
+    // degrade the signature
+    require(k >= 1 && k <= 20, s"k must be in [1,20], got $k")
     sh.withColumn("dg", sha2(col("sh"), 256))
       .groupBy(col("sid"))
       .agg(
         min(substring(col("dg"), 1, 8)).as("mh0"),
         (1 until k).map(i =>
           min(substring(col("dg"), 1 + 3 * i, 8)).as(s"mh$i")): _*)
+  }
 
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 16): DataFrame =
@@ -164,21 +169,39 @@ object Dedup {
     jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
   }
 
-  /** D4 — exact n-gram Jaccard over ALL pairs sharing at least one
-    * shingle (inverted-index join; at scale this runs per LSH bucket).
+  /** Drop shingles whose document frequency exceeds `maxDocFreq`. The
+    * df count is a window over the shingle key — the SAME key the
+    * downstream self-join shuffles on, so the partitioning is computed
+    * once and reused; no extra shuffle.
     */
+  def capDocFreq(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+    val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    sh.withColumn("__df", count(lit(1)).over(bySh))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+  }
+
   /** D4 — exact n-gram Jaccard over all pairs sharing at least one
-    * shingle, straight from the co-occurrence aggregation. At 100 TB
-    * this is run per LSH bucket, or after a document-frequency cap on
-    * shingles (frequent shingles contribute df² join rows and almost
-    * no Jaccard evidence) — both trade a little recall for a bounded
-    * join.
+    * shingle, straight from the co-occurrence aggregation.
+    *
+    * `maxDocFreq` bounds the join at scale: a shingle shared by df
+    * documents contributes df·(df−1)/2 join rows, so one stop-phrase
+    * shingle at 100 TB is a join explosion on a single skewed key.
+    * Capping df drops exactly those shingles — they carry almost no
+    * Jaccard evidence (they're in everything) — trading a sliver of
+    * recall for a Σ df² bound of corpus · maxDocFreq. The cap applies
+    * to the whole index (intersections AND set sizes), the standard
+    * df-capping semantics, so results stay internally consistent.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         thresholdNum: Int = 3,
-                        thresholdDen: Int = 10): DataFrame =
-    jaccardVerify(shingleIndex(df, idCol, textCol), None,
-      thresholdNum, thresholdDen)
+                        thresholdDen: Int = 10,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol)
+    val capped =
+      if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq)
+    jaccardVerify(capped, None, thresholdNum, thresholdDen)
+  }
 
   /** D3 — 64-bit SimHash per document: per-bit majority vote over
     * xxhash64 of the tokens. One explode + one aggregation; the bit
@@ -269,4 +292,25 @@ object Dedup {
         MinRollingHash.min_rolling_hash(col(textCol), k).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** T4 (portable form) — the same min-over-windows fingerprint shape
+    * computed from sha256 of word 3-shingles, so ANY engine recomputes
+    * it bit-for-bit (the byte-level Rabin–Karp in [[fingerprintGroups]]
+    * is Spark-native codegen and has no cross-engine twin). Documents
+    * too short to shingle fall back to sha256 of the whole text, so
+    * every document lands in exactly one group. Same trade as
+    * [[simhashPortable]]: the native variant is the production-fast
+    * path, this one feeds cross-engine verification gates.
+    */
+  def fingerprintGroupsPortable(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    val mins = shingleIndex(df, idCol, textCol)
+      .groupBy(col("sid"))
+      .agg(min(sha2(col("sh"), 256)).as("fp"))
+    df.select(col(idCol).as("sid"), sha2(col(textCol), 256).as("fb"))
+      .join(mins, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("fp"), col("fb")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("sid")).as("keep_id"), count(lit(1)).as("n_docs"))
+  }
 }

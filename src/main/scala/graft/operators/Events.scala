@@ -69,6 +69,13 @@ object Events {
     * user inactivity. One shuffle on user_id; window functions run
     * within the per-user sort — the classic scalable formulation
     * (break flags → running sum → group).
+    *
+    * Gap comparisons run at microsecond precision — the precision
+    * Spark's reader floors the ns source to (Tables.table). The DuckDB
+    * oracle truncates its timestamps to microseconds before the same
+    * lag/gap compare, so both engines split sessions on identical
+    * values; only the emitted session bounds are second-truncated (see
+    * the agg below).
     */
   def sessionize(spark: SparkSession, sfDir: String,
                  gapMinutes: Int = 30): DataFrame = {

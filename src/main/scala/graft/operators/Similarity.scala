@@ -163,9 +163,43 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** D5 (scale path) — LSH-bucketed near-dup pairs: candidate pairs
+    * share a sign-bucket or any 1-bit-flipped neighbor (multiprobe),
+    * then exact cosine verify at ≥ `threshold`. The bucket equi-join
+    * replaces [[cosineNearDupPairs]]'s O(n²) product — this is the
+    * form to run at 100 TB (recall is bounded by the probe radius; add
+    * planes/probes or union several seeds to widen it).
+    *
+    * Join-shape note: only the LEFT side explodes probes; with the
+    * `id_a < id_b` filter each qualifying pair matches exactly once (a
+    * bucket and its 1-bit flips are pairwise distinct values), so no
+    * post-join distinct over heavy vector columns is needed.
+    */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nPlanes: Int = 12,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val base = prepped(emb, idCol, vecCol, "id", "v", "nrm")
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val probes = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"),
+      explode(array((col("bucket") +: (0 until nPlanes).map(i =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)).as("bucket"))
+    probes.join(
+        base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotPre(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
+  }
+
   /** D5 — embedding-cosine near-duplicate pairs at ≥ `threshold`.
     * Pairwise here (the correctness form); the scale path is
-    * `lshTopK`/`ivfTopK` with a threshold filter.
+    * [[cosineNearDupPairsLsh]] (or `lshTopK`/`ivfTopK` with a
+    * threshold filter).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

@@ -100,8 +100,13 @@ object EventStream {
         return Iterator(SessionOut(userId, toTs(s.startMicros),
           toTs(s.lastMicros), s.n))
       }
-      // events within one trigger arrive unsorted — order them here
-      val sorted = batch.map(_._2.getTime * 1000L).toArray.sorted
+      // events within one trigger arrive unsorted — order them here.
+      // Full-µs instant: getTime*1000 alone floors to the millisecond
+      // (dropping the sub-ms digits the batch twin keeps); the µs
+      // remainder lives in getNanos.
+      val sorted = batch.map { case (_, ts) =>
+        ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+      }.toArray.sorted
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var open = state.getOption
       sorted.foreach { t =>

@@ -178,4 +178,66 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("payload"), "payload column not pruned:\n" + plan)
   }
+
+  test("jaccard df cap drops a stop-phrase shingle (bounded join at scale)") {
+    import spark.implicits._
+    // 4 docs share ONE hot 3-gram ("alpha beta gamma", df=4) and are
+    // otherwise disjoint — the shape of a stop-phrase join explosion
+    val df = (1 to 4).map(i =>
+      (i.toLong, s"alpha beta gamma u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, 10)
+    assert(uncapped.count() == 6, "all pairs share the hot shingle")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, 10,
+      maxDocFreq = 3)
+    assert(capped.count() == 0, "capped index must drop the df=4 shingle")
+    val idx = Dedup.capDocFreq(
+      Dedup.shingleIndex(df, "doc_id", "text"), 3)
+    assert(!idx.collect().map(_.getString(1)).contains("alpha beta gamma"))
+    // a cap above every df is a no-op
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, 10,
+      maxDocFreq = 4).count() == 6)
+  }
+
+  test("minhash signature rejects k beyond the digest window bound") {
+    import spark.implicits._
+    val sh = Dedup.shingleIndex(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.signatureFromIndex(sh, 21)
+    }
+    assert(Dedup.signatureFromIndex(sh, 20).columns.length == 21)
+  }
+
+  test("LSH near-dup pairs: subset of pairwise result, identical scores, no dups") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val full = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity
+      .cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.35).collect()
+    assert(lsh.nonEmpty, "bucketed variant found no pairs at all")
+    val keys = lsh.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length,
+      "multiprobe emitted a pair more than once")
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(full.contains(k), s"phantom pair $k")
+      assert(full(k) == r.getDouble(2), s"score drift on $k")
+    }
+  }
+
+  test("portable fingerprint: every doc in exactly one group, dups collide") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), // identical → one group
+      (3L, "zz"),                           // too short to shingle
+      (4L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val g = Dedup.fingerprintGroupsPortable(df, "doc_id", "text").collect()
+    assert(g.map(_.getLong(2)).sum == 4, "every doc lands in one group")
+    assert(g.exists(r => r.getLong(2) == 2 && r.getLong(1) == 1L),
+      "identical docs share a fingerprint, min id survives")
+    assert(g.length == 3)
+  }
 }

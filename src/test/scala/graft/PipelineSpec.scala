@@ -20,4 +20,15 @@ class PipelineSpec extends AnyFunSuite {
     val dims = spark.read.parquet(s"$out/gold/dim_customer")
     assert(dims.select("id_customer").distinct().count() == dims.count())
   }
+
+  test("withRetries re-runs a flaky stage, rethrows after exhaustion") {
+    var n = 0
+    val r = Pipeline.withRetries(3) { n += 1; if (n < 3) sys.error("boom"); n }
+    assert(r == 3 && n == 3)
+    var m = 0
+    intercept[RuntimeException] {
+      Pipeline.withRetries(2) { m += 1; sys.error("always") }
+    }
+    assert(m == 2, "stage attempted exactly maxAttempts times")
+  }
 }

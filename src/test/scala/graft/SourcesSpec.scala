@@ -94,4 +94,31 @@ class SourcesSpec extends AnyFunSuite {
     // fact-side joins (orders, customer) are left to AQE by design
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("manifest ingestion lands raw JSON with lineage; malformed rows kept") {
+    import graft.sources.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ing").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      "{\"k\": 1}\n{\"k\": 2}".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl"),
+      "{\"k\": 3}\nnot json at all".getBytes("UTF-8"))
+    val landed = Ingest.landRawJson(
+      Ingest.manifestFromDir(spark, dir), "k INT", "2026-08-12").collect()
+    assert(landed.length == 4, "bronze keeps every arriving payload")
+    assert(landed.count(_.isNullAt(0)) == 1,
+      "malformed payload lands with null parse, not dropped")
+    assert(landed.forall(_.getString(2) == "2026-08-12"))
+    assert(landed.exists(r => !r.isNullAt(0) && r.getInt(0) == 3 &&
+      r.getString(1).endsWith("b.jsonl")), "lineage names the source file")
+  }
+
+  test("ensureDatabase / ensurePath create once, then no-op") {
+    import graft.sources.Ingest
+    val db = s"graft_test_db_${System.nanoTime()}"
+    assert(Ingest.ensureDatabase(spark, db))
+    assert(!Ingest.ensureDatabase(spark, db))
+    val p = java.nio.file.Files.createTempDirectory("t").toString + "/a/b"
+    assert(Ingest.ensurePath(p))
+    assert(!Ingest.ensurePath(p))
+  }
 }
