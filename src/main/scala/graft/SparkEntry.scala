@@ -152,6 +152,34 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", maxDocFreq = 1000)),
+    // ---- §2.6 D7 near-dup group resolution ----
+    "q_dedup_groups" -> ((s, d) => {
+      val doc = Tables.table(s, d, "documents")
+      val pairs = Dedup.minhashDedup(doc, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveGroups(doc.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("group_id"))
+    }),
+    // ---- §2.11 K1–K4 corpus management ----
+    "q_corpus_sample" -> ((s, d) =>
+      Corpus.sampleByHash(
+        Tables.table(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", 1, 10, "s1")),
+    "q_corpus_split" -> ((s, d) =>
+      Corpus.splitByHash(Tables.table(s, d, "documents").select("doc_id"),
+        "doc_id", "sp", Seq(("train", 8), ("val", 1), ("test", 1)))),
+    "q_corpus_cap" -> ((s, d) =>
+      Corpus.capPerGroup(
+        Tables.table(s, d, "documents").select("doc_id", "lang"),
+        Seq("lang"), "doc_id", 50)),
+    "q_corpus_filter" -> ((s, d) =>
+      Corpus.trainingFilter(Tables.table(s, d, "documents"),
+        "doc_id", "text", 0.45, 10, 100000)),
+    // ---- §2.8 T6 text normalization ----
+    "q_text_normalize" -> ((s, d) =>
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(col("text"))
+          .as("norm_text"))),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.35)),
@@ -268,8 +296,8 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
-  private val duckShingles =
-    """WITH words AS (
+  private val duckShinglesBody =
+    """words AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id AS sid,
@@ -277,6 +305,42 @@ object SparkEntry {
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM words WHERE len(w) >= 3
       |)""".stripMargin
+
+  private val duckShingles = "WITH " + duckShinglesBody
+
+  /** Quality-report oracle (mirrors TextFunctions.qualityReport);
+    * shared by q_text_quality and the composed q_corpus_filter.
+    */
+  private def duckQualitySql: String = {
+    val allStop = duckList(
+      graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END AS alpha_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |    CASE WHEN len(ws) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(ws, t -> list_contains($allStop, t))) AS DOUBLE) / len(ws) END AS stopword_ratio,
+       |    CASE WHEN len(ws) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) END AS mean_token_len
+       |  FROM t
+       |)
+       |SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, mean_token_len,
+       |  ROUND((stopword_ratio * 0.4) + (alpha_ratio * 0.3) +
+       |        (LEAST(mean_token_len / 10.0, 1.0) * 0.2) +
+       |        ((1.0 - punct_ratio) * 0.1), 6) AS quality_score
+       |FROM m""".stripMargin
+  }
+
+  /** Portable hash bucket (mirrors Corpus.hashBucket): first 8 hex of
+    * sha256(key ':' salt) as an integer, mod den.
+    */
+  private def duckHashBucket(key: String, salt: String, den: Int): String =
+    s"(CAST(concat('0x', substr(sha256(concat_ws(':', CAST($key AS VARCHAR), '$salt')), 1, 8)) AS BIGINT) % $den)"
 
   private val duckMh = (0 until 16)
     .map(i => s"min(substr(sha256(sh), ${1 + 3 * i}, 8)) AS mh$i")
@@ -387,30 +451,7 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred
          |FROM sc""".stripMargin
     },
-    "q_text_quality" -> {
-      val allStop = duckList(
-        graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
-      s"""WITH t AS (
-         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END AS alpha_ratio,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
-         |    CASE WHEN len(ws) = 0 THEN 0.0
-         |         ELSE CAST(len(list_filter(ws, t -> list_contains($allStop, t))) AS DOUBLE) / len(ws) END AS stopword_ratio,
-         |    CASE WHEN len(ws) = 0 THEN 0.0
-         |         ELSE CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) END AS mean_token_len
-         |  FROM t
-         |)
-         |SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, mean_token_len,
-         |  ROUND((stopword_ratio * 0.4) + (alpha_ratio * 0.3) +
-         |        (LEAST(mean_token_len / 10.0, 1.0) * 0.2) +
-         |        ((1.0 - punct_ratio) * 0.1), 6) AS quality_score
-         |FROM m""".stripMargin
-    },
+    "q_text_quality" -> duckQualitySql,
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -471,6 +512,68 @@ object SparkEntry {
          |  FROM bk a JOIN bk b
          |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
          |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin,
+    // same MinHash+LSH+verify mirror as q_dedup_minhash, then the
+    // transitive closure as a recursive CTE: group_id = min reachable
+    // id (connected components are algorithm-independent, so the
+    // iterative Spark propagation and the recursive SQL agree exactly)
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $duckShinglesBody, mh AS (
+         |  SELECT sid, $duckMh FROM sh GROUP BY sid
+         |), bk AS (
+         |  SELECT sid, b, CASE b $duckBandCase END AS bucket
+         |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
+         |), cand AS (
+         |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh x ON x.sid = c.id_a
+         |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
+         |  GROUP BY 1, 2
+         |), sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
+         |pairs AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.sid = i.id_a
+         |  JOIN sizes sb ON sb.sid = i.id_b
+         |  WHERE i.i * 2 >= (sa.n + sb.n - i.i) * 1
+         |), sym AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+         |)
+         |SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
+    "q_corpus_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${duckHashBucket("doc_id", "s1", 10)} < 1""".stripMargin,
+    "q_corpus_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${duckHashBucket("doc_id", "sp", 10)} < 8 THEN 'train'
+         |       WHEN ${duckHashBucket("doc_id", "sp", 10)} < 9 THEN 'val'
+         |       WHEN ${duckHashBucket("doc_id", "sp", 10)} < 10 THEN 'test'
+         |  END AS split
+         |FROM documents""".stripMargin,
+    "q_corpus_cap" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50""".stripMargin,
+    "q_corpus_filter" ->
+      s"""WITH q AS ($duckQualitySql),
+         |t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+         |  FROM documents
+         |)
+         |SELECT q.doc_id, q.quality_score, t.n_bpe_tokens
+         |FROM q JOIN t USING (doc_id)
+         |WHERE q.quality_score >= 0.45 AND t.n_bpe_tokens BETWEEN 10 AND 100000""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "q_dedup_jaccard" ->
       s"""$duckShingles, shf AS (
          |  SELECT sid, sh FROM sh

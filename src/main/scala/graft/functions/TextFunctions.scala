@@ -106,6 +106,16 @@ object TextFunctions {
       (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
       ((lit(1.0) - punctRatio(c)) * 0.1), 6)
 
+  /** T6 — canonical text normalization (the projection run before
+    * exact/near dedup so formatting noise doesn't defeat hashing):
+    * trim, collapse whitespace runs to single spaces, lowercase.
+    * Unicode-aware `lower` on every engine; deliberately NO
+    * locale-specific case folding or accent stripping — those change
+    * content, which is silver-cleaning's decision, not a hash prep's.
+    */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
   /** PII scrubbing for training corpora: emails, phone-number shapes,
     * and long digit runs (ids/ssn-ish) replaced with typed placeholder
     * tokens. Chained `regexp_replace` — codegen'd, one pass per

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus management for training-data pipelines (SURVEY.md §2.11):
+  * deterministic sampling, train/val/test splitting, per-group caps,
+  * and the composed "training-ready" filter.
+  *
+  * Everything here is HASH-deterministic, never `rand()`: a
+  * reproducible corpus needs membership decisions that are stable
+  * across runs, partitionings, engines and retries. The primitive is
+  * a 32-bit integer from the sha256 of (key, salt) — uniform, seedable
+  * by salt, and recomputable by any engine (the DuckDB oracle mirrors
+  * it with the same digest prefix). Changing the salt draws an
+  * independent sample; the same salt always reproduces the same set.
+  *
+  * Scale: all operators are single-projection filters or one
+  * window/aggregation — no shuffles beyond what the semantics require
+  * (the cap is one shuffle on the group key; sampling/splitting is
+  * shuffle-free and fully pushdown-friendly).
+  */
+object Corpus {
+
+  /** Uniform bucket in [0, den) from sha256(key ':' salt) — the first
+    * 8 hex chars as an integer. 32 bits of digest is plenty for bucket
+    * assignment and keeps every engine in exact-integer range.
+    */
+  def hashBucket(key: Column, salt: String, den: Int): Column =
+    conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256),
+      1, 8), 16, 10).cast("bigint") % den
+
+  /** Keep a deterministic num/den fraction of rows by key hash. */
+  def sampleByHash(df: DataFrame, keyCol: String, num: Int, den: Int,
+                   salt: String): DataFrame = {
+    require(num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    df.filter(hashBucket(col(keyCol), salt, den) < num)
+  }
+
+  /** Disjoint, exhaustive train/val/test-style split: each row gets
+    * the label whose cumulative weight range contains its hash bucket.
+    * Deterministic in the key — a document can never leak across
+    * splits between runs, the invariant that makes eval sets
+    * trustworthy.
+    */
+  def splitByHash(df: DataFrame, keyCol: String, salt: String,
+                  weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val den = weights.map(_._2).sum
+    val bucket = hashBucket(col(keyCol), salt, den)
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    // CASE bucket < cum1 THEN w1 WHEN bucket < cum2 THEN w2 …
+    val cases = weights.zip(cum).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), hi)) => Some(when(bucket < hi, name))
+      case (Some(c), ((name, _), hi)) => Some(c.when(bucket < hi, name))
+    }.get
+    df.withColumn("split", cases)
+  }
+
+  /** Keep at most `n` rows per group, chosen deterministically by
+    * `orderCol` (class-balancing / per-source caps). One shuffle on
+    * the group key; the per-partition sort is the window's local sort.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Training-ready corpus filter: quality score ≥ `minQuality` and
+    * BPE-ish token count within [minTokens, maxTokens] — the composed
+    * end-of-pipeline gate a pretraining corpus runs after dedup.
+    * Single pass: both signals are column expressions over one scan.
+    */
+  def trainingFilter(df: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double, minTokens: Int,
+                     maxTokens: Int): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityReport(df, idCol, textCol)
+    val t = df.select(col(idCol),
+      graft.functions.TextFunctions.bpeTokenCount(col(textCol))
+        .cast("bigint").as("n_bpe_tokens"))
+    q.join(t, Seq(idCol))
+      .filter(col("quality_score") >= minQuality &&
+        col("n_bpe_tokens").between(minTokens, maxTokens))
+      .select(col(idCol), col("quality_score"), col("n_bpe_tokens"))
+  }
+}

@@ -282,6 +282,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** D7 — near-duplicate GROUP resolution: the step that turns
+    * pairwise near-dup evidence (from [[minhashDedup]],
+    * [[simhashPairs]], [[graft.operators.Similarity.cosineNearDupPairsLsh]]…)
+    * into "keep one document per cluster": every id gets
+    * `group_id` = the minimum id reachable through the pair graph
+    * (connected components), ids with no pairs keep themselves.
+    *
+    * Iterative min-label propagation: each round a node takes the min
+    * of its own and its neighbors' labels — one shuffle-join + one
+    * aggregation per round, converging in graph-diameter rounds.
+    * Near-dup clusters are short-diameter (they're built from
+    * similarity thresholds, not arbitrary graphs), so rounds stay
+    * single-digit; at adversarial scale swap the iteration body for
+    * the large-star/small-star rewrite (Kiveris et al., SoCC 2014) —
+    * same join shape, logarithmic rounds. Per-round `localCheckpoint`
+    * truncates lineage so the plan doesn't grow with iterations (on a
+    * cluster use reliable `checkpoint`); the driver sees only one
+    * convergence count per round, never row data.
+    *
+    * `ids` must expose column `id`; `pairs` columns `id_a`,`id_b`.
+    */
+  def resolveGroups(ids: DataFrame, pairs: DataFrame,
+                    maxRounds: Int = 25): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("group_id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val nmin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("group_id")).as("nmin"))
+      val next = labels.as("l")
+        .join(nmin.as("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.group_id"),
+            coalesce(col("n.nmin"), col("l.group_id"))).as("group_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.group_id") < col("o.group_id"))
+        .limit(1).count() > 0
+      labels = next
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** T4 — winnowing fingerprint dedup: documents sharing a min-rolling
     * hash of any k-byte window. Native codegen'd expression
     * ([[graft.plans.MinRollingHash]]).

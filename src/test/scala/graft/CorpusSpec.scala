@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Dedup}
+import graft.sources.Tables
+
+/** SURVEY.md §2.11 corpus management + §2.6 D7 group resolution +
+  * §2.8 T6 normalization.
+  */
+class CorpusSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("resolveGroups: min-reachable label over chains, singletons keep themselves") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("id")
+    // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    // pair 6-7, singleton 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveGroups(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("sampleByHash: deterministic, disjoint across salts, exhaustive at num=den") {
+    val doc = Tables.table(spark, sf, "documents").select("doc_id")
+    val n = doc.count()
+    val a = Corpus.sampleByHash(doc, "doc_id", 1, 10, "s1")
+    assert(a.count() == Corpus.sampleByHash(doc, "doc_id", 1, 10, "s1").count())
+    // roughly a tenth (loose: 2%–25% on a 500-doc corpus)
+    assert(a.count() >= n / 50 && a.count() <= n / 4)
+    assert(Corpus.sampleByHash(doc, "doc_id", 10, 10, "x").count() == n)
+    // different salt draws a different set
+    val b = Corpus.sampleByHash(doc, "doc_id", 1, 10, "s2")
+      .collect().map(_.getLong(0)).toSet
+    val aset = a.collect().map(_.getLong(0)).toSet
+    assert(aset != b)
+  }
+
+  test("splitByHash: disjoint, exhaustive, stable per key") {
+    val doc = Tables.table(spark, sf, "documents").select("doc_id")
+    val split = Corpus.splitByHash(doc, "doc_id", "sp",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == doc.count(), "every row gets exactly one split")
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // stability: re-running assigns identical labels
+    val again = Corpus.splitByHash(doc, "doc_id", "sp",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    assert(split.except(again).count() == 0)
+  }
+
+  test("capPerGroup keeps at most n rows per group, lowest order first") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "lang")
+    val capped = Corpus.capPerGroup(df, Seq("lang"), "doc_id", 2).collect()
+    assert(capped.length == 3)
+    assert(capped.count(_.getString(1) == "a") == 2)
+    assert(!capped.exists(_.getLong(0) == 3L), "highest-order row dropped")
+  }
+
+  test("trainingFilter rows satisfy both gates and form a subset") {
+    val doc = Tables.table(spark, sf, "documents")
+    val out = Corpus.trainingFilter(doc, "doc_id", "text", 0.45, 10, 100000)
+      .collect()
+    assert(out.nonEmpty && out.length < doc.count())
+    out.foreach { r =>
+      assert(r.getDouble(1) >= 0.45)
+      assert(r.getLong(2) >= 10 && r.getLong(2) <= 100000)
+    }
+  }
+
+  test("normalizeText collapses whitespace and lowercases") {
+    import spark.implicits._
+    val got = Seq("  Foo\t\tBAR  baz \n qux ").toDF("t")
+      .select(graft.functions.TextFunctions.normalizeText(col("t")))
+      .head().getString(0)
+    assert(got == "foo bar baz qux")
+  }
+}
