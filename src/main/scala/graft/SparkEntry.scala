@@ -180,6 +180,31 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.normalizeText(col("text"))
           .as("norm_text"))),
+    // ---- §2.8 T7 repetition signals ----
+    "q_text_repetition" -> ((s, d) =>
+      graft.functions.TextFunctions.repetitionReport(
+        Tables.table(s, d, "documents"), "doc_id", "text")),
+    // ---- §2.12 X1 salted aggregation (skew mitigation) ----
+    "q_salted_agg" -> ((s, d) =>
+      Skew.saltedSum(Tables.table(s, d, "events"), Seq("event_type"),
+        col("value").cast("decimal(18,6)"), col("event_id"))
+        .select(col("event_type"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"),
+          col("n_rows"))),
+    // ---- §2.6 D8 incremental dedup (new batch vs corpus) ----
+    // "new" = a deterministic 20% hash slice standing in for today's
+    // landed batch
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.minhashDedupIncremental(Tables.table(s, d, "documents"),
+        "doc_id", "text",
+        Corpus.hashBucket(col("doc_id"), "inc", 5) === 0)),
+    // ---- §2.6 D9 benchmark contamination ----
+    // "benchmark" = a deterministic 5% hash slice standing in for an
+    // eval set
+    "q_contamination" -> ((s, d) =>
+      Dedup.contaminationCheck(Tables.table(s, d, "documents"),
+        "doc_id", "text",
+        Corpus.hashBucket(col("doc_id"), "bench", 20) === 0)),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.35)),
@@ -574,6 +599,61 @@ object SparkEntry {
       """SELECT doc_id,
         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws)-1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE []::VARCHAR[] END AS sh
+        |  FROM t
+        |)
+        |SELECT doc_id, len(ws) AS n_tokens,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+        |  END AS dup_token_frac,
+        |  CASE WHEN len(sh) = 0 THEN 0.0
+        |       ELSE ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+        |  END AS dup_ngram_frac
+        |FROM s""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""$duckShingles, mh AS (
+         |  SELECT sid, $duckMh FROM sh GROUP BY sid
+         |), bk AS (
+         |  SELECT sid, b, CASE b $duckBandCase END AS bucket
+         |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
+         |), newids AS (
+         |  SELECT doc_id AS nid FROM documents
+         |  WHERE ${duckHashBucket("doc_id", "inc", 5)} = 0
+         |), cand AS (
+         |  SELECT DISTINCT least(a.sid, b.sid) AS id_a,
+         |    greatest(a.sid, b.sid) AS id_b
+         |  FROM bk a
+         |  JOIN newids ON a.sid = nid
+         |  JOIN bk b ON a.b = b.b AND a.bucket = b.bucket AND a.sid <> b.sid
+         |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin,
+    "q_contamination" ->
+      s"""$duckShingles, bench AS (
+         |  SELECT doc_id AS bid FROM documents
+         |  WHERE ${duckHashBucket("doc_id", "bench", 20)} = 0
+         |), bsh AS (
+         |  SELECT bid, sh FROM sh JOIN bench ON sid = bid
+         |), csh AS (
+         |  SELECT sid, sh FROM sh
+         |  WHERE sid NOT IN (SELECT bid FROM bench)
+         |)
+         |SELECT c.sid AS doc_id, b.bid AS bench_id, count(*) AS n_shared
+         |FROM csh c JOIN bsh b USING (sh)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 8""".stripMargin,
     "q_dedup_jaccard" ->
       s"""$duckShingles, shf AS (
          |  SELECT sid, sh FROM sh

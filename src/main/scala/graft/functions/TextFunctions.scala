@@ -106,6 +106,31 @@ object TextFunctions {
       (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
       ((lit(1.0) - punctRatio(c)) * 0.1), 6)
 
+  /** T7 — intra-document repetition signals (the Gopher-style quality
+    * gates of Rae et al. 2021 §A1.1): the fraction of duplicated
+    * tokens and duplicated word 3-grams inside each document. Highly
+    * repetitive documents (boilerplate, generation loops, scraped
+    * nav-bars) are the classic pretraining poison these flag. Pure
+    * per-row array expressions — single projection, zero shuffle, and
+    * any engine recomputes them exactly (integer size ratios in
+    * double).
+    */
+  def repetitionReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val prepped = graft.sources.Tables.fanOut(
+      df.select(col(idCol), tokens(col(textCol)).as("__ws")))
+      .withColumn("__sh",
+        graft.operators.Dedup.shinglesFromTokens(col("__ws")))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, 0.0).otherwise(
+        round(lit(1.0) -
+          size(array_distinct(arr)).cast("double") / size(arr), 6))
+    prepped.select(col(idCol),
+      size(col("__ws")).cast("bigint").as("n_tokens"),
+      dupFrac(col("__ws")).as("dup_token_frac"),
+      dupFrac(col("__sh")).as("dup_ngram_frac"))
+  }
+
   /** T6 — canonical text normalization (the projection run before
     * exact/near dedup so formatting noise doesn't defeat hashing):
     * trim, collapse whitespace runs to single spaces, lowercase.

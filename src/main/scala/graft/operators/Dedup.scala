@@ -93,19 +93,26 @@ object Dedup {
                        k: Int = 16): DataFrame =
     signatureFromIndex(shingleIndex(df, idCol, textCol), k)
 
-  /** D2 step 2 — LSH banding: signatures → (band, bucket) keys →
-    * equi-self-join → candidate pairs. bandsOf rows per band.
+  /** One (sid, band-bucket) row per band of each signature — the LSH
+    * key space both the batch and incremental candidate joins use.
     */
-  def lshCandidatePairs(sig: DataFrame, k: Int = 16,
-                        rowsPerBand: Int = 2): DataFrame = {
+  def bandBuckets(sig: DataFrame, k: Int = 16,
+                  rowsPerBand: Int = 2): DataFrame = {
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}")): _*).as("bucket"))
     }
-    val buckets = sig.select(col("sid"),
-      explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** D2 step 2 — LSH banding: signatures → (band, bucket) keys →
+    * equi-self-join → candidate pairs. bandsOf rows per band.
+    */
+  def lshCandidatePairs(sig: DataFrame, k: Int = 16,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val buckets = bandBuckets(sig, k, rowsPerBand)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
@@ -280,6 +287,63 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** D8 — INCREMENTAL MinHash dedup: check only a NEW batch of
+    * documents against the corpus (and against itself), never
+    * re-pairing existing×existing — the production shape of corpus
+    * dedup, where each day's crawl lands against an index that already
+    * exists. Candidate generation joins the new docs' band-buckets
+    * against everyone's; the verify runs on those candidates only. In
+    * a deployed pipeline the full-corpus signature/band index is the
+    * PERSISTED table this recomputes (store `signatureFromIndex`'s
+    * output partitioned by band and this operator becomes
+    * new-batch-sized, independent of corpus size).
+    *
+    * Pairs are emitted least-id-first so a pair of two new documents
+    * appears once.
+    */
+  def minhashDedupIncremental(df: DataFrame, idCol: String,
+                              textCol: String, isNew: Column,
+                              thresholdNum: Int = 1,
+                              thresholdDen: Int = 2): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol).persist()
+    val buckets = bandBuckets(signatureFromIndex(sh)).persist()
+    val newIds = df.filter(isNew).select(col(idCol).as("nid"))
+    val newBuckets = buckets.join(broadcast(newIds),
+      col("sid") === col("nid")).select(col("sid"), col("bk"))
+    val cand = newBuckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sid") =!= col("b.sid"))
+      .select(least(col("a.sid"), col("b.sid")).as("id_a"),
+        greatest(col("a.sid"), col("b.sid")).as("id_b"))
+      .distinct()
+    val out = jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
+    buckets.unpersist()
+    out
+  }
+
+  /** D9 — benchmark CONTAMINATION check (decontamination pass): flag
+    * corpus documents sharing at least `minShared` distinct word
+    * 3-grams with any document of a benchmark/eval set. The join is
+    * the inverted shingle index of the corpus against the (small)
+    * benchmark index — at 100 TB the benchmark side broadcasts and the
+    * corpus side streams through map-side hash lookups; no all-pairs
+    * anything.
+    */
+  def contaminationCheck(df: DataFrame, idCol: String, textCol: String,
+                         isBenchmark: Column,
+                         minShared: Int = 8): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol).persist()
+    val benchIds = df.filter(isBenchmark).select(col(idCol).as("bid"))
+    val benchSh = sh.join(broadcast(benchIds), col("sid") === col("bid"))
+      .select(col("bid"), col("sh"))
+    val corpusSh = sh.join(broadcast(benchIds), col("sid") === col("bid"),
+      "left_anti")
+    corpusSh.join(benchSh, Seq("sh"))
+      .groupBy(col("sid").as("doc_id"), col("bid").as("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** D7 — near-duplicate GROUP resolution: the step that turns

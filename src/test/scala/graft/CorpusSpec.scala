@@ -82,4 +82,79 @@ class CorpusSpec extends AnyFunSuite {
       .head().getString(0)
     assert(got == "foo bar baz qux")
   }
+
+  test("saltedSum matches the direct aggregation bit-for-bit") {
+    import graft.operators.Skew
+    val ev = Tables.table(spark, sf, "events")
+    val direct = ev.groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSum(ev, Seq("event_type"),
+      col("value").cast("decimal(18,6)"), col("event_id")).collect()
+    assert(salted.length == direct.size)
+    salted.foreach { r =>
+      val (s, n) = direct(r.getString(0))
+      assert(r.getDecimal(1).compareTo(s) == 0 && r.getLong(2) == n)
+    }
+  }
+
+  test("saltedJoin equals the plain join") {
+    import graft.operators.Skew
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.table(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, Seq("o_custkey"))
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey",
+      col("o_orderkey"), 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 &&
+      plain.except(salted).count() == 0)
+  }
+
+  test("repetitionReport flags a looping doc, passes a diverse one") {
+    import spark.implicits._
+    val looped = (1 to 10).map(_ => "spam ham eggs").mkString(" ")
+    val diverse = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, looped), (2L, diverse)).toDF("doc_id", "text")
+    val rep = graft.functions.TextFunctions
+      .repetitionReport(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep(1L)._1 > 0.8, "looping doc has high duplicate-token fraction")
+    assert(rep(1L)._2 > 0.8, "looping doc has high duplicate-ngram fraction")
+    assert(rep(2L)._1 == 0.0 && rep(2L)._2 == 0.0)
+  }
+
+  test("incremental dedup finds new-vs-existing pairs, skips existing-vs-existing") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val other = (100 to 130).map(i => s"tok$i").mkString(" ")
+    // docs 1,2 identical & existing; 3 identical & NEW; 4 unrelated new
+    val df = Seq((1L, base), (2L, base), (3L, base), (4L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupIncremental(df, "doc_id", "text",
+      isNew = col("doc_id") >= 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "new doc pairs with each existing duplicate")
+    assert(!pairs.contains((1L, 2L)),
+      "existing-vs-existing pair must not be re-emitted")
+  }
+
+  test("contaminationCheck flags a doc overlapping the benchmark slice") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"q$i").mkString(" ")
+    val leaked = ((1 to 15).map(i => s"q$i") ++ Seq("x", "y")).mkString(" ")
+    val clean = (50 to 80).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, bench), (2L, leaked), (3L, clean))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationCheck(df, "doc_id", "text",
+      isBenchmark = col("doc_id") === 1L, minShared = 8).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getLong(0) == 2L && hits.head.getLong(1) == 1L)
+    assert(hits.head.getLong(2) >= 13, "13 shared 3-grams from 15 shared words")
+  }
 }
