@@ -223,6 +223,10 @@ object SparkEntry {
         "vec_id", "embedding",
         queryPred = col("vec_id") % 50 === 0,
         centroidPred = col("vec_id") % 37 === 1)),
+    // ---- §2.7 A4 centroid update (index-training step) ----
+    "q_embed_centroid" -> ((s, d) =>
+      Similarity.centroidUpdate(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", centroidPred = col("vec_id") % 37 === 1)),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -740,6 +744,26 @@ object SparkEntry {
          |  FROM probed p
          |  JOIN assigned a ON a.cell = p.cell AND p.query_id <> a.cand_id) y
          |WHERE rank <= 10""".stripMargin,
+    "q_embed_centroid" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 37 = 1
+         |), assigned AS (
+         |  SELECT cand_id, cv, cell FROM (
+         |    SELECT e.vec_id AS cand_id, e.embedding AS cv,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cent c) x
+         |  WHERE r = 1
+         |), el AS (
+         |  SELECT cell, p AS pos,
+         |    CAST(ROUND(CAST(cv[p] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+         |  FROM assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS p) ps
+         |)
+         |SELECT cell, pos, CAST(SUM(v) AS DOUBLE) AS sum_val,
+         |  COUNT(*) AS n_vec
+         |FROM el GROUP BY cell, pos""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -126,20 +126,31 @@ object Similarity {
     * its nearest centroid (one shuffle), queries probe the `nprobe`
     * nearest cells. Returns exact cosine rank within probed cells.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, centroidPred: Column,
-              k: Int = 10, nprobe: Int = 2): DataFrame = {
+  /** Nearest-centroid assignment (one broadcast join + one shuffle on
+    * the vector id): every vector → (cand_id, cv, cell). Shared by the
+    * IVF probe path and the centroid-update step.
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  centroidPred: Column): DataFrame = {
     val cent = emb.filter(centroidPred)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cand_id"))
       .orderBy(col("cdist").desc, col("cent_id"))
-    val assigned = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .join(broadcast(cent))
       .withColumn("cdist", cosine(col("cv"), col("centv")))
       .withColumn("r", row_number().over(assignW))
       .filter(col("r") === 1)
       .select(col("cand_id"), col("cv"), col("cent_id").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, centroidPred: Column,
+              k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = emb.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    val assigned = assignCells(emb, idCol, vecCol, centroidPred)
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qdist").desc, col("cent_id"))
@@ -162,6 +173,39 @@ object Similarity {
         col("rank").cast("bigint").as("rank"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** A4 — centroid UPDATE step (the k-means / IVF index-training inner
+    * loop): assign every vector to its nearest centroid, then
+    * aggregate each cell's SUFFICIENT STATISTICS — per-position
+    * element sum and member count. Emitted LONG as
+    * (cell, pos, sum_val, n_vec): a plain groupBy over posexploded
+    * elements with map-side partial aggregation, no wide rows, no
+    * collect. The division into means happens on the centroid-sized
+    * result ([[centroidMeans]]) — exactly how distributed k-means
+    * updates run (ship sums, divide centrally), and it keeps the gate
+    * exact: a rounded QUOTIENT of a sum is the one value two engines
+    * can round differently at the last decimal place.
+    *
+    * Determinism: elements are quantized to 6 decimal places and
+    * summed in EXACT decimal, so the sums are bit-identical under any
+    * partitioning/order and any engine (a raw float sum would differ
+    * run-to-run at 1000 executors). 6 dp of a unit-normalized float32
+    * embedding is below its representational noise floor.
+    */
+  def centroidUpdate(emb: DataFrame, idCol: String, vecCol: String,
+                     centroidPred: Column): DataFrame =
+    assignCells(emb, idCol, vecCol, centroidPred)
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .select(col("cell"), (col("pos") + 1).cast("bigint").as("pos"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("el"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("el")).cast("double").as("sum_val"),
+        count(lit(1)).as("n_vec"))
+
+  /** The new centroid table from [[centroidUpdate]]'s statistics. */
+  def centroidMeans(stats: DataFrame): DataFrame =
+    stats.select(col("cell"), col("pos"),
+      (col("sum_val") / col("n_vec")).as("mean_val"))
 
   /** D5 (scale path) — LSH-bucketed near-dup pairs: candidate pairs
     * share a sign-bucket or any 1-bit-flipped neighbor (multiprobe),

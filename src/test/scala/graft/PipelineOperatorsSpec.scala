@@ -143,6 +143,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidUpdate computes per-cell means of assigned vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), // centroid cell 1
+      (2L, Array(0.0f, 1.0f)), // centroid cell 2
+      (3L, Array(0.9f, 0.1f)), // assigns to cell 1
+      (4L, Array(0.1f, 0.9f))  // assigns to cell 2
+    ).toDF("vec_id", "embedding")
+    val stats = Similarity.centroidUpdate(df, "vec_id", "embedding",
+      col("vec_id") <= 2)
+    val sums = stats.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(sums((1L, 1L)) == ((1.9, 2L)) && sums((1L, 2L)) == ((0.1, 2L)))
+    assert(sums((2L, 1L)) == ((0.1, 2L)) && sums((2L, 2L)) == ((1.9, 2L)))
+    val m = Similarity.centroidMeans(stats).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 1L)) == 0.95 && m((2L, 2L)) == 0.95)
+  }
+
   test("redactPII scrubs emails, phones, and long digit runs") {
     import spark.implicits._
     val df = Seq(
