@@ -110,6 +110,22 @@ object SparkEntry {
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
+    // ---- §2.5 E7 as-of join ----
+    // every event tagged with the user's latest purchase at-or-before
+    // its timestamp
+    "q_events_asof" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          date_trunc("second", col("ts")).as("pts"))
+      // nullable timestamp goes out as a string: the pandas comparator
+      // breaks on ns-vs-µs datetime columns once NaT values appear
+      Events.asofJoin(left, right, "user_id", "ts", "event_id", Seq("pts"))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_sec"),
+          col("asof_pts").cast("string").as("last_purchase_ts"))
+    }),
     // ---- §2.8 T1–T4 text analysis ----
     "q_text_tokens" -> ((s, d) => {
       val doc = Tables.table(s, d, "documents")
@@ -962,6 +978,27 @@ object SparkEntry {
       """SELECT * FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
+    // window forward-fill mirror of the union-tag as-of formulation
+    // (right side sorts first on timestamp ties → ≤ semantics)
+    "q_events_asof" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |    1 AS side, NULL::TIMESTAMP AS pts
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |    0 AS side, date_trunc('second', ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), f AS (
+        |  SELECT event_id, user_id, ts, side,
+        |    LAST_VALUE(pts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec,
+        |  CAST(last_purchase_ts AS VARCHAR) AS last_purchase_ts
+        |FROM f WHERE side = 1""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

@@ -65,6 +65,45 @@ object Events {
         col("t_click") > col("t_view"), 1)).as("n_full_funnel"))
   }
 
+  /** E7 — AS-OF JOIN: for each left row, attach the payload of the
+    * latest right row with the same key and timestamp ≤ the left's.
+    * Spark has no native as-of join, and the naive `BETWEEN` range
+    * join explodes to |key-group|² comparisons. This is the
+    * single-shuffle formulation: tag both sides, union, one window
+    * per key ordered by (ts, side-with-right-first, tie), and
+    * forward-fill the right payload with `last(..., ignoreNulls)` —
+    * O(n log n) within partitions, no pair explosion, AQE-friendly.
+    * Right rows at exactly the left timestamp match (≤ semantics,
+    * right sorts first on ties).
+    *
+    * `payload` columns must exist on `right`; they surface on every
+    * left row (null until the first right row for that key).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               payload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val fill = payload.map(p => col(p).as(s"__p_$p"))
+    val l = left
+      .select((lCols.map(col) :+ lit(1).as("__side")) ++
+        payload.map(p =>
+          lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+    val r = right
+      .select((lCols.map(c =>
+        (if (c == keyCol || c == tsCol || c == tieCol) col(c)
+         else lit(null).cast(left.schema(c).dataType)).as(c))
+        :+ lit(0).as("__side")) ++ fill: _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = l.unionByName(r)
+      .select((lCols.map(col) :+ col("__side")) ++
+        payload.map(p =>
+          last(col(s"__p_$p"), ignoreNulls = true).over(w)
+            .as(s"asof_$p")): _*)
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
   /** Gap-based sessionization: a session ends after `gapMinutes` of
     * user inactivity. One shuffle on user_id; window functions run
     * within the per-user sort — the classic scalable formulation

@@ -144,6 +144,26 @@ class CorpusSpec extends AnyFunSuite {
       "existing-vs-existing pair must not be re-emitted")
   }
 
+  test("asofJoin attaches latest right payload at-or-before each left ts") {
+    import graft.operators.Events
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val left = Seq((10L, 1L, ts(3)), (11L, 1L, ts(5)), (12L, 1L, ts(7)),
+      (13L, 1L, ts(10)), (14L, 2L, ts(9)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((90L, 1L, ts(5), "A"), (91L, 1L, ts(10), "B"))
+      .toDF("event_id", "user_id", "ts", "label")
+    val got = Events.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("label")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      10L -> None,        // before any right row
+      11L -> Some("A"),   // tie: right row at same ts matches (≤)
+      12L -> Some("A"),
+      13L -> Some("B"),
+      14L -> None))       // other key, no right rows
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
