@@ -32,6 +32,8 @@ object SparkEntry {
     "q_region_volume"   -> ((s, d) => Analytics.regionVolume(s, d)),
     "q_revenue_change"  -> ((s, d) => Analytics.revenueChange(s, d)),
     "q_order_count_dist" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
+    // ---- §2.4 G10 bucketed range join ----
+    "q_range_join" -> ((s, d) => Analytics.demandWindow(s, d)),
     // ---- §2.2 C1–C6 silver cleaning ----
     "q_clean_nulls" -> ((s, d) =>
       Cleaning.removeNullRows(Tables.table(s, d, "customer"))),
@@ -843,6 +845,13 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(l.l_orderkey) AS n_shipped
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE)
+        |     BETWEEN CAST(o.o_orderdate AS DATE)
+        |         AND CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin,
     "q_order_count_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

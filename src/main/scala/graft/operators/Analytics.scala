@@ -156,4 +156,46 @@ object Analytics {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** G10 — keyless RANGE JOIN (point-in-interval), bucketed. The naive
+    * theta join `point BETWEEN start AND end` has no equi-key, so
+    * Spark would plan a broadcast-nested-loop over |intervals|·|points|
+    * pairs — the canonical scale-killer. Bucketing turns it into an
+    * equi-join: each interval explodes into its covered day buckets,
+    * each point owns exactly one bucket, and the join key is the
+    * bucket — the fan-out is the WINDOW LENGTH (bounded, chosen), not
+    * the table size. Counts aggregate with map-side partials straight
+    * off the join, so the exploded intermediate never materializes.
+    *
+    * `intervals` columns: `idCol`, `startCol` (date); the interval is
+    * [start, start + windowDays] inclusive. `points` columns:
+    * `dateCol` (date), `countCol` (non-null, counted per interval;
+    * intervals with no points emit 0 via the left join).
+    */
+  def rangeCountBucketed(intervals: DataFrame, idCol: String,
+                         startCol: String, windowDays: Int,
+                         points: DataFrame, dateCol: String,
+                         countCol: String): DataFrame = {
+    val exploded = intervals.select(col(idCol),
+      explode(sequence(col(startCol),
+        date_add(col(startCol), windowDays))).as("__day"))
+    val pts = points.select(col(dateCol).as("__day"), col(countCol))
+    exploded.join(pts, Seq("__day"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col(countCol)).as("n_points"))
+  }
+
+  /** Demand-window report over the testdata: for each order, how many
+    * lineitems (any order's) shipped within 30 days of its order date.
+    */
+  def demandWindow(spark: SparkSession, sfDir: String,
+                   windowDays: Int = 30): DataFrame = {
+    val ord = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d0"))
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    rangeCountBucketed(ord, "o_orderkey", "d0", windowDays,
+      li, "sd", "l_orderkey")
+      .withColumnRenamed("n_points", "n_shipped")
+  }
 }

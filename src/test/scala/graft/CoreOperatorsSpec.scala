@@ -183,6 +183,22 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(out.getLong(0) == 2 && out.getLong(1) == 1 && out.getLong(2) == 1)
   }
 
+  test("rangeCountBucketed counts points inside each interval, zeros included") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val intervals = Seq((1L, d("2024-01-01")), (2L, d("2024-02-01")))
+      .toDF("id", "start")
+    val points = Seq((100L, d("2024-01-01")), (101L, d("2024-01-03")),
+      (102L, d("2024-01-08")), (103L, d("2024-03-01")))
+      .toDF("pk", "pd")
+    val got = operators.Analytics
+      .rangeCountBucketed(intervals, "id", "start", 5, points, "pd", "pk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // window [start, start+5] inclusive: id 1 covers Jan 1–6 → 2 points
+    // (Jan 1, Jan 3; Jan 8 outside); id 2 covers Feb 1–6 → 0 points
+    assert(got == Map(1L -> 2L, 2L -> 0L))
+  }
+
   test("incremental latestPartition keeps only max partition") {
     import spark.implicits._
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-02", 3))

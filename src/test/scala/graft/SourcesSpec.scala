@@ -95,6 +95,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bucketed range join and LSH near-dup plan as equi-joins, never nested loops") {
+    for (df <- Seq(
+      operators.Analytics.demandWindow(spark, sf),
+      operators.Similarity.cosineNearDupPairsLsh(
+        Tables.table(spark, sf, "embeddings"), "vec_id", "embedding", 0.35))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "scale-killer join shape:\n" + plan.take(2000))
+    }
+  }
+
   test("manifest ingestion lands raw JSON with lineage; malformed rows kept") {
     import graft.sources.Ingest
     val dir = java.nio.file.Files.createTempDirectory("graft-ing").toString
