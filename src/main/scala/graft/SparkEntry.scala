@@ -256,6 +256,9 @@ object SparkEntry {
           col("features")(1).cast("double").as("f_mean"),
           col("features")(2).cast("double").as("f_mod"),
           col("features")(3).cast("double").as("f_first"))),
+    // ---- §2.9 M3 frame sampling ----
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))),
     // ---- §2.2 C7 bronze nested-JSON flatten ----
     "q_bronze_flatten" -> ((s, d) => Bronze.eventsFlattened(s, d)),
     // ---- §2.1 S9 manifest ingestion (data_ingestion.py analog) ----
@@ -705,6 +708,25 @@ object SparkEntry {
          |FROM cand
          |WHERE ROUND(${duckCos("va", "vb")}, 6) >= 0.35""".stripMargin
     },
+    // hex-domain mirror of the binary frame slices (byte i ↔ hex 2i);
+    // 96/128 are stride·2 and frameBytes·2
+    "q_multimodal_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents
+        |), n AS (
+        |  SELECT media_id, hx,
+        |    GREATEST(CAST(FLOOR((blen - 64) / 48.0) AS INT), 0) AS nmax
+        |  FROM h
+        |), f AS (
+        |  SELECT media_id, hx, unnest(range(0, nmax + 1)) AS frame_idx
+        |  FROM n
+        |)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(substr(hx, CAST(frame_idx * 96 + 1 AS INT), 128)) / 2 AS BIGINT) AS frame_len,
+        |  substr(hx, CAST(frame_idx * 96 + 1 AS INT), 128) AS frame_hex
+        |FROM f""".stripMargin,
     "q_ann_lsh" -> {
       val flips = (0 until 12).map(i => s"xor(qbucket, CAST(${1L << i} AS BIGINT))")
       s"""WITH b AS (

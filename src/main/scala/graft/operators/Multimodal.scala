@@ -78,6 +78,68 @@ object Multimodal {
       }
   }
 
+  /** STUB resample kernel for [[transformMedia]]: deterministic byte
+    * decimation standing in for a real resampler — keeps every k-th
+    * byte where k scales the payload toward the target dimensions.
+    * Consumes real bytes, emits real bytes; only this function changes
+    * when a codec exists.
+    */
+  def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
+                 dstW: Int, dstH: Int): Array[Byte] = {
+    val srcArea = math.max(1L, srcW.toLong * srcH)
+    val dstArea = math.max(1L, dstW.toLong * dstH)
+    val k = math.max(1L, srcArea / dstArea).toInt
+    payload.grouped(k).map(_.head).toArray
+  }
+
+  /** M4 — media TRANSFORM plumbing (the resize analog): payload →
+    * payload rewrite with consistent metadata update, batched per
+    * partition like [[extractFeatures]]. The output schema equals the
+    * input schema (media stays media), so transforms compose —
+    * resize → re-extract → frame-sample chains without special cases.
+    */
+  def transformMedia(media: DataFrame, dstW: Int,
+                     dstH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("media_type"),
+        col("width"), col("height"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          MediaRow(m.media_id,
+            resizeStub(m.payload, m.width, m.height, dstW, dstH),
+            m.media_type, dstW, dstH)
+        }
+      }
+  }
+
+  /** M3 — frame sampling plumbing (the video→frames analog): one
+    * binary payload fans out into fixed-size byte windows at a chosen
+    * stride, each tagged with its frame index — entirely in codegen'd
+    * expressions (binary `substr`), no UDF, no decode, no shuffle. A
+    * real video pipeline swaps the byte-window slicing for a
+    * container-aware frame splitter; the schema, fan-out shape and
+    * per-frame metadata stay identical. Every payload yields at least
+    * one (possibly short) frame; tail bytes past the last full stride
+    * are dropped, the standard sampling convention.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    val nMax = greatest(
+      floor((length(col("payload")) - frameBytes).cast("double") / stride),
+      lit(0.0)).cast("int")
+    val frame = col("payload")
+      .substr(col("frame_idx") * stride + lit(1), lit(frameBytes))
+    media
+      .select(col("media_id"), col("payload"), nMax.as("__n"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("__n"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        length(frame).cast("bigint").as("frame_len"),
+        hex(frame).as("frame_hex"))
+  }
+
   /** Metadata-only projection — demonstrates that a query touching
     * only typed metadata never deserializes the payload bytes
     * (column pruning drops the binary column at the scan).

@@ -193,6 +193,46 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.checksum))
   }
 
+  test("multimodal: transformMedia rewrites payloads and metadata, schema-stable") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val out = Multimodal.transformMedia(media, 320, 240)
+    assert(out.schema == media.schema ||
+      out.columns.toSeq == media.columns.toSeq,
+      "media transforms must keep the media schema so they compose")
+    val rows = out.collect()
+    assert(rows.forall(r => r.width == 320 && r.height == 240))
+    val src = media.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      assert(r.payload.length <= src(r.media_id).length &&
+        r.payload.length > 0)
+    }
+    // composes: re-extract features from the transformed media
+    assert(Multimodal.extractFeatures(out.toDF()).count() == rows.length)
+  }
+
+  test("multimodal: frame sampling reconstructs the payload windows") {
+    import spark.implicits._
+    val text = ("ab" * 100).take(150) // 150 bytes ASCII
+    val media = Seq((7L, text)).toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 48)
+      .collect().sortBy(_.getLong(1))
+    // nMax = floor((150-64)/48) = 1 → frames 0 and 1
+    assert(frames.length == 2)
+    assert(frames(0).getLong(2) == 64 &&
+      frames(0).getString(3) == text.take(64).getBytes("UTF-8")
+        .map("%02X".format(_)).mkString)
+    assert(frames(1).getLong(2) == 64 &&
+      frames(1).getString(3) == text.slice(48, 112).getBytes("UTF-8")
+        .map("%02X".format(_)).mkString)
+    // short payload still yields one partial frame
+    val shortM = Seq((8L, "tiny")).toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val sf2 = Multimodal.sampleFrames(shortM).collect()
+    assert(sf2.length == 1 && sf2.head.getLong(2) == 4)
+  }
+
   test("multimodal: metadata-only query plan prunes the payload column") {
     val plan = Multimodal.metadataSummary(Multimodal.mediaTable(spark, sf))
       .queryExecution.executedPlan.toString
