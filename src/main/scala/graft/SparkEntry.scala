@@ -164,6 +164,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPortable(Tables.table(s, d, "documents"),
         "doc_id", "text")),
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairsPortable(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
     // df cap 1000: a no-op on the test corpora (max df 25 at sf0.1)
     // but the bound that keeps the inverted-index join finite at scale;
     // mirrored in the oracle's QUALIFY
@@ -392,6 +395,30 @@ object SparkEntry {
   private def duckHashBucket(key: String, salt: String, den: Int): String =
     s"(CAST(concat('0x', substr(sha256(concat_ws(':', CAST($key AS VARCHAR), '$salt')), 1, 8)) AS BIGINT) % $den)"
 
+  /** Portable SimHash mirror (Dedup.simhashPortable): per-bit majority
+    * vote over sha256-nibble token hashes, 60-bit word. Shared by the
+    * signature and pair-join gates.
+    */
+  private def duckSimhashSql: String = {
+    val bitSums = (0 until 60).map { b =>
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(dg, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val word = (0 until 60)
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT sid, sha256(t) AS dg FROM (
+       |    SELECT doc_id AS sid,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents) x
+       |), bits AS (
+       |  SELECT sid,
+       |    $bitSums
+       |  FROM tok GROUP BY sid
+       |)
+       |SELECT sid, CAST($word AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
   private val duckMh = (0 until 16)
     .map(i => s"min(substr(sha256(sh), ${1 + 3 * i}, 8)) AS mh$i")
     .mkString(", ")
@@ -511,25 +538,18 @@ object SparkEntry {
         |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,3}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{4}', '[PHONE]', 'g'),
         |    '[0-9]{8,}', '[NUMBER]', 'g') AS clean_text
         |FROM documents""".stripMargin,
-    "q_dedup_simhash" -> {
-      val bitSums = (0 until 60).map { b =>
-        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(dg, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
-      }.mkString(",\n    ")
-      val word = (0 until 60)
-        .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT sid, sha256(t) AS dg FROM (
-         |    SELECT doc_id AS sid,
-         |      unnest(string_split_regex(trim(text), '\\s+')) AS t
-         |    FROM documents) x
-         |), bits AS (
-         |  SELECT sid,
-         |    $bitSums
-         |  FROM tok GROUP BY sid
+    "q_dedup_simhash" -> duckSimhashSql,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH sims AS ($duckSimhashSql),
+         |blk AS (
+         |  SELECT sid, simhash, b, (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
          |)
-         |SELECT sid, CAST($word AS BIGINT) AS simhash FROM bits""".stripMargin
-    },
+         |SELECT DISTINCT a.sid AS id_a, b.sid AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM blk a
+         |JOIN blk b ON a.b = b.b AND a.key = b.key AND a.sid < b.sid
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_dedup_exact_text" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -289,6 +289,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** D3 (portable pair step) — SimHash near-dup candidate pairs over
+    * [[simhashPortable]] words: same block-pigeonhole join as
+    * [[simhashPairs]] (Hamming ≤ maxHamming ⇒ some bit-block equal)
+    * but on the sha256-derived 60-bit word, so a cross-engine gate can
+    * recompute every pair exactly. 60 bits split into maxHamming+1
+    * equal blocks.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, nBits: Int = 60): DataFrame = {
+    val sh = simhashPortable(df, idCol, textCol, nBits)
+    val nBlocks = maxHamming + 1
+    require(nBits % nBlocks == 0, s"nBits=$nBits not divisible by $nBlocks")
+    val width = nBits / nBlocks
+    val blocks = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1).as("key"))
+    }
+    val keyed = sh.select(col("sid"), col("simhash"),
+      explode(array(blocks: _*)).as("bk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** D8 — INCREMENTAL MinHash dedup: check only a NEW batch of
     * documents against the corpus (and against itself), never
     * re-pairing existing×existing — the production shape of corpus
