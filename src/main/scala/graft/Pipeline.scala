@@ -69,7 +69,10 @@ object Pipeline {
     while (attempt < maxAttempts) {
       try return stage
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying after OutOfMemoryError/interrupt re-runs
+        // a stage inside a possibly-broken JVM, and control throwables
+        // (non-local return) must escape untouched
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt < maxAttempts && delayMs > 0) Thread.sleep(delayMs)

@@ -192,7 +192,7 @@ object SparkEntry {
     "q_corpus_cap" -> ((s, d) =>
       Corpus.capPerGroup(
         Tables.table(s, d, "documents").select("doc_id", "lang"),
-        Seq("lang"), "doc_id", 50)),
+        Seq("lang"), Seq("doc_id"), 50)),
     "q_corpus_filter" -> ((s, d) =>
       Corpus.trainingFilter(Tables.table(s, d, "documents"),
         "doc_id", "text", 0.45, 10, 100000)),

@@ -161,29 +161,38 @@ object TextFunctions {
     * needlessly re-tokenizing for four. Values are identical.
     */
   def qualityReport(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String): org.apache.spark.sql.DataFrame = {
+                    textCol: String,
+                    extra: Seq[(String, Column)] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     val allStop = Stopwords.flatMap(_._2).distinct
     val ws = col("__ws")
+    // `extra` columns ride the same scan/projection (computed against
+    // the input row, carried through) so composed reports — e.g.
+    // Corpus.trainingFilter's token count — stay single-pass instead
+    // of re-scanning and joining
     val metrics = graft.sources.Tables.fanOut(df
-      .select(col(idCol), col(textCol).as("__t"),
-        tokens(col(textCol)).as("__ws")))
-      .select(col(idCol),
-        alphaRatio(col("__t")).as("alpha_ratio"),
-        punctRatio(col("__t")).as("punct_ratio"),
+      .select(col(idCol) +: col(textCol).as("__t") +:
+        tokens(col(textCol)).as("__ws") +:
+        extra.map { case (n, c) => c.as(n) }: _*))
+      .select(col(idCol) +:
+        alphaRatio(col("__t")).as("alpha_ratio") +:
+        punctRatio(col("__t")).as("punct_ratio") +:
         when(size(ws) === 0, 0.0).otherwise(
           size(filter(ws, t => array_contains(
             array(allStop.map(lit): _*), t))).cast("double") / size(ws))
-          .as("stopword_ratio"),
+          .as("stopword_ratio") +:
         when(size(ws) === 0, 0.0).otherwise(
           aggregate(transform(ws, t => length(t)), lit(0),
             (acc, x) => acc + x).cast("double") / size(ws))
-          .as("mean_token_len"))
-    metrics.select(col(idCol), col("alpha_ratio"), col("punct_ratio"),
-      col("stopword_ratio"), col("mean_token_len"),
+          .as("mean_token_len") +:
+        extra.map { case (n, _) => col(n) }: _*)
+    metrics.select(col(idCol) +: col("alpha_ratio") +: col("punct_ratio") +:
+      col("stopword_ratio") +: col("mean_token_len") +:
       round(
         (col("stopword_ratio") * 0.4) +
         (col("alpha_ratio") * 0.3) +
         (least(col("mean_token_len") / 10.0, lit(1.0)) * 0.2) +
-        ((lit(1.0) - col("punct_ratio")) * 0.1), 6).as("quality_score"))
+        ((lit(1.0) - col("punct_ratio")) * 0.1), 6).as("quality_score") +:
+      extra.map { case (n, _) => col(n) }: _*)
   }
 }

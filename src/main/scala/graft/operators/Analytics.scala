@@ -186,9 +186,13 @@ object Analytics {
                          countCol: String): DataFrame = {
     val daily = points.groupBy(col(dateCol).as("__day"))
       .agg(count(col(countCol)).as("__cnt"))
+    // a NULL start explodes to one null-day row (instead of vanishing
+    // with the null sequence), misses the join, and lands as count 0 —
+    // matching the SQL LEFT JOIN contract
     val exploded = intervals.select(col(idCol),
-      explode(sequence(col(startCol),
-        date_add(col(startCol), windowDays))).as("__day"))
+      explode(coalesce(
+        sequence(col(startCol), date_add(col(startCol), windowDays)),
+        array(lit(null).cast("date")))).as("__day"))
     exploded.join(broadcast(daily), Seq("__day"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("__cnt"), lit(0L))).cast("bigint")

@@ -59,14 +59,19 @@ object Corpus {
     df.withColumn("split", cases)
   }
 
-  /** Keep at most `n` rows per group, chosen deterministically by
-    * `orderCol` (class-balancing / per-source caps). One shuffle on
-    * the group key; the per-partition sort is the window's local sort.
+  /** Keep at most `n` rows per group, chosen by `orderCols`
+    * (class-balancing / per-source caps). One shuffle on the group
+    * key; the per-partition sort is the window's local sort.
+    *
+    * Determinism contract: `orderCols` must be unique within each
+    * group (a key, or key-suffixed ordering) — `row_number` over tied
+    * orderings keeps an arbitrary row per run, which would break the
+    * reproducible-corpus guarantee this module exists for.
     */
-  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                  n: Int): DataFrame = {
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[String], n: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
@@ -75,18 +80,17 @@ object Corpus {
   /** Training-ready corpus filter: quality score ≥ `minQuality` and
     * BPE-ish token count within [minTokens, maxTokens] — the composed
     * end-of-pipeline gate a pretraining corpus runs after dedup.
-    * Single pass: both signals are column expressions over one scan.
+    * Single pass: the token count rides the quality report's scan as
+    * an `extra` column — no second scan, no join.
     */
   def trainingFilter(df: DataFrame, idCol: String, textCol: String,
                      minQuality: Double, minTokens: Int,
-                     maxTokens: Int): DataFrame = {
-    val q = graft.functions.TextFunctions.qualityReport(df, idCol, textCol)
-    val t = df.select(col(idCol),
-      graft.functions.TextFunctions.bpeTokenCount(col(textCol))
-        .cast("bigint").as("n_bpe_tokens"))
-    q.join(t, Seq(idCol))
+                     maxTokens: Int): DataFrame =
+    graft.functions.TextFunctions.qualityReport(df, idCol, textCol,
+      extra = Seq("n_bpe_tokens" ->
+        graft.functions.TextFunctions.bpeTokenCount(col(textCol))
+          .cast("bigint")))
       .filter(col("quality_score") >= minQuality &&
         col("n_bpe_tokens").between(minTokens, maxTokens))
       .select(col(idCol), col("quality_score"), col("n_bpe_tokens"))
-  }
 }

@@ -77,10 +77,10 @@ object Dedup {
     * signature building at corpus scale.
     */
   def signatureFromIndex(sh: DataFrame, k: Int = 16): DataFrame = {
-    // the last window starts at offset 1+3(k-1) and spans 8 hex chars;
-    // beyond k=20 it would run off the 64-char digest and silently
-    // degrade the signature
-    require(k >= 1 && k <= 20, s"k must be in [1,20], got $k")
+    // the last window starts at offset 1+3(k-1) and spans 8 hex chars,
+    // so it must satisfy 3(k-1)+8 <= 64; beyond k=19 it would run off
+    // the 64-char digest and silently degrade the signature
+    require(k >= 1 && k <= 19, s"k must be in [1,19], got $k")
     sh.withColumn("dg", sha2(col("sh"), 256))
       .groupBy(col("sid"))
       .agg(
@@ -337,20 +337,26 @@ object Dedup {
                               textCol: String, isNew: Column,
                               thresholdNum: Int = 1,
                               thresholdDen: Int = 2): DataFrame = {
+    // sh stays persisted: Spark's CacheManager dedupes by plan, so
+    // repeated calls (and the batch minhashDedup on the same corpus)
+    // reuse ONE cache entry rather than accumulating copies
     val sh = shingleIndex(df, idCol, textCol).persist()
     val buckets = bandBuckets(signatureFromIndex(sh)).persist()
     val newIds = df.filter(isNew).select(col(idCol).as("nid"))
     val newBuckets = buckets.join(broadcast(newIds),
       col("sid") === col("nid")).select(col("sid"), col("bk"))
+    // candidates materialize EAGERLY (localCheckpoint) while `buckets`
+    // is still cached — a lazy return would evaluate after the
+    // unpersist below and recompute the band pipeline per join side
     val cand = newBuckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.sid") =!= col("b.sid"))
       .select(least(col("a.sid"), col("b.sid")).as("id_a"),
         greatest(col("a.sid"), col("b.sid")).as("id_b"))
       .distinct()
-    val out = jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
+      .localCheckpoint()
     buckets.unpersist()
-    out
+    jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
   }
 
   /** D9 — benchmark CONTAMINATION check (decontamination pass): flag
@@ -412,6 +418,10 @@ object Dedup {
     // shuffle. Above it (real-scale runs) everything stays a shuffle
     // join; the algorithm is identical either way.
     val edgeRows = sym.count()
+    if (edgeRows == 0L) { // clean corpus: every id is its own group
+      sym.unpersist()
+      return ids.select(col("id"), col("id").as("group_id"))
+    }
     val tiny = edgeRows <= 2000000L
     def small(df: DataFrame): DataFrame = if (tiny) broadcast(df) else df
     // below the threshold the whole iteration state fits one task:

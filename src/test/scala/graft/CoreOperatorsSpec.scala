@@ -197,6 +197,14 @@ class CoreOperatorsSpec extends AnyFunSuite {
     // window [start, start+5] inclusive: id 1 covers Jan 1–6 → 2 points
     // (Jan 1, Jan 3; Jan 8 outside); id 2 covers Feb 1–6 → 0 points
     assert(got == Map(1L -> 2L, 2L -> 0L))
+    // a null-start interval is kept with count 0, matching the SQL
+    // LEFT JOIN contract, not silently dropped by the null sequence
+    val withNull = Seq((1L, Some(d("2024-01-01"))), (3L, None))
+      .toDF("id", "start")
+    val gotNull = operators.Analytics
+      .rangeCountBucketed(withNull, "id", "start", 5, points, "pd", "pk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNull == Map(1L -> 2L, 3L -> 0L))
   }
 
   test("incremental latestPartition keeps only max partition") {

@@ -22,6 +22,11 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 6L, 7L -> 6L, 8L -> 8L))
+    // clean corpus (zero pairs): every id is its own group, no NPE
+    val clean = Dedup.resolveGroups(ids,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clean == (1L to 8L).map(i => i -> i).toMap)
   }
 
   test("sampleByHash: deterministic, disjoint across salts, exhaustive at num=den") {
@@ -58,7 +63,7 @@ class CorpusSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
       .toDF("doc_id", "lang")
-    val capped = Corpus.capPerGroup(df, Seq("lang"), "doc_id", 2).collect()
+    val capped = Corpus.capPerGroup(df, Seq("lang"), Seq("doc_id"), 2).collect()
     assert(capped.length == 3)
     assert(capped.count(_.getString(1) == "a") == 2)
     assert(!capped.exists(_.getLong(0) == 3L), "highest-order row dropped")

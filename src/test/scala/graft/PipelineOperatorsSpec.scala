@@ -263,10 +263,12 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val sh = Dedup.shingleIndex(
       Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text")
+    // k=20's last window would start at hex offset 58 and cover only
+    // 7 of its 8 chars — the silent degradation the bound exists for
     intercept[IllegalArgumentException] {
-      Dedup.signatureFromIndex(sh, 21)
+      Dedup.signatureFromIndex(sh, 20)
     }
-    assert(Dedup.signatureFromIndex(sh, 20).columns.length == 21)
+    assert(Dedup.signatureFromIndex(sh, 19).columns.length == 20)
   }
 
   test("LSH near-dup pairs: subset of pairwise result, identical scores, no dups") {
