@@ -196,6 +196,20 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, d) =>
       Corpus.trainingFilter(Tables.table(s, d, "documents"),
         "doc_id", "text", 0.45, 10, 100000)),
+    // mixture recipe: keep all en, half de/fr, 30% es, drop zh
+    "q_corpus_mixture" -> ((s, d) =>
+      Corpus.mixtureSample(
+        Tables.table(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", "mix", 10,
+        Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3))),
+    // packing: per-shard contiguous fill of 4000-char bins (n_chars
+    // stands in for the token count; same shape either way)
+    "q_corpus_pack" -> ((s, d) =>
+      Corpus.packGreedy(
+        Tables.table(s, d, "documents").select("doc_id", "n_chars")
+          .withColumn("shard",
+            Corpus.hashBucket(col("doc_id"), "shard", 8)),
+        "doc_id", "n_chars", "shard", Seq("doc_id"), 4000)),
     // ---- §2.8 T6 text normalization ----
     "q_text_normalize" -> ((s, d) =>
       Tables.table(s, d, "documents").select(col("doc_id"),
@@ -205,6 +219,11 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) =>
       graft.functions.TextFunctions.repetitionReport(
         Tables.table(s, d, "documents"), "doc_id", "text")),
+    // ---- §2.8 T8 token-budget truncation ----
+    "q_text_truncate" -> ((s, d) =>
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.truncateTokens(col("text"), 50)
+          .as("trunc_text"))),
     // ---- §2.12 X1 salted aggregation (skew mitigation) ----
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedSum(Tables.table(s, d, "events"), Seq("event_type"),
@@ -630,6 +649,28 @@ object SparkEntry {
     "q_corpus_cap" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50""".stripMargin,
+    "q_corpus_mixture" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckHashBucket("doc_id", "mix", 10)} <
+         |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 5
+         |            WHEN 'fr' THEN 5 WHEN 'es' THEN 3 END""".stripMargin,
+    "q_corpus_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    ${duckHashBucket("doc_id", "shard", 8)} AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard,
+         |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, CAST(FLOOR(cum / 4000.0) AS BIGINT) AS bin_id
+         |FROM c""".stripMargin,
+    "q_text_truncate" ->
+      """SELECT doc_id,
+        |  array_to_string(string_split_regex(trim(text), '\s+')[1:50], ' ') AS trunc_text
+        |FROM documents""".stripMargin,
     "q_corpus_filter" ->
       s"""WITH q AS ($duckQualitySql),
          |t AS (

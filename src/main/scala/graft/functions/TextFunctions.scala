@@ -106,6 +106,13 @@ object TextFunctions {
       (least(meanTokenLen(c) / 10.0, lit(1.0)) * 0.2) +
       ((lit(1.0) - punctRatio(c)) * 0.1), 6)
 
+  /** T8 — token-budget truncation: keep the first `n` whitespace
+    * tokens (the context-window prep step). Array slice + join — one
+    * projection, engine-portable.
+    */
+  def truncateTokens(c: Column, n: Int): Column =
+    array_join(slice(tokens(c), 1, n), " ")
+
   /** T7 — intra-document repetition signals (the Gopher-style quality
     * gates of Rae et al. 2021 §A1.1): the fraction of duplicated
     * tokens and duplicated word 3-grams inside each document. Highly

@@ -77,6 +77,49 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** K5 — domain-MIXTURE sampling: per-group keep rates, the
+    * pretraining "data mixture" step that reshapes the source/language
+    * distribution toward a target recipe. Deterministic like
+    * everything here: a row stays iff its salted hash bucket falls
+    * under `den`·rate(group). Groups absent from `rates` are dropped —
+    * an explicit mixture is a whitelist, and silence should not mean
+    * "keep everything".
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+                    salt: String, den: Int,
+                    rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= den),
+      s"rates must be in [0,$den]")
+    val bucket = hashBucket(col(keyCol), salt, den)
+    val rate = rates.foldLeft(lit(null).cast("int")) {
+      case (acc, (g, num)) => when(col(groupCol) === g, num).otherwise(acc)
+    }
+    // null rate (unlisted group) makes the comparison null → filtered
+    df.filter(bucket < rate)
+  }
+
+  /** K6 — greedy sequence PACKING: contiguous documents (in
+    * `orderCols` order within a shard) fill fixed token-budget bins,
+    * `bin_id` = ⌊preceding-cumulative-tokens / budget⌋ — the step that
+    * turns a filtered corpus into fixed-length training sequences.
+    * Packing is inherently sequential, so the order is per-SHARD:
+    * each shard packs independently in parallel and bins never span
+    * shards — the standard distributed compromise (a global order
+    * would serialize the corpus through one task).
+    */
+  def packGreedy(df: DataFrame, idCol: String, nTokensCol: String,
+                 shardCol: String, orderCols: Seq[String],
+                 budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .select(col(idCol), col(shardCol),
+        floor(col("__cum") / budget.toDouble).cast("bigint").as("bin_id"))
+  }
+
   /** Training-ready corpus filter: quality score ≥ `minQuality` and
     * BPE-ish token count within [minTokens, maxTokens] — the composed
     * end-of-pipeline gate a pretraining corpus runs after dedup.

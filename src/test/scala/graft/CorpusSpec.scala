@@ -88,6 +88,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == "foo bar baz qux")
   }
 
+  test("mixtureSample applies per-group rates, drops unlisted groups") {
+    val doc = Tables.table(spark, sf, "documents").select("doc_id", "lang")
+    val mixed = Corpus.mixtureSample(doc, "doc_id", "lang", "mix", 10,
+      Map("en" -> 10, "zh" -> 0))
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = doc.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("en"), "rate-10 kept, rate-0 and unlisted dropped")
+    assert(counts("en") == full("en"), "rate den/den keeps every row")
+    // deterministic
+    assert(mixed.except(Corpus.mixtureSample(doc, "doc_id", "lang", "mix",
+      10, Map("en" -> 10, "zh" -> 0))).count() == 0)
+  }
+
+  test("packGreedy fills contiguous bins within shards, never spanning") {
+    import spark.implicits._
+    val df = Seq((1L, 30L, 0), (2L, 40L, 0), (3L, 50L, 0), (4L, 10L, 1))
+      .toDF("doc_id", "n_tok", "shard")
+    val got = Corpus.packGreedy(df, "doc_id", "n_tok", "shard",
+      Seq("doc_id"), 60).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // shard 0 cums: 0, 30, 70 → bins 0, 0, 1; shard 1 restarts at 0
+    assert(got == Map(1L -> ((0, 0L)), 2L -> ((0, 0L)),
+      3L -> ((0, 1L)), 4L -> ((1, 0L))))
+  }
+
+  test("truncateTokens keeps the first n tokens, whole short docs") {
+    import spark.implicits._
+    val got = Seq("a b c d e", "x y").toDF("t")
+      .select(graft.functions.TextFunctions.truncateTokens(col("t"), 3))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a b c", "x y"))
+  }
+
   test("saltedSum matches the direct aggregation bit-for-bit") {
     import graft.operators.Skew
     val ev = Tables.table(spark, sf, "events")
