@@ -62,6 +62,82 @@ class PropertySpec extends AnyFunSuite {
     assert(keys.size == xs.size)
   }
 
+  test("splitByHash partitions the key set for arbitrary positive weights") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("id")
+    samples(Gen.listOfN(3, Gen.chooseNum(1, 9)), 8).foreach { ws =>
+      val weights = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+      val split = operators.Corpus.splitByHash(ids, "id", "p", weights)
+      val byLabel = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byLabel.values.sum == 400, s"weights=$ws: not exhaustive")
+      assert(byLabel.keySet.subsetOf(weights.map(_._1).toSet),
+        s"weights=$ws: phantom label")
+      assert(split.select("id").distinct().count() == 400,
+        s"weights=$ws: a key landed in two splits")
+    }
+  }
+
+  test("sampleByHash is monotone in the keep fraction") {
+    import spark.implicits._
+    val ids = (1L to 300L).toDF("id")
+    val kept = (0 to 10).map(num => num ->
+      operators.Corpus.sampleByHash(ids, "id", num, 10, "mono")
+        .collect().map(_.getLong(0)).toSet)
+    kept.sliding(2).foreach { case Seq((n1, s1), (n2, s2)) =>
+      assert(s1.subsetOf(s2), s"num=$n1 sample not contained in num=$n2")
+    }
+    assert(kept.head._2.isEmpty && kept.last._2.size == 300)
+  }
+
+  test("asofJoin matches a naive quadratic reference on random event sets") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 25)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(1L, 3L)
+        ts <- Gen.chooseNum(0L, 50L)
+      } yield (key, ts))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    samples(gen, 6).foreach { rows =>
+      val left = rows.map { case (id, k, t) =>
+        (id, k, new java.sql.Timestamp(t * 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rows.filter(_._1 % 3 == 0).map { case (id, k, t) =>
+        (id + 1000L, k, new java.sql.Timestamp(t * 1000L), s"v$id") }
+      val rightDf = right.toDF("event_id", "user_id", "ts", "label")
+      val got = operators.Events
+        .asofJoin(left, rightDf, "user_id", "ts", "event_id", Seq("label"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      rows.foreach { case (id, k, t) =>
+        // naive reference: latest right row (same key, ts <= t),
+        // ties broken by the (ts, event_id) order the operator declares
+        val expect = right.filter(r => r._2 == k && r._3.getTime <= t * 1000L)
+          .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._4)
+        assert(got(id) == expect, s"row=$id key=$k t=$t")
+      }
+    }
+  }
+
+  test("packGreedy: preceding-cum of every doc in bin b lies in [b·B, (b+1)·B)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.chooseNum(1L, 120L))
+    samples(gen, 6).foreach { sizes =>
+      val df = sizes.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s, i % 2) }.toDF("id", "n", "shard")
+      val bins = operators.Corpus
+        .packGreedy(df, "id", "n", "shard", Seq("id"), 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (0 to 1).foreach { sh =>
+        var cum = 0L
+        sizes.zipWithIndex.filter(_._2 % 2 == sh).foreach { case (s, i) =>
+          assert(bins(i.toLong) == cum / 100, s"doc $i cum=$cum")
+          cum += s
+        }
+      }
+    }
+  }
+
   test("vector_dot equals a scala-fold reference on random vectors") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
