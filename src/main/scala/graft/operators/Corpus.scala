@@ -90,22 +90,45 @@ object Corpus {
                     rates: Map[String, Int]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= den),
       s"rates must be in [0,$den]")
-    val bucket = hashBucket(col(keyCol), salt, den)
-    val rate = rates.foldLeft(lit(null).cast("int")) {
-      case (acc, (g, num)) => when(col(groupCol) === g, num).otherwise(acc)
-    }
-    // null rate (unlisted group) makes the comparison null → filtered
-    df.filter(bucket < rate)
+    val spark = df.sparkSession
+    import spark.implicits._
+    mixtureSampleTable(df, keyCol, groupCol, salt, den,
+      rates.toSeq.toDF(groupCol, "__rate"))
   }
 
+  /** [[mixtureSample]] with the recipe as a DataFrame — the form for
+    * real mixtures (thousands of web domains): a broadcast lookup join
+    * instead of a CASE chain, O(1) per row and codegen-friendly at any
+    * recipe size. The inner join IS the whitelist: unlisted groups
+    * drop.
+    */
+  def mixtureSampleTable(df: DataFrame, keyCol: String, groupCol: String,
+                         salt: String, den: Int,
+                         rates: DataFrame): DataFrame =
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), salt, den) < col("__rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+
   /** K6 — greedy sequence PACKING: contiguous documents (in
-    * `orderCols` order within a shard) fill fixed token-budget bins,
+    * `orderCols` order within a shard) fill token-budget-ALIGNED bins,
     * `bin_id` = ⌊preceding-cumulative-tokens / budget⌋ — the step that
-    * turns a filtered corpus into fixed-length training sequences.
-    * Packing is inherently sequential, so the order is per-SHARD:
-    * each shard packs independently in parallel and bins never span
-    * shards — the standard distributed compromise (a global order
-    * would serialize the corpus through one task).
+    * turns a filtered corpus into training sequences. Packing is
+    * inherently sequential, so the order is per-SHARD: each shard
+    * packs independently in parallel and bins never span shards — the
+    * standard distributed compromise (a global order would serialize
+    * the corpus through one task).
+    *
+    * Semantics to know:
+    *  - Bins are budget-ALIGNED, not budget-bounded: a document whose
+    *    span crosses a boundary belongs wholly to the bin where it
+    *    STARTS, so a bin can exceed `budget` by up to one document.
+    *    Consumers either split the boundary document downstream (the
+    *    usual sequence-packing move) or pre-truncate
+    *    ([[graft.functions.TextFunctions.truncateTokens]]) so the
+    *    overhang is bounded.
+    *  - Same determinism contract as [[capPerGroup]]: `orderCols` must
+    *    be unique within each shard, or the cumulative sum over tied
+    *    orderings assigns bins arbitrarily per run.
     */
   def packGreedy(df: DataFrame, idCol: String, nTokensCol: String,
                  shardCol: String, orderCols: Seq[String],

@@ -73,8 +73,21 @@ class PropertySpec extends AnyFunSuite {
       assert(byLabel.values.sum == 400, s"weights=$ws: not exhaustive")
       assert(byLabel.keySet.subsetOf(weights.map(_._1).toSet),
         s"weights=$ws: phantom label")
-      assert(split.select("id").distinct().count() == 400,
-        s"weights=$ws: a key landed in two splits")
+      // cross-check every assignment against an independent JVM-side
+      // recomputation of the bucket → cumulative-weight-range label
+      val den = ws.sum
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def expectLabel(id: Long): String = {
+        val hex = md.digest(s"$id:p".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex, 16) % den
+        val cum = ws.scanLeft(0)(_ + _).tail
+        weights(cum.indexWhere(bucket < _))._1
+      }
+      split.collect().foreach { r =>
+        assert(r.getString(1) == expectLabel(r.getLong(0)),
+          s"weights=$ws id=${r.getLong(0)}")
+      }
     }
   }
 
