@@ -326,6 +326,11 @@ object SparkEntry {
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
             .as("sum_value"))
     }),
+    // ---- §2.1 S11 z-order clustering key ----
+    "q_zorder_key" -> ((s, d) =>
+      Tables.table(s, d, "events").select(col("event_id"),
+        Tables.zValue(pmod(col("user_id"), lit(65536)),
+          pmod(col("event_id"), lit(65536))).as("z"))),
     "q_freshness_gate" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
         .toString + "/nation"
@@ -582,6 +587,15 @@ object SparkEntry {
          |)
          |SELECT fingerprint, min(sid) AS keep_id, count(*) AS n_docs
          |FROM j GROUP BY fingerprint""".stripMargin,
+    "q_zorder_key" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((user_id % 65536) >> $i) & 1) << ${2 * i}) | " +
+          s"((((event_id % 65536) >> $i) & 1) << ${2 * i + 1})"
+      }
+      s"""SELECT event_id,
+         |  (${terms.mkString("(", ") | (", ")")}) AS z
+         |FROM events""".stripMargin
+    },
     // the gate checks the OUTCOME contract of the freshness-gated
     // write: first write happens, an immediately-repeated write is
     // skipped, a stale-aged write happens, and the landed table is

@@ -98,6 +98,40 @@ object Tables {
       .parquet(path)
   }
 
+  /** Z-VALUE: bit-interleave of two bounded non-negative ints — the
+    * space-filling-curve key for multi-dimensional data clustering.
+    * Pure long shift/mask expressions, codegen'd and engine-portable.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ORDER clustered write (the OPTIMIZE ZORDER trick of
+    * Delta/Iceberg, done with plain Spark): range-partition and sort
+    * the data by the interleaved z-value of two filter columns, then
+    * write. Every output file then covers a tight min/max range on
+    * BOTH columns, so parquet row-group/file stats prune scans
+    * filtered on EITHER column — the layout that keeps 100 TB
+    * point/range lookups from reading the whole table. Returns the
+    * written-out DataFrame reader.
+    */
+  def zOrderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  nFiles: Int = 8, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Freshness-gated write (reference: bucket.py:96
     * `write_to_minio_once_a_year`): rewrite a slowly-changing table only
     * if the existing copy is older than `maxAgeDays` or absent.

@@ -107,6 +107,30 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("zOrderWrite produces disjoint z-ranges per file (two-column clustering)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("ub", pmod(col("user_id"), lit(65536)))
+      .withColumn("eb", pmod(col("event_id"), lit(65536)))
+    Tables.zOrderWrite(ev, s"$tmp/z", "ub", "eb", nFiles = 4)
+    val files = new java.io.File(s"$tmp/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2, "expected a multi-file clustered layout")
+    // each file must cover a z-range disjoint from every other file —
+    // that is the property that lets file/row-group stats prune scans
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(Tables.zValue(col("ub"), col("eb")).as("z"))
+        .agg(min(col("z")), max(col("z"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file z-ranges: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("manifest ingestion lands raw JSON with lineage; malformed rows kept") {
     import graft.sources.Ingest
     val dir = java.nio.file.Files.createTempDirectory("graft-ing").toString
