@@ -34,6 +34,17 @@ object SparkEntry {
     "q_order_count_dist" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
     // ---- §2.4 G10 bucketed range join ----
     "q_range_join" -> ((s, d) => Analytics.demandWindow(s, d)),
+    // ---- §2.4 G11 top-N per group ----
+    "q_top_per_group" -> ((s, d) =>
+      Analytics.topNPerGroup(
+        Tables.table(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)),
+    // ---- §2.4 G12 month-over-month deltas ----
+    "q_monthly_delta" -> ((s, d) => Analytics.monthlyRevenueDelta(s, d)),
+    // ---- §2.2 C8 pivot reshape ----
+    "q_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
     // ---- §2.2 C1–C6 silver cleaning ----
     "q_clean_nulls" -> ((s, d) =>
       Cleaning.removeNullRows(Tables.table(s, d, "customer"))),
@@ -949,6 +960,32 @@ object SparkEntry {
         |     BETWEEN CAST(o.o_orderdate AS DATE)
         |         AND CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
         |GROUP BY o_orderkey""".stripMargin,
+    "q_top_per_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |FROM orders
+        |QUALIFY rank <= 3""".stripMargin,
+    // round BEFORE the lag-subtract: the Spark side deltas the rounded
+    // monthly revenues, so the oracle must too
+    "q_monthly_delta" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS rev
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT ship_month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - LAG(rev) OVER (ORDER BY ship_month) AS DOUBLE) AS revenue_delta
+        |FROM m""".stripMargin,
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_order_count_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -157,6 +157,55 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** G11 — top-N per group: rank within each group by `orderCols`
+    * (must be a deterministic total order — include a tie-break key),
+    * keep the first `n`. One shuffle on the group key; `row_number`
+    * sorts within partitions only.
+    */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= n)
+  }
+
+  /** G12 — month-over-month revenue with deltas: the lag-window report
+    * shape (decimal-exact sums, explicit month ordering). Emits NULL
+    * delta on each partition's first month rather than inventing a
+    * zero.
+    */
+  def monthlyRevenueDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val monthly = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(round(sum(dec(col("l_extendedprice")) *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+        .as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ship_month"))
+    // single-partition window is safe: month cardinality is bounded
+    // (years × 12) no matter how big the fact table is
+    monthly.select(col("ship_month"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev") - lag(col("rev"), 1).over(w)).cast("double")
+          .as("revenue_delta"))
+  }
+
+  /** C8 — pivot reshape: order counts by year × priority with an
+    * EXPLICIT pivot-value list (an open-ended pivot needs a full extra
+    * pass to discover the domain, and unknown output schemas break
+    * downstream plans — at scale the domain is always declared).
+    */
+  def ordersPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    Tables.table(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, priorities)
+  }
+
   /** G10 — keyless RANGE JOIN (point-in-interval), bucketed. The naive
     * theta join `point BETWEEN start AND end` has no equi-key, so
     * Spark would plan a broadcast-nested-loop over |intervals|·|points|

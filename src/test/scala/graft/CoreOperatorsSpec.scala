@@ -183,6 +183,36 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(out.getLong(0) == 2 && out.getLong(1) == 1 && out.getLong(2) == 1)
   }
 
+  test("topNPerGroup keeps exactly n best rows per group, deterministic ties") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 1.0),
+      (4L, "b", 9.0)).toDF("id", "g", "v")
+    val got = operators.Analytics.topNPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id")), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // tie on v=5.0 broken by id: 1 ranks before 2; 3 is cut
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("monthlyRevenueDelta: first month null delta, deltas telescope") {
+    val rows = operators.Analytics.monthlyRevenueDelta(spark, sf)
+      .orderBy("ship_month").collect()
+    assert(rows.nonEmpty && rows.head.isNullAt(2))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(math.abs(cur.getDouble(2) -
+          (cur.getDouble(1) - prev.getDouble(1))) < 1e-6)
+      case _ =>
+    }
+  }
+
+  test("ordersPivot: wide counts sum back to the table row count") {
+    val p = operators.Analytics.ordersPivot(spark, sf)
+    val total = p.collect().map(r =>
+      (1 to 5).map(r.getLong).sum).sum
+    assert(total == graft.sources.Tables.table(spark, sf, "orders").count())
+  }
+
   test("rangeCountBucketed counts points inside each interval, zeros included") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
