@@ -45,6 +45,17 @@ object SparkEntry {
     "q_monthly_delta" -> ((s, d) => Analytics.monthlyRevenueDelta(s, d)),
     // ---- §2.2 C8 pivot reshape ----
     "q_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
+    // ---- §2.2 C9 unpivot (melt) ----
+    "q_unpivot" -> ((s, d) => Analytics.ordersUnpivot(s, d)),
+    // ---- §2.5 E8 rolling window ----
+    "q_rolling_value" -> ((s, d) => Analytics.rollingDailyValue(s, d)),
+    // ---- §2.11 K7 curriculum buckets ----
+    "q_corpus_curriculum" -> ((s, d) =>
+      Corpus.curriculumBuckets(
+        graft.functions.TextFunctions.qualityReport(
+          Tables.table(s, d, "documents"), "doc_id", "text")
+          .select("doc_id", "quality_score"),
+        "doc_id", "quality_score", 10)),
     // ---- §2.2 C1–C6 silver cleaning ----
     "q_clean_nulls" -> ((s, d) =>
       Cleaning.removeNullRows(Tables.table(s, d, "customer"))),
@@ -986,6 +997,33 @@ object SparkEntry {
         |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
         |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |  o_orderpriority AS priority, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_rolling_value" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS d_sum
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day_num,
+        |  CAST(ROUND(SUM(d_sum) OVER w, 4) AS DOUBLE) AS rolling_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_corpus_curriculum" ->
+      s"""WITH q AS ($duckQualitySql),
+         |th AS (
+         |  SELECT quantile_cont(quality_score,
+         |    [${(1 until 10).map(i => s"0.$i").mkString(",")}]) AS ths
+         |  FROM q
+         |)
+         |SELECT q.doc_id, q.quality_score,
+         |  CAST(len(list_filter(th.ths, t -> q.quality_score > t)) AS BIGINT) AS bucket
+         |FROM q CROSS JOIN th""".stripMargin,
     "q_order_count_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -206,6 +206,43 @@ object Analytics {
       .na.fill(0L, priorities)
   }
 
+  /** C9 — unpivot (melt): the inverse reshape of [[ordersPivot]],
+    * via Spark's native `unpivot`. Zero-count cells (pivot fill) are
+    * dropped so the long form equals the direct group-by.
+    */
+  def ordersUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    ordersPivot(spark, sfDir)
+      .unpivot(Array(col("order_year")), priorities.map(col).toArray,
+        "priority", "n_orders")
+      .filter(col("n_orders") > 0)
+  }
+
+  /** E8 — rolling 7-day aggregation per event type: a RANGE window
+    * over integer day numbers (date-typed range frames behave
+    * differently across engines; day ints don't). Emits rolling SUM
+    * and day COUNT — sufficient statistics, not the average: a rounded
+    * QUOTIENT is the one value two engines can round apart (see
+    * Similarity.centroidUpdate), and the caller's division is exact on
+    * the tiny result. Daily pre-aggregation bounds the window input at
+    * days × types regardless of event volume.
+    */
+  def rollingDailyValue(spark: SparkSession, sfDir: String,
+                        windowDays: Int = 7): DataFrame = {
+    val daily = Tables.table(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("d_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily.select(col("event_type"), col("day_num").cast("bigint").as("day_num"),
+      round(sum(col("d_sum")).over(w), 4).cast("double").as("rolling_sum"),
+      count(lit(1)).over(w).cast("bigint").as("n_days"))
+  }
+
   /** G10 — keyless RANGE JOIN (point-in-interval), bucketed. The naive
     * theta join `point BETWEEN start AND end` has no equi-key, so
     * Spark would plan a broadcast-nested-loop over |intervals|·|points|

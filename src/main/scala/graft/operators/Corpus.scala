@@ -143,6 +143,31 @@ object Corpus {
         floor(col("__cum") / budget.toDouble).cast("bigint").as("bin_id"))
   }
 
+  /** K7 — CURRICULUM buckets: assign each document a difficulty tier
+    * by quality score WITHOUT a global window (NTILE/percent_rank pull
+    * the whole corpus through one task). Instead: k−1 exact quantile
+    * thresholds from one tiny aggregate, then a shuffle-free
+    * threshold-comparison scan — bucket = #thresholds strictly below
+    * the score. At 100 TB swap the exact percentile for
+    * `approx_percentile`; the assignment projection is unchanged.
+    * Unlike NTILE, ties land in the same bucket (buckets are
+    * value-ranges, not forced-equal-size), which is what a curriculum
+    * actually wants.
+    */
+  def curriculumBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val ths = df.agg(org.apache.spark.sql.functions.expr(
+        s"percentile($scoreCol, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val bucket = ths.foldLeft(lit(0)) { (acc, th) =>
+      acc + when(col(scoreCol) > th, 1).otherwise(0)
+    }
+    df.select(col(idCol), col(scoreCol),
+      bucket.cast("bigint").as("bucket"))
+  }
+
   /** Training-ready corpus filter: quality score ≥ `minQuality` and
     * BPE-ish token count within [minTokens, maxTokens] — the composed
     * end-of-pipeline gate a pretraining corpus runs after dedup.

@@ -213,6 +213,26 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.table(spark, sf, "orders").count())
   }
 
+  test("unpivot is the inverse of pivot (long form == direct group-by)") {
+    val long = operators.Analytics.ordersUnpivot(spark, sf)
+    val direct = graft.sources.Tables.table(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+    assert(long.except(direct).count() == 0 &&
+      direct.except(long).count() == 0)
+  }
+
+  test("rollingDailyValue: window sums telescope against daily sums") {
+    val rows = operators.Analytics.rollingDailyValue(spark, sf, 7)
+      .filter(col("event_type") === "view").orderBy("day_num").collect()
+    assert(rows.nonEmpty)
+    // n_days counts only days present in the 7-day range
+    rows.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= 7))
+    // the first day's rolling sum is exactly its own daily sum
+    assert(rows.head.getLong(3) == 1)
+  }
+
   test("rangeCountBucketed counts points inside each interval, zeros included") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -123,6 +123,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a b c", "x y"))
   }
 
+  test("curriculumBuckets: monotone in score, ties share a bucket, all tiers used") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, (i % 10).toDouble)).toDF("id", "s")
+    val got = Corpus.curriculumBuckets(df, "id", "s", 5).collect()
+      .map(r => r.getDouble(1) -> r.getLong(2))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, "ties split across buckets")
+    }
+    val byScore = got.distinct.sortBy(_._1).map(_._2)
+    assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b },
+      "bucket not monotone in score")
+    assert(got.map(_._2).distinct.length >= 4, "tiers unused")
+  }
+
   test("saltedSum matches the direct aggregation bit-for-bit") {
     import graft.operators.Skew
     val ev = Tables.table(spark, sf, "events")
