@@ -609,10 +609,15 @@ object SparkEntry {
          |)
          |SELECT fingerprint, min(sid) AS keep_id, count(*) AS n_docs
          |FROM j GROUP BY fingerprint""".stripMargin,
+    // pmod-safe modulo mirror: DuckDB's % keeps the dividend's sign
+    // while Spark's pmod is always non-negative — aligned here so the
+    // parity holds even if ids ever go negative
     "q_zorder_key" -> {
+      val a = "(((user_id % 65536) + 65536) % 65536)"
+      val b = "(((event_id % 65536) + 65536) % 65536)"
       val terms = (0 until 16).map { i =>
-        s"((((user_id % 65536) >> $i) & 1) << ${2 * i}) | " +
-          s"((((event_id % 65536) >> $i) & 1) << ${2 * i + 1})"
+        s"((($a >> $i) & 1) << ${2 * i}) | " +
+          s"((($b >> $i) & 1) << ${2 * i + 1})"
       }
       s"""SELECT event_id,
          |  (${terms.mkString("(", ") | (", ")")}) AS z

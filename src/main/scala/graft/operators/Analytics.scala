@@ -26,6 +26,15 @@ object Analytics {
   private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
     c.cast(s"decimal($p,$s)")
 
+  /** The discounted extended price in exact decimal — the
+    * oracle-parity-critical expression (the decimal(4,2) cast IS the
+    * contract with the DuckDB SQL); shared by every revenue aggregate
+    * so it can never drift per-query.
+    */
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+
   /** Exact decimal sum, rounded to `scale`, emitted as double.
     * Deterministic: the decimal sum is exact; round bounds magnitude so
     * the decimal→double conversion is exact-rational and identical in
@@ -48,11 +57,9 @@ object Analytics {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        round(sum(dec(col("l_extendedprice")) *
-          (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+        round(sum(discPrice), 2)
           .cast("double").as("sum_disc_price"),
-        round(sum(dec(col("l_extendedprice")) *
-          (lit(1) - col("l_discount")).cast("decimal(4,2)") *
+        round(sum(discPrice *
           (lit(1) + col("l_tax")).cast("decimal(4,2)")), 2)
           .cast("double").as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
@@ -85,8 +92,7 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(dec(col("l_extendedprice")) *
-        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+      .agg(round(sum(discPrice), 2)
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(limit)
@@ -151,8 +157,7 @@ object Analytics {
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(dec(col("l_extendedprice")) *
-        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+      .agg(round(sum(discPrice), 2)
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -179,8 +184,7 @@ object Analytics {
     val li = Tables.table(spark, sfDir, "lineitem")
     val monthly = li
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
-      .agg(round(sum(dec(col("l_extendedprice")) *
-        (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+      .agg(round(sum(discPrice), 2)
         .as("rev"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ship_month"))
     // single-partition window is safe: month cardinality is bounded

@@ -157,14 +157,18 @@ object Corpus {
   def curriculumBuckets(df: DataFrame, idCol: String, scoreCol: String,
                         k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // snapshot the (id, score) input once: the threshold action and
+    // the assignment projection would otherwise each re-run the whole
+    // upstream scoring pipeline
+    val snap = df.select(col(idCol), col(scoreCol)).localCheckpoint()
     val probs = (1 until k).map(_.toDouble / k)
-    val ths = df.agg(org.apache.spark.sql.functions.expr(
+    val ths = snap.agg(org.apache.spark.sql.functions.expr(
         s"percentile($scoreCol, array(${probs.mkString(",")}))"))
       .head().getSeq[Double](0)
     val bucket = ths.foldLeft(lit(0)) { (acc, th) =>
       acc + when(col(scoreCol) > th, 1).otherwise(0)
     }
-    df.select(col(idCol), col(scoreCol),
+    snap.select(col(idCol), col(scoreCol),
       bucket.cast("bigint").as("bucket"))
   }
 

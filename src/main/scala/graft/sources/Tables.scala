@@ -119,8 +119,7 @@ object Tables {
     * write. Every output file then covers a tight min/max range on
     * BOTH columns, so parquet row-group/file stats prune scans
     * filtered on EITHER column — the layout that keeps 100 TB
-    * point/range lookups from reading the whole table. Returns the
-    * written-out DataFrame reader.
+    * point/range lookups from reading the whole table.
     */
   def zOrderWrite(df: DataFrame, path: String, colA: String, colB: String,
                   nFiles: Int = 8, bits: Int = 16): Unit = {
