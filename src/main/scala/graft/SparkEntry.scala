@@ -43,6 +43,10 @@ object SparkEntry {
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)),
     // ---- §2.4 G12 month-over-month deltas ----
     "q_monthly_delta" -> ((s, d) => Analytics.monthlyRevenueDelta(s, d)),
+    // ---- §2.4 G13 conditional-aggregation join report ----
+    "q_priority_lines" -> ((s, d) => Analytics.priorityLineReport(s, d)),
+    // ---- §2.5 E9 cohort retention ----
+    "q_retention" -> ((s, d) => Analytics.retentionCohorts(s, d)),
     // ---- §2.2 C8 pivot reshape ----
     "q_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
     // ---- §2.2 C9 unpivot (melt) ----
@@ -1002,6 +1006,25 @@ object SparkEntry {
         |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
         |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_priority_lines" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(ev.day - f.cohort_day AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_unpivot" ->
       """SELECT year(o_orderdate) AS order_year,
         |  o_orderpriority AS priority, COUNT(*) AS n_orders

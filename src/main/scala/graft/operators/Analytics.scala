@@ -210,6 +210,45 @@ object Analytics {
       .na.fill(0L, priorities)
   }
 
+  /** G13 — conditional-aggregation join report (TPC-H Q12 shape):
+    * per return flag, how many lineitems belong to high-priority vs
+    * other orders. One fact⋈fact join (AQE-managed) + CASE sums with
+    * map-side partials — the "pivot two classes into columns during
+    * the aggregation" dashboard pattern.
+    */
+  def priorityLineReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag")
+    val ord = Tables.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** E9 — cohort RETENTION: users bucketed by first-seen day, activity
+    * counted per (cohort, day-offset) — the retention-curve input.
+    * Two bounded aggregations: per-user first day (one shuffle on
+    * user), then distinct (user, day) activity joined back and
+    * aggregated to cohort×offset cells (cardinality ≤ days²,
+    * independent of event volume).
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day").cast("string").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint")
+          .as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** C9 — unpivot (melt): the inverse reshape of [[ordersPivot]],
     * via Spark's native `unpivot`. Zero-count cells (pivot fill) are
     * dropped so the long form equals the direct group-by.

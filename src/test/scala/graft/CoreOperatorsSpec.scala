@@ -213,6 +213,25 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.table(spark, sf, "orders").count())
   }
 
+  test("priorityLineReport class counts sum to the join row count") {
+    val r = operators.Analytics.priorityLineReport(spark, sf).collect()
+    val total = r.map(x => x.getLong(1) + x.getLong(2)).sum
+    assert(total == graft.sources.Tables.table(spark, sf, "lineitem").count(),
+      "every joined line lands in exactly one class")
+  }
+
+  test("retentionCohorts: offset 0 exists for every cohort, users monotone") {
+    val rows = operators.Analytics.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c missing day-0 row")
+      // no later offset can exceed the cohort's founding population
+      rs.foreach(r => assert(r._3 <= day0.get._3, s"cohort $c offset ${r._2}"))
+    }
+  }
+
   test("unpivot is the inverse of pivot (long form == direct group-by)") {
     val long = operators.Analytics.ordersUnpivot(spark, sf)
     val direct = graft.sources.Tables.table(spark, sf, "orders")
