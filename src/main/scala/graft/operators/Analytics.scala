@@ -242,11 +242,15 @@ object Analytics {
       .distinct()
     val first = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
+    // plain count is exact here: ev is distinct on (user_id, day), so
+    // a user occupies each (cohort, offset) cell at most once — a
+    // count_distinct would add a needless two-phase shuffle on
+    // (group, user)
     ev.join(first, Seq("user_id"))
       .groupBy(col("cohort_day").cast("string").as("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("bigint")
           .as("day_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** C9 — unpivot (melt): the inverse reshape of [[ordersPivot]],

@@ -162,9 +162,12 @@ object Corpus {
     // upstream scoring pipeline
     val snap = df.select(col(idCol), col(scoreCol)).localCheckpoint()
     val probs = (1 until k).map(_.toDouble / k)
-    val ths = snap.agg(org.apache.spark.sql.functions.expr(
+    val rawThs = snap.agg(org.apache.spark.sql.functions.expr(
         s"percentile($scoreCol, array(${probs.mkString(",")}))"))
       .head().getSeq[Double](0)
+    // percentile over zero rows is NULL — an empty corpus buckets to
+    // an empty result, not an NPE
+    val ths = Option(rawThs).getOrElse(Seq.empty[Double])
     val bucket = ths.foldLeft(lit(0)) { (acc, th) =>
       acc + when(col(scoreCol) > th, 1).otherwise(0)
     }

@@ -135,6 +135,9 @@ class CorpusSpec extends AnyFunSuite {
     assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b },
       "bucket not monotone in score")
     assert(got.map(_._2).distinct.length >= 4, "tiers unused")
+    // empty corpus → empty result, not an NPE from null thresholds
+    assert(Corpus.curriculumBuckets(df.filter(col("s") < 0), "id", "s", 5)
+      .count() == 0)
   }
 
   test("saltedSum matches the direct aggregation bit-for-bit") {
