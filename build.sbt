@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Keep sbt's "[success] Total time: ..." banner off stdout: the bench
+// harness parses the LAST line of the run's output as JSON, and the
+// banner would shadow graft.Bench's result line.
+Global / showSuccess := false
 name := "weatherbigquerylakehousespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -11,6 +15,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout straight through instead of relaying it
+// via sbt's logger: the logger prepends "[info] " to every line, which
+// would corrupt graft.Bench's machine-parsed JSON result line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
