@@ -993,7 +993,7 @@ object SparkEntry {
         |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |    ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |              CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS rev
-        |  FROM lineitem GROUP BY 1
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
         |)
         |SELECT ship_month, CAST(rev AS DOUBLE) AS revenue,
         |  CAST(rev - LAG(rev) OVER (ORDER BY ship_month) AS DOUBLE) AS revenue_delta
@@ -1048,8 +1048,9 @@ object SparkEntry {
     "q_corpus_curriculum" ->
       s"""WITH q AS ($duckQualitySql),
          |th AS (
-         |  SELECT quantile_cont(quality_score,
-         |    [${(1 until 10).map(i => s"0.$i").mkString(",")}]) AS ths
+         |  SELECT list_transform(quantile_cont(quality_score,
+         |    [${(1 until 10).map(i => s"0.$i").mkString(",")}]),
+         |    t -> ROUND(t, 6)) AS ths
          |  FROM q
          |)
          |SELECT q.doc_id, q.quality_score,

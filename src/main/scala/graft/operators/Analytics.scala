@@ -182,7 +182,9 @@ object Analytics {
     */
   def monthlyRevenueDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.table(spark, sfDir, "lineitem")
-    val monthly = li
+    // a NULL ship date would otherwise become a NULL month that sorts
+    // first and silently seeds every real month's lag chain
+    val monthly = li.filter(col("l_shipdate").isNotNull)
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(round(sum(discPrice), 2)
         .as("rev"))

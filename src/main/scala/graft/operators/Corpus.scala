@@ -166,8 +166,13 @@ object Corpus {
         s"percentile($scoreCol, array(${probs.mkString(",")}))"))
       .head().getSeq[Double](0)
     // percentile over zero rows is NULL — an empty corpus buckets to
-    // an empty result, not an NPE
+    // an empty result, not an NPE. Thresholds are rounded to 6 dp
+    // (the score column's own scale) so a score landing exactly on a
+    // quantile boundary buckets the same across engines whose
+    // interpolation differs in the last ulp.
     val ths = Option(rawThs).getOrElse(Seq.empty[Double])
+      .map(t => BigDecimal(t)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val bucket = ths.foldLeft(lit(0)) { (acc, th) =>
       acc + when(col(scoreCol) > th, 1).otherwise(0)
     }

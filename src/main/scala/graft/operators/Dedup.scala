@@ -337,9 +337,6 @@ object Dedup {
                               textCol: String, isNew: Column,
                               thresholdNum: Int = 1,
                               thresholdDen: Int = 2): DataFrame = {
-    // sh stays persisted: Spark's CacheManager dedupes by plan, so
-    // repeated calls (and the batch minhashDedup on the same corpus)
-    // reuse ONE cache entry rather than accumulating copies
     val sh = shingleIndex(df, idCol, textCol).persist()
     val buckets = bandBuckets(signatureFromIndex(sh)).persist()
     val newIds = df.filter(isNew).select(col(idCol).as("nid"))
@@ -356,7 +353,14 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     buckets.unpersist()
-    jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
+    // materialize the (small) verified-pair result so the shingle
+    // index cache can be released — otherwise repeated calls over
+    // DIFFERENT corpora accumulate cache entries for the session
+    val verified =
+      jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
+        .localCheckpoint()
+    sh.unpersist()
+    verified
   }
 
   /** D9 — benchmark CONTAMINATION check (decontamination pass): flag
@@ -376,10 +380,15 @@ object Dedup {
       .select(col("bid"), col("sh"))
     val corpusSh = sh.join(broadcast(benchIds), col("sid") === col("bid"),
       "left_anti")
-    corpusSh.join(benchSh, Seq("sh"))
+    // materialize the (tiny) flag set eagerly so the shingle-index
+    // cache is released instead of living for the whole session
+    val flagged = corpusSh.join(benchSh, Seq("sh"))
       .groupBy(col("sid").as("doc_id"), col("bid").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint()
+    sh.unpersist()
+    flagged
   }
 
   /** D7 — near-duplicate GROUP resolution: the step that turns

@@ -71,7 +71,10 @@ object Ingest {
     */
   def ensureDatabase(spark: SparkSession, name: String): Boolean = {
     val existed = spark.catalog.databaseExists(name)
-    if (!existed) spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+    // backticks inside the name must be doubled, or the interpolated
+    // identifier breaks out of its quoting
+    val quoted = name.replace("`", "``")
+    if (!existed) spark.sql(s"CREATE DATABASE IF NOT EXISTS `$quoted`")
     !existed
   }
 
