@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark runs driver + all 32 executor threads in ONE JVM;
+  // at 8g the bench's accumulated caches push the dedup-group
+  // iterations into GC thrash (measured 36 s vs 3.6 s at 16g). The
+  // host has 128 GiB — size the heap for the workload.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -42,6 +42,11 @@ object Bench {
     }
 
     def runOne(name: String): Double = {
+      // drop caches left behind by EARLIER queries (several operators
+      // persist intermediates by design): each query is timed from a
+      // clean cache, and storage memory can't accumulate across 75
+      // queries into GC pressure that distorts late-alphabet timings
+      spark.catalog.clearCache()
       val t1 = once(name)
       if (t1 < 0) return -1.0
       val t2 = once(name)

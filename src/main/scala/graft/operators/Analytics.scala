@@ -197,6 +197,34 @@ object Analytics {
           .as("revenue_delta"))
   }
 
+  /** G14b — hierarchical ROLLUP report: revenue by (region, nation)
+    * with per-region subtotals and a grand total, the dashboard shape
+    * `GROUP BY ROLLUP` exists for. The F-sized work is ONE plain
+    * groupBy to the (region, nation) leaf aggregate — Spark's rollup
+    * `Expand` (×3 row multiplication) then runs over the TINY leaf
+    * table, never over the fact. Decimal-exact leaf sums make the
+    * subtotal re-aggregation bit-stable. Subtotal rows surface as
+    * `(all)` (no real region/nation carries that name).
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.table(spark, sfDir, "nation")
+    val reg = Tables.table(spark, sfDir, "region")
+    val cust = Tables.table(spark, sfDir, "customer")
+    val ord = Tables.table(spark, sfDir, "orders")
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val leaf = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(discPrice).as("rev"))
+    leaf.rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("revenue"))
+  }
+
   /** C8 — pivot reshape: order counts by year × priority with an
     * EXPLICIT pivot-value list (an open-ended pivot needs a full extra
     * pass to discover the domain, and unknown output schemas break

@@ -82,9 +82,32 @@ object Cleaning {
   val ReferenceDateFormats: Seq[String] =
     Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM-dd-yyyy")
 
+  /** Cheap shape regex for a date format: every run of pattern letters
+    * becomes `\d+` (a SUPERSET of what the parser accepts, so the gate
+    * can never reject a parseable value — a false positive just falls
+    * through to the parser), everything else is matched literally.
+    * Gating the parser on it keeps `try_to_timestamp`'s miss path — an
+    * internally thrown-and-swallowed DateTimeParseException per
+    * (row, format) — off the hot loop: with k formats, k−1 of every
+    * row's parse attempts are misses, and the exception machinery
+    * dominates the scan.
+    */
+  private def formatShapeRegex(fmt: String): String =
+    "^" + fmt.replaceAll("[A-Za-z]+", "\u0000").map {
+      case '\u0000' => "\\d+" // NUL sentinel: never a format literal
+      case ch if "\\^$.|?*+()[]{}".contains(ch) => "\\" + ch
+      case ch => ch.toString
+    }.mkString + "$"
+
   def parseDateMulti(c: Column,
                      formats: Seq[String] = ReferenceDateFormats): Column =
-    coalesce(formats.map(f => try_to_timestamp(c, lit(f)).cast("date")): _*)
+    // when() short-circuits, so only shape-matching formats ever reach
+    // the parser; a shape match with an invalid value (e.g. month 13)
+    // still parses to null and falls through — identical semantics to
+    // the unguarded coalesce
+    coalesce(formats.map(f =>
+      when(c.rlike(formatShapeRegex(f)),
+        try_to_timestamp(c, lit(f)).cast("date"))): _*)
 
   /** The reference's full bronze→silver pipeline (bronze_to_silver.py:
     * date fix → null removal → trim → dedup → metadata stamp), fused

@@ -55,4 +55,35 @@ object Incremental {
       .agg(max_by(payload, struct(orderCol, tieBreak)).as("__row"))
       .select(col("__row.*"))
   }
+
+  /** S12 — CDC-style snapshot diff: classify every key across two
+    * snapshots of the same schema as `added` (only in `after`),
+    * `removed` (only in `before`), `changed` (both, different non-key
+    * columns) or `unchanged` — the change-detection read a lakehouse
+    * runs between successive loads of the reference's append-only
+    * tables (bigquery.py:141 WRITE_APPEND) to emit a delta instead of
+    * reprocessing the world.
+    *
+    * One full-outer shuffle join on the key; the non-key columns ride
+    * as ONE struct per side, compared null-safely in a codegen'd
+    * expression (`<=>` — a null attribute can't silently classify as
+    * `unchanged`). Returns `keys…, before, after, change`.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val rest = before.columns.filterNot(keys.contains).toIndexedSeq
+    require(after.columns.filterNot(keys.contains).toIndexedSeq == rest,
+      s"snapshot schemas differ: $rest vs " +
+        after.columns.filterNot(keys.contains).mkString(","))
+    val a = before.select(
+      (keys.map(col) :+ struct(rest.map(col): _*).as("before")): _*)
+    val b = after.select(
+      (keys.map(col) :+ struct(rest.map(col): _*).as("after")): _*)
+    a.join(b, keys, "full_outer")
+      .withColumn("change",
+        when(col("before").isNull, lit("added"))
+          .when(col("after").isNull, lit("removed"))
+          .when(!(col("before") <=> col("after")), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
 }

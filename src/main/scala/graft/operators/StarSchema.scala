@@ -113,4 +113,28 @@ object StarSchema {
       .withColumn("id_fact",
         factId(col("id_ship_date"), col("id_part_kind"), col("id_supply")))
   }
+
+  /** G14 — SCD Type-2 dimension versioning: turn an append-only change
+    * stream `(key, change_ts, attrs…)` into versioned dimension rows
+    * with `[effective_from, effective_to)` validity and an
+    * `is_current` flag — the standard way a warehouse keeps attribute
+    * HISTORY where the reference's dimensions keep only the latest
+    * state (silver_to_gold.py:96 rebuilds dims from the newest
+    * snapshot).
+    *
+    * ONE window over (key ORDER BY ts, tieBreak) — a single shuffle on
+    * the key, no self-join; `lead` closes each version with its
+    * successor's start. `tieBreak` must make the per-key order total
+    * (same-timestamp changes would otherwise order arbitrarily per
+    * run).
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           tieBreak: Column, attrCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), tieBreak)
+    df.select((Seq(keyCol, tsCol) ++ attrCols).map(col): _*)
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .withColumnRenamed(tsCol, "effective_from")
+  }
 }
