@@ -45,6 +45,44 @@ object SparkEntry {
     "q_monthly_delta" -> ((s, d) => Analytics.monthlyRevenueDelta(s, d)),
     // ---- §2.4 G13 conditional-aggregation join report ----
     "q_priority_lines" -> ((s, d) => Analytics.priorityLineReport(s, d)),
+    // ---- §2.4 G14b hierarchical rollup report ----
+    "q_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // ---- §2.4 G14 SCD Type-2 dimension versioning ----
+    // each user's purchase stream becomes versioned rows: a purchase's
+    // value is "current" until the user's next purchase
+    "q_scd2" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      StarSchema.scd2(ev, "user_id", "ts", col("event_id"),
+          Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          // second-trunc for DISPLAY only (the window ordered on full
+          // µs); nullable timestamp goes out as a string (pandas
+          // NaT-vs-ns pitfall), the non-null one stays a timestamp
+          date_trunc("second", col("effective_from")).as("effective_from"),
+          date_trunc("second", col("effective_to")).cast("string")
+            .as("effective_to"),
+          col("is_current").cast("int").cast("bigint").as("is_current"))
+    }),
+    // ---- §2.1 S12 CDC snapshot diff ----
+    // cumulative order-quantity snapshots at two ship-date cutoffs:
+    // orders first shipped in H2 are `added`, orders shipped in both
+    // halves are `changed`
+    "q_snapshot_diff" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+      def snap(cut: String) = li
+        .filter(col("l_shipdate") <= lit(cut).cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+      Incremental.snapshotDiff(snap("1995-06-30"), snap("1995-12-31"),
+          Seq("l_orderkey"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("l_orderkey"),
+          col("before.qty").cast("double").as("qty_before"),
+          col("after.qty").cast("double").as("qty_after"),
+          col("change"))
+    }),
     // ---- §2.5 E9 cohort retention ----
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(s, d)),
     // ---- §2.2 C8 pivot reshape ----
@@ -986,6 +1024,55 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders
         |QUALIFY rank <= 3""".stripMargin,
+    // leaf aggregate first, ROLLUP over the tiny leaf table — same
+    // two-level shape as the Spark side, decimal-exact at both levels
+    "q_rollup" ->
+      """WITH leaf AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT COALESCE(r_name, '(all)') AS region,
+        |  COALESCE(n_name, '(all)') AS nation,
+        |  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+        |FROM leaf GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    // LEAD over the full-precision timestamps, second-trunc only for
+    // display — mirrors the Spark window's ordering exactly
+    "q_scd2" ->
+      """SELECT user_id, event_id, value,
+        |  date_trunc('second', ts) AS effective_from,
+        |  CAST(date_trunc('second',
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    AS VARCHAR) AS effective_to,
+        |  CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-06-30 00:00:00'
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-12-31 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+        |  CAST(a.qty AS DOUBLE) AS qty_before,
+        |  CAST(b.qty AS DOUBLE) AS qty_after,
+        |  CASE WHEN a.qty IS NULL THEN 'added'
+        |       WHEN b.qty IS NULL THEN 'removed'
+        |       WHEN a.qty <> b.qty THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+        |WHERE a.qty IS NULL OR b.qty IS NULL OR a.qty <> b.qty""".stripMargin,
     // round BEFORE the lag-subtract: the Spark side deltas the rounded
     // monthly revenues, so the oracle must too
     "q_monthly_delta" ->

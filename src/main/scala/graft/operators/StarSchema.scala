@@ -132,9 +132,12 @@ object StarSchema {
            tieBreak: Column, attrCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), tieBreak)
-    df.select((Seq(keyCol, tsCol) ++ attrCols).map(col): _*)
-      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+    // window BEFORE the projection: tieBreak may be a column that is
+    // not among the kept attrs
+    df.withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
+      .select((Seq(keyCol) ++ attrCols ++
+        Seq(tsCol, "effective_to", "is_current")).map(col): _*)
       .withColumnRenamed(tsCol, "effective_from")
   }
 }

@@ -290,4 +290,58 @@ class CoreOperatorsSpec extends AnyFunSuite {
     val total = sess.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.table(spark, sf, "events").count())
   }
+
+  test("scd2 builds contiguous non-overlapping versions per key") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    val changes = Seq(
+      (1L, d("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, d("2024-02-01 00:00:00"), 11L, "b"),
+      (1L, d("2024-03-01 00:00:00"), 12L, "c"),
+      (2L, d("2024-01-15 00:00:00"), 20L, "x"))
+      .toDF("k", "ts", "chg_id", "attr")
+    // columns: k, attr, effective_from, effective_to, is_current
+    val v = StarSchema.scd2(changes, "k", "ts", col("chg_id"), Seq("attr"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2),
+        r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    // exactly one current version per key
+    assert(v.count(_._5) == 2)
+    // each non-current version closes at its successor's start
+    val k1 = v.filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(k1.map(_._3).toSeq == Seq("a", "b", "c"))
+    assert(k1(0)._4.contains(k1(1)._2) && k1(1)._4.contains(k1(2)._2))
+    assert(k1(2)._4.isEmpty && k1(2)._5)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val after = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "v")
+    val got = Incremental.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // a null attribute is never silently 'unchanged' against a value
+    val bn = Seq((1L, Option.empty[java.lang.Double])).toDF("k", "v")
+    val an = Seq((1L, Option(java.lang.Double.valueOf(5.0)))).toDF("k", "v")
+    val nulls = Incremental.snapshotDiff(bn, an, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(nulls == Map(1L -> "changed"))
+  }
+
+  test("revenueRollup subtotals reconcile with leaf rows") {
+    val out = Analytics.revenueRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val leaves = out.filter(r => r._1 != "(all)" && r._2 != "(all)")
+    val regionSub = out.filter(r => r._1 != "(all)" && r._2 == "(all)")
+    val grand = out.filter(r => r._1 == "(all)" && r._2 == "(all)")
+    assert(grand.length == 1)
+    // every region subtotal equals the sum of its nation leaves (the
+    // leaf sums are decimal-exact, so doubles match to rounding noise)
+    regionSub.foreach { case (reg, _, subtotal) =>
+      val s = leaves.filter(_._1 == reg).map(_._3).sum
+      assert(math.abs(s - subtotal) < 0.02, s"$reg: $s vs $subtotal")
+    }
+    assert(math.abs(grand.head._3 - regionSub.map(_._3).sum) < 0.02)
+  }
 }
