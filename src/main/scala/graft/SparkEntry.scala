@@ -47,6 +47,8 @@ object SparkEntry {
     "q_priority_lines" -> ((s, d) => Analytics.priorityLineReport(s, d)),
     // ---- §2.4 G14b hierarchical rollup report ----
     "q_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // ---- §2.12 X3 bloom-pruned join ----
+    "q_bloom_join" -> ((s, d) => Analytics.bloomPriorityRevenue(s, d)),
     // ---- §2.4 G14 SCD Type-2 dimension versioning ----
     // each user's purchase stream becomes versioned rows: a purchase's
     // value is "current" until the user's next purchase
@@ -1024,6 +1026,16 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders
         |QUALIFY rank <= 3""".stripMargin,
+    // the bloom prefilter is invisible to results — the oracle is the
+    // PLAIN join (false positives are removed by the exact join)
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     // leaf aggregate first, ROLLUP over the tiny leaf table — same
     // two-level shape as the Spark side, decimal-exact at both levels
     "q_rollup" ->

@@ -225,6 +225,25 @@ object Analytics {
         col("revenue"))
   }
 
+  /** X3 demo — urgent-order line revenue with the fact scan pre-pruned
+    * by a bloom sketch of the urgent order keys ([[Bloom]]): the
+    * ~80% of lineitem rows whose order is not 1-URGENT are dropped
+    * codegen'd at the scan, BEFORE the join shuffle. Result is exactly
+    * the plain join's (bloom false positives die in the join), which
+    * is what the oracle checks.
+    */
+  def bloomPriorityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.table(spark, sfDir, "lineitem")
+    Bloom.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 1000000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(discPrice), 2).cast("double").as("revenue"))
+  }
+
   /** C8 — pivot reshape: order counts by year × priority with an
     * EXPLICIT pivot-value list (an open-ended pivot needs a full extra
     * pass to discover the domain, and unknown output schemas break

@@ -329,6 +329,25 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(nulls == Map(1L -> "changed"))
   }
 
+  test("bloomPrunedJoin matches the plain join and actually prunes") {
+    import spark.implicits._
+    val probe = spark.range(0, 10000).toDF("p")
+    val build = spark.range(0, 10000).filter(col("id") % 100 === 0)
+      .toDF("k")
+    val got = operators.Bloom.bloomPrunedJoin(probe, build, "p", "k", 1000L)
+      .select("p").as[Long].collect().sorted
+    val exact = probe.join(build, col("p") === col("k"))
+      .select("p").as[Long].collect().sorted
+    assert(got.toSeq == exact.toSeq)
+    // the prefilter alone kills (almost) every non-matching probe row:
+    // ≤ 3% fpp at the configured capacity
+    val bf = build.agg(
+      operators.Bloom.keyBloomAgg(col("k"), 1000L).as("bf"))
+    val pruned = probe
+      .filter(operators.Bloom.mightContain(bf, col("p"))).count()
+    assert(pruned >= 100 && pruned <= 100 + 500, s"pruned=$pruned")
+  }
+
   test("revenueRollup subtotals reconcile with leaf rows") {
     val out = Analytics.revenueRollup(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
