@@ -137,6 +137,47 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** E10 — stream-static dimension enrichment: every micro-batch of
+    * the (unbounded) stream joins a STATIC dimension snapshot. The
+    * static side is re-planned each micro-batch — a dimension refresh
+    * lands without restarting the query — and broadcast, so the
+    * stream side never shuffles: enrichment is a map-side hash lookup
+    * per batch, the same shape at 100 TB/day as at test scale.
+    * Left join: an event whose key is missing from the dimension
+    * passes through with nulls rather than silently dropping.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** E11 — idempotent micro-batch file sink: `foreachBatch` +
+    * DYNAMIC partition overwrite. A replayed micro-batch (the
+    * at-least-once delivery case after a failure) rewrites exactly the
+    * partitions it owns instead of appending duplicates — the standard
+    * exactly-once-effective recipe when the target is a plain file
+    * layout rather than a transactional table. Partitioning by event
+    * date keeps each batch's overwrite surface to the dates it
+    * actually touched.
+    */
+  def idempotentDailyWrite(batch: DataFrame, outDir: String): Unit =
+    batch
+      .withColumn("event_date", col("ts").cast("date").cast("string"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(outDir)
+
+  def idempotentDailySink(events: DataFrame,
+                          outDir: String): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        idempotentDailyWrite(batch.toDF(), outDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming DataFrame to completion against the (finite) file
     * source into an in-memory table; returns the query after all
     * available data is processed. Used by specs and local smoke runs.

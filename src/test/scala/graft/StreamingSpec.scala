@@ -106,4 +106,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == 200)
     } finally q.stop()
   }
+
+  test("E10: stream-static enrichment matches the batch join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e10")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val dim = Seq(("view", 1L), ("click", 5L), ("purchase", 25L))
+      .toDF("et", "weight")
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.enrichStream(stream, dim, "event_type", "et")
+        .select(col("event_id"), col("weight")),
+      "stream_enriched", "append")
+    try {
+      val streamed = spark.table("stream_enriched").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val batch = graft.sources.Tables.table(spark, sf, "events")
+        .join(broadcast(dim), col("event_type") === col("et"), "left")
+        .select(col("event_id"), col("weight")).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(streamed == batch)
+      // left semantics: unknown event types survive with null weight
+      assert(batch.size == graft.sources.Tables
+        .table(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
+  test("E11: replayed micro-batch does not duplicate rows (dynamic overwrite)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-e11").toString + "/events"
+    val batch = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).limit(500)
+    EventStream.idempotentDailyWrite(batch, out)
+    val first = spark.read.parquet(out).count()
+    // the at-least-once failure case: the SAME batch is delivered and
+    // written again — dynamic partition overwrite must replace, not
+    // append
+    EventStream.idempotentDailyWrite(batch, out)
+    val second = spark.read.parquet(out).count()
+    assert(first == 500L && second == 500L,
+      s"replay changed row count: $first -> $second")
+  }
 }
