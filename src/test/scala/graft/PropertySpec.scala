@@ -151,6 +151,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff partitions the key universe and inverts cleanly") {
+    import spark.implicits._
+    val gen = for {
+      keys <- Gen.listOfN(60, Gen.chooseNum(0L, 30L)).map(_.distinct)
+      split <- Gen.chooseNum(0, 100)
+    } yield (keys, split)
+    samples(gen, 12).foreach { case (keys, split) =>
+      val before = keys.filter(k => (k * 7 + split) % 3 != 0)
+        .map(k => (k, k * 2)).toDF("k", "v")
+      val after = keys.filter(k => (k * 5 + split) % 3 != 0)
+        .map(k => (k, if (k % 2 == 0) k * 2 else k * 3)).toDF("k", "v")
+      val diff = operators.Incremental
+        .snapshotDiff(before, after, Seq("k"))
+        .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+      // every key of either side is classified exactly once
+      val universe = (before.select("k").as[Long].collect() ++
+        after.select("k").as[Long].collect()).toSet
+      assert(diff.keySet == universe)
+      // swapping the snapshots swaps added <-> removed and keeps the rest
+      val inv = operators.Incremental
+        .snapshotDiff(after, before, Seq("k"))
+        .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+      diff.foreach { case (k, c) =>
+        val expect = c match {
+          case "added" => "removed"
+          case "removed" => "added"
+          case other => other
+        }
+        assert(inv(k) == expect, s"k=$k: $c vs ${inv(k)}")
+      }
+    }
+  }
+
+  test("scd2 versions tile each key's timeline exactly") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40,
+      for { k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 1000000L) }
+        yield (k, t))
+    samples(gen, 10).foreach { raw =>
+      val changes = raw.distinct.zipWithIndex.map { case ((k, t), i) =>
+        (k, new java.sql.Timestamp(t), i.toLong)
+      }.toDF("k", "ts", "chg")
+      val v = operators.StarSchema
+        .scd2(changes, "k", "ts", col("chg"), Seq("chg"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+      v.groupBy(_._1).foreach { case (_, vs) =>
+        val sorted = vs.sortBy(_._2.getTime)
+        // one open version per key, each closed version abuts the next
+        assert(sorted.init.forall(_._3.isDefined))
+        assert(sorted.last._3.isEmpty)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2))
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("bloom prefilter never rejects a true build key") {
+    import spark.implicits._
+    samples(Gen.listOfN(200, Gen.chooseNum(Long.MinValue,
+      Long.MaxValue)), 8).foreach { keys =>
+      val build = keys.toDF("k")
+      val bf = build.agg(
+        operators.Bloom.keyBloomAgg(col("k"), 1000L).as("bf"))
+      // no false negatives, whatever the key distribution: every row
+      // carries a true member, so every row must pass
+      val kept = build
+        .filter(operators.Bloom.mightContain(bf, col("k"))).count()
+      assert(kept == keys.length.toLong)
+    }
+  }
+
   test("vector_dot equals a scala-fold reference on random vectors") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
