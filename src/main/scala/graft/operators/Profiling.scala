@@ -142,4 +142,26 @@ object Profiling {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** P7 — MERGEABLE distinct sketches (Datasketches HLL via Spark's
+    * `hll_sketch_agg`): one sketch per shard, estimates from sketch
+    * UNIONS. This is the incremental-profiling shape at 100 TB: each
+    * day's load aggregates its own shard sketch at batch-sized cost,
+    * the sketches are stored (a few KB each), and any corpus-wide
+    * distinct count — all time, last month, one source — is a union
+    * over stored sketches with NO re-scan of history. Union-then-
+    * estimate equals one global sketch exactly (HLL registers merge
+    * losslessly; spec-asserted), so shard granularity is free.
+    */
+  def distinctSketches(df: DataFrame, shardCol: Column,
+                       valueCol: Column): DataFrame =
+    df.groupBy(shardCol.as("shard"))
+      .agg(hll_sketch_agg(valueCol).as("sketch"))
+
+  /** Distinct-count estimate from a union of [[distinctSketches]]
+    * rows (optionally pre-filtered to a shard subset).
+    */
+  def unionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"))
 }

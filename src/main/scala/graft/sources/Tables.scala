@@ -61,6 +61,46 @@ object Tables {
     else df.repartition(target)
   }
 
+  /** S13 — small-file compaction (the OPTIMIZE maintenance op):
+    * rewrite a parquet directory into ≈`targetRowsPerFile`-sized
+    * files. Per-API-call landings like the reference's bronze CSVs
+    * (bucket.py:96 writes one object per fetch) produce exactly the
+    * small-file problem this fixes — at 100 TB a scan of a
+    * million 50 KB files spends more time opening files than reading
+    * bytes. Data is unchanged (spec-asserted set equality); only the
+    * layout is. Returns the new file count.
+    *
+    * The swap is rename-based (write to a side directory, swap,
+    * delete) — the local-FS analog of a real table format's commit
+    * protocol; on object storage use the table format's own OPTIMIZE
+    * transaction instead.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0)
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val side = path.stripSuffix("/") + "__compacting"
+    df.repartition(files).write.mode("overwrite").parquet(side)
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path.stripSuffix("/") + "__old")
+    if (old.exists()) throw new IllegalStateException(
+      s"stale compaction residue at $old — a prior swap failed mid-way")
+    if (!dir.renameTo(old)) throw new IllegalStateException(
+      s"cannot stage $path for swap")
+    if (!new java.io.File(side).renameTo(dir)) {
+      old.renameTo(dir) // roll back; data never unavailable
+      throw new IllegalStateException(s"cannot swap $side into $path")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(old)
+    files
+  }
+
   /** CSV read with explicit schema (bronze-layer ingest analog).
     * Pass `inferSchema=true` only for small bronze drops.
     */

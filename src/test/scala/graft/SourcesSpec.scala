@@ -157,4 +157,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(Ingest.ensurePath(p))
     assert(!Ingest.ensurePath(p))
   }
+
+  test("S13: compaction shrinks the file count and preserves the data") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/t"
+    val src = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").limit(1000)
+    // simulate a per-API-call landing: 64 tiny files
+    src.repartition(64).write.parquet(dir)
+    def parquetFiles = Option(new java.io.File(dir).listFiles()).get
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val nFiles = Tables.compact(spark, dir, targetRowsPerFile = 500L)
+    assert(nFiles == 2 && parquetFiles == 2)
+    // layout changed, data didn't — and no residue directories remain
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(!new java.io.File(dir + "__compacting").exists())
+  }
+
+  test("P7: sharded HLL sketch union equals the one-shot global sketch") {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.table(spark, sf, "orders")
+    val sketches = graft.operators.Profiling
+      .distinctSketches(ord, col("o_orderkey") % 16, col("o_custkey"))
+    assert(sketches.count() == 16)
+    val merged = graft.operators.Profiling.unionEstimate(sketches)
+      .head().getLong(0)
+    val oneShot = ord
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))))
+      .head().getLong(0)
+    assert(merged == oneShot, s"union $merged vs global $oneShot")
+    // and the estimate is a real estimate of the true cardinality
+    val exact = ord.select("o_custkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
 }
