@@ -131,9 +131,22 @@ object Tables {
   /** Partitioned parquet write — the lakehouse layout that makes
     * incremental reads partition-pruned scans.
     */
+  /** Parquet write; with `partitionBy`, rows are CLUSTERED by the
+    * partition columns first. Without the cluster step every write
+    * task opens a file in every partition directory it sees — tasks ×
+    * partition-values small files (a 1000-task job over 700 dates is
+    * 700k files); clustered, total files ≈ partition values. A date
+    * so hot its single task would struggle is the signal to split
+    * that write by an additional salt column — at which point you
+    * know, and choose, the file count.
+    */
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite",
                    partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode)
+    val clustered =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(
+        org.apache.spark.sql.functions.col): _*)
+    val w = clustered.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

@@ -85,6 +85,15 @@ class SourcesSpec extends AnyFunSuite {
     // pruned scan reads strictly fewer files than the full table
     assert(read.count() ==
       ev.filter(col("event_date") === "2024-01-15").count())
+    // clustered write: each partition directory holds ONE file, not
+    // one per write task (tasks × dates small files otherwise)
+    val dirs = Option(new java.io.File(s"$tmp/ev").listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: $files files")
+    }
   }
 
   test("dimension chain broadcasts in the region-volume star join") {
