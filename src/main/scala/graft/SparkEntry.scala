@@ -1056,8 +1056,16 @@ object SparkEntry {
         |FROM leaf GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     // LEAD over the full-precision timestamps, second-trunc only for
     // display — mirrors the Spark window's ordering exactly
+    // the window ORDERS BY µs-truncated ts: Spark reads the ns parquet
+    // column floored to µs, so a same-µs different-ns pair must fall
+    // to the event_id tiebreak in BOTH engines
     "q_scd2" ->
-      """SELECT user_id, event_id, value,
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, event_id, value,
         |  date_trunc('second', ts) AS effective_from,
         |  CAST(date_trunc('second',
         |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
@@ -1065,7 +1073,7 @@ object SparkEntry {
         |  CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS is_current
-        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+        |FROM e""".stripMargin,
     "q_snapshot_diff" ->
       """WITH a AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
@@ -1149,7 +1157,7 @@ object SparkEntry {
          |th AS (
          |  SELECT list_transform(quantile_cont(quality_score,
          |    [${(1 until 10).map(i => s"0.$i").mkString(",")}]),
-         |    t -> ROUND(t, 6)) AS ths
+         |    t -> CAST(CAST(t AS DECIMAL(18,6)) AS DOUBLE)) AS ths
          |  FROM q
          |)
          |SELECT q.doc_id, q.quality_score,

@@ -82,32 +82,46 @@ object Cleaning {
   val ReferenceDateFormats: Seq[String] =
     Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM-dd-yyyy")
 
-  /** Cheap shape regex for a date format: every run of pattern letters
-    * becomes `\d+` (a SUPERSET of what the parser accepts, so the gate
-    * can never reject a parseable value — a false positive just falls
-    * through to the parser), everything else is matched literally.
-    * Gating the parser on it keeps `try_to_timestamp`'s miss path — an
-    * internally thrown-and-swallowed DateTimeParseException per
-    * (row, format) — off the hot loop: with k formats, k−1 of every
-    * row's parse attempts are misses, and the exception machinery
-    * dominates the scan.
+  /** Cheap shape regex for a PURELY NUMERIC date format (digit fields
+    * and separators only): every run of pattern letters becomes `\d+`
+    * — a SUPERSET of what the parser accepts for numeric fields, so
+    * the gate can never reject a parseable value; a false positive
+    * just falls through to the parser. Defined (None otherwise) only
+    * when every letter run is a digit-producing token at digit-only
+    * width — text tokens (`MMM`, `EEE`, `a`, …) and quoted literals
+    * get NO gate rather than a wrong one. Gating keeps
+    * `try_to_timestamp`'s miss path — an internally
+    * thrown-and-swallowed DateTimeParseException per (row, format) —
+    * off the hot loop: with k formats, k−1 of every row's parse
+    * attempts are misses, and the exception machinery dominates the
+    * scan.
     */
-  private def formatShapeRegex(fmt: String): String =
-    "^" + fmt.replaceAll("[A-Za-z]+", "\u0000").map {
+  private[graft] def formatShapeRegex(fmt: String): Option[String] = {
+    // digit-producing pattern letters, at the widths where they stay
+    // digits (M/E at 3+ are month/day NAMES; a/G/z/… are always text)
+    val digitRun = "^(y+|Y+|M{1,2}|d{1,2}|D{1,3}|H{1,2}|h{1,2}|m{1,2}" +
+      "|s{1,2}|S+|u+|e{1,2}|F{1,2}|k{1,2}|K{1,2}|q{1,2}|Q{1,2}|w{1,2})$"
+    val runs = "[A-Za-z]+".r.findAllIn(fmt).toSeq
+    if (fmt.contains('\'') || !runs.forall(_.matches(digitRun))) None
+    else Some("^" + fmt.replaceAll("[A-Za-z]+", "\u0000").map {
       case '\u0000' => "\\d+" // NUL sentinel: never a format literal
       case ch if "\\^$.|?*+()[]{}".contains(ch) => "\\" + ch
       case ch => ch.toString
-    }.mkString + "$"
+    }.mkString + "$")
+  }
 
   def parseDateMulti(c: Column,
                      formats: Seq[String] = ReferenceDateFormats): Column =
     // when() short-circuits, so only shape-matching formats ever reach
     // the parser; a shape match with an invalid value (e.g. month 13)
     // still parses to null and falls through — identical semantics to
-    // the unguarded coalesce
-    coalesce(formats.map(f =>
-      when(c.rlike(formatShapeRegex(f)),
-        try_to_timestamp(c, lit(f)).cast("date"))): _*)
+    // the unguarded coalesce. Formats the shape gate can't describe
+    // (text months, quoted literals) parse ungated.
+    coalesce(formats.map(f => formatShapeRegex(f) match {
+      case Some(rx) =>
+        when(c.rlike(rx), try_to_timestamp(c, lit(f)).cast("date"))
+      case None => try_to_timestamp(c, lit(f)).cast("date")
+    }): _*)
 
   /** The reference's full bronze→silver pipeline (bronze_to_silver.py:
     * date fix → null removal → trim → dedup → metadata stamp), fused

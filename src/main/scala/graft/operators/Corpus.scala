@@ -169,7 +169,10 @@ object Corpus {
     // an empty result, not an NPE. Thresholds are rounded to 6 dp
     // (the score column's own scale) so a score landing exactly on a
     // quantile boundary buckets the same across engines whose
-    // interpolation differs in the last ulp.
+    // interpolation differs in the last ulp. HALF_UP here = a DECIMAL
+    // cast in the oracle (same half-away rounding for the
+    // non-negative scores) — NOT fp-multiply ROUND, whose .5 cases
+    // can land differently.
     val ths = Option(rawThs).getOrElse(Seq.empty[Double])
       .map(t => BigDecimal(t)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -78,16 +78,20 @@ object Tables {
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0)
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path.stripSuffix("/") + "__old")
+    // residue check FIRST: after a swap that died between its two
+    // renames the data lives at __old, and the full rewrite below
+    // would be wasted I/O ending in the same exception
+    if (old.exists()) throw new IllegalStateException(
+      s"stale compaction residue at $old — a prior swap failed mid-way" +
+        (if (dir.exists()) "" else s"; the table data is at $old"))
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L,
       (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val side = path.stripSuffix("/") + "__compacting"
     df.repartition(files).write.mode("overwrite").parquet(side)
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path.stripSuffix("/") + "__old")
-    if (old.exists()) throw new IllegalStateException(
-      s"stale compaction residue at $old — a prior swap failed mid-way")
     if (!dir.renameTo(old)) throw new IllegalStateException(
       s"cannot stage $path for swap")
     if (!new java.io.File(side).renameTo(dir)) {
@@ -129,9 +133,8 @@ object Tables {
     df.write.mode(mode).json(path)
 
   /** Partitioned parquet write — the lakehouse layout that makes
-    * incremental reads partition-pruned scans.
-    */
-  /** Parquet write; with `partitionBy`, rows are CLUSTERED by the
+    * incremental reads partition-pruned scans. With `partitionBy`,
+    * rows are CLUSTERED by the
     * partition columns first. Without the cluster step every write
     * task opens a file in every partition directory it sees — tasks ×
     * partition-values small files (a 1000-task job over 700 dates is

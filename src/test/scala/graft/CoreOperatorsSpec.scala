@@ -329,6 +329,21 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(nulls == Map(1L -> "changed"))
   }
 
+  test("parseDateMulti handles text-token formats ungated") {
+    import spark.implicits._
+    // "dd MMM yyyy" produces month NAMES — the numeric shape gate must
+    // not apply (it would reject every valid value)
+    val df = Seq("01 Jan 2024", "2024-02-03", "garbage").toDF("raw")
+    val got = df.select(operators.Cleaning.parseDateMulti(col("raw"),
+        Seq("yyyy-MM-dd", "dd MMM yyyy")).cast("string").as("d"))
+      .as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("2024-01-01"), Some("2024-02-03"), None))
+    // gate applies to purely numeric formats, not to text ones
+    assert(operators.Cleaning.formatShapeRegex("yyyy-MM-dd").isDefined)
+    assert(operators.Cleaning.formatShapeRegex("dd MMM yyyy").isEmpty)
+    assert(operators.Cleaning.formatShapeRegex("yyyy-MM-dd'T'HH:mm").isEmpty)
+  }
+
   test("bloomPrunedJoin matches the plain join and actually prunes") {
     import spark.implicits._
     val probe = spark.range(0, 10000).toDF("p")
