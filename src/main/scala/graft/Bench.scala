@@ -60,25 +60,30 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
-    // 3-decimal rounding keeps the whole line under the harness's
-    // 2000-char output-tail window (75+ queries at full double
+    // Rounded per-query values keep the whole line under the harness's
+    // 2000-char output-tail window (80 queries at full double
     // precision overflow it and the line gets clipped mid-JSON).
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // Precision adapts downward as the query count grows so the line
+    // never outgrows the window.
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // A crashed query must NOT read as a speedup: null total + nonzero
     // exit make a regression in any single query fail the whole run.
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total =
-      if (failed.nonEmpty) "null"
-      else fmt(results.map(_._2).sum)
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      val total =
+        if (failed.nonEmpty) "null" else fmt(results.map(_._2).sum, 3)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = (3 to 1 by -1).map(line).find(_.length <= 1900)
+      .getOrElse(line(1))
     // Stop Spark BEFORE printing: the harness parses the LAST line of
     // the run's output as the result JSON, so nothing (executor
     // shutdown warnings included) may print after it.
     spark.stop()
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(1)
