@@ -176,6 +176,28 @@ object SparkEntry {
         Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
     // ---- §2.5 E1–E2 events ----
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
+    // ---- §2.5 E3 streaming rollup, driver-gated ----
+    // the REAL Structured Streaming pipeline run to completion
+    // (AvailableNow) against a staged copy of the events table; the
+    // DuckDB oracle checks the streamed result itself, not a batch
+    // stand-in. (Bench skips q_stream_* keys: stream startup latency,
+    // not operator throughput.)
+    "q_stream_rollup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sr")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val name = "stream_rollup_gate_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.EventStream.runToMemory(
+        graft.streaming.EventStream.windowedRollup(
+          graft.streaming.EventStream.readEvents(s, dir.toString)),
+        name, "complete")
+      q.stop()
+      s.table(name)
+        .select(col("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
     // ---- §2.5 E7 as-of join ----
@@ -1322,6 +1344,14 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // streamed result == the batch rollup (no n_users: the streaming
+    // twin deliberately omits COUNT(DISTINCT …), which is approximate
+    // or state-heavy under incremental execution)
+    "q_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // gap compare on µs-truncated timestamps: Spark reads the ns
