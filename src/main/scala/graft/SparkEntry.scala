@@ -198,6 +198,27 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))
     }),
+    // ---- §2.5 E4 streaming dedup, driver-gated ----
+    // the events table staged TWICE (the duplicate-delivery case);
+    // the streamed dedup output must be exactly the original set
+    "q_stream_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sd")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events_b.parquet"))
+      val name = "stream_dedup_gate_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.EventStream.runToMemory(
+        graft.streaming.EventStream.dedupStream(
+          graft.streaming.EventStream.readEvents(s, dir.toString)),
+        name, "append")
+      q.stop()
+      s.table(name).select(col("event_id"), col("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
     // ---- §2.5 E7 as-of join ----
@@ -1346,6 +1367,11 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // duplicate-delivery dedup: streamed survivors == the original set
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |  event_type, value
+        |FROM events""".stripMargin,
     // streamed result == the batch rollup (no n_users: the streaming
     // twin deliberately omits COUNT(DISTINCT …), which is approximate
     // or state-heavy under incremental execution)
