@@ -295,6 +295,16 @@ object SparkEntry {
       Corpus.sampleByHash(
         Tables.table(s, d, "documents").select("doc_id", "lang", "n_chars"),
         "doc_id", 1, 10, "s1")),
+    // ---- §2.11 K8 weighted (importance) sampling ----
+    // keep rate proportional to quality: a score-s doc survives with
+    // probability floor(20s)/20 — deterministic in (doc_id, salt)
+    "q_corpus_weighted" -> ((s, d) => {
+      val q = graft.functions.TextFunctions.qualityReport(
+        Tables.table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      Corpus.sampleWeighted(q, "doc_id", "w1",
+        floor(col("quality_score") * 20).cast("bigint"), 20)
+    }),
     "q_corpus_split" -> ((s, d) =>
       Corpus.splitByHash(Tables.table(s, d, "documents").select("doc_id"),
         "doc_id", "sp", Seq(("train", 8), ("val", 1), ("test", 1)))),
@@ -767,6 +777,13 @@ object SparkEntry {
     "q_corpus_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${duckHashBucket("doc_id", "s1", 10)} < 1""".stripMargin,
+    // FLOOR(score*20) is identical IEEE double math on both engines
+    // (score is already 6-dp rounded by the shared quality formula)
+    "q_corpus_weighted" ->
+      s"""WITH q AS ($duckQualitySql)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE ${duckHashBucket("doc_id", "w1", 20)} <
+         |  LEAST(CAST(FLOOR(quality_score * 20) AS BIGINT), 20)""".stripMargin,
     "q_corpus_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${duckHashBucket("doc_id", "sp", 10)} < 8 THEN 'train'

@@ -38,6 +38,24 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), salt, den) < num)
   }
 
+  /** K8 — per-document WEIGHTED (importance) sampling: keep each row
+    * with probability `weightNum/den` where `weightNum` is the row's
+    * OWN (integer column) weight — the quality-weighted downsampling
+    * of corpus curation: high-quality documents kept at full rate,
+    * low-quality at a trickle, with the rate a function of the row.
+    * Same determinism contract as every sampler here: membership
+    * depends only on (key, salt, weight) — reproducible across runs,
+    * engines, and retries — and the threshold compare is
+    * integer-exact (weights in den-ths, no float boundary).
+    * Shuffle-free: one codegen'd filter on the scan.
+    */
+  def sampleWeighted(df: DataFrame, keyCol: String, salt: String,
+                     weightNum: Column, den: Int): DataFrame = {
+    require(den > 0, s"den must be positive, got $den")
+    df.filter(hashBucket(col(keyCol), salt, den) <
+      least(weightNum.cast("bigint"), lit(den.toLong)))
+  }
+
   /** Disjoint, exhaustive train/val/test-style split: each row gets
     * the label whose cumulative weight range contains its hash bucket.
     * Deterministic in the key — a document can never leak across

@@ -210,6 +210,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sampleWeighted: zero weight drops all, full weight keeps all, monotone between") {
+    import spark.implicits._
+    val df = (0L until 500L).map(k => (k, (k % 21).toInt)).toDF("k", "w")
+    def kept(w: org.apache.spark.sql.Column) = operators.Corpus
+      .sampleWeighted(df, "k", "s", w, 20).select("k").as[Long]
+      .collect().toSet
+    assert(kept(lit(0)) == Set.empty)
+    assert(kept(lit(20)).size == 500)
+    assert(kept(lit(25)).size == 500) // over-weight clamps to keep-all
+    // per-row weights: survivors of weight w are a subset of w+1's
+    val lo = kept(col("w"))
+    val hi = kept(col("w") + 1)
+    assert(lo.subsetOf(hi))
+    // survival rate tracks the weight (rough sanity, deterministic)
+    val half = kept(lit(10)).size
+    assert(half > 150 && half < 350, s"half=$half")
+  }
+
   test("bloom prefilter never rejects a true build key") {
     import spark.implicits._
     samples(Gen.listOfN(200, Gen.chooseNum(Long.MinValue,
