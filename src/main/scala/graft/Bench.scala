@@ -81,8 +81,11 @@ object Bench {
         if (failed.nonEmpty) "null" else fmt(results.map(_._2).sum, 3)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = (3 to 1 by -1).map(line).find(_.length <= 1900)
-      .getOrElse(line(1))
+    // lazy view: the dp=3 line usually fits and the others are never
+    // built; dp=0 (integer seconds) is the floor before the line
+    // could ever clip mid-JSON again
+    val out = (3 to 0 by -1).view.map(line).find(_.length <= 1900)
+      .getOrElse(line(0))
     // Stop Spark BEFORE printing: the harness parses the LAST line of
     // the run's output as the result JSON, so nothing (executor
     // shutdown warnings included) may print after it.

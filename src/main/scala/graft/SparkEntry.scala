@@ -20,6 +20,31 @@ import graft.sources.Tables
 object SparkEntry {
   private val Stamp = "2026-08-12" // injected _processing/_modeling date
 
+  /** Stage `copies` copies of the events table in a throwaway dir
+    * (deleted on JVM exit), run `pipeline` over a file-source stream
+    * of it to completion, and return the streamed result table.
+    * Shared by the q_stream_* gate entries.
+    */
+  private def runStreamGate(s: SparkSession, sfDir: String, copies: Int,
+                            outputMode: String,
+                            pipeline: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+    dir.toFile.deleteOnExit()
+    (1 to copies).foreach { i =>
+      val f = dir.resolve(s"events_$i.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), f)
+      f.toFile.deleteOnExit()
+    }
+    val name = "stream_gate_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val q = graft.streaming.EventStream.runToMemory(
+      pipeline(graft.streaming.EventStream.readEvents(s, dir.toString)),
+      name, outputMode)
+    q.stop()
+    s.table(name)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
@@ -176,49 +201,24 @@ object SparkEntry {
         Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
     // ---- §2.5 E1–E2 events ----
     "q_events_window"   -> ((s, d) => Events.hourlyRollup(s, d)),
-    // ---- §2.5 E3 streaming rollup, driver-gated ----
-    // the REAL Structured Streaming pipeline run to completion
-    // (AvailableNow) against a staged copy of the events table; the
-    // DuckDB oracle checks the streamed result itself, not a batch
-    // stand-in. (Bench skips q_stream_* keys: stream startup latency,
+    // ---- §2.5 E3/E4 streaming pipelines, driver-gated ----
+    // the REAL Structured Streaming pipelines run to completion
+    // (AvailableNow) against staged copies of the events table; the
+    // DuckDB oracle checks the streamed results themselves, not batch
+    // stand-ins. (Bench skips q_stream_* keys: stream startup latency,
     // not operator throughput.)
-    "q_stream_rollup" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-sr")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
-      val name = "stream_rollup_gate_" +
-        java.lang.Long.toHexString(System.nanoTime())
-      val q = graft.streaming.EventStream.runToMemory(
-        graft.streaming.EventStream.windowedRollup(
-          graft.streaming.EventStream.readEvents(s, dir.toString)),
-        name, "complete")
-      q.stop()
-      s.table(name)
+    "q_stream_rollup" -> ((s, d) =>
+      runStreamGate(s, d, copies = 1, "complete",
+        graft.streaming.EventStream.windowedRollup(_))
         .select(col("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
-    }),
-    // ---- §2.5 E4 streaming dedup, driver-gated ----
-    // the events table staged TWICE (the duplicate-delivery case);
-    // the streamed dedup output must be exactly the original set
-    "q_stream_dedup" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-sd")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events_a.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events_b.parquet"))
-      val name = "stream_dedup_gate_" +
-        java.lang.Long.toHexString(System.nanoTime())
-      val q = graft.streaming.EventStream.runToMemory(
-        graft.streaming.EventStream.dedupStream(
-          graft.streaming.EventStream.readEvents(s, dir.toString)),
-        name, "append")
-      q.stop()
-      s.table(name).select(col("event_id"), col("user_id"),
-        col("ts"), col("event_type"), col("value"))
-    }),
+          col("n_events"), col("sum_value"))),
+    // events staged TWICE (the duplicate-delivery case); the streamed
+    // dedup output must be exactly the original set
+    "q_stream_dedup" -> ((s, d) =>
+      runStreamGate(s, d, copies = 2, "append",
+        graft.streaming.EventStream.dedupStream(_))
+        .select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type"), col("value"))),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
     // ---- §2.5 E7 as-of join ----

@@ -162,6 +162,9 @@ object Profiling {
     * rows (optionally pre-filtered to a shard subset).
     */
   def unionEstimate(sketches: DataFrame): DataFrame =
+    // empty sketch set (a pre-filter matched no shard) is 0 distinct,
+    // not a null that NPEs the caller's getLong
     sketches.agg(
-      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"))
+      coalesce(hll_sketch_estimate(hll_union_agg(col("sketch"))), lit(0L))
+        .as("n_distinct"))
 }

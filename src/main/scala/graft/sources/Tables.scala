@@ -95,13 +95,21 @@ object Tables {
     if (!dir.renameTo(old)) throw new IllegalStateException(
       s"cannot stage $path for swap")
     if (!new java.io.File(side).renameTo(dir)) {
-      old.renameTo(dir) // roll back; data never unavailable
-      throw new IllegalStateException(s"cannot swap $side into $path")
+      val rolledBack = old.renameTo(dir) // data never unavailable
+      throw new IllegalStateException(
+        s"cannot swap $side into $path; table data is at " +
+          (if (rolledBack) path else old.toString))
     }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(old)
+    // an undeletable residue would make every FUTURE compact refuse
+    // with a misleading "prior swap failed" — surface it now, while
+    // it is clear the swap itself succeeded
+    if (old.exists()) throw new IllegalStateException(
+      s"compaction succeeded but residue $old could not be deleted; " +
+        "remove it manually before the next compact")
     files
   }
 

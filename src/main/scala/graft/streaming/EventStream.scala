@@ -148,30 +148,38 @@ object EventStream {
     */
   def enrichStream(events: DataFrame, dim: DataFrame,
                    streamKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+    // side-qualified keys: with unqualified col() a dimension whose
+    // key shares the stream's column name would be ambiguous
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
 
   /** E11 — idempotent micro-batch file sink: `foreachBatch` +
-    * DYNAMIC partition overwrite. A replayed micro-batch (the
-    * at-least-once delivery case after a failure) rewrites exactly the
-    * partitions it owns instead of appending duplicates — the standard
-    * exactly-once-effective recipe when the target is a plain file
-    * layout rather than a transactional table. Partitioning by event
-    * date keeps each batch's overwrite surface to the dates it
-    * actually touched.
+    * DYNAMIC partition overwrite, partitioned by (event_date,
+    * batch_id). A replayed micro-batch (the at-least-once delivery
+    * case after a failure) rewrites exactly the (date, batch)
+    * partitions it owns instead of appending duplicates — the
+    * standard exactly-once-effective recipe when the target is a
+    * plain file layout rather than a transactional table. The
+    * batch_id level is what makes the overwrite safe when one date
+    * spans several micro-batches: without it a later batch's dynamic
+    * overwrite of a shared date would DELETE the earlier batch's
+    * rows. Readers prune on event_date as usual; batch_id is just a
+    * second directory level.
     */
-  def idempotentDailyWrite(batch: DataFrame, outDir: String): Unit =
+  def idempotentDailyWrite(batch: DataFrame, outDir: String,
+                           batchId: Long): Unit =
     batch
       .withColumn("event_date", col("ts").cast("date").cast("string"))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_date")
+      .partitionBy("event_date", "batch_id")
       .parquet(outDir)
 
   def idempotentDailySink(events: DataFrame,
                           outDir: String): StreamingQuery = {
     val q = events.writeStream
-      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        idempotentDailyWrite(batch.toDF(), outDir))
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        idempotentDailyWrite(batch.toDF(), outDir, id))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -137,17 +137,22 @@ class StreamingSpec extends AnyFunSuite {
   test("E11: replayed micro-batch does not duplicate rows (dynamic overwrite)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-e11").toString + "/events"
-    val batch = graft.sources.Tables.table(spark, sf, "events")
+    val ev = graft.sources.Tables.table(spark, sf, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).limit(500)
-    EventStream.idempotentDailyWrite(batch, out)
-    val first = spark.read.parquet(out).count()
+        col("event_type"), col("value"))
+    val batch0 = ev.limit(500)
+    val batch1 = ev.orderBy(col("event_id").desc).limit(300)
+    EventStream.idempotentDailyWrite(batch0, out, batchId = 0L)
+    EventStream.idempotentDailyWrite(batch1, out, batchId = 1L)
+    val both = spark.read.parquet(out).count()
+    // batches overlap on event_date: batch 1's overwrite must NOT have
+    // deleted batch 0's rows for the shared dates
+    assert(both == 800L, s"cross-batch rows lost: $both")
     // the at-least-once failure case: the SAME batch is delivered and
     // written again — dynamic partition overwrite must replace, not
     // append
-    EventStream.idempotentDailyWrite(batch, out)
-    val second = spark.read.parquet(out).count()
-    assert(first == 500L && second == 500L,
-      s"replay changed row count: $first -> $second")
+    EventStream.idempotentDailyWrite(batch1, out, batchId = 1L)
+    val after = spark.read.parquet(out).count()
+    assert(after == 800L, s"replay changed row count: $both -> $after")
   }
 }
