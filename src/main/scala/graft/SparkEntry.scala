@@ -74,6 +74,22 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     // ---- §2.12 X3 bloom-pruned join ----
     "q_bloom_join" -> ((s, d) => Analytics.bloomPriorityRevenue(s, d)),
+    // ---- §2.12 X2 salted replicated join ----
+    // the salt is internal plumbing: the (key, salt) join against the
+    // salt-replicated right side must produce EXACTLY the plain join,
+    // which is what the oracle checks. saltOn varies within a key
+    // (l_orderkey), so a hot part's rows spread over the buckets.
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val part = Tables.table(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, part, "l_partkey", col("l_orderkey"), 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").as("sum_qty"))
+    }),
     // ---- §2.4 G14 SCD Type-2 dimension versioning ----
     // each user's purchase stream becomes versioned rows: a purchase's
     // value is "current" until the user's next purchase
@@ -1086,6 +1102,13 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders
         |QUALIFY rank <= 3""".stripMargin,
+    // the salt is invisible to results — the oracle is the PLAIN join
+    "q_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     // the bloom prefilter is invisible to results — the oracle is the
     // PLAIN join (false positives are removed by the exact join)
     "q_bloom_join" ->
