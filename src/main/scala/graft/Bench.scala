@@ -31,6 +31,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def once(name: String): Double = {
+      // drop caches left behind by earlier queries AND by this query's
+      // own first run (several operators persist intermediates by
+      // design): every timed run starts from a clean cache, so the
+      // min-of-2 never reports a cache-warm time, and storage memory
+      // can't accumulate across 75 queries into GC pressure that
+      // distorts late-alphabet timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -41,18 +48,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def runOne(name: String): Double = {
-      // drop caches left behind by EARLIER queries (several operators
-      // persist intermediates by design): each query is timed from a
-      // clean cache, and storage memory can't accumulate across 75
-      // queries into GC pressure that distorts late-alphabet timings
-      spark.catalog.clearCache()
       val t1 = once(name)
       if (t1 < 0) return -1.0
       val t2 = once(name)
       if (t2 < 0) return -1.0
+      // per-query spread to STDERR: a wide t1/t2 ratio on many queries
+      // is the signature of machine-load contention, not a code
+      // regression — lets a reader of the bench log tell noise from
+      // real change without a rerun (stdout JSON contract untouched)
+      System.err.println(f"[bench] $name%-28s t1=$t1%8.3f t2=$t2%8.3f " +
+        f"spread=${math.max(t1, t2) / math.min(t1, t2)}%5.2fx " +
+        f"load=$loadAvg%5.2f")
       math.min(t1, t2)
     }
+
+    // Environment contention self-report: a system load already near
+    // or above the core count BEFORE any query runs means the numbers
+    // below measure the machine, not the engine.
+    System.err.println(f"[bench] system load average at start: " +
+      f"$loadAvg%.2f (timing with local[$cpus%s])")
 
     // JVM/codegen warmup on the flagship before timing anything.
     try SparkEntry.queries("q_pricing_summary")(spark, sfDir)
@@ -64,6 +82,7 @@ object Bench {
     // time is stream-startup latency, not operator throughput.
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).map(n => n -> runOne(n))
+    System.err.println(f"[bench] system load average at end: $loadAvg%.2f")
     // Rounded per-query values keep the whole line under the harness's
     // 2000-char output-tail window (80 queries at full double
     // precision overflow it and the line gets clipped mid-JSON).

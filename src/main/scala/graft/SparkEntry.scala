@@ -20,29 +20,41 @@ import graft.sources.Tables
 object SparkEntry {
   private val Stamp = "2026-08-12" // injected _processing/_modeling date
 
-  /** Stage `copies` copies of the events table in a throwaway dir
-    * (deleted on JVM exit), run `pipeline` over a file-source stream
-    * of it to completion, and return the streamed result table.
-    * Shared by the q_stream_* gate entries.
+  /** Stage `copies` copies of the events table in a throwaway dir,
+    * run `pipeline` over a file-source stream of it to completion, and
+    * return the streamed result, fully detached from the run's
+    * resources: the memory-sink temp view is dropped and the staging
+    * dir deleted EAGERLY before returning (not deleteOnExit), so
+    * repeated gate runs in one long-lived session leave no growing
+    * temp disk or catalog entries behind. Shared by the q_stream_*
+    * gate entries.
     */
   private def runStreamGate(s: SparkSession, sfDir: String, copies: Int,
                             outputMode: String,
                             pipeline: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-    dir.toFile.deleteOnExit()
     (1 to copies).foreach { i =>
-      val f = dir.resolve(s"events_$i.parquet")
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"), f)
-      f.toFile.deleteOnExit()
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve(s"events_$i.parquet"))
     }
     val name = "stream_gate_" +
       java.lang.Long.toHexString(System.nanoTime())
-    val q = graft.streaming.EventStream.runToMemory(
-      pipeline(graft.streaming.EventStream.readEvents(s, dir.toString)),
-      name, outputMode)
-    q.stop()
-    s.table(name)
+    try {
+      val q = graft.streaming.EventStream.runToMemory(
+        pipeline(graft.streaming.EventStream.readEvents(s, dir.toString)),
+        name, outputMode)
+      q.stop()
+      // pin the sink's rows into session-local storage so the returned
+      // plan survives the view drop and the source-file delete below
+      s.table(name).localCheckpoint(true)
+    } finally {
+      s.catalog.dropTempView(name)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

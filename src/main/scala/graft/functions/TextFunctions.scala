@@ -41,11 +41,13 @@ object TextFunctions {
   private def expr_extract_all(c: Column, pattern: String): Column =
     regexp_extract_all(c, lit(pattern), lit(0))
 
-  /** Count of tokens that appear in `words`. */
-  def stopwordCount(c: Column, words: Seq[String]): Column = {
-    val wordsArr = array(words.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(wordsArr, t)))
-  }
+  /** Count of tokens that appear in `words` — a native codegen
+    * expression (hash-set probe per token inside WholeStageCodegen),
+    * value-identical to the earlier interpreted
+    * `size(filter(tokens, array_contains))` HOF form.
+    */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    graft.plans.CountInSet.count_in_set(tokens(c), words)
 
   /** Tiny per-language stopword tables for the heuristic language ID.
     * (Shared function words; overlaps like es/fr "de"/"la" are fine —
@@ -89,11 +91,14 @@ object TextFunctions {
       stopwordCount(c, all).cast("double") / tokenCount(c))
   }
 
-  /** Mean whitespace-token length in characters. */
+  /** Mean whitespace-token length in characters. Length sum is a
+    * native codegen expression (one fused loop), value-identical to
+    * the earlier interpreted `aggregate(transform(...))` HOF form.
+    */
   def meanTokenLen(c: Column): Column =
     when(tokenCount(c) === 0, 0.0).otherwise(
-      aggregate(transform(tokens(c), t => length(t)), lit(0),
-        (acc, x) => acc + x).cast("double") / tokenCount(c))
+      graft.plans.SumStringLengths.sum_string_lengths(tokens(c))
+        .cast("double") / tokenCount(c))
 
   /** Composite quality score in [0,1]: the length/punctuation/stopword
     * blend used to filter junk documents. Fixed weights; deterministic
@@ -185,12 +190,12 @@ object TextFunctions {
         alphaRatio(col("__t")).as("alpha_ratio") +:
         punctRatio(col("__t")).as("punct_ratio") +:
         when(size(ws) === 0, 0.0).otherwise(
-          size(filter(ws, t => array_contains(
-            array(allStop.map(lit): _*), t))).cast("double") / size(ws))
+          graft.plans.CountInSet.count_in_set(ws, allStop)
+            .cast("double") / size(ws))
           .as("stopword_ratio") +:
         when(size(ws) === 0, 0.0).otherwise(
-          aggregate(transform(ws, t => length(t)), lit(0),
-            (acc, x) => acc + x).cast("double") / size(ws))
+          graft.plans.SumStringLengths.sum_string_lengths(ws)
+            .cast("double") / size(ws))
           .as("mean_token_len") +:
         extra.map { case (n, _) => col(n) }: _*)
     metrics.select(col(idCol) +: col("alpha_ratio") +: col("punct_ratio") +:

@@ -60,7 +60,10 @@ object Bloom {
                       probeKey: String, buildKey: String,
                       expectedItems: Long): DataFrame = {
     val bf = build.agg(keyBloomAgg(col(buildKey), expectedItems).as("bf"))
-    probe.filter(mightContain(bf, col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+    // side-qualified keys so probeKey == buildKey (the common case for
+    // a fact⋈fact key) doesn't hit AMBIGUOUS_REFERENCE at analysis —
+    // same qualification EventStream.enrichStream uses
+    val pruned = probe.filter(mightContain(bf, probe(probeKey)))
+    pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 }

@@ -102,12 +102,31 @@ object Cleaning {
     val digitRun = "^(y+|Y+|M{1,2}|d{1,2}|D{1,3}|H{1,2}|h{1,2}|m{1,2}" +
       "|s{1,2}|S+|u+|e{1,2}|F{1,2}|k{1,2}|K{1,2}|q{1,2}|Q{1,2}|w{1,2})$"
     val runs = "[A-Za-z]+".r.findAllIn(fmt).toSeq
+    def isAsciiLetter(ch: Char) =
+      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
     if (fmt.contains('\'') || !runs.forall(_.matches(digitRun))) None
-    else Some("^" + fmt.replaceAll("[A-Za-z]+", "\u0000").map {
-      case '\u0000' => "\\d+" // NUL sentinel: never a format literal
-      case ch if "\\^$.|?*+()[]{}".contains(ch) => "\\" + ch
-      case ch => ch.toString
-    }.mkString + "$")
+    else {
+      val sb = new StringBuilder("^")
+      var i = 0
+      while (i < fmt.length) {
+        val ch = fmt.charAt(i)
+        if (isAsciiLetter(ch)) {
+          var j = i
+          while (j < fmt.length && isAsciiLetter(fmt.charAt(j))) j += 1
+          // year-family fields (y/Y/u) parse with SignStyle.EXCEEDS_PAD,
+          // which admits a sign on over-width values ('+10000-01-01'),
+          // so their shape allows an optional leading sign — keeping
+          // the gate a strict SUPERSET of what the parser accepts
+          sb.append(if ("yYu".contains(ch)) "[+-]?\\d+" else "\\d+")
+          i = j
+        } else {
+          if ("\\^$.|?*+()[]{}".contains(ch)) sb.append('\\')
+          sb.append(ch)
+          i += 1
+        }
+      }
+      Some(sb.append("$").toString)
+    }
   }
 
   def parseDateMulti(c: Column,

@@ -72,8 +72,12 @@ object Tables {
     *
     * The swap is rename-based (write to a side directory, swap,
     * delete) — the local-FS analog of a real table format's commit
-    * protocol; on object storage use the table format's own OPTIMIZE
-    * transaction instead.
+    * protocol, and STRICTLY single-writer / no-concurrent-reader:
+    * between the two renames there is a window where no table exists
+    * at `path`, and a crash inside it leaves the data at `__old` until
+    * manual recovery (the residue check below surfaces exactly that
+    * state). On object storage or with concurrent readers use the
+    * table format's own transactional OPTIMIZE instead.
     */
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Long): Int = {
@@ -95,7 +99,7 @@ object Tables {
     if (!dir.renameTo(old)) throw new IllegalStateException(
       s"cannot stage $path for swap")
     if (!new java.io.File(side).renameTo(dir)) {
-      val rolledBack = old.renameTo(dir) // data never unavailable
+      val rolledBack = old.renameTo(dir) // best-effort restore
       throw new IllegalStateException(
         s"cannot swap $side into $path; table data is at " +
           (if (rolledBack) path else old.toString))
