@@ -102,6 +102,24 @@ object SparkEntry {
           round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
             .cast("double").as("sum_qty"))
     }),
+    // ---- §2.12 X2b hot-key-only salted join ----
+    // same report as q_salted_join (and the same plain-join oracle):
+    // the hot/cold split + per-hot-key salting is internal plumbing.
+    // threshold 40 makes the split REAL at sf0.01 — high-frequency
+    // parts go through the salted branch, the rest through the plain
+    // cold join.
+    "q_salted_join_hot" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val part = Tables.table(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoinHotKeys(li, part, "l_partkey", col("l_orderkey"),
+          saltBuckets = 8, hotThreshold = 40L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").as("sum_qty"))
+    }),
     // ---- §2.4 G14 SCD Type-2 dimension versioning ----
     // each user's purchase stream becomes versioned rows: a purchase's
     // value is "current" until the user's next purchase
@@ -183,6 +201,9 @@ object SparkEntry {
         .withColumn("_processing_date", col("_processing_date").cast("string"))),
     // ---- §2.3 P1–P4 profiling ----
     "q_profile"       -> ((s, d) => Profiling.profile(Tables.table(s, d, "orders"))),
+    // ---- §2.3 P1b distinct-values sample (reference data_profiling.py:8) ----
+    "q_profile_values" -> ((s, d) =>
+      Profiling.valueSample(Tables.table(s, d, "orders"), 10)),
     "q_unique_counts" -> ((s, d) => Profiling.uniqueCounts(Tables.table(s, d, "customer"))),
     // (on orders the audit legitimately fires: a customer maps to many
     // orders — demonstrating violation *detection*, reference
@@ -385,6 +406,29 @@ object SparkEntry {
       Dedup.minhashDedupIncremental(Tables.table(s, d, "documents"),
         "doc_id", "text",
         Corpus.hashBucket(col("doc_id"), "inc", 5) === 0)),
+    // ---- §2.6 D8b persisted-index incremental dedup ----
+    // the PRODUCTION form of q_dedup_incremental: the 80% "existing
+    // corpus" slice's band/shingle index is WRITTEN to disk, and the
+    // 20% "new batch" slice is checked against the stored index — the
+    // corpus is never re-shingled. Same result, same oracle.
+    "q_dedup_index" -> ((s, d) => {
+      val doc = Tables.table(s, d, "documents")
+      val isNew = Corpus.hashBucket(col("doc_id"), "inc", 5) === 0
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dedup-index").toString
+      try {
+        Dedup.writeDedupIndex(doc.filter(!isNew), "doc_id", "text", dir)
+        // result is localCheckpoint-materialized inside, so deleting
+        // the staged index right after is safe
+        Dedup.minhashDedupAgainstIndex(doc.filter(isNew),
+          "doc_id", "text", dir)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }),
     // ---- §2.6 D9 benchmark contamination ----
     // "benchmark" = a deterministic 5% hash slice standing in for an
     // eval set
@@ -589,6 +633,26 @@ object SparkEntry {
        |)
        |SELECT sid, CAST($word AS BIGINT) AS simhash FROM bits""".stripMargin
   }
+
+  /** Shared by q_dedup_incremental and q_dedup_index: the persisted-
+    * index form is an execution strategy over identical semantics.
+    */
+  private lazy val duckIncrementalDedupSql =
+    s"""$duckShingles, mh AS (
+       |  SELECT sid, $duckMh FROM sh GROUP BY sid
+       |), bk AS (
+       |  SELECT sid, b, CASE b $duckBandCase END AS bucket
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
+       |), newids AS (
+       |  SELECT doc_id AS nid FROM documents
+       |  WHERE ${duckHashBucket("doc_id", "inc", 5)} = 0
+       |), cand AS (
+       |  SELECT DISTINCT least(a.sid, b.sid) AS id_a,
+       |    greatest(a.sid, b.sid) AS id_b
+       |  FROM bk a
+       |  JOIN newids ON a.sid = nid
+       |  JOIN bk b ON a.b = b.b AND a.bucket = b.bucket AND a.sid <> b.sid
+       |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin
 
   private val duckMh = (0 until 16)
     .map(i => s"min(substr(sha256(sh), ${1 + 3 * i}, 8)) AS mh$i")
@@ -883,22 +947,11 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""$duckShingles, mh AS (
-         |  SELECT sid, $duckMh FROM sh GROUP BY sid
-         |), bk AS (
-         |  SELECT sid, b, CASE b $duckBandCase END AS bucket
-         |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
-         |), newids AS (
-         |  SELECT doc_id AS nid FROM documents
-         |  WHERE ${duckHashBucket("doc_id", "inc", 5)} = 0
-         |), cand AS (
-         |  SELECT DISTINCT least(a.sid, b.sid) AS id_a,
-         |    greatest(a.sid, b.sid) AS id_b
-         |  FROM bk a
-         |  JOIN newids ON a.sid = nid
-         |  JOIN bk b ON a.b = b.b AND a.bucket = b.bucket AND a.sid <> b.sid
-         |), ${duckJaccardTail(1, 2, restrictToCand = true)}""".stripMargin,
+    "q_dedup_incremental" -> duckIncrementalDedupSql,
+    // the persisted-index form computes THE SAME pairs (index build +
+    // against-index check is an execution strategy, not a semantics
+    // change), so it shares the recompute oracle verbatim
+    "q_dedup_index" -> duckIncrementalDedupSql,
     "q_contamination" ->
       s"""$duckShingles, bench AS (
          |  SELECT doc_id AS bid FROM documents
@@ -1121,6 +1174,14 @@ object SparkEntry {
         |    AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    // hot/cold split + per-hot-key salting is equally invisible — the
+    // same plain join is the oracle
+    "q_salted_join_hot" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     // the bloom prefilter is invisible to results — the oracle is the
     // PLAIN join (false positives are removed by the exact join)
     "q_bloom_join" ->
@@ -1311,6 +1372,21 @@ object SparkEntry {
       s"""SELECT '$name' AS column_name, COUNT($c) AS n_nonnull,
          |  COUNT(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
          |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    // mirror of valueSample's per-column branches: distinct → string →
+    // sort → first 10, rendered with the SAME casts as q_profile (so
+    // doubles go through DECIMAL(18,2) on both engines)
+    "q_profile_values" -> Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("o_orderstatus", "CAST(o_orderstatus AS VARCHAR)"),
+      ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+      ("o_orderpriority", "CAST(o_orderpriority AS VARCHAR)"),
+    ).map { case (name, cast) =>
+      s"""SELECT '$name' AS column_name, value FROM (
+         |  SELECT DISTINCT $cast AS value FROM orders
+         |  WHERE $cast IS NOT NULL ORDER BY value LIMIT 10)""".stripMargin
     }.mkString("\nUNION ALL\n"),
     "q_unique_counts" -> Seq(
       "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")

@@ -363,6 +363,89 @@ object Dedup {
     verified
   }
 
+  /** D8 (production shape) — persist the corpus's MinHash/LSH dedup
+    * index so daily batches never recompute it: `bands` (sid, band,
+    * bucket), written PARTITIONED BY band so an incoming batch's
+    * candidate join prunes to the band partitions it touches, plus
+    * `shingles` (sid, sh), which the exact-Jaccard verify needs for
+    * intersection counts and set sizes. Grow it by appending each
+    * accepted batch's rows (same two writes with `append` mode) — the
+    * index is append-only state, exactly the shape the reference keeps
+    * in its warehouse-native append loads (bigquery.py:141).
+    */
+  def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
+                      path: String, k: Int = 16,
+                      rowsPerBand: Int = 2): Unit = {
+    val sh = shingleIndex(df, idCol, textCol).persist()
+    bandBuckets(signatureFromIndex(sh, k), k, rowsPerBand)
+      .select(col("sid"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.unpersist()
+    ()
+  }
+
+  /** D8 (production shape) — incremental MinHash dedup of `newBatch`
+    * against a [[writeDedupIndex]] index: per-day cost is NEW-BATCH-
+    * sized, independent of corpus size. Only the new batch is
+    * shingled/hashed; candidates come from joining the new batch's
+    * band-buckets against the stored band table (plus the batch's
+    * self-join, so a pair of two new documents is found once); the
+    * Jaccard verify touches stored shingles once, map-side-restricted
+    * to candidate ids before the size aggregate, so no corpus-wide
+    * shuffle ever runs. Result is identical to recomputing
+    * [[minhashDedupIncremental]] over (indexed corpus ∪ newBatch)
+    * (spec-asserted).
+    *
+    * `newBatch` ids must be disjoint from the indexed corpus (the
+    * landing-zone invariant incremental dedup exists to maintain).
+    */
+  def minhashDedupAgainstIndex(newBatch: DataFrame, idCol: String,
+                               textCol: String, path: String,
+                               thresholdNum: Int = 1,
+                               thresholdDen: Int = 2, k: Int = 16,
+                               rowsPerBand: Int = 2): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newSh = shingleIndex(newBatch, idCol, textCol).persist()
+    val newBk = bandBuckets(signatureFromIndex(newSh, k), k, rowsPerBand)
+      .select(col("sid"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+      .persist() // feeds the index join AND the batch self-join
+    val idxBk = spark.read.parquet(s"$path/bands")
+    val vsIndex = newBk.as("a")
+      .join(idxBk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.sid") =!= col("b.sid"))
+      .select(least(col("a.sid"), col("b.sid")).as("id_a"),
+        greatest(col("a.sid"), col("b.sid")).as("id_b"))
+    val vsSelf = newBk.as("a")
+      .join(newBk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+    // eager materialization while newBk is cached (see the sibling's
+    // rationale at minhashDedupIncremental)
+    val cand = vsIndex.unionByName(vsSelf).distinct().localCheckpoint()
+    newBk.unpersist()
+    // verify needs shingles for candidate ids only: semi-join the
+    // (corpus-sized) stored shingle table down to candidates BEFORE
+    // the size aggregate — one map-side broadcast probe per partition,
+    // so the only aggregation that runs is candidate-sized
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val idxSh = spark.read.parquet(s"$path/shingles")
+      .join(broadcast(candIds), col("sid") === col("cid"), "left_semi")
+    val verified = jaccardVerify(newSh.unionByName(idxSh), Some(cand),
+        thresholdNum, thresholdDen)
+      .localCheckpoint()
+    newSh.unpersist()
+    verified
+  }
+
   /** D9 — benchmark CONTAMINATION check (decontamination pass): flag
     * corpus documents sharing at least `minShared` distinct word
     * 3-grams with any document of a benchmark/eval set. The join is

@@ -77,6 +77,33 @@ object Profiling {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Bounded distinct-values sample: the first `n` distinct values of
+    * every column in sort order, one row per (column_name, value),
+    * values rendered as strings ([[asStr]] semantics, so doubles print
+    * engine-independently). Reference behavior: data_profiling.py:8
+    * `show()`s EVERY distinct value of a column to the driver — fine
+    * on a weather table, unbounded at warehouse scale; this keeps the
+    * "see what's actually in the column" report but caps it at `n`
+    * values per column.
+    *
+    * One branch per column, like [[profile]]: each branch scans ONLY
+    * its column (parquet pruning), distincts it (a shuffle of that
+    * column's values, not the table), and takes the global top-n —
+    * Spark plans orderBy+limit as TakeOrderedAndProject, so no full
+    * sort ever materializes. Branches run concurrently within one job.
+    */
+  def valueSample(df: DataFrame, n: Int = 10): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    fields.map { f =>
+      val s = asStr(f)(col(f.name))
+      df.select(s.as("value")).filter(col("value").isNotNull)
+        .distinct()
+        .orderBy(col("value"))
+        .limit(n)
+        .select(lit(f.name).as("column_name"), col("value"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Key↔attribute consistency audit (reference:
     * bronze_to_silver.py:127): attribute values mapped to more than one
     * key. Map-side partial agg collapses before the shuffle.

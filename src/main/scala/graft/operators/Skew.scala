@@ -57,4 +57,51 @@ object Skew {
       explode(array((0 until saltBuckets).map(lit): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Keys whose left-side row count exceeds `hotThreshold` — the tiny
+    * two-column aggregate that drives [[saltedJoinHotKeys]]. At most
+    * |left| / hotThreshold keys can qualify, so the result is bounded
+    * small by construction (a 100 TB table with a 10M-row threshold
+    * yields at most ~10k hot keys).
+    */
+  def hotKeys(left: DataFrame, key: String, hotThreshold: Long): DataFrame =
+    left.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+
+  /** Hot-key-only salted join — the production skew recipe.
+    * [[saltedJoin]] replicates the ENTIRE right side ×saltBuckets,
+    * which is the correct last resort when the whole key histogram is
+    * unknown; but in the common case only a handful of keys are hot,
+    * and replicating the right side for every cold key is pure waste.
+    * This variant detects hot keys first (count > hotThreshold), salts
+    * ONLY their rows, and plain-joins the cold majority:
+    *
+    *  - replicated right-side rows are bounded by
+    *    |right rows on hot keys| × saltBuckets, independent of the
+    *    cold majority's size;
+    *  - the cold join is an ordinary equi-join AQE can still optimize
+    *    (broadcast, skew-split) as usual;
+    *  - the hot-key set is materialized ONCE (`localCheckpoint`) and
+    *    broadcast into all three split joins, so detection costs one
+    *    aggregate pass over the left side, not three.
+    *
+    * Inner-join semantics identical to `left.join(right, key)`: null
+    * keys never match a hot key (falling to the cold branch, where the
+    * inner join drops them, exactly as a plain join would).
+    */
+  def saltedJoinHotKeys(left: DataFrame, right: DataFrame, key: String,
+                        saltOn: Column, saltBuckets: Int = 16,
+                        hotThreshold: Long = 1000000L): DataFrame = {
+    // small by construction (≤ |left|/hotThreshold rows): materialize
+    // once, broadcast into every split — the splits are map-side
+    // semi/anti probes, no extra shuffle of either table
+    val hot = broadcast(hotKeys(left, key, hotThreshold).localCheckpoint())
+    val leftHot = left.join(hot, Seq(key), "left_semi")
+    val leftCold = left.join(hot, Seq(key), "left_anti")
+    val rightHot = right.join(hot, Seq(key), "left_semi")
+    leftCold.join(right, Seq(key))
+      .unionByName(saltedJoin(leftHot, rightHot, key, saltOn, saltBuckets))
+  }
 }

@@ -127,14 +127,33 @@ object StarSchema {
     * successor's start. `tieBreak` must make the per-key order total
     * (same-timestamp changes would otherwise order arbitrarily per
     * run).
+    *
+    * `changedOnly = true` is textbook SCD2: a change row whose tracked
+    * attributes EQUAL the previous row's (a no-op touch, the common
+    * case when upstream re-emits unchanged records) does not open a
+    * new version — it is dropped before versioning, so the prior
+    * version's validity simply extends through it. Implemented as a
+    * `lag` compare of the attr struct over the SAME window (null-safe,
+    * so null attribute values compare stably) — the filter sits
+    * between two window functions on one partitioning + ordering, and
+    * Spark satisfies the second window from the first's sort: still a
+    * single shuffle.
     */
   def scd2(df: DataFrame, keyCol: String, tsCol: String,
-           tieBreak: Column, attrCols: Seq[String]): DataFrame = {
+           tieBreak: Column, attrCols: Seq[String],
+           changedOnly: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), tieBreak)
+    val changes = if (!changedOnly) df else {
+      val attrs = struct(attrCols.map(col): _*)
+      // keep a row iff it's the key's first or its attrs differ from
+      // the predecessor's (<=> : first-row lag is null, never equal)
+      df.withColumn("__same", attrs <=> lag(attrs, 1).over(w))
+        .filter(!col("__same")).drop("__same")
+    }
     // window BEFORE the projection: tieBreak may be a column that is
     // not among the kept attrs
-    df.withColumn("effective_to", lead(col(tsCol), 1).over(w))
+    changes.withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
       .select((Seq(keyCol) ++ attrCols ++
         Seq(tsCol, "effective_to", "is_current")).map(col): _*)

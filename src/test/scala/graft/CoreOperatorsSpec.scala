@@ -313,6 +313,38 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(k1(2)._4.isEmpty && k1(2)._5)
   }
 
+  test("scd2 changedOnly opens a version only when tracked attrs differ") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    val changes = Seq(
+      (1L, d("2024-01-01 00:00:00"), 10L, Option("a")),
+      (1L, d("2024-02-01 00:00:00"), 11L, Option("a")), // no-op touch
+      (1L, d("2024-03-01 00:00:00"), 12L, Option("b")),
+      (1L, d("2024-04-01 00:00:00"), 13L, Option("b")), // no-op touch
+      (2L, d("2024-01-15 00:00:00"), 20L, Option("x")),
+      (3L, d("2024-01-01 00:00:00"), 30L, None), // null attr…
+      (3L, d("2024-02-01 00:00:00"), 31L, None), // …re-emitted: no-op
+      (3L, d("2024-03-01 00:00:00"), 32L, Option("y")))
+      .toDF("k", "ts", "chg_id", "attr")
+    val v = StarSchema.scd2(changes, "k", "ts", col("chg_id"), Seq("attr"),
+        changedOnly = true)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2),
+        Option(r.getString(1)), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    // k=1 collapses to two versions: a [01-01, 03-01), b [03-01, ∞)
+    val k1 = v.filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(k1.map(_._3).toSeq == Seq(Some("a"), Some("b")))
+    assert(k1(0)._2 == d("2024-01-01 00:00:00") &&
+      k1(0)._4.contains(d("2024-03-01 00:00:00")))
+    assert(k1(1)._4.isEmpty && k1(1)._5)
+    // null attrs compare null-safely: k=3 is (null)[01-01,03-01), y[03-01,∞)
+    val k3 = v.filter(_._1 == 3L).sortBy(_._2.getTime)
+    assert(k3.map(_._3).toSeq == Seq(None, Some("y")))
+    assert(k3(0)._4.contains(d("2024-03-01 00:00:00")))
+    // default (flag off) keeps every change row: 4 versions for k=1
+    assert(StarSchema.scd2(changes, "k", "ts", col("chg_id"), Seq("attr"))
+      .filter(col("k") === 1L).count() == 4)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")

@@ -172,6 +172,35 @@ class CorpusSpec extends AnyFunSuite {
       plain.except(salted).count() == 0)
   }
 
+  test("saltedJoinHotKeys equals the plain join; replication bounded by hot keys") {
+    import graft.operators.Skew
+    val li = Tables.table(spark, sf, "lineitem")
+      .select("l_partkey", "l_orderkey", "l_quantity")
+    val part = Tables.table(spark, sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    // median per-key count as the threshold → the hot/cold split is
+    // REAL: some keys salt, some go through the plain cold join
+    val counts = li.groupBy("l_partkey").count()
+      .collect().map(_.getLong(1)).sorted
+    val thresh = counts(counts.length / 2)
+    assert(counts.last > thresh, "degenerate histogram; pick another column")
+    val hot = Skew.hotKeys(li, "l_partkey", thresh)
+    val nHot = hot.count()
+    val nKeys = counts.length.toLong
+    assert(nHot > 0 && nHot < nKeys, s"split not real: $nHot of $nKeys hot")
+    val plain = li.join(part, Seq("l_partkey"))
+    val got = Skew.saltedJoinHotKeys(li, part, "l_partkey",
+      col("l_orderkey"), saltBuckets = 8, hotThreshold = thresh)
+    assert(got.count() == plain.count())
+    assert(got.except(plain).count() == 0 && plain.except(got).count() == 0)
+    // the bound that motivates the variant: only hot-key right rows are
+    // replicated — ≤ |hot keys| × saltBuckets rows (part keys unique),
+    // versus |right| × saltBuckets under the always-salt form
+    val rightHotRows = part.join(hot, Seq("l_partkey"), "left_semi").count()
+    assert(rightHotRows <= nHot)
+    assert(rightHotRows * 8 < part.count() * 8)
+  }
+
   test("repetitionReport flags a looping doc, passes a diverse one") {
     import spark.implicits._
     val looped = (1 to 10).map(_ => "spam ham eggs").mkString(" ")

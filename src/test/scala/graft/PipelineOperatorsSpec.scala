@@ -143,6 +143,77 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall@10: bucketed paths recover most of the exact top-k") {
+    // Regression guard the oracle mirrors can't provide: A2/A3 are
+    // hash-green against their OWN mirrors, so a plane/probe bug that
+    // degrades retrieval quality would still pass the driver gate.
+    // This pins recall@10 against the exact baseline.
+    //
+    // Bucket count must match corpus size (the production tuning rule:
+    // ~n/2^planes vectors per bucket): the driver gates' 12 planes are
+    // sized for a real corpus, but over these 500 test vectors 4096
+    // buckets leave every probe set near-empty and recall near zero BY
+    // CONSTRUCTION — no bug to detect there. The spec therefore probes
+    // with 4 planes (16 buckets, ~31% of the corpus per 1-bit
+    // multiprobe set), where retrieval quality is measurable and a
+    // real regression (wrong plane constants, dropped probe, bad cell
+    // assignment) craters the value.
+    val emb = Tables.table(spark, sf, "embeddings")
+    val qp = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(exact.nonEmpty)
+    def recallAt10(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val by = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = exact.map { case (q, want) =>
+        by.getOrElse(q, Set.empty[Long]).intersect(want).size.toDouble /
+          want.size
+      }
+      per.sum / per.size
+    }
+    val lshR = recallAt10(Similarity.lshTopK(
+      emb, "vec_id", "embedding", qp, nPlanes = 4).collect())
+    val ivfR = recallAt10(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", qp,
+      centroidPred = col("vec_id") % 37 === 1).collect())
+    info(f"recall@10: lsh=$lshR%.3f ivf=$ivfR%.3f")
+    // measured (deterministic: seeded planes, fixed data): lsh=0.460
+    // probing ~31% of the corpus, ivf=0.290 probing ~15% (nprobe=2 of
+    // ~13 cells) — both well above the probed fraction itself, i.e.
+    // the buckets genuinely concentrate neighbors; floors sit just
+    // below the measured values
+    assert(lshR >= 0.40, f"LSH recall@10 $lshR%.3f below 0.40 floor")
+    assert(ivfR >= 0.25, f"IVF recall@10 $ivfR%.3f below 0.25 floor")
+  }
+
+  test("persisted-index incremental dedup equals the recompute form") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    val isNew = Corpus.hashBucket(col("doc_id"), "inc", 5) === 0
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-spec").toString
+    try {
+      Dedup.writeDedupIndex(doc.filter(!isNew), "doc_id", "text", dir)
+      // the index landed partitioned by band — the layout the
+      // candidate join prunes/clusters on
+      val bandDirs = Option(new java.io.File(s"$dir/bands").listFiles())
+        .get.filter(_.getName.startsWith("band="))
+      assert(bandDirs.length == 8)
+      val got = Dedup.minhashDedupAgainstIndex(doc.filter(isNew),
+        "doc_id", "text", dir)
+      val exp = Dedup.minhashDedupIncremental(doc, "doc_id", "text", isNew)
+      assert(got.count() == exp.count())
+      assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("centroidUpdate computes per-cell means of assigned vectors") {
     import spark.implicits._
     val df = Seq(
