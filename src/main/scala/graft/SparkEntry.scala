@@ -269,6 +269,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts"), col("event_type"), col("value"))),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    // ---- §2.5 E6 custom-state streaming sessionization, driver-gated ----
+    // the flatMapGroupsWithState pipeline run to completion. Emission
+    // semantics are deterministic for a finite AvailableNow run (one
+    // staged file = one data micro-batch + the closing no-data batch):
+    // a session closed by a successor event always emits; a user's
+    // LAST session emits iff its event-time timeout fired, i.e.
+    // floor(last_event_µs/1000) + gap_ms < final watermark
+    // (= floor(max_ts_µs/1000) − 3600000). The oracle mirrors exactly
+    // that rule over the batch session definition.
+    "q_stream_sessions" -> ((s, d) =>
+      runStreamGate(s, d, copies = 1, "append",
+        df => graft.streaming.EventStream.sessionizeStream(df).toDF())
+        .select(col("user_id"), col("session_start"),
+          col("session_end"), col("n_events"))),
     "q_events_funnel"   -> ((s, d) => Events.funnel(s, d)),
     // ---- §2.5 E7 as-of join ----
     // every event tagged with the user's latest purchase at-or-before
@@ -1535,5 +1549,44 @@ object SparkEntry {
         |  date_trunc('second', MAX(ts)) AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // batch session definition + the stream's emission rule: non-last
+    // sessions always emit (a successor event closed them); the last
+    // session emits iff its timeout beat the final watermark —
+    // last_event_ms + gap_ms < max_event_ms − delay_ms, with ms =
+    // floor(µs/1000) exactly as Spark's event-time stats floor it
+    // (strict <, matching the state-timeout check)
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b
+        |), g AS (
+        |  SELECT user_id, session_id,
+        |    date_trunc('second', MIN(ts)) AS session_start,
+        |    date_trunc('second', MAX(ts)) AS session_end,
+        |    COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) // 1000 AS last_ms
+        |  FROM s GROUP BY user_id, session_id
+        |), g2 AS (
+        |  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+        |  FROM g
+        |)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM g2
+        |WHERE session_id < last_sid
+        |   OR last_ms + 1800000 <
+        |      (SELECT MAX(epoch_us(ts) // 1000) FROM e) - 3600000""".stripMargin,
   )
 }
