@@ -81,6 +81,43 @@ object Pipeline {
     throw last
   }
 
+  /** Cadence catch-up computation — the scheduling semantics of the
+    * reference DAG (airflow/dags/bigquery_weather_dag.py:23
+    * `schedule='@daily'`, `catchup`) as a pure function for whatever
+    * loop invokes [[run]]: the logical run instants on the cadence
+    * grid anchored at `start` that are due — strictly after `lastRun`
+    * (or from `start` when there has never been a run) and at-or-
+    * before `now`. `catchup = false` is Airflow's catchup=False: skip
+    * the backlog, keep only the most recent due run. Driver-side by
+    * nature (a bounded list of instants, no data touched) — the
+    * actual stage execution stays fully distributed.
+    */
+  def dueRuns(schedule: String, start: java.time.Instant,
+              lastRun: Option[java.time.Instant],
+              now: java.time.Instant,
+              catchup: Boolean = true): Seq[java.time.Instant] = {
+    val step = schedule match {
+      case "@hourly" => java.time.Duration.ofHours(1)
+      case "@daily"  => java.time.Duration.ofDays(1)
+      case "@weekly" => java.time.Duration.ofDays(7)
+      case other => throw new IllegalArgumentException(
+        s"unsupported schedule: $other (use @hourly/@daily/@weekly)")
+    }
+    // first due grid point: the one strictly after lastRun (a lastRun
+    // off the grid rounds up to the next grid point), or `start` when
+    // no run ever happened; lastRun before `start` never rewinds
+    val first = lastRun match {
+      case Some(lr) if !lr.isBefore(start) =>
+        val k = java.time.Duration.between(start, lr).toMillis /
+          step.toMillis
+        start.plus(step.multipliedBy(k + 1))
+      case _ => start
+    }
+    val due = Iterator.iterate(first)(_.plus(step))
+      .takeWhile(!_.isAfter(now)).toSeq
+    if (catchup || due.isEmpty) due else Seq(due.last)
+  }
+
   /** Run all three stages in dependency order (each stage retried like
     * the reference DAG's task retries); returns the gold fact for
     * inspection.

@@ -269,6 +269,52 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts"), col("event_type"), col("value"))),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    // ---- §2.5 E10 stream-static dimension enrichment, driver-gated ----
+    // the dimension is restricted to custkey < 100 so the LEFT-join
+    // pass-through semantics are exercised: users 100+ stream through
+    // with a null segment instead of being dropped
+    "q_stream_enrich" -> ((s, d) => {
+      val dim = Tables.table(s, d, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runStreamGate(s, d, copies = 1, "append",
+        ev => graft.streaming.EventStream
+          .enrichStream(ev, dim, "user_id", "c_custkey")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"), col("c_mktsegment")))
+    }),
+    // ---- §2.5 E11 idempotent micro-batch sink, driver-gated ----
+    // outcome contract: run the foreachBatch dynamic-overwrite sink,
+    // then REPLAY the identical stream into the same directory (the
+    // at-least-once redelivery case — a fresh query restarts batch ids
+    // at 0, so the replay rewrites exactly the same (date, batch)
+    // partitions); the read-back must equal the source set exactly
+    // once. A plain append sink would double every row here.
+    "q_stream_sink" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-sink-stage")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sink-out").toString
+      try {
+        graft.streaming.EventStream.idempotentDailySink(
+          graft.streaming.EventStream.readEvents(s, stage.toString), out)
+        // replay: same data, fresh query, same output dir
+        graft.streaming.EventStream.idempotentDailySink(
+          graft.streaming.EventStream.readEvents(s, stage.toString), out)
+        s.read.parquet(out)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stage.toFile); rm(new java.io.File(out))
+      }
+    }),
     // ---- §2.5 E6 custom-state streaming sessionization, driver-gated ----
     // the flatMapGroupsWithState pipeline run to completion. Emission
     // semantics are deterministic for a finite AvailableNow run (one
@@ -1511,6 +1557,21 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // duplicate-delivery dedup: streamed survivors == the original set
     "q_stream_dedup" ->
+      """SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |  event_type, value
+        |FROM events""".stripMargin,
+    // enrichment is a per-batch broadcast left join — the oracle is
+    // the same left join over the full table
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |  event_type, value, c_mktsegment
+        |FROM events LEFT JOIN
+        |  (SELECT c_custkey, c_mktsegment FROM customer
+        |   WHERE c_custkey < 100) dim
+        |  ON user_id = dim.c_custkey""".stripMargin,
+    // idempotence under replay: the doubled-run read-back is exactly
+    // the source set, once
+    "q_stream_sink" ->
       """SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
         |  event_type, value
         |FROM events""".stripMargin,

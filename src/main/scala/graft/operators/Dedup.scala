@@ -372,17 +372,22 @@ object Dedup {
     * accepted batch's rows (same two writes with `append` mode) — the
     * index is append-only state, exactly the shape the reference keeps
     * in its warehouse-native append loads (bigquery.py:141).
+    * `mode = "append"` is that daily grow step: after a batch passes
+    * dedup, append its band/shingle rows and the index covers it for
+    * tomorrow's batch — still batch-sized work, the existing index
+    * files are untouched.
     */
   def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
                       path: String, k: Int = 16,
-                      rowsPerBand: Int = 2): Unit = {
+                      rowsPerBand: Int = 2,
+                      mode: String = "overwrite"): Unit = {
     val sh = shingleIndex(df, idCol, textCol).persist()
     bandBuckets(signatureFromIndex(sh, k), k, rowsPerBand)
       .select(col("sid"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode(mode).partitionBy("band")
       .parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.write.mode(mode).parquet(s"$path/shingles")
     sh.unpersist()
     ()
   }

@@ -214,6 +214,35 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup index grows by append: day-2 batch sees day-1 accepted docs") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    // three disjoint deterministic slices: base corpus, day-1, day-2
+    val bucket = Corpus.hashBucket(col("doc_id"), "inc", 5)
+    val base = doc.filter(bucket >= 2)
+    val day1 = doc.filter(bucket === 0)
+    val day2 = doc.filter(bucket === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-append").toString
+    try {
+      Dedup.writeDedupIndex(base, "doc_id", "text", dir)
+      Dedup.minhashDedupAgainstIndex(day1, "doc_id", "text", dir)
+      // day-1 accepted → append it; day-2 must now pair against base
+      // AND day-1 without either being re-shingled
+      Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
+      val got = Dedup.minhashDedupAgainstIndex(day2, "doc_id", "text", dir)
+      val exp = Dedup.minhashDedupIncremental(
+        doc, "doc_id", "text", bucket === 1)
+      assert(got.count() == exp.count())
+      assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("centroidUpdate computes per-cell means of assigned vectors") {
     import spark.implicits._
     val df = Seq(

@@ -21,6 +21,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(dims.select("id_customer").distinct().count() == dims.count())
   }
 
+  test("dueRuns: cadence grid, catchup semantics, off-grid lastRun") {
+    val t = java.time.Instant.parse(_: String)
+    val start = t("2026-08-01T00:00:00Z")
+    // never ran + 3.5 days elapsed → 4 daily runs (start-inclusive)
+    val backfill = Pipeline.dueRuns("@daily", start, None,
+      t("2026-08-04T12:00:00Z"))
+    assert(backfill == Seq(t("2026-08-01T00:00:00Z"),
+      t("2026-08-02T00:00:00Z"), t("2026-08-03T00:00:00Z"),
+      t("2026-08-04T00:00:00Z")))
+    // catchup=false: skip the backlog, latest due run only
+    assert(Pipeline.dueRuns("@daily", start, None,
+      t("2026-08-04T12:00:00Z"), catchup = false) ==
+      Seq(t("2026-08-04T00:00:00Z")))
+    // lastRun on the grid → strictly-after runs only
+    assert(Pipeline.dueRuns("@daily", start,
+      Some(t("2026-08-03T00:00:00Z")), t("2026-08-04T12:00:00Z")) ==
+      Seq(t("2026-08-04T00:00:00Z")))
+    // off-grid lastRun (a manual run at noon) rounds up to the next
+    // grid point — never re-runs the grid point it already covered
+    assert(Pipeline.dueRuns("@daily", start,
+      Some(t("2026-08-03T12:00:00Z")), t("2026-08-04T12:00:00Z")) ==
+      Seq(t("2026-08-04T00:00:00Z")))
+    // nothing due yet → empty either way
+    assert(Pipeline.dueRuns("@hourly", start,
+      Some(t("2026-08-01T05:00:00Z")), t("2026-08-01T05:59:00Z")).isEmpty)
+    assert(Pipeline.dueRuns("@hourly", start,
+      Some(t("2026-08-01T05:00:00Z")), t("2026-08-01T05:59:00Z"),
+      catchup = false).isEmpty)
+    // lastRun predating start never rewinds before start
+    assert(Pipeline.dueRuns("@weekly", start,
+      Some(t("2026-07-01T00:00:00Z")), t("2026-08-08T00:00:00Z")) ==
+      Seq(t("2026-08-01T00:00:00Z"), t("2026-08-08T00:00:00Z")))
+    intercept[IllegalArgumentException] {
+      Pipeline.dueRuns("@monthly", start, None, t("2026-09-01T00:00:00Z"))
+    }
+  }
+
   test("withRetries re-runs a flaky stage, rethrows after exhaustion") {
     var n = 0
     val r = Pipeline.withRetries(3) { n += 1; if (n < 3) sys.error("boom"); n }
