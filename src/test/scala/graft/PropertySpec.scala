@@ -258,4 +258,82 @@ class PropertySpec extends AnyFunSuite {
       assert(g == expect)
     }
   }
+
+  test("token-stat kernels equal scala references on arbitrary unicode") {
+    import graft.plans.{CountInSet, SumStringLengths}
+    // includes multi-byte and surrogate-pair code points, where a
+    // UTF-8 byte count and a code-point count diverge
+    val uniGen = Gen.listOf(
+      Gen.oneOf("a", "Z", "0", "é", "ß", "之", "中", "🎉"))
+      .map(_.mkString)
+    val tokGen = Gen.oneOf(uniGen, Gen.alphaNumStr,
+      Gen.oneOf("the", "der", "la", "之", ""))
+    val cases = samples(for {
+      toks <- Gen.listOf(tokGen)
+      words <- Gen.listOf(Gen.oneOf("the", "der", "la", "之", "x"))
+    } yield (toks, words.distinct), 80)
+    assert(cases.nonEmpty)
+    cases.foreach { case (toks, words) =>
+      val set = CountInSet.buildSet(words)
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      assert(CountInSet.countIn(arr, set) == toks.count(words.contains))
+      assert(SumStringLengths.sumLengths(arr) ==
+        toks.map(t => t.codePointCount(0, t.length)).sum)
+    }
+  }
+
+  test("dueRuns: grid alignment, bounds, and catchup-suffix law") {
+    val start = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val stepMs = 86400000L
+    val cases = samples(for {
+      lastOff <- Gen.chooseNum(-3L * stepMs, 40L * stepMs)
+      haveLast <- Gen.oneOf(true, false)
+      nowOff <- Gen.chooseNum(0L, 45L * stepMs)
+    } yield (if (haveLast) Some(start.plusMillis(lastOff)) else None,
+      start.plusMillis(nowOff)), 120)
+    cases.foreach { case (last, now) =>
+      val due = Pipeline.dueRuns("@daily", start, last, now)
+      due.foreach { r =>
+        // on the grid, within (lastRun, now]
+        assert(java.time.Duration.between(start, r).toMillis % stepMs == 0)
+        assert(!r.isAfter(now) && !r.isBefore(start))
+        last.foreach(lr => assert(r.isAfter(lr)))
+      }
+      // contiguous cadence: consecutive runs are exactly one step apart
+      due.sliding(2).foreach {
+        case Seq(a, b) => assert(
+          java.time.Duration.between(a, b).toMillis == stepMs)
+        case _ =>
+      }
+      // catchup=false is exactly the last element of the backlog
+      val latest = Pipeline.dueRuns("@daily", start, last, now,
+        catchup = false)
+      assert(latest == due.takeRight(1))
+    }
+  }
+
+  test("saltedJoinHotKeys equals the plain join on random skewed data") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // heavy-tailed keys: ~half the rows land on key 0
+    val rows = samples(for {
+      k <- Gen.frequency((5, Gen.const(0L)), (5, Gen.chooseNum(1L, 20L)))
+      v <- Gen.chooseNum(-1000, 1000)
+    } yield (k, v), 400)
+    val left = rows.toDF("k", "v")
+    val right = samples(Gen.chooseNum(0L, 25L), 60).distinct
+      .map(k => (k, s"attr$k")).toDF("k", "a")
+    val plain = left.join(right, Seq("k"))
+    samples(for {
+      b <- Gen.chooseNum(1, 9)
+      t <- Gen.chooseNum(1L, 300L)
+    } yield (b, t), 4).foreach { case (buckets, thresh) =>
+      val got = Skew.saltedJoinHotKeys(left, right, "k", col("v"),
+        saltBuckets = buckets, hotThreshold = thresh)
+      assert(got.count() == plain.count(), s"b=$buckets t=$thresh")
+      assert(got.except(plain).count() == 0 &&
+        plain.except(got).count() == 0, s"b=$buckets t=$thresh")
+    }
+  }
 }
