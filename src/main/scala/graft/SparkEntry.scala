@@ -183,6 +183,14 @@ object SparkEntry {
       Cleaning.normalizeColumnNames(
         Cleaning.dropColumns(Tables.table(s, d, "part"), Seq("p_size")),
         Map("p_name" -> "part_name"))),
+    // ---- §2.2 C10 quantile clipping (winsorize) ----
+    "q_clean_winsorize" -> ((s, d) =>
+      Cleaning.winsorize(Tables.table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice_clipped"))),
     "q_multiformat_date" -> ((s, d) => {
       // Bronze dates arrive in three formats (reference:
       // bronze_to_silver.py:47); synthesize the mess, then parse it back.
@@ -443,6 +451,17 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.normalizeText(col("text"))
           .as("norm_text"))),
+    // ---- §2.8 T6b markup/boilerplate stripping ----
+    // every row gets synthetic markup wrapped around its text so the
+    // tag/url/entity patterns are exercised on the whole table, then
+    // stripped — the gate checks the strip recovers clean text
+    "q_text_strip" -> ((s, d) =>
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.stripMarkup(
+          concat(lit("<div class=\"doc\"><p>"), col("text"),
+            lit("</p></div> source: https://example.com/doc?id="),
+            col("doc_id"), lit(" &amp; more&nbsp;")))
+          .as("clean_text"))),
     // ---- §2.8 T7 repetition signals ----
     "q_text_repetition" -> ((s, d) =>
       graft.functions.TextFunctions.repetitionReport(
@@ -982,6 +1001,22 @@ object SparkEntry {
       """SELECT doc_id,
         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    // same synthetic wrap + the same three strip patterns ('g' flag:
+    // DuckDB replaces first-match-only by default, Spark replaces all)
+    "q_text_strip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          '<div class="doc"><p>' || text ||
+        |            '</p></div> source: https://example.com/doc?id=' ||
+        |            doc_id || ' &amp; more&nbsp;',
+        |          '<[^>]*>', ' ', 'g'),
+        |        'https?://[^\s]+', ' ', 'g'),
+        |      '&[A-Za-z]+;', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -1513,6 +1548,18 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // interpolated-quantile parity (quantile_cont == percentile) is
+    // already proven by q_quantiles; clamp is exact given equal bounds
+    "q_clean_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.01) AS lo,
+        |    quantile_cont(o_totalprice, 0.99) AS hi
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |  least(greatest(o_totalprice, lo), hi) AS o_totalprice_clipped
+        |FROM orders JOIN b USING (o_orderpriority)""".stripMargin,
     "q_events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -153,6 +153,21 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** T6b — boilerplate stripping for web-corpus text: HTML/XML tags,
+    * URLs, and HTML entities become spaces, then whitespace
+    * re-collapses. The standard first pass over crawled documents
+    * before any quality metric runs (markup would otherwise pollute
+    * alpha/punct ratios and token counts). Chained `regexp_replace` —
+    * codegen'd, patterns within the dialect Java regex and RE2 share,
+    * so any engine reproduces the output byte-for-byte.
+    */
+  def stripMarkup(c: Column): Column = {
+    val tags = regexp_replace(c, "<[^>]*>", " ")
+    val urls = regexp_replace(tags, "https?://[^\\s]+", " ")
+    val ents = regexp_replace(urls, "&[A-Za-z]+;", " ")
+    trim(regexp_replace(ents, "\\s+", " "))
+  }
+
   /** PII scrubbing for training corpora: emails, phone-number shapes,
     * and long digit runs (ids/ssn-ish) replaced with typed placeholder
     * tokens. Chained `regexp_replace` — codegen'd, one pass per

@@ -129,6 +129,27 @@ object Cleaning {
     }
   }
 
+  /** C10 — quantile clipping (winsorization) of a numeric column per
+    * group: values outside the group's [lo, hi] interpolated quantiles
+    * are clamped to them — the standard way to neutralize outliers
+    * without dropping rows. Bounds come from ONE small per-group
+    * aggregate joined back broadcast, so the data never shuffles and
+    * never sorts: at 100 TB this is a scan + map-side hash probe (swap
+    * `percentile` for `percentile_approx` there — same call shape,
+    * sketch-mergeable, bounded error).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad quantiles [$lo, $hi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(lo)).as("__lo"),
+        percentile(col(valueCol), lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   def parseDateMulti(c: Column,
                      formats: Seq[String] = ReferenceDateFormats): Column =
     // when() short-circuits, so only shape-matching formats ever reach

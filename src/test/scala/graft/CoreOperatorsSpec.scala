@@ -313,6 +313,38 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(k1(2)._4.isEmpty && k1(2)._5)
   }
 
+  test("winsorize clamps outliers to group quantiles, keeps every row") {
+    import spark.implicits._
+    val df = ((1 to 99).map(i => (i.toLong, "g", i.toDouble)) :+
+      ((100L, "g", 100000.0))).toDF("id", "grp", "v")
+    val out = Cleaning.winsorize(df, "grp", "v", 0.05, 0.95)
+    assert(out.count() == 100) // winsorize clips, never drops
+    val clipped = out.select("id", "v_clipped").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the outlier is pulled down to p95; interior values are untouched
+    assert(clipped(100L) < 100000.0 && clipped(100L) >= 94.0)
+    assert(clipped(50L) == 50.0)
+    // the low tail clamps up to p5
+    assert(clipped(1L) > 1.0 && clipped(1L) <= 6.0)
+  }
+
+  test("stripMarkup removes tags, urls, entities; plain text unscathed") {
+    import spark.implicits._
+    val df = Seq(
+      "<html><body>Hello <b>world</b></body></html>",
+      "see https://a.example/path?q=1#f and http://b.example now",
+      "fish &amp; chips&nbsp;please",
+      "already clean text",
+      "  spaced   out  ").toDF("t")
+    val got = df.select(graft.functions.TextFunctions
+      .stripMarkup(col("t")).as("s")).collect().map(_.getString(0))
+    assert(got(0) == "Hello world")
+    assert(got(1) == "see and now")
+    assert(got(2) == "fish chips please")
+    assert(got(3) == "already clean text")
+    assert(got(4) == "spaced out")
+  }
+
   test("scd2 changedOnly opens a version only when tracked attrs differ") {
     import spark.implicits._
     val d = java.sql.Timestamp.valueOf(_: String)
