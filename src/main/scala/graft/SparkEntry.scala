@@ -29,6 +29,11 @@ object SparkEntry {
     * temp disk or catalog entries behind. Shared by the q_stream_*
     * gate entries.
     */
+  /** Recursive delete for the gates' throwaway staging dirs. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
   private def runStreamGate(s: SparkSession, sfDir: String, copies: Int,
                             outputMode: String,
                             pipeline: DataFrame => DataFrame): DataFrame = {
@@ -50,10 +55,7 @@ object SparkEntry {
       s.table(name).localCheckpoint(true)
     } finally {
       s.catalog.dropTempView(name)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir.toFile)
+      rmTree(dir.toFile)
     }
   }
 
@@ -317,10 +319,7 @@ object SparkEntry {
             col("event_type"), col("value"))
           .localCheckpoint(true)
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(stage.toFile); rm(new java.io.File(out))
+        rmTree(stage.toFile); rmTree(new java.io.File(out))
       }
     }),
     // ---- §2.5 E6 custom-state streaming sessionization, driver-gated ----
@@ -501,12 +500,7 @@ object SparkEntry {
         // the staged index right after is safe
         Dedup.minhashDedupAgainstIndex(doc.filter(isNew),
           "doc_id", "text", dir)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }
+      } finally rmTree(new java.io.File(dir))
     }),
     // ---- §2.6 D9 benchmark contamination ----
     // "benchmark" = a deterministic 5% hash slice standing in for an

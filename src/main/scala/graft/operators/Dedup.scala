@@ -438,12 +438,15 @@ object Dedup {
     newBk.unpersist()
     // verify needs shingles for candidate ids only: semi-join the
     // (corpus-sized) stored shingle table down to candidates BEFORE
-    // the size aggregate — one map-side broadcast probe per partition,
-    // so the only aggregation that runs is candidate-sized
+    // the size aggregate, so the only aggregation that runs is
+    // candidate-sized. No broadcast hint: `cand` is checkpointed, so
+    // AQE sees its true size and broadcasts when it fits (the normal
+    // case — a map-side probe per partition) but degrades to a shuffle
+    // join instead of failing if one day's candidates are huge.
     val candIds = cand.select(col("id_a").as("cid"))
       .unionByName(cand.select(col("id_b").as("cid"))).distinct()
     val idxSh = spark.read.parquet(s"$path/shingles")
-      .join(broadcast(candIds), col("sid") === col("cid"), "left_semi")
+      .join(candIds, col("sid") === col("cid"), "left_semi")
     val verified = jaccardVerify(newSh.unionByName(idxSh), Some(cand),
         thresholdNum, thresholdDen)
       .localCheckpoint()
