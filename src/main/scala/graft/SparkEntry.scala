@@ -502,6 +502,17 @@ object SparkEntry {
           "doc_id", "text", dir)
       } finally rmTree(new java.io.File(dir))
     }),
+    // ---- §2.6 D10 canonical-document selection ----
+    // groups from the exact-dedup key (normalized-text hash), winner
+    // by quality score, ties to the lowest doc_id
+    "q_dedup_canonical" -> ((s, d) => {
+      val doc = Tables.table(s, d, "documents")
+      val scored = doc.select(col("doc_id"),
+        sha2(graft.functions.TextFunctions.normalizeText(col("text")), 256)
+          .as("grp"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      Dedup.keepCanonical(scored, "doc_id", "grp", "q")
+    }),
     // ---- §2.6 D9 benchmark contamination ----
     // "benchmark" = a deterministic 5% hash slice standing in for an
     // eval set
@@ -1041,6 +1052,19 @@ object SparkEntry {
     // against-index check is an execution strategy, not a semantics
     // change), so it shares the recompute oracle verbatim
     "q_dedup_index" -> duckIncrementalDedupSql,
+    // same normalized-text hash groups + quality winner; the QUALIFY
+    // window mirrors keepCanonical's (score desc, id asc) exactly
+    "q_dedup_canonical" ->
+      s"""WITH qs AS ($duckQualitySql), g AS (
+         |  SELECT d.doc_id,
+         |    sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')))
+         |      AS grp,
+         |    qs.quality_score AS q
+         |  FROM documents d JOIN qs USING (doc_id)
+         |)
+         |SELECT doc_id, grp, q FROM g
+         |QUALIFY row_number() OVER (PARTITION BY grp
+         |  ORDER BY q DESC, doc_id) = 1""".stripMargin,
     "q_contamination" ->
       s"""$duckShingles, bench AS (
          |  SELECT doc_id AS bid FROM documents

@@ -577,6 +577,25 @@ object Dedup {
       .select(col("id"), coalesce(col("__g"), col("id")).as("group_id"))
   }
 
+  /** D10 — canonical-document selection: the final step of every dedup
+    * pass. Given rows already labeled with a duplicate-group key (an
+    * exact-text hash, a fingerprint, or [[resolveGroups]]' group_id),
+    * keep exactly ONE row per group — the highest-scoring, ties broken
+    * by lowest id so the choice is deterministic under any
+    * partitioning. One window over the group key: the same single
+    * shuffle any per-group reduction pays, with no join-back (the
+    * groupBy-max + self-join alternative shuffles twice and breaks
+    * ties nondeterministically).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, groupCol: String,
+                    scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
   /** T4 — winnowing fingerprint dedup: documents sharing a min-rolling
     * hash of any k-byte window. Native codegen'd expression
     * ([[graft.plans.MinRollingHash]]).

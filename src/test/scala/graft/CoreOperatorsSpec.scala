@@ -313,6 +313,25 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(k1(2)._4.isEmpty && k1(2)._5)
   }
 
+  test("approx quantiles track exact within sketch tolerance (the at-scale swap)") {
+    // P6/C10 document "swap percentile for percentile_approx at
+    // 100 TB — same call shape, bounded error"; this pins that claim:
+    // the t-digest path lands within 2% relative error of exact on
+    // real data, so the swap is a tuning knob, not a semantics change.
+    val orders = Tables.table(spark, sf, "orders")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = asMap(Profiling.quantiles(orders, "o_orderpriority",
+      "o_totalprice"))
+    val approx = asMap(Profiling.quantiles(orders, "o_orderpriority",
+      "o_totalprice", exact = false))
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$k p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.02, s"$k p90 $a90 vs $p90")
+    }
+  }
+
   test("winsorize clamps outliers to group quantiles, keeps every row") {
     import spark.implicits._
     val df = ((1 to 99).map(i => (i.toLong, "g", i.toDouble)) :+

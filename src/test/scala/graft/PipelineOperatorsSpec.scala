@@ -243,6 +243,22 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepCanonical keeps the best-scoring row per group, ties to min id") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "g1", 0.5), (2L, "g1", 0.9), (3L, "g1", 0.9), // tie at 0.9
+      (4L, "g2", 0.1),
+      (5L, "g3", 0.0), (6L, "g3", 0.0))                  // all-zero group
+      .toDF("id", "grp", "score")
+    val got = Dedup.keepCanonical(df, "id", "grp", "score")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(got == Map("g1" -> 2L, "g2" -> 4L, "g3" -> 5L))
+    // exactly one survivor per group, schema unchanged
+    assert(Dedup.keepCanonical(df, "id", "grp", "score").columns.toSeq ==
+      Seq("id", "grp", "score"))
+  }
+
   test("centroidUpdate computes per-cell means of assigned vectors") {
     import spark.implicits._
     val df = Seq(
