@@ -606,6 +606,49 @@ object SparkEntry {
       Tables.table(s, d, "events").select(col("event_id"),
         Tables.zValue(pmod(col("user_id"), lit(65536)),
           pmod(col("event_id"), lit(65536))).as("z"))),
+    // ---- §2.1 S13 small-file compaction, driver-gated ----
+    // outcome contract (same pattern as q_freshness_gate): scatter the
+    // table across many small files, compact, and emit the invariants
+    // — file count shrank to the target math, no row lost or invented
+    // (rows_readable is the REAL oracle row: DuckDB recounts the
+    // source table)
+    "q_compact" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+        .toString + "/orders"
+      try {
+        Tables.table(s, d, "orders").repartition(24)
+          .write.mode("overwrite").parquet(tmp)
+        def nFiles = Option(new java.io.File(tmp).listFiles()).get
+          .count(f => f.getName.endsWith(".parquet"))
+        val before = nFiles
+        val target = Tables.compact(s, tmp, targetRowsPerFile = 10000L)
+        val after = nFiles
+        import s.implicits._
+        Seq((before == 24, after == target && after < before,
+          s.read.parquet(tmp).count()))
+          .toDF("scattered_24", "compacted_to_target", "rows_readable")
+      } finally rmTree(new java.io.File(tmp).getParentFile)
+    }),
+    // ---- §2.3 P7 mergeable HLL sketches, driver-gated ----
+    // outcome contract: per-shard sketches union to EXACTLY the global
+    // sketch's estimate (HLL registers merge losslessly), and the
+    // estimate lands within the sketch's error envelope of the exact
+    // count — which DuckDB recomputes as the real oracle row
+    "q_hll_sketches" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+      val shards = Profiling.distinctSketches(ev,
+        col("ts").cast("date"), col("user_id"))
+      val unionEst = Profiling.unionEstimate(shards).head().getLong(0)
+      val globalEst = Profiling.unionEstimate(
+        Profiling.distinctSketches(ev, lit(1), col("user_id")))
+        .head().getLong(0)
+      val exact = ev.agg(count_distinct(col("user_id"))).head().getLong(0)
+      import s.implicits._
+      Seq((unionEst == globalEst,
+        math.abs(unionEst - exact).toDouble <= 0.05 * exact, exact))
+        .toDF("union_equals_global", "estimate_within_5pct",
+          "n_users_exact")
+    }),
     "q_freshness_gate" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
         .toString + "/nation"
@@ -904,6 +947,13 @@ object SparkEntry {
       """SELECT true AS first_write, false AS second_skipped_is_false,
         |  true AS forced_rewrite,
         |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
+    // outcome contracts + one real recount each
+    "q_compact" ->
+      """SELECT true AS scattered_24, true AS compacted_to_target,
+        |  (SELECT count(*) FROM orders) AS rows_readable""".stripMargin,
+    "q_hll_sketches" ->
+      """SELECT true AS union_equals_global, true AS estimate_within_5pct,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact""".stripMargin,
     "q_dedup_minhash" ->
       s"""$duckShingles, mh AS (
          |  SELECT sid, $duckMh FROM sh GROUP BY sid
