@@ -606,6 +606,27 @@ object SparkEntry {
       Tables.table(s, d, "events").select(col("event_id"),
         Tables.zValue(pmod(col("user_id"), lit(65536)),
           pmod(col("event_id"), lit(65536))).as("z"))),
+    // ---- §2.11 O1 medallion DAG runner, driver-gated ----
+    // the full bronze → silver → gold run on a throwaway dir; the
+    // invariants a DAG run must satisfy (silver row preservation,
+    // surrogate-key uniqueness) go out as booleans/counts, and
+    // fact_rows is the real oracle row: the fact table must carry
+    // exactly one row per source lineitem, which DuckDB recounts
+    "q_pipeline_run" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-dag")
+        .toString
+      try {
+        val fact = Pipeline.run(s, d, out, Stamp)
+        val factN = fact.count()
+        val silverN = s.read.parquet(s"$out/silver/nation").count()
+        val dims = s.read.parquet(s"$out/gold/dim_customer")
+        val dimsUnique =
+          dims.select(col("id_customer")).distinct().count() == dims.count()
+        import s.implicits._
+        Seq((silverN, dimsUnique, factN))
+          .toDF("silver_nation_rows", "dim_keys_unique", "fact_rows")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.1 S13 small-file compaction, driver-gated ----
     // outcome contract (same pattern as q_freshness_gate): scatter the
     // table across many small files, compact, and emit the invariants
@@ -948,6 +969,10 @@ object SparkEntry {
         |  true AS forced_rewrite,
         |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
     // outcome contracts + one real recount each
+    "q_pipeline_run" ->
+      """SELECT CAST(25 AS BIGINT) AS silver_nation_rows,
+        |  true AS dim_keys_unique,
+        |  (SELECT count(*) FROM lineitem) AS fact_rows""".stripMargin,
     "q_compact" ->
       """SELECT true AS scattered_24, true AS compacted_to_target,
         |  (SELECT count(*) FROM orders) AS rows_readable""".stripMargin,
