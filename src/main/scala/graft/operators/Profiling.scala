@@ -176,9 +176,14 @@ object Profiling {
     * day's load aggregates its own shard sketch at batch-sized cost,
     * the sketches are stored (a few KB each), and any corpus-wide
     * distinct count — all time, last month, one source — is a union
-    * over stored sketches with NO re-scan of history. Union-then-
-    * estimate equals one global sketch exactly (HLL registers merge
-    * losslessly; spec-asserted), so shard granularity is free.
+    * over stored sketches with NO re-scan of history. While sketches
+    * are in sparse/coupon mode (low per-shard cardinality) the union
+    * estimates EXACTLY like one global sketch (spec-asserted); once
+    * sketches go dense the union can differ from the one-shot sketch
+    * by a fraction of the HLL error bound (measured 0.74% at 1.5k
+    * distinct over 30 daily shards) — both stay within the sketch's
+    * accuracy envelope of the true count, which is the guarantee that
+    * matters. Shard granularity is effectively free.
     */
   def distinctSketches(df: DataFrame, shardCol: Column,
                        valueCol: Column): DataFrame =
