@@ -20,6 +20,11 @@ import graft.sources.Tables
 object SparkEntry {
   private val Stamp = "2026-08-12" // injected _processing/_modeling date
 
+  /** Recursive delete for the gates' throwaway staging dirs. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
   /** Stage `copies` copies of the events table in a throwaway dir,
     * run `pipeline` over a file-source stream of it to completion, and
     * return the streamed result, fully detached from the run's
@@ -29,11 +34,6 @@ object SparkEntry {
     * temp disk or catalog entries behind. Shared by the q_stream_*
     * gate entries.
     */
-  /** Recursive delete for the gates' throwaway staging dirs. */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
-
   private def runStreamGate(s: SparkSession, sfDir: String, copies: Int,
                             outputMode: String,
                             pipeline: DataFrame => DataFrame): DataFrame = {

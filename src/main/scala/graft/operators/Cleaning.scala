@@ -136,7 +136,10 @@ object Cleaning {
     * aggregate joined back broadcast, so the data never shuffles and
     * never sorts: at 100 TB this is a scan + map-side hash probe (swap
     * `percentile` for `percentile_approx` there — same call shape,
-    * sketch-mergeable, bounded error).
+    * sketch-mergeable, bounded error). The broadcast assumes
+    * dimension-sized group cardinality (one bounds row per group);
+    * for a high-cardinality group column drop the hint and let the
+    * bounds join shuffle.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
@@ -144,10 +147,18 @@ object Cleaning {
     val bounds = df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(lo)).as("__lo"),
         percentile(col(valueCol), lit(hi)).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    // null-safe group match (groupBy emits a bounds row for the null
+    // group, and a plain equi-join would silently DROP null-group
+    // rows — breaking the "clips, never drops" contract); a null
+    // value stays null instead of clamping to __lo (greatest/least
+    // skip null arguments, which would fabricate a p-lo measurement
+    // out of a missing one)
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .withColumn(s"${valueCol}_clipped",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__g", "__lo", "__hi")
   }
 
   def parseDateMulti(c: Column,

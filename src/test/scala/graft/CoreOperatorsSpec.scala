@@ -19,6 +19,11 @@ object SparkTestSession {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Recursive delete for specs' throwaway staging dirs. */
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
 }
 
 class CoreOperatorsSpec extends AnyFunSuite {
@@ -345,6 +350,24 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(clipped(50L) == 50.0)
     // the low tail clamps up to p5
     assert(clipped(1L) > 1.0 && clipped(1L) <= 6.0)
+  }
+
+  test("winsorize: null group keys survive, null values stay null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("g"), Option(1.0)), (2L, Option("g"), Option(50.0)),
+      (3L, Option("g"), Option(99.0)),
+      (4L, Option("g"), Option.empty[Double]), // missing measurement
+      (5L, Option.empty[String], Option(7.0)), // null group
+      (6L, Option.empty[String], Option(9.0)))
+      .toDF("id", "grp", "v")
+    val out = Cleaning.winsorize(df, "grp", "v", 0.25, 0.75)
+    assert(out.count() == 6, "null-group rows must not be dropped")
+    val rows = out.select("id", "v_clipped").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(4L).isEmpty, "a null value must not become a quantile")
+    // the null group clips against ITS OWN bounds (7.0–9.0 band)
+    assert(rows(5L).contains(7.5) && rows(6L).contains(8.5))
   }
 
   test("stripMarkup removes tags, urls, entities; plain text unscathed") {

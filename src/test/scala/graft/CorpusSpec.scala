@@ -193,12 +193,17 @@ class CorpusSpec extends AnyFunSuite {
       col("l_orderkey"), saltBuckets = 8, hotThreshold = thresh)
     assert(got.count() == plain.count())
     assert(got.except(plain).count() == 0 && plain.except(got).count() == 0)
-    // the bound that motivates the variant: only hot-key right rows are
-    // replicated — ≤ |hot keys| × saltBuckets rows (part keys unique),
-    // versus |right| × saltBuckets under the always-salt form
+    // the bound that motivates the variant: the salted branch
+    // replicates rightHotRows × saltBuckets right rows (≤ |hot keys| ×
+    // saltBuckets since part keys are unique), where the always-salt
+    // form replicates |part| × saltBuckets. A median threshold makes
+    // the hot fraction ≈ half, so a regression that salts cold keys
+    // too (fraction → 1.0) fails the ratio bound.
     val rightHotRows = part.join(hot, Seq("l_partkey"), "left_semi").count()
     assert(rightHotRows <= nHot)
-    assert(rightHotRows * 8 < part.count() * 8)
+    assert(rightHotRows.toDouble / part.count() < 0.7,
+      s"hot fraction ${rightHotRows.toDouble / part.count()} — " +
+        "replication savings vs always-salt have collapsed")
   }
 
   test("repetitionReport flags a looping doc, passes a diverse one") {

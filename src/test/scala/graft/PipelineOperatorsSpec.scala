@@ -206,12 +206,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       val exp = Dedup.minhashDedupIncremental(doc, "doc_id", "text", isNew)
       assert(got.count() == exp.count())
       assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally rmTree(new java.io.File(dir))
   }
 
   test("dedup index grows by append: day-2 batch sees day-1 accepted docs") {
@@ -235,12 +230,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         doc, "doc_id", "text", bucket === 1)
       assert(got.count() == exp.count())
       assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally rmTree(new java.io.File(dir))
   }
 
   test("keepCanonical keeps the best-scoring row per group, ties to min id") {
