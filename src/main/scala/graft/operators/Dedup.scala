@@ -365,10 +365,12 @@ object Dedup {
 
   /** D8 (production shape) — persist the corpus's MinHash/LSH dedup
     * index so daily batches never recompute it: `bands` (sid, band,
-    * bucket), written PARTITIONED BY band so an incoming batch's
-    * candidate join prunes to the band partitions it touches, plus
-    * `shingles` (sid, sh), which the exact-Jaccard verify needs for
-    * intersection counts and set sizes. Grow it by appending each
+    * bucket), written PARTITIONED BY band — not for pruning (a batch
+    * carries signatures in every band) but so each band's buckets are
+    * clustered into their own files: the candidate join processes
+    * bands independently, and a band-restricted maintenance rebuild
+    * rewrites one directory — plus `shingles` (sid, sh), which the
+    * exact-Jaccard verify needs for intersection counts and set sizes. Grow it by appending each
     * accepted batch's rows (same two writes with `append` mode) — the
     * index is append-only state, exactly the shape the reference keeps
     * in its warehouse-native append loads (bigquery.py:141).

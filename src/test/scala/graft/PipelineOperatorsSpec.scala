@@ -196,8 +196,8 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .createTempDirectory("graft-idx-spec").toString
     try {
       Dedup.writeDedupIndex(doc.filter(!isNew), "doc_id", "text", dir)
-      // the index landed partitioned by band — the layout the
-      // candidate join prunes/clusters on
+      // the index landed partitioned by band — the clustered layout
+      // the candidate join processes band-by-band
       val bandDirs = Option(new java.io.File(s"$dir/bands").listFiles())
         .get.filter(_.getName.startsWith("band="))
       assert(bandDirs.length == 8)
