@@ -445,6 +445,25 @@ object SparkEntry {
           .withColumn("shard",
             Corpus.hashBucket(col("doc_id"), "shard", 8)),
         "doc_id", "n_chars", "shard", Seq("doc_id"), 4000)),
+    // packed bins → one training row each, docs joined in id order
+    "q_corpus_pack_text" -> ((s, d) => {
+      val doc = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 8))
+      val bins = Corpus.packGreedy(doc, "doc_id", "n_chars", "shard",
+        Seq("doc_id"), 4000)
+      Corpus.materializePacked(
+        doc.join(bins.drop("shard"), Seq("doc_id")),
+        "doc_id", "text", "shard", "bin_id")
+    }),
+    // reproducible epoch permutation: per-shard rank over the epoch-
+    // salted hash
+    "q_corpus_shuffle" -> ((s, d) =>
+      Corpus.epochOrder(
+        Tables.table(s, d, "documents").select(col("doc_id"))
+          .withColumn("shard",
+            Corpus.hashBucket(col("doc_id"), "shard", 8)),
+        "doc_id", "shard", epoch = 1)),
     // ---- §2.8 T6 text normalization ----
     "q_text_normalize" -> ((s, d) =>
       Tables.table(s, d, "documents").select(col("doc_id"),
@@ -1066,6 +1085,35 @@ object SparkEntry {
          |)
          |SELECT doc_id, shard, CAST(FLOOR(cum / 4000.0) AS BIGINT) AS bin_id
          |FROM c""".stripMargin,
+    // same pack assignment, then one row per bin: docs concatenated
+    // in id order (string_agg ORDER BY == array_sort on (id, text))
+    "q_corpus_pack_text" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, n_chars,
+         |    ${duckHashBucket("doc_id", "shard", 8)} AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / 4000.0) AS BIGINT) AS bin_id
+         |  FROM t
+         |)
+         |SELECT shard, bin_id, COUNT(*) AS n_docs,
+         |  string_agg(text, '<|eot|>' ORDER BY t.doc_id) AS packed_text
+         |FROM t JOIN c USING (doc_id)
+         |GROUP BY shard, bin_id""".stripMargin,
+    // the epoch-salted hash is plain sha256 — any engine recomputes
+    // the identical permutation
+    "q_corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |  ${duckHashBucket("doc_id", "shard", 8)} AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ${duckHashBucket("doc_id", "shard", 8)}
+         |    ORDER BY sha256(doc_id || ':1'), doc_id) AS BIGINT)
+         |    AS epoch_rank
+         |FROM documents""".stripMargin,
     "q_text_truncate" ->
       """SELECT doc_id,
         |  array_to_string(string_split_regex(trim(text), '\s+')[1:50], ' ') AS trunc_text

@@ -201,6 +201,49 @@ object Corpus {
       bucket.cast("bigint").as("bucket"))
   }
 
+  /** K6b — materialize packed training rows: after [[packGreedy]]
+    * assigns `(shard, bin_id)`, each bin becomes ONE row — its
+    * documents concatenated in id order with `sep` (the EOS-separator
+    * analog a trainer splits on). `array_sort` over
+    * `collect_list(struct(id, text))` makes the in-bin order
+    * deterministic under any partitioning (structs sort by field
+    * order, id first); a bin is budget-sized by construction, so the
+    * collected list is bounded — this is never collect-the-corpus.
+    * One shuffle on (shard, bin).
+    */
+  def materializePacked(df: DataFrame, idCol: String, textCol: String,
+                        shardCol: String, binCol: String,
+                        sep: String = "<|eot|>"): DataFrame =
+    df.groupBy(col(shardCol), col(binCol))
+      .agg(array_sort(
+        collect_list(struct(col(idCol), col(textCol)))).as("__ds"))
+      .select(col(shardCol), col(binCol),
+        size(col("__ds")).cast("bigint").as("n_docs"),
+        array_join(transform(col("__ds"), d => d.getField(textCol)), sep)
+          .as("packed_text"))
+
+  /** K9 — deterministic epoch ordering: the reproducible per-epoch
+    * permutation a trainer streams documents in. Each document's sort
+    * key is sha256(id ∥ ":" ∥ epoch) — engine-portable, uniform, and
+    * stable across partitionings and reruns, where `rand(seed)` is
+    * engine- and partitioning-specific. The rank is per SHARD
+    * (row_number over the shard partition): one shuffle, no global
+    * single-task window — shards are the unit a trainer actually
+    * streams, and the shard assignment itself is already a
+    * deterministic hash ([[hashBucket]]). A new epoch value yields an
+    * independent permutation of the same corpus.
+    */
+  def epochOrder(df: DataFrame, idCol: String, shardCol: String,
+                 epoch: Int): DataFrame = {
+    val key = sha2(concat(col(idCol).cast("string"),
+      lit(s":$epoch")), 256)
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(key, col(idCol)) // id tiebreak: total order even on
+                                // the (practically impossible) hash tie
+    df.select(col(idCol), col(shardCol),
+      row_number().over(w).cast("bigint").as("epoch_rank"))
+  }
+
   /** Training-ready corpus filter: quality score ≥ `minQuality` and
     * BPE-ish token count within [minTokens, maxTokens] — the composed
     * end-of-pipeline gate a pretraining corpus runs after dedup.

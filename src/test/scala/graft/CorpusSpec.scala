@@ -172,6 +172,41 @@ class CorpusSpec extends AnyFunSuite {
       plain.except(salted).count() == 0)
   }
 
+  test("materializePacked: one row per bin, docs joined in id order") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val df = Seq(
+      (3L, "c", 0L, 0L), (1L, "a", 0L, 0L), (2L, "b", 0L, 0L),
+      (4L, "d", 0L, 1L), (5L, "e", 1L, 0L))
+      .toDF("doc_id", "text", "shard", "bin_id")
+    val got = Corpus.materializePacked(df, "doc_id", "text",
+        "shard", "bin_id", sep = "|")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // in-bin order is id order regardless of input order
+    assert(got((0L, 0L)) == ((3L, "a|b|c")))
+    assert(got((0L, 1L)) == ((1L, "d")))
+    assert(got((1L, 0L)) == ((1L, "e")))
+  }
+
+  test("epochOrder: dense per-shard ranks; epochs give different permutations") {
+    import graft.operators.Corpus
+    val doc = Tables.table(spark, sf, "documents").select(col("doc_id"))
+      .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
+    def ranks(epoch: Int) = Corpus.epochOrder(doc, "doc_id", "shard", epoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = ranks(1)
+    // dense 1..n within every shard
+    e1.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    // rerun is bit-stable; a different epoch is a different permutation
+    assert(ranks(1).toSet == e1.toSet)
+    val e2map = ranks(2).map(r => r._1 -> r._3).toMap
+    assert(e1.count(r => e2map(r._1) != r._3) > e1.length / 2,
+      "epoch 2 should reorder most documents")
+  }
+
   test("saltedJoinHotKeys equals the plain join; replication bounded by hot keys") {
     import graft.operators.Skew
     val li = Tables.table(spark, sf, "lineitem")
