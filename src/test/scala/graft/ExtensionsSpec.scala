@@ -7,6 +7,16 @@ import graft.operators.Bronze
 class ExtensionsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("driver contract: every gate has an oracle, every oracle a gate") {
+    // a queries key without oracleSql silently downgrades to a
+    // rows-only check at the driver; an oracleSql key without a query
+    // is dead SQL that drifts unnoticed — both are contract rot
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"gates without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without gate: ${(o -- q).toSeq.sorted}")
+  }
+
   test("registered SQL functions work: min_rolling_hash and vector_dot") {
     GraftExtensions.register(spark)
     val r = spark.sql(
