@@ -87,11 +87,41 @@ object Bench {
     // every one stays correctness-gated by Verify.
     val stagingGates = Set("q_csv_roundtrip", "q_json_roundtrip",
       "q_partitioned_write", "q_freshness_gate", "q_compact",
-      "q_pipeline_run", "q_dedup_index")
+      "q_pipeline_run", "q_dedup_index", "q_namespace_init")
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).filterNot(stagingGates)
       .map(n => n -> runOne(n))
     System.err.println(f"[bench] system load average at end: $loadAvg%.2f")
+    // Per-family subtotal block (stderr): lets a reader attribute
+    // round-over-round drift to an operator family at a glance,
+    // without diffing ~90 per-query numbers. Stdout JSON untouched.
+    def family(n: String): String =
+      if (n.startsWith("q_dedup") || n == "q_contamination") "dedup"
+      else if (n.startsWith("q_text")) "text"
+      else if (n.startsWith("q_corpus") || n.startsWith("q_llm"))
+        "corpus"
+      else if (n.startsWith("q_ann") || n.startsWith("q_embed"))
+        "similarity"
+      else if (n.startsWith("q_multimodal")) "multimodal"
+      else if (n.startsWith("q_events") || n.startsWith("q_rolling") ||
+        n.startsWith("q_retention") || n.startsWith("q_monthly"))
+        "events"
+      else if (n.startsWith("q_clean") || n.startsWith("q_silver") ||
+        n.startsWith("q_multiformat") || n.startsWith("q_bronze") ||
+        n.startsWith("q_dedup_exact_rows")) "cleaning"
+      else if (n.startsWith("q_profile") || n.startsWith("q_unique") ||
+        n.startsWith("q_consistency") || n.startsWith("q_completeness") ||
+        n.startsWith("q_histogram") || n.startsWith("q_quantiles") ||
+        n.startsWith("q_hll")) "profiling"
+      else if (n.startsWith("q_dim") || n.startsWith("q_fact") ||
+        n.startsWith("q_scd2") || n.startsWith("q_pipeline")) "star"
+      else "warehouse"
+    results.filter(_._2 >= 0).groupBy(r => family(r._1)).toSeq
+      .map { case (f, rs) => (f, rs.map(_._2).sum, rs.size) }
+      .sortBy(-_._2)
+      .foreach { case (f, t, n) =>
+        System.err.println(f"[bench] family $f%-12s $t%8.3f s  ($n queries)")
+      }
     // Rounded per-query values keep the whole line under the harness's
     // 2000-char output-tail window (80 queries at full double
     // precision overflow it and the line gets clipped mid-JSON).

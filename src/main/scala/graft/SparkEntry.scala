@@ -471,14 +471,15 @@ object SparkEntry {
           .as("norm_text"))),
     // ---- §2.8 T6b markup/boilerplate stripping ----
     // every row gets synthetic markup wrapped around its text so the
-    // tag/url/entity patterns are exercised on the whole table, then
+    // tag/url/entity patterns — including decimal and hex numeric
+    // character references — are exercised on the whole table, then
     // stripped — the gate checks the strip recovers clean text
     "q_text_strip" -> ((s, d) =>
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.stripMarkup(
           concat(lit("<div class=\"doc\"><p>"), col("text"),
             lit("</p></div> source: https://example.com/doc?id="),
-            col("doc_id"), lit(" &amp; more&nbsp;")))
+            col("doc_id"), lit(" &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;")))
           .as("clean_text"))),
     // ---- §2.8 T7 repetition signals ----
     "q_text_repetition" -> ((s, d) =>
@@ -539,6 +540,79 @@ object SparkEntry {
       Dedup.contaminationCheck(Tables.table(s, d, "documents"),
         "doc_id", "text",
         Corpus.hashBucket(col("doc_id"), "bench", 20) === 0)),
+    // ---- composed end-to-end LLM-corpus pipeline ----
+    // The real composition the per-operator gates can't see: strip
+    // (T6b) → normalize (T6) → exact-hash + MinHash near-dup pairs
+    // (D1/D2) → connected groups (D7) → canonical doc per group (D10)
+    // → training filter (K4) → language mixture (K5) → train split
+    // (K2) → greedy pack + packed-row materialization (K6/K6b) →
+    // epoch ordering (K9), as ONE dataflow. Dedup keys on the
+    // NORMALIZED text (formatting noise must not defeat hashing);
+    // quality metrics, token counts and the packed rows use the
+    // STRIPPED text — the trainable content. The oracle recomputes
+    // the entire chain in a single SQL statement, so column
+    // collisions, normalize-before-hash ordering and filter/pack
+    // interactions are all under the hash compare.
+    "q_llm_pipeline" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      // the markup-bearing crawl-source analog (same wrap as
+      // q_text_strip, so T6b does real work inside the composition)
+      val normed = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          tf.stripMarkup(
+            concat(lit("<div class=\"doc\"><p>"), col("text"),
+              lit("</p></div> source: https://example.com/doc?id="),
+              col("doc_id"),
+              lit(" &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;")))
+            .as("clean_text"))
+        .withColumn("norm_text", tf.normalizeText(col("clean_text")))
+        .persist()
+      // near-dup pairs over normalized text; exact-hash pairs catch
+      // the docs too short for the shingler
+      val mhPairs = Dedup.minhashDedup(normed, "doc_id", "norm_text")
+        .select(col("id_a"), col("id_b"))
+      val hashed = normed.select(col("doc_id"),
+        sha2(col("norm_text"), 256).as("h"))
+      val exactPairs = hashed.join(
+          hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep")),
+          Seq("h"))
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("keep").as("id_a"), col("doc_id").as("id_b"))
+      val groups = Dedup.resolveGroups(
+          normed.select(col("doc_id").as("id")),
+          mhPairs.unionByName(exactPairs))
+        .withColumnRenamed("id", "doc_id")
+      val canon = Dedup.keepCanonical(
+        normed.join(groups, Seq("doc_id"))
+          .withColumn("q", tf.qualityScore(col("clean_text"))),
+        "doc_id", "group_id", "q")
+      val kept = Corpus.trainingFilter(canon, "doc_id", "clean_text",
+          0.45, 10, 100000)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+        .join(canon.select("doc_id", "lang", "clean_text"), Seq("doc_id"))
+      val mixed = Corpus.mixtureSample(kept, "doc_id", "lang", "mix", 10,
+        Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3))
+      val train = Corpus.splitByHash(mixed, "doc_id", "sp",
+          Seq(("train", 8), ("val", 1), ("test", 1)))
+        .filter(col("split") === "train")
+        .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
+      val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
+        "shard", Seq("doc_id"), 2000)
+      val packed = Corpus.materializePacked(
+          train.join(bins.drop("shard"), Seq("doc_id")),
+          "doc_id", "clean_text", "shard", "bin_id")
+        .withColumn("pack_id",
+          concat_ws("/", col("shard"), col("bin_id")))
+      val ranked = Corpus.epochOrder(packed, "pack_id", "shard",
+        epoch = 1)
+      val out = packed
+        .join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+        .select(col("shard"), col("bin_id"), col("n_docs"),
+          col("epoch_rank"), col("packed_text"))
+        .localCheckpoint() // materialize before releasing the cache
+      normed.unpersist()
+      out
+    }),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.35)),
@@ -561,6 +635,15 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, d) =>
       Similarity.centroidUpdate(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", centroidPred = col("vec_id") % 37 === 1)),
+    // ---- §2.7 A4 iterated k-means (the full IVF index-training loop)
+    // tol = -1 disables early stop, so the run is EXACTLY two
+    // assign→update rounds plus a final assignment — which the oracle
+    // unrolls verbatim; raw-quotient means keep every intermediate
+    // bit-identical across engines (see Similarity.centroidTable)
+    "q_embed_kmeans" -> ((s, d) =>
+      Similarity.kmeansIterate(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", initPred = col("vec_id") % 37 === 1,
+        maxIter = 2, tol = -1.0)._1),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -575,6 +658,32 @@ object SparkEntry {
     // ---- §2.9 M3 frame sampling ----
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))),
+    // ---- §2.9 M4 media transform (resize analog) ----
+    // payload → payload rewrite with metadata update; the deterministic
+    // byte-decimation stub is mirrored byte-for-byte by the oracle
+    // (hex projection, like q_multimodal_frames)
+    "q_multimodal_transform" -> ((s, d) =>
+      Multimodal.transformMedia(Multimodal.mediaTable(s, d), 320, 240)
+        .toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width"), col("height"),
+          length(col("payload")).cast("bigint").as("out_len"),
+          hex(col("payload")).as("out_hex"))),
+    // ---- §2.9 M2 batched decode over COMPOSED media ----
+    // the transform→re-extract chain the module advertises: decode
+    // plumbing must consume arbitrary upstream media, not just the
+    // scan — features here are over the DECIMATED payloads, so this
+    // gate is not a rerun of q_multimodal_meta
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.transformMedia(Multimodal.mediaTable(s, d), 320, 240)
+          .toDF())
+        .toDF()
+        .select(col("media_id"), col("byte_len"), col("checksum"),
+          col("features")(0).cast("double").as("f_len"),
+          col("features")(1).cast("double").as("f_mean"),
+          col("features")(2).cast("double").as("f_mod"),
+          col("features")(3).cast("double").as("f_first"))),
     // ---- §2.2 C7 bronze nested-JSON flatten ----
     "q_bronze_flatten" -> ((s, d) => Bronze.eventsFlattened(s, d)),
     // ---- §2.1 S9 manifest ingestion (data_ingestion.py analog) ----
@@ -703,6 +812,84 @@ object SparkEntry {
       Seq((first, second, forced, s.read.parquet(tmp).count()))
         .toDF("first_write", "second_skipped_is_false", "forced_rewrite",
           "rows_readable")
+    }),
+    // ---- §2.11 O2 stage retries, driver-gated ----
+    // outcome contract (q_pipeline_run pattern): a stage failing twice
+    // then succeeding is retried to the third attempt and returns its
+    // value; an always-failing stage is attempted EXACTLY maxAttempts
+    // times and rethrows the last error. nation_rows is the real
+    // oracle row — the retried stage's result, which DuckDB recounts.
+    "q_pipeline_retries" -> ((s, d) => {
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val n = Pipeline.withRetries(maxAttempts = 3) {
+        if (attempts.incrementAndGet() < 3)
+          throw new RuntimeException("transient failure")
+        Tables.table(s, d, "nation").count()
+      }
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val exhausted =
+        try {
+          Pipeline.withRetries(maxAttempts = 2) {
+            failures.incrementAndGet()
+            throw new RuntimeException("permanent")
+          }
+          false
+        } catch {
+          case e: RuntimeException => e.getMessage == "permanent"
+        }
+      import s.implicits._
+      Seq((attempts.get() == 3, exhausted, failures.get() == 2, n))
+        .toDF("retried_to_third_attempt", "exhaustion_rethrows_last",
+          "failed_exactly_max_attempts", "nation_rows")
+    }),
+    // ---- §2.11 O3 schedule cadence + catchup, driver-gated ----
+    // the cadence grid anchored on the events table's REAL date span,
+    // so n_daily_runs is a data-derived row DuckDB recomputes
+    // (date_diff + 1), not a constant; the grid/catchup/resume laws
+    // ride along as booleans
+    "q_pipeline_schedule" -> ((s, d) => {
+      val mm = Tables.table(s, d, "events")
+        .agg(min(col("ts").cast("date")), max(col("ts").cast("date")))
+        .head()
+      def day(i: Int) = mm.getDate(i).toLocalDate
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      val (start, now) = (day(0), day(1))
+      val daily = Pipeline.dueRuns("@daily", start, None, now)
+      import s.implicits._
+      Seq((daily.size.toLong,
+        daily.head == start && daily.last == now,
+        Pipeline.dueRuns("@daily", start, None, now, catchup = false) ==
+          Seq(daily.last),
+        Pipeline.dueRuns("@daily", start, Some(daily(1)), now) ==
+          daily.drop(2),
+        Pipeline.dueRuns("@daily", start,
+          Some(daily(1).plusSeconds(3600)), now) == daily.drop(2)))
+        .toDF("n_daily_runs", "grid_spans_inclusive",
+          "catchup_false_keeps_last", "resume_after_lastrun",
+          "offgrid_lastrun_rounds_up")
+    }),
+    // ---- §2.1 S10 namespace init, driver-gated ----
+    // create-once/exists-after idempotence for both namespace forms,
+    // plus the real row: a table landed into the ensured path reads
+    // back with every source row (DuckDB recounts nation)
+    "q_namespace_init" -> ((s, d) => {
+      val db = "graft_ns_gate_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val dbCreated = graft.sources.Ingest.ensureDatabase(s, db)
+      val dbAgain = graft.sources.Ingest.ensureDatabase(s, db)
+      s.sql(s"DROP DATABASE `$db`")
+      val root = java.nio.file.Files.createTempDirectory("graft-ns")
+      try {
+        val path = root.toString + "/warehouse/nation"
+        val pCreated = graft.sources.Ingest.ensurePath(path)
+        val pAgain = graft.sources.Ingest.ensurePath(path)
+        Tables.writeParquet(Tables.table(s, d, "nation"), path)
+        import s.implicits._
+        Seq((dbCreated && !dbAgain, pCreated && !pAgain,
+          s.read.parquet(path).count()))
+          .toDF("database_created_once", "path_created_once",
+            "rows_readable")
+      } finally rmTree(root.toFile)
     }),
   )
 
@@ -1001,6 +1188,24 @@ object SparkEntry {
       """SELECT true AS union_within_2pct_of_global,
         |  true AS estimate_within_5pct,
         |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact""".stripMargin,
+    "q_pipeline_retries" ->
+      """SELECT true AS retried_to_third_attempt,
+        |  true AS exhaustion_rethrows_last,
+        |  true AS failed_exactly_max_attempts,
+        |  (SELECT count(*) FROM nation) AS nation_rows""".stripMargin,
+    // the daily grid anchored on the events date span is inclusive of
+    // both endpoints, so its length is the real data-derived row
+    "q_pipeline_schedule" ->
+      """SELECT CAST(date_diff('day', min(CAST(ts AS DATE)),
+        |    max(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_daily_runs,
+        |  true AS grid_spans_inclusive,
+        |  true AS catchup_false_keeps_last,
+        |  true AS resume_after_lastrun,
+        |  true AS offgrid_lastrun_rounds_up
+        |FROM events""".stripMargin,
+    "q_namespace_init" ->
+      """SELECT true AS database_created_once, true AS path_created_once,
+        |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
     "q_dedup_minhash" ->
       s"""$duckShingles, mh AS (
          |  SELECT sid, $duckMh FROM sh GROUP BY sid
@@ -1142,10 +1347,10 @@ object SparkEntry {
         |        regexp_replace(
         |          '<div class="doc"><p>' || text ||
         |            '</p></div> source: https://example.com/doc?id=' ||
-        |            doc_id || ' &amp; more&nbsp;',
+        |            doc_id || ' &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;',
         |          '<[^>]*>', ' ', 'g'),
         |        'https?://[^\s]+', ' ', 'g'),
-        |      '&[A-Za-z]+;', ' ', 'g'),
+        |      '&#?[A-Za-z0-9]+;', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text
         |FROM documents""".stripMargin,
     "q_text_repetition" ->
@@ -1191,6 +1396,141 @@ object SparkEntry {
          |SELECT doc_id, grp, q FROM g
          |QUALIFY row_number() OVER (PARTITION BY grp
          |  ORDER BY q DESC, doc_id) = 1""".stripMargin,
+    // the whole composed pipeline as one statement: the strip/
+    // normalize mirrors from q_text_strip/q_text_normalize feed the
+    // q_dedup_minhash band pipeline (over norm_text) plus exact-hash
+    // pairs, the q_dedup_groups recursive closure, the
+    // q_dedup_canonical window, the q_corpus_filter quality gate, the
+    // q_corpus_mixture/split hash filters, and the q_corpus_pack_text
+    // + q_corpus_shuffle tail — each body textually congruent with its
+    // standalone-gate twin
+    "q_llm_pipeline" -> {
+      val allStop = duckList(
+        graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            '<div class="doc"><p>' || text ||
+         |              '</p></div> source: https://example.com/doc?id=' ||
+         |              doc_id || ' &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;',
+         |            '<[^>]*>', ' ', 'g'),
+         |          'https?://[^\\s]+', ' ', 'g'),
+         |        '&#?[A-Za-z0-9]+;', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean_text
+         |  FROM documents
+         |), nsrc AS (
+         |  SELECT doc_id, lang, clean_text,
+         |    lower(regexp_replace(trim(clean_text), '\\s+', ' ', 'g')) AS norm_text
+         |  FROM src
+         |), words AS (
+         |  SELECT doc_id, string_split_regex(trim(norm_text), '\\s+') AS w
+         |  FROM nsrc
+         |), sh AS (
+         |  SELECT DISTINCT doc_id AS sid,
+         |    unnest(list_transform(range(1, len(w)-1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |  FROM words WHERE len(w) >= 3
+         |), mh AS (
+         |  SELECT sid, $duckMh FROM sh GROUP BY sid
+         |), bk AS (
+         |  SELECT sid, b, CASE b $duckBandCase END AS bucket
+         |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs
+         |), cand AS (
+         |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.sid < b.sid
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh x ON x.sid = c.id_a
+         |  JOIN sh y ON y.sid = c.id_b AND y.sh = x.sh
+         |  GROUP BY 1, 2
+         |), sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
+         |mhpairs AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.sid = i.id_a
+         |  JOIN sizes sb ON sb.sid = i.id_b
+         |  WHERE i.i * 2 >= (sa.n + sb.n - i.i) * 1
+         |), exacth AS (
+         |  SELECT doc_id, sha256(norm_text) AS h FROM nsrc
+         |), epairs AS (
+         |  SELECT m.keep AS id_a, e.doc_id AS id_b
+         |  FROM exacth e
+         |  JOIN (SELECT h, min(doc_id) AS keep FROM exacth GROUP BY h) m
+         |    ON e.h = m.h
+         |  WHERE e.doc_id <> m.keep
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM mhpairs
+         |  UNION SELECT id_a, id_b FROM epairs
+         |), sym AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+         |), grp AS (
+         |  SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+         |), qm AS (
+         |  SELECT doc_id, clean_text,
+         |    string_split_regex(trim(clean_text), '\\s+') AS ws
+         |  FROM nsrc
+         |), qual AS (
+         |  SELECT doc_id,
+         |    ROUND((CASE WHEN len(ws) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(ws, t -> list_contains($allStop, t))) AS DOUBLE) / len(ws) END * 0.4) +
+         |      (CASE WHEN length(clean_text) = 0 THEN 0.0
+         |        ELSE CAST(len(regexp_extract_all(clean_text, '[A-Za-z]')) AS DOUBLE) / length(clean_text) END * 0.3) +
+         |      (LEAST((CASE WHEN len(ws) = 0 THEN 0.0
+         |        ELSE CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) END) / 10.0, 1.0) * 0.2) +
+         |      ((1.0 - CASE WHEN length(clean_text) = 0 THEN 0.0
+         |        ELSE CAST(len(regexp_extract_all(clean_text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(clean_text) END) * 0.1), 6)
+         |      AS q
+         |  FROM qm
+         |), canon AS (
+         |  SELECT g.doc_id FROM grp g JOIN qual ON qual.doc_id = g.doc_id
+         |  QUALIFY row_number() OVER (PARTITION BY g.group_id
+         |    ORDER BY qual.q DESC, g.doc_id) = 1
+         |), kept AS (
+         |  SELECT n.doc_id, n.lang, n.clean_text,
+         |    len(regexp_extract_all(n.clean_text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+         |  FROM nsrc n
+         |  JOIN canon c ON c.doc_id = n.doc_id
+         |  JOIN qual q ON q.doc_id = n.doc_id
+         |  WHERE q.q >= 0.45
+         |    AND len(regexp_extract_all(n.clean_text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) BETWEEN 10 AND 100000
+         |), train AS (
+         |  SELECT doc_id, clean_text, n_bpe,
+         |    ${duckHashBucket("doc_id", "shard", 4)} AS shard
+         |  FROM kept
+         |  WHERE ${duckHashBucket("doc_id", "mix", 10)} <
+         |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 5
+         |              WHEN 'fr' THEN 5 WHEN 'es' THEN 3 END
+         |    AND ${duckHashBucket("doc_id", "sp", 10)} < 8
+         |), bins AS (
+         |  SELECT doc_id, shard, clean_text,
+         |    CAST(FLOOR(COALESCE(SUM(n_bpe) OVER (PARTITION BY shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / 2000.0) AS BIGINT) AS bin_id
+         |  FROM train
+         |), packed AS (
+         |  SELECT shard, bin_id, COUNT(*) AS n_docs,
+         |    string_agg(clean_text, '<|eot|>' ORDER BY doc_id) AS packed_text
+         |  FROM bins GROUP BY shard, bin_id
+         |)
+         |SELECT shard, bin_id, n_docs,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY sha256(shard || '/' || bin_id || ':1'),
+         |      shard || '/' || bin_id) AS BIGINT) AS epoch_rank,
+         |  packed_text
+         |FROM packed""".stripMargin
+    },
     "q_contamination" ->
       s"""$duckShingles, bench AS (
          |  SELECT doc_id AS bid FROM documents
@@ -1253,6 +1593,61 @@ object SparkEntry {
         |  CAST(length(substr(hx, CAST(frame_idx * 96 + 1 AS INT), 128)) / 2 AS BIGINT) AS frame_len,
         |  substr(hx, CAST(frame_idx * 96 + 1 AS INT), 128) AS frame_hex
         |FROM f""".stripMargin,
+    // byte-decimation mirror of resizeStub: k = max(1, srcArea/76800)
+    // with srcArea = max(1, (n_chars%640)·(n_chars%480)), output =
+    // every k-th byte — reassembled here as hex pairs
+    "q_multimodal_transform" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS blen,
+        |    GREATEST(1, CAST(n_chars % 640 AS BIGINT) * CAST(n_chars % 480 AS BIGINT)) AS src_area
+        |  FROM documents
+        |), kk AS (
+        |  SELECT media_id, hx, blen, GREATEST(1, src_area // 76800) AS k
+        |  FROM h
+        |), o AS (
+        |  SELECT media_id, k, hx,
+        |    CASE WHEN blen = 0 THEN 0 ELSE (blen + k - 1) // k END AS n_out
+        |  FROM kk
+        |)
+        |SELECT media_id, 'text/plain' AS media_type,
+        |  CAST(320 AS INT) AS width, CAST(240 AS INT) AS height,
+        |  CAST(n_out AS BIGINT) AS out_len,
+        |  array_to_string(list_transform(range(0, n_out),
+        |    i -> substr(hx, CAST(2*i*k + 1 AS INT), 2)), '') AS out_hex
+        |FROM o""".stripMargin,
+    // the same decimation, then the decodeStub feature math over the
+    // DECIMATED byte list (q_multimodal_meta's checksum/mean mirror)
+    "q_multimodal_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS blen,
+        |    GREATEST(1, CAST(n_chars % 640 AS BIGINT) * CAST(n_chars % 480 AS BIGINT)) AS src_area
+        |  FROM documents
+        |), kk AS (
+        |  SELECT media_id, hx, blen, GREATEST(1, src_area // 76800) AS k
+        |  FROM h
+        |), b AS (
+        |  SELECT media_id,
+        |    list_transform(
+        |      range(0, CASE WHEN blen = 0 THEN 0 ELSE (blen + k - 1) // k END),
+        |      i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i*k + 1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i*k + 2 AS INT), 1)) - 1)) AS bytes
+        |  FROM kk
+        |), c AS (
+        |  SELECT media_id, len(bytes) AS byte_len, bytes,
+        |    list_reduce(list_prepend(0, bytes),
+        |      (acc, x) -> (acc * 31 + x) & 2147483647) AS checksum
+        |  FROM b
+        |)
+        |SELECT media_id, CAST(byte_len AS BIGINT) AS byte_len, checksum,
+        |  CAST(byte_len AS DOUBLE) AS f_len,
+        |  CASE WHEN byte_len = 0 THEN 0.0
+        |       ELSE CAST(CAST(list_sum(bytes) AS FLOAT) / CAST(byte_len AS FLOAT) AS DOUBLE)
+        |  END AS f_mean,
+        |  CAST(checksum % 256 AS DOUBLE) AS f_mod,
+        |  CAST(COALESCE(bytes[1], 0) AS DOUBLE) AS f_first
+        |FROM c""".stripMargin,
     "q_ann_lsh" -> {
       val flips = (0 until 12).map(i => s"xor(qbucket, CAST(${1L << i} AS BIGINT))")
       s"""WITH b AS (
@@ -1330,6 +1725,56 @@ object SparkEntry {
          |SELECT cell, pos, CAST(SUM(v) AS DOUBLE) AS sum_val,
          |  COUNT(*) AS n_vec
          |FROM el GROUP BY cell, pos""".stripMargin,
+    // two unrolled assign→stats→means rounds, then the final
+    // assignment — mirrors kmeansIterate(maxIter=2, tol=-1) step for
+    // step: a1/s1 are exactly the q_embed_centroid pipeline, c1/c2
+    // are RAW double quotients of the exact-decimal sums (IEEE
+    // division is correctly rounded, so they agree bit-for-bit;
+    // rounding them would not), list(... ORDER BY pos) rebuilds the
+    // index-ordered centroid vectors
+    "q_embed_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cell, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 37 = 1
+         |), a1 AS (
+         |  SELECT cand_id, cv, cell FROM (
+         |    SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cell) AS r
+         |    FROM embeddings e CROSS JOIN c0 c) x
+         |  WHERE r = 1
+         |), s1 AS (
+         |  SELECT cell, p AS pos,
+         |    CAST(SUM(CAST(ROUND(CAST(cv[p] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+         |    COUNT(*) AS n_vec
+         |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS p) ps
+         |  GROUP BY cell, p
+         |), c1 AS (
+         |  SELECT cell, list(sum_val / n_vec ORDER BY pos) AS centv
+         |  FROM s1 GROUP BY cell
+         |), a2 AS (
+         |  SELECT cand_id, cv, cell FROM (
+         |    SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cell) AS r
+         |    FROM embeddings e CROSS JOIN c1 c) x
+         |  WHERE r = 1
+         |), s2 AS (
+         |  SELECT cell, p AS pos,
+         |    CAST(SUM(CAST(ROUND(CAST(cv[p] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+         |    COUNT(*) AS n_vec
+         |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS p) ps
+         |  GROUP BY cell, p
+         |), c2 AS (
+         |  SELECT cell, list(sum_val / n_vec ORDER BY pos) AS centv
+         |  FROM s2 GROUP BY cell
+         |)
+         |SELECT cand_id, cell FROM (
+         |  SELECT e.vec_id AS cand_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cell) AS r
+         |  FROM embeddings e CROSS JOIN c2 c) x
+         |WHERE r = 1""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -1693,17 +2138,24 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // interpolated-quantile parity (quantile_cont == percentile) is
-    // already proven by q_quantiles; clamp is exact given equal bounds
+    // already proven by q_quantiles; clamp is exact given equal bounds.
+    // Null semantics mirror the Spark operator EXACTLY even though
+    // TPC-H never exercises them (both columns are non-null here): a
+    // null value stays null (DuckDB's least/greatest would otherwise
+    // skip the null and clamp to lo), and the group join is null-safe
+    // (JOIN USING would drop null-group rows the operator preserves)
     "q_clean_winsorize" ->
       """WITH b AS (
-        |  SELECT o_orderpriority,
+        |  SELECT o_orderpriority AS g,
         |    quantile_cont(o_totalprice, 0.01) AS lo,
         |    quantile_cont(o_totalprice, 0.99) AS hi
         |  FROM orders GROUP BY 1
         |)
         |SELECT o_orderkey, o_orderpriority,
-        |  least(greatest(o_totalprice, lo), hi) AS o_totalprice_clipped
-        |FROM orders JOIN b USING (o_orderpriority)""".stripMargin,
+        |  CASE WHEN o_totalprice IS NULL THEN NULL
+        |       ELSE least(greatest(o_totalprice, lo), hi) END
+        |    AS o_totalprice_clipped
+        |FROM orders JOIN b ON o_orderpriority IS NOT DISTINCT FROM b.g""".stripMargin,
     "q_events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

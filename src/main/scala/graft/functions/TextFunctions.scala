@@ -154,7 +154,9 @@ object TextFunctions {
     lower(regexp_replace(trim(c), "\\s+", " "))
 
   /** T6b — boilerplate stripping for web-corpus text: HTML/XML tags,
-    * URLs, and HTML entities become spaces, then whitespace
+    * URLs, and HTML entities — named (`&amp;`) and numeric character
+    * references in decimal (`&#39;`) or hex (`&#x2019;`) form, both
+    * common in crawled HTML — become spaces, then whitespace
     * re-collapses. The standard first pass over crawled documents
     * before any quality metric runs (markup would otherwise pollute
     * alpha/punct ratios and token counts). Chained `regexp_replace` —
@@ -164,7 +166,7 @@ object TextFunctions {
   def stripMarkup(c: Column): Column = {
     val tags = regexp_replace(c, "<[^>]*>", " ")
     val urls = regexp_replace(tags, "https?://[^\\s]+", " ")
-    val ents = regexp_replace(urls, "&[A-Za-z]+;", " ")
+    val ents = regexp_replace(urls, "&#?[A-Za-z0-9]+;", " ")
     trim(regexp_replace(ents, "\\s+", " "))
   }
 

@@ -378,11 +378,37 @@ object Dedup {
     * dedup, append its band/shingle rows and the index covers it for
     * tomorrow's batch — still batch-sized work, the existing index
     * files are untouched.
+    *
+    * Append-retry hazard and its guard: the two table writes are
+    * separate jobs, NOT one atomic commit, and a blindly re-run append
+    * would double every (sid, sh) row — which silently shifts
+    * [[jaccardVerify]]'s intersection/set-size counts. Append mode
+    * therefore first checks (one column-pruned scan of the stored
+    * `bands` sid column against the batch's ids) that no batch id is
+    * already indexed, and throws instead of appending a duplicate.
+    * Bands are written BEFORE shingles so a crash between the two
+    * writes leaves the batch's sids visible to the guard — the retry
+    * fails LOUDLY (repair: drop the batch's rows or rebuild with
+    * overwrite) rather than silently corrupting verify counts. As
+    * defense in depth [[minhashDedupAgainstIndex]] also dedupes the
+    * candidate-restricted stored shingles it reads.
     */
   def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
                       path: String, k: Int = 16,
                       rowsPerBand: Int = 2,
                       mode: String = "overwrite"): Unit = {
+    if (mode == "append" &&
+        new java.io.File(s"$path/bands").exists()) {
+      val stored = df.sparkSession.read.parquet(s"$path/bands")
+        .select(col("sid"))
+      val batchIds = df.select(col(idCol).as("sid")).distinct()
+      val overlap = stored.join(broadcast(batchIds), Seq("sid"),
+        "left_semi").distinct().count()
+      if (overlap > 0L) throw new IllegalStateException(
+        s"writeDedupIndex append refused: $overlap batch id(s) are " +
+          s"already in the index at $path — a duplicated/retried " +
+          "append would corrupt Jaccard verify counts")
+    }
     val sh = shingleIndex(df, idCol, textCol).persist()
     bandBuckets(signatureFromIndex(sh, k), k, rowsPerBand)
       .select(col("sid"), col("bk.band").as("band"),
@@ -447,8 +473,14 @@ object Dedup {
     // join instead of failing if one day's candidates are huge.
     val candIds = cand.select(col("id_a").as("cid"))
       .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    // .distinct() AFTER the semi-join (candidate-sized, so cheap):
+    // shingle rows are unique per (sid, sh) by construction, but a
+    // duplicated index append that slipped past writeDedupIndex's
+    // guard would double them — and doubled rows shift every verify
+    // count. Dedupe on read so verify stays exact regardless.
     val idxSh = spark.read.parquet(s"$path/shingles")
       .join(candIds, col("sid") === col("cid"), "left_semi")
+      .distinct()
     val verified = jaccardVerify(newSh.unionByName(idxSh), Some(cand),
         thresholdNum, thresholdDen)
       .localCheckpoint()
@@ -574,6 +606,14 @@ object Dedup {
       round += 1
     }
     sym.unpersist()
+    // loud non-convergence contract: exiting while labels were still
+    // moving would return PARTIALLY propagated groups with no signal
+    // to the caller. Unreachable in practice (×4 pointer jumping needs
+    // a graph of diameter ~4^maxRounds), but if it ever fires the
+    // caller must know the labels are not components.
+    if (changed) throw new IllegalStateException(
+      s"resolveGroups did not converge within $maxRounds rounds — " +
+        "labels were still propagating; raise maxRounds")
     ids.join(small(labels.withColumnRenamed("group_id", "__g")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__g"), col("id")).as("group_id"))

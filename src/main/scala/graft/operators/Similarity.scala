@@ -126,24 +126,35 @@ object Similarity {
     * its nearest centroid (one shuffle), queries probe the `nprobe`
     * nearest cells. Returns exact cosine rank within probed cells.
     */
-  /** Nearest-centroid assignment (one broadcast join + one shuffle on
-    * the vector id): every vector → (cand_id, cv, cell). Shared by the
-    * IVF probe path and the centroid-update step.
+  /** Nearest-centroid assignment against an explicit centroid TABLE
+    * `(cell, centv)` — the general form [[assignCells]] and the
+    * [[kmeansIterate]] loop share: broadcast the (centroid-sized)
+    * table, rank every (vector, centroid) pair by cosine desc / cell
+    * asc, keep the argmax. One broadcast join + one shuffle on the
+    * vector id.
     */
-  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-                  centroidPred: Column): DataFrame = {
-    val cent = emb.filter(centroidPred)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cand_id"))
-      .orderBy(col("cdist").desc, col("cent_id"))
+      .orderBy(col("cdist").desc, col("cell"))
     emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .join(broadcast(cent))
+      .join(broadcast(centroids))
       .withColumn("cdist", cosine(col("cv"), col("centv")))
       .withColumn("r", row_number().over(assignW))
       .filter(col("r") === 1)
-      .select(col("cand_id"), col("cv"), col("cent_id").as("cell"))
+      .select(col("cand_id"), col("cv"), col("cell"))
   }
+
+  /** Nearest-centroid assignment where the centroids are emb rows
+    * picked by `centroidPred`: every vector → (cand_id, cv, cell).
+    * Shared by the IVF probe path and the centroid-update step.
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  centroidPred: Column): DataFrame =
+    assignToCentroids(emb, idCol, vecCol,
+      emb.filter(centroidPred)
+        .select(col(idCol).as("cell"), col(vecCol).as("centv")))
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, centroidPred: Column,
@@ -194,7 +205,15 @@ object Similarity {
     */
   def centroidUpdate(emb: DataFrame, idCol: String, vecCol: String,
                      centroidPred: Column): DataFrame =
-    assignCells(emb, idCol, vecCol, centroidPred)
+    centroidStats(assignCells(emb, idCol, vecCol, centroidPred))
+
+  /** The sufficient-statistics aggregate over an assignment
+    * (`cand_id, cv, cell` from [[assignToCentroids]]): per (cell, pos)
+    * exact-decimal element sum + member count. See [[centroidUpdate]]
+    * for the determinism rationale.
+    */
+  def centroidStats(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
       .select(col("cell"), (col("pos") + 1).cast("bigint").as("pos"),
         round(col("v").cast("double"), 6).cast("decimal(18,6)").as("el"))
@@ -206,6 +225,96 @@ object Similarity {
   def centroidMeans(stats: DataFrame): DataFrame =
     stats.select(col("cell"), col("pos"),
       (col("sum_val") / col("n_vec")).as("mean_val"))
+
+  /** [[centroidMeans]] reassembled into a `(cell, centv)` centroid
+    * table (array<double>, index-ordered via a struct sort — no window,
+    * no nondeterministic collect order). Cells that lost every member
+    * simply have no stats rows and drop out — the standard k-means
+    * empty-cell behavior. Means stay the RAW double quotient
+    * sum_val / n_vec: the dividend is already exact-decimal-determined
+    * and IEEE division is correctly rounded, so the quotient is
+    * bit-identical on any engine — whereas ROUNDING a quotient is the
+    * one step two engines legitimately disagree on at the last decimal
+    * place (integer-grid sums over even cell sizes land exactly on
+    * rounding halves, where BigDecimal HALF_UP and float-multiply
+    * rounding split).
+    */
+  def centroidTable(stats: DataFrame): DataFrame =
+    centroidMeans(stats)
+      .groupBy(col("cell"))
+      .agg(array_sort(
+          collect_list(struct(col("pos"), col("mean_val").as("mv"))))
+        .as("__pm"))
+      .select(col("cell"),
+        transform(col("__pm"), p => p.getField("mv")).as("centv"))
+
+  /** A4 (iterated) — Lloyd's k-means over the cosine geometry, the
+    * loop a real IVF index build runs to train its coarse centroids:
+    * seed centroids from `initPred` rows, then repeat assign →
+    * sufficient-stats → means until the centroids stop moving
+    * (`movement <= tol`, movement = Σ|new−old| over the quantized
+    * element grid, computed in exact decimal so the convergence
+    * decision is deterministic on any engine/partitioning) or
+    * `maxIter` rounds.
+    *
+    * Per-round cost at scale: one broadcast of the k×dim centroid
+    * table, one scan of the corpus, one (cell, pos)-keyed partial
+    * aggregate — no corpus shuffle ever; `localCheckpoint` truncates
+    * the per-round plan (use reliable `checkpoint` on a cluster). The
+    * per-round movement scalar is the only thing the driver sees.
+    * Mean centroids are NOT renormalized: cosine is scale-invariant in
+    * the centroid argument, so the argmax assignment is identical
+    * either way (spherical k-means without the cosmetic normalize).
+    *
+    * Returns (final assignment `(cand_id, cell)`, per-round movement).
+    * A NEGATIVE `tol` disables early stopping entirely — the loop runs
+    * exactly `maxIter` rounds, so the run is reproducible by unrolling
+    * exactly `maxIter` assign/update rounds (how the driver gate's SQL
+    * oracle mirrors it; grid movement 0 does not quite imply a raw-
+    * double fixpoint, so the gate pins the round count instead).
+    */
+  def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
+                    initPred: Column, maxIter: Int = 10,
+                    tol: Double = 0.0): (DataFrame, Seq[Double]) = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val base = graft.sources.Tables.fanOut(
+      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
+      .persist()
+    // quantized long form of a centroid table — the grid the movement
+    // metric lives on (same 6-dp decimal quantization as the stats)
+    def longForm(c: DataFrame, vAs: String): DataFrame =
+      c.select(col("cell"), posexplode(col("centv")).as(Seq("pos", "v")))
+        .select(col("cell"), (col("pos") + 1).cast("bigint").as("pos"),
+          round(col("v").cast("double"), 6).cast("decimal(18,6)").as(vAs))
+    var cent = emb.filter(initPred)
+      .select(col(idCol).as("cell"), col(vecCol).as("centv"))
+      .localCheckpoint()
+    val moves = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val newCent = centroidTable(
+        centroidStats(assignToCentroids(base, "cand_id", "cv", cent)))
+        .localCheckpoint()
+      // inner join: a cell that lost all members contributes no
+      // movement (it no longer exists to move)
+      val mv = longForm(cent, "o").join(longForm(newCent, "n"),
+          Seq("cell", "pos"))
+        .agg(coalesce(sum(abs(col("o") - col("n"))),
+          lit(java.math.BigDecimal.ZERO)).cast("double"))
+        .head().getDouble(0)
+      moves += mv
+      cent = newCent
+      iter += 1
+      if (mv <= tol) converged = true
+    }
+    val finalAssign =
+      assignToCentroids(base, "cand_id", "cv", cent)
+        .select(col("cand_id"), col("cell"))
+        .localCheckpoint() // materialize before base.unpersist below
+    base.unpersist()
+    (finalAssign, moves.toSeq)
+  }
 
   /** D5 (scale path) — LSH-bucketed near-dup pairs: candidate pairs
     * share a sign-bucket or any 1-bit-flipped neighbor (multiprobe),

@@ -126,7 +126,15 @@ object SumStringLengths {
     s
   }
 
-  /** Column API: `sum_string_lengths($"tokens")`. */
+  /** Column API: `sum_string_lengths($"tokens")`.
+    *
+    * Null contract: null ELEMENTS are skipped (contribute 0), unlike
+    * the `aggregate(transform(...))` HOF form this replaces, which
+    * nulls the whole sum on any null element. The engine's only
+    * producer (`split`) never yields null elements, so the two agree
+    * there — but callers passing arbitrary `array<string>` with null
+    * elements get the skip-nulls behavior. Null ARRAY in → null out.
+    */
   def sum_string_lengths(c: Column): Column =
     GraftSqlBridge.toColumn(
       SumStringLengths(GraftSqlBridge.toExpression(c)))

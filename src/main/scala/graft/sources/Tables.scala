@@ -54,10 +54,19 @@ object Tables {
     * many are available. One cheap round-robin shuffle unlocks them.
     * A production layout with many files/row groups passes through
     * untouched.
+    *
+    * `partitionsHint`, when the caller already knows the input's
+    * partition count (or pins the decision), skips the physical
+    * planning pass the partition-count probe otherwise forces.
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, partitionsHint: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    // toRdd: the probe needs only the physical partitioning, not
+    // df.rdd's extra row-deserializer RDD layer; planning is cached on
+    // df.queryExecution so the no-repartition branch reuses it
+    val parts = partitionsHint.getOrElse(
+      df.queryExecution.toRdd.getNumPartitions)
+    if (parts >= math.max(1, target / 2)) df
     else df.repartition(target)
   }
 

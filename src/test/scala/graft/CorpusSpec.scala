@@ -29,6 +29,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(clean == (1L to 8L).map(i => i -> i).toMap)
   }
 
+  test("resolveGroups: hitting maxRounds unconverged throws, never returns partial labels") {
+    import spark.implicits._
+    // a 40-node path graph: one neighbor-min + two ×2 pointer jumps
+    // cannot carry label 1 to the far end in a single round, so
+    // maxRounds = 1 exits while labels are still moving
+    val n = 40L
+    val ids = (1L to n).toDF("id")
+    val path = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveGroups(ids, path, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges with the default budget
+    val got = Dedup.resolveGroups(ids, path).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L))
+  }
+
   test("sampleByHash: deterministic, disjoint across salts, exhaustive at num=den") {
     val doc = Tables.table(spark, sf, "documents").select("doc_id")
     val n = doc.count()

@@ -188,6 +188,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(ivfR >= 0.25, f"IVF recall@10 $ivfR%.3f below 0.25 floor")
   }
 
+  test("kmeansIterate: movement non-increasing, converges, covers every vector") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val seeds = col("vec_id") % 37 === 1
+    val k = emb.filter(seeds).count()
+    val (assign, moves) = Similarity.kmeansIterate(
+      emb, "vec_id", "embedding", seeds, maxIter = 8, tol = 0.0)
+    info(s"movement per round: ${moves.map(m => f"$m%.4f").mkString(", ")}")
+    assert(moves.nonEmpty && moves.length <= 8)
+    // deterministic data + seeds → this is a fixed sequence; Lloyd
+    // rounds settle monotonically here and end at an exact fixpoint
+    // when the loop converges before the budget
+    assert(moves.zip(moves.tail).forall { case (a, b) => b <= a },
+      s"movement increased between rounds: $moves")
+    if (moves.length < 8) assert(moves.last == 0.0)
+    // every vector assigned exactly once, only to surviving seed cells
+    assert(assign.count() == emb.count())
+    assert(assign.select("cand_id").distinct().count() == emb.count())
+    val cells = assign.select("cell").distinct()
+    assert(cells.count() <= k)
+    assert(cells.join(emb.filter(seeds),
+      cells("cell") === emb("vec_id"), "left_anti").count() == 0)
+    // a negative tol disables early stop: exactly maxIter rounds run
+    val (_, fixed) = Similarity.kmeansIterate(
+      emb, "vec_id", "embedding", seeds, maxIter = 3, tol = -1.0)
+    assert(fixed.length == 3)
+  }
+
   test("persisted-index incremental dedup equals the recompute form") {
     import graft.operators.{Corpus, Dedup}
     val doc = Tables.table(spark, sf, "documents")
@@ -230,6 +257,13 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         doc, "doc_id", "text", bucket === 1)
       assert(got.count() == exp.count())
       assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+      // a retried/duplicated append of an already-indexed batch must
+      // refuse loudly — a silent double-append would double (sid, sh)
+      // rows and shift every downstream Jaccard verify count
+      val e = intercept[IllegalStateException] {
+        Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
+      }
+      assert(e.getMessage.contains("append refused"))
     } finally rmTree(new java.io.File(dir))
   }
 
