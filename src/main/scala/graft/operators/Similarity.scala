@@ -158,20 +158,34 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, centroidPred: Column,
-              k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val cent = emb.filter(centroidPred)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-    val assigned = assignCells(emb, idCol, vecCol, centroidPred)
+              k: Int = 10, nprobe: Int = 2): DataFrame =
+    ivfTopKIndexed(emb, idCol, vecCol, queryPred,
+      emb.filter(centroidPred)
+        .select(col(idCol).as("cell"), col(vecCol).as("centv")),
+      k, nprobe)
+
+  /** A3 (trained form) — the IVF probe against an EXPLICIT centroid
+    * table `(cell, centv)`: the serve side of the train→serve loop,
+    * fed by [[kmeansIterate]]'s trained centroids (or any externally
+    * built coarse quantizer). [[ivfTopK]] is this with the centroid
+    * table drawn from emb rows. Same plan shape: centroids broadcast
+    * twice (assign + probe), one shuffle on the vector id, exact
+    * cosine rank within probed cells.
+    */
+  def ivfTopKIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, centroids: DataFrame,
+                     k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val assigned = assignToCentroids(emb, idCol, vecCol, centroids)
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("qdist").desc, col("cent_id"))
+      .orderBy(col("qdist").desc, col("cell"))
     val probed = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(cent))
+      .join(broadcast(centroids))
       .withColumn("qdist", cosine(col("qv"), col("centv")))
       .withColumn("r", row_number().over(probeW))
       .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("cell"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -266,16 +280,19 @@ object Similarity {
     * the centroid argument, so the argmax assignment is identical
     * either way (spherical k-means without the cosmetic normalize).
     *
-    * Returns (final assignment `(cand_id, cell)`, per-round movement).
-    * A NEGATIVE `tol` disables early stopping entirely — the loop runs
-    * exactly `maxIter` rounds, so the run is reproducible by unrolling
-    * exactly `maxIter` assign/update rounds (how the driver gate's SQL
-    * oracle mirrors it; grid movement 0 does not quite imply a raw-
-    * double fixpoint, so the gate pins the round count instead).
+    * Returns (final assignment `(cand_id, cell)`, trained centroid
+    * table `(cell, centv)` — feed it to [[ivfTopKIndexed]] to serve
+    * the index — and per-round movement). A NEGATIVE `tol` disables
+    * early stopping entirely — the loop runs exactly `maxIter`
+    * rounds, so the run is reproducible by unrolling exactly
+    * `maxIter` assign/update rounds (how the driver gate's SQL oracle
+    * mirrors it; grid movement 0 does not quite imply a raw-double
+    * fixpoint, so the gate pins the round count instead).
     */
   def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
                     initPred: Column, maxIter: Int = 10,
-                    tol: Double = 0.0): (DataFrame, Seq[Double]) = {
+                    tol: Double = 0.0)
+      : (DataFrame, DataFrame, Seq[Double]) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val base = graft.sources.Tables.fanOut(
       emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
@@ -313,7 +330,7 @@ object Similarity {
         .select(col("cand_id"), col("cell"))
         .localCheckpoint() // materialize before base.unpersist below
     base.unpersist()
-    (finalAssign, moves.toSeq)
+    (finalAssign, cent, moves.toSeq)
   }
 
   /** D5 (scale path) — LSH-bucketed near-dup pairs: candidate pairs

@@ -186,13 +186,24 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     // below the measured values
     assert(lshR >= 0.40, f"LSH recall@10 $lshR%.3f below 0.40 floor")
     assert(ivfR >= 0.25, f"IVF recall@10 $ivfR%.3f below 0.25 floor")
+    // the full train→serve loop: k-means-trained centroids fed to the
+    // indexed IVF probe. Training relocates centroids toward cluster
+    // mass, so recall must not degrade vs the raw seed index (measured:
+    // 0.290 seed → 0.410 trained at 5 Lloyd rounds)
+    val (_, trained, _) = Similarity.kmeansIterate(
+      emb, "vec_id", "embedding", col("vec_id") % 37 === 1, maxIter = 5)
+    val trainedR = recallAt10(Similarity.ivfTopKIndexed(
+      emb, "vec_id", "embedding", qp, trained).collect())
+    info(f"recall@10: ivf-trained=$trainedR%.3f")
+    assert(trainedR >= ivfR - 0.02,
+      f"training degraded IVF recall: seed $ivfR%.3f -> $trainedR%.3f")
   }
 
   test("kmeansIterate: movement non-increasing, converges, covers every vector") {
     val emb = Tables.table(spark, sf, "embeddings")
     val seeds = col("vec_id") % 37 === 1
     val k = emb.filter(seeds).count()
-    val (assign, moves) = Similarity.kmeansIterate(
+    val (assign, _, moves) = Similarity.kmeansIterate(
       emb, "vec_id", "embedding", seeds, maxIter = 8, tol = 0.0)
     info(s"movement per round: ${moves.map(m => f"$m%.4f").mkString(", ")}")
     assert(moves.nonEmpty && moves.length <= 8)
@@ -210,7 +221,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(cells.join(emb.filter(seeds),
       cells("cell") === emb("vec_id"), "left_anti").count() == 0)
     // a negative tol disables early stop: exactly maxIter rounds run
-    val (_, fixed) = Similarity.kmeansIterate(
+    val (_, _, fixed) = Similarity.kmeansIterate(
       emb, "vec_id", "embedding", seeds, maxIter = 3, tol = -1.0)
     assert(fixed.length == 3)
   }
@@ -427,6 +438,23 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       assert(full.contains(k), s"phantom pair $k")
       assert(full(k) == r.getDouble(2), s"score drift on $k")
     }
+    // Recall floor vs the exact pairwise result — the regression the
+    // self-mirror driver gate can't catch (same rationale as the ANN
+    // recall spec above, including the plane-count rule: the 12-plane
+    // gate setting is sized for a real corpus, so the measurable spec
+    // probes at 4 planes / 16 buckets over these 500 vectors).
+    val lsh4 = Similarity
+      .cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.35,
+        nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = full.keySet.count(lsh4).toDouble / full.size
+    info(f"pair recall at 4 planes: $recall%.3f (${full.size} exact pairs)")
+    // measured (deterministic: seeded planes, fixed data): 0.463 over
+    // 257 exact pairs, with ~31% of the corpus sharing a probe set —
+    // the buckets genuinely concentrate near-dup pairs; the floor
+    // sits just below the measured value and craters on a real
+    // bucketing regression (wrong planes, dropped probe, bad join)
+    assert(recall >= 0.40, f"LSH pair recall $recall%.3f below 0.40")
   }
 
   test("portable fingerprint: every doc in exactly one group, dups collide") {
