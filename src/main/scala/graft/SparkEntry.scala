@@ -586,16 +586,30 @@ object SparkEntry {
         normed.join(groups, Seq("doc_id"))
           .withColumn("q", tf.qualityScore(col("clean_text"))),
         "doc_id", "group_id", "q")
-      val kept = Corpus.trainingFilter(canon, "doc_id", "clean_text",
-          0.45, 10, 100000)
-        .select(col("doc_id"), col("n_bpe_tokens"))
-        .join(canon.select("doc_id", "lang", "clean_text"), Seq("doc_id"))
+      // the K4 training filter, single-pass form: canon already
+      // carries the quality score (identical formula — qualityScore ==
+      // qualityReport's quality_score, the equivalence q_dedup_
+      // canonical's oracle rests on), so the composition filters on
+      // the computed column and adds only the token count, instead of
+      // re-running the whole quality report (the standalone
+      // Corpus.trainingFilter stays gated by q_corpus_filter)
+      val kept = canon
+        .withColumn("n_bpe_tokens",
+          tf.bpeTokenCount(col("clean_text")).cast("bigint"))
+        .filter(col("q") >= 0.45 &&
+          col("n_bpe_tokens").between(10, 100000))
+        .select(col("doc_id"), col("n_bpe_tokens"), col("lang"),
+          col("clean_text"))
       val mixed = Corpus.mixtureSample(kept, "doc_id", "lang", "mix", 10,
         Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3))
+      // train feeds TWO consumers (the pack assignment and the packed
+      // materialization join); the checkpoint stops each from re-
+      // running the whole dedup→canonical→filter chain
       val train = Corpus.splitByHash(mixed, "doc_id", "sp",
           Seq(("train", 8), ("val", 1), ("test", 1)))
         .filter(col("split") === "train")
         .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
+        .localCheckpoint()
       val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
         "shard", Seq("doc_id"), 2000)
       val packed = Corpus.materializePacked(
