@@ -129,4 +129,85 @@ object Pipeline {
     withRetries(maxAttempts)(gold(spark, sfDir, outDir, runDate))
     spark.read.parquet(s"$outDir/gold/fact_sales")
   }
+
+  // ---- The same medallion pattern applied to the CORPUS domain ----
+  // (the warehouse DAG above mirrors the reference's weather ETL; this
+  // one is what the identical orchestration looks like when the "gold"
+  // product is a packed training set instead of a star schema)
+
+  /** Corpus bronze: land raw documents with lineage columns. */
+  def corpusBronze(spark: SparkSession, sfDir: String, outDir: String,
+                   ingestionDate: String): Unit =
+    Tables.writeParquet(
+      Tables.table(spark, sfDir, "documents")
+        .withColumn("_source", lit("testdata"))
+        .withColumn("_ingestion_date", lit(ingestionDate)),
+      s"$outDir/bronze/documents")
+
+  /** Corpus silver: strip markup, normalize, exact-dedup to one
+    * canonical (best-quality) document per normalized text, carrying
+    * the computed quality score forward so gold never recomputes it.
+    */
+  def corpusSilver(spark: SparkSession, outDir: String,
+                   processingDate: String): Unit = {
+    val tf = graft.functions.TextFunctions
+    val cleaned = spark.read.parquet(s"$outDir/bronze/documents")
+      .select(col("doc_id"), col("lang"),
+        tf.stripMarkup(col("text")).as("clean_text"))
+      .withColumn("norm_text", tf.normalizeText(col("clean_text")))
+      .withColumn("grp", sha2(col("norm_text"), 256))
+      .withColumn("q", tf.qualityScore(col("clean_text")))
+    Tables.writeParquet(
+      Dedup.keepCanonical(cleaned, "doc_id", "grp", "q")
+        .drop("grp", "norm_text")
+        .withColumn("_processing_date", lit(processingDate)),
+      s"$outDir/silver/documents")
+  }
+
+  /** Corpus gold: training filter → language mixture → train split →
+    * greedy pack → packed rows with a deterministic epoch order — the
+    * publishable training-set table.
+    */
+  def corpusGold(spark: SparkSession, outDir: String,
+                 modelingDate: String, epoch: Int = 1): Unit = {
+    val tf = graft.functions.TextFunctions
+    val silver = spark.read.parquet(s"$outDir/silver/documents")
+    val kept = silver
+      .withColumn("n_bpe_tokens",
+        tf.bpeTokenCount(col("clean_text")).cast("bigint"))
+      .filter(col("q") >= 0.45 && col("n_bpe_tokens").between(10, 100000))
+    val train = Corpus.splitByHash(
+        Corpus.mixtureSample(kept, "doc_id", "lang", "mix", 10,
+          Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3)),
+        "doc_id", "sp", Seq(("train", 8), ("val", 1), ("test", 1)))
+      .filter(col("split") === "train")
+      .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
+      .localCheckpoint() // two consumers: pack assignment + join-back
+    val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
+      "shard", Seq("doc_id"), 2000)
+    val packed = Corpus.materializePacked(
+        train.join(bins.drop("shard"), Seq("doc_id")),
+        "doc_id", "clean_text", "shard", "bin_id")
+      .withColumn("pack_id", concat_ws("/", col("shard"), col("bin_id")))
+    val ranked = Corpus.epochOrder(packed, "pack_id", "shard", epoch)
+    Tables.writeParquet(
+      packed.join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+        .select(col("shard"), col("bin_id"), col("n_docs"),
+          col("epoch_rank"), col("packed_text"))
+        .withColumn("_modeling_date", lit(modelingDate)),
+      s"$outDir/gold/train_packed")
+  }
+
+  /** Corpus-domain DAG run (bronze → silver → gold with retries, same
+    * orchestration contract as [[run]]); returns the packed training
+    * set.
+    */
+  def runCorpus(spark: SparkSession, sfDir: String, outDir: String,
+                runDate: String, epoch: Int = 1,
+                maxAttempts: Int = 3): DataFrame = {
+    withRetries(maxAttempts)(corpusBronze(spark, sfDir, outDir, runDate))
+    withRetries(maxAttempts)(corpusSilver(spark, outDir, runDate))
+    withRetries(maxAttempts)(corpusGold(spark, outDir, runDate, epoch))
+    spark.read.parquet(s"$outDir/gold/train_packed")
+  }
 }

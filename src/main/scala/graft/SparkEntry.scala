@@ -882,6 +882,31 @@ object SparkEntry {
           "catchup_false_keeps_last", "resume_after_lastrun",
           "offgrid_lastrun_rounds_up")
     }),
+    // ---- §2.10/§2.11 corpus-domain medallion DAG, driver-gated ----
+    // the reference's DAG pattern with a TRAINING SET as the gold
+    // product: bronze lands raw docs, silver strips/normalizes/
+    // canonicalizes, gold filters/mixes/splits/packs with an epoch
+    // order. Outcome contract + the real row: silver holds exactly
+    // one doc per distinct normalized text, which DuckDB recomputes
+    // from scratch.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-corpus-dag").toString
+      try {
+        val gold = Pipeline.runCorpus(s, d, out, Stamp)
+        val silverN = s.read.parquet(s"$out/silver/documents").count()
+        val goldRows = gold.count()
+        // per-shard epoch ranks must be a dense 1..n permutation
+        val dense = gold.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), max(col("epoch_rank")).as("mx"),
+            min(col("epoch_rank")).as("mn"))
+          .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+          .count() == 0
+        import s.implicits._
+        Seq((goldRows > 0, dense, silverN))
+          .toDF("gold_nonempty", "epoch_ranks_dense", "silver_docs")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.1 S10 namespace init, driver-gated ----
     // create-once/exists-after idempotence for both namespace forms,
     // plus the real row: a table landed into the ensured path reads
@@ -1220,6 +1245,20 @@ object SparkEntry {
     "q_namespace_init" ->
       """SELECT true AS database_created_once, true AS path_created_once,
         |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
+    // silver_docs = one canonical doc per distinct strip+normalized
+    // text, recomputed from the raw table (same strip/normalize
+    // mirrors as q_text_strip/q_text_normalize, unwrapped)
+    "q_corpus_pipeline" ->
+      """SELECT true AS gold_nonempty, true AS epoch_ranks_dense,
+        |  (SELECT count(DISTINCT lower(regexp_replace(trim(
+        |      trim(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |            'https?://[^\s]+', ' ', 'g'),
+        |          '&#?[A-Za-z0-9]+;', ' ', 'g'),
+        |        '\s+', ' ', 'g'))), '\s+', ' ', 'g')))
+        |   FROM documents) AS silver_docs""".stripMargin,
     "q_dedup_minhash" ->
       s"""$duckShingles, mh AS (
          |  SELECT sid, $duckMh FROM sh GROUP BY sid

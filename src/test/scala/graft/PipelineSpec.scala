@@ -21,6 +21,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(dims.select("id_customer").distinct().count() == dims.count())
   }
 
+  test("corpus DAG: bronze → silver → gold produces a packed training set") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-cpipe").toString
+    val gold = Pipeline.runCorpus(spark, sf, out, "2026-08-12")
+    // silver: exactly one canonical doc per distinct normalized text
+    val tf = graft.functions.TextFunctions
+    val distinctNorm = graft.sources.Tables.table(spark, sf, "documents")
+      .select(tf.normalizeText(tf.stripMarkup(col("text"))).as("n"))
+      .distinct().count()
+    val silver = spark.read.parquet(s"$out/silver/documents")
+    assert(silver.count() == distinctNorm)
+    assert(silver.columns.contains("_processing_date"))
+    assert(silver.columns.contains("q"), "quality score carried to gold's input")
+    // gold: non-empty packed rows, dense per-shard epoch ranks
+    assert(gold.count() > 0)
+    val bad = gold.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("epoch_rank")).as("mx"),
+        min(col("epoch_rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0, "epoch ranks are a dense 1..n per shard")
+    assert(gold.columns.contains("_modeling_date"))
+  }
+
   test("dueRuns: cadence grid, catchup semantics, off-grid lastRun") {
     val t = java.time.Instant.parse(_: String)
     val start = t("2026-08-01T00:00:00Z")

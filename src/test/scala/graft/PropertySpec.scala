@@ -336,4 +336,35 @@ class PropertySpec extends AnyFunSuite {
         plain.except(got).count() == 0, s"b=$buckets t=$thresh")
     }
   }
+
+  test("resolveGroups equals union-find on random pair graphs") {
+    import spark.implicits._
+    // pointer-jumped min-label propagation vs a sequential union-find
+    // reference: same components, same min-id labels, on graphs with
+    // rings, chains, stars and isolated nodes mixed in
+    val gen = for {
+      n <- Gen.chooseNum(6, 40)
+      m <- Gen.chooseNum(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1L, n.toLong)
+        b <- Gen.chooseNum(1L, n.toLong)
+      } yield (a, b))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(gen, 6).foreach { case (n, edges) =>
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (1L to n.toLong).map(i => i -> find(i)).toMap
+      val got = operators.Dedup.resolveGroups(
+          (1L to n.toLong).toDF("id"),
+          edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"n=$n edges=$edges")
+    }
+  }
 }
