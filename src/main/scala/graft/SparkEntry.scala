@@ -567,9 +567,14 @@ object SparkEntry {
             .as("clean_text"))
         .withColumn("norm_text", tf.normalizeText(col("clean_text")))
         .persist()
-      // near-dup pairs over normalized text; exact-hash pairs catch
-      // the docs too short for the shingler
-      val mhPairs = Dedup.minhashDedup(normed, "doc_id", "norm_text")
+      // near-dup pairs over normalized text, with the boilerplate
+      // df-cap: the wrap's shared suffix is exactly the crawl-corpus
+      // boilerplate that otherwise collapses every doc into one band
+      // bucket (539k candidate pairs instead of ~1.4k at sf0.1 —
+      // see Dedup.minhashDedup's maxDocFreq rationale). Exact-hash
+      // pairs catch the docs too short for the shingler.
+      val mhPairs = Dedup.minhashDedup(normed, "doc_id", "norm_text",
+          maxDocFreq = Some(100))
         .select(col("id_a"), col("id_b"))
       val hashed = normed.select(col("doc_id"),
         sha2(col("norm_text"), 256).as("h"))
@@ -1481,11 +1486,14 @@ object SparkEntry {
          |), words AS (
          |  SELECT doc_id, string_split_regex(trim(norm_text), '\\s+') AS w
          |  FROM nsrc
-         |), sh AS (
+         |), sh0 AS (
          |  SELECT DISTINCT doc_id AS sid,
          |    unnest(list_transform(range(1, len(w)-1),
          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
          |  FROM words WHERE len(w) >= 3
+         |), sh AS (
+         |  SELECT sid, sh FROM sh0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 100
          |), mh AS (
          |  SELECT sid, $duckMh FROM sh GROUP BY sid
          |), bk AS (

@@ -165,13 +165,30 @@ object Dedup {
 
   /** D2 — full MinHash+LSH near-dup pipeline: shingle → minhash →
     * band-bucket join → Jaccard-verified pairs at ≥ num/den.
+    *
+    * `maxDocFreq` is the BOILERPLATE guard, and on a real crawl corpus
+    * it is not optional: a shingle shared by (nearly) every document —
+    * site chrome, shared footers, license blurbs — wins some minhash
+    * slice as the global minimum, which puts the ENTIRE corpus into
+    * one band bucket: candidate pairs explode quadratically and the
+    * verify stage eats the cost (measured on the composed-pipeline
+    * gate's wrapped corpus: 1.4k → 539k candidates from a 6-word
+    * shared suffix). Capping shingle document-frequency BEFORE the
+    * signature drops exactly those shingles; they carry no
+    * discriminative signal, so the Jaccard semantics shift to
+    * "similarity over non-boilerplate content" — the measure a dedup
+    * pass actually wants. Signature and verify see the SAME capped
+    * index, so the reported Jaccard stays consistent with the
+    * candidate generation.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+                   thresholdNum: Int = 1, thresholdDen: Int = 2,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
     // The shingle index feeds the signature build AND the verify join
     // sides — persist it once instead of re-deriving it four times.
     // (Cheap: |docs|·avg-shingles rows of (long, short string).)
-    val sh = shingleIndex(df, idCol, textCol).persist()
+    val all = shingleIndex(df, idCol, textCol)
+    val sh = maxDocFreq.fold(all)(capDocFreq(all, _)).persist()
     val cand = lshCandidatePairs(signatureFromIndex(sh))
     jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
   }

@@ -226,6 +226,29 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(fixed.length == 3)
   }
 
+  test("minhash df-cap: boilerplate-only overlap never pairs, true near-dups survive") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // every doc carries the same site-chrome suffix (df = corpus size,
+    // capped away); only 100/101 share real content
+    val boiler = " terms of service apply all rights reserved contact " +
+      "us via the site footer for more information"
+    val content = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy cats watch from the warm windowsill"
+    val docs = (1L to 30L).map(i =>
+      (i, s"unique body number $i covering topic t$i in its own words w$i" +
+        boiler)) ++
+      Seq((100L, content + " today" + boiler),
+        (101L, content + " tonight" + boiler))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashDedup(df, "doc_id", "text", maxDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "planted near-dup lost to the cap")
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate-only docs paired: $pairs")
+  }
+
   test("persisted-index incremental dedup equals the recompute form") {
     import graft.operators.{Corpus, Dedup}
     val doc = Tables.table(spark, sf, "documents")
