@@ -97,7 +97,10 @@ object Bench {
     // round-over-round drift to an operator family at a glance,
     // without diffing ~90 per-query numbers. Stdout JSON untouched.
     def family(n: String): String =
-      if (n.startsWith("q_dedup") || n == "q_contamination") "dedup"
+      // exact-rows is the §2.2 Cleaning operator (dedupExact), so it
+      // must be claimed BEFORE the q_dedup prefix match
+      if (n == "q_dedup_exact_rows") "cleaning"
+      else if (n.startsWith("q_dedup") || n == "q_contamination") "dedup"
       else if (n.startsWith("q_text")) "text"
       else if (n.startsWith("q_corpus") || n.startsWith("q_llm"))
         "corpus"
@@ -108,8 +111,8 @@ object Bench {
         n.startsWith("q_retention") || n.startsWith("q_monthly"))
         "events"
       else if (n.startsWith("q_clean") || n.startsWith("q_silver") ||
-        n.startsWith("q_multiformat") || n.startsWith("q_bronze") ||
-        n.startsWith("q_dedup_exact_rows")) "cleaning"
+        n.startsWith("q_multiformat") || n.startsWith("q_bronze"))
+        "cleaning"
       else if (n.startsWith("q_profile") || n.startsWith("q_unique") ||
         n.startsWith("q_consistency") || n.startsWith("q_completeness") ||
         n.startsWith("q_histogram") || n.startsWith("q_quantiles") ||

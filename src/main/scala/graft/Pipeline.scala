@@ -171,20 +171,23 @@ object Pipeline {
   def corpusGold(spark: SparkSession, outDir: String,
                  modelingDate: String, epoch: Int = 1): Unit = {
     val tf = graft.functions.TextFunctions
+    val R = Corpus.TrainingRecipe
     val silver = spark.read.parquet(s"$outDir/silver/documents")
     val kept = silver
       .withColumn("n_bpe_tokens",
         tf.bpeTokenCount(col("clean_text")).cast("bigint"))
-      .filter(col("q") >= 0.45 && col("n_bpe_tokens").between(10, 100000))
+      .filter(col("q") >= R.MinQuality &&
+        col("n_bpe_tokens").between(R.MinTokens, R.MaxTokens))
     val train = Corpus.splitByHash(
-        Corpus.mixtureSample(kept, "doc_id", "lang", "mix", 10,
-          Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3)),
-        "doc_id", "sp", Seq(("train", 8), ("val", 1), ("test", 1)))
+        Corpus.mixtureSample(kept, "doc_id", "lang", R.MixtureSalt,
+          R.MixtureDen, R.MixtureRates.toMap),
+        "doc_id", R.SplitSalt, R.SplitWeights)
       .filter(col("split") === "train")
-      .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
+      .withColumn("shard",
+        Corpus.hashBucket(col("doc_id"), R.ShardSalt, R.Shards))
       .localCheckpoint() // two consumers: pack assignment + join-back
     val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
-      "shard", Seq("doc_id"), 2000)
+      "shard", Seq("doc_id"), R.PackBudget)
     val packed = Corpus.materializePacked(
         train.join(bins.drop("shard"), Seq("doc_id")),
         "doc_id", "clean_text", "shard", "bin_id")

@@ -555,6 +555,7 @@ object SparkEntry {
     // interactions are all under the hash compare.
     "q_llm_pipeline" -> ((s, d) => {
       val tf = graft.functions.TextFunctions
+      val R = Corpus.TrainingRecipe // shared with Pipeline.corpusGold
       // the markup-bearing crawl-source analog (same wrap as
       // q_text_strip, so T6b does real work inside the composition)
       val normed = Tables.table(s, d, "documents")
@@ -567,70 +568,74 @@ object SparkEntry {
             .as("clean_text"))
         .withColumn("norm_text", tf.normalizeText(col("clean_text")))
         .persist()
-      // near-dup pairs over normalized text, with the boilerplate
-      // df-cap: the wrap's shared suffix is exactly the crawl-corpus
-      // boilerplate that otherwise collapses every doc into one band
-      // bucket (539k candidate pairs instead of ~1.4k at sf0.1 —
-      // see Dedup.minhashDedup's maxDocFreq rationale). Exact-hash
-      // pairs catch the docs too short for the shingler.
-      val mhPairs = Dedup.minhashDedup(normed, "doc_id", "norm_text",
-          maxDocFreq = Some(100))
-        .select(col("id_a"), col("id_b"))
-      val hashed = normed.select(col("doc_id"),
-        sha2(col("norm_text"), 256).as("h"))
-      val exactPairs = hashed.join(
-          hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep")),
-          Seq("h"))
-        .filter(col("doc_id") =!= col("keep"))
-        .select(col("keep").as("id_a"), col("doc_id").as("id_b"))
-      val groups = Dedup.resolveGroups(
-          normed.select(col("doc_id").as("id")),
-          mhPairs.unionByName(exactPairs))
-        .withColumnRenamed("id", "doc_id")
-      val canon = Dedup.keepCanonical(
-        normed.join(groups, Seq("doc_id"))
-          .withColumn("q", tf.qualityScore(col("clean_text"))),
-        "doc_id", "group_id", "q")
-      // the K4 training filter, single-pass form: canon already
-      // carries the quality score (identical formula — qualityScore ==
-      // qualityReport's quality_score, the equivalence q_dedup_
-      // canonical's oracle rests on), so the composition filters on
-      // the computed column and adds only the token count, instead of
-      // re-running the whole quality report (the standalone
-      // Corpus.trainingFilter stays gated by q_corpus_filter)
-      val kept = canon
-        .withColumn("n_bpe_tokens",
-          tf.bpeTokenCount(col("clean_text")).cast("bigint"))
-        .filter(col("q") >= 0.45 &&
-          col("n_bpe_tokens").between(10, 100000))
-        .select(col("doc_id"), col("n_bpe_tokens"), col("lang"),
-          col("clean_text"))
-      val mixed = Corpus.mixtureSample(kept, "doc_id", "lang", "mix", 10,
-        Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3))
-      // train feeds TWO consumers (the pack assignment and the packed
-      // materialization join); the checkpoint stops each from re-
-      // running the whole dedup→canonical→filter chain
-      val train = Corpus.splitByHash(mixed, "doc_id", "sp",
-          Seq(("train", 8), ("val", 1), ("test", 1)))
-        .filter(col("split") === "train")
-        .withColumn("shard", Corpus.hashBucket(col("doc_id"), "shard", 4))
-        .localCheckpoint()
-      val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
-        "shard", Seq("doc_id"), 2000)
-      val packed = Corpus.materializePacked(
-          train.join(bins.drop("shard"), Seq("doc_id")),
-          "doc_id", "clean_text", "shard", "bin_id")
-        .withColumn("pack_id",
-          concat_ws("/", col("shard"), col("bin_id")))
-      val ranked = Corpus.epochOrder(packed, "pack_id", "shard",
-        epoch = 1)
-      val out = packed
-        .join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
-        .select(col("shard"), col("bin_id"), col("n_docs"),
-          col("epoch_rank"), col("packed_text"))
-        .localCheckpoint() // materialize before releasing the cache
-      normed.unpersist()
-      out
+      // try/finally: a failure anywhere in the chain (including
+      // resolveGroups' non-convergence throw) must still release the
+      // cached corpus, or it pins executor storage for the session
+      try {
+        // near-dup pairs over normalized text, with the boilerplate
+        // df-cap: the wrap's shared suffix is exactly the crawl-corpus
+        // boilerplate that otherwise collapses every doc into one band
+        // bucket (539k candidate pairs instead of ~1.4k at sf0.1 —
+        // see Dedup.minhashDedup's maxDocFreq rationale). Exact-hash
+        // pairs catch the docs too short for the shingler.
+        val mhPairs = Dedup.minhashDedup(normed, "doc_id", "norm_text",
+            maxDocFreq = Some(100))
+          .select(col("id_a"), col("id_b"))
+        val hashed = normed.select(col("doc_id"),
+          sha2(col("norm_text"), 256).as("h"))
+        val exactPairs = hashed.join(
+            hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep")),
+            Seq("h"))
+          .filter(col("doc_id") =!= col("keep"))
+          .select(col("keep").as("id_a"), col("doc_id").as("id_b"))
+        val groups = Dedup.resolveGroups(
+            normed.select(col("doc_id").as("id")),
+            mhPairs.unionByName(exactPairs))
+          .withColumnRenamed("id", "doc_id")
+        val canon = Dedup.keepCanonical(
+          normed.join(groups, Seq("doc_id"))
+            .withColumn("q", tf.qualityScore(col("clean_text"))),
+          "doc_id", "group_id", "q")
+        // the K4 training filter, single-pass form: canon already
+        // carries the quality score (identical formula — qualityScore
+        // == qualityReport's quality_score, the equivalence q_dedup_
+        // canonical's oracle rests on), so the composition filters on
+        // the computed column and adds only the token count, instead
+        // of re-running the whole quality report (the standalone
+        // Corpus.trainingFilter stays gated by q_corpus_filter)
+        val kept = canon
+          .withColumn("n_bpe_tokens",
+            tf.bpeTokenCount(col("clean_text")).cast("bigint"))
+          .filter(col("q") >= R.MinQuality &&
+            col("n_bpe_tokens").between(R.MinTokens, R.MaxTokens))
+          .select(col("doc_id"), col("n_bpe_tokens"), col("lang"),
+            col("clean_text"))
+        val mixed = Corpus.mixtureSample(kept, "doc_id", "lang",
+          R.MixtureSalt, R.MixtureDen, R.MixtureRates.toMap)
+        // train feeds TWO consumers (the pack assignment and the
+        // packed materialization join); the checkpoint stops each from
+        // re-running the whole dedup→canonical→filter chain
+        val train = Corpus.splitByHash(mixed, "doc_id", R.SplitSalt,
+            R.SplitWeights)
+          .filter(col("split") === "train")
+          .withColumn("shard",
+            Corpus.hashBucket(col("doc_id"), R.ShardSalt, R.Shards))
+          .localCheckpoint()
+        val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
+          "shard", Seq("doc_id"), R.PackBudget)
+        val packed = Corpus.materializePacked(
+            train.join(bins.drop("shard"), Seq("doc_id")),
+            "doc_id", "clean_text", "shard", "bin_id")
+          .withColumn("pack_id",
+            concat_ws("/", col("shard"), col("bin_id")))
+        val ranked = Corpus.epochOrder(packed, "pack_id", "shard",
+          epoch = 1)
+        packed
+          .join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+          .select(col("shard"), col("bin_id"), col("n_docs"),
+            col("epoch_rank"), col("packed_text"))
+          .localCheckpoint() // materialize before releasing the cache
+      } finally normed.unpersist()
     }),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.table(s, d, "embeddings"),
@@ -874,14 +879,18 @@ object SparkEntry {
         .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
       val (start, now) = (day(0), day(1))
       val daily = Pipeline.dueRuns("@daily", start, None, now)
+      // the resume/off-grid laws reference daily(1) — on a degenerate
+      // single-date events span they are vacuously true rather than an
+      // IndexOutOfBounds crash (every standard sf dir spans months)
+      val multi = daily.size >= 2
       import s.implicits._
       Seq((daily.size.toLong,
         daily.head == start && daily.last == now,
         Pipeline.dueRuns("@daily", start, None, now, catchup = false) ==
           Seq(daily.last),
-        Pipeline.dueRuns("@daily", start, Some(daily(1)), now) ==
-          daily.drop(2),
-        Pipeline.dueRuns("@daily", start,
+        !multi || Pipeline.dueRuns("@daily", start, Some(daily(1)),
+          now) == daily.drop(2),
+        !multi || Pipeline.dueRuns("@daily", start,
           Some(daily(1).plusSeconds(3600)), now) == daily.drop(2)))
         .toDF("n_daily_runs", "grid_spans_inclusive",
           "catchup_false_keeps_last", "resume_after_lastrun",
@@ -1465,6 +1474,10 @@ object SparkEntry {
     "q_llm_pipeline" -> {
       val allStop = duckList(
         graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
+      val R = graft.operators.Corpus.TrainingRecipe
+      val mixCase = R.MixtureRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      val splitDen = R.SplitWeights.map(_._2).sum
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, lang,
          |    trim(regexp_replace(
@@ -1562,23 +1575,24 @@ object SparkEntry {
          |  FROM nsrc n
          |  JOIN canon c ON c.doc_id = n.doc_id
          |  JOIN qual q ON q.doc_id = n.doc_id
-         |  WHERE q.q >= 0.45
+         |  WHERE q.q >= ${R.MinQuality}
          |    AND len(regexp_extract_all(n.clean_text,
-         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) BETWEEN 10 AND 100000
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |      BETWEEN ${R.MinTokens} AND ${R.MaxTokens}
          |), train AS (
          |  SELECT doc_id, clean_text, n_bpe,
-         |    ${duckHashBucket("doc_id", "shard", 4)} AS shard
+         |    ${duckHashBucket("doc_id", R.ShardSalt, R.Shards)} AS shard
          |  FROM kept
-         |  WHERE ${duckHashBucket("doc_id", "mix", 10)} <
-         |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 5
-         |              WHEN 'fr' THEN 5 WHEN 'es' THEN 3 END
-         |    AND ${duckHashBucket("doc_id", "sp", 10)} < 8
+         |  WHERE ${duckHashBucket("doc_id", R.MixtureSalt, R.MixtureDen)} <
+         |    CASE lang $mixCase END
+         |    AND ${duckHashBucket("doc_id", R.SplitSalt, splitDen)} <
+         |      ${R.TrainBucketBound}
          |), bins AS (
          |  SELECT doc_id, shard, clean_text,
          |    CAST(FLOOR(COALESCE(SUM(n_bpe) OVER (PARTITION BY shard
          |      ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      / 2000.0) AS BIGINT) AS bin_id
+         |      / ${R.PackBudget}.0) AS BIGINT) AS bin_id
          |  FROM train
          |), packed AS (
          |  SELECT shard, bin_id, COUNT(*) AS n_docs,

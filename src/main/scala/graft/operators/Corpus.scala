@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** The gold-stage training-set recipe — quality/token gates, the
+    * language mixture, split weights, sharding and the pack budget —
+    * shared by [[graft.Pipeline.corpusGold]] and the composed
+    * `q_llm_pipeline` gate (whose SQL oracle interpolates the same
+    * constants). Single source: tuning a value here retunes the DAG
+    * product, the gated composition AND its oracle together, so they
+    * cannot silently drift apart.
+    */
+  object TrainingRecipe {
+    val MinQuality = 0.45
+    val MinTokens = 10
+    val MaxTokens = 100000
+    val MixtureSalt = "mix"
+    val MixtureDen = 10
+    val MixtureRates: Seq[(String, Int)] =
+      Seq("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3)
+    val SplitSalt = "sp"
+    val SplitWeights: Seq[(String, Int)] =
+      Seq(("train", 8), ("val", 1), ("test", 1))
+    val TrainBucketBound = 8 // = SplitWeights cumulative bound of "train"
+    val ShardSalt = "shard"
+    val Shards = 4
+    val PackBudget = 2000
+  }
+
   /** Uniform bucket in [0, den) from sha256(key ':' salt) — the first
     * 8 hex chars as an integer. 32 bits of digest is plenty for bucket
     * assignment and keeps every engine in exact-integer range.

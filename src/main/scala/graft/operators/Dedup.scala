@@ -414,8 +414,14 @@ object Dedup {
                       path: String, k: Int = 16,
                       rowsPerBand: Int = 2,
                       mode: String = "overwrite"): Unit = {
-    if (mode == "append" &&
-        new java.io.File(s"$path/bands").exists()) {
+    // existence probe through the Hadoop FS API, NOT java.io.File: the
+    // production index lives on hdfs://s3a:// paths where File.exists
+    // is always false and a local-only probe would silently skip the
+    // guard — the exact silent corruption it exists to prevent
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = bandsPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (mode == "append" && fs.exists(bandsPath)) {
       val stored = df.sparkSession.read.parquet(s"$path/bands")
         .select(col("sid"))
       val batchIds = df.select(col(idCol).as("sid")).distinct()
