@@ -160,8 +160,10 @@ class SourcesSpec extends AnyFunSuite {
   test("ensureDatabase / ensurePath create once, then no-op") {
     import graft.sources.Ingest
     val db = s"graft_test_db_${System.nanoTime()}"
-    assert(Ingest.ensureDatabase(spark, db))
-    assert(!Ingest.ensureDatabase(spark, db))
+    try {
+      assert(Ingest.ensureDatabase(spark, db))
+      assert(!Ingest.ensureDatabase(spark, db))
+    } finally spark.sql(s"DROP DATABASE IF EXISTS `$db`") // no residue
     val p = java.nio.file.Files.createTempDirectory("t").toString + "/a/b"
     assert(Ingest.ensurePath(p))
     assert(!Ingest.ensurePath(p))
