@@ -115,7 +115,7 @@ object Bench {
         "cleaning"
       else if (n.startsWith("q_profile") || n.startsWith("q_unique") ||
         n.startsWith("q_consistency") || n.startsWith("q_completeness") ||
-        n.startsWith("q_histogram") || n.startsWith("q_quantiles") ||
+        n.startsWith("q_histogram") || n.startsWith("q_quantile") ||
         n.startsWith("q_hll")) "profiling"
       else if (n.startsWith("q_dim") || n.startsWith("q_fact") ||
         n.startsWith("q_scd2") || n.startsWith("q_pipeline")) "star"

@@ -824,6 +824,31 @@ object SparkEntry {
         .toDF("union_within_2pct_of_global", "estimate_within_5pct",
           "n_users_exact")
     }),
+    // ---- §2.3 P6b mergeable quantile sketches, driver-gated ----
+    // outcome contract (q_hll_sketches pattern): the union of per-year
+    // histogram sketches equals the one-shot global histogram EXACTLY
+    // (histogram merge is lossless, unlike HLL), the estimate lands
+    // within one bin width of the true median — and exact_p50 is the
+    // real oracle row DuckDB recomputes with quantile_cont (whose
+    // parity with percentile() is already proven by q_quantiles)
+    "q_quantile_sketches" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders")
+      val (lo, hi, bins) = (0.0, 600000.0, 600) // fixed grid, w = 1000
+      val shards = Profiling.quantileSketches(o,
+        year(col("o_orderdate")), col("o_totalprice"), lo, hi, bins)
+      val unionEst = Profiling.unionQuantile(shards, 0.5, lo, hi, bins)
+        .head().getDouble(0)
+      val globalEst = Profiling.unionQuantile(
+        Profiling.quantileSketches(o, lit(1), col("o_totalprice"),
+          lo, hi, bins), 0.5, lo, hi, bins)
+        .head().getDouble(0)
+      val exact = o.agg(org.apache.spark.sql.functions
+        .expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+      import s.implicits._
+      Seq((unionEst == globalEst,
+        math.abs(unionEst - exact) <= (hi - lo) / bins, exact))
+        .toDF("union_equals_global", "within_one_bin", "exact_p50")
+    }),
     "q_freshness_gate" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
         .toString + "/nation"
@@ -1241,6 +1266,10 @@ object SparkEntry {
       """SELECT true AS union_within_2pct_of_global,
         |  true AS estimate_within_5pct,
         |  (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact""".stripMargin,
+    "q_quantile_sketches" ->
+      """SELECT true AS union_equals_global, true AS within_one_bin,
+        |  (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)
+        |    AS exact_p50""".stripMargin,
     "q_pipeline_retries" ->
       """SELECT true AS retried_to_third_attempt,
         |  true AS exhaustion_rethrows_last,

@@ -199,4 +199,55 @@ object Profiling {
     sketches.agg(
       coalesce(hll_sketch_estimate(hll_union_agg(col("sketch"))), lit(0L))
         .as("n_distinct"))
+
+  /** P6b — MERGEABLE quantile sketches: the quantile analog of
+    * [[distinctSketches]] for incremental profiling. Each shard
+    * aggregates a fixed-grid histogram — bin = ⌊(v − lo) / w⌋ over an
+    * EXPLICIT [lo, hi] domain with `nBins` bins, values clamped to the
+    * edge bins — at batch-sized cost; a corpus-wide quantile is then a
+    * bin-count SUM over stored shard rows with no re-scan of history.
+    * Unlike HLL, the merge is LOSSLESS (counts add), so the union
+    * equals the one-shot global histogram EXACTLY and the only error
+    * is quantization: any quantile estimate is within one bin width w
+    * of the true value. The grid must be fixed up front (a
+    * data-derived domain would change bin meaning between days and
+    * break mergeability) — the standard contract for monitoring
+    * histograms. Output long form: (shard, bin, n).
+    */
+  def quantileSketches(df: DataFrame, shardCol: Column, valueCol: Column,
+                       lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBins")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lo) / w), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("bigint")
+    df.filter(valueCol.isNotNull)
+      .groupBy(shardCol.as("shard"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimate from a union of [[quantileSketches]] rows
+    * (optionally pre-filtered to a shard subset): merge = bin-count
+    * sum, estimate = upper edge of the first bin whose cumulative
+    * count reaches p·total — a value guaranteed within one bin width
+    * above the true p-quantile. Null on an empty sketch set.
+    */
+  def unionQuantile(sketches: DataFrame, p: Double,
+                    lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(p >= 0 && p <= 1, s"bad quantile $p")
+    val w = (hi - lo) / nBins
+    val W = org.apache.spark.sql.expressions.Window
+    val merged = sketches.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"))
+    // the windows below run over the MERGED histogram — ≤ nBins rows,
+    // sketch-sized, never data-sized — so the single-partition frame
+    // is bounded by construction
+    val cum = merged.select(col("bin"), col("n"),
+      sum(col("n")).over(W.orderBy(col("bin"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)).as("cum"),
+      sum(col("n")).over(W.partitionBy()).as("total"))
+    cum.filter(col("cum") >= col("total") * p)
+      .agg(min(col("bin")).as("qbin"))
+      .select((lit(lo) + (col("qbin") + 1) * w).as("quantile_est"))
+  }
 }

@@ -205,4 +205,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"estimate $merged vs exact $exact")
   }
+
+  test("P6b: quantile sketch union is lossless; estimate within one bin; shards filterable") {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.table(spark, sf, "orders")
+    val (lo, hi, bins) = (0.0, 600000.0, 600)
+    val P = graft.operators.Profiling
+    val shards = P.quantileSketches(ord, col("o_orderkey") % 8,
+      col("o_totalprice"), lo, hi, bins)
+    def q(sk: org.apache.spark.sql.DataFrame, p: Double) =
+      P.unionQuantile(sk, p, lo, hi, bins).head().getDouble(0)
+    // lossless merge: union of shard histograms == one-shot global
+    val global = P.quantileSketches(ord, lit(1), col("o_totalprice"),
+      lo, hi, bins)
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      assert(q(shards, p) == q(global, p), s"merge not lossless at p=$p")
+    }
+    // quantization bound: within one bin width ABOVE-or-at the exact
+    // quantile (the estimate is the covering bin's upper edge)
+    val w = (hi - lo) / bins
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      val exact = ord.agg(expr(s"percentile(o_totalprice, $p)"))
+        .head().getDouble(0)
+      val est = q(shards, p)
+      assert(est >= exact - w && est - exact <= w,
+        s"p=$p est=$est exact=$exact w=$w")
+    }
+    // shard-subset filtering: the stored-sketch query shape — a
+    // restricted union is a valid sketch of the restricted data
+    val half = shards.filter(col("shard") < 4)
+    val halfExact = ord.filter(col("o_orderkey") % 8 < 4)
+      .agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+    assert(math.abs(q(half, 0.5) - halfExact) <= w)
+    // out-of-domain values clamp to edge bins instead of vanishing
+    import spark.implicits._
+    val wild = Seq(-5.0, 1e9, 100.0).toDF("v")
+    val sk = P.quantileSketches(wild, lit(1), col("v"), lo, hi, bins)
+    assert(sk.agg(sum(col("n"))).head().getLong(0) == 3L)
+  }
 }
