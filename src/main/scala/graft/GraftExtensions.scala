@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{MinRollingHash, VectorDot}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.plans.{CountInSet, MinRollingHash, SumStringLengths, VectorDot}
 
 /** Spark extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT min_rolling_hash(text, 16)
@@ -43,7 +44,36 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => exprs match {
         case Seq(a, b) => VectorDot(a, b)
         case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }),
+    // the word set must be a LITERAL array — it becomes the
+    // expression's compile-time hash set (that's what makes the
+    // per-token probe O(1)); a non-literal second argument is a
+    // usage error, reported as such
+    ("count_in_set",
+      new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, words) => CountInSet(c, literalStrings(words))
+        case _ => throw new IllegalArgumentException(
+          "count_in_set(tokens, array('w1', 'w2', ...))")
+      }),
+    ("sum_string_lengths",
+      new ExpressionInfo(classOf[SumStringLengths].getName,
+        "sum_string_lengths"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => SumStringLengths(c)
+        case _ => throw new IllegalArgumentException(
+          "sum_string_lengths(tokens)")
       }))
+
+  private def literalStrings(e: Expression): Seq[String] = e match {
+    case CreateArray(items, _) => items.map {
+      case Literal(s: UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"count_in_set needs string literals in its word array, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"count_in_set needs a literal array('w1', ...) word set, got $other")
+  }
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

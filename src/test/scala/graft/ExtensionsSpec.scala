@@ -31,6 +31,21 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.plans.MinRollingHash.minHash("abc".getBytes("UTF-8"), 16))
   }
 
+  test("registered SQL functions work: count_in_set and sum_string_lengths") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT count_in_set(array('the', 'fox', 'und'), array('the', 'und', 'le')) AS c, " +
+        "sum_string_lengths(array('ab', 'cde', '')) AS s").head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 5)
+    // non-literal word set is a usage error, not silent wrong counts
+    val e = intercept[Exception] {
+      spark.sql("SELECT count_in_set(array('a'), array(rand()::string))")
+        .head()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("vector_dot mixes float and double arrays") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")
