@@ -138,11 +138,40 @@ object Pipeline {
   /** Corpus bronze: land raw documents with lineage columns. */
   def corpusBronze(spark: SparkSession, sfDir: String, outDir: String,
                    ingestionDate: String): Unit =
+    corpusLand(Tables.table(spark, sfDir, "documents"), outDir,
+      ingestionDate)
+
+  /** [[corpusBronze]] with the raw documents supplied directly —
+    * the ingestion-source-agnostic form.
+    */
+  def corpusLand(docs: DataFrame, outDir: String,
+                 ingestionDate: String): Unit =
     Tables.writeParquet(
-      Tables.table(spark, sfDir, "documents")
-        .withColumn("_source", lit("testdata"))
+      docs.withColumn("_source", lit("testdata"))
         .withColumn("_ingestion_date", lit(ingestionDate)),
       s"$outDir/bronze/documents")
+
+  /** The cleaning projection every corpus document passes through
+    * exactly once (strip → normalize → hash → quality). `norm_hash`
+    * persists into silver so later EXACT-dup checks are one hash
+    * semi-join, no text recompute.
+    */
+  private def corpusClean(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = graft.functions.TextFunctions
+    docs.select(col("doc_id"), col("lang"),
+        tf.stripMarkup(col("text")).as("clean_text"))
+      .withColumn("norm_text", tf.normalizeText(col("clean_text")))
+      .withColumn("norm_hash", sha2(col("norm_text"), 256))
+      .withColumn("q", tf.qualityScore(col("clean_text")))
+  }
+
+  private def silverColumns(cleaned: org.apache.spark.sql.DataFrame,
+                            processingDate: String)
+      : org.apache.spark.sql.DataFrame =
+    cleaned.select(col("doc_id"), col("lang"), col("clean_text"),
+      col("norm_hash"), col("q"),
+      lit(processingDate).as("_processing_date"))
 
   /** Corpus silver: strip markup, normalize, exact-dedup to one
     * canonical (best-quality) document per normalized text, carrying
@@ -150,17 +179,11 @@ object Pipeline {
     */
   def corpusSilver(spark: SparkSession, outDir: String,
                    processingDate: String): Unit = {
-    val tf = graft.functions.TextFunctions
-    val cleaned = spark.read.parquet(s"$outDir/bronze/documents")
-      .select(col("doc_id"), col("lang"),
-        tf.stripMarkup(col("text")).as("clean_text"))
-      .withColumn("norm_text", tf.normalizeText(col("clean_text")))
-      .withColumn("grp", sha2(col("norm_text"), 256))
-      .withColumn("q", tf.qualityScore(col("clean_text")))
+    val cleaned = corpusClean(spark.read.parquet(s"$outDir/bronze/documents"))
     Tables.writeParquet(
-      Dedup.keepCanonical(cleaned, "doc_id", "grp", "q")
-        .drop("grp", "norm_text")
-        .withColumn("_processing_date", lit(processingDate)),
+      silverColumns(
+        Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q"),
+        processingDate),
       s"$outDir/silver/documents")
   }
 
@@ -201,9 +224,127 @@ object Pipeline {
       s"$outDir/gold/train_packed")
   }
 
+  /** The persisted MinHash index over every document the corpus
+    * pipeline has EVER processed (accepted or rejected). Indexing
+    * rejected docs too closes the transitivity gap a canonical-only
+    * index leaves open: day-3's near-dup of a day-2 REJECT would
+    * otherwise sail past an index that only knows day-2's canonical.
+    */
+  private def indexDir(outDir: String) = s"$outDir/dedup_index"
+
+  /** Bootstrap the incremental corpus state: bronze → FULLY deduped
+    * silver (exact-hash canonical, then MinHash near-dup groups →
+    * one best-quality doc per group — the same dedup semantics the
+    * composed `q_llm_pipeline` gate runs) → gold, plus the dedup
+    * index over all processed docs. After this, daily
+    * [[corpusIncrement]] calls carry the corpus forward at
+    * batch-sized cost, and the corpus-wide invariant holds: no two
+    * silver docs are exact or (LSH-detectable) near duplicates.
+    */
+  def corpusInit(spark: SparkSession, docs: DataFrame, outDir: String,
+                 runDate: String, epoch: Int = 1,
+                 maxAttempts: Int = 3): DataFrame = {
+    withRetries(maxAttempts)(corpusLand(docs, outDir, runDate))
+    withRetries(maxAttempts) {
+      val cleaned = corpusClean(
+        spark.read.parquet(s"$outDir/bronze/documents"))
+        .localCheckpoint()
+      val exactCanon =
+        Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
+      val groups = Dedup.resolveGroups(
+          exactCanon.select(col("doc_id").as("id")),
+          Dedup.minhashDedup(exactCanon, "doc_id", "norm_text")
+            .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("id", "doc_id")
+      Tables.writeParquet(
+        silverColumns(
+          Dedup.keepCanonical(exactCanon.join(groups, Seq("doc_id")),
+            "doc_id", "group_id", "q"),
+          runDate),
+        s"$outDir/silver/documents")
+      Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
+        indexDir(outDir))
+    }
+    withRetries(maxAttempts)(corpusGold(spark, outDir, runDate, epoch))
+    spark.read.parquet(s"$outDir/gold/train_packed")
+  }
+
+  /** Daily INCREMENT of the corpus state — the production shape: cost
+    * scales with the batch, never the corpus. A batch document is
+    * accepted iff it is (a) not an exact dup (norm-hash) of a silver
+    * doc or a better-quality batch sibling, (b) not a near-dup of ANY
+    * previously processed doc (checked against the persisted index —
+    * new-batch-sized work via [[Dedup.minhashDedupAgainstIndex]]), and
+    * (c) the canonical (best-quality, tie → min id) of its within-batch
+    * near-dup group. First arrival wins across days (greedy streaming
+    * dedup — a later, higher-quality near-dup does NOT displace an
+    * accepted doc; re-canonicalization is a bootstrap re-run's job).
+    * Accepted docs append to silver, the WHOLE batch appends to the
+    * index (see [[indexDir]]), gold rebuilds from silver (a derived
+    * view — per-shard window work, no corpus-wide shuffle), and a
+    * replayed batch is refused LOUDLY by the index append guard
+    * instead of double-counting. Returns the accepted count.
+    *
+    * `batch` needs (doc_id, lang, text) with ids disjoint from every
+    * earlier batch — the landing-zone invariant the guard enforces.
+    */
+  def corpusIncrement(spark: SparkSession, outDir: String,
+                      batch: DataFrame, runDate: String,
+                      epoch: Int = 1): Long = {
+    val cleaned = corpusClean(batch).localCheckpoint()
+    // (a) exact: best-quality batch sibling per norm_hash, then drop
+    // anything whose exact text is already in silver
+    val silver = spark.read.parquet(s"$outDir/silver/documents")
+    val exactCanon = Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
+      .join(silver.select(col("norm_hash")), Seq("norm_hash"),
+        "left_anti")
+    // (b) near-dups vs everything ever processed + within the batch
+    val pairs = Dedup.minhashDedupAgainstIndex(cleaned, "doc_id",
+      "norm_text", indexDir(outDir))
+    val batchIds = cleaned.select(col("doc_id"))
+    val vsOld = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_anti")
+      .select(col("id_b").as("doc_id"))
+      .unionByName(pairs
+        .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_anti")
+        .select(col("id_a").as("doc_id")))
+      .distinct()
+    val surviving = exactCanon.join(vsOld, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // (c) within-batch near-dup groups over the surviving docs
+    val sIds = surviving.select(col("doc_id"))
+    val innerPairs = pairs
+      .join(sIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(sIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val groups = Dedup.resolveGroups(
+        sIds.withColumnRenamed("doc_id", "id"), innerPairs)
+      .withColumnRenamed("id", "doc_id")
+    val accepted = Dedup.keepCanonical(
+        surviving.join(groups, Seq("doc_id")), "doc_id", "group_id", "q")
+      .drop("group_id")
+      .localCheckpoint()
+    // commit: index append FIRST (its guard is the replay detector —
+    // a retry after this point is refused before silver doubles).
+    // Same single-writer honesty as Tables.compact: a crash BETWEEN
+    // the index and silver appends leaves the batch indexed but its
+    // accepted docs unlanded, and the guard will refuse the retry —
+    // repair by dropping the batch's band/shingle rows (or rebuilding
+    // the index) before re-running.
+    Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
+      indexDir(outDir), mode = "append")
+    silverColumns(accepted, runDate)
+      .write.mode("append").parquet(s"$outDir/silver/documents")
+    corpusGold(spark, outDir, runDate, epoch)
+    accepted.count()
+  }
+
   /** Corpus-domain DAG run (bronze → silver → gold with retries, same
     * orchestration contract as [[run]]); returns the packed training
-    * set.
+    * set. One-shot form of [[corpusInit]] without the incremental
+    * index.
     */
   def runCorpus(spark: SparkSession, sfDir: String, outDir: String,
                 runDate: String, epoch: Int = 1,

@@ -946,6 +946,55 @@ object SparkEntry {
           .toDF("gold_nonempty", "epoch_ranks_dense", "silver_docs")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.10/§2.11 INCREMENTAL corpus pipeline, driver-gated ----
+    // the production daily shape: init on a 60% slice, then two daily
+    // increments checked against the persisted state (silver hashes +
+    // MinHash index) at batch-sized cost. Outcome contract: silver
+    // grows by exactly the accepted counts, a planted near-dup and
+    // exact dup of a day-0 doc are rejected, the corpus-wide
+    // no-duplicates invariant holds across days, and a replayed batch
+    // is refused by the index guard. n_docs_processed is the real row
+    // (every source doc plus the two planted ones), recounted by
+    // DuckDB.
+    "q_corpus_increment" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cinc-gate").toString
+      try {
+        val doc = Tables.table(s, d, "documents")
+          .select("doc_id", "lang", "text")
+        val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+        Pipeline.corpusInit(s, doc.filter(bucket >= 2), out, Stamp)
+        val silverPath = s"$out/silver/documents"
+        val n0 = s.read.parquet(silverPath).count()
+        val seed = doc.filter(bucket >= 2).orderBy("doc_id").limit(1)
+          .collect()(0)
+        import s.implicits._
+        val planted = Seq(
+          (900001L, seed.getString(1),
+            seed.getString(2) + " trailing extra"),
+          (900002L, seed.getString(1), seed.getString(2)))
+          .toDF("doc_id", "lang", "text")
+        val acc1 = Pipeline.corpusIncrement(s, out,
+          doc.filter(bucket === 0).unionByName(planted), Stamp)
+        val acc2 = Pipeline.corpusIncrement(s, out,
+          doc.filter(bucket === 1), Stamp)
+        val silver = s.read.parquet(silverPath)
+        val noExact = silver.groupBy("norm_hash").count()
+          .filter(col("count") > 1).count() == 0
+        val noNear = Dedup.minhashDedup(
+          silver.select(col("doc_id"),
+            graft.functions.TextFunctions.normalizeText(col("clean_text"))
+              .as("nt")), "doc_id", "nt").count() == 0
+        val replayRefused =
+          try { Pipeline.corpusIncrement(s, out, planted, Stamp); false }
+          catch { case _: IllegalStateException => true }
+        Seq((silver.count() == n0 + acc1 + acc2,
+          silver.filter(col("doc_id") >= 900001L).count() == 0,
+          noExact && noNear, replayRefused, doc.count() + 2))
+          .toDF("growth_exact", "planted_rejected", "silver_deduped",
+            "replay_refused", "n_docs_processed")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.1 S10 namespace init, driver-gated ----
     // create-once/exists-after idempotence for both namespace forms,
     // plus the real row: a table landed into the ensured path reads
@@ -1288,6 +1337,10 @@ object SparkEntry {
     "q_namespace_init" ->
       """SELECT true AS database_created_once, true AS path_created_once,
         |  (SELECT count(*) FROM nation) AS rows_readable""".stripMargin,
+    "q_corpus_increment" ->
+      """SELECT true AS growth_exact, true AS planted_rejected,
+        |  true AS silver_deduped, true AS replay_refused,
+        |  (SELECT count(*) + 2 FROM documents) AS n_docs_processed""".stripMargin,
     // silver_docs = one canonical doc per distinct strip+normalized
     // text, recomputed from the raw table (same strip/normalize
     // mirrors as q_text_strip/q_text_normalize, unwrapped)

@@ -44,6 +44,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(gold.columns.contains("_modeling_date"))
   }
 
+  test("incremental corpus: daily batches dedupe against persisted state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup}
+    val tf = graft.functions.TextFunctions
+    val out = java.nio.file.Files.createTempDirectory("graft-cinc").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out, "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val n0 = spark.read.parquet(silverPath).count()
+    // day-1 batch: a fresh slice + a planted NEAR-dup and a planted
+    // EXACT dup of a day-0 document — both must be rejected
+    val seed = doc.filter(bucket >= 2).orderBy("doc_id").limit(1)
+      .collect()(0)
+    val planted = Seq(
+      (900001L, seed.getString(1), seed.getString(2) + " trailing extra"),
+      (900002L, seed.getString(1), seed.getString(2)))
+      .toDF("doc_id", "lang", "text")
+    val day1 = doc.filter(bucket === 0).unionByName(planted)
+    val acc1 = Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    val s1 = spark.read.parquet(silverPath)
+    assert(s1.count() == n0 + acc1, "silver grew by exactly the accepted count")
+    assert(s1.filter(col("doc_id") >= 900001L).count() == 0,
+      "planted duplicates were accepted")
+    // day-2: another fresh slice
+    val acc2 = Pipeline.corpusIncrement(spark, out,
+      doc.filter(bucket === 1), "2026-08-14")
+    val s2 = spark.read.parquet(silverPath)
+    assert(s2.count() == n0 + acc1 + acc2)
+    // corpus-wide invariants: no exact dups, no LSH-detectable
+    // near-dups anywhere in silver — across days included
+    assert(s2.groupBy("norm_hash").count().filter(col("count") > 1)
+      .count() == 0)
+    val norm = s2.select(col("doc_id"),
+      tf.normalizeText(col("clean_text")).as("nt"))
+    assert(Dedup.minhashDedup(norm, "doc_id", "nt").count() == 0,
+      "near-dup pair survived in silver")
+    // replaying a committed batch is refused loudly, and silver is
+    // unchanged by the refused replay
+    intercept[IllegalStateException] {
+      Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    }
+    assert(spark.read.parquet(silverPath).count() == n0 + acc1 + acc2)
+    // gold stayed a readable packed table through the increments
+    assert(spark.read.parquet(s"$out/gold/train_packed").count() > 0)
+  }
+
   test("dueRuns: cadence grid, catchup semantics, off-grid lastRun") {
     val t = java.time.Instant.parse(_: String)
     val start = t("2026-08-01T00:00:00Z")
