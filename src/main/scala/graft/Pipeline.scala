@@ -166,62 +166,104 @@ object Pipeline {
       .withColumn("q", tf.qualityScore(col("clean_text")))
   }
 
+  /** The persisted silver projection. `n_bpe_tokens` and `shard` are
+    * computed HERE, once per accepted document, so the gold stage (and
+    * every daily gold rebuild) never re-tokenizes or re-hashes the
+    * corpus — the batch-sized-cost contract of [[corpusIncrement]].
+    * `shard` is a layout property fixed by the recipe at init time;
+    * changing `recipe.shards` means a bootstrap re-run, exactly like
+    * re-partitioning any other lakehouse table.
+    */
   private def silverColumns(cleaned: org.apache.spark.sql.DataFrame,
-                            processingDate: String)
+                            processingDate: String,
+                            recipe: Corpus.TrainingRecipe)
       : org.apache.spark.sql.DataFrame =
     cleaned.select(col("doc_id"), col("lang"), col("clean_text"),
       col("norm_hash"), col("q"),
-      lit(processingDate).as("_processing_date"))
+      graft.functions.TextFunctions.bpeTokenCount(col("clean_text"))
+        .cast("bigint").as("n_bpe_tokens"),
+      lit(processingDate).as("_processing_date"),
+      Corpus.hashBucket(col("doc_id"), recipe.shardSalt, recipe.shards)
+        .as("shard"))
+
+  private def writeSilver(df: org.apache.spark.sql.DataFrame,
+                          outDir: String, mode: String): Unit =
+    Tables.writeParquet(df, s"$outDir/silver/documents", mode = mode,
+      partitionBy = Seq("shard"))
 
   /** Corpus silver: strip markup, normalize, exact-dedup to one
     * canonical (best-quality) document per normalized text, carrying
     * the computed quality score forward so gold never recomputes it.
     */
   def corpusSilver(spark: SparkSession, outDir: String,
-                   processingDate: String): Unit = {
+                   processingDate: String,
+                   recipe: Corpus.TrainingRecipe =
+                     Corpus.TrainingRecipe.Default): Unit = {
     val cleaned = corpusClean(spark.read.parquet(s"$outDir/bronze/documents"))
-    Tables.writeParquet(
+    writeSilver(
       silverColumns(
         Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q"),
-        processingDate),
-      s"$outDir/silver/documents")
+        processingDate, recipe),
+      outDir, "overwrite")
   }
 
   /** Corpus gold: training filter → language mixture → train split →
     * greedy pack → packed rows with a deterministic epoch order — the
     * publishable training-set table.
+    *
+    * Batch-sized by design at the incremental steady state: the
+    * expensive per-document derivations (`n_bpe_tokens`, `shard`) are
+    * PERSISTED into silver at accept time and never recomputed here,
+    * and every downstream stage — quality/token filter, mixture,
+    * split (all row-local hash filters), pack window, packed-row
+    * groupBy, epoch window — is per-shard work with no cross-shard
+    * dependency. So a rebuild restricted to `shards = Some(ks)` reads
+    * ONLY those silver partition directories (explicit-path read:
+    * pruning is structural, not optimizer-dependent) and overwrites
+    * ONLY those gold partitions (dynamic partition overwrite), which
+    * is what keeps [[corpusIncrement]]'s daily gold cost proportional
+    * to the batch's affected shards, never the corpus.
     */
   def corpusGold(spark: SparkSession, outDir: String,
-                 modelingDate: String, epoch: Int = 1): Unit = {
-    val tf = graft.functions.TextFunctions
-    val R = Corpus.TrainingRecipe
-    val silver = spark.read.parquet(s"$outDir/silver/documents")
+                 modelingDate: String, epoch: Int = 1,
+                 recipe: Corpus.TrainingRecipe = Corpus.TrainingRecipe.Default,
+                 shards: Option[Seq[Long]] = None): Unit = {
+    val silverPath = s"$outDir/silver/documents"
+    if (shards.exists(_.isEmpty)) return // no shard touched: nothing to do
+    val silver = shards match {
+      case Some(ks) => spark.read.option("basePath", silverPath)
+        .parquet(ks.map(k => s"$silverPath/shard=$k"): _*)
+      case None => spark.read.parquet(silverPath)
+    }
     val kept = silver
-      .withColumn("n_bpe_tokens",
-        tf.bpeTokenCount(col("clean_text")).cast("bigint"))
-      .filter(col("q") >= R.MinQuality &&
-        col("n_bpe_tokens").between(R.MinTokens, R.MaxTokens))
+      .withColumn("shard", col("shard").cast("bigint"))
+      .filter(col("q") >= recipe.minQuality &&
+        col("n_bpe_tokens").between(recipe.minTokens, recipe.maxTokens))
     val train = Corpus.splitByHash(
-        Corpus.mixtureSample(kept, "doc_id", "lang", R.MixtureSalt,
-          R.MixtureDen, R.MixtureRates.toMap),
-        "doc_id", R.SplitSalt, R.SplitWeights)
+        Corpus.mixtureSample(kept, "doc_id", "lang", recipe.mixtureSalt,
+          recipe.mixtureDen, recipe.mixtureRates.toMap),
+        "doc_id", recipe.splitSalt, recipe.splitWeights)
       .filter(col("split") === "train")
-      .withColumn("shard",
-        Corpus.hashBucket(col("doc_id"), R.ShardSalt, R.Shards))
       .localCheckpoint() // two consumers: pack assignment + join-back
     val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
-      "shard", Seq("doc_id"), R.PackBudget)
+      "shard", Seq("doc_id"), recipe.packBudget)
     val packed = Corpus.materializePacked(
         train.join(bins.drop("shard"), Seq("doc_id")),
         "doc_id", "clean_text", "shard", "bin_id")
       .withColumn("pack_id", concat_ws("/", col("shard"), col("bin_id")))
     val ranked = Corpus.epochOrder(packed, "pack_id", "shard", epoch)
-    Tables.writeParquet(
-      packed.join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
-        .select(col("shard"), col("bin_id"), col("n_docs"),
-          col("epoch_rank"), col("packed_text"))
-        .withColumn("_modeling_date", lit(modelingDate)),
-      s"$outDir/gold/train_packed")
+    packed.join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+      .select(col("shard"), col("bin_id"), col("n_docs"),
+        col("epoch_rank"), col("packed_text"))
+      .withColumn("_modeling_date", lit(modelingDate))
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      // dynamic: an overwrite touches only the partitions present in
+      // the written data — the shard-local rebuild contract (a full
+      // rebuild writes every shard and so still replaces the table)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(s"$outDir/gold/train_packed")
   }
 
   /** The persisted MinHash index over every document the corpus
@@ -243,7 +285,9 @@ object Pipeline {
     */
   def corpusInit(spark: SparkSession, docs: DataFrame, outDir: String,
                  runDate: String, epoch: Int = 1,
-                 maxAttempts: Int = 3): DataFrame = {
+                 maxAttempts: Int = 3,
+                 recipe: Corpus.TrainingRecipe =
+                   Corpus.TrainingRecipe.Default): DataFrame = {
     withRetries(maxAttempts)(corpusLand(docs, outDir, runDate))
     withRetries(maxAttempts) {
       val cleaned = corpusClean(
@@ -256,16 +300,17 @@ object Pipeline {
           Dedup.minhashDedup(exactCanon, "doc_id", "norm_text")
             .select(col("id_a"), col("id_b")))
         .withColumnRenamed("id", "doc_id")
-      Tables.writeParquet(
+      writeSilver(
         silverColumns(
           Dedup.keepCanonical(exactCanon.join(groups, Seq("doc_id")),
             "doc_id", "group_id", "q"),
-          runDate),
-        s"$outDir/silver/documents")
+          runDate, recipe),
+        outDir, "overwrite")
       Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
         indexDir(outDir))
     }
-    withRetries(maxAttempts)(corpusGold(spark, outDir, runDate, epoch))
+    withRetries(maxAttempts)(
+      corpusGold(spark, outDir, runDate, epoch, recipe))
     spark.read.parquet(s"$outDir/gold/train_packed")
   }
 
@@ -290,7 +335,9 @@ object Pipeline {
     */
   def corpusIncrement(spark: SparkSession, outDir: String,
                       batch: DataFrame, runDate: String,
-                      epoch: Int = 1): Long = {
+                      epoch: Int = 1,
+                      recipe: Corpus.TrainingRecipe =
+                        Corpus.TrainingRecipe.Default): Long = {
     val cleaned = corpusClean(batch).localCheckpoint()
     // (a) exact: best-quality batch sibling per norm_hash, then drop
     // anything whose exact text is already in silver
@@ -335,9 +382,16 @@ object Pipeline {
     // the index) before re-running.
     Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
       indexDir(outDir), mode = "append")
-    silverColumns(accepted, runDate)
-      .write.mode("append").parquet(s"$outDir/silver/documents")
-    corpusGold(spark, outDir, runDate, epoch)
+    val acceptedSilver =
+      silverColumns(accepted, runDate, recipe).localCheckpoint()
+    writeSilver(acceptedSilver, outDir, "append")
+    // gold rebuild is SHARD-LOCAL: only shards that received an
+    // accepted doc repack (their pack/epoch windows shift); every
+    // other gold partition is untouched on disk. The shard list is a
+    // bounded driver scalar (≤ recipe.shards values), never row data.
+    val touched = acceptedSilver.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    corpusGold(spark, outDir, runDate, epoch, recipe, Some(touched))
     accepted.count()
   }
 
@@ -348,10 +402,13 @@ object Pipeline {
     */
   def runCorpus(spark: SparkSession, sfDir: String, outDir: String,
                 runDate: String, epoch: Int = 1,
-                maxAttempts: Int = 3): DataFrame = {
+                maxAttempts: Int = 3,
+                recipe: Corpus.TrainingRecipe =
+                  Corpus.TrainingRecipe.Default): DataFrame = {
     withRetries(maxAttempts)(corpusBronze(spark, sfDir, outDir, runDate))
-    withRetries(maxAttempts)(corpusSilver(spark, outDir, runDate))
-    withRetries(maxAttempts)(corpusGold(spark, outDir, runDate, epoch))
+    withRetries(maxAttempts)(corpusSilver(spark, outDir, runDate, recipe))
+    withRetries(maxAttempts)(
+      corpusGold(spark, outDir, runDate, epoch, recipe))
     spark.read.parquet(s"$outDir/gold/train_packed")
   }
 }

@@ -555,7 +555,7 @@ object SparkEntry {
     // interactions are all under the hash compare.
     "q_llm_pipeline" -> ((s, d) => {
       val tf = graft.functions.TextFunctions
-      val R = Corpus.TrainingRecipe // shared with Pipeline.corpusGold
+      val R = Corpus.TrainingRecipe.Default // shared with Pipeline.corpusGold
       // the markup-bearing crawl-source analog (same wrap as
       // q_text_strip, so T6b does real work inside the composition)
       val normed = Tables.table(s, d, "documents")
@@ -606,23 +606,23 @@ object SparkEntry {
         val kept = canon
           .withColumn("n_bpe_tokens",
             tf.bpeTokenCount(col("clean_text")).cast("bigint"))
-          .filter(col("q") >= R.MinQuality &&
-            col("n_bpe_tokens").between(R.MinTokens, R.MaxTokens))
+          .filter(col("q") >= R.minQuality &&
+            col("n_bpe_tokens").between(R.minTokens, R.maxTokens))
           .select(col("doc_id"), col("n_bpe_tokens"), col("lang"),
             col("clean_text"))
         val mixed = Corpus.mixtureSample(kept, "doc_id", "lang",
-          R.MixtureSalt, R.MixtureDen, R.MixtureRates.toMap)
+          R.mixtureSalt, R.mixtureDen, R.mixtureRates.toMap)
         // train feeds TWO consumers (the pack assignment and the
         // packed materialization join); the checkpoint stops each from
         // re-running the whole dedup→canonical→filter chain
-        val train = Corpus.splitByHash(mixed, "doc_id", R.SplitSalt,
-            R.SplitWeights)
+        val train = Corpus.splitByHash(mixed, "doc_id", R.splitSalt,
+            R.splitWeights)
           .filter(col("split") === "train")
           .withColumn("shard",
-            Corpus.hashBucket(col("doc_id"), R.ShardSalt, R.Shards))
+            Corpus.hashBucket(col("doc_id"), R.shardSalt, R.shards))
           .localCheckpoint()
         val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
-          "shard", Seq("doc_id"), R.PackBudget)
+          "shard", Seq("doc_id"), R.packBudget)
         val packed = Corpus.materializePacked(
             train.join(bins.drop("shard"), Seq("doc_id")),
             "doc_id", "clean_text", "shard", "bin_id")
@@ -1556,10 +1556,9 @@ object SparkEntry {
     "q_llm_pipeline" -> {
       val allStop = duckList(
         graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
-      val R = graft.operators.Corpus.TrainingRecipe
-      val mixCase = R.MixtureRates
+      val R = graft.operators.Corpus.TrainingRecipe.Default
+      val mixCase = R.mixtureRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
-      val splitDen = R.SplitWeights.map(_._2).sum
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, lang,
          |    trim(regexp_replace(
@@ -1657,24 +1656,24 @@ object SparkEntry {
          |  FROM nsrc n
          |  JOIN canon c ON c.doc_id = n.doc_id
          |  JOIN qual q ON q.doc_id = n.doc_id
-         |  WHERE q.q >= ${R.MinQuality}
+         |  WHERE q.q >= ${R.minQuality}
          |    AND len(regexp_extract_all(n.clean_text,
          |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-         |      BETWEEN ${R.MinTokens} AND ${R.MaxTokens}
+         |      BETWEEN ${R.minTokens} AND ${R.maxTokens}
          |), train AS (
          |  SELECT doc_id, clean_text, n_bpe,
-         |    ${duckHashBucket("doc_id", R.ShardSalt, R.Shards)} AS shard
+         |    ${duckHashBucket("doc_id", R.shardSalt, R.shards)} AS shard
          |  FROM kept
-         |  WHERE ${duckHashBucket("doc_id", R.MixtureSalt, R.MixtureDen)} <
+         |  WHERE ${duckHashBucket("doc_id", R.mixtureSalt, R.mixtureDen)} <
          |    CASE lang $mixCase END
-         |    AND ${duckHashBucket("doc_id", R.SplitSalt, splitDen)} <
-         |      ${R.TrainBucketBound}
+         |    AND ${duckHashBucket("doc_id", R.splitSalt, R.splitDen)}
+         |      BETWEEN ${R.trainBucketLo} AND ${R.trainBucketHi} - 1
          |), bins AS (
          |  SELECT doc_id, shard, clean_text,
          |    CAST(FLOOR(COALESCE(SUM(n_bpe) OVER (PARTITION BY shard
          |      ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      / ${R.PackBudget}.0) AS BIGINT) AS bin_id
+         |      / ${R.packBudget}.0) AS BIGINT) AS bin_id
          |  FROM train
          |), packed AS (
          |  SELECT shard, bin_id, COUNT(*) AS n_docs,

@@ -30,22 +30,49 @@ object Corpus {
     * constants). Single source: tuning a value here retunes the DAG
     * product, the gated composition AND its oracle together, so they
     * cannot silently drift apart.
+    *
+    * A case class so a production caller can retune any knob —
+    * `TrainingRecipe(shards = 1024)` for a real corpus — without
+    * editing the library; [[TrainingRecipe.Default]] carries the gate
+    * values. `shards` is pure LAYOUT: it may only change how the kept
+    * set is sharded/packed, never WHAT is kept (membership depends on
+    * the quality/mixture/split knobs alone — spec-asserted). Size it
+    * ≈ corpus tokens / (packBudget · bins-per-task-budget) so each
+    * shard's pack window stays one task-sized unit of work.
     */
+  final case class TrainingRecipe(
+      minQuality: Double = 0.45,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      mixtureSalt: String = "mix",
+      mixtureDen: Int = 10,
+      mixtureRates: Seq[(String, Int)] =
+        Seq("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3),
+      splitSalt: String = "sp",
+      splitWeights: Seq[(String, Int)] =
+        Seq(("train", 8), ("val", 1), ("test", 1)),
+      shardSalt: String = "shard",
+      shards: Int = 4,
+      packBudget: Int = 2000) {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(splitWeights.count(_._1 == "train") == 1,
+      "splitWeights needs exactly one 'train' entry")
+    /** Split-bucket denominator (Σ weights). */
+    val splitDen: Int = splitWeights.map(_._2).sum
+    /** The 'train' split's hash-bucket range [lo, hi) — DERIVED from
+      * `splitWeights`'s cumulative bounds, so reordering the weights
+      * or retuning the train share can never silently desynchronize an
+      * oracle that mirrors `splitByHash` with a bucket-range compare.
+      */
+    val trainBucketLo: Int =
+      splitWeights.takeWhile(_._1 != "train").map(_._2).sum
+    val trainBucketHi: Int =
+      trainBucketLo + splitWeights.find(_._1 == "train").get._2
+  }
+
   object TrainingRecipe {
-    val MinQuality = 0.45
-    val MinTokens = 10
-    val MaxTokens = 100000
-    val MixtureSalt = "mix"
-    val MixtureDen = 10
-    val MixtureRates: Seq[(String, Int)] =
-      Seq("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3)
-    val SplitSalt = "sp"
-    val SplitWeights: Seq[(String, Int)] =
-      Seq(("train", 8), ("val", 1), ("test", 1))
-    val TrainBucketBound = 8 // = SplitWeights cumulative bound of "train"
-    val ShardSalt = "shard"
-    val Shards = 4
-    val PackBudget = 2000
+    /** The driver-gate recipe (the values every `q_*` oracle mirrors). */
+    val Default: TrainingRecipe = TrainingRecipe()
   }
 
   /** Uniform bucket in [0, den) from sha256(key ':' salt) — the first

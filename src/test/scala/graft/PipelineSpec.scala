@@ -93,6 +93,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/gold/train_packed").count() > 0)
   }
 
+  test("recipe shards are layout-only: membership identical at Shards=16") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val out4 = java.nio.file.Files.createTempDirectory("graft-rcp4").toString
+    val out16 = java.nio.file.Files.createTempDirectory("graft-rcp16").toString
+    val gold4 = Pipeline.runCorpus(spark, sf, out4, "2026-08-12")
+    val gold16 = Pipeline.runCorpus(spark, sf, out16, "2026-08-12",
+      recipe = Corpus.TrainingRecipe(shards = 16))
+    // silver membership is shard-independent
+    val s4 = spark.read.parquet(s"$out4/silver/documents")
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val s16 = spark.read.parquet(s"$out16/silver/documents")
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(s4 == s16, "shard count changed silver membership")
+    // gold keeps the same DOCUMENTS (sum of per-bin counts), laid out
+    // over more shards — layout may change, membership must not
+    assert(gold4.agg(sum(col("n_docs"))).head().getLong(0) ==
+      gold16.agg(sum(col("n_docs"))).head().getLong(0))
+    assert(gold16.select("shard").distinct().count() >
+      gold4.select("shard").distinct().count())
+    // and the packed CONTENT is the same multiset of documents: every
+    // packed doc appears in both (same separator-joined text volume)
+    val len4 = gold4.agg(sum(length(col("packed_text")))).head().getLong(0)
+    val len16 = gold16.agg(sum(length(col("packed_text")))).head().getLong(0)
+    val eot4 = gold4.agg(sum(col("n_docs")) - count(lit(1)))
+      .head().getLong(0) * "<|eot|>".length
+    val eot16 = gold16.agg(sum(col("n_docs")) - count(lit(1)))
+      .head().getLong(0) * "<|eot|>".length
+    assert(len4 - eot4 == len16 - eot16,
+      "total packed text differs net of separators")
+  }
+
+  test("incremental gold is shard-local and equals a full rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val out = java.nio.file.Files.createTempDirectory("graft-goldloc").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out, "2026-08-12")
+    val goldPath = s"$out/gold/train_packed"
+    def shardFiles(k: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$goldPath/shard=$k")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (0L until 4L).map(k => k -> shardFiles(k)).toMap
+    // a day-1 batch restricted to gold shard 0: only that shard's
+    // pack/epoch windows can shift, so only that partition may rewrite
+    val shardOf = Corpus.hashBucket(col("doc_id"), "shard", 4)
+    val day1 = doc.filter(bucket === 0 && shardOf === 0)
+    val acc = Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    assert(acc > 0, "test batch accepted nothing — pick another slice")
+    val after = (0L until 4L).map(k => k -> shardFiles(k)).toMap
+    assert(after(1L) == before(1L) && after(2L) == before(2L) &&
+      after(3L) == before(3L),
+      "an untouched shard's gold partition was rewritten")
+    assert(after(0L) != before(0L), "the touched shard did not rewrite")
+    // the shard-local rebuild lands exactly where a full rebuild would
+    val inc = spark.read.parquet(goldPath)
+      .select(col("shard").cast("bigint"), col("bin_id"), col("n_docs"),
+        col("epoch_rank"), col("packed_text"))
+      .orderBy("shard", "bin_id").collect().toSeq
+    Pipeline.corpusGold(spark, out, "2026-08-13")
+    val full = spark.read.parquet(goldPath)
+      .select(col("shard").cast("bigint"), col("bin_id"), col("n_docs"),
+        col("epoch_rank"), col("packed_text"))
+      .orderBy("shard", "bin_id").collect().toSeq
+    assert(inc == full, "incremental gold diverged from a full rebuild")
+  }
+
   test("dueRuns: cadence grid, catchup semantics, off-grid lastRun") {
     val t = java.time.Instant.parse(_: String)
     val start = t("2026-08-01T00:00:00Z")
