@@ -287,7 +287,8 @@ object Pipeline {
                  runDate: String, epoch: Int = 1,
                  maxAttempts: Int = 3,
                  recipe: Corpus.TrainingRecipe =
-                   Corpus.TrainingRecipe.Default): DataFrame = {
+                   Corpus.TrainingRecipe.Default,
+                 maxDocFreq: Option[Int] = None): DataFrame = {
     withRetries(maxAttempts)(corpusLand(docs, outDir, runDate))
     withRetries(maxAttempts) {
       val cleaned = corpusClean(
@@ -297,7 +298,8 @@ object Pipeline {
         Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
       val groups = Dedup.resolveGroups(
           exactCanon.select(col("doc_id").as("id")),
-          Dedup.minhashDedup(exactCanon, "doc_id", "norm_text")
+          Dedup.minhashDedup(exactCanon, "doc_id", "norm_text",
+              maxDocFreq = maxDocFreq)
             .select(col("id_a"), col("id_b")))
         .withColumnRenamed("id", "doc_id")
       writeSilver(
@@ -306,8 +308,11 @@ object Pipeline {
             "doc_id", "group_id", "q"),
           runDate, recipe),
         outDir, "overwrite")
+      // the boilerplate cap persists into the index _meta, so every
+      // daily append and query runs the SAME cap the bootstrap dedup
+      // ran — the consistency the cap's Jaccard semantics need
       Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
-        indexDir(outDir))
+        indexDir(outDir), maxDocFreq = maxDocFreq)
     }
     withRetries(maxAttempts)(
       corpusGold(spark, outDir, runDate, epoch, recipe))
@@ -324,67 +329,120 @@ object Pipeline {
     * near-dup group. First arrival wins across days (greedy streaming
     * dedup — a later, higher-quality near-dup does NOT displace an
     * accepted doc; re-canonicalization is a bootstrap re-run's job).
-    * Accepted docs append to silver, the WHOLE batch appends to the
-    * index (see [[indexDir]]), gold rebuilds from silver (a derived
-    * view — per-shard window work, no corpus-wide shuffle), and a
-    * replayed batch is refused LOUDLY by the index append guard
-    * instead of double-counting. Returns the accepted count.
+    * Accepted docs append to silver, the WHOLE batch publishes to the
+    * index as one atomic batch directory (see [[indexDir]] and
+    * [[Dedup.writeDedupIndex]]), gold rebuilds ONLY the shards the
+    * accepted docs touched (see [[corpusGold]]), and a replayed batch
+    * is refused LOUDLY by an O(1) marker probe — the guard's cost
+    * never grows with the corpus. Returns the accepted count.
     *
     * `batch` needs (doc_id, lang, text) with ids disjoint from every
-    * earlier batch — the landing-zone invariant the guard enforces.
+    * earlier batch — the landing-zone invariant. An exact replay is
+    * always caught (the content-derived batch id matches); a
+    * MALFORMED batch that reuses some already-processed ids without
+    * being a replay is a landing-zone bug upstream — run
+    * [[Dedup.writeDedupIndex]]'s `auditOverlap` scan as a maintenance
+    * audit when that invariant needs re-verifying.
     */
   def corpusIncrement(spark: SparkSession, outDir: String,
                       batch: DataFrame, runDate: String,
                       epoch: Int = 1,
                       recipe: Corpus.TrainingRecipe =
-                        Corpus.TrainingRecipe.Default): Long = {
+                        Corpus.TrainingRecipe.Default): Long =
+    corpusIncrementWithHook(spark, outDir, batch, runDate, epoch, recipe)
+
+  /** [[corpusIncrement]] with a crash-injection hook fired at the
+    * commit point (after the index batch publishes, before any silver
+    * lands) — exists so the recovery contract below is TESTED, not
+    * asserted: a spec throws from the hook and verifies the retry
+    * resumes cleanly.
+    *
+    * Commit protocol (all idempotent under retry):
+    *  1. compute the accepted set;
+    *  2. publish ONE batch directory to the index via
+    *     [[Dedup.writeDedupIndex]]'s staged atomic rename, carrying
+    *     the accepted docs' silver rows as a commit record
+    *     (`accepted/` side table) — before this point a crash leaves
+    *     no visible state at all;
+    *  3. land the accepted rows into silver, rebuild gold for the
+    *     touched shards, then write the batch's `_landed` marker.
+    * A retry of a FULLY landed batch is refused loudly (O(1) marker
+    * probe). A retry after a crash between 2 and 3 RESUMES: the
+    * accepted set is read back from the commit record (never
+    * recomputed — recomputing against a half-committed index would
+    * mis-classify near-dups of this batch's own docs), silver gets
+    * only the rows it is missing, gold rebuilds, the marker lands.
+    * The r6 design refused that retry and demanded manual parquet
+    * surgery; now the documented repair step is the code path itself.
+    */
+  private[graft] def corpusIncrementWithHook(
+      spark: SparkSession, outDir: String, batch: DataFrame,
+      runDate: String, epoch: Int = 1,
+      recipe: Corpus.TrainingRecipe = Corpus.TrainingRecipe.Default,
+      afterIndexPublish: () => Unit = () => ()): Long = {
     val cleaned = corpusClean(batch).localCheckpoint()
-    // (a) exact: best-quality batch sibling per norm_hash, then drop
-    // anything whose exact text is already in silver
-    val silver = spark.read.parquet(s"$outDir/silver/documents")
-    val exactCanon = Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
-      .join(silver.select(col("norm_hash")), Seq("norm_hash"),
-        "left_anti")
-    // (b) near-dups vs everything ever processed + within the batch
-    val pairs = Dedup.minhashDedupAgainstIndex(cleaned, "doc_id",
-      "norm_text", indexDir(outDir))
-    val batchIds = cleaned.select(col("doc_id"))
-    val vsOld = pairs
-      .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
-        "left_anti")
-      .select(col("id_b").as("doc_id"))
-      .unionByName(pairs
-        .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+    val idx = indexDir(outDir)
+    val bid = Dedup.batchId(cleaned, "doc_id")
+    val batchDir = new org.apache.hadoop.fs.Path(s"$idx/batches/$bid")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landedMarker = new org.apache.hadoop.fs.Path(batchDir, "_landed")
+    if (fs.exists(landedMarker)) throw new IllegalStateException(
+      s"corpusIncrement replay refused: batch $bid has already been " +
+        s"processed and landed at $batchDir — re-submitting a committed " +
+        "batch would double-count it")
+    val resuming = fs.exists(batchDir)
+    if (!resuming) {
+      // (a) exact: best-quality batch sibling per norm_hash, then drop
+      // anything whose exact text is already in silver
+      val silver = spark.read.parquet(s"$outDir/silver/documents")
+      val exactCanon = Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
+        .join(silver.select(col("norm_hash")), Seq("norm_hash"),
           "left_anti")
-        .select(col("id_a").as("doc_id")))
-      .distinct()
-    val surviving = exactCanon.join(vsOld, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    // (c) within-batch near-dup groups over the surviving docs
-    val sIds = surviving.select(col("doc_id"))
-    val innerPairs = pairs
-      .join(sIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-      .join(sIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val groups = Dedup.resolveGroups(
-        sIds.withColumnRenamed("doc_id", "id"), innerPairs)
-      .withColumnRenamed("id", "doc_id")
-    val accepted = Dedup.keepCanonical(
-        surviving.join(groups, Seq("doc_id")), "doc_id", "group_id", "q")
-      .drop("group_id")
-      .localCheckpoint()
-    // commit: index append FIRST (its guard is the replay detector —
-    // a retry after this point is refused before silver doubles).
-    // Same single-writer honesty as Tables.compact: a crash BETWEEN
-    // the index and silver appends leaves the batch indexed but its
-    // accepted docs unlanded, and the guard will refuse the retry —
-    // repair by dropping the batch's band/shingle rows (or rebuilding
-    // the index) before re-running.
-    Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
-      indexDir(outDir), mode = "append")
-    val acceptedSilver =
-      silverColumns(accepted, runDate, recipe).localCheckpoint()
-    writeSilver(acceptedSilver, outDir, "append")
+      // (b) near-dups vs everything ever processed + within the batch
+      // (the index _meta supplies the boilerplate df-cap, so batch and
+      // stored sides stay consistent with the bootstrap build)
+      val pairs = Dedup.minhashDedupAgainstIndex(cleaned, "doc_id",
+        "norm_text", idx)
+      val batchIds = cleaned.select(col("doc_id"))
+      val vsOld = pairs
+        .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_anti")
+        .select(col("id_b").as("doc_id"))
+        .unionByName(pairs
+          .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+            "left_anti")
+          .select(col("id_a").as("doc_id")))
+        .distinct()
+      val surviving = exactCanon.join(vsOld, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // (c) within-batch near-dup groups over the surviving docs
+      val sIds = surviving.select(col("doc_id"))
+      val innerPairs = pairs
+        .join(sIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(sIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val groups = Dedup.resolveGroups(
+          sIds.withColumnRenamed("doc_id", "id"), innerPairs)
+        .withColumnRenamed("id", "doc_id")
+      val accepted = Dedup.keepCanonical(
+          surviving.join(groups, Seq("doc_id")), "doc_id", "group_id", "q")
+        .drop("group_id")
+      Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text", idx,
+        mode = "append",
+        sideTables =
+          Seq("accepted" -> silverColumns(accepted, runDate, recipe)))
+      ()
+    }
+    afterIndexPublish()
+    // landing — reads the published commit record, so this half is
+    // retry-idempotent and shared by the fresh and resume paths
+    val acceptedSilver = spark.read.parquet(s"$batchDir/accepted")
+    val toLand =
+      if (!resuming) acceptedSilver
+      else acceptedSilver.join( // recovery only: O(corpus) id probe
+        spark.read.parquet(s"$outDir/silver/documents").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    writeSilver(toLand, outDir, "append")
     // gold rebuild is SHARD-LOCAL: only shards that received an
     // accepted doc repack (their pack/epoch windows shift); every
     // other gold partition is untouched on disk. The shard list is a
@@ -392,7 +450,8 @@ object Pipeline {
     val touched = acceptedSilver.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).toSeq
     corpusGold(spark, outDir, runDate, epoch, recipe, Some(touched))
-    accepted.count()
+    fs.create(landedMarker, true).close()
+    acceptedSilver.count()
   }
 
   /** Corpus-domain DAG run (bronze → silver → gold with retries, same

@@ -974,8 +974,8 @@ object SparkEntry {
             seed.getString(2) + " trailing extra"),
           (900002L, seed.getString(1), seed.getString(2)))
           .toDF("doc_id", "lang", "text")
-        val acc1 = Pipeline.corpusIncrement(s, out,
-          doc.filter(bucket === 0).unionByName(planted), Stamp)
+        val day1 = doc.filter(bucket === 0).unionByName(planted)
+        val acc1 = Pipeline.corpusIncrement(s, out, day1, Stamp)
         val acc2 = Pipeline.corpusIncrement(s, out,
           doc.filter(bucket === 1), Stamp)
         val silver = s.read.parquet(silverPath)
@@ -985,8 +985,11 @@ object SparkEntry {
           silver.select(col("doc_id"),
             graft.functions.TextFunctions.normalizeText(col("clean_text"))
               .as("nt")), "doc_id", "nt").count() == 0
+        // replay = re-submitting a COMMITTED batch verbatim; the
+        // content-derived batch id matches and the landed marker
+        // refuses it at O(1) cost (no corpus scan in the guard)
         val replayRefused =
-          try { Pipeline.corpusIncrement(s, out, planted, Stamp); false }
+          try { Pipeline.corpusIncrement(s, out, day1, Stamp); false }
           catch { case _: IllegalStateException => true }
         Seq((silver.count() == n0 + acc1 + acc2,
           silver.filter(col("doc_id") >= 900001L).count() == 0,

@@ -380,67 +380,244 @@ object Dedup {
     verified
   }
 
+  /** Content-derived batch id: a 16-hex digest of the batch's DISTINCT
+    * id set — order-independent exact-decimal sums of two sha256
+    * slices per id, plus the count, re-hashed. The same id set always
+    * produces the same batch id under any partitioning; two different
+    * sets collide with negligible (~2⁻¹¹²) probability. One O(batch)
+    * aggregate to compute, one O(1) directory probe to compare — the
+    * whole cost of the replay guard.
+    */
+  def batchId(df: DataFrame, idCol: String): String = {
+    val r = df.select(sha2(col(idCol).cast("string"), 256).as("d"))
+      .distinct()
+      .agg(
+        sum(conv(substring(col("d"), 1, 14), 16, 10)
+          .cast("decimal(38,0)")).as("s1"),
+        sum(conv(substring(col("d"), 33, 14), 16, 10)
+          .cast("decimal(38,0)")).as("s2"),
+        count(lit(1)).as("n"))
+      .head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s"${r.getDecimal(0)}:${r.getDecimal(1)}:${r.getLong(2)}"
+        .getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** The index's structural parameters, persisted at `_meta` in the
+    * index root so every append and every query runs with the SAME
+    * signature scheme and document-frequency cap the index was built
+    * with — a k/band/cap mismatch between writer and reader silently
+    * shifts candidate generation and Jaccard counts, so it is checked
+    * loudly instead. `maxDocFreq = -1` encodes "no cap".
+    */
+  private[graft] final case class IndexMeta(k: Int, rowsPerBand: Int,
+                                            maxDocFreq: Int)
+
+  private def fsFor(df: DataFrame,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  private[graft] def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String): Option[IndexMeta] = {
+    val p = metaPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val kv = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.split("=", 2)).collect {
+            case Array(a, b) => a -> b.toInt
+          }.toMap
+        Some(IndexMeta(kv("k"), kv("rowsPerBand"), kv("maxDocFreq")))
+      } finally in.close()
+    }
+  }
+
+  private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, m: IndexMeta): Unit = {
+    val out = fs.create(metaPath(path), true)
+    try out.write(
+      s"k=${m.k}\nrowsPerBand=${m.rowsPerBand}\nmaxDocFreq=${m.maxDocFreq}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Every published batch directory under the index root (markers and
+    * staging excluded by construction — staging lives at `_staging/`,
+    * never under `batches/`).
+    */
+  private def batchSubPaths(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, sub: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, sub))
+      .filter(fs.exists).map(_.toString).toSeq
+  }
+
+  /** One scan relation over any number of batch directories. Every
+    * batch table is self-contained (no partition-encoded columns — see
+    * the band_p note in [[writeDedupIndex]]), so a recursive file
+    * lookup unions them without partition discovery, which would
+    * otherwise reject the heterogeneous `batches/<id>/...` roots.
+    */
+  private def readBatchTables(spark: org.apache.spark.sql.SparkSession,
+                              paths: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+
   /** D8 (production shape) — persist the corpus's MinHash/LSH dedup
-    * index so daily batches never recompute it: `bands` (sid, band,
-    * bucket), written PARTITIONED BY band — not for pruning (a batch
-    * carries signatures in every band) but so each band's buckets are
-    * clustered into their own files: the candidate join processes
-    * bands independently, and a band-restricted maintenance rebuild
-    * rewrites one directory — plus `shingles` (sid, sh), which the
-    * exact-Jaccard verify needs for intersection counts and set sizes. Grow it by appending each
-    * accepted batch's rows (same two writes with `append` mode) — the
-    * index is append-only state, exactly the shape the reference keeps
-    * in its warehouse-native append loads (bigquery.py:141).
-    * `mode = "append"` is that daily grow step: after a batch passes
-    * dedup, append its band/shingle rows and the index covers it for
-    * tomorrow's batch — still batch-sized work, the existing index
-    * files are untouched.
+    * index so daily batches never recompute it. Layout: ONE directory
+    * per ingested batch, `batches/<batch-id>/` holding `bands/`
+    * (sid, band, bucket — partitioned by band so each band's buckets
+    * cluster into their own files) and `shingles/` (sid, sh — what the
+    * exact-Jaccard verify needs for intersection counts and set
+    * sizes), with `<batch-id>` derived from the batch's id set
+    * ([[batchId]]). The index is append-only state, the shape the
+    * reference keeps in its warehouse-native append loads
+    * (bigquery.py:141): `mode = "append"` adds one batch directory and
+    * never touches existing files.
     *
-    * Append-retry hazard and its guard: the two table writes are
-    * separate jobs, NOT one atomic commit, and a blindly re-run append
-    * would double every (sid, sh) row — which silently shifts
-    * [[jaccardVerify]]'s intersection/set-size counts. Append mode
-    * therefore first checks (one column-pruned scan of the stored
-    * `bands` sid column against the batch's ids) that no batch id is
-    * already indexed, and throws instead of appending a duplicate.
-    * Bands are written BEFORE shingles so a crash between the two
-    * writes leaves the batch's sids visible to the guard — the retry
-    * fails LOUDLY (repair: drop the batch's rows or rebuild with
-    * overwrite) rather than silently corrupting verify counts. As
-    * defense in depth [[minhashDedupAgainstIndex]] also dedupes the
+    * Commit protocol: both tables (plus any `sideTables` commit
+    * records) are first written under `_staging/<batch-id>/`, then
+    * PUBLISHED with one atomic directory rename — so the
+    * two-table-write crash window of a naive append does not exist: a
+    * crash mid-stage leaves the live index untouched and the retry
+    * re-stages over the residue. (On stores without atomic rename —
+    * raw S3 — use a real table format's commit; this is the same
+    * caveat as [[graft.sources.Tables.compact]].)
+    *
+    * Replay guard, O(1): a batch id that already has a published
+    * directory is refused LOUDLY — a silently re-appended batch would
+    * double (sid, sh) rows and shift every downstream Jaccard verify
+    * count. The guard's cost never grows with the corpus (the r6
+    * design scanned the stored sid column per append — O(corpus) every
+    * day). `auditOverlap = true` additionally runs that full
+    * column-pruned sid-overlap scan, refusing PARTIAL overlaps (a
+    * malformed batch that reuses some already-indexed ids without
+    * being an exact replay) — the maintenance-audit form, not the
+    * daily path. Repair tooling: [[dropBatchFromIndex]] removes a
+    * batch directory (the executable form of "drop the batch's
+    * band/shingle rows"). As defense in depth
+    * [[minhashDedupAgainstIndex]] also dedupes the
     * candidate-restricted stored shingles it reads.
+    *
+    * `maxDocFreq` is the boilerplate df-cap ([[minhashDedup]]'s
+    * rationale), applied to this batch's shingles BEFORE the signature
+    * and persisted to `_meta` at build time; appends and queries
+    * inherit it from the meta so the stored index and every batch side
+    * are capped consistently (an inconsistent cap would make Jaccard
+    * counts disagree with candidate generation). Per-ingest-unit
+    * semantics: df is counted within each written batch — boilerplate
+    * repeats within any real crawl batch, which is exactly where the
+    * band-bucket flood comes from.
+    *
+    * Returns the published batch id.
     */
   def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
                       path: String, k: Int = 16,
                       rowsPerBand: Int = 2,
-                      mode: String = "overwrite"): Unit = {
-    // existence probe through the Hadoop FS API, NOT java.io.File: the
-    // production index lives on hdfs://s3a:// paths where File.exists
-    // is always false and a local-only probe would silently skip the
+                      mode: String = "overwrite",
+                      maxDocFreq: Option[Int] = None,
+                      auditOverlap: Boolean = false,
+                      sideTables: Seq[(String, DataFrame)] = Nil): String = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append, got $mode")
+    // all probes through the Hadoop FS API, NOT java.io.File: the
+    // production index lives on hdfs:// paths where File.exists is
+    // always false and a local-only probe would silently skip the
     // guard — the exact silent corruption it exists to prevent
-    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val fs = bandsPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    if (mode == "append" && fs.exists(bandsPath)) {
-      val stored = df.sparkSession.read.parquet(s"$path/bands")
-        .select(col("sid"))
-      val batchIds = df.select(col(idCol).as("sid")).distinct()
-      val overlap = stored.join(broadcast(batchIds), Seq("sid"),
-        "left_semi").distinct().count()
-      if (overlap > 0L) throw new IllegalStateException(
-        s"writeDedupIndex append refused: $overlap batch id(s) are " +
-          s"already in the index at $path — a duplicated/retried " +
-          "append would corrupt Jaccard verify counts")
+    val fs = fsFor(df, path)
+    val spark = df.sparkSession
+    val bid = batchId(df, idCol)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
+    val cap: Int =
+      if (mode == "overwrite") maxDocFreq.getOrElse(-1)
+      else readIndexMeta(fs, path) match {
+        case Some(m) =>
+          require(m.k == k && m.rowsPerBand == rowsPerBand,
+            s"index at $path was built with k=${m.k}/rowsPerBand=" +
+              s"${m.rowsPerBand}, append called with $k/$rowsPerBand")
+          maxDocFreq.foreach(c => require(c == m.maxDocFreq,
+            s"index at $path was built with maxDocFreq=${m.maxDocFreq}, " +
+              s"append called with $c"))
+          m.maxDocFreq
+        case None => maxDocFreq.getOrElse(-1)
+      }
+    if (mode == "overwrite") {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      ()
+    } else {
+      if (fs.exists(batchDir)) throw new IllegalStateException(
+        s"writeDedupIndex append refused: batch $bid is already " +
+          s"published in the index at $path — a duplicated/retried " +
+          "append would corrupt Jaccard verify counts " +
+          "(recover with dropBatchFromIndex if this batch must be " +
+          "re-ingested)")
+      if (auditOverlap) {
+        val bandPaths = batchSubPaths(fs, path, "bands")
+        if (bandPaths.nonEmpty) {
+          val stored = readBatchTables(spark, bandPaths).select(col("sid"))
+          val batchIds = df.select(col(idCol).as("sid")).distinct()
+          val overlap = stored.join(broadcast(batchIds), Seq("sid"),
+            "left_semi").distinct().count()
+          if (overlap > 0L) throw new IllegalStateException(
+            s"writeDedupIndex append refused: $overlap batch id(s) are " +
+              s"already in the index at $path — a duplicated/retried " +
+              "append would corrupt Jaccard verify counts")
+        }
+      }
     }
-    val sh = shingleIndex(df, idCol, textCol).persist()
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
+    fs.delete(staging, true) // a crashed earlier stage re-stages cleanly
+    val all = shingleIndex(df, idCol, textCol)
+    val sh = (if (cap < 0) all else capDocFreq(all, cap)).persist()
+    // band rides BOTH as a data column and as the partition directory
+    // (band_p): the directory clusters each band's buckets into their
+    // own files, while the data column keeps every batch directory a
+    // uniform self-contained table — which is what lets the reader
+    // union any number of batch dirs in ONE scan relation
+    // (recursiveFileLookup) instead of per-batch plans or a
+    // partition-discovery walk over heterogeneous roots
     bandBuckets(signatureFromIndex(sh, k), k, rowsPerBand)
       .select(col("sid"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
-      .write.mode(mode).partitionBy("band")
-      .parquet(s"$path/bands")
-    sh.write.mode(mode).parquet(s"$path/shingles")
+      .withColumn("band_p", col("band"))
+      .write.mode("overwrite").partitionBy("band_p")
+      .parquet(s"$staging/bands")
+    sh.write.mode("overwrite").parquet(s"$staging/shingles")
     sh.unpersist()
-    ()
+    // side tables: commit records riding the same atomic publish (one
+    // file each — they are batch-sized by definition)
+    sideTables.foreach { case (name, t) =>
+      t.coalesce(1).write.mode("overwrite").parquet(s"$staging/$name")
+    }
+    if (readIndexMeta(fs, path).isEmpty)
+      writeIndexMeta(fs, path, IndexMeta(k, rowsPerBand, cap))
+    fs.mkdirs(batchDir.getParent)
+    if (!fs.rename(staging, batchDir)) throw new IllegalStateException(
+      s"cannot publish staged batch $staging to $batchDir")
+    bid
+  }
+
+  /** Remove one published batch from a [[writeDedupIndex]] index — the
+    * executable repair for an indexed-but-never-landed batch (see
+    * [[graft.Pipeline.corpusIncrement]]'s commit protocol, which
+    * normally recovers WITHOUT this: the helper exists for operator
+    * intervention, e.g. re-ingesting a batch that was published with
+    * bad data). Returns true if the batch existed.
+    */
+  def dropBatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batchId: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$batchId"),
+      true)
+    fs.delete(p, true)
   }
 
   /** D8 (production shape) — incremental MinHash dedup of `newBatch`
@@ -464,12 +641,26 @@ object Dedup {
                                thresholdDen: Int = 2, k: Int = 16,
                                rowsPerBand: Int = 2): DataFrame = {
     val spark = newBatch.sparkSession
-    val newSh = shingleIndex(newBatch, idCol, textCol).persist()
+    val fs = fsFor(newBatch, path)
+    // the batch side MUST run the same signature scheme and df-cap the
+    // stored index was built with (see writeDedupIndex's meta
+    // rationale) — inherit the cap, refuse a k/band mismatch
+    val cap = readIndexMeta(fs, path) match {
+      case Some(m) =>
+        require(m.k == k && m.rowsPerBand == rowsPerBand,
+          s"index at $path was built with k=${m.k}/rowsPerBand=" +
+            s"${m.rowsPerBand}, query called with $k/$rowsPerBand")
+        m.maxDocFreq
+      case None => -1
+    }
+    val allNewSh = shingleIndex(newBatch, idCol, textCol)
+    val newSh =
+      (if (cap < 0) allNewSh else capDocFreq(allNewSh, cap)).persist()
     val newBk = bandBuckets(signatureFromIndex(newSh, k), k, rowsPerBand)
       .select(col("sid"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
       .persist() // feeds the index join AND the batch self-join
-    val idxBk = spark.read.parquet(s"$path/bands")
+    val idxBk = readBatchTables(spark, batchSubPaths(fs, path, "bands"))
     val vsIndex = newBk.as("a")
       .join(idxBk.as("b"),
         col("a.band") === col("b.band") &&
@@ -501,7 +692,7 @@ object Dedup {
     // duplicated index append that slipped past writeDedupIndex's
     // guard would double them — and doubled rows shift every verify
     // count. Dedupe on read so verify stays exact regardless.
-    val idxSh = spark.read.parquet(s"$path/shingles")
+    val idxSh = readBatchTables(spark, batchSubPaths(fs, path, "shingles"))
       .join(candIds, col("sid") === col("cid"), "left_semi")
       .distinct()
     val verified = jaccardVerify(newSh.unionByName(idxSh), Some(cand),

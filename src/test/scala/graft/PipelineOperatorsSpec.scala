@@ -256,12 +256,17 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-idx-spec").toString
     try {
-      Dedup.writeDedupIndex(doc.filter(!isNew), "doc_id", "text", dir)
-      // the index landed partitioned by band — the clustered layout
-      // the candidate join processes band-by-band
-      val bandDirs = Option(new java.io.File(s"$dir/bands").listFiles())
-        .get.filter(_.getName.startsWith("band="))
+      val bid = Dedup.writeDedupIndex(doc.filter(!isNew), "doc_id",
+        "text", dir)
+      // the batch landed as one published directory, its bands
+      // partitioned by band — the clustered layout the candidate join
+      // processes band-by-band — with no staging residue left behind
+      val bandDirs = Option(
+        new java.io.File(s"$dir/batches/$bid/bands").listFiles())
+        .get.filter(_.getName.startsWith("band_p="))
       assert(bandDirs.length == 8)
+      assert(!new java.io.File(s"$dir/_staging").exists() ||
+        new java.io.File(s"$dir/_staging").listFiles().isEmpty)
       val got = Dedup.minhashDedupAgainstIndex(doc.filter(isNew),
         "doc_id", "text", dir)
       val exp = Dedup.minhashDedupIncremental(doc, "doc_id", "text", isNew)
@@ -298,6 +303,128 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
       }
       assert(e.getMessage.contains("append refused"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("index replay guard is O(1): refuses without reading stored data") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    val bucket = Corpus.hashBucket(col("doc_id"), "inc", 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-guard").toString
+    try {
+      Dedup.writeDedupIndex(doc.filter(bucket >= 2), "doc_id", "text", dir)
+      val bid = Dedup.writeDedupIndex(doc.filter(bucket === 0), "doc_id",
+        "text", dir, mode = "append")
+      // hide every batch's parquet payload: any guard that scanned
+      // stored sids (the r6 O(corpus) design) would now fail on the
+      // missing tables instead of refusing the replay
+      val batches = new java.io.File(s"$dir/batches").listFiles()
+      batches.foreach { b =>
+        assert(new java.io.File(b, "bands")
+          .renameTo(new java.io.File(b, "bands_hidden")))
+        assert(new java.io.File(b, "shingles")
+          .renameTo(new java.io.File(b, "shingles_hidden")))
+      }
+      val e = intercept[IllegalStateException] {
+        Dedup.writeDedupIndex(doc.filter(bucket === 0), "doc_id", "text",
+          dir, mode = "append")
+      }
+      assert(e.getMessage.contains("append refused"))
+      // restore, then prove the OPT-IN audit still catches a PARTIAL
+      // overlap (a malformed batch reusing some indexed ids) that the
+      // O(1) guard by design does not
+      batches.foreach { b =>
+        assert(new java.io.File(b, "bands_hidden")
+          .renameTo(new java.io.File(b, "bands")))
+        assert(new java.io.File(b, "shingles_hidden")
+          .renameTo(new java.io.File(b, "shingles")))
+      }
+      val partial = doc.filter(bucket === 0).limit(3)
+        .unionByName(doc.filter(bucket === 1).limit(2))
+      val audited = intercept[IllegalStateException] {
+        Dedup.writeDedupIndex(partial, "doc_id", "text", dir,
+          mode = "append", auditOverlap = true)
+      }
+      assert(audited.getMessage.contains("append refused"))
+      assert(bid.nonEmpty)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("dropBatchFromIndex is the executable repair: re-append succeeds") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    val bucket = Corpus.hashBucket(col("doc_id"), "inc", 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-drop").toString
+    try {
+      Dedup.writeDedupIndex(doc.filter(bucket >= 2), "doc_id", "text", dir)
+      val day1 = doc.filter(bucket === 0)
+      val bid = Dedup.writeDedupIndex(day1, "doc_id", "text", dir,
+        mode = "append")
+      intercept[IllegalStateException] {
+        Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
+      }
+      assert(Dedup.dropBatchFromIndex(spark, dir, bid))
+      val bid2 = Dedup.writeDedupIndex(day1, "doc_id", "text", dir,
+        mode = "append")
+      assert(bid2 == bid, "content-derived id must be reproducible")
+      assert(!Dedup.dropBatchFromIndex(spark, dir, "no-such-batch"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("index _meta pins k/bands/cap: mismatched appends and queries refuse") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    val bucket = Corpus.hashBucket(col("doc_id"), "inc", 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-meta").toString
+    try {
+      Dedup.writeDedupIndex(doc.filter(bucket >= 2), "doc_id", "text",
+        dir, maxDocFreq = Some(200))
+      // query with a different signature scheme → loud refusal
+      intercept[IllegalArgumentException] {
+        Dedup.minhashDedupAgainstIndex(doc.filter(bucket === 0),
+          "doc_id", "text", dir, k = 8).count()
+      }
+      // append with a conflicting cap → loud refusal
+      intercept[IllegalArgumentException] {
+        Dedup.writeDedupIndex(doc.filter(bucket === 0), "doc_id", "text",
+          dir, mode = "append", maxDocFreq = Some(5))
+      }
+      // append with NO cap argument inherits the meta cap silently —
+      // the path corpusIncrement takes
+      Dedup.writeDedupIndex(doc.filter(bucket === 0), "doc_id", "text",
+        dir, mode = "append")
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("capped index finds cross-batch near-dups through boilerplate") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ", " ", "")
+    val shared = "the planted shared content sentence appears in this" +
+      " exact form right here"
+    val base = (1L to 30L).map(i =>
+      (i, s"base document number $i with its own words" + boiler)) :+
+      (100L, s"$shared today" + boiler)
+    val batch = (201L to 220L).map(i =>
+      (i, s"batch document number $i differing entirely" + boiler)) :+
+      (300L, s"$shared tonight" + boiler)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-cap").toString
+    try {
+      // cap at 10: the 31-doc-shared boilerplate shingles drop from
+      // the stored index, and (via _meta) from the batch side too
+      Dedup.writeDedupIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+        dir, maxDocFreq = Some(10))
+      val pairs = Dedup.minhashDedupAgainstIndex(
+          batch.toDF("doc_id", "text"), "doc_id", "text", dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((100L, 300L)),
+        "planted cross-batch near-dup lost to the cap")
+      assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L },
+        s"boilerplate-only docs paired: $pairs")
     } finally rmTree(new java.io.File(dir))
   }
 

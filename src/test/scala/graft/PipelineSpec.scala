@@ -93,6 +93,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/gold/train_packed").count() > 0)
   }
 
+  test("increment crash after index publish: retry resumes, lands once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val out = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out, "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val n0 = spark.read.parquet(silverPath).count()
+    val day1 = doc.filter(bucket === 0)
+    // crash at the commit point: the batch directory (bands, shingles,
+    // accepted commit record) is published, silver has NOT landed
+    class Boom extends RuntimeException("injected crash")
+    intercept[Boom] {
+      Pipeline.corpusIncrementWithHook(spark, out, day1, "2026-08-13",
+        afterIndexPublish = () => throw new Boom)
+    }
+    assert(spark.read.parquet(silverPath).count() == n0,
+      "crashed increment leaked rows into silver")
+    // the plain retry RESUMES from the commit record instead of being
+    // refused (the r6 behavior) or double-counting
+    val acc = Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    assert(acc > 0)
+    assert(spark.read.parquet(silverPath).count() == n0 + acc)
+    // a crash AFTER silver landed but before the marker (delete the
+    // marker to simulate): the retry lands nothing new and re-marks
+    val idxBatches = new java.io.File(s"$out/dedup_index/batches")
+      .listFiles().filter(_.isDirectory)
+    val markers = idxBatches.map(b => new java.io.File(b, "_landed"))
+      .filter(_.exists())
+    assert(markers.length == 1)
+    assert(markers.head.delete())
+    val acc2 = Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    assert(acc2 == acc, "resumed landing reported a different count")
+    assert(spark.read.parquet(silverPath).count() == n0 + acc,
+      "marker-less retry double-landed silver rows")
+    // and now the fully-landed batch replays are refused loudly
+    intercept[IllegalStateException] {
+      Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
+    }
+  }
+
+  test("an all-duplicate batch accepts zero and stays replayable-refused") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val out = java.nio.file.Files.createTempDirectory("graft-zero").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out, "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val n0 = spark.read.parquet(silverPath).count()
+    val goldN = spark.read.parquet(s"$out/gold/train_packed").count()
+    // the same texts under fresh ids: every doc is an exact dup
+    val dupBatch = doc.filter(bucket >= 2)
+      .withColumn("doc_id", col("doc_id") + 700000L)
+    assert(Pipeline.corpusIncrement(spark, out, dupBatch,
+      "2026-08-13") == 0L)
+    assert(spark.read.parquet(silverPath).count() == n0)
+    assert(spark.read.parquet(s"$out/gold/train_packed").count() == goldN,
+      "empty increment touched gold")
+    intercept[IllegalStateException] {
+      Pipeline.corpusIncrement(spark, out, dupBatch, "2026-08-13")
+    }
+  }
+
   test("recipe shards are layout-only: membership identical at Shards=16") {
     import org.apache.spark.sql.functions._
     import graft.operators.Corpus
