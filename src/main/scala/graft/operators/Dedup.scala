@@ -743,9 +743,11 @@ object Dedup {
     * the propagation distance — O(log diameter) rounds instead of
     * O(diameter), the same asymptotics as large-star/small-star
     * (Kiveris et al., SoCC 2014) with a simpler join shape. Per-round
-    * `localCheckpoint` truncates lineage so the plan doesn't grow with
-    * iterations (on a cluster use reliable `checkpoint`); the driver
-    * sees only one convergence count per round, never row data.
+    * lineage truncation via [[graft.Checkpoints.truncate]]: reliable
+    * `checkpoint` when the session has a checkpoint dir (cluster
+    * runs — iteration state survives executor loss), `localCheckpoint`
+    * otherwise; the driver sees only one convergence count per round,
+    * never row data.
     *
     * `ids` must expose column `id`; `pairs` columns `id_a`,`id_b`.
     */
@@ -780,9 +782,9 @@ object Dedup {
     // trivially its own component and joins back at the end. On a real
     // corpus near-dup clusters touch a small fraction of documents, so
     // this shrinks the per-round state by orders of magnitude.
-    var labels = compact(sym.select(col("src").as("id")).distinct()
-      .withColumn("group_id", col("id")))
-      .localCheckpoint()
+    var labels = graft.Checkpoints.truncate(
+      compact(sym.select(col("src").as("id")).distinct()
+        .withColumn("group_id", col("id"))))
     // labels only ever decrease, so Σ group_id strictly decreases iff
     // anything changed — a one-stage partial-aggregated sum per round
     // replaces a join-based change detector. Exact decimal: a 64-bit
@@ -812,7 +814,7 @@ object Dedup {
       // two pointer jumps (labels are themselves ids: replace my label
       // with my label's label): each quadruples the distance a min has
       // travelled, so rounds stay ~log₄(diameter) with no extra action
-      val next = compact(jump(jump(stepped))).localCheckpoint()
+      val next = graft.Checkpoints.truncate(compact(jump(jump(stepped))))
       val curSum = labelSum(next)
       changed = curSum.compareTo(prevSum) != 0
       prevSum = curSum

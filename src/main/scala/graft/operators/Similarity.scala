@@ -89,24 +89,39 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** A2 — LSH-bucketed ANN: candidates share the query's sign-bucket
-    * or any 1-bit-flipped neighbor bucket (multiprobe), then exact
-    * cosine rank within candidates. At 100 TB the bucket join replaces
-    * the full scan.
+    * or any bucket within `probeBits` bit-flips of it (multiprobe),
+    * then exact cosine rank within candidates. At 100 TB the bucket
+    * join replaces the full scan.
+    *
+    * `probeBits` is the recall knob: probing Hamming-radius r costs
+    * Σ C(nPlanes, i) bucket lookups per query and widens recall
+    * because a near neighbor disagrees with the query on few plane
+    * signs — each extra bit of probe radius recovers the neighbors
+    * lost to one more sign flip. Tune radius and plane count
+    * together: planes ≈ log₂(corpus / target-bucket-size), then raise
+    * probeBits until recall meets the application's floor.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int = 10, nPlanes: Int = 12,
-              dim: Int = 64, seed: Long = 42L): DataFrame = {
+              dim: Int = 64, seed: Long = 42L,
+              probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= nPlanes,
+      s"probeBits must be in [0,$nPlanes], got $probeBits")
     val planes = hyperplanes(dim, nPlanes, seed)
     val bucketed = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         lshBucket(col(vecCol), planes).as("qbucket"))
-    // multiprobe: the bucket itself plus every 1-bit flip
+    // multiprobe: every xor-mask of ≤ probeBits plane bits (mask 0 is
+    // the bucket itself); masks are pairwise distinct, so no pair is
+    // probed twice
+    val masks: Seq[Long] = (0 to probeBits).flatMap(d =>
+      (0 until nPlanes).combinations(d)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
     val probes = q.select(col("query_id"), col("qv"),
-      explode(array((col("qbucket") +:
-        (0 until nPlanes).map(i =>
-          col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+      explode(array(masks.map(m =>
+        col("qbucket").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
     val cand = bucketed.join(broadcast(probes),
         Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
@@ -273,8 +288,10 @@ object Similarity {
     *
     * Per-round cost at scale: one broadcast of the k×dim centroid
     * table, one scan of the corpus, one (cell, pos)-keyed partial
-    * aggregate — no corpus shuffle ever; `localCheckpoint` truncates
-    * the per-round plan (use reliable `checkpoint` on a cluster). The
+    * aggregate — no corpus shuffle ever; per-round lineage truncation
+    * via [[graft.Checkpoints.truncate]] (reliable `checkpoint` when
+    * the session has a checkpoint dir, so a cluster run's iteration
+    * state survives executor loss; `localCheckpoint` otherwise). The
     * per-round movement scalar is the only thing the driver sees.
     * Mean centroids are NOT renormalized: cosine is scale-invariant in
     * the centroid argument, so the argmax assignment is identical
@@ -303,16 +320,15 @@ object Similarity {
       c.select(col("cell"), posexplode(col("centv")).as(Seq("pos", "v")))
         .select(col("cell"), (col("pos") + 1).cast("bigint").as("pos"),
           round(col("v").cast("double"), 6).cast("decimal(18,6)").as(vAs))
-    var cent = emb.filter(initPred)
-      .select(col(idCol).as("cell"), col(vecCol).as("centv"))
-      .localCheckpoint()
+    var cent = graft.Checkpoints.truncate(
+      emb.filter(initPred)
+        .select(col(idCol).as("cell"), col(vecCol).as("centv")))
     val moves = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val newCent = centroidTable(
-        centroidStats(assignToCentroids(base, "cand_id", "cv", cent)))
-        .localCheckpoint()
+      val newCent = graft.Checkpoints.truncate(centroidTable(
+        centroidStats(assignToCentroids(base, "cand_id", "cv", cent))))
       // inner join: a cell that lost all members contributes no
       // movement (it no longer exists to move)
       val mv = longForm(cent, "o").join(longForm(newCent, "n"),
@@ -325,10 +341,9 @@ object Similarity {
       iter += 1
       if (mv <= tol) converged = true
     }
-    val finalAssign =
-      assignToCentroids(base, "cand_id", "cv", cent)
-        .select(col("cand_id"), col("cell"))
-        .localCheckpoint() // materialize before base.unpersist below
+    val finalAssign = graft.Checkpoints.truncate( // materialize before
+      assignToCentroids(base, "cand_id", "cv", cent) // base.unpersist
+        .select(col("cand_id"), col("cell")))
     base.unpersist()
     (finalAssign, cent, moves.toSeq)
   }

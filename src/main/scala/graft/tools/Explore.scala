@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.Tables
 
-/** Dev-only plan/timing explorer (not part of the driver contract). */
+/** Dev-only plan/timing explorer (not part of the driver contract).
+  * Current use: ANN recall/latency sweep over probe settings.
+  */
 object Explore {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -16,28 +18,42 @@ object Explore {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[T](name: String)(f: => T): T = {
+    val emb = Tables.table(spark, sfDir, "embeddings").localCheckpoint()
+    val qp = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val by = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = exact.map { case (q, want) =>
+        by.getOrElse(q, Set.empty[Long]).intersect(want).size.toDouble /
+          want.size
+      }
+      per.sum / per.size
+    }
+    def timed(name: String)(f: => Array[org.apache.spark.sql.Row]): Unit = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[explore] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      println(f"[explore] $name%-40s recall=${recall(r)}%.3f  " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
-    val doc = Tables.table(spark, sfDir, "documents")
-    val sh = Dedup.shingleIndex(doc, "doc_id", "text")
-    time("shingleIndex count")(sh.count())
-    time("shingleIndex count again")(sh.count())
-    val co = Dedup.cooccurrence(sh)
-    time("cooccurrence")(co.write.format("noop").mode("overwrite").save())
-    time("jaccard full")(Dedup.ngramJaccardPairs(doc, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    val sig = Dedup.minhashSignature(doc, "doc_id", "text")
-    time("minhash signature")(sig.write.format("noop").mode("overwrite").save())
-    val cand = Dedup.lshCandidatePairs(sig)
-    time("lsh candidates")(println("cand=" + cand.count()))
-    time("minhash full")(Dedup.minhashDedup(doc, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    println("--- cooccurrence plan ---")
-    co.explain("formatted")
+    for (pb <- 1 to 3)
+      timed(s"lsh nPlanes=4 probeBits=$pb")(
+        Similarity.lshTopK(emb, "vec_id", "embedding", qp,
+          nPlanes = 4, probeBits = pb).collect())
+    for (np <- Seq(2, 3, 4))
+      timed(s"ivf seed nprobe=$np")(
+        Similarity.ivfTopK(emb, "vec_id", "embedding", qp,
+          centroidPred = col("vec_id") % 37 === 1, nprobe = np).collect())
+    for (it <- Seq(5, 10); np <- Seq(2, 3, 4)) {
+      val (_, trained, _) = Similarity.kmeansIterate(
+        emb, "vec_id", "embedding", col("vec_id") % 37 === 1, maxIter = it)
+      timed(s"ivf trained iters=$it nprobe=$np")(
+        Similarity.ivfTopKIndexed(emb, "vec_id", "embedding", qp,
+          trained, nprobe = np).collect())
+    }
     spark.stop()
   }
 }
