@@ -209,7 +209,14 @@ object Profiling {
     * Unlike HLL, the merge is LOSSLESS (counts add), so the union
     * equals the one-shot global histogram EXACTLY and the only error
     * is quantization: any quantile estimate is within one bin width w
-    * of the true value. The grid must be fixed up front (a
+    * of the NEAREST-RANK quantile (the `percentile_disc` value — that
+    * element provably lives in the covering bin). An INTERPOLATED
+    * quantile (`percentile`/`quantile_cont`) carries no such bound:
+    * it is a weighted average of two ranked neighbors, and a value
+    * gap wider than w around the quantile rank (two values {0,
+    * 599999} at p=0.5 interpolate to ~300000 while both histogram
+    * mass and the disc quantile sit at the edges) puts it many bins
+    * from any histogram edge. The grid must be fixed up front (a
     * data-derived domain would change bin meaning between days and
     * break mergeability) — the standard contract for monitoring
     * histograms. Output long form: (shard, bin, n).
@@ -229,8 +236,11 @@ object Profiling {
   /** Quantile estimate from a union of [[quantileSketches]] rows
     * (optionally pre-filtered to a shard subset): merge = bin-count
     * sum, estimate = upper edge of the first bin whose cumulative
-    * count reaches p·total — a value guaranteed within one bin width
-    * above the true p-quantile. Null on an empty sketch set.
+    * count reaches p·total. The nearest-rank p-quantile lies inside
+    * that covering bin, so the estimate is guaranteed within one bin
+    * width ABOVE it; no analogous bound exists against interpolated
+    * quantiles (see [[quantileSketches]]). Null on an empty sketch
+    * set.
     */
   def unionQuantile(sketches: DataFrame, p: Double,
                     lo: Double, hi: Double, nBins: Int): DataFrame = {

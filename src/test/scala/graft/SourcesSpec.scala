@@ -221,15 +221,19 @@ class SourcesSpec extends AnyFunSuite {
     Seq(0.1, 0.5, 0.9).foreach { p =>
       assert(q(shards, p) == q(global, p), s"merge not lossless at p=$p")
     }
-    // quantization bound: within one bin width ABOVE-or-at the exact
-    // quantile (the estimate is the covering bin's upper edge)
+    // quantization bound, against the comparator it actually holds
+    // for: the NEAREST-RANK quantile lives inside the covering bin, so
+    // the upper-edge estimate sits within (0, w] above it — a HARD
+    // guarantee on any data. (The interpolated percentile has no such
+    // bound: see the gap case below.)
     val w = (hi - lo) / bins
     Seq(0.1, 0.5, 0.9).foreach { p =>
-      val exact = ord.agg(expr(s"percentile(o_totalprice, $p)"))
+      val disc = ord.agg(expr(
+          s"percentile_disc($p) WITHIN GROUP (ORDER BY o_totalprice)"))
         .head().getDouble(0)
       val est = q(shards, p)
-      assert(est >= exact - w && est - exact <= w,
-        s"p=$p est=$est exact=$exact w=$w")
+      assert(est >= disc && est - disc <= w,
+        s"p=$p est=$est disc=$disc w=$w")
     }
     // shard-subset filtering: the stored-sketch query shape — a
     // restricted union is a valid sketch of the restricted data
@@ -242,5 +246,21 @@ class SourcesSpec extends AnyFunSuite {
     val wild = Seq(-5.0, 1e9, 100.0).toDF("v")
     val sk = P.quantileSketches(wild, lit(1), col("v"), lo, hi, bins)
     assert(sk.agg(sum(col("n"))).head().getLong(0) == 3L)
+    // the gap case that SCOPES the bound: two values at opposite ends
+    // of the domain. The nearest-rank p50 is 0 and the estimate stays
+    // within one bin of it; the INTERPOLATED p50 (~300000) is ~300
+    // bins away — which is why the documented guarantee (and the
+    // driver gate) compare against percentile_disc, never percentile
+    val gap = Seq(0.0, 599999.0).toDF("v")
+    val gapEst = q(P.quantileSketches(gap, lit(1), col("v"), lo, hi,
+      bins), 0.5)
+    val gapDisc = gap.agg(expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY v)"))
+      .head().getDouble(0)
+    val gapInterp = gap.agg(expr("percentile(v, 0.5)"))
+      .head().getDouble(0)
+    assert(gapDisc == 0.0 && gapEst >= gapDisc && gapEst - gapDisc <= w)
+    assert(math.abs(gapEst - gapInterp) > 100 * w,
+      "gap data no longer demonstrates the interpolated-bound failure")
   }
 }
