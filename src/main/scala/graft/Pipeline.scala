@@ -436,6 +436,14 @@ object Pipeline {
     afterIndexPublish()
     // landing — reads the published commit record, so this half is
     // retry-idempotent and shared by the fresh and resume paths
+    if (resuming &&
+        !fs.exists(new org.apache.hadoop.fs.Path(batchDir, "accepted")))
+      throw new IllegalStateException(
+        s"batch $bid is published at $batchDir without a commit " +
+          "record — it was indexed outside corpusIncrement (e.g. the " +
+          "bootstrap corpus or a bare writeDedupIndex append); " +
+          "re-submitting those documents as a daily batch is a " +
+          "landing-zone error, not a resumable crash")
     val acceptedSilver = spark.read.parquet(s"$batchDir/accepted")
     val toLand =
       if (!resuming) acceptedSilver

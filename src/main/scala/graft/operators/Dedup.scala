@@ -620,6 +620,75 @@ object Dedup {
     fs.delete(p, true)
   }
 
+  /** Index MAINTENANCE: merge every published batch's bands/shingles
+    * into ONE batch directory — the compaction a years-lived daily
+    * index eventually needs (file and directory counts grow one batch
+    * per day; see docs/SCALE.md). Correctness-preserving by
+    * construction: queries read the same (sid, band, bucket) and
+    * (sid, sh) row sets afterwards (spec-asserted identical results).
+    *
+    * The REPLAY CONTRACT survives compaction: old batch directories
+    * are kept as payload-free tombstones (their `_landed` markers
+    * intact), so both [[writeDedupIndex]]'s exact-replay guard and
+    * [[graft.Pipeline.corpusIncrement]]'s landed-marker probe refuse
+    * re-submissions exactly as before — [[batchSubPaths]] already
+    * skips directories without the requested table, so tombstones
+    * cost nothing at read time.
+    *
+    * Crash honesty: the merged batch publishes first (atomic rename),
+    * then old payloads are deleted. A crash between the two leaves
+    * duplicate rows visible — which the read path already tolerates
+    * (candidates are `distinct`ed and stored shingles are deduped on
+    * read), so the residue degrades performance, never counts; re-run
+    * the compaction to finish the cleanup. Batches that are
+    * mid-landing (a commit record without its `_landed` marker) make
+    * the compaction refuse: their `accepted/` record is the recovery
+    * state [[graft.Pipeline.corpusIncrement]] still needs.
+    *
+    * Returns the merged batch's id.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandPaths = batchSubPaths(fs, path, "bands")
+    require(bandPaths.nonEmpty,
+      s"no published batches to compact at $path")
+    val batchDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/batches"))
+      .filter(_.isDirectory).map(_.getPath)
+    val midLanding = batchDirs.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(b, "accepted")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(b, "_landed")))
+    require(midLanding.isEmpty,
+      s"refusing to compact $path: ${midLanding.length} batch(es) are " +
+        "mid-landing (commit record without _landed) — resume or drop " +
+        s"them first: ${midLanding.map(_.getName).mkString(", ")}")
+    val bands = readBatchTables(spark, bandPaths).distinct()
+    val shingles =
+      readBatchTables(spark, batchSubPaths(fs, path, "shingles"))
+        .distinct()
+    val cid = batchId(bands, "sid")
+    val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+    if (!fs.exists(merged)) {
+      val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
+      fs.delete(staging, true)
+      bands.withColumn("band_p", col("band"))
+        .write.mode("overwrite").partitionBy("band_p")
+        .parquet(s"$staging/bands")
+      shingles.write.mode("overwrite").parquet(s"$staging/shingles")
+      if (!fs.rename(staging, merged)) throw new IllegalStateException(
+        s"cannot publish compacted batch $staging to $merged")
+    }
+    // tombstone the superseded batches: drop payloads, keep the
+    // directory + marker so replay refusal is unchanged
+    batchDirs.filter(_.getName != cid).foreach { b =>
+      Seq("bands", "shingles", "accepted").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(b, t), true))
+    }
+    cid
+  }
+
   /** D8 (production shape) — incremental MinHash dedup of `newBatch`
     * against a [[writeDedupIndex]] index: per-day cost is NEW-BATCH-
     * sized, independent of corpus size. Only the new batch is
@@ -653,6 +722,10 @@ object Dedup {
         m.maxDocFreq
       case None => -1
     }
+    val storedBands = batchSubPaths(fs, path, "bands")
+    require(storedBands.nonEmpty,
+      s"no dedup index published at $path — build one with " +
+        "writeDedupIndex before querying against it")
     val allNewSh = shingleIndex(newBatch, idCol, textCol)
     val newSh =
       (if (cap < 0) allNewSh else capDocFreq(allNewSh, cap)).persist()
@@ -660,7 +733,7 @@ object Dedup {
       .select(col("sid"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
       .persist() // feeds the index join AND the batch self-join
-    val idxBk = readBatchTables(spark, batchSubPaths(fs, path, "bands"))
+    val idxBk = readBatchTables(spark, storedBands)
     val vsIndex = newBk.as("a")
       .join(idxBk.as("b"),
         col("a.band") === col("b.band") &&

@@ -392,6 +392,44 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("compactDedupIndex merges batches, preserves results and replay refusal") {
+    import graft.operators.{Corpus, Dedup}
+    val doc = Tables.table(spark, sf, "documents")
+    val bucket = Corpus.hashBucket(col("doc_id"), "inc", 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-compact").toString
+    try {
+      Dedup.writeDedupIndex(doc.filter(bucket >= 3), "doc_id", "text", dir)
+      Dedup.writeDedupIndex(doc.filter(bucket === 2), "doc_id", "text",
+        dir, mode = "append")
+      val day1 = doc.filter(bucket === 0)
+      Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
+      val day2 = doc.filter(bucket === 1)
+      def pairs(): Set[(Long, Long, Double)] =
+        Dedup.minhashDedupAgainstIndex(day2, "doc_id", "text", dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val before = pairs()
+      val cid = Dedup.compactDedupIndex(spark, dir)
+      // exactly one data-bearing batch remains; the rest are
+      // payload-free tombstones
+      val dataDirs = new java.io.File(s"$dir/batches").listFiles()
+        .filter(b => new java.io.File(b, "bands").exists())
+      assert(dataDirs.map(_.getName).toSeq == Seq(cid))
+      assert(new java.io.File(s"$dir/batches").listFiles().length == 4,
+        "tombstone directories were deleted")
+      // identical query results through the merged layout
+      assert(pairs() == before)
+      // the replay contract survives: a superseded batch still refuses
+      val e = intercept[IllegalStateException] {
+        Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
+      }
+      assert(e.getMessage.contains("append refused"))
+      // re-compacting a compact index is a stable no-op
+      assert(Dedup.compactDedupIndex(spark, dir) == cid)
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("index _meta pins k/bands/cap: mismatched appends and queries refuse") {
     import graft.operators.{Corpus, Dedup}
     val doc = Tables.table(spark, sf, "documents")
