@@ -464,6 +464,19 @@ object SparkEntry {
         doc.join(bins.drop("shard"), Seq("doc_id")),
         "doc_id", "text", "shard", "bin_id")
     }),
+    // ---- §2.11 K6c budget-exact packing with document splitting ----
+    // every bin carries EXACTLY 2000 BPE-ish tokens (per-shard tail
+    // bins excepted); boundary documents split across bins with
+    // token-offset slices. The oracle recomputes tokenization, the
+    // cumulative spans, the per-bin piece ranges, the list slices and
+    // the doc-ordered join — so a one-token boundary error anywhere
+    // breaks the hash
+    "q_corpus_pack_exact" -> ((s, d) =>
+      Corpus.packTokenStream(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text"))
+          .withColumn("shard",
+            Corpus.hashBucket(col("doc_id"), "shard", 4)),
+        "doc_id", "text", "shard", budget = 2000)),
     // reproducible epoch permutation: per-shard rank over the epoch-
     // salted hash
     "q_corpus_shuffle" -> ((s, d) =>
@@ -1479,6 +1492,40 @@ object SparkEntry {
          |  string_agg(text, '<|eot|>' ORDER BY t.doc_id) AS packed_text
          |FROM t JOIN c USING (doc_id)
          |GROUP BY shard, bin_id""".stripMargin,
+    // K6c: tokenize → cumulative span → one piece per intersected
+    // 2000-token bin (range over integer-divided bounds) → 1-based
+    // inclusive list slice → doc-ordered join per (shard, bin). Every
+    // expression is integer arithmetic over the same token arrays the
+    // Spark side slices, so boundaries match exactly
+    "q_corpus_pack_exact" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${duckHashBucket("doc_id", "shard", 4)} AS shard,
+         |    regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(len(toks)) OVER (PARTITION BY shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS s
+         |  FROM t WHERE len(toks) > 0
+         |), p AS (
+         |  SELECT doc_id, shard, toks, n, s,
+         |    unnest(range(s // 2000, (s + n - 1) // 2000 + 1)) AS bin_id
+         |  FROM c
+         |), pc AS (
+         |  SELECT shard, bin_id, doc_id, toks,
+         |    greatest(0, bin_id * 2000 - s) AS lo,
+         |    least(n, (bin_id + 1) * 2000 - s) AS hi
+         |  FROM p
+         |)
+         |SELECT shard, bin_id, COUNT(*) AS n_pieces,
+         |  CAST(SUM(hi - lo) AS BIGINT) AS n_tokens,
+         |  string_agg(array_to_string(toks[(lo + 1):hi], ' '),
+         |    '<|eot|>' ORDER BY doc_id) AS packed_text
+         |FROM pc GROUP BY shard, bin_id""".stripMargin,
     // the epoch-salted hash is plain sha256 — any engine recomputes
     // the identical permutation
     "q_corpus_shuffle" ->

@@ -35,8 +35,14 @@ object TextFunctions {
     * on.)
     */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def bpeTokenCount(c: Column): Column =
-    size(expr_extract_all(c, BpePattern))
+  /** The BPE-ish token ARRAY itself — for consumers that slice the
+    * token stream (e.g. [[graft.operators.Corpus.packTokenStream]]),
+    * not just count it. Materialize it once per row before slicing
+    * (see the lambda-recompute warning on
+    * [[graft.operators.Dedup.shinglesFromTokens]]).
+    */
+  def bpeTokens(c: Column): Column = expr_extract_all(c, BpePattern)
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
   private def expr_extract_all(c: Column, pattern: String): Column =
     regexp_extract_all(c, lit(pattern), lit(0))

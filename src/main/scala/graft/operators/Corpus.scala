@@ -213,6 +213,103 @@ object Corpus {
         floor(col("__cum") / budget.toDouble).cast("bigint").as("bin_id"))
   }
 
+  /** K6c — budget-EXACT packing with document splitting: the packing
+    * a trainer actually consumes. Every bin holds EXACTLY `budget`
+    * tokens (only each shard's last bin may run short), and a
+    * document whose token span crosses a bin boundary is SPLIT: its
+    * head fills the current bin, the remainder spills into the next,
+    * and the middle of a long document fills whole bins on its own.
+    * This is [[packGreedy]]'s budget-ALIGNED assignment made exact —
+    * the same per-shard cumulative window, but each document emits
+    * one PIECE per bin its span [start, start+n) intersects, with
+    * 0-based local token offsets, instead of assigning the whole
+    * document to its starting bin.
+    *
+    * Shape at scale: one window (the shuffle [[packGreedy]] already
+    * pays) + one per-row `sequence` explode — fan-out ⌈n/budget⌉+1
+    * pieces max per document, no joins, no driver state. Zero-token
+    * documents have an empty span and are dropped explicitly.
+    *
+    * Output: (id, shard, bin_id, piece_start, piece_len);
+    * Σ piece_len over a (shard, bin) is exactly `budget` for every
+    * bin but each shard's last (spec-asserted), and a document's
+    * pieces ordered by bin reassemble its full token sequence.
+    */
+  def packPieces(df: DataFrame, idCol: String, nTokensCol: String,
+                 shardCol: String, orderCols: Seq[String],
+                 budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = col(nTokensCol).cast("bigint")
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("__start",
+        coalesce(sum(col("__n")).over(w), lit(0L)).cast("bigint"))
+      // first/last bin the span touches — integer div keeps every
+      // boundary exact (no float in sight)
+      .withColumn("__b0", expr(s"__start div $budget"))
+      .withColumn("__end1", col("__start") + col("__n") - 1)
+      .withColumn("__b1", expr(s"__end1 div $budget"))
+      .withColumn("bin_id", explode(sequence(col("__b0"), col("__b1"))))
+      .select(col(idCol), col(shardCol), col("bin_id"),
+        greatest(lit(0L), col("bin_id") * budget - col("__start"))
+          .as("piece_start"),
+        (least(col("__n"), (col("bin_id") + 1) * budget - col("__start")) -
+          greatest(lit(0L), col("bin_id") * budget - col("__start")))
+          .as("piece_len"))
+  }
+
+  /** K6c materialization — the end-to-end token-stream packer: BPE-ish
+    * tokenize once, assign [[packPieces]], slice each piece out of its
+    * document's token array, and emit ONE row per (shard, bin):
+    * pieces joined in document order with `sep` at the junctions
+    * (every bin-internal junction IS a document boundary — a split
+    * document's pieces land in different bins by construction, so a
+    * separator never lands mid-document). The packed row is a TOKEN
+    * stream — tokens joined by single spaces, the normalized form a
+    * trainer consumes — not raw text: slicing is defined on the token
+    * sequence, so original inter-token whitespace intentionally does
+    * not survive.
+    *
+    * One tokenize scan (persisted across the window and the slice
+    * join), one window, one explode, one join back on the id, one
+    * (shard, bin) aggregation. `n_tokens` comes back exactly `budget`
+    * everywhere but each shard's tail bin.
+    */
+  def packTokenStream(docs: DataFrame, idCol: String, textCol: String,
+                      shardCol: String, budget: Int,
+                      sep: String = "<|eot|>"): DataFrame = {
+    val toks = graft.sources.Tables.fanOut(
+        docs.select(col(idCol), col(shardCol),
+          graft.functions.TextFunctions.bpeTokens(col(textCol))
+            .as("__toks")))
+      .withColumn("__nt", size(col("__toks")).cast("bigint"))
+      .persist()
+    try {
+      val pieces = packPieces(toks.select(col(idCol), col(shardCol),
+          col("__nt")), idCol, "__nt", shardCol, Seq(idCol), budget)
+      pieces.join(toks.select(col(idCol), col("__toks")), Seq(idCol))
+        .select(col(shardCol), col("bin_id"), col(idCol),
+          col("piece_len"),
+          array_join(slice(col("__toks"),
+            (col("piece_start") + 1).cast("int"),
+            col("piece_len").cast("int")), " ").as("__pt"))
+        .groupBy(col(shardCol), col("bin_id"))
+        .agg(
+          array_sort(collect_list(struct(col(idCol), col("__pt"))))
+            .as("__ds"),
+          count(lit(1)).as("n_pieces"),
+          sum(col("piece_len")).as("n_tokens"))
+        .select(col(shardCol), col("bin_id"), col("n_pieces"),
+          col("n_tokens"),
+          array_join(transform(col("__ds"), d => d.getField("__pt")), sep)
+            .as("packed_text"))
+        .localCheckpoint() // materialize before releasing the cache
+    } finally { toks.unpersist(); () }
+  }
+
   /** K7 — CURRICULUM buckets: assign each document a difficulty tier
     * by quality score WITHOUT a global window (NTILE/percent_rank pull
     * the whole corpus through one task). Instead: k−1 exact quantile

@@ -308,6 +308,44 @@ class CorpusSpec extends AnyFunSuite {
       14L -> None))       // other key, no right rows
   }
 
+  test("packPieces: every bin exactly at budget, split doc offsets contiguous") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // budget 10, one shard; doc 2 (25 tokens) must span four bins,
+    // doc 4 (zero tokens) must vanish
+    val docs = Seq((1L, 7L), (2L, 25L), (3L, 4L), (4L, 0L), (5L, 9L))
+      .toDF("id", "n").withColumn("shard", lit(0L))
+    val pieces = Corpus.packPieces(docs, "id", "n", "shard", Seq("id"), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(!pieces.exists(_._1 == 4L), "zero-token doc emitted a piece")
+    // 45 tokens → four EXACT bins of 10 and a 5-token tail
+    val byBin = pieces.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byBin ==
+      Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 5L))
+    // the split doc's pieces tile [0, 25) in bin order with no gap
+    val d2 = pieces.filter(_._1 == 2L).sortBy(_._2).map(p => (p._3, p._4))
+    assert(d2.toSeq == Seq((0L, 3L), (3L, 10L), (13L, 10L), (23L, 2L)))
+  }
+
+  test("packTokenStream: boundary docs split, bins hold exact token counts") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens: fills bin0, spills 2 into bin1
+      (2L, "h i j"),         // 3 tokens: completes bin1
+      (3L, "k l m n"))       // 4 tokens: the short tail bin
+      .toDF("doc_id", "text").withColumn("shard", lit(0L))
+    val packed = Corpus.packTokenStream(docs, "doc_id", "text", "shard",
+        budget = 5, sep = "|")
+      .orderBy("bin_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(packed.toSeq == Seq(
+      (0L, 1L, 5L, "a b c d e"),
+      (1L, 2L, 5L, "f g|h i j"),
+      (2L, 1L, 4L, "k l m n")))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
