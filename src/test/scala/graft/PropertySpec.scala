@@ -151,6 +151,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packPieces: bins exactly at budget, pieces tile every doc's span") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.chooseNum(0L, 250L))
+    samples(gen, 6).foreach { sizes =>
+      val B = 100
+      val df = sizes.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s, i % 2) }.toDF("id", "n", "shard")
+      val pieces = operators.Corpus
+        .packPieces(df, "id", "n", "shard", Seq("id"), B)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // (1) per (shard, bin) totals: exactly B everywhere except each
+      // shard's final bin, which holds total mod B (when nonzero)
+      (0 to 1).foreach { sh =>
+        val total = sizes.zipWithIndex.filter(_._2 % 2 == sh).map(_._1).sum
+        val byBin = pieces.filter(_._2 == sh).groupBy(_._3).view
+          .mapValues(_.map(_._5).sum).toMap
+        if (total > 0) {
+          val lastBin = (total - 1) / B
+          assert(byBin.keySet == (0L to lastBin).toSet)
+          byBin.foreach { case (b, t) =>
+            val want = if (b == lastBin && total % B != 0) total % B else B.toLong
+            assert(t == want, s"shard=$sh bin=$b tokens=$t want=$want")
+          }
+        } else assert(byBin.isEmpty)
+      }
+      // (2) each doc's pieces, bin-ordered, tile [0, n) contiguously
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val ps = pieces.filter(_._1 == i.toLong).sortBy(_._3)
+        if (n == 0) assert(ps.isEmpty, s"zero-token doc $i emitted pieces")
+        else {
+          assert(ps.head._4 == 0L && ps.map(_._5).sum == n)
+          ps.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(b._4 == a._4 + a._5, s"gap in doc $i pieces")
+              assert(b._3 == a._3 + 1, s"doc $i skipped a bin")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  test("batchId: partition-invariant, order-invariant, set-sensitive") {
+    import spark.implicits._
+    val ids = (1L to 400L).map(i => i * 37 % 1009)
+    val a = operators.Dedup.batchId(ids.toDF("id"), "id")
+    // same set, different row order and partitioning → same id
+    val b = operators.Dedup.batchId(
+      scala.util.Random.shuffle(ids).toDF("id").repartition(7), "id")
+    assert(a == b, "batch id depends on order/partitioning")
+    // duplicates collapse: the id is a property of the SET
+    assert(operators.Dedup.batchId((ids ++ ids.take(50)).toDF("id"),
+      "id") == a)
+    // any element change → different id (superset, subset, swap)
+    assert(operators.Dedup.batchId((ids :+ 9999L).toDF("id"), "id") != a)
+    assert(operators.Dedup.batchId(ids.tail.toDF("id"), "id") != a)
+    assert(operators.Dedup.batchId(
+      (ids.tail :+ 9998L).toDF("id"), "id") != a)
+  }
+
   test("snapshotDiff partitions the key universe and inverts cleanly") {
     import spark.implicits._
     val gen = for {
