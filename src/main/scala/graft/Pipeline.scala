@@ -375,6 +375,97 @@ object Pipeline {
     * The r6 design refused that retry and demanded manual parquet
     * surgery; now the documented repair step is the code path itself.
     */
+  /** The accept/reject DECISION for every document of a (cleaned)
+    * batch against the persisted corpus state — the shared core of
+    * [[corpusIncrement]] and the introspection surface
+    * [[classifyBatch]] exposes. One label per batch document:
+    *
+    *  - `exact_dup_batch`  — lost the within-batch norm-hash
+    *    canonical race to a better-quality sibling (step a);
+    *  - `exact_dup_corpus` — its normalized text is already in silver
+    *    (step a, after the sibling race);
+    *  - `near_dup_corpus`  — LSH-near a previously processed document
+    *    (step b, against the persisted index — batch-sized work);
+    *  - `near_dup_batch`   — lost its within-batch near-dup group's
+    *    canonical race (step c);
+    *  - `accept`           — lands in silver.
+    *
+    * Labels are mutually exclusive and exhaustive over the batch
+    * (spec-asserted), applied in exactly [[corpusIncrement]]'s
+    * precedence — so `accept` here IS the increment's accepted set,
+    * by construction rather than by parallel reimplementation.
+    */
+  private def classifyCleaned(spark: SparkSession, outDir: String,
+                              cleaned: DataFrame): DataFrame = {
+    val silver = spark.read.parquet(s"$outDir/silver/documents")
+    val ids = cleaned.select(col("doc_id"))
+    // (a) exact: best-quality batch sibling per norm_hash, then drop
+    // anything whose exact text is already in silver
+    val exactWinners =
+      Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
+    val exactLosers = ids.join(exactWinners.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val inSilver = cleaned
+      .join(silver.select(col("norm_hash")), Seq("norm_hash"),
+        "left_semi")
+      .select(col("doc_id"))
+    val exactCorpus = exactWinners.select(col("doc_id"))
+      .join(inSilver, Seq("doc_id"), "left_semi")
+    val exactCanon = exactWinners
+      .join(inSilver, Seq("doc_id"), "left_anti")
+    // (b) near-dups vs everything ever processed + within the batch
+    // (the index _meta supplies the boilerplate df-cap, so batch and
+    // stored sides stay consistent with the bootstrap build)
+    val pairs = Dedup.minhashDedupAgainstIndex(cleaned, "doc_id",
+      "norm_text", indexDir(outDir))
+    val vsOld = pairs
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_anti")
+      .select(col("id_b").as("doc_id"))
+      .unionByName(pairs
+        .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_anti")
+        .select(col("id_a").as("doc_id")))
+      .distinct()
+    val nearCorpus = exactCanon.select(col("doc_id"))
+      .join(vsOld, Seq("doc_id"), "left_semi")
+    val surviving = exactCanon.join(vsOld, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // (c) within-batch near-dup groups over the surviving docs
+    val sIds = surviving.select(col("doc_id"))
+    val innerPairs = pairs
+      .join(sIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(sIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val groups = Dedup.resolveGroups(
+        sIds.withColumnRenamed("doc_id", "id"), innerPairs)
+      .withColumnRenamed("id", "doc_id")
+    val accepts = Dedup.keepCanonical(
+        surviving.join(groups, Seq("doc_id")), "doc_id", "group_id", "q")
+      .select(col("doc_id"))
+    val nearBatch = sIds.join(accepts, Seq("doc_id"), "left_anti")
+    def lab(df: DataFrame, d: String) =
+      df.select(col("doc_id"), lit(d).as("decision"))
+    lab(exactLosers, "exact_dup_batch")
+      .unionByName(lab(exactCorpus, "exact_dup_corpus"))
+      .unionByName(lab(nearCorpus, "near_dup_corpus"))
+      .unionByName(lab(nearBatch, "near_dup_batch"))
+      .unionByName(lab(accepts, "accept"))
+      .localCheckpoint()
+  }
+
+  /** Why was each document of `batch` kept or rejected? The
+    * introspection form of [[corpusIncrement]]'s decision — same
+    * cleaning, same persisted-state checks, same precedence, NO state
+    * mutation (nothing lands, nothing appends): the dry-run a corpus
+    * operator reaches for when a day's acceptance rate moves.
+    * Returns (doc_id, decision); see [[classifyCleaned]] for the
+    * label vocabulary.
+    */
+  def classifyBatch(spark: SparkSession, outDir: String,
+                    batch: DataFrame): DataFrame =
+    classifyCleaned(spark, outDir, corpusClean(batch).localCheckpoint())
+
   private[graft] def corpusIncrementWithHook(
       spark: SparkSession, outDir: String, batch: DataFrame,
       runDate: String, epoch: Int = 1,
@@ -392,41 +483,10 @@ object Pipeline {
         "batch would double-count it")
     val resuming = fs.exists(batchDir)
     if (!resuming) {
-      // (a) exact: best-quality batch sibling per norm_hash, then drop
-      // anything whose exact text is already in silver
-      val silver = spark.read.parquet(s"$outDir/silver/documents")
-      val exactCanon = Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
-        .join(silver.select(col("norm_hash")), Seq("norm_hash"),
-          "left_anti")
-      // (b) near-dups vs everything ever processed + within the batch
-      // (the index _meta supplies the boilerplate df-cap, so batch and
-      // stored sides stay consistent with the bootstrap build)
-      val pairs = Dedup.minhashDedupAgainstIndex(cleaned, "doc_id",
-        "norm_text", idx)
-      val batchIds = cleaned.select(col("doc_id"))
-      val vsOld = pairs
-        .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
-          "left_anti")
-        .select(col("id_b").as("doc_id"))
-        .unionByName(pairs
-          .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
-            "left_anti")
-          .select(col("id_a").as("doc_id")))
-        .distinct()
-      val surviving = exactCanon.join(vsOld, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      // (c) within-batch near-dup groups over the surviving docs
-      val sIds = surviving.select(col("doc_id"))
-      val innerPairs = pairs
-        .join(sIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-        .join(sIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val groups = Dedup.resolveGroups(
-          sIds.withColumnRenamed("doc_id", "id"), innerPairs)
-        .withColumnRenamed("id", "doc_id")
-      val accepted = Dedup.keepCanonical(
-          surviving.join(groups, Seq("doc_id")), "doc_id", "group_id", "q")
-        .drop("group_id")
+      val accepted = cleaned.join(
+        classifyCleaned(spark, outDir, cleaned)
+          .filter(col("decision") === "accept").select(col("doc_id")),
+        Seq("doc_id"))
       Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text", idx,
         mode = "append",
         sideTables =

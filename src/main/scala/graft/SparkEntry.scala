@@ -1025,6 +1025,53 @@ object SparkEntry {
             "replay_refused", "n_docs_processed")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.10/§2.11 batch decision introspection, driver-gated ----
+    // classifyBatch = corpusIncrement's accept/reject decision as a
+    // DRY-RUN report. Outcome contract: labels partition the batch
+    // exactly, the accept label IS the set the real increment then
+    // lands (same code path, cross-checked against silver), and the
+    // planted exact/near duplicates of a day-0 doc get their specific
+    // rejection reasons. n_docs_classified is the real row (the
+    // day-1 slice plus the two planted docs), recounted by DuckDB.
+    "q_corpus_classify" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-classify-gate").toString
+      try {
+        val doc = Tables.table(s, d, "documents")
+          .select("doc_id", "lang", "text")
+        val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+        Pipeline.corpusInit(s, doc.filter(bucket >= 2), out, Stamp)
+        val seed = doc.filter(bucket >= 2).orderBy("doc_id").limit(1)
+          .collect()(0)
+        import s.implicits._
+        val planted = Seq(
+          (900001L, seed.getString(1),
+            seed.getString(2) + " trailing extra"),
+          (900002L, seed.getString(1), seed.getString(2)))
+          .toDF("doc_id", "lang", "text")
+        val day1 = doc.filter(bucket === 0).unionByName(planted)
+        val labels = Pipeline.classifyBatch(s, out, day1)
+        val nDay1 = day1.count()
+        val acc = Pipeline.corpusIncrement(s, out, day1, Stamp)
+        val silverNow = s.read.parquet(s"$out/silver/documents")
+        val acceptIds = labels.filter(col("decision") === "accept")
+          .select(col("doc_id"))
+        val acceptsLanded = acceptIds.count() == acc &&
+          acceptIds.join(silverNow, Seq("doc_id"), "left_anti")
+            .count() == 0
+        val partitionExact = labels.count() == nDay1 &&
+          labels.select(col("doc_id")).distinct().count() == nDay1
+        Seq((partitionExact, acceptsLanded,
+          labels.filter(col("doc_id") === 900002L).head()
+            .getString(1) == "exact_dup_corpus",
+          labels.filter(col("doc_id") === 900001L).head()
+            .getString(1) == "near_dup_corpus",
+          nDay1))
+          .toDF("labels_partition_batch", "accepts_equal_landed",
+            "planted_exact_labeled", "planted_near_labeled",
+            "n_docs_classified")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.1 S10 namespace init, driver-gated ----
     // create-once/exists-after idempotence for both namespace forms,
     // plus the real row: a table landed into the ensured path reads
@@ -1375,6 +1422,15 @@ object SparkEntry {
       """SELECT true AS growth_exact, true AS planted_rejected,
         |  true AS silver_deduped, true AS replay_refused,
         |  (SELECT count(*) + 2 FROM documents) AS n_docs_processed""".stripMargin,
+    // n_docs_classified = the day-1 hash slice plus the two planted
+    // duplicates, recounted from the raw table
+    "q_corpus_classify" ->
+      s"""SELECT true AS labels_partition_batch,
+         |  true AS accepts_equal_landed,
+         |  true AS planted_exact_labeled, true AS planted_near_labeled,
+         |  (SELECT count(*) + 2 FROM documents
+         |   WHERE ${duckHashBucket("doc_id", "cinc", 5)} = 0)
+         |    AS n_docs_classified""".stripMargin,
     // silver_docs = one canonical doc per distinct strip+normalized
     // text, recomputed from the raw table (same strip/normalize
     // mirrors as q_text_strip/q_text_normalize, unwrapped)

@@ -93,6 +93,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/gold/train_packed").count() > 0)
   }
 
+  test("classifyBatch: every rejection reason labeled, dry-run, accept = landed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Corpus
+    val out = java.nio.file.Files.createTempDirectory("graft-cls").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out, "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val n0 = spark.read.parquet(silverPath).count()
+    val seed = doc.filter(bucket >= 2).orderBy("doc_id").limit(1)
+      .collect()(0)
+    val fresh1 = "an entirely new document with its own distinct words " +
+      (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val fresh2 = "another separate document nothing shares " +
+      (1 to 30).map(i => s"beta$i").mkString(" ")
+    val batch = Seq(
+      (800001L, "en", fresh1),               // near pair, member 1
+      (800002L, "en", fresh1 + " zz"),       // near pair, member 2
+      (800003L, "en", fresh2),               // exact pair, min id wins
+      (800004L, "en", fresh2),               // exact pair, loser
+      (800005L, seed.getString(1), seed.getString(2)),  // in silver
+      (800006L, seed.getString(1),
+        seed.getString(2) + " trailing bits"))          // near corpus
+      .toDF("doc_id", "lang", "text")
+    val labels = Pipeline.classifyBatch(spark, out, batch)
+    // a dry run: nothing landed, nothing indexed
+    assert(spark.read.parquet(silverPath).count() == n0)
+    val m = labels.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 6, s"labels do not partition the batch: $m")
+    assert(m(800004L) == "exact_dup_batch", m.toString)
+    assert(m(800005L) == "exact_dup_corpus", m.toString)
+    assert(m(800006L) == "near_dup_corpus", m.toString)
+    assert(m(800003L) == "accept", m.toString)
+    // the near pair: one canonical accepted, the other rejected as a
+    // within-batch near-dup (which one wins depends on quality)
+    assert(Set(m(800001L), m(800002L)) ==
+      Set("accept", "near_dup_batch"), m.toString)
+    // the real increment lands EXACTLY the accept-labeled ids
+    val acc = Pipeline.corpusIncrement(spark, out, batch, "2026-08-13")
+    val acceptIds = m.filter(_._2 == "accept").keySet
+    assert(acc == acceptIds.size)
+    val landed = spark.read.parquet(silverPath)
+      .filter(col("doc_id") >= 800001L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == acceptIds, s"landed $landed vs labeled $acceptIds")
+  }
+
   test("increment crash after index publish: retry resumes, lands once") {
     import org.apache.spark.sql.functions._
     import graft.operators.Corpus
