@@ -760,6 +760,16 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
           "c_mktsegment")
     }),
+    "q_orc_roundtrip" -> ((s, d) => {
+      // the third columnar format: ORC write → schema'd read back —
+      // every value (including raw doubles, which are never
+      // aggregated here) must survive bit-for-bit
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      Tables.writeOrc(Tables.table(s, d, "supplier"), s"$tmp/supplier")
+      Tables.readOrc(s, s"$tmp/supplier",
+        Some("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+          "s_acctbal DOUBLE"))
+    }),
     "q_partitioned_write" -> ((s, d) => {
       // lakehouse layout: write partitioned by day, read back filtered
       // to one partition (pruned scan), aggregate
@@ -1290,6 +1300,7 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS props_k
         |FROM events""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM nation",
+    "q_orc_roundtrip" -> "SELECT * FROM supplier",
     "q_ingest_manifest" ->
       """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS k,
         |  'manifest://events/' || event_id AS _source,

@@ -153,6 +153,22 @@ object Tables {
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC read/write — the third columnar lakehouse format beside
+    * parquet, fully built into Spark (vectorized reader, predicate
+    * pushdown into stripe/row-group stats, column pruning). The same
+    * scale posture as the parquet helpers: schema'd lazy reads so
+    * Catalyst pushes filters and prunes columns into the scan.
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schemaDdl: Option[String] = None): DataFrame =
+    schemaDdl match {
+      case Some(ddl) => spark.read.schema(ddl).orc(path)
+      case None      => spark.read.orc(path)
+    }
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Partitioned parquet write — the lakehouse layout that makes
     * incremental reads partition-pruned scans. With `partitionBy`,
     * rows are CLUSTERED by the

@@ -56,6 +56,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp).count() == 2)
   }
 
+  test("ORC round-trip preserves values; filters push into the ORC scan") {
+    val sup = Tables.table(spark, sf, "supplier")
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    Tables.writeOrc(sup, s"$tmp/supplier")
+    val back = Tables.readOrc(spark, s"$tmp/supplier",
+      Some("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+        "s_acctbal DOUBLE"))
+    assert(back.count() == sup.count())
+    assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
+    // same pushdown posture as parquet: the predicate reaches the ORC
+    // scan's stripe stats, the projection prunes columns
+    val plan = back.filter(col("s_suppkey") === 7L).select("s_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(s_suppkey), " +
+      "EqualTo(s_suppkey,7)]"), plan)
+    assert(plan.contains("ReadSchema: struct<s_suppkey:bigint,s_name:string>"),
+      plan)
+  }
+
   test("filters are pushed down to the parquet scan") {
     val plan = Tables.table(spark, sf, "lineitem")
       .filter(col("l_quantity") > 25)
