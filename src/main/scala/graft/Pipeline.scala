@@ -351,30 +351,6 @@ object Pipeline {
                         Corpus.TrainingRecipe.Default): Long =
     corpusIncrementWithHook(spark, outDir, batch, runDate, epoch, recipe)
 
-  /** [[corpusIncrement]] with a crash-injection hook fired at the
-    * commit point (after the index batch publishes, before any silver
-    * lands) — exists so the recovery contract below is TESTED, not
-    * asserted: a spec throws from the hook and verifies the retry
-    * resumes cleanly.
-    *
-    * Commit protocol (all idempotent under retry):
-    *  1. compute the accepted set;
-    *  2. publish ONE batch directory to the index via
-    *     [[Dedup.writeDedupIndex]]'s staged atomic rename, carrying
-    *     the accepted docs' silver rows as a commit record
-    *     (`accepted/` side table) — before this point a crash leaves
-    *     no visible state at all;
-    *  3. land the accepted rows into silver, rebuild gold for the
-    *     touched shards, then write the batch's `_landed` marker.
-    * A retry of a FULLY landed batch is refused loudly (O(1) marker
-    * probe). A retry after a crash between 2 and 3 RESUMES: the
-    * accepted set is read back from the commit record (never
-    * recomputed — recomputing against a half-committed index would
-    * mis-classify near-dups of this batch's own docs), silver gets
-    * only the rows it is missing, gold rebuilds, the marker lands.
-    * The r6 design refused that retry and demanded manual parquet
-    * surgery; now the documented repair step is the code path itself.
-    */
   /** The accept/reject DECISION for every document of a (cleaned)
     * batch against the persisted corpus state — the shared core of
     * [[corpusIncrement]] and the introspection surface
@@ -466,6 +442,31 @@ object Pipeline {
                     batch: DataFrame): DataFrame =
     classifyCleaned(spark, outDir, corpusClean(batch).localCheckpoint())
 
+  /** [[corpusIncrement]] with a crash-injection hook fired at the
+    * commit point (after the index batch publishes, before any silver
+    * lands) — exists so the recovery contract below is TESTED, not
+    * asserted: a spec throws from the hook and verifies the retry
+    * resumes cleanly.
+    *
+    * Commit protocol (all idempotent under retry):
+    *  1. compute the accepted set ([[classifyCleaned]]'s accept
+    *     label);
+    *  2. publish ONE batch directory to the index via
+    *     [[Dedup.writeDedupIndex]]'s staged atomic rename, carrying
+    *     the accepted docs' silver rows as a commit record
+    *     (`accepted/` side table) — before this point a crash leaves
+    *     no visible state at all;
+    *  3. land the accepted rows into silver, rebuild gold for the
+    *     touched shards, then write the batch's `_landed` marker.
+    * A retry of a FULLY landed batch is refused loudly (O(1) marker
+    * probe). A retry after a crash between 2 and 3 RESUMES: the
+    * accepted set is read back from the commit record (never
+    * recomputed — recomputing against a half-committed index would
+    * mis-classify near-dups of this batch's own docs), silver gets
+    * only the rows it is missing, gold rebuilds, the marker lands.
+    * The r6 design refused that retry and demanded manual parquet
+    * surgery; now the documented repair step is the code path itself.
+    */
   private[graft] def corpusIncrementWithHook(
       spark: SparkSession, outDir: String, batch: DataFrame,
       runDate: String, epoch: Int = 1,
