@@ -1035,6 +1035,49 @@ object SparkEntry {
             "replay_refused", "n_docs_processed")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.10 O6 streaming corpus ingestion, driver-gated ----
+    // the continuous form of corpusIncrement: per-file micro-batches
+    // land through the same decision/commit path. Outcome contract:
+    // the stream lands new docs, a restart on the SAME checkpoint is
+    // a no-op, a redelivery run on a FRESH checkpoint is refused by
+    // the content-id guard (at-least-once delivery → exactly-once
+    // landing), and the corpus-wide exact-dedup invariant holds.
+    // n_docs_source is the real row, recounted by DuckDB.
+    "q_stream_corpus" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cstream-gate").toString
+      try {
+        val doc = Tables.table(s, d, "documents")
+          .select("doc_id", "lang", "text")
+        val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+        Pipeline.corpusInit(s, doc.filter(bucket >= 2), out, Stamp)
+        val silverPath = s"$out/silver/documents"
+        val n0 = s.read.parquet(silverPath).count()
+        val src = s"$out/incoming"
+        doc.filter(bucket <= 1).repartition(3).write.json(src)
+        def run(ckpt: String): Unit = {
+          graft.streaming.CorpusStream.corpusIncrementSink(
+            s.readStream
+              .schema("doc_id BIGINT, lang STRING, text STRING")
+              .option("maxFilesPerTrigger", "1").json(src),
+            out, Stamp, s"$out/$ckpt")
+          ()
+        }
+        run("ckpt")
+        val n1 = s.read.parquet(silverPath).count()
+        run("ckpt") // restart, same checkpoint: nothing new to read
+        val n2 = s.read.parquet(silverPath).count()
+        run("ckpt2") // fresh checkpoint: full redelivery, all refused
+        val n3 = s.read.parquet(silverPath).count()
+        val noExact = s.read.parquet(silverPath)
+          .groupBy(col("norm_hash")).count()
+          .filter(col("count") > 1).count() == 0
+        import s.implicits._
+        Seq((n1 > n0, n2 == n1, n3 == n1, noExact, doc.count()))
+          .toDF("stream_landed", "restart_noop", "redelivery_skipped",
+            "silver_deduped", "n_docs_source")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.10/§2.11 batch decision introspection, driver-gated ----
     // classifyBatch = corpusIncrement's accept/reject decision as a
     // DRY-RUN report. Outcome contract: labels partition the batch
@@ -1433,6 +1476,10 @@ object SparkEntry {
       """SELECT true AS growth_exact, true AS planted_rejected,
         |  true AS silver_deduped, true AS replay_refused,
         |  (SELECT count(*) + 2 FROM documents) AS n_docs_processed""".stripMargin,
+    "q_stream_corpus" ->
+      """SELECT true AS stream_landed, true AS restart_noop,
+        |  true AS redelivery_skipped, true AS silver_deduped,
+        |  (SELECT count(*) FROM documents) AS n_docs_source""".stripMargin,
     // n_docs_classified = the day-1 hash slice plus the two planted
     // duplicates, recounted from the raw table
     "q_corpus_classify" ->

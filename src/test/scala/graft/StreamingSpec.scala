@@ -155,4 +155,49 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.read.parquet(out).count()
     assert(after == 800L, s"replay changed row count: $both -> $after")
   }
+
+  test("streaming corpus sink: per-file batches land once, empty source no-op") {
+    import graft.operators.Corpus
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cstream").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    graft.Pipeline.corpusInit(spark, doc.filter(bucket >= 2), out,
+      "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val n0 = spark.read.parquet(silverPath).count()
+    def nIndexBatches: Int = new java.io.File(s"$out/dedup_index/batches")
+      .listFiles().count(_.isDirectory)
+    val b0 = nIndexBatches
+    val src = s"$out/incoming"
+    new java.io.File(src).mkdirs()
+    def run(ckpt: String): Unit = {
+      graft.streaming.CorpusStream.corpusIncrementSink(
+        spark.readStream
+          .schema("doc_id BIGINT, lang STRING, text STRING")
+          .option("maxFilesPerTrigger", "1").json(src),
+        out, "2026-08-13", s"$out/$ckpt")
+      ()
+    }
+    // an empty source: nothing lands, and crucially NO index batch is
+    // published (an empty batch's constant content id would make every
+    // later empty batch look like a replay)
+    run("ckpt-empty")
+    assert(spark.read.parquet(silverPath).count() == n0)
+    assert(nIndexBatches == b0, "empty micro-batch polluted the index")
+    // two files → two per-file micro-batches through the increment
+    // (append: the landing dir already exists from the empty-run case)
+    doc.filter(bucket <= 1).repartition(2).write.mode("append").json(src)
+    run("ckpt")
+    val n1 = spark.read.parquet(silverPath).count()
+    assert(n1 > n0, "stream landed nothing")
+    assert(nIndexBatches == b0 + 2,
+      "expected one published index batch per source file")
+    // full redelivery on a fresh checkpoint: the content-id guard
+    // turns at-least-once delivery into exactly-once landing
+    run("ckpt2")
+    assert(spark.read.parquet(silverPath).count() == n1)
+    assert(nIndexBatches == b0 + 2)
+  }
 }
