@@ -374,6 +374,9 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         col("lang").as("lang_label"),
         graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))),
+    "q_text_vocab" -> ((s, d) =>
+      graft.functions.TextFunctions.vocabulary(
+        Tables.table(s, d, "documents"), "doc_id", "text", 100)),
     "q_text_quality" -> ((s, d) =>
       graft.functions.TextFunctions.qualityReport(
         Tables.table(s, d, "documents"), "doc_id", "text")),
@@ -445,6 +448,13 @@ object SparkEntry {
         Tables.table(s, d, "documents").select("doc_id", "lang"),
         "doc_id", "lang", "mix", 10,
         Map("en" -> 10, "de" -> 5, "fr" -> 5, "es" -> 3))),
+    // temperature mixture: rates DERIVED from the observed language
+    // distribution at α=0.5 (sqrt is IEEE-exact cross-engine; see
+    // Corpus.temperatureRates)
+    "q_corpus_temperature" -> ((s, d) =>
+      Corpus.temperatureMixture(
+        Tables.table(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", "temp", 1000, alpha = 0.5)),
     // packing: per-shard contiguous fill of 4000-char bins (n_chars
     // stands in for the token count; same shape either way)
     "q_corpus_pack" -> ((s, d) =>
@@ -664,6 +674,13 @@ object SparkEntry {
     "q_dedup_cosine_lsh" -> ((s, d) =>
       Similarity.cosineNearDupPairsLsh(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.35)),
+    // semantic (cluster-then-prune) near-dup: same seed-centroid
+    // pattern as q_ann_ivf/q_embed_centroid so the oracle can mirror
+    // the assignment; production feeds kmeansIterate's trained table
+    "q_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticNearDupPairsSeeded(
+        Tables.table(s, d, "embeddings"), "vec_id", "embedding",
+        centroidPred = col("vec_id") % 37 === 1, 0.35)),
     // ---- §2.7 A1–A2 similarity search ----
     "q_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.table(s, d, "embeddings"),
@@ -1360,6 +1377,23 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // (term_freq DESC, token) is a total order, so the top-100 cut is
+    // deterministic; tokens are the same BPE-ish regex pieces as
+    // n_bpe_tokens above (testdata is ASCII, so string order agrees)
+    "q_text_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+        |  FROM documents
+        |), ag AS (
+        |  SELECT token, COUNT(*) AS term_freq,
+        |    COUNT(DISTINCT doc_id) AS doc_freq
+        |  FROM tok GROUP BY token
+        |)
+        |SELECT token, term_freq, doc_freq,
+        |  ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS vocab_rank
+        |FROM ag
+        |QUALIFY vocab_rank <= 100""".stripMargin,
     "q_text_langid" -> {
       val scores = graft.functions.TextFunctions.Stopwords.map { case (l, ws) =>
         s"len(list_filter(ws, t -> list_contains(${duckList(ws)}, t))) AS s_$l"
@@ -1574,6 +1608,21 @@ object SparkEntry {
          |WHERE ${duckHashBucket("doc_id", "mix", 10)} <
          |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 5
          |            WHEN 'fr' THEN 5 WHEN 'es' THEN 3 END""".stripMargin,
+    // α=0.5: every arithmetic step (double divide, sqrt, multiply,
+    // floor) is IEEE-correctly-rounded, so the integer rates agree
+    // bit-for-bit with Corpus.temperatureRates
+    "q_corpus_temperature" ->
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+         |), m AS (SELECT MIN(n) AS nmin FROM c),
+         |r AS (
+         |  SELECT lang, LEAST(1000, CAST(FLOOR(
+         |    1000 * SQRT(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+         |  ) AS BIGINT)) AS rate
+         |  FROM c CROSS JOIN m
+         |)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE ${duckHashBucket("d.doc_id", "temp", 1000)} < r.rate""".stripMargin,
     "q_corpus_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,
@@ -1912,6 +1961,25 @@ object SparkEntry {
          |FROM cand
          |WHERE ROUND(${duckCos("va", "vb")}, 6) >= 0.35""".stripMargin
     },
+    // nearest-centroid assignment mirrored from q_ann_ivf's `assigned`
+    // CTE, then pairwise cosine within each cell only
+    "q_dedup_semantic" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 37 = 1
+         |), assigned AS (
+         |  SELECT cand_id, cv, cell FROM (
+         |    SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cell) AS r
+         |    FROM embeddings e CROSS JOIN cent c) x
+         |  WHERE r = 1
+         |)
+         |SELECT a.cand_id AS id_a, b.cand_id AS id_b, a.cell,
+         |  ROUND(${duckCos("a.cv", "b.cv")}, 6) AS cos_sim
+         |FROM assigned a JOIN assigned b
+         |  ON a.cell = b.cell AND a.cand_id < b.cand_id
+         |WHERE ROUND(${duckCos("a.cv", "b.cv")}, 6) >= 0.35""".stripMargin,
     // hex-domain mirror of the binary frame slices (byte i ↔ hex 2i);
     // 96/128 are stride·2 and frameBytes·2
     "q_multimodal_frames" ->

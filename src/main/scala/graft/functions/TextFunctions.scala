@@ -230,4 +230,37 @@ object TextFunctions {
         ((lit(1.0) - col("punct_ratio")) * 0.1), 6).as("quality_score") +:
       extra.map { case (n, _) => col(n) }: _*)
   }
+
+  /** T9 — corpus VOCABULARY: the top-`topK` [[bpeTokens]] pieces by
+    * total occurrence, with document frequency — the frequency table a
+    * BPE/WordPiece vocabulary build starts from (and the df side of
+    * any tf-idf weighting downstream).
+    *
+    * Output: (token, term_freq, doc_freq, vocab_rank), rank dense 1..k
+    * by (term_freq desc, token asc) — a total order, so the cut at
+    * `topK` is deterministic on any engine or partitioning.
+    *
+    * Plan shape at corpus scale: explode + one groupBy on the token —
+    * partial aggregation collapses each partition to its local vocab
+    * before the shuffle, so the exchange carries O(vocab) rows per
+    * partition, not O(tokens). `countDistinct` for doc_freq expands to
+    * the same two-phase shape (partial distinct on (token, doc) first).
+    * The rank window runs AFTER the top-k cut, over k rows on one
+    * task — k is vocab-sized by definition, never corpus-sized.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = graft.sources.Tables.fanOut(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), explode(bpeTokens(col("__t"))).as("token"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col("__id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(topK)
+    top.withColumn("vocab_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("term_freq").desc, col("token"))).cast("bigint"))
+  }
 }

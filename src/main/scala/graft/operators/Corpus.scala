@@ -179,6 +179,54 @@ object Corpus {
       .filter(hashBucket(col(keyCol), salt, den) < col("__rate"))
       .select(df.columns.map(col).toIndexedSeq: _*)
 
+  /** K5b — TEMPERATURE mixture rates, derived from the corpus instead
+    * of hand-written: keep-rate_g = min(1, (n_min/n_g)^(1-α)) as an
+    * integer rate out of `den`. After sampling, group sizes scale
+    * ∝ n_g^α — the standard LLM data-recipe flattening knob (α=1
+    * keeps the natural distribution, α=0 equalizes every group to the
+    * smallest, α≈0.5 is the usual compromise that upweights rare
+    * domains/languages without letting them dominate). The smallest
+    * group always keeps rate `den` (everything): temperature decides
+    * how much of the HEAD to shed, never to discard the tail.
+    *
+    * Plan: one groupBy-count on the corpus (map-side partial agg), a
+    * scalar min over the group-sized count table, rates computed on
+    * that tiny table — the corpus is scanned once and never shuffled.
+    *
+    * Cross-engine exactness: α=0.5 routes through `sqrt`, which IEEE
+    * 754 requires to be correctly rounded — `den * sqrt(nmin/n)` is
+    * bit-identical on any engine, so the floor'd integer rate cannot
+    * straddle engines. Other α go through `pow`, which carries no such
+    * guarantee (fine in one engine, not gate-mirrorable) — which is
+    * why the gate pins α=0.5.
+    */
+  def temperatureRates(df: DataFrame, groupCol: String, den: Int,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val frac = col("__nmin").cast("double") / col("__n").cast("double")
+    val scaled =
+      if (alpha == 0.5) sqrt(frac) else pow(frac, lit(1.0 - alpha))
+    counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .withColumn("__rate",
+        least(lit(den).cast("long"),
+          floor(lit(den) * scaled).cast("long")))
+      .select(col(groupCol), col("__rate"))
+  }
+
+  /** K5b — temperature-flattened domain sampling:
+    * [[mixtureSampleTable]] fed by [[temperatureRates]]. Same
+    * deterministic salted-hash keep/drop as every sampler here — a
+    * re-run, a different partitioning, or another engine keeps exactly
+    * the same documents.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, groupCol: String,
+                         salt: String, den: Int,
+                         alpha: Double = 0.5): DataFrame =
+    mixtureSampleTable(df, keyCol, groupCol, salt, den,
+      temperatureRates(df, groupCol, den, alpha))
+
   /** K6 — greedy sequence PACKING: contiguous documents (in
     * `orderCols` order within a shard) fill token-budget-ALIGNED bins,
     * `bin_id` = ⌊preceding-cumulative-tokens / budget⌋ — the step that

@@ -396,4 +396,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
   }
+
+  /** D11 — SEMANTIC near-duplicate pairs, the cluster-then-prune scale
+    * path (the SemDeDup recipe, Abbas et al. 2023): assign every
+    * vector to its nearest centroid cell, then compute pairwise cosine
+    * ONLY within each cell. Where [[cosineNearDupPairsLsh]] buckets by
+    * DATA-BLIND random hyperplanes, this buckets by a LEARNED coarse
+    * quantizer — centroids from [[kmeansIterate]] adapt the partition
+    * to the corpus's actual density, so near-dup pairs (which cluster
+    * together by construction) co-locate with higher recall at equal
+    * pair budget.
+    *
+    * Scale shape: one centroid broadcast + one corpus scan for the
+    * assignment, one shuffle on `cell` for the self-join; pair space
+    * is Σ|cell|² instead of n² — the cell count is the knob (k ≈
+    * corpus/target-cell-size keeps cells task-sized; AQE splits a
+    * skewed cell's join at runtime). Recall is traded at cell
+    * BOUNDARIES only: a pair straddling two cells is missed, which is
+    * the same trade every IVF-style index makes (and why `centroids`
+    * should come from a trained quantizer in production).
+    *
+    * Output: (id_a, id_b, cell, cos_sim) with id_a < id_b — `cell`
+    * kept so downstream canonical-doc selection can stay cell-local.
+    */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame,
+                           threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(emb, idCol, vecCol, centroids)
+      .withColumn("nrm", norm(col("cv")))
+    val a = assigned.select(col("cell"), col("cand_id").as("id_a"),
+      col("cv").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("cand_id").as("id_b"),
+      col("cv").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotPre(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        col("cos").as("cos_sim"))
+  }
+
+  /** [[semanticNearDupPairs]] with the coarse quantizer drawn from emb
+    * rows selected by `centroidPred` — the untrained-seed form the
+    * gate pins (deterministic, oracle-mirrorable); production trains
+    * the centroids first ([[kmeansIterate]]) and calls the table form.
+    */
+  def semanticNearDupPairsSeeded(emb: DataFrame, idCol: String,
+                                 vecCol: String, centroidPred: Column,
+                                 threshold: Double): DataFrame =
+    semanticNearDupPairs(emb, idCol, vecCol,
+      emb.filter(centroidPred)
+        .select(col(idCol).as("cell"), col(vecCol).as("centv")),
+      threshold)
 }

@@ -121,6 +121,56 @@ class CorpusSpec extends AnyFunSuite {
       10, Map("en" -> 10, "zh" -> 0))).count() == 0)
   }
 
+  test("temperatureMixture flattens the head, keeps the smallest group whole") {
+    val doc = Tables.table(spark, sf, "documents").select("doc_id", "lang")
+    val full = doc.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Corpus.temperatureRates(doc, "lang", 1000, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = full.minBy(_._2)._1
+    assert(rates(smallest) == 1000L, "smallest group must keep everything")
+    // rates monotone non-increasing as group size grows
+    val bySize = full.toSeq.sortBy(_._2).map { case (g, _) => rates(g) }
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b },
+      s"rates not monotone in group size: $bySize")
+    // α=1 is the identity temperature: natural distribution kept whole
+    assert(Corpus.temperatureRates(doc, "lang", 1000, alpha = 1.0)
+      .collect().forall(_.getLong(1) == 1000L))
+    val sampled = Corpus
+      .temperatureMixture(doc, "doc_id", "lang", "temp", 1000, alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == full.keySet, "temperature dropped a group")
+    assert(sampled.forall { case (g, n) => n <= full(g) })
+    // the point of the knob: the head/tail imbalance strictly shrinks
+    val before = full.values.max.toDouble / full.values.min
+    val after = sampled.values.max.toDouble / sampled.values.min
+    assert(after < before, s"not flattened: $after vs $before")
+  }
+
+  test("vocabulary: top-k by term frequency, deterministic tie-break, tf >= df") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b!"))
+      .toDF("doc_id", "text")
+    val v = graft.functions.TextFunctions
+      .vocabulary(tiny, "doc_id", "text", 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // tf: a=3 b=3 c=1 !=1; ties by token asc — 'a' before 'b', '!'
+    // (0x21) before 'c' at the k=3 cut
+    assert(v == Map("a" -> ((3L, 2L, 1L)), "b" -> ((3L, 2L, 2L)),
+      "!" -> ((1L, 1L, 3L))))
+    // the synthetic corpus draws from a small word pool, so the whole
+    // vocab may be under k — the cut is min(k, |vocab|) rows
+    val real = graft.functions.TextFunctions.vocabulary(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", 100).collect()
+    assert(real.nonEmpty && real.length <= 100)
+    assert(real.map(_.getLong(3)).sorted.toSeq == (1L to real.length.toLong),
+      "ranks must be dense 1..k")
+    assert(real.forall(r => r.getLong(1) >= r.getLong(2)),
+      "term_freq must dominate doc_freq")
+  }
+
   test("packGreedy fills contiguous bins within shards, never spanning") {
     import spark.implicits._
     val df = Seq((1L, 30L, 0), (2L, 40L, 0), (3L, 50L, 0), (4L, 10L, 1))

@@ -698,6 +698,49 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.40, f"LSH pair recall $recall%.3f below 0.40")
   }
 
+  test("semantic near-dup: subset of pairwise, cell-local, trained quantizer adds recall") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val full = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val seedPred = col("vec_id") % 37 === 1
+    val sem = Similarity.semanticNearDupPairsSeeded(
+      emb, "vec_id", "embedding", seedPred, 0.35).collect()
+    assert(sem.nonEmpty, "semantic variant found no pairs at all")
+    val keys = sem.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length,
+      "a pair was emitted from more than one cell")
+    sem.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(full.contains(k), s"phantom pair $k")
+      assert(full(k) == r.getDouble(3), s"score drift on $k")
+    }
+    val seedRecall = keys.count(full.keySet).toDouble / full.size
+    // the SemDeDup claim — a LEARNED partition concentrates near-dup
+    // pairs better than the same partition before training: train the
+    // quantizer with 5 Lloyd rounds from the same seeds and re-prune
+    val (_, trained, _) = Similarity.kmeansIterate(
+      emb, "vec_id", "embedding", seedPred, maxIter = 5)
+    val trainedKeys = Similarity.semanticNearDupPairs(
+      emb, "vec_id", "embedding", trained, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trainedRecall = full.keySet.count(trainedKeys).toDouble / full.size
+    info(f"pair recall: seed cells $seedRecall%.3f" +
+      f" -> trained cells $trainedRecall%.3f (${full.size} exact pairs)")
+    assert(trainedKeys.subsetOf(full.keySet), "phantom pair from trained cells")
+    // measured (deterministic: fixed seeds, fixed data, unrolled
+    // Lloyd): seed 0.202 -> trained 0.319 over 257 exact pairs at 14
+    // cells (~7% of the corpus per cell) — training buys +0.12 recall
+    // at identical pair budget. Floors just below; training must
+    // never DEGRADE the partition it started from
+    assert(trainedRecall >= seedRecall - 0.02,
+      f"training degraded pair recall: $seedRecall%.3f -> $trainedRecall%.3f")
+    assert(seedRecall >= 0.18,
+      f"seed-cell pair recall $seedRecall%.3f below 0.18 floor")
+    assert(trainedRecall >= 0.28,
+      f"trained-cell pair recall $trainedRecall%.3f below 0.28 floor")
+  }
+
   test("portable fingerprint: every doc in exactly one group, dups collide") {
     import spark.implicits._
     val df = Seq(
