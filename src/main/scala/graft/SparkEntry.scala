@@ -86,6 +86,8 @@ object SparkEntry {
     "q_priority_lines" -> ((s, d) => Analytics.priorityLineReport(s, d)),
     // ---- §2.4 G14b hierarchical rollup report ----
     "q_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // ---- §2.6 G14c full cube with grouping_id ----
+    "q_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
     // ---- §2.12 X3 bloom-pruned join ----
     "q_bloom_join" -> ((s, d) => Analytics.bloomPriorityRevenue(s, d)),
     // ---- §2.12 X2 salted replicated join ----
@@ -787,6 +789,20 @@ object SparkEntry {
         Some("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
           "s_acctbal DOUBLE"))
     }),
+    "q_schema_evolution" -> ((s, d) => {
+      // lakehouse append contract: half the table is written BEFORE
+      // two columns existed, the other half after — the merged read
+      // must surface one widened schema with nulls backfilling the
+      // old files (which are never rewritten)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val cust = Tables.table(s, d, "customer")
+      Tables.writeParquet(cust.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_nationkey"), s"$tmp/customer")
+      Tables.writeParquet(cust.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"), s"$tmp/customer", mode = "append")
+      Tables.readEvolved(s, s"$tmp/customer")
+    }),
     "q_partitioned_write" -> ((s, d) => {
       // lakehouse layout: write partitioned by day, read back filtered
       // to one partition (pruned scan), aggregate
@@ -1372,6 +1388,17 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type""".stripMargin,
+    // the even-key half was written without the last two columns and
+    // must read back with them null; doubles pass through unaggregated
+    // (bit-exact round trip, same contract as q_orc_roundtrip)
+    "q_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
@@ -2300,6 +2327,19 @@ object SparkEntry {
         |  COALESCE(n_name, '(all)') AS nation,
         |  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
         |FROM leaf GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    // GROUPING() bit order is the SQL-standard one (leftmost arg =
+    // most significant bit) in both engines, so gid matches
+    // grouping_id() directly; dims are non-null in the data, so the
+    // (all) labels are unambiguous — gid carries the distinction
+    // regardless
+    "q_cube" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
     // LEAD over the full-precision timestamps, second-trunc only for
     // display — mirrors the Spark window's ordering exactly
     // the window ORDERS BY µs-truncated ts: Spark reads the ns parquet

@@ -225,6 +225,33 @@ object Analytics {
         col("revenue"))
   }
 
+  /** G14c — full CUBE over (order priority, order status): every
+    * subtotal combination in one pass, with `grouping_id` telling a
+    * rolled-up dimension apart from a genuine value — the label trick
+    * [[revenueRollup]] uses stops being enough once BOTH dimensions
+    * can roll up independently (a row with priority set and status
+    * rolled up has no position in a rollup's strict hierarchy).
+    *
+    * Scale shape: the fact table is reduced to the (|priority| ×
+    * |status|) leaf grid FIRST (one map-side-combined groupBy); the
+    * 4-way Expand that implements CUBE multiplies the LEAF, not the
+    * fact scan — cube over a 15-row grid is free, cube directly over
+    * the fact would 4× the shuffle input for nothing.
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.table(spark, sfDir, "orders")
+    val leaf = ord.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    leaf.cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n_orders"),
+        round(sum(col("rev")), 2).cast("double").as("revenue"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n_orders"), col("revenue"))
+  }
+
   /** X3 demo — urgent-order line revenue with the fact scan pre-pruned
     * by a bloom sketch of the urgent order keys ([[Bloom]]): the
     * ~80% of lineitem rows whose order is not 1-URGENT are dropped

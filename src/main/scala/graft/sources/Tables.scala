@@ -191,6 +191,26 @@ object Tables {
       .parquet(path)
   }
 
+  /** S14 — schema-EVOLUTION read: union the column sets of every
+    * parquet footer under `path`, so files written before a column
+    * existed read back with that column null. This is the lakehouse
+    * append contract — adding a column is a METADATA-only evolution;
+    * old files are never rewritten (no 100 TB backfill job just to
+    * add a field), and readers see one consistent widened schema.
+    *
+    * Scale note: `mergeSchema` reads one footer per FILE at planning
+    * time — fine on a compacted table, slow on a million-file mess.
+    * Production readers of a table whose evolved schema is KNOWN
+    * should pin it via `schemaDdl` (planning cost O(1), same data
+    * back); the merge path is for discovery and ad-hoc reads.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+                  schemaDdl: Option[String] = None): DataFrame =
+    schemaDdl match {
+      case Some(ddl) => spark.read.schema(ddl).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   /** Z-VALUE: bit-interleave of two bounded non-negative ints — the
     * space-filling-curve key for multi-dimensional data clustering.
     * Pure long shift/mask expressions, codegen'd and engine-portable.

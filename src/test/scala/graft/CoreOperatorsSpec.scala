@@ -484,4 +484,31 @@ class CoreOperatorsSpec extends AnyFunSuite {
     }
     assert(math.abs(grand.head._3 - regionSub.map(_._3).sum) < 0.02)
   }
+
+  test("revenueCube emits all four grouping sets, gid-consistent") {
+    val out = Analytics.revenueCube(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // gid encodes which dims rolled up: bit1=priority, bit0=status
+    out.foreach { case (p, st, gid, _, _) =>
+      assert(((gid & 2L) != 0) == (p == "(all)"), s"gid=$gid p=$p")
+      assert(((gid & 1L) != 0) == (st == "(all)"), s"gid=$gid st=$st")
+    }
+    val grand = out.filter(_._3 == 3L)
+    assert(grand.length == 1)
+    // every marginal (one dim rolled up) sums its own leaves, and the
+    // grand total sums each marginal family exactly (counts are ints)
+    val leaves = out.filter(_._3 == 0L)
+    out.filter(_._3 == 1L).foreach { case (p, _, _, n, rev) =>
+      val mine = leaves.filter(_._1 == p)
+      assert(mine.map(_._4).sum == n)
+      assert(math.abs(mine.map(_._5).sum - rev) < 0.02)
+    }
+    out.filter(_._3 == 2L).foreach { case (_, st, _, n, rev) =>
+      val mine = leaves.filter(_._2 == st)
+      assert(mine.map(_._4).sum == n)
+      assert(math.abs(mine.map(_._5).sum - rev) < 0.02)
+    }
+    assert(grand.head._4 == leaves.map(_._4).sum)
+  }
 }

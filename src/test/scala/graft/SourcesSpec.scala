@@ -75,6 +75,31 @@ class SourcesSpec extends AnyFunSuite {
       plan)
   }
 
+  test("S14: schema evolution — pre-evolution files read back null-padded") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    val nation = Tables.table(spark, sf, "nation")
+    // day 1: the table has two columns; day 2: a column is added and
+    // only NEW files carry it — no rewrite of the old ones
+    Tables.writeParquet(nation.filter(col("n_regionkey") < 2)
+      .select("n_nationkey", "n_name"), s"$tmp/n")
+    Tables.writeParquet(nation.filter(col("n_regionkey") >= 2)
+      .select("n_nationkey", "n_name", "n_regionkey"),
+      s"$tmp/n", mode = "append")
+    val merged = Tables.readEvolved(spark, s"$tmp/n")
+    assert(merged.columns.sorted.toSeq ==
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(merged.count() == nation.count())
+    // old files surface the new column as null; new files keep values
+    assert(merged.filter(col("n_regionkey").isNull).count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    // the pinned-schema fast path returns the same data with no
+    // footer-merge planning cost
+    val pinned = Tables.readEvolved(spark, s"$tmp/n",
+      Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    assert(pinned.except(merged).count() == 0 &&
+      merged.except(pinned).count() == 0)
+  }
+
   test("filters are pushed down to the parquet scan") {
     val plan = Tables.table(spark, sf, "lineitem")
       .filter(col("l_quantity") > 25)
