@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.plans.{CountInSet, MinRollingHash, SumStringLengths, VectorDot}
+import graft.plans.{CountInSet, FreqSketchAgg, FreqSketchMergeAgg, MinRollingHash, SumStringLengths, VectorDot}
 
 /** Spark extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT min_rolling_hash(text, 16)
@@ -63,6 +63,23 @@ object GraftExtensions {
         case Seq(c) => SumStringLengths(c)
         case _ => throw new IllegalArgumentException(
           "sum_string_lengths(tokens)")
+      }),
+    // aggregates: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression, so these work directly in SQL GROUP BYs
+    ("freq_sketch",
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => FreqSketchAgg(c, intArg(k, 128))
+        case _ => throw new IllegalArgumentException(
+          "freq_sketch(value, k)")
+      }),
+    ("freq_sketch_merge",
+      new ExpressionInfo(classOf[FreqSketchMergeAgg].getName,
+        "freq_sketch_merge"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => FreqSketchMergeAgg(c, intArg(k, 128))
+        case _ => throw new IllegalArgumentException(
+          "freq_sketch_merge(sketch, k)")
       }))
 
   private def literalStrings(e: Expression): Seq[String] = e match {

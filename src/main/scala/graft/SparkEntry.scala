@@ -919,6 +919,57 @@ object SparkEntry {
         unionEst >= disc && unionEst - disc <= (hi - lo) / bins, exact))
         .toDF("union_equals_global", "within_one_bin", "exact_p50")
     }),
+    // ---- §2.3 P8 heavy hitters, driver-gated ----
+    // full-data gate: the two-pass sketch-then-recount operator is
+    // EXACT by construction (the Misra–Gries guarantee makes the
+    // candidate set a superset of every qualifying item; pass 2 is
+    // exact arithmetic), so its whole output hash-gates against the
+    // plain GROUP BY ... HAVING mirror. Threshold is integer math
+    // (count·500 > n) — no float crosses engines.
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.table(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      Profiling.heavyHitters(toks, col("tok"), 500)
+        .withColumnRenamed("item", "token")
+    }),
+    // ---- §2.3 P8b mergeable frequency sketches, driver-gated ----
+    // outcome contract (q_hll_sketches pattern): per-source Misra–
+    // Gries sketches merged must (a) still contain every EXACT heavy
+    // hitter at the sketch's support — the mergeable-summaries
+    // guarantee — and (b) every merged counter is a lower bound within
+    // the additive budget n/(k+1) of its exact count (checked in
+    // integer math). n_heavy_exact and n_tokens are the real oracle
+    // rows DuckDB recomputes.
+    "q_freq_sketches" -> ((s, d) => {
+      val k = 500
+      val toks = Tables.table(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val shards = Profiling.freqSketches(toks, col("source"),
+        col("tok"), k)
+      val merged = shards
+        .agg(Profiling.freqSketchMergeAgg(col("sketch"), k).as("sk"))
+        .select(explode(col("sk")).as(Seq("item", "est")))
+      val exact = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact")).persist()
+      try {
+        val n = exact.agg(sum(col("exact"))).head().getLong(0)
+        val heavy = exact.filter(col("exact") * k > lit(n))
+        val missed = heavy.join(merged,
+          heavy("tok") === merged("item"), "left_anti").count()
+        val outOfBound = merged.join(exact,
+          merged("item") === exact("tok"))
+          .filter(col("est") > col("exact") ||
+            (col("exact") - col("est")) * (k + 1) > lit(n)).count()
+        val nHeavy = heavy.count()
+        import s.implicits._
+        Seq((missed == 0L, outOfBound == 0L, nHeavy, n))
+          .toDF("union_contains_all_heavy", "counters_within_guarantee",
+            "n_heavy_exact", "n_tokens")
+      } finally exact.unpersist()
+    }),
     "q_freshness_gate" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
         .toString + "/nation"
@@ -1515,6 +1566,29 @@ object SparkEntry {
       """SELECT true AS union_equals_global, true AS within_one_bin,
         |  (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)
         |    AS exact_p50""".stripMargin,
+    // tokenization parity with q_text_tokens (string_split_regex ==
+    // Spark split on \s+, '' filtered both sides); strict integer
+    // threshold count·500 > n
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks WHERE token <> '')
+        |SELECT token, count(*) AS n_occurrences
+        |FROM toks, tot WHERE token <> ''
+        |GROUP BY token, n HAVING count(*) * 500 > n""".stripMargin,
+    "q_freq_sketches" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks WHERE token <> '')
+        |SELECT true AS union_contains_all_heavy,
+        |  true AS counters_within_guarantee,
+        |  (SELECT count(*) FROM (
+        |    SELECT token FROM toks, tot WHERE token <> ''
+        |    GROUP BY token, n HAVING count(*) * 500 > n))
+        |    AS n_heavy_exact,
+        |  (SELECT n FROM tot) AS n_tokens""".stripMargin,
     "q_pipeline_retries" ->
       """SELECT true AS retried_to_third_attempt,
         |  true AS exhaustion_rethrows_last,

@@ -260,4 +260,76 @@ object Profiling {
       .agg(min(col("bin")).as("qbin"))
       .select((lit(lo) + (col("qbin") + 1) * w).as("quantile_est"))
   }
+
+  /** P8 — Misra–Gries frequency-sketch aggregate: one
+    * `map<string,bigint>` of at most `k` counters summarizing a string
+    * column in O(k) memory per task. Lower-bound counts; every item
+    * with true frequency above n/(k+1) is guaranteed present (see
+    * [[graft.plans.MisraGriesKernel]] for the contract and the merge
+    * algebra). This is the heavy-hitter member of the mergeable-sketch
+    * family beside the HLL distinct sketch ([[distinctSketches]]) and
+    * the fixed-grid histogram ([[quantileSketches]]) — the three
+    * profile statistics that must NOT be answered with a full groupBy
+    * at 100 TB (a token stream's distinct count is itself huge; the
+    * sketch never shuffles more than k counters per partition).
+    */
+  def freqSketchAgg(valueCol: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.plans.FreqSketchAgg(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(valueCol), k)
+        .toAggregateExpression())
+
+  /** Misra–Gries union of STORED sketch maps (one per shard/batch):
+    * same ≤ k-counter shape out, additive error in. The incremental
+    * analog of [[unionEstimate]]/[[unionQuantile]] — corpus-wide
+    * heavy-hitter candidates from tiny per-batch rows, history never
+    * re-scanned.
+    */
+  def freqSketchMergeAgg(sketchCol: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.plans.FreqSketchMergeAgg(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(sketchCol), k)
+        .toAggregateExpression())
+
+  /** Per-shard frequency sketches: (shard, sketch map). */
+  def freqSketches(df: DataFrame, shardCol: Column, valueCol: Column,
+                   k: Int): DataFrame =
+    df.groupBy(shardCol.as("shard"))
+      .agg(freqSketchAgg(valueCol, k).as("sketch"))
+
+  /** Candidate heavy items from a union of [[freqSketches]] rows
+    * (optionally pre-filtered to a shard subset): every item whose
+    * corpus-wide frequency exceeds n/(k+1) is guaranteed in this set.
+    */
+  def unionHeavyKeys(sketches: DataFrame, k: Int): DataFrame =
+    sketches.agg(freqSketchMergeAgg(col("sketch"), k).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("item"))
+
+  /** EXACT heavy hitters at bounded memory: every item occurring in
+    * strictly more than 1/`support` of the non-null values, with its
+    * exact count — the deterministic two-pass pattern: pass 1 builds
+    * one Misra–Gries sketch of capacity `support` (+ the total count,
+    * same scan), whose guarantee says the candidate set already
+    * contains every qualifying item; pass 2 exact-counts ONLY the ≤
+    * `support` candidates via a broadcast semi-join. Result is
+    * identical to `GROUP BY item HAVING count(*)·support > n` but no
+    * stage ever holds per-distinct-item state — the groupBy form
+    * shuffles every distinct item (unbounded at 100 TB), this
+    * shuffles at most `support` of them. Threshold compare is pure
+    * integer math (count·support > n): no float crossing engines.
+    */
+  def heavyHitters(df: DataFrame, valueCol: Column,
+                   support: Int): DataFrame = {
+    require(support > 1, s"support denominator must be > 1, got $support")
+    val vals = df.select(valueCol.as("item")).filter(col("item").isNotNull)
+    val pass1 = vals.agg(freqSketchAgg(col("item"), support).as("sk"),
+      count(lit(1)).as("n"))
+    val cands = pass1.select(explode(map_keys(col("sk"))).as("item"),
+      col("n"))
+    vals.join(broadcast(cands), "item")
+      .groupBy(col("item"), col("n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * support > col("n"))
+      .select(col("item"), col("n_occurrences"))
+  }
 }

@@ -46,6 +46,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("registered SQL aggregates work: freq_sketch and freq_sketch_merge") {
+    GraftExtensions.register(spark)
+    // 4×a, 2×b, 1×c at k=2: 'a' must survive (count > 7/3); exact
+    // counts are lower-bounded, never exceeded
+    val m = spark.sql(
+      "SELECT freq_sketch(v, 2) AS sk FROM " +
+        "VALUES ('a'),('a'),('b'),('a'),('b'),('c'),('a') AS t(v)")
+      .selectExpr("explode(sk) AS (item, est)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.contains("a") && m("a") <= 4L && m.size <= 2)
+    // merging two single-shard sketches keeps the combined heavy item
+    val merged = spark.sql(
+      "WITH s AS (SELECT grp, freq_sketch(v, 2) AS sk FROM VALUES " +
+        "(0,'a'),(0,'a'),(0,'b'),(1,'a'),(1,'c'),(1,'a') AS t(grp, v) " +
+        "GROUP BY grp) " +
+        "SELECT freq_sketch_merge(sk, 2) AS sk FROM s")
+      .selectExpr("explode(sk) AS (item, est)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.contains("a") && merged("a") <= 4L)
+  }
+
   test("vector_dot mixes float and double arrays") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")

@@ -429,4 +429,50 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect, s"n=$n edges=$edges")
     }
   }
+
+  test("Misra–Gries: counters are lower bounds within n/(k+1); " +
+      "heavy items always survive; heavyHitters == exact HAVING") {
+    import spark.implicits._
+    // zipf-ish random streams: a few hot items + a long tail, so the
+    // sketch is exercised both under and over its capacity
+    val gen = for {
+      nHot <- Gen.chooseNum(1, 4)
+      hotRep <- Gen.chooseNum(20, 60)
+      tail <- Gen.listOfN(300, Gen.chooseNum(0, 200).map("t" + _))
+    } yield (1 to nHot).flatMap(h =>
+      List.fill(hotRep)("hot" + h)) ++ tail
+    samples(gen, 5).foreach { stream =>
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).map { case (s, xs) =>
+        s -> xs.size.toLong }
+      for (k <- Seq(3, 10, 50)) {
+        // shard the stream 3 ways, sketch each, MG-merge the shards —
+        // the distributed shape (partial agg + merge) in miniature
+        val df = stream.zipWithIndex
+          .map { case (s, i) => (i % 3, s) }.toDF("shard", "item")
+        val merged = operators.Profiling.freqSketches(df, col("shard"),
+            col("item"), k)
+          .agg(operators.Profiling.freqSketchMergeAgg(col("sketch"), k).as("sk"))
+          .select(explode(col("sk")).as(Seq("item", "est")))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(merged.size <= k)
+        merged.foreach { case (item, est) =>
+          val ex = exact.getOrElse(item, 0L)
+          assert(est <= ex, s"k=$k $item overcounts: $est > $ex")
+          assert((ex - est) * (k + 1) <= n,
+            s"k=$k $item est=$est exact=$ex n=$n")
+        }
+        // every item above the guarantee line survives the merge
+        exact.filter { case (_, c) => c * (k + 1) > n }.foreach {
+          case (item, c) =>
+            assert(merged.contains(item), s"k=$k lost $item (count $c)")
+        }
+        // two-pass operator == plain GROUP BY ... HAVING
+        val hh = operators.Profiling.heavyHitters(df, col("item"), k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(hh == exact.filter { case (_, c) => c * k > n },
+          s"k=$k")
+      }
+    }
+  }
 }
