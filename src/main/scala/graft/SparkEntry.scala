@@ -803,6 +803,40 @@ object SparkEntry {
           "c_mktsegment"), s"$tmp/customer", mode = "append")
       Tables.readEvolved(s, s"$tmp/customer")
     }),
+    // ---- §2.1 S15 co-bucketed shuffle-free join, driver-gated ----
+    // both facts land hash-clustered on the join key (8 buckets), so
+    // the join needs no Exchange on either side (the zero-shuffle
+    // plan property is SourcesSpec-asserted; this gate recounts the
+    // joined aggregate against DuckDB). The 5-row result is
+    // materialized before the finally-drop of the gate database.
+    "q_bucketed_join" -> ((s, d) => {
+      val db = "graft_bkt_gate_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val loc = java.nio.file.Files.createTempDirectory("graft-bkt")
+      s.sql(s"CREATE DATABASE `$db` LOCATION '${loc.toString}'")
+      try {
+        Tables.writeBucketed(Tables.table(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+          s"`$db`.orders_b", 8, "o_orderkey", Seq("o_orderkey"))
+        Tables.writeBucketed(Tables.table(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          s"`$db`.lineitem_b", 8, "l_orderkey", Seq("l_orderkey"))
+        val o = s.table(s"`$db`.orders_b")
+        val l = s.table(s"`$db`.lineitem_b")
+        val agg = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .withColumnRenamed("o_orderpriority", "priority")
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        rmTree(loc.toFile)
+      }
+    }),
     "q_partitioned_write" -> ((s, d) => {
       // lakehouse layout: write partitioned by day, read back filtered
       // to one partition (pruned scan), aggregate
@@ -1442,6 +1476,17 @@ object SparkEntry {
     // the even-key half was written without the last two columns and
     // must read back with them null; doubles pass through unaggregated
     // (bit-exact round trip, same contract as q_orc_roundtrip)
+    // bucketing changes the LAYOUT, never the rows: the mirror is the
+    // plain join over the same parquet (decimal-exact revenue, same
+    // factor casts as q_pricing_summary)
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_schema_evolution" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CAST(NULL AS DOUBLE) AS c_acctbal,

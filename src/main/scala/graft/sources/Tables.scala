@@ -191,6 +191,34 @@ object Tables {
       .parquet(path)
   }
 
+  /** S15 — BUCKETED catalog-table write: rows are hash-clustered into
+    * `numBuckets` files per partition by `bucketCol` (and sorted by
+    * `sortCols` within each file), with the layout recorded in the
+    * catalog so readers can TRUST it. That trust is the point at
+    * 100 TB: a join or aggregation keyed on the bucket column of two
+    * co-bucketed tables needs NO Exchange on either side — the
+    * per-executor map output IS already key-partitioned on disk —
+    * which removes the single largest cost of a fact⋈fact join (both
+    * sides' full shuffle). Pre-sorted buckets additionally drop the
+    * per-task Sort before a SortMergeJoin. The bucket count is a
+    * standing contract: pick it for the TARGET scale (buckets ≈
+    * table size / healthy-task input, a power of two for future
+    * splitting), because co-location only triggers when both sides'
+    * counts divide evenly.
+    *
+    * The pruned/pushed-down scan posture of plain parquet is
+    * unchanged — bucketing only ADDS the layout guarantee.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCol: String, sortCols: Seq[String] = Nil,
+                    mode: String = "overwrite"): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** S14 — schema-EVOLUTION read: union the column sets of every
     * parquet footer under `path`, so files written before a column
     * existed read back with that column null. This is the lakehouse

@@ -100,6 +100,38 @@ class SourcesSpec extends AnyFunSuite {
       merged.except(pinned).count() == 0)
   }
 
+  test("S15: co-bucketed join plans with zero shuffle exchanges") {
+    val db = "graft_bkt_spec"
+    val loc = java.nio.file.Files.createTempDirectory("t").toString
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    try {
+      val o = Tables.table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      val l = Tables.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      Tables.writeBucketed(o, s"$db.o_b", 4, "o_orderkey",
+        Seq("o_orderkey"))
+      Tables.writeBucketed(l, s"$db.l_b", 4, "l_orderkey",
+        Seq("l_orderkey"))
+      // broadcast off so the plan must be the co-located sort-merge
+      // join — the shape a fact⋈fact join takes at 100 TB
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table(s"$db.l_b").join(spark.table(s"$db.o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), plan)
+        // layout changes nothing about the rows
+        assert(j.count() ==
+          l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("filters are pushed down to the parquet scan") {
     val plan = Tables.table(spark, sf, "lineitem")
       .filter(col("l_quantity") > 25)
