@@ -1004,6 +1004,25 @@ object SparkEntry {
             "n_heavy_exact", "n_tokens")
       } finally exact.unpersist()
     }),
+    // ---- §2.3 P9 incremental profile maintenance, driver-gated ----
+    // per-year shard profiles merged into the current profile: counts
+    // and min/max merge EXACTLY (DuckDB recomputes them from the raw
+    // table — if merging lost anything, the hash breaks), the HLL
+    // distinct union is checked within 5% of the exact count per
+    // column (boolean, q_hll_sketches pattern)
+    "q_profile_incremental" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders")
+      val shards = Profiling.profileShards(o, year(col("o_orderdate")))
+      val merged = Profiling.mergeProfiles(shards, o.schema)
+      val exact = Profiling.profile(o)
+        .select(col("column_name").as("cn"), col("n_distinct"))
+      merged.join(exact, col("column_name") === col("cn"))
+        .select(col("column_name"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("min_val"), col("max_val"),
+          (abs(col("n_distinct_est") - col("n_distinct"))
+            <= col("n_distinct") * 0.05).as("distinct_within_5pct"))
+    }),
     "q_freshness_gate" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fresh")
         .toString + "/nation"
@@ -1622,6 +1641,29 @@ object SparkEntry {
         |SELECT token, count(*) AS n_occurrences
         |FROM toks, tot WHERE token <> ''
         |GROUP BY token, n HAVING count(*) * 500 > n""".stripMargin,
+    // same per-column casts as q_profile; n_null from COUNT(*) −
+    // COUNT(col); the HLL tracking boolean is literal true
+    "q_profile_incremental" -> Seq(
+      ("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+        "CAST(MAX(o_orderkey) AS VARCHAR)", "o_orderkey"),
+      ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+        "CAST(MAX(o_custkey) AS VARCHAR)", "o_custkey"),
+      ("o_orderstatus", "CAST(MIN(o_orderstatus) AS VARCHAR)",
+        "CAST(MAX(o_orderstatus) AS VARCHAR)", "o_orderstatus"),
+      ("o_totalprice",
+        "CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "o_totalprice"),
+      ("o_orderdate", "CAST(MIN(o_orderdate) AS VARCHAR)",
+        "CAST(MAX(o_orderdate) AS VARCHAR)", "o_orderdate"),
+      ("o_orderpriority", "CAST(MIN(o_orderpriority) AS VARCHAR)",
+        "CAST(MAX(o_orderpriority) AS VARCHAR)", "o_orderpriority"),
+    ).map { case (name, mn, mx, c) =>
+      s"""SELECT '$name' AS column_name, COUNT($c) AS n_nonnull,
+         |  COUNT(*) - COUNT($c) AS n_null, $mn AS min_val,
+         |  $mx AS max_val, true AS distinct_within_5pct
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q_freq_sketches" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -261,6 +261,63 @@ object Profiling {
       .select((lit(lo) + (col("qbin") + 1) * w).as("quantile_est"))
   }
 
+  /** P9 — incremental profile maintenance, part 1: one stored row per
+    * (shard, column) whose statistics are ALL mergeable — counts and
+    * min/max merge losslessly, distinct merges as an HLL union within
+    * the sketch's error envelope. A batch (day, source, load) profiles
+    * itself once at landing cost; the corpus-wide profile is then an
+    * aggregate over the stored rows ([[mergeProfiles]]) — history is
+    * never re-profiled. This is the system-level payoff of the
+    * mergeable-sketch family (P6b histograms, P7 HLL, P8 frequency):
+    * at 100 TB "re-run the profiler" is a full-corpus scan per day,
+    * while merging stored shard rows is sketch-sized work.
+    *
+    * Same union-of-single-column-branches shape as [[profile]] (each
+    * branch scans only its column + the shard key; branches run
+    * concurrently in one job). min/max are rendered with [[asStr]]
+    * (doubles through decimal(18,2)) so rows are engine-portable;
+    * the HLL sketch is built over the string rendering (the sketch
+    * kernel accepts int/long/string/binary — the cast changes no
+    * distinct counts).
+    */
+  def profileShards(df: DataFrame, shardCol: Column): DataFrame =
+    df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val s = asStr(f)
+      df.groupBy(shardCol.as("shard"))
+        .agg(count(lit(1)).as("n_rows"), count(c).as("n_nonnull"),
+          s(min(c)).as("min_val"), s(max(c)).as("max_val"),
+          hll_sketch_agg(c.cast("string")).as("distinct_sketch"))
+        .select(col("shard"), lit(f.name).as("column_name"),
+          col("n_rows"), col("n_nonnull"), col("min_val"),
+          col("max_val"), col("distinct_sketch"))
+    }.reduce(_ unionAll _)
+
+  /** P9 part 2: fold stored [[profileShards]] rows (optionally
+    * pre-filtered to a shard subset) into one current profile.
+    * `schema` is the profiled table's schema — min/max strings are
+    * cast back to their column's real type before comparing, so a
+    * numeric column's merged min is numeric (`"9" < "10"`), then
+    * re-rendered with the same [[asStr]] contract. Counts merge by
+    * sum (exact), distinct by HLL union (estimate).
+    */
+  def mergeProfiles(stored: DataFrame, schema: StructType): DataFrame =
+    schema.fields.toSeq.map { f =>
+      val s = asStr(f)
+      val typed = (c: Column) => c.cast(f.dataType)
+      stored.filter(col("column_name") === f.name)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("n_nonnull")).as("n_nonnull"),
+          s(min(typed(col("min_val")))).as("min_val"),
+          s(max(typed(col("max_val")))).as("max_val"),
+          coalesce(hll_sketch_estimate(
+            hll_union_agg(col("distinct_sketch"))), lit(0L))
+            .as("n_distinct_est"))
+        .select(lit(f.name).as("column_name"), col("n_rows"),
+          col("n_nonnull"), col("min_val"), col("max_val"),
+          col("n_distinct_est"))
+    }.reduce(_ unionAll _)
+
   /** P8 — Misra–Gries frequency-sketch aggregate: one
     * `map<string,bigint>` of at most `k` counters summarizing a string
     * column in O(k) memory per task. Lower-bound counts; every item

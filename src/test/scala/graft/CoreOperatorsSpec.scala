@@ -111,6 +111,40 @@ class CoreOperatorsSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
+  test("P9: merged shard profiles equal the one-shot profile; " +
+      "shard filters localize the profile") {
+    val o = Tables.table(spark, sf, "orders")
+    val stored = Profiling.profileShards(o, year(col("o_orderdate")))
+      .persist()
+    try {
+      def exactFields(df: org.apache.spark.sql.DataFrame) =
+        df.select("column_name", "n_nonnull", "min_val", "max_val")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getString(2), r.getString(3))).toMap
+      // merge over ALL stored rows == profiling the whole table
+      val merged = exactFields(Profiling.mergeProfiles(stored, o.schema))
+      val oneShot = exactFields(Profiling.profile(o))
+      assert(merged == oneShot)
+      // pre-filtering stored rows to one shard == profiling that
+      // shard's slice — the "query history without re-scanning it" law
+      val yr = stored.select(min(col("shard"))).head().getInt(0)
+      val sliceMerged = exactFields(Profiling.mergeProfiles(
+        stored.filter(col("shard") === yr), o.schema))
+      val sliceOneShot = exactFields(Profiling.profile(
+        o.filter(year(col("o_orderdate")) === yr)))
+      assert(sliceMerged == sliceOneShot)
+      // HLL union across shards stays within 5% of exact per column
+      val est = Profiling.mergeProfiles(stored, o.schema)
+        .select("column_name", "n_distinct_est").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Profiling.profile(o).select("column_name", "n_distinct")
+        .collect().foreach { r =>
+          val (cn, ex) = (r.getString(0), r.getLong(1))
+          assert(math.abs(est(cn) - ex) <= 0.05 * ex, s"$cn: ${est(cn)} vs $ex")
+        }
+    } finally stored.unpersist()
+  }
+
   test("consistency flags multi-valued keys") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("name", "id")
