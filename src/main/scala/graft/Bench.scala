@@ -88,7 +88,7 @@ object Bench {
     val stagingGates = Set("q_csv_roundtrip", "q_json_roundtrip",
       "q_orc_roundtrip",
       "q_partitioned_write", "q_freshness_gate", "q_compact",
-      "q_schema_evolution", "q_bucketed_join",
+      "q_schema_evolution", "q_bucketed_join", "q_skipping_read",
       "q_pipeline_run", "q_dedup_index", "q_namespace_init",
       "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")
     val results = SparkEntry.queries.keys.toSeq.sorted

@@ -803,6 +803,27 @@ object SparkEntry {
           "c_mktsegment"), s"$tmp/customer", mode = "append")
       Tables.readEvolved(s, s"$tmp/customer")
     }),
+    // ---- §2.1 S16 file-stats data skipping, driver-gated ----
+    // range-clustered layout + per-file stats index; the skipping read
+    // prunes files at planning time and must return EXACTLY the rows
+    // of the plain filtered read (DuckDB recomputes the aggregate
+    // over the original table — any wrongly skipped file breaks the
+    // hash). File-count pruning is SourcesSpec-asserted.
+    "q_skipping_read" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip")
+        .toString
+      Tables.table(s, d, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$tmp/orders")
+      Tables.writeStatsIndex(s, s"$tmp/orders", Seq("o_orderkey"))
+      Tables.readSkipping(s, s"$tmp/orders", "o_orderkey",
+        lit(1000L), lit(5000L))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+    }),
     // ---- §2.1 S15 co-bucketed shuffle-free join, driver-gated ----
     // both facts land hash-clustered on the join key (8 buckets), so
     // the join needs no Exchange on either side (the zero-shuffle
@@ -1495,6 +1516,14 @@ object SparkEntry {
     // the even-key half was written without the last two columns and
     // must read back with them null; doubles pass through unaggregated
     // (bit-exact round trip, same contract as q_orc_roundtrip)
+    // skipping changes which FILES are opened, never the rows: the
+    // mirror is the plain range filter over the same table
+    "q_skipping_read" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderpriority""".stripMargin,
     // bucketing changes the LAYOUT, never the rows: the mirror is the
     // plain join over the same parquet (decimal-exact revenue, same
     // factor casts as q_pricing_summary)

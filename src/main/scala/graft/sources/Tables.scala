@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Lakehouse table I/O.
   *
@@ -270,6 +270,61 @@ object Tables {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** S16 — file-statistics index ("data skipping"): a tiny per-file
+    * stats table — `(file, n_rows, min_<c>, max_<c> …)` — written
+    * beside the data under `_stats/` (the underscore prefix keeps it
+    * invisible to normal parquet reads of `path`). [[readSkipping]]
+    * intersects a range predicate with the stats and hands Spark ONLY
+    * the surviving file paths, so pruning happens at PLANNING time:
+    * skipped files are never opened, never listed into tasks, never
+    * touched — a stronger cut than parquet row-group stats, which
+    * still require opening every footer every query. At 100 TB the
+    * stats table is ~one row per file (KBs per TB); the skipping
+    * decision is sketch-sized work against a full-scan alternative.
+    *
+    * Pairs with [[zOrderWrite]]: the z-layout makes per-file ranges
+    * TIGHT on both cluster columns, which is what makes stat
+    * intersection selective on either. Stats describe the files
+    * present at build time — rewriting the data (compaction,
+    * re-clustering) means rebuilding the index, same contract as any
+    * secondary index.
+    */
+  def writeStatsIndex(spark: SparkSession, path: String,
+                      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must name at least one column")
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Range read through the [[writeStatsIndex]] stats: keep a file iff
+    * its `[min, max]` interval for `column` intersects `[lo, hi]`,
+    * scan only those files, then apply the exact predicate (stats are
+    * file-granular; the residual filter still pushes into the pruned
+    * scan). The file list is a driver-side collect of the ≤ file-count
+    * stats rows — the same planning-time listing cost Spark itself
+    * pays, minus the skipped files.
+    */
+  def readSkipping(spark: SparkSession, path: String, column: String,
+                   lo: Column, hi: Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stats = spark.read.parquet(s"$path/_stats")
+    val keep = stats
+      .filter(!(col(s"max_$column") < lo || col(s"min_$column") > hi))
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (keep.isEmpty)
+        spark.read.parquet(path).limit(0) // schema-stable empty relation
+      else spark.read.parquet(keep: _*)
+    pruned.filter(col(column).between(lo, hi))
   }
 
   /** Freshness-gated write (reference: bucket.py:96

@@ -100,6 +100,38 @@ class SourcesSpec extends AnyFunSuite {
       merged.except(pinned).count() == 0)
   }
 
+  test("S16: stats index skips files at planning time; results exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString
+    val o = Tables.table(spark, sf, "orders")
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/o")
+    Tables.writeStatsIndex(spark, s"$tmp/o", Seq("o_orderkey"))
+    val stats = spark.read.parquet(s"$tmp/o/_stats")
+    val nFiles = stats.count()
+    assert(nFiles == 8)
+    // the stats dir is invisible to a normal read of the data path
+    assert(spark.read.parquet(s"$tmp/o").columns.toSeq ==
+      o.columns.toSeq)
+    // a narrow range on the range-clustered key keeps few files...
+    val keyMax = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (keyMax / 4, keyMax / 4 + keyMax / 100)
+    val kept = stats.filter(!(col("max_o_orderkey") < lo ||
+      col("min_o_orderkey") > hi)).count()
+    assert(kept < nFiles / 2, s"kept $kept of $nFiles")
+    // ...and the skipped read is row-identical to the plain filter
+    val skip = Tables.readSkipping(spark, s"$tmp/o", "o_orderkey",
+      lit(lo), lit(hi))
+    val plain = o.filter(col("o_orderkey").between(lo, hi))
+    assert(skip.except(plain).count() == 0 &&
+      plain.except(skip).count() == 0)
+    assert(skip.count() == plain.count() && plain.count() > 0)
+    // out-of-domain range: zero files, schema-stable empty result
+    val none = Tables.readSkipping(spark, s"$tmp/o", "o_orderkey",
+      lit(keyMax + 1), lit(keyMax + 1000))
+    assert(none.count() == 0 && none.columns.toSeq == o.columns.toSeq)
+  }
+
   test("S15: co-bucketed join plans with zero shuffle exchanges") {
     val db = "graft_bkt_spec"
     val loc = java.nio.file.Files.createTempDirectory("t").toString
