@@ -803,6 +803,34 @@ object SparkEntry {
           "c_mktsegment"), s"$tmp/customer", mode = "append")
       Tables.readEvolved(s, s"$tmp/customer")
     }),
+    // ---- §2.1 S17 partition-scoped upsert (MERGE), driver-gated ----
+    // base lands partitioned by order year (key-stable); the batch
+    // bumps ~1% of keys (version 1 beats version 0). The gate reads
+    // the WHOLE post-merge table back and aggregates — every updated
+    // row must carry the new price and v=1, every other row must be
+    // untouched, or the DuckDB recount breaks. Partition-rewrite
+    // minimality and replay idempotence are spec-asserted.
+    "q_upsert" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-upsert")
+        .toString + "/orders"
+      val base = Tables.table(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("v", lit(0L))
+      Tables.writeParquet(base, tmp, partitionBy = Seq("yr"))
+      val batch = Tables.table(s, d, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("v", lit(1L))
+      Incremental.upsertPartitioned(s, tmp, batch,
+        Seq("o_orderkey"), "yr", "v")
+      s.read.parquet(tmp)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+          sum(col("v")).as("n_updated"))
+    }),
     // ---- §2.1 S16 file-stats data skipping, driver-gated ----
     // range-clustered layout + per-file stats index; the skipping read
     // prunes files at planning time and must return EXACTLY the rows
@@ -1516,6 +1544,22 @@ object SparkEntry {
     // the even-key half was written without the last two columns and
     // must read back with them null; doubles pass through unaggregated
     // (bit-exact round trip, same contract as q_orc_roundtrip)
+    // the post-merge table is base with the batch's keys replaced:
+    // mirrored as one CASE over the raw table (double + 1000 is the
+    // same IEEE add both sides; SUM(v) cast to BIGINT for dtype
+    // parity)
+    "q_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS tp,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS v
+        |  FROM orders)
+        |SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(tp AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(SUM(v) AS BIGINT) AS n_updated
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
     // skipping changes which FILES are opened, never the rows: the
     // mirror is the plain range filter over the same table
     "q_skipping_read" ->

@@ -86,4 +86,53 @@ object Incremental {
           .when(!(col("before") <=> col("after")), lit("changed"))
           .otherwise(lit("unchanged")))
   }
+
+  /** S17 — partition-scoped UPSERT (the MERGE INTO of a parquet
+    * lakehouse): land `batch` into the `partCol`-partitioned table at
+    * `path`, rewriting ONLY the partitions the batch touches. Per
+    * key, the surviving row is latest-by-`versionCol`, ties resolved
+    * toward the batch (so replaying the same batch is idempotent:
+    * the second run rewrites the same partitions to the same rows).
+    *
+    * Why it scales: the merge READS only the touched partitions
+    * (partition-pruned scan — the batch's partition list is a tiny
+    * distinct, collected at planning time like any file listing), the
+    * per-key resolution is one `max_by` groupBy over batch ∪ touched
+    * (never the table), and the write is a dynamic partition
+    * overwrite — untouched partitions are never opened, never
+    * rewritten, byte-identical after the upsert (spec-asserted). A
+    * whole-table MERGE at 100 TB is a full rewrite; this is
+    * proportional to the partitions the batch actually lands in.
+    *
+    * CONTRACT: `partCol` must be stable under updates for a given key
+    * (entity-creation date, hash bucket — not a mutable attribute).
+    * If an update moved a key's partition, its old row would live in
+    * a partition this merge never reads. That is the standard
+    * partition-merge precondition, and the key-stable layouts above
+    * are how production tables satisfy it.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, keys: Seq[String],
+                        partCol: String, versionCol: String): Unit = {
+    val touched = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    val current = graft.sources.Tables.readEvolved(spark, path)
+      .filter(col(partCol).isin(touched: _*))
+    // batch outranks current on version ties → idempotent replay
+    val merged = latestByKey(
+      current.withColumn("__src", lit(0))
+        .unionByName(batch.withColumn("__src", lit(1))),
+      keys, col(versionCol), col("__src")).drop("__src")
+    // materialize before the overwrite: the merge plan READS the very
+    // partitions the write replaces (Spark refuses a lazy
+    // self-overwrite, and rightly — a task retry mid-swap would
+    // re-read half-replaced input). Checkpointing the batch-sized
+    // merge result cuts the lineage back to durable storage.
+    graft.Checkpoints.truncate(merged)
+      .repartition(col(partCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+  }
 }

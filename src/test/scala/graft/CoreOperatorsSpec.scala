@@ -453,6 +453,41 @@ class CoreOperatorsSpec extends AnyFunSuite {
       .filter(col("k") === 1L).count() == 4)
   }
 
+  test("S17: upsert updates/inserts per key, rewrites only touched " +
+      "partitions, replays idempotently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t").toString + "/t"
+    val base = Seq((1L, "a", 2020, 0L), (2L, "b", 2020, 0L),
+      (3L, "c", 2021, 0L), (4L, "d", 2022, 0L))
+      .toDF("k", "val", "p", "v")
+    sources.Tables.writeParquet(base, tmp, partitionBy = Seq("p"))
+    def fileState(p: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$tmp/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val untouched2021 = fileState(2021)
+    val untouched2022 = fileState(2022)
+    // update k=1 (2020), insert k=9 (2020) and k=10 (NEW partition 2023)
+    val batch = Seq((1L, "a2", 2020, 1L), (9L, "i", 2020, 1L),
+      (10L, "j", 2023, 1L)).toDF("k", "val", "p", "v")
+    Incremental.upsertPartitioned(spark, tmp, batch, Seq("k"), "p", "v")
+    def rows() = spark.read.parquet(tmp).select("k", "val", "p", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    val expect = Map(1L -> ("a2", 2020, 1L), 2L -> ("b", 2020, 0L),
+      3L -> ("c", 2021, 0L), 4L -> ("d", 2022, 0L),
+      9L -> ("i", 2020, 1L), 10L -> ("j", 2023, 1L))
+    assert(rows() == expect)
+    // untouched partitions: same files, same mtimes — never rewritten
+    assert(fileState(2021) == untouched2021)
+    assert(fileState(2022) == untouched2022)
+    // replaying the same batch converges to the same table (batch
+    // wins version ties)
+    Incremental.upsertPartitioned(spark, tmp, batch, Seq("k"), "p", "v")
+    assert(rows() == expect)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
