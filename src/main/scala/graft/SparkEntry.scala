@@ -708,6 +708,56 @@ object SparkEntry {
       Similarity.kmeansIterate(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", initPred = col("vec_id") % 37 === 1,
         maxIter = 2, tol = -1.0)._1),
+    // ---- §2.7 A5 product quantization, driver-gated ----
+    // outcome contract (q_freq_sketches pattern — the component math
+    // is already hash-gated through A3/A4/A4b): trained 8×~30
+    // codebook, every vector encoded to exactly 8 codes (64× smaller
+    // than the vectors), ADC-only recall@10 and the two-stage
+    // rerank recall must clear floors measured with margin at BOTH
+    // gate scales (sf0.01: 0.35/0.90, sf0.1: 0.385/0.85), mean
+    // reconstruction cosine ≥ 0.70; n_vectors is the real row DuckDB
+    // recounts
+    "q_ann_pq" -> ((s, d) => {
+      val (m, dim) = (8, 64)
+      val emb = Tables.table(s, d, "embeddings")
+      val qp = col("vec_id") % 50 === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
+        .persist()
+      try {
+        val codes = graft.Checkpoints.truncate(
+          Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, dim))
+        def topSets(df: DataFrame) = df.collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallVs(exact: Map[Long, Set[Long]],
+                     got: Map[Long, Set[Long]]): Double = {
+          val per = exact.map { case (q, want) =>
+            got.getOrElse(q, Set.empty[Long]).intersect(want)
+              .size.toDouble / want.size }
+          per.sum / per.size
+        }
+        val exact = topSets(Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qp))
+        val adc = recallVs(exact, topSets(Similarity.pqTopK(
+          emb.filter(qp), "vec_id", "embedding", codes, cb, m, dim)))
+        val rr = recallVs(exact, topSets(Similarity.pqTopKReranked(
+          emb, "vec_id", "embedding", qp, codes, cb, m, dim,
+          rerank = 100)))
+        val recon = Similarity.pqDecode(codes, cb)
+          .join(emb, col("id") === col("vec_id"))
+          .agg(avg(Similarity.cosine(col("decoded"), col("embedding"))))
+          .head().getDouble(0)
+        val n = emb.count()
+        val codesComplete = codes.groupBy(col("id")).count()
+          .filter(col("count") =!= m).count() == 0 &&
+          codes.count() == n * m
+        import s.implicits._
+        Seq((adc >= 0.30, rr >= 0.80, recon >= 0.70, codesComplete, n))
+          .toDF("adc_recall_floor", "rerank_recall_floor",
+            "recon_cosine_floor", "codes_complete", "n_vectors")
+      } finally cb.unpersist()
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -2399,6 +2449,13 @@ object SparkEntry {
     // division is correctly rounded, so they agree bit-for-bit;
     // rounding them would not), list(... ORDER BY pos) rebuilds the
     // index-ordered centroid vectors
+    // PQ contract booleans are checked in Spark (recall floors are
+    // cross-run measurements, not row recomputations); the real row
+    // is the corpus cardinality
+    "q_ann_pq" ->
+      """SELECT true AS adc_recall_floor, true AS rerank_recall_floor,
+        |  true AS recon_cosine_floor, true AS codes_complete,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS cell, embedding AS centv FROM embeddings

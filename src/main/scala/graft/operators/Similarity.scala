@@ -449,4 +449,198 @@ object Similarity {
       emb.filter(centroidPred)
         .select(col(idCol).as("cell"), col(vecCol).as("centv")),
       threshold)
+
+  // ===================================================================
+  // A5 — product quantization: the MEMORY side of the ANN story.
+  // A 100 TB embedding corpus is ~10^11 vectors × 64 floats; serving
+  // exact or IVF ANN needs the vectors resident, which is the scale
+  // wall. PQ stores M small CODES per vector instead (here 4 codes ≈
+  // 4 bytes vs 256 — a 64× cut), and answers top-k from codes alone
+  // via asymmetric distance computation (ADC): per query, one tiny
+  // (M × |codebook|) lookup table of exact subspace dot products, then
+  // every candidate's score is M table lookups summed — no vector is
+  // ever read at query time. Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011.
+  //
+  // Geometry: subspace quantizers are trained and assigned in L2
+  // (mean update IS Lloyd's optimal centroid for L2 — the same
+  // sufficient-stats machinery as the cosine k-means), and the ADC
+  // score reconstructs cosine(q, x̂) = Σⱼ⟨qⱼ, cⱼ⟩ / (‖q‖·‖x̂‖) with
+  // ‖x̂‖² = Σⱼ⟨cⱼ, cⱼ⟩ — both numerator and norm are sums of
+  // codebook-resident terms.
+  // ===================================================================
+
+  /** Squared L2 distance via dot identities (three codegen'd dots —
+    * no per-pair array materialization).
+    */
+  private def l2dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** [[assignToCentroids]] in L2 geometry: argmin squared distance,
+    * ties to the smallest cell id. Same plan shape (one broadcast of
+    * the centroid table, one shuffle on the vector id).
+    */
+  def assignToCentroidsL2(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame): DataFrame = {
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cand_id"))
+      .orderBy(col("cdist"), col("cell"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(centroids))
+      .withColumn("cdist", l2dist2(col("cv"), col("centv")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("cand_id"), col("cv"), col("cell"))
+  }
+
+  /** The `m` contiguous subspace slices of a vector column, exploded
+    * long: (…, subspace, subvec). `dim` must divide evenly — a PQ
+    * layout is a declared contract, not an inference.
+    */
+  private def sliced(emb: DataFrame, idCol: String, vecCol: String,
+                     m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sd = dim / m
+    val slices = array((0 until m).map(j =>
+      slice(col(vecCol), j * sd + 1, sd)): _*)
+    emb.select(col(idCol).as("cand_id"),
+      posexplode(slices).as(Seq("subspace", "subvec")))
+  }
+
+  /** Train the PQ codebook: per subspace, `rounds` rounds of L2 Lloyd
+    * seeded from `initPred` rows' slices. Returns `(subspace, code,
+    * centv)` — M × |seeds| rows, the entire serving index metadata.
+    * Fixed rounds (no early stop) keep the training run reproducible
+    * round-for-round, the same contract as the gated
+    * [[kmeansIterate]] form.
+    *
+    * Cost shape per round and subspace: one broadcast of the
+    * codebook-sized centroid table, one scan of the sliced corpus,
+    * one (cell, pos) partial agg — the subspace loops multiply the
+    * SMALL side (M codebooks), never the corpus scan count: all M
+    * subspaces of a round ride one persisted sliced projection.
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, dim: Int, initPred: Column,
+              rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val long = graft.sources.Tables.fanOut(
+      sliced(emb, idCol, vecCol, m, dim)).persist()
+    try {
+      (0 until m).map { j =>
+        val sub = long.filter(col("subspace") === j)
+          .select(col("cand_id"), col("subvec"))
+        var cent = emb.filter(initPred)
+          .select(col(idCol).as("cell"),
+            slice(col(vecCol), j * (dim / m) + 1, dim / m).as("centv"))
+        (0 until rounds).foreach { _ =>
+          cent = graft.Checkpoints.truncate(centroidTable(centroidStats(
+            assignToCentroidsL2(sub, "cand_id", "subvec", cent))))
+        }
+        cent.select(lit(j).as("subspace"), col("cell").as("code"),
+          col("centv"))
+      }.reduce(_ unionAll _)
+    } finally long.unpersist()
+  }
+
+  /** Encode every vector as its per-subspace nearest code:
+    * `(id, subspace, code)` long form — M small ints per vector, the
+    * only thing the serving tier keeps per candidate.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cand_id"), col("subspace"))
+      .orderBy(col("cdist"), col("code"))
+    sliced(emb, idCol, vecCol, m, dim)
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("cdist", l2dist2(col("subvec"), col("centv")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("cand_id").as("id"), col("subspace"), col("code"))
+  }
+
+  /** Reconstruct x̂ from codes (centroid concatenation, subspace
+    * order) — the decode side, used to measure quantization error.
+    */
+  def pqDecode(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.join(broadcast(codebook), Seq("subspace", "code"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("centv"))))
+        .as("__sc"))
+      .select(col("id"),
+        flatten(transform(col("__sc"), s => s.getField("centv")))
+          .as("decoded"))
+
+  /** A5 — ADC top-k: approximate cosine rank of every encoded
+    * candidate against each query, from codes + codebook alone.
+    * The per-query lookup table (subspace × code → ⟨qⱼ, c⟩, ‖c‖²) is
+    * queries × codebook — broadcast-sized; candidates are one scan of
+    * the codes table with M lookups each (a broadcast join on
+    * (subspace, code) + one sum per candidate). Production re-ranks
+    * the top-R survivors with exact vectors; the gate floors the raw
+    * ADC recall so the approximation itself is pinned.
+    */
+  def pqTopK(queries: DataFrame, idCol: String, vecCol: String,
+             codes: DataFrame, codebook: DataFrame,
+             m: Int, dim: Int, k: Int = 10): DataFrame = {
+    val lut = sliced(queries, idCol, vecCol, m, dim)
+      .select(col("cand_id").as("query_id"), col("subspace"),
+        col("subvec"))
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        dot(col("subvec"), col("centv")).as("qc"),
+        dot(col("centv"), col("centv")).as("cc"))
+    val qnorm = queries.select(col(idCol).as("query_id"),
+      norm(col(vecCol)).as("qn"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("id"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("cn2"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("acos", col("qdot") / (col("qn") * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        round(col("acos"), 6).as("approx_cos"))
+  }
+
+  /** A5 (served form) — ADC shortlist of `rerank` candidates, exact
+    * cosine re-rank of the shortlist: the standard two-stage PQ serve.
+    * Stage 1 reads NO vectors (codes + codebook only); stage 2 reads
+    * exactly `rerank` vectors per query via an id equi-join — at
+    * 10^11 candidates that is the difference between scanning the
+    * corpus and touching a few dozen rows. Output schema matches
+    * [[bruteForceTopK]] (exact cosine values, same tie order), so the
+    * quality delta vs exact search is pure recall, never score drift.
+    */
+  def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, codes: DataFrame,
+                     codebook: DataFrame, m: Int, dim: Int,
+                     k: Int = 10, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
+    val shortlist = pqTopK(emb.filter(queryPred), idCol, vecCol,
+      codes, codebook, m, dim, rerank)
+      .select(col("query_id"), col("cand_id"))
+    val q = prepped(emb.filter(queryPred), idCol, vecCol,
+      "query_id", "qv", "qn")
+    val c = prepped(emb, idCol, vecCol, "cand_id", "cv", "cn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist
+      .join(c, Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        dotPre(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

@@ -54,6 +54,26 @@ object Explore {
         Similarity.ivfTopKIndexed(emb, "vec_id", "embedding", qp,
           trained, nprobe = np).collect())
     }
+    // PQ: ADC recall + reconstruction cosine across subspace counts,
+    // seed densities and training rounds
+    for (m <- Seq(4, 8); seedMod <- Seq(31, 17); r <- Seq(2, 3)) {
+      val initPred = col("vec_id") % seedMod === 5
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m, 64, initPred, rounds = r).localCheckpoint()
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+        cb, m, 64).localCheckpoint()
+      val recon = Similarity.pqDecode(codes, cb)
+        .join(emb, col("id") === col("vec_id"))
+        .agg(avg(Similarity.cosine(col("decoded"), col("embedding"))))
+        .head().getDouble(0)
+      timed(f"pq m=$m seedMod=$seedMod rounds=$r recon=$recon%.3f")(
+        Similarity.pqTopK(emb.filter(qp), "vec_id", "embedding",
+          codes, cb, m, 64).collect())
+      for (rr <- Seq(30, 50, 100))
+        timed(s"pq m=$m seedMod=$seedMod rounds=$r rerank=$rr")(
+          Similarity.pqTopKReranked(emb, "vec_id", "embedding", qp,
+            codes, cb, m, 64, rerank = rr).collect())
+    }
     spark.stop()
   }
 }

@@ -218,6 +218,55 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       f"trained IVF nprobe=4 recall@10 $trained4R%.3f below 0.58 floor")
   }
 
+  test("A5 PQ: codes complete, decode well-formed, ADC and rerank " +
+      "recall floors, rerank widens monotonically") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val qp = col("vec_id") % 50 === 0
+    val (m, dim) = (8, 64)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      initPred = col("vec_id") % 17 === 5, rounds = 3).localCheckpoint()
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      cb, m, dim).localCheckpoint()
+    val n = emb.count()
+    // every vector carries exactly one code per subspace
+    assert(codes.count() == n * m)
+    assert(codes.groupBy("id").count()
+      .filter(col("count") =!= m).count() == 0)
+    // decode reconstructs a dim-length vector whose mean cosine to the
+    // original clears the quantization floor (measured 0.737)
+    val dec = Similarity.pqDecode(codes, cb)
+    assert(dec.filter(size(col("decoded")) =!= dim).count() == 0)
+    val recon = dec.join(emb, col("id") === col("vec_id"))
+      .agg(avg(Similarity.cosine(col("decoded"), col("embedding"))))
+      .head().getDouble(0)
+    info(f"pq reconstruction cosine: $recon%.3f")
+    assert(recon >= 0.70, f"reconstruction cosine $recon%.3f below 0.70")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallAt10(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val by = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (q, want) =>
+        by.getOrElse(q, Set.empty[Long]).intersect(want).size.toDouble /
+          want.size }.sum / exact.size
+    }
+    // measured at this scale: adc=0.390; rerank 30/50/100 =
+    // 0.660/0.770/0.910 — floors just below, and widening the
+    // shortlist must not lose recall (supersets re-ranked exactly)
+    val adcR = recallAt10(Similarity.pqTopK(emb.filter(qp), "vec_id",
+      "embedding", codes, cb, m, dim).collect())
+    val r50 = recallAt10(Similarity.pqTopKReranked(emb, "vec_id",
+      "embedding", qp, codes, cb, m, dim, rerank = 50).collect())
+    val r100 = recallAt10(Similarity.pqTopKReranked(emb, "vec_id",
+      "embedding", qp, codes, cb, m, dim, rerank = 100).collect())
+    info(f"pq recall@10: adc=$adcR%.3f rerank50=$r50%.3f rerank100=$r100%.3f")
+    assert(adcR >= 0.30, f"ADC recall $adcR%.3f below 0.30")
+    assert(r50 >= 0.70, f"rerank=50 recall $r50%.3f below 0.70")
+    assert(r100 >= 0.85, f"rerank=100 recall $r100%.3f below 0.85")
+    assert(r100 >= r50 - 1e-9, "wider shortlist lost recall")
+  }
+
   test("kmeansIterate: movement non-increasing, converges, covers every vector") {
     val emb = Tables.table(spark, sf, "embeddings")
     val seeds = col("vec_id") % 37 === 1
