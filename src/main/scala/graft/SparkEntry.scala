@@ -739,11 +739,16 @@ object SparkEntry {
         }
         val exact = topSets(Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", qp))
-        val adc = recallVs(exact, topSets(Similarity.pqTopK(
-          emb.filter(qp), "vec_id", "embedding", codes, cb, m, dim)))
-        val rr = recallVs(exact, topSets(Similarity.pqTopKReranked(
-          emb, "vec_id", "embedding", qp, codes, cb, m, dim,
-          rerank = 100)))
+        // one ADC pass at the rerank width; its rank<=10 prefix IS
+        // pqTopK(k=10) (same total order), so both recalls ride one
+        // shortlist job
+        val shortlist = graft.Checkpoints.truncate(Similarity.pqTopK(
+          emb.filter(qp), "vec_id", "embedding", codes, cb, m, dim,
+          k = 100))
+        val adc = recallVs(exact,
+          topSets(shortlist.filter(col("rank") <= 10)))
+        val rr = recallVs(exact, topSets(Similarity.pqRerank(
+          emb, "vec_id", "embedding", qp, shortlist, k = 10)))
         val recon = Similarity.pqDecode(codes, cb)
           .join(emb, col("id") === col("vec_id"))
           .agg(avg(Similarity.cosine(col("decoded"), col("embedding"))))

@@ -470,28 +470,16 @@ object Similarity {
   // codebook-resident terms.
   // ===================================================================
 
-  /** Squared L2 distance via dot identities (three codegen'd dots —
-    * no per-pair array materialization).
+  /** The argmin-equivalent of squared L2 distance to a centroid:
+    * ‖a−b‖² = ‖a‖² − 2⟨a,b⟩ + ‖b‖², and ‖a‖² is constant within an
+    * argmin-over-b group — so the comparison key drops it and reads
+    * the centroid's ‖b‖² from a precomputed broadcast-side column
+    * (`ccCol`), leaving ONE codegen'd dot per joined row instead of
+    * three. Not a distance (can be negative); only its within-group
+    * order is meaningful.
     */
-  private def l2dist2(a: Column, b: Column): Column =
-    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-
-  /** [[assignToCentroids]] in L2 geometry: argmin squared distance,
-    * ties to the smallest cell id. Same plan shape (one broadcast of
-    * the centroid table, one shuffle on the vector id).
-    */
-  def assignToCentroidsL2(emb: DataFrame, idCol: String, vecCol: String,
-                          centroids: DataFrame): DataFrame = {
-    val assignW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cand_id"))
-      .orderBy(col("cdist"), col("cell"))
-    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .join(broadcast(centroids))
-      .withColumn("cdist", l2dist2(col("cv"), col("centv")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("cand_id"), col("cv"), col("cell"))
-  }
+  private def l2key(a: Column, b: Column, ccCol: Column): Column =
+    ccCol - lit(2.0) * dot(a, b)
 
   /** The `m` contiguous subspace slices of a vector column, exploded
     * long: (…, subspace, subvec). `dim` must divide evenly — a PQ
@@ -508,17 +496,29 @@ object Similarity {
   }
 
   /** Train the PQ codebook: per subspace, `rounds` rounds of L2 Lloyd
-    * seeded from `initPred` rows' slices. Returns `(subspace, code,
-    * centv)` — M × |seeds| rows, the entire serving index metadata.
-    * Fixed rounds (no early stop) keep the training run reproducible
-    * round-for-round, the same contract as the gated
-    * [[kmeansIterate]] form.
+    * (argmin squared distance, ties to the smallest cell id; mean
+    * update IS Lloyd's optimal centroid for L2) seeded from `initPred`
+    * rows' slices. Returns `(subspace, code, centv)` — M × |seeds|
+    * rows, the entire serving index metadata. Fixed rounds (no early
+    * stop) keep the training run reproducible round-for-round, the
+    * same contract as the gated [[kmeansIterate]] form.
     *
-    * Cost shape per round and subspace: one broadcast of the
-    * codebook-sized centroid table, one scan of the sliced corpus,
-    * one (cell, pos) partial agg — the subspace loops multiply the
-    * SMALL side (M codebooks), never the corpus scan count: all M
-    * subspaces of a round ride one persisted sliced projection.
+    * All M subspaces train JOINTLY: per round, ONE broadcast of the
+    * full (subspace, cell, centv) codebook joined on `subspace`, one
+    * scan of the persisted sliced projection, and two partial aggs —
+    * the argmin (a map-side-combinable `min(struct(cdist, cell))`,
+    * NOT a window: a row_number over the joined n·M·|codebook| rows
+    * would sort what a combiner reduces to n·M survivors before the
+    * shuffle) and the (subspace, cell, pos) exact-decimal stats agg.
+    * The per-round job count is independent of M (an M-loop of
+    * per-subspace Lloyd jobs would rescan the corpus M × rounds
+    * times; the subspaces are independent problems that share every
+    * scan). The struct-min tie-breaks exactly like the ordered
+    * window (cdist, then smallest cell), sums ride the same 6-dp
+    * decimal grid as [[centroidStats]], and means stay raw IEEE
+    * quotients, so the result is bit-identical to training each
+    * subspace alone with windowed assignment — the batching is a
+    * plan property, not a semantics change.
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               m: Int, dim: Int, initPred: Column,
@@ -527,38 +527,60 @@ object Similarity {
     val long = graft.sources.Tables.fanOut(
       sliced(emb, idCol, vecCol, m, dim)).persist()
     try {
-      (0 until m).map { j =>
-        val sub = long.filter(col("subspace") === j)
-          .select(col("cand_id"), col("subvec"))
-        var cent = emb.filter(initPred)
-          .select(col(idCol).as("cell"),
-            slice(col(vecCol), j * (dim / m) + 1, dim / m).as("centv"))
-        (0 until rounds).foreach { _ =>
-          cent = graft.Checkpoints.truncate(centroidTable(centroidStats(
-            assignToCentroidsL2(sub, "cand_id", "subvec", cent))))
-        }
-        cent.select(lit(j).as("subspace"), col("cell").as("code"),
-          col("centv"))
-      }.reduce(_ unionAll _)
+      var cent = sliced(emb.filter(initPred), idCol, vecCol, m, dim)
+        .select(col("subspace"), col("cand_id").as("cell"),
+          col("subvec").as("centv"))
+      (0 until rounds).foreach { _ =>
+        val stats = long
+          .join(broadcast(
+            cent.withColumn("cc", dot(col("centv"), col("centv")))),
+            Seq("subspace"))
+          .groupBy(col("cand_id"), col("subspace"))
+          .agg(min(struct(
+            l2key(col("subvec"), col("centv"), col("cc")).as("cdist"),
+            col("cell"), col("subvec"))).as("__w"))
+          .select(col("subspace"), col("__w.cell").as("cell"),
+            posexplode(col("__w.subvec")).as(Seq("pos", "v")))
+          .select(col("subspace"), col("cell"),
+            (col("pos") + 1).cast("bigint").as("pos"),
+            round(col("v").cast("double"), 6).cast("decimal(18,6)")
+              .as("el"))
+          .groupBy(col("subspace"), col("cell"), col("pos"))
+          .agg(sum(col("el")).cast("double").as("sum_val"),
+            count(lit(1)).as("n_vec"))
+        cent = graft.Checkpoints.truncate(stats
+          .select(col("subspace"), col("cell"), col("pos"),
+            (col("sum_val") / col("n_vec")).as("mean_val"))
+          .groupBy(col("subspace"), col("cell"))
+          .agg(array_sort(
+              collect_list(struct(col("pos"), col("mean_val").as("mv"))))
+            .as("__pm"))
+          .select(col("subspace"), col("cell"),
+            transform(col("__pm"), p => p.getField("mv")).as("centv")))
+      }
+      cent.select(col("subspace"), col("cell").as("code"), col("centv"))
     } finally long.unpersist()
   }
 
   /** Encode every vector as its per-subspace nearest code:
     * `(id, subspace, code)` long form — M small ints per vector, the
-    * only thing the serving tier keeps per candidate.
+    * only thing the serving tier keeps per candidate. The argmin is
+    * the same map-side-combinable struct-min as [[pqTrain]]'s assign
+    * step (ties to the smallest code), so the broadcast join's
+    * n·M·|codebook| rows reduce to n·M inside the scan stage.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    val assignW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cand_id"), col("subspace"))
-      .orderBy(col("cdist"), col("code"))
+               codebook: DataFrame, m: Int, dim: Int): DataFrame =
     sliced(emb, idCol, vecCol, m, dim)
-      .join(broadcast(codebook), Seq("subspace"))
-      .withColumn("cdist", l2dist2(col("subvec"), col("centv")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("cand_id").as("id"), col("subspace"), col("code"))
-  }
+      .join(broadcast(
+        codebook.withColumn("cc", dot(col("centv"), col("centv")))),
+        Seq("subspace"))
+      .groupBy(col("cand_id"), col("subspace"))
+      .agg(min(struct(
+        l2key(col("subvec"), col("centv"), col("cc")).as("cdist"),
+        col("code"))).as("__w"))
+      .select(col("cand_id").as("id"), col("subspace"),
+        col("__w.code").as("code"))
 
   /** Reconstruct x̂ from codes (centroid concatenation, subspace
     * order) — the decode side, used to measure quantization error.
@@ -609,30 +631,25 @@ object Similarity {
         round(col("acos"), 6).as("approx_cos"))
   }
 
-  /** A5 (served form) — ADC shortlist of `rerank` candidates, exact
-    * cosine re-rank of the shortlist: the standard two-stage PQ serve.
-    * Stage 1 reads NO vectors (codes + codebook only); stage 2 reads
-    * exactly `rerank` vectors per query via an id equi-join — at
-    * 10^11 candidates that is the difference between scanning the
-    * corpus and touching a few dozen rows. Output schema matches
-    * [[bruteForceTopK]] (exact cosine values, same tie order), so the
-    * quality delta vs exact search is pure recall, never score drift.
+  /** Exact cosine re-rank of any `(query_id, cand_id)` shortlist —
+    * stage 2 of every two-stage ANN serve (PQ/LSH/IVF shortlists
+    * alike). Reads exactly the shortlisted vectors per query via an
+    * id equi-join — at 10^11 candidates that is the difference
+    * between scanning the corpus and touching a few dozen rows.
+    * Output schema matches [[bruteForceTopK]] (exact cosine values,
+    * same tie order), so the quality delta vs exact search is pure
+    * recall, never score drift.
     */
-  def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, codes: DataFrame,
-                     codebook: DataFrame, m: Int, dim: Int,
-                     k: Int = 10, rerank: Int = 50): DataFrame = {
-    require(rerank >= k, s"rerank width $rerank must cover k=$k")
-    val shortlist = pqTopK(emb.filter(queryPred), idCol, vecCol,
-      codes, codebook, m, dim, rerank)
-      .select(col("query_id"), col("cand_id"))
+  def pqRerank(emb: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, shortlist: DataFrame,
+               k: Int = 10): DataFrame = {
     val q = prepped(emb.filter(queryPred), idCol, vecCol,
       "query_id", "qv", "qn")
     val c = prepped(emb, idCol, vecCol, "cand_id", "cv", "cn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    shortlist
+    shortlist.select(col("query_id"), col("cand_id"))
       .join(c, Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
@@ -642,5 +659,20 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         col("rank").cast("bigint").as("rank"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** A5 (served form) — ADC shortlist of `rerank` candidates, exact
+    * cosine re-rank of the shortlist ([[pqRerank]]): the standard
+    * two-stage PQ serve. Stage 1 reads NO vectors (codes + codebook
+    * only); stage 2 touches only the shortlist.
+    */
+  def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, codes: DataFrame,
+                     codebook: DataFrame, m: Int, dim: Int,
+                     k: Int = 10, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
+    pqRerank(emb, idCol, vecCol, queryPred,
+      pqTopK(emb.filter(queryPred), idCol, vecCol,
+        codes, codebook, m, dim, rerank), k)
   }
 }
