@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.plans.{CountInSet, FreqSketchAgg, FreqSketchMergeAgg, MinRollingHash, SumStringLengths, VectorDot}
+import graft.plans.{CountInSet, FreqSketchAgg, FreqSketchMergeAgg, MinRollingHash, SumStringLengths, TopKByAgg, VectorDot}
 
 /** Spark extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT min_rolling_hash(text, 16)
@@ -80,6 +80,13 @@ object GraftExtensions {
         case Seq(c, k) => FreqSketchMergeAgg(c, intArg(k, 128))
         case _ => throw new IllegalArgumentException(
           "freq_sketch_merge(sketch, k)")
+      }),
+    ("topk_by",
+      new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s, i, k) => TopKByAgg(s, i, intArg(k, 10))
+        case _ => throw new IllegalArgumentException(
+          "topk_by(score, id, k)")
       }))
 
   private def literalStrings(e: Expression): Seq[String] = e match {

@@ -913,18 +913,24 @@ object Dedup {
     * exact-text hash, a fingerprint, or [[resolveGroups]]' group_id),
     * keep exactly ONE row per group — the highest-scoring, ties broken
     * by lowest id so the choice is deterministic under any
-    * partitioning. One window over the group key: the same single
-    * shuffle any per-group reduction pays, with no join-back (the
-    * groupBy-max + self-join alternative shuffles twice and breaks
-    * ties nondeterministically).
+    * partitioning. Formulated as a map-side-combinable
+    * `min(struct(-score, id, row))` aggregate, not a window: both pay
+    * one shuffle on the group key, but the combiner reduces each
+    * group to ONE candidate row per input partition before the
+    * shuffle, where a window would shuffle-sort every member — and a
+    * crawl-scale dup group can hold millions. IEEE negation is
+    * exact, and `id` is unique per row, so the struct order equals
+    * (score desc, id asc) and the payload never influences the
+    * comparison. (The groupBy-max + self-join alternative shuffles
+    * twice and breaks ties nondeterministically.)
     */
   def keepCanonical(df: DataFrame, idCol: String, groupCol: String,
                     scoreCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(groupCol).as("__g"))
+      .agg(min(struct(negate(col(scoreCol)).as("__ns"),
+        col(idCol).as("__id"), payload.as("__row"))).as("__w"))
+      .select(df.columns.map(c => col(s"__w.__row.$c")): _*)
   }
 
   /** T4 — winnowing fingerprint dedup: documents sharing a min-rolling

@@ -47,6 +47,38 @@ object Similarity {
       emb.select(col(idCol).as(idAs), col(vecCol).as(vAs)))
       .withColumn(nAs, norm(col(vAs)))
 
+  /** Exact per-group top-k as a map-side-combinable AGGREGATE
+    * ([[graft.plans.TopKByAgg]]): the top-k of a union is the top-k
+    * of the per-partition top-k's, so a combiner ships k pairs per
+    * group where `row_number() OVER (ORDER BY score DESC, id)` would
+    * shuffle-sort EVERY scored row — at 10^11 candidates the window
+    * sorts the corpus per query; this ships k rows per (partition,
+    * query). Same selection, same order (doubles compare like
+    * Spark's sort), pinned by every ANN hash gate.
+    */
+  def topKByAgg(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.plans.TopKByAgg(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(score),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(id), k)
+        .toAggregateExpression())
+
+  /** Shared final stage of every ANN path: scored
+    * `(query_id, cand_id, score)` rows → `(query_id, cand_id, rank,
+    * <outName>)`, top k per query by score desc / cand_id asc, score
+    * rounded to 6 dp AFTER ranking. One [[topKByAgg]] aggregate —
+    * the only shuffle ships ≤ k pairs per (partition, query).
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: Column, k: Int,
+                       outName: String): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topKByAgg(scoreCol, col("cand_id"), k).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("cand_id"),
+        (col("__pos") + 1).cast("bigint").as("rank"),
+        round(col("__e.score"), 6).as(outName))
+
   /** A1 — exact cosine top-k: for each query vector (`queryPred`
     * selects queries), the k nearest other vectors. The query side is
     * broadcast; ranking is deterministic (score desc, id asc).
@@ -59,14 +91,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos",
         dotPre(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"),
-        col("rank").cast("bigint").as("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, col("cos"), k, "cos_sim")
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays —
@@ -126,14 +151,7 @@ object Similarity {
     val cand = bucketed.join(broadcast(probes),
         Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"),
-        col("rank").cast("bigint").as("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(cand, col("cos"), k, "cos_sim")
   }
 
   /** A3 — IVF-style ANN: `centroidPred` picks the coarse centroid set
@@ -144,22 +162,25 @@ object Similarity {
   /** Nearest-centroid assignment against an explicit centroid TABLE
     * `(cell, centv)` — the general form [[assignCells]] and the
     * [[kmeansIterate]] loop share: broadcast the (centroid-sized)
-    * table, rank every (vector, centroid) pair by cosine desc / cell
-    * asc, keep the argmax. One broadcast join + one shuffle on the
-    * vector id.
+    * table, keep each vector's argmax-cosine centroid (ties to the
+    * smallest cell id). The argmax is a map-side-combinable
+    * `min(struct(-cos, cell, cv))`, not a window: a combiner reduces
+    * the joined n·k pairs to n survivors inside the scan stage,
+    * where a row_number would shuffle-sort all n·k (IEEE negation is
+    * exact, so the struct order — and every downstream gate hash —
+    * is identical to the ordered window it replaces). One broadcast
+    * join + one shuffle of n assignment rows.
     */
   def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame): DataFrame = {
-    val assignW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cand_id"))
-      .orderBy(col("cdist").desc, col("cell"))
+                        centroids: DataFrame): DataFrame =
     emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .join(broadcast(centroids))
-      .withColumn("cdist", cosine(col("cv"), col("centv")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("cand_id"), col("cv"), col("cell"))
-  }
+      .groupBy(col("cand_id"))
+      .agg(min(struct(
+        negate(cosine(col("cv"), col("centv"))).as("negcos"),
+        col("cell"), col("cv"))).as("__w"))
+      .select(col("cand_id"), col("__w.cv").as("cv"),
+        col("__w.cell").as("cell"))
 
   /** Nearest-centroid assignment where the centroids are emb rows
     * picked by `centroidPred`: every vector → (cand_id, cv, cell).
@@ -201,17 +222,10 @@ object Similarity {
       .withColumn("r", row_number().over(probeW))
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    assigned.join(broadcast(probed), Seq("cell"))
+    rankTopK(assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"),
-        col("rank").cast("bigint").as("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+      .withColumn("cos", cosine(col("qv"), col("cv"))),
+      col("cos"), k, "cos_sim")
   }
 
   /** A4 — centroid UPDATE step (the k-means / IVF index-training inner
@@ -615,20 +629,14 @@ object Similarity {
         dot(col("centv"), col("centv")).as("cc"))
     val qnorm = queries.select(col(idCol).as("query_id"),
       norm(col(vecCol)).as("qn"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("id"))
-    codes.join(broadcast(lut), Seq("subspace", "code"))
+    rankTopK(codes.join(broadcast(lut), Seq("subspace", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("cn2"))
       .join(broadcast(qnorm), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("acos", col("qdot") / (col("qn") * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("cand_id"),
-        col("rank").cast("bigint").as("rank"),
-        round(col("acos"), 6).as("approx_cos"))
+      .withColumnRenamed("id", "cand_id"),
+      col("acos"), k, "approx_cos")
   }
 
   /** Exact cosine re-rank of any `(query_id, cand_id)` shortlist —
@@ -646,19 +654,12 @@ object Similarity {
     val q = prepped(emb.filter(queryPred), idCol, vecCol,
       "query_id", "qv", "qn")
     val c = prepped(emb, idCol, vecCol, "cand_id", "cv", "cn")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    shortlist.select(col("query_id"), col("cand_id"))
+    rankTopK(shortlist.select(col("query_id"), col("cand_id"))
       .join(c, Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
-        dotPre(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"),
-        col("rank").cast("bigint").as("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+        dotPre(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      col("cos"), k, "cos_sim")
   }
 
   /** A5 (served form) — ADC shortlist of `rerank` candidates, exact

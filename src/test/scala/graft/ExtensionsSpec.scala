@@ -67,6 +67,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(merged.contains("a") && merged("a") <= 4L)
   }
 
+  test("registered SQL aggregate works: topk_by") {
+    GraftExtensions.register(spark)
+    // top-2 by score desc, ties to the smallest id: (0.9,7) then the
+    // 0.5 tie resolved to id 2
+    val got = spark.sql(
+      "SELECT topk_by(s, id, 2) AS tk FROM VALUES " +
+        "(0.5d, 5L), (0.9d, 7L), (0.5d, 2L), (0.1d, 1L) AS t(s, id)")
+      .selectExpr("inline(tk)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((7L, 0.9), (2L, 0.5)))
+  }
+
   test("vector_dot mixes float and double arrays") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")

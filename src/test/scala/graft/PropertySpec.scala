@@ -18,6 +18,44 @@ class PropertySpec extends AnyFunSuite {
     (0 until n).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("topk_by equals the ordered window under any partitioning, " +
+      "ties and duplicates included") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(30, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(1L, 4L)
+        // coarse score grid → frequent exact ties, so the id
+        // tie-break is actually exercised
+        s <- Gen.chooseNum(-6, 6).map(_.toDouble / 2.0)
+        id <- Gen.chooseNum(1L, 40L)
+      } yield (g, s, id))
+    } yield rows
+    val k = 5
+    samples(gen, 6).foreach { rows =>
+      // many input partitions → partial buffers really merge
+      val df = rows.toDF("query_id", "score", "cand_id").repartition(7)
+      val agg = df.groupBy(col("query_id"))
+        .agg(operators.Similarity.topKByAgg(
+          col("score"), col("cand_id"), k).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("query_id"), (col("p") + 1).cast("int").as("rank"),
+          col("e.id").as("cand_id"), col("e.score").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      val win = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("int"),
+          col("cand_id"), col("score"))
+      val got = agg.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3))).sorted
+      val want = win.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3))).sorted
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
   test("rolling-hash fingerprint: suffix extension can only lower the min") {
     val pairs = samples(
       for {
