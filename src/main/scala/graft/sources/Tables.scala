@@ -27,19 +27,29 @@ object Tables {
 
   /** Read one testdata table from an sf directory.
     *
-    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses to map to TimestampType; read it as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    * microsecond TimestampType — the same truncation any
-    * nanos-unaware reader applies.
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 refuses to
+    * map to TimestampType, so it is read as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-converted —
+    * and plain TIMESTAMP(MICROS) without a UTC flag, which Spark
+    * reads as TIMESTAMP_NTZ. Both normalize to the same microsecond
+    * TimestampType here (sessions pin `spark.sql.session.timeZone`
+    * to UTC, so the NTZ wall clock IS the instant), keeping every
+    * downstream consumer layout-agnostic.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(path)
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(path)
   }
 

@@ -22,17 +22,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Events file-source stream with the same ns→µs conversion the
-    * batch reader applies. Schema is explicit — a streaming source
-    * cannot infer.
+  /** Events file-source stream with the same ts normalization the
+    * batch reader applies ([[graft.sources.Tables.table]]: INT64
+    * nanos OR un-flagged TIMESTAMP(MICROS) → microsecond
+    * TimestampType). Schema is explicit — a streaming source cannot
+    * infer — so the physical layout is probed once from the
+    * directory's parquet footers via a batch read.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDecl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val raw = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** E3 — watermarked tumbling-window rollup (streaming twin of
