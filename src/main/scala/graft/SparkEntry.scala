@@ -411,6 +411,19 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", maxDocFreq = 1000)),
+    // ---- §2.6 D12 duplicated-window (exact-substring) detection ----
+    // 16-token windows, stride 1: the per-document duplicated-window
+    // report and the merged cut-list spans; the oracle recomputes the
+    // whole window table (tokens, start grid, sha256 of every slice),
+    // the corpus-wide duplicate marking, and the island merge
+    "q_dedup_windows" -> ((s, d) =>
+      Dedup.duplicateWindowReport(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", w = 16)),
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", w = 16)),
     // ---- §2.6 D7 near-dup group resolution ----
     "q_dedup_groups" -> ((s, d) => {
       val doc = Tables.table(s, d, "documents")
@@ -523,6 +536,15 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.truncateTokens(col("text"), 50)
           .as("trunc_text"))),
+    // ---- §2.8 T10 sliding-window token chunking ----
+    // 64-token windows at stride 48 (25% overlap); the oracle
+    // recomputes tokenization, the integer start grid, and every
+    // token slice — a one-token boundary error anywhere breaks the
+    // hash
+    "q_text_chunk" -> ((s, d) =>
+      Corpus.chunkTokens(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 64, stride = 48)),
     // ---- §2.12 X1 salted aggregation (skew mitigation) ----
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedSum(Tables.table(s, d, "events"), Seq("event_type"),
@@ -1468,6 +1490,26 @@ object SparkEntry {
   private def duckHashBucket(key: String, salt: String, den: Int): String =
     s"(CAST(concat('0x', substr(sha256(concat_ws(':', CAST($key AS VARCHAR), '$salt')), 1, 8)) AS BIGINT) % $den)"
 
+  /** Portable 16-token window-hash table (mirrors Dedup.windowHashes
+    * at w=16, stride=1): CTEs `c` (all docs + token count) and `h`
+    * (doc_id, start `s`, window sha256 `wh`). Shared by the
+    * duplicated-window report and span gates.
+    */
+  private def duckWindowHashes: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t
+      |), wn AS (
+      |  SELECT doc_id, unnest(range(0, n - 16 + 1, 1)) AS s, ws
+      |  FROM c WHERE n >= 16
+      |), h AS (
+      |  SELECT doc_id, s,
+      |    sha256(array_to_string(ws[(s + 1):(s + 16)], ' ')) AS wh
+      |  FROM wn
+      |)""".stripMargin
+
   /** Portable SimHash mirror (Dedup.simhashPortable): per-bit majority
     * vote over sha256-nibble token hashes, 60-bit word. Shared by the
     * signature and pair-join gates.
@@ -2019,6 +2061,29 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(string_split_regex(trim(text), '\s+')[1:50], ' ') AS trunc_text
         |FROM documents""".stripMargin,
+    // sliding 64-token windows at stride 48: the start grid is the
+    // multiples of 48 up to the first start whose window reaches the
+    // end (integer ceil-div — identical arithmetic in any engine)
+    "q_text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) > 0
+         |), s AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 0
+         |      ELSE ((n - 64 + 47) // 48) * 48 END + 1, 48)) AS cs
+         |  FROM c
+         |)
+         |SELECT doc_id, cs // 48 AS chunk_id, cs AS chunk_start,
+         |  least(n, cs + 64) - cs AS chunk_len,
+         |  array_to_string(toks[(cs + 1):least(n, cs + 64)], ' ')
+         |    AS chunk_text
+         |FROM s""".stripMargin,
     "q_corpus_filter" ->
       s"""WITH q AS ($duckQualitySql),
          |t AS (
@@ -2253,6 +2318,42 @@ object SparkEntry {
          |  SELECT sid, sh FROM sh
          |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
          |), ${duckJaccardTail(3, 10, restrictToCand = false, shTable = "shf")}""".stripMargin,
+    // the full 16-token window table recomputed: tokens, start grid,
+    // sha256 of every window slice, corpus-wide duplicate mark
+    "q_dedup_windows" ->
+      s"""$duckWindowHashes, m AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM h
+         |), d AS (
+         |  SELECT doc_id, COUNT(*) AS n_windows,
+         |    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_windows
+         |  FROM m GROUP BY doc_id
+         |)
+         |SELECT c.doc_id,
+         |  COALESCE(d.n_windows, 0) AS n_windows,
+         |  COALESCE(d.n_dup_windows, 0) AS n_dup_windows
+         |FROM c LEFT JOIN d USING (doc_id)""".stripMargin,
+    // duplicated windows merged gaps-and-islands into maximal token
+    // spans per document
+    "q_dedup_spans" ->
+      s"""$duckWindowHashes, m AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM h
+         |), d AS (
+         |  SELECT doc_id, s, s + 16 AS e FROM m WHERE cnt >= 2
+         |), g AS (
+         |  SELECT doc_id, s, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM d
+         |), i AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM g
+         |)
+         |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+         |FROM i GROUP BY doc_id, island""".stripMargin,
     "q_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim

@@ -358,6 +358,64 @@ object Corpus {
     } finally { toks.unpersist(); () }
   }
 
+  /** T10 — sliding-window token CHUNKING: split each document into
+    * fixed-size, overlapping token windows — the context-window prep
+    * step for retrieval indexing and long-document training, where
+    * [[packTokenStream]] concatenates whole documents, chunking
+    * SLICES one document into many model-sized pieces.
+    *
+    * Chunk starts are the multiples of `stride` from 0 up to the
+    * FIRST start whose window reaches the document's end — so every
+    * token is covered, consecutive chunks overlap by
+    * `chunkSize - stride` tokens, and no fully-redundant tail chunk
+    * is emitted (a start is only generated if the previous window did
+    * not already reach the end). Only each document's last chunk may
+    * run short. All boundary arithmetic is integer (`div`), so any
+    * engine recomputes identical chunk grids — the DuckDB gate
+    * re-derives tokenization, the start grid, and every slice.
+    *
+    * Shape at scale: one tokenize projection + one per-row `sequence`
+    * explode — fan-out ≈ n_tokens/stride rows per document, NO
+    * shuffle, no join, no driver state; the scan stays
+    * pushdown/pruning-friendly. Chunk ids are `start div stride`, so
+    * (id, chunk_id) is a stable key for downstream embedding or
+    * indexing joins.
+    *
+    * Output: (id, chunk_id, chunk_start, chunk_len, chunk_text) with
+    * `chunk_text` the space-joined token slice (the normalized token
+    * stream, as in [[packTokenStream]] — slicing is defined on the
+    * token sequence, so original inter-token whitespace does not
+    * survive). Zero-token documents emit nothing, short documents
+    * exactly one chunk.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.bpeTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("bigint"))
+      .filter(col("__n") > 0)
+      // last start = the smallest multiple of stride with
+      // start + chunkSize >= n  (integer ceil-div; 0 for short docs)
+      .withColumn("__last",
+        when(col("__n") <= chunkSize, lit(0L)).otherwise(
+          expr(s"((__n - $chunkSize + $stride - 1) div $stride) * $stride")))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), col("__last"), lit(stride.toLong))))
+      .withColumn("chunk_len",
+        least(col("__n"), col("chunk_start") + chunkSize) -
+          col("chunk_start"))
+      .select(col(idCol),
+        expr(s"chunk_start div $stride").cast("bigint").as("chunk_id"),
+        col("chunk_start"), col("chunk_len"),
+        array_join(slice(col("__toks"),
+          (col("chunk_start") + 1).cast("int"),
+          col("chunk_len").cast("int")), " ").as("chunk_text"))
+  }
+
   /** K7 — CURRICULUM buckets: assign each document a difficulty tier
     * by quality score WITHOUT a global window (NTILE/percent_rank pull
     * the whole corpus through one task). Instead: k−1 exact quantile

@@ -964,4 +964,100 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("sid")).as("keep_id"), count(lit(1)).as("n_docs"))
   }
+
+  /** D12 — duplicated token-WINDOW hashes: every w-token window of
+    * every document, keyed by the sha256 of its space-joined tokens —
+    * the distributed restatement of exact-SUBSTRING dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better": near-identical 50-token passages pervade crawl corpora
+    * and survive whole-document dedup). Where a suffix array finds
+    * repeated substrings in one machine's memory, the window table is
+    * its shuffle-native analog: one row per (doc, window start) — the
+    * same O(corpus tokens) footprint a suffix array pays, but
+    * partition-parallel. `stride` subsamples start positions when the
+    * full table is too expensive (stride > 1 trades span-boundary
+    * precision for a 1/stride cost cut; matches are still found as
+    * long as a shared run covers one stride-aligned window).
+    *
+    * One tokenize projection + one `sequence` explode — no shuffle
+    * here; consumers aggregate or window over `whash`.
+    */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, stride: Int = 1): DataFrame = {
+    require(w > 0, s"w must be positive, got $w")
+    require(stride > 0, s"stride must be positive, got $stride")
+    graft.sources.Tables.fanOut(
+        df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws")))
+      .withColumn("__n", size(col("__ws")).cast("bigint"))
+      .filter(col("__n") >= w)
+      .withColumn("win_start", explode(sequence(lit(0L),
+        expr(s"((__n - $w) div $stride) * $stride"), lit(stride.toLong))))
+      .select(col(idCol), col("win_start"),
+        sha2(array_join(slice(col("__ws"),
+          (col("win_start") + 1).cast("int"), lit(w)), " "), 256).as("whash"))
+  }
+
+  /** D12 — per-document duplicated-window report: how many of each
+    * document's w-token windows also occur elsewhere in the corpus
+    * (any doc, any position — within-document repeats count: a
+    * boilerplate run repeated inside one page is as much a training
+    * hazard as one shared across pages). The per-corpus duplicate
+    * marking is ONE count-over-window on `whash` (a single shuffle —
+    * no self-join, no pair table), then one groupBy on the id;
+    * documents shorter than w windows report zeros.
+    *
+    * Output: (id, n_windows, n_dup_windows) — the downstream filter
+    * drops or trims documents whose duplicated fraction crosses
+    * policy.
+    */
+  def duplicateWindowReport(df: DataFrame, idCol: String, textCol: String,
+                            w: Int, stride: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(df, idCol, textCol, w, stride)
+    val marked = wins
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("whash"))))
+    val perDoc = marked
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** D12 — duplicated SPANS: the duplicated windows of
+    * [[duplicateWindowReport]] merged into maximal per-document token
+    * intervals [span_start, span_end) — the actual cut list an
+    * exact-substring trimmer consumes (drop the span, keep the rest of
+    * the document; Lee et al.'s ExactSubstr removes the repeated
+    * passage, not the page). Classic gaps-and-islands over each
+    * document's duplicated window starts: a window opens a new span
+    * iff it starts past every earlier window's end; one running-max
+    * window + one groupBy, both partitioned by document — shuffles on
+    * the id only, never a pair table.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int, stride: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(df, idCol, textCol, w, stride)
+    val dups = wins
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("whash"))))
+      .filter(col("__c") >= 2)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("win_start"))
+    dups
+      .withColumn("__end", col("win_start") + w)
+      .withColumn("__prevMax",
+        max(col("__end")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevMax").isNull ||
+          col("win_start") > col("__prevMax"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("win_start")).as("span_start"),
+        max(col("__end")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
 }

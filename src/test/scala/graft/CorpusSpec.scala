@@ -396,6 +396,76 @@ class CorpusSpec extends AnyFunSuite {
       (2L, 1L, 4L, "k l m n")))
   }
 
+  test("chunkTokens: full coverage, stride-spaced starts, overlap preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      // 23 alpha tokens (BPE-atomic: one token per word)
+      (1L, (0 until 23).map(i => "t" * (i % 5 + 1) + "x").mkString(" ")),
+      (2L, "a b c"),                                  // short: one chunk
+      (3L, ""))                                       // empty: no chunks
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 10, stride = 6)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: starts 0, 6, 12 (+10 >= 23? 12+10=22 < 23 → one more), 18
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 6L, 12L, 18L))
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 10L, 5L))
+    // every token covered: union of [start, start+len) is [0, 23)
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).distinct.sorted
+    assert(covered.toSeq == (0L until 23L))
+    // consecutive chunks overlap by chunkSize - stride tokens, and the
+    // overlapping token slices agree
+    val texts = d1.map(_._5.split(" ").toSeq).toSeq
+    texts.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(4) == b.take(4))
+      case _ => ()
+    }
+    // short doc: exactly one whole-doc chunk; empty doc: absent
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("duplicateWindowReport: cross-doc and within-doc repeats counted, short docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),             // all 3 windows shared with 4
+      (2L, "x x a b c d y"),           // one window shared
+      (3L, "p q r s t"),               // unique
+      (4L, "a b c d e f"),             // exact copy of 1
+      (5L, "u v"),                     // too short: zero windows
+      (6L, "m n o p m n o p m n o p")) // within-doc period-4 repeat
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowReport(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L)), 2L -> ((4L, 1L)), 3L -> ((2L, 0L)),
+      4L -> ((3L, 3L)), 5L -> ((0L, 0L)), 6L -> ((9L, 9L))))
+  }
+
+  test("duplicateSpans: windows merge into maximal islands, gaps split spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "a b c d z1 z2 z3 z4 z5 e f g h"),
+      (8L, "a b c d q1 q2 q3 q4 q5 e f g h"),
+      (9L, "m n o p m n o p m n o p"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 7/8 share the head and tail 4-token runs, split by unique
+    // middles; 9's period-4 self-repeat merges into one whole-doc span
+    assert(got == Set(
+      (7L, 0L, 4L), (7L, 9L, 13L),
+      (8L, 0L, 4L), (8L, 9L, 13L),
+      (9L, 0L, 12L)))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
