@@ -225,6 +225,18 @@ object SparkEntry {
     "q_profile_values" -> ((s, d) =>
       Profiling.valueSample(Tables.table(s, d, "orders"), 10)),
     "q_unique_counts" -> ((s, d) => Profiling.uniqueCounts(Tables.table(s, d, "customer"))),
+    // ---- §2.3 P10 pairwise correlation from exact sufficient stats ----
+    // one combinable aggregation; the oracle recomputes the decimal
+    // sums and derives the identical IEEE pearson_r. The decimal sums
+    // hash as strings: their unscaled values exceed 2^53, so a double
+    // column could not round-trip them exactly
+    "q_profile_corr" -> ((s, d) => {
+      val r = Profiling.correlationReport(Tables.table(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      r.select(Seq(col("col_x"), col("col_y"), col("n_pairs")) ++
+        Seq("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+          .map(c => col(c).cast("string").as(c)) :+ col("pearson_r"): _*)
+    }),
     // (on orders the audit legitimately fires: a customer maps to many
     // orders — demonstrating violation *detection*, reference
     // bronze_to_silver.py:127)
@@ -1489,6 +1501,58 @@ object SparkEntry {
     */
   private def duckHashBucket(key: String, salt: String, den: Int): String =
     s"(CAST(concat('0x', substr(sha256(concat_ws(':', CAST($key AS VARCHAR), '$salt')), 1, 8)) AS BIGINT) % $den)"
+
+  /** Portable correlation-report mirror (Profiling.correlationReport):
+    * per-pair pairwise-complete count + five exact decimal sums cast
+    * to double, pearson_r derived with the identical IEEE expression.
+    */
+  private def duckCorrPair(x: String, y: String, table: String): String = {
+    val both = s"$x IS NOT NULL AND $y IS NOT NULL"
+    // sums surface as DECIMAL(38,12) strings — exact, like the Spark
+    // side. (DuckDB's decimal→DOUBLE cast is NOT correctly rounded at
+    // unscaled values past 2^53, so doubles could not hash-match.)
+    def s(e: String) =
+      s"CAST(CAST(SUM(CASE WHEN $both THEN $e END) AS DECIMAL(38,12)) AS VARCHAR)"
+    // width 19 forces DuckDB's int128 decimal storage: an 18-wide
+    // operand pair multiplies in int64 and overflows on real measures,
+    // while 19+19 = 38 still fits the engine's max product width.
+    // The value grid is the same as Spark's decimal(18,6) operands,
+    // so the exact sums agree.
+    def d(c: String) = s"CAST($c AS DECIMAL(19,6))"
+    s"""SELECT '$x' AS col_x, '$y' AS col_y,
+       |  COUNT(CASE WHEN $both THEN 1 END) AS n_pairs,
+       |  ${s(d(x))} AS sum_x, ${s(d(y))} AS sum_y,
+       |  ${s(s"${d(x)} * ${d(x)}")} AS sum_xx,
+       |  ${s(s"${d(y)} * ${d(y)}")} AS sum_yy,
+       |  ${s(s"${d(x)} * ${d(y)}")} AS sum_xy
+       |FROM $table""".stripMargin
+  }
+
+  private def duckCorrSql(cols: Seq[String], table: String): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val base = pairs.map { case (x, y) => duckCorrPair(x, y, table) }
+      .mkString("\nUNION ALL\n")
+    // the VARCHAR→DOUBLE casts are correctly rounded (unlike DuckDB's
+    // direct decimal→double), so the r inputs are bit-identical to
+    // Spark's decimal→double casts and the IEEE formula lands on the
+    // same double
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val n = "CAST(n_pairs AS DOUBLE)"
+    val vx = s"$n * ${dd("sum_xx")} - ${dd("sum_x")} * ${dd("sum_x")}"
+    val vy = s"$n * ${dd("sum_yy")} - ${dd("sum_y")} * ${dd("sum_y")}"
+    val cv = s"$n * ${dd("sum_xy")} - ${dd("sum_x")} * ${dd("sum_y")}"
+    s"""WITH p AS (
+       |$base
+       |)
+       |SELECT col_x, col_y, n_pairs, sum_x, sum_y, sum_xx, sum_yy,
+       |  sum_xy,
+       |  CASE WHEN n_pairs > 0 AND $vx > 0 AND $vy > 0
+       |  THEN ROUND(($cv) / (sqrt($vx) * sqrt($vy)), 6)
+       |  END AS pearson_r
+       |FROM p""".stripMargin
+  }
 
   /** Portable 16-token window-hash table (mirrors Dedup.windowHashes
     * at w=16, stride=1): CTEs `c` (all docs + token count) and `h`
@@ -2920,6 +2984,9 @@ object SparkEntry {
       .map(c =>
         s"SELECT '$c' AS column_name, COUNT(DISTINCT $c) AS n_distinct FROM customer")
       .mkString("\nUNION ALL\n"),
+    "q_profile_corr" ->
+      duckCorrSql(Seq("l_quantity", "l_extendedprice", "l_discount"),
+        "lineitem"),
     "q_consistency" ->
       """SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS unique_ids
         |FROM orders GROUP BY o_custkey

@@ -389,4 +389,71 @@ object Profiling {
       .filter(col("n_occurrences") * support > col("n"))
       .select(col("item"), col("n_occurrences"))
   }
+
+  /** P10 — pairwise Pearson correlation over numeric columns, computed
+    * from EXACT sufficient statistics: for every column pair, the
+    * pairwise-complete count and the five sums (Σx, Σy, Σx², Σy², Σxy)
+    * accumulated in decimal — so the whole report is ONE map-side-
+    * combinable aggregation over ONE scan, regardless of how many
+    * pairs are requested, and the sums are order-independent (a double
+    * sum would drift with partitioning; the decimal sums are exact, so
+    * any engine reproduces them bit-for-bit). The correlation itself
+    * is derived AFTER aggregation in a scalar projection from the
+    * double-cast sums — every step correctly rounded IEEE arithmetic
+    * on identical inputs, so the DuckDB oracle recomputing the same
+    * formula lands on the identical double.
+    *
+    * Pairwise-complete semantics: a row contributes to a pair iff BOTH
+    * columns are non-null (each pair may have its own n). Zero-variance
+    * pairs yield NULL correlation, not a divide-by-zero.
+    *
+    * The sums stay DECIMAL in the output — they are exact sufficient
+    * statistics, and keeping them exact is what makes the report
+    * mergeable across partial runs and engine-portable (a double sum
+    * at this magnitude cannot round-trip: its unscaled value exceeds
+    * 2^53). pearson_r is derived from the correctly-rounded double
+    * casts of those decimals.
+    *
+    * Scale: no shuffle beyond the global-aggregate combine; adding
+    * pairs adds columns to the partial state, never passes over the
+    * data. The input columns must fit decimal(18,6) — warehouse
+    * measures do; renormalize first if not.
+    */
+  def correlationReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def dec(c: String) = col(c).cast("decimal(18,6)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e)).as(s"__${name}$k")
+      Seq(
+        count(when(both, 1)).as(s"__n$k"),
+        s(dec(x), "sx"), s(dec(y), "sy"),
+        s(dec(x) * dec(x), "sxx"), s(dec(y) * dec(y), "syy"),
+        s(dec(x) * dec(y), "sxy"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val long = row.select(explode(array(pairs.zipWithIndex.map {
+      case ((x, y), k) =>
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
+          col(s"__n$k").as("n_pairs"),
+          col(s"__sx$k").cast("decimal(38,12)").as("sum_x"),
+          col(s"__sy$k").cast("decimal(38,12)").as("sum_y"),
+          col(s"__sxx$k").cast("decimal(38,12)").as("sum_xx"),
+          col(s"__syy$k").cast("decimal(38,12)").as("sum_yy"),
+          col(s"__sxy$k").cast("decimal(38,12)").as("sum_xy"))
+    }: _*)).as("p")).select("p.*")
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = n * d("sum_xx") - d("sum_x") * d("sum_x")
+    val varY = n * d("sum_yy") - d("sum_y") * d("sum_y")
+    val cov = n * d("sum_xy") - d("sum_x") * d("sum_y")
+    long.withColumn("pearson_r",
+      when(col("n_pairs") > 0 && varX > 0 && varY > 0,
+        round(cov / (sqrt(varX) * sqrt(varY)), 6)))
+  }
 }

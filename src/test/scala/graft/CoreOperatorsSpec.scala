@@ -111,6 +111,31 @@ class CoreOperatorsSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
+  test("P10: correlationReport — known correlations, pairwise-null n, zero variance null") {
+    import spark.implicits._
+    // y = 2x exactly (r = 1); z = -x (r = -1); w constant (no variance);
+    // v has a null, so (x, v) pairs drop that row
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, Some(10.0)),
+      (2.0, 4.0, -2.0, 5.0, None),
+      (3.0, 6.0, -3.0, 5.0, Some(30.0)),
+      (4.0, 8.0, -4.0, 5.0, Some(15.0)))
+      .toDF("x", "y", "z", "w", "v")
+    val got = Profiling.correlationReport(df, Seq("x", "y", "z", "w", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(8)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size == 10) // C(5,2) pairs from one aggregation
+    assert(got(("x", "y")) == ((4L, Some(1.0))))
+    assert(got(("x", "z")) == ((4L, Some(-1.0))))
+    // constant column: variance 0 → NULL r, never a divide-by-zero
+    assert(got(("x", "w")) == ((4L, None)))
+    // pairwise-complete: the null row drops from (x, v) only
+    assert(got(("x", "v"))._1 == 3L)
+    assert(got(("y", "z")) == ((4L, Some(-1.0))))
+  }
+
   test("P9: merged shard profiles equal the one-shot profile; " +
       "shard filters localize the profile") {
     val o = Tables.table(spark, sf, "orders")
