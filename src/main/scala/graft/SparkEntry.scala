@@ -315,6 +315,23 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"),
             col("event_type"), col("value"), col("c_mktsegment")))
     }),
+    // ---- §2.5 E12 stream-stream interval join, driver-gated ----
+    // views matched to same-user purchases within 2 hours, BOTH sides
+    // streaming (split from one source stream); append-mode inner
+    // matches emit eagerly, so the streamed set equals the batch
+    // interval join the oracle computes
+    "q_stream_join" -> ((s, d) =>
+      runStreamGate(s, d, copies = 1, "append", ev =>
+        graft.streaming.EventStream.intervalJoinStream(
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts")),
+          "user_id", "view_ts", "purchase_ts")
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            col("view_ts"), col("purchase_ts")))),
     // ---- §2.5 E11 idempotent micro-batch sink, driver-gated ----
     // outcome contract: run the foreachBatch dynamic-overwrite sink,
     // then REPLAY the identical stream into the same directory (the
@@ -3130,6 +3147,15 @@ object SparkEntry {
         |  (SELECT c_custkey, c_mktsegment FROM customer
         |   WHERE c_custkey < 100) dim
         |  ON user_id = dim.c_custkey""".stripMargin,
+    // the streamed inner interval join equals the batch one
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id,
+        |  date_trunc('microseconds', v.ts) AS view_ts,
+        |  date_trunc('microseconds', p.ts) AS purchase_ts
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
     // idempotence under replay: the doubled-run read-back is exactly
     // the source set, once
     "q_stream_sink" ->

@@ -197,6 +197,41 @@ object EventStream {
     * source into an in-memory table; returns the query after all
     * available data is processed. Used by specs and local smoke runs.
     */
+  /** E12 — stream-stream INTERVAL join: left-side events matched to
+    * right-side events of the same key whose event time falls in
+    * [left ts, left ts + bound] — the attribution join (view →
+    * purchase-within-the-hour) that needs BOTH sides streaming,
+    * where [[enrichStream]] joins a stream to a static table.
+    *
+    * Both sides carry a watermark and the join predicate carries an
+    * explicit time range — together they BOUND the join state: an
+    * unmatched left row can be dropped once the watermark passes its
+    * ts + bound, a right row once the watermark passes its ts, so
+    * state never grows with the stream (this is exactly the condition
+    * Structured Streaming requires to run a stream-stream inner join
+    * at all). Inner matches emit eagerly — append mode, no
+    * end-of-window latency — and the emitted set equals the batch
+    * interval join over the same data (gate-asserted against the
+    * DuckDB mirror).
+    *
+    * Column contract: `left`/`right` are projections of event streams
+    * with a shared join key `keyCol` and DISTINCT other column names
+    * (rename before joining); `leftTs`/`rightTs` name each side's
+    * event-time column.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keyCol: String, leftTs: String, rightTs: String,
+                         bound: String = "2 hours",
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r.withColumnRenamed(keyCol, "__rk"),
+      col(keyCol) === col("__rk") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+      .drop("__rk")
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: String): StreamingQuery = {
     val q = df.writeStream

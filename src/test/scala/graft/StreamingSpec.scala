@@ -134,6 +134,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E12: stream-stream interval join matches the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e12")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts")))
+    val (sv, sp) = sides(stream)
+    val q = EventStream.runToMemory(
+      EventStream.intervalJoinStream(sv, sp,
+        "user_id", "view_ts", "purchase_ts")
+        .select(col("view_id"), col("purchase_id")),
+      "stream_ijoin", "append")
+    try {
+      val streamed = spark.table("stream_ijoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bv, bp) = sides(graft.sources.Tables.table(spark, sf, "events"))
+      val batch = bv.join(bp.withColumnRenamed("user_id", "uk"),
+          col("user_id") === col("uk") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 hours"))
+        .select(col("view_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("E11: replayed micro-batch does not duplicate rows (dynamic overwrite)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-e11").toString + "/events"
