@@ -565,6 +565,14 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.truncateTokens(col("text"), 50)
           .as("trunc_text"))),
+    // ---- §2.8 T11 BPE merge training ----
+    // six merge rounds learned from the documents corpus; the oracle
+    // unrolls the whole training loop, so any drift in pair counting,
+    // tie-breaking, or the greedy merge pass breaks the hash
+    "q_text_bpe" -> ((s, d) =>
+      graft.operators.BpeTrain.train(
+        Tables.table(s, d, "documents").select(col("text")),
+        "text", rounds = 6)),
     // ---- §2.8 T10 sliding-window token chunking ----
     // 64-token windows at stride 48 (25% overlap); the oracle
     // recomputes tokenization, the integer start grid, and every
@@ -1571,6 +1579,72 @@ object SparkEntry {
        |FROM p""".stripMargin
   }
 
+  /** Portable BPE-training mirror (BpeTrain.train): the full training
+    * loop unrolled — per round, pair counts over the word table, the
+    * (count desc, pair asc) argmax, and the greedy non-overlapping
+    * merge pass restated positionally (gaps-and-islands over
+    * consecutive-match runs: within a run of equal symbols, offsets
+    * 0, 2, 4… merge — the positional equivalent of the Spark side's
+    * left-to-right fold). A one-symbol drift in any round cascades
+    * into every later round's counts, so the gate pins the whole
+    * trajectory.
+    */
+  private def duckBpeSql(rounds: Int): String = {
+    val w0 =
+      """d0 AS (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
+        |  FROM documents
+        |), w0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+        |  FROM d0 GROUP BY word
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM $prev WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2
+         |), b$r AS (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1
+         |), e$r AS (
+         |  SELECT w.word, w.freq, b.a AS ba, b.b AS bb, w.syms,
+         |    unnest(range(1, len(w.syms) + 1)) AS i
+         |  FROM $prev w, b$r b
+         |), f$r AS (
+         |  SELECT word, freq, ba, bb, i, syms[i] AS s,
+         |    (i < len(syms) AND syms[i] = ba AND syms[i + 1] = bb) AS m
+         |  FROM e$r
+         |), g$r AS (
+         |  SELECT *, CASE WHEN m THEN i - ROW_NUMBER()
+         |      OVER (PARTITION BY word, m ORDER BY i) END AS grp
+         |  FROM f$r
+         |), h$r AS (
+         |  SELECT *, m AND (i - MIN(i) OVER (PARTITION BY word, grp)) % 2 = 0
+         |      AS taken
+         |  FROM g$r
+         |), i$r AS (
+         |  SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY word ORDER BY i),
+         |      FALSE) AS ptk
+         |  FROM h$r
+         |), w$r AS (
+         |  SELECT word, freq,
+         |    list(CASE WHEN taken THEN ba || bb ELSE s END ORDER BY i)
+         |      FILTER (WHERE taken OR NOT ptk) AS syms
+         |  FROM i$r GROUP BY word, freq
+         |)""".stripMargin
+    }
+    val finals = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
+         |  cnt AS pair_count FROM b$r""".stripMargin
+    }
+    s"WITH $w0,\n${roundCtes.mkString(",\n")}\n" +
+      finals.mkString("\nUNION ALL\n")
+  }
+
   /** Portable 16-token window-hash table (mirrors Dedup.windowHashes
     * at w=16, stride=1): CTEs `c` (all docs + token count) and `h`
     * (doc_id, start `s`, window sha256 `wh`). Shared by the
@@ -2142,6 +2216,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(string_split_regex(trim(text), '\s+')[1:50], ' ') AS trunc_text
         |FROM documents""".stripMargin,
+    "q_text_bpe" -> duckBpeSql(6),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)

@@ -466,6 +466,43 @@ class CorpusSpec extends AnyFunSuite {
       (9L, 0L, 12L)))
   }
 
+  test("bpeTrain: frequency-greedy merges, lexicographic ties, run overlap, exhaustion throws") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    val docs = Seq("aaab aaab", "ab").toDF("text")
+    // round 1: (a,a) appears 2×2=4 times (beats (a,b) at 3);
+    // round 2: (a,b) at 3; round 3: (aa,ab) at 2 — then no pairs left
+    val merges = BpeTrain.train(docs, "text", rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+    intercept[IllegalStateException] {
+      BpeTrain.train(docs, "text", rounds = 4)
+    }
+    // greedy non-overlap inside an equal-symbol run: "aaaa" merges
+    // positions (1,2) and (3,4) in round 1 — so round 2's best pair
+    // is (aa,aa), which only exists if the fold was truly greedy
+    val runs = BpeTrain.train(Seq("aaaa").toDF("text"), "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(runs.toSeq == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+    // count ties break to the lexicographically smallest pair
+    val tie = BpeTrain.train(Seq("ab cd ab cd").toDF("text"), "text", 1)
+      .collect()(0)
+    assert((tie.getString(1), tie.getString(2)) == (("a", "b")))
+  }
+
+  test("bpeEncode: trained merges reassemble whole words, unseen text falls back to chars") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    val got = BpeTrain.encode(Seq("aaab ab xy").toDF("text"), "text",
+        Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+      .select("pieces").collect()(0).getSeq[String](0)
+    assert(got == Seq("aaab", "ab", "x", "y"))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
