@@ -573,6 +573,18 @@ object SparkEntry {
       graft.operators.BpeTrain.train(
         Tables.table(s, d, "documents").select(col("text")),
         "text", rounds = 6)),
+    // ---- §2.8 T11 learn→serve: encode the corpus with its own
+    // trained merges (memoized per-distinct-word scale path); the
+    // 6-row merge table is the bounded driver-side artifact
+    "q_text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val merges = graft.operators.BpeTrain.train(docs, "text", 6)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTrain.encodeByVocab(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), array_join(col("pieces"), " ").as("piece_text"))
+    }),
     // ---- §2.8 T10 sliding-window token chunking ----
     // 64-token windows at stride 48 (25% overlap); the oracle
     // recomputes tokenization, the integer start grid, and every
@@ -1645,6 +1657,28 @@ object SparkEntry {
       finals.mkString("\nUNION ALL\n")
   }
 
+  /** Learn→serve mirror (BpeTrain.encodeByVocab after train): the same
+    * unrolled training chain, then every document's words joined to
+    * the final word table's symbol sequences and reassembled in
+    * position order.
+    */
+  private def duckBpeEncodeSql(rounds: Int): String = {
+    val trained = duckBpeSql(rounds)
+    val ctes = trained.substring(0, trained.indexOf("\nSELECT 1 AS round"))
+    s"""$ctes,
+       |docw AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(text,
+       |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws FROM documents)
+       |)
+       |SELECT d.doc_id,
+       |  string_agg(array_to_string(w.syms, ' '), ' ' ORDER BY d.pos)
+       |    AS piece_text
+       |FROM (SELECT doc_id, pos, ws[pos] AS word FROM docw) d
+       |JOIN w$rounds w USING (word)
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
   /** Portable 16-token window-hash table (mirrors Dedup.windowHashes
     * at w=16, stride=1): CTEs `c` (all docs + token count) and `h`
     * (doc_id, start `s`, window sha256 `wh`). Shared by the
@@ -2217,6 +2251,7 @@ object SparkEntry {
         |  array_to_string(string_split_regex(trim(text), '\s+')[1:50], ' ') AS trunc_text
         |FROM documents""".stripMargin,
     "q_text_bpe" -> duckBpeSql(6),
+    "q_text_bpe_encode" -> duckBpeEncodeSql(6),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)

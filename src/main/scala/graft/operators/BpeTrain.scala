@@ -120,4 +120,33 @@ object BpeTrain {
         w => merges.foldLeft(
           transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
         ) { case (acc, (a, b)) => applyMerge(acc, a, b) })))
+
+  /** [[encode]]'s corpus-scale twin: encode each DISTINCT word once
+    * and join the results back — BPE encoding is word-local, so the
+    * merge folds run O(|vocab|) times instead of once per token
+    * occurrence (on a crawl corpus that is orders of magnitude less
+    * work; the join broadcasts or shuffles on the word, both fine).
+    * Spec-pinned value-identical to [[encode]]. Output:
+    * (id, pieces array<string>); documents with zero pre-tokens emit
+    * nothing (they have no pieces to carry).
+    */
+  def encodeByVocab(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val vocab = merges.foldLeft(wordTable(df, textCol)) {
+      case (acc, (a, b)) =>
+        acc.withColumn("syms", applyMerge(col("syms"), a, b))
+    }.select(col("word"), col("syms"))
+    graft.sources.Tables.fanOut(
+        df.select(col(idCol),
+          graft.functions.TextFunctions.bpeTokens(col(textCol))
+            .as("__toks")))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "word")))
+      .join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("syms"))))
+        .as("__ps"))
+      .select(col(idCol),
+        flatten(transform(col("__ps"), p => p.getField("syms")))
+          .as("pieces"))
+  }
 }

