@@ -453,6 +453,13 @@ object SparkEntry {
       Dedup.duplicateSpans(
         Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", w = 16)),
+    // the cut applied: duplicated spans trimmed out of every document
+    "q_dedup_trim" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      Dedup.trimSpans(docs, "doc_id", "text",
+        Dedup.duplicateSpans(docs, "doc_id", "text", w = 16))
+    }),
     // ---- §2.6 D7 near-dup group resolution ----
     "q_dedup_groups" -> ((s, d) => {
       val doc = Tables.table(s, d, "documents")
@@ -2545,6 +2552,25 @@ object SparkEntry {
          |)
          |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
          |FROM i GROUP BY doc_id, island""".stripMargin,
+    // duplicated-window positions dropped, survivors re-joined: the
+    // position set equals the merged spans' coverage by construction
+    "q_dedup_trim" ->
+      s"""$duckWindowHashes, m AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM h
+         |), dp AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(range(s, s + 16)) AS p
+         |    FROM m WHERE cnt >= 2)
+         |), pl AS (
+         |  SELECT doc_id, list(p) AS pos FROM dp GROUP BY doc_id
+         |)
+         |SELECT c.doc_id,
+         |  COALESCE(array_to_string(
+         |    CASE WHEN pl.pos IS NULL THEN c.ws
+         |    ELSE list_filter(c.ws, (x, i) ->
+         |      NOT list_contains(pl.pos, CAST(i AS BIGINT) - 1)) END,
+         |    ' '), '') AS trimmed_text
+         |FROM c LEFT JOIN pl USING (doc_id)""".stripMargin,
     "q_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim

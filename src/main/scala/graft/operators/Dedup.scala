@@ -1060,4 +1060,36 @@ object Dedup {
         max(col("__end")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
   }
+
+  /** D12 — apply the cut list: drop every token inside a document's
+    * duplicated spans ([[duplicateSpans]] output), keep the rest —
+    * trimming the repeated passage instead of the page, which is the
+    * whole point of exact-substring dedup. The trimmed text is the
+    * space-joined surviving token stream (trimming is defined on the
+    * token sequence, like packing and chunking — original inter-token
+    * whitespace does not survive).
+    *
+    * Shape: spans explode to their covered positions (bounded by each
+    * document's token count — spans are disjoint by construction),
+    * one groupBy to a per-document position list, one join back on
+    * the id, one index-aware `filter` projection. Documents without
+    * spans pass through whole.
+    */
+  def trimSpans(df: DataFrame, idCol: String, textCol: String,
+                spans: DataFrame): DataFrame = {
+    val pos = spans
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1))
+          .as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__p")).as("__pos"))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .join(pos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          when(col("__pos").isNull, col("__ws")).otherwise(
+            filter(col("__ws"),
+              (_, i) => !array_contains(col("__pos"), i.cast("bigint")))),
+          " ").as("trimmed_text"))
+  }
 }

@@ -521,6 +521,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(direct.nonEmpty && direct.values.forall(_.nonEmpty))
   }
 
+  test("trimSpans cuts duplicated spans, keeps unique middles and whole clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "a b c d z1 z2 z3 z4 z5 e f g h"),
+      (8L, "a b c d q1 q2 q3 q4 q5 e f g h"),
+      (9L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.trimSpans(docs, "doc_id", "text",
+        Dedup.duplicateSpans(docs, "doc_id", "text", w = 4))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // shared head/tail runs cut, unique middles survive; the clean
+    // doc passes through whole
+    assert(got == Map(
+      7L -> "z1 z2 z3 z4 z5",
+      8L -> "q1 q2 q3 q4 q5",
+      9L -> "p q r s t"))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
