@@ -88,6 +88,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     // ---- §2.6 G14c full cube with grouping_id ----
     "q_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
     // ---- §2.12 X3 bloom-pruned join ----
     "q_bloom_join" -> ((s, d) => Analytics.bloomPriorityRevenue(s, d)),
     // ---- §2.12 X2 salted replicated join ----
@@ -301,6 +302,9 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts"), col("event_type"), col("value"))),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    // built-in session_window twin; >=-boundary semantics mirrored in
+    // the oracle's break condition, session_end = last ts + gap
+    "q_events_sessions_native" -> ((s, d) => Events.sessionizeNative(s, d)),
     // ---- §2.5 E10 stream-static dimension enrichment, driver-gated ----
     // the dimension is restricted to custkey < 100 so the LEFT-join
     // pass-through semantics are exercised: users 100+ stream through
@@ -2954,6 +2958,16 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    // the two one-dimension rollups in one pass — the report shape
+    // neither CUBE nor ROLLUP expresses
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
     // LEAD over the full-precision timestamps, second-trunc only for
     // display — mirrors the Spark window's ordering exactly
     // the window ORDERS BY µs-truncated ts: Spark reads the ns parquet
@@ -3331,6 +3345,33 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  date_trunc('second', MIN(ts)) AS session_start,
         |  date_trunc('second', MAX(ts)) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // the built-in session_window's contract: same strict-> break as
+    // the window form (merge windows are end-inclusive), but
+    // session_end = last ts + gap
+    "q_events_sessions_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b
+        |)
+        |SELECT user_id,
+        |  date_trunc('second', MIN(ts)) AS session_start,
+        |  date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE)
+        |    AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     // batch session definition + the stream's emission rule: non-last

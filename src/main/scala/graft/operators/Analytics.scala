@@ -252,6 +252,33 @@ object Analytics {
         col("gid"), col("n_orders"), col("revenue"))
   }
 
+  /** G14d — arbitrary GROUPING SETS: the general form CUBE and ROLLUP
+    * are special cases of, for the report shapes neither expresses —
+    * here the two independent one-dimension rollups ((priority),
+    * (status)) computed in ONE pass (a CUBE would also pay for the
+    * leaf grid and the grand total; two separate GROUP BYs would scan
+    * twice). Same Expand-over-pre-aggregated-leaf shape as
+    * [[revenueCube]]: the fact aggregates once to the leaf grid, and
+    * Expand multiplies only those few rows — never the fact table.
+    * `grouping_id` bit order (first column = MSB) matches the SQL
+    * GROUPING() convention, which the oracle recomputes.
+    */
+  def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.table(spark, sfDir, "orders")
+    val leaf = ord.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    leaf.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n_orders"),
+        round(sum(col("rev")), 2).cast("double").as("revenue"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n_orders"), col("revenue"))
+  }
+
   /** X3 demo — urgent-order line revenue with the fact scan pre-pruned
     * by a bloom sketch of the urgent order keys ([[Bloom]]): the
     * ~80% of lineitem rows whose order is not 1-URGENT are dropped

@@ -116,6 +116,30 @@ object Events {
     * values; only the emitted session bounds are second-truncated (see
     * the agg below).
     */
+  /** E2b — gap sessionization via the BUILT-IN `session_window`
+    * aggregation: one groupBy, no window functions — Spark merges
+    * per-event [ts, ts+gap] windows into sessions inside the
+    * aggregation itself, which is also the form that runs unchanged
+    * as a streaming query. Break semantics MATCH [[sessionize]]
+    * (spec-pinned, boundary case included: an event landing exactly
+    * `gap` after its predecessor merges — the built-in's windows are
+    * end-inclusive for merging, the same strict-> break as the window
+    * form). What differs is the emitted session_end: last-event ts +
+    * gap (the window's close), not the last event itself — part of
+    * the built-in's contract, mirrored by the oracle.
+    */
+  def sessionizeNative(spark: SparkSession, sfDir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    Tables.table(spark, sfDir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start"))
+          .as("session_start"),
+        date_trunc("second", col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   def sessionize(spark: SparkSession, sfDir: String,
                  gapMinutes: Int = 30): DataFrame = {
     val ev = Tables.table(spark, sfDir, "events")

@@ -355,6 +355,48 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(total == Tables.table(spark, sf, "events").count())
   }
 
+  test("sessionizeNative matches the window form; exact-gap boundary merges in both") {
+    // identical break semantics: same session count on real data
+    val nativeN = Events.sessionizeNative(spark, sf).count()
+    val windowN = Events.sessionize(spark, sf).count()
+    assert(nativeN == windowN)
+    // the pinned boundary case: an event exactly `gap` after its
+    // predecessor MERGES — the built-in's merge windows are
+    // end-inclusive, the same strict-> break as the window form —
+    // and the emitted session_end is last ts + gap
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, d("2024-01-01 00:00:00"), 7L),
+      (2L, d("2024-01-01 00:30:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val nb = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.end").cast("string"), col("n"))
+      .collect()
+    assert(nb.length == 1 && nb(0).getLong(1) == 2L)
+    assert(nb(0).getString(0) == "2024-01-01 01:00:00")
+  }
+
+  test("revenueGroupingSets: exactly the two requested marginals, in one pass") {
+    val out = Analytics.revenueGroupingSets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // only gid 1 (status rolled up) and gid 2 (priority rolled up)
+    // exist: no leaf grid, no grand total — the shape CUBE/ROLLUP
+    // cannot express
+    assert(out.map(_._3).toSet == Set(1L, 2L))
+    out.foreach { case (p, st, gid, _, _) =>
+      if (gid == 1L) assert(p != "(all)" && st == "(all)")
+      else assert(p == "(all)" && st != "(all)")
+    }
+    // both marginal families total the same order count
+    val total = Tables.table(spark, sf, "orders").count()
+    assert(out.filter(_._3 == 1L).map(_._4).sum == total)
+    assert(out.filter(_._3 == 2L).map(_._4).sum == total)
+  }
+
   test("scd2 builds contiguous non-overlapping versions per key") {
     import spark.implicits._
     val d = java.sql.Timestamp.valueOf(_: String)
