@@ -457,6 +457,15 @@ object SparkEntry {
       Dedup.duplicateSpans(
         Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", w = 16)),
+    // ---- §2.11 D12+T10 composed retrieval-prep pipeline ----
+    // substring-trim → quality re-score on the TRIMMED text → chunk
+    // survivors; the oracle recomputes the whole chain in one
+    // statement (window table, cut, quality blend, token floor,
+    // chunk grid + slices)
+    "q_corpus_retrieval" -> ((s, d) =>
+      Corpus.retrievalPrep(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")),
     // the cut applied: duplicated spans trimmed out of every document
     "q_dedup_trim" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
@@ -1517,14 +1526,18 @@ object SparkEntry {
   private val duckShingles = "WITH " + duckShinglesBody
 
   /** Quality-report oracle (mirrors TextFunctions.qualityReport);
-    * shared by q_text_quality and the composed q_corpus_filter.
+    * shared by q_text_quality, the composed q_corpus_filter, and —
+    * via the `src` parameter — compositions that re-score a DERIVED
+    * text column (q_corpus_retrieval scores the trimmed text).
     */
-  private def duckQualitySql: String = {
+  private def duckQualitySql: String = duckQualitySqlFrom("documents")
+
+  private def duckQualitySqlFrom(src: String): String = {
     val allStop = duckList(
       graft.functions.TextFunctions.Stopwords.flatMap(_._2).distinct)
     s"""WITH t AS (
        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws
-       |  FROM documents
+       |  FROM $src
        |), m AS (
        |  SELECT doc_id,
        |    CASE WHEN length(text) = 0 THEN 0.0
@@ -2556,6 +2569,53 @@ object SparkEntry {
          |)
          |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
          |FROM i GROUP BY doc_id, island""".stripMargin,
+    // the whole retrieval-prep chain in ONE statement: window table →
+    // duplicate mark → cut → quality blend on the trimmed text →
+    // token floor → chunk grid + slices
+    "q_corpus_retrieval" ->
+      s"""$duckWindowHashes, m AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM h
+         |), dp AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(range(s, s + 16)) AS p
+         |    FROM m WHERE cnt >= 2)
+         |), pl AS (
+         |  SELECT doc_id, list(p) AS pos FROM dp GROUP BY doc_id
+         |), trimmed AS (
+         |  SELECT c.doc_id,
+         |    COALESCE(array_to_string(
+         |      CASE WHEN pl.pos IS NULL THEN c.ws
+         |      ELSE list_filter(c.ws, (x, i) ->
+         |        NOT list_contains(pl.pos, CAST(i AS BIGINT) - 1)) END,
+         |      ' '), '') AS text
+         |  FROM c LEFT JOIN pl USING (doc_id)
+         |), qual AS (${duckQualitySqlFrom("trimmed")}
+         |), tok AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+         |  FROM trimmed
+         |), surv AS (
+         |  SELECT q.doc_id FROM qual q JOIN tok USING (doc_id)
+         |  WHERE q.quality_score >= 0.45 AND tok.n_bpe >= 30
+         |), ct AS (
+         |  SELECT t.doc_id, regexp_extract_all(t.text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks
+         |  FROM trimmed t JOIN surv USING (doc_id)
+         |), cc AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM ct WHERE len(toks) > 0
+         |), cs AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 0
+         |      ELSE ((n - 64 + 47) // 48) * 48 END + 1, 48)) AS cstart
+         |  FROM cc
+         |)
+         |SELECT doc_id, cstart // 48 AS chunk_id, cstart AS chunk_start,
+         |  least(n, cstart + 64) - cstart AS chunk_len,
+         |  array_to_string(toks[(cstart + 1):least(n, cstart + 64)], ' ')
+         |    AS chunk_text
+         |FROM cs""".stripMargin,
     // duplicated-window positions dropped, survivors re-joined: the
     // position set equals the merged spans' coverage by construction
     "q_dedup_trim" ->

@@ -72,6 +72,14 @@ object BpeTrain {
     * Throws if the corpus runs out of adjacent pairs before `rounds`
     * merges exist (a caller asking for more merges than the corpus
     * supports should hear about it, not get a silently short table).
+    *
+    * The per-round checkpoint is the O(rounds) vs O(rounds²) choice:
+    * each round's argmax is an action, and without the checkpoint it
+    * would replay every earlier round's merge fold. The retained
+    * checkpoint blocks are vocab-sized per round (the same bounded
+    * retention `kmeansIterate` accepts for its centroid tables); a
+    * 32k-merge production run should additionally release rounds
+    * beyond a sliding window.
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -416,6 +416,41 @@ object Corpus {
           col("chunk_len").cast("int")), " ").as("chunk_text"))
   }
 
+  /** D12+T10 composition — RETRIEVAL-PREP pipeline: cut every
+    * duplicated passage out of every document
+    * ([[graft.operators.Dedup.duplicateSpans]] →
+    * [[graft.operators.Dedup.trimSpans]]), re-score quality on the
+    * TRIMMED text (scoring before the cut would let a long duplicated
+    * boilerplate run carry a junk document over the bar — and
+    * fully-duplicated documents trim to empty and drop at the token
+    * floor), and chunk the survivors into overlapping token windows
+    * ([[chunkTokens]]) ready for embedding/indexing.
+    *
+    * The trimmed projection is computed once (checkpointed) and feeds
+    * both the score and the chunker; each stage keeps its own scale
+    * argument (window table → single count-over-window; quality →
+    * per-row expressions; chunking → shuffle-free explode).
+    */
+  def retrievalPrep(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 16, minQuality: Double = 0.45,
+                    minTokens: Int = 30, chunkSize: Int = 64,
+                    stride: Int = 48): DataFrame = {
+    val trimmed = graft.Checkpoints.truncate(
+      Dedup.trimSpans(docs, idCol, textCol,
+          Dedup.duplicateSpans(docs, idCol, textCol, w))
+        .withColumnRenamed("trimmed_text", "__text"))
+    val survivors = graft.functions.TextFunctions
+      .qualityReport(trimmed, idCol, "__text",
+        extra = Seq("n_bpe_tokens" ->
+          graft.functions.TextFunctions.bpeTokenCount(col("__text"))
+            .cast("bigint")))
+      .filter(col("quality_score") >= minQuality &&
+        col("n_bpe_tokens") >= minTokens)
+      .select(col(idCol))
+    chunkTokens(trimmed.join(survivors, Seq(idCol)), idCol, "__text",
+      chunkSize, stride)
+  }
+
   /** K7 — CURRICULUM buckets: assign each document a difficulty tier
     * by quality score WITHOUT a global window (NTILE/percent_rank pull
     * the whole corpus through one task). Instead: k−1 exact quantile

@@ -539,6 +539,31 @@ class CorpusSpec extends AnyFunSuite {
       9L -> "p q r s t"))
   }
 
+  test("retrievalPrep: fully-duplicated docs chunk to nothing, survivors chunk whole") {
+    import spark.implicits._
+    // docs 1/2 are exact copies (every window duplicated → trimmed to
+    // empty → dropped at the token floor); doc 3 is clean and long
+    // enough to survive and chunk
+    val base = (1 to 40).map(i => s"unique$i distinctive prose here")
+      .mkString(" ")
+    val dup = (1 to 40).map(i => s"boiler plate run $i").mkString(" ")
+    val docs = Seq((1L, dup), (2L, dup), (3L, base))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.retrievalPrep(docs, "doc_id", "text",
+        w = 4, minQuality = 0.0, minTokens = 10,
+        chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    // only the clean doc survives; the duplicated pair is cut to
+    // nothing and never reaches the chunker
+    assert(chunks.forall(_._1 == 3L))
+    // chunk lengths cover the surviving doc's full token count
+    val n = docs.filter(col("doc_id") === 3L)
+      .select(graft.functions.TextFunctions.bpeTokenCount(col("text")))
+      .head().getInt(0)
+    assert(chunks.map(_._2).sum >= n) // overlap ⇒ sum ≥ n
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
