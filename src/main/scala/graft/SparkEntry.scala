@@ -585,6 +585,17 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.truncateTokens(col("text"), 50)
           .as("trunc_text"))),
+    // ---- §2.8 T12 logistic-regression classifier training ----
+    // four GD rounds learning lang=='en' from the quality-report
+    // features; the oracle unrolls every iteration (sigmoid, rounded
+    // decimal gradient sums, 9-dp weight updates) and must land on
+    // the identical weight trajectory
+    "q_text_classifier" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      graft.operators.Classifier.trainLogistic(docs,
+        (col("lang") === "en").cast("int"),
+        graft.operators.Classifier.qualityFeatures(col("text")))
+    }),
     // ---- §2.8 T11 BPE merge training ----
     // six merge rounds learned from the documents corpus; the oracle
     // unrolls the whole training loop, so any drift in pair counting,
@@ -1615,6 +1626,50 @@ object SparkEntry {
        |FROM p""".stripMargin
   }
 
+  /** Portable logistic-GD mirror (Classifier.trainLogistic): every
+    * iteration unrolled — sigmoid margins against the previous
+    * round's one-row weight CTE, 8-dp-rounded decimal gradient sums,
+    * 9-dp weight updates. Gradient unscaled values stay under 2^53,
+    * so the decimal→double cast is exact even in DuckDB.
+    */
+  private def duckLogisticSql(iters: Int, lr: Double): String = {
+    val names = Seq("bias", "alpha", "punct", "stop", "mtl")
+    val f =
+      s"""f AS (
+         |  SELECT q.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    1.0 AS f_bias, q.alpha_ratio AS f_alpha,
+         |    q.punct_ratio AS f_punct, q.stopword_ratio AS f_stop,
+         |    LEAST(q.mean_token_len / 10.0, 1.0) AS f_mtl
+         |  FROM (${duckQualitySqlFrom("documents")}) q
+         |  JOIN documents d USING (doc_id)
+         |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)"""
+        .stripMargin
+    val w0 = s"w0 AS (SELECT ${names.map(n => s"0.0 AS w_$n").mkString(", ")})"
+    val marginSql = names.map(n => s"w.w_$n * f.f_$n").mkString(" + ")
+    val iterCtes = (1 to iters).map { k =>
+      val g = names.map(n =>
+        s"SUM(CAST(ROUND((1.0 / (1.0 + exp(-($marginSql))) - f.y) * f.f_$n, 8) AS DECIMAL(28,8))) AS g_$n")
+        .mkString(",\n    ")
+      val upd = names.map(n =>
+        s"ROUND(w.w_$n - $lr * CAST(g.g_$n AS DOUBLE) / nn.n, 9) AS w_$n")
+        .mkString(",\n    ")
+      s"""g$k AS (
+         |  SELECT $g
+         |  FROM f, w${k - 1} w
+         |), w$k AS (
+         |  SELECT $upd
+         |  FROM w${k - 1} w, g$k g, nn
+         |)""".stripMargin
+    }
+    val finals = (1 to iters).flatMap { k =>
+      names.map(n =>
+        s"SELECT $k AS round, '$n' AS feature, w_$n AS weight FROM w$k")
+    }
+    s"WITH $f,\n$w0,\n${iterCtes.mkString(",\n")}\n" +
+      finals.mkString("\nUNION ALL\n")
+  }
+
   /** Portable BPE-training mirror (BpeTrain.train): the full training
     * loop unrolled — per round, pair counts over the word table, the
     * (count desc, pair asc) argmax, and the greedy non-overlapping
@@ -2276,6 +2331,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_text_bpe" -> duckBpeSql(6),
     "q_text_bpe_encode" -> duckBpeEncodeSql(6),
+    "q_text_classifier" -> duckLogisticSql(4, 1.0),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)

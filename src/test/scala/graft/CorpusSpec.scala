@@ -564,6 +564,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(chunks.map(_._2).sum >= n) // overlap ⇒ sum ≥ n
   }
 
+  test("trainLogistic: loss strictly decreases every round from the zero prior") {
+    import graft.operators.Classifier
+    val docs = Tables.table(spark, sf, "documents")
+    val feats = Classifier.qualityFeatures(col("text"))
+    val label = (col("lang") === "en").cast("int")
+    val traj = Classifier.trainLogistic(docs, label, feats, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(traj.length == 4 * feats.size)
+    def loss(w: Map[String, Double]): Double =
+      Classifier.scoreLogistic(
+          docs.withColumn("__y", label.cast("double")), feats, w)
+        .select(avg(negate(col("__y") * log(col("score")) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - col("score")))))
+        .head().getDouble(0)
+    val l0 = loss(feats.map(_._1 -> 0.0).toMap) // the ln 2 zero prior
+    assert(math.abs(l0 - math.log(2.0)) < 1e-12)
+    val losses = (1 to 4).map(k =>
+      loss(traj.filter(_._1 == k).map(t => t._2 -> t._3).toMap))
+    (l0 +: losses).sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"loss rose: $a -> $b")
+      case _ => ()
+    }
+    // the scorer's keep flag is the threshold cut, no off-by-boundary
+    val w4 = traj.filter(_._1 == 4).map(t => t._2 -> t._3).toMap
+    val sc = Classifier.scoreLogistic(docs, feats, w4)
+    assert(sc.filter(col("keep") =!= (col("score") >= 0.5)).count() == 0)
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
