@@ -585,6 +585,14 @@ object SparkEntry {
       Tables.table(s, d, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.truncateTokens(col("text"), 50)
           .as("trunc_text"))),
+    // ---- §2.8 T13 BM25 lexical retrieval ----
+    // top-20 documents for a fixed query; the oracle recomputes
+    // postings, df, idf, length normalization, the decimal per-term
+    // sum and the rounded-score ranking
+    "q_text_bm25" -> ((s, d) =>
+      graft.operators.Bm25.bm25TopK(
+        Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", "fast vector hash join", k = 20)),
     // ---- §2.8 T12 logistic-regression classifier training ----
     // four GD rounds learning lang=='en' from the quality-report
     // features; the oracle unrolls every iteration (sigmoid, rounded
@@ -1626,6 +1634,53 @@ object SparkEntry {
        |FROM p""".stripMargin
   }
 
+  /** Portable BM25 mirror (Bm25.bm25TopK): postings restricted to the
+    * query terms, integer tf/df/N/len, ln-idf × length-normalized tf
+    * rounded to 9 dp per term, exact decimal sum, 6-dp final score,
+    * (score desc, id) ranking.
+    */
+  private def duckBm25Sql(query: String, k: Int, k1: Double,
+                          b: Double): String = {
+    val terms = graft.operators.Bm25.queryTerms(query)
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+       |  FROM documents
+       |), lens AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM base
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(len) AS BIGINT) AS sl FROM lens
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), pt AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ROUND(
+       |      ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+       |        / (CAST(dft.df AS DOUBLE) + 0.5)) *
+       |      (CAST(tf.tf AS DOUBLE) / (CAST(tf.tf AS DOUBLE) +
+       |        $k1 * (${1.0 - b} + $b * CAST(lens.len AS DOUBLE)
+       |          / $avgdl))),
+       |      9) AS DECIMAL(18,9)) AS s
+       |  FROM tf
+       |  JOIN dft USING (term) JOIN lens USING (doc_id), st
+       |), sc AS (
+       |  SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+       |  FROM pt GROUP BY doc_id
+       |)
+       |SELECT doc_id, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM sc QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Portable logistic-GD mirror (Classifier.trainLogistic): every
     * iteration unrolled — sigmoid margins against the previous
     * round's one-row weight CTE, 8-dp-rounded decimal gradient sums,
@@ -2332,6 +2387,7 @@ object SparkEntry {
     "q_text_bpe" -> duckBpeSql(6),
     "q_text_bpe_encode" -> duckBpeEncodeSql(6),
     "q_text_classifier" -> duckLogisticSql(4, 1.0),
+    "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)

@@ -592,6 +592,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(sc.filter(col("keep") =!= (col("score") >= 0.5)).count() == 0)
   }
 
+  test("bm25TopK: coverage beats repetition, absent terms score nothing, ranks total-order") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "vector hash join fast pipeline"),  // all 4 query terms
+      (2L, "vector vector vector vector vector filler filler"), // 1 term repeated
+      (3L, "hash join table scan"),            // 2 terms
+      (4L, "completely unrelated prose text")) // 0 terms: absent
+      .toDF("doc_id", "text")
+    val got = Bm25.bm25TopK(docs, "doc_id", "text",
+        "fast vector hash join", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    // ranks are dense 1..n and scores non-increasing
+    assert(got.map(_._3).toSeq == (1L to 3L))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq)
+    // term saturation: five repeats of one term can't outrank two
+    // distinct matched terms (the k1 sublinearity BM25 exists for)
+    assert(got.find(_._1 == 3L).get._2 > got.find(_._1 == 2L).get._2)
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
