@@ -46,43 +46,50 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"query has no tokens: '$query'")
+    // one tokenize scan, persisted across the corpus-scalar pull and
+    // the postings build (released after the ≤k-row result
+    // materializes — the packTokenStream pattern)
     val base = graft.sources.Tables.fanOut(
         docs.select(col(idCol),
           graft.functions.TextFunctions.bpeTokens(lower(col(textCol)))
             .as("__t")))
       .withColumn("__len", size(col("__t")).cast("bigint"))
-    // two bounded corpus scalars (N, Σlen) — exact integers
-    val s = base.agg(count(lit(1)).as("n"), sum(col("__len")).as("sl"))
-      .head()
-    val n = s.getLong(0)
-    val avgdl = s.getLong(1).toDouble / n.toDouble
-    val tf = base
-      .select(col(idCol), col("__len"), explode(col("__t")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("__len"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df")) // one row per (doc, term) upstream
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df").cast("double") + 0.5) /
-        (col("df").cast("double") + 0.5))
-    val tfNorm = col("tf").cast("double") /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") /
-          avgdl))
-    val perTerm = tf.join(broadcast(dfT), Seq("term"))
-      .select(col(idCol),
-        round(idf * tfNorm, 9).cast("decimal(18,9)").as("__s"))
-    val scored = perTerm.groupBy(col(idCol))
-      .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
-    // ranking runs on the ROUNDED score (id tie-break), so float
-    // noise cannot reorder ranks across engines; the top-k itself is
-    // the combinable bounded aggregate — k rows ship per partition,
-    // never a global sort of every matching document
-    scored
-      .agg(Similarity.topKByAgg(col("score"), col(idCol), k).as("__tk"))
-      .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
-      .select(col("__e.id").as(idCol), col("__e.score").as("score"),
-        (col("__pos") + 1).cast("bigint").as("rank"))
+      .persist()
+    try {
+      // two bounded corpus scalars (N, Σlen) — exact integers
+      val s = base.agg(count(lit(1)).as("n"), sum(col("__len")).as("sl"))
+        .head()
+      val n = s.getLong(0)
+      val avgdl = s.getLong(1).toDouble / n.toDouble
+      val tf = base
+        .select(col(idCol), col("__len"), explode(col("__t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col(idCol), col("__len"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")) // one row per (doc, term) upstream
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      val tfNorm = col("tf").cast("double") /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") /
+            avgdl))
+      val perTerm = tf.join(broadcast(dfT), Seq("term"))
+        .select(col(idCol),
+          round(idf * tfNorm, 9).cast("decimal(18,9)").as("__s"))
+      val scored = perTerm.groupBy(col(idCol))
+        .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
+      // ranking runs on the ROUNDED score (id tie-break), so float
+      // noise cannot reorder ranks across engines; the top-k itself is
+      // the combinable bounded aggregate — k rows ship per partition,
+      // never a global sort of every matching document
+      scored
+        .agg(Similarity.topKByAgg(col("score"), col(idCol), k).as("__tk"))
+        .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("__e.id").as(idCol), col("__e.score").as("score"),
+          (col("__pos") + 1).cast("bigint").as("rank"))
+        .localCheckpoint() // ≤k rows — materialize, then release base
+    } finally { base.unpersist(); () }
   }
 }
