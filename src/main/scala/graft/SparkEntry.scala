@@ -593,6 +593,20 @@ object SparkEntry {
       graft.operators.Bm25.bm25TopK(
         Tables.table(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", "fast vector hash join", k = 20)),
+    // ---- §2.8 T13b reciprocal-rank fusion (hybrid retrieval) ----
+    // BM25 relevance fused with a document-quality prior ranking;
+    // the oracle recomputes both rankings and the fusion
+    "q_text_rrf" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val lexical = graft.operators.Bm25.bm25TopK(docs, "doc_id", "text",
+        "fast vector hash join", k = 100)
+      val prior = graft.operators.Bm25.rankBy(
+        graft.functions.TextFunctions.qualityReport(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")),
+        "doc_id", "quality_score", k = 100)
+      graft.operators.Bm25.rrfFuse(Seq(lexical, prior), "doc_id", k = 20)
+    }),
     // ---- §2.8 T12 logistic-regression classifier training ----
     // four GD rounds learning lang=='en' from the quality-report
     // features; the oracle unrolls every iteration (sigmoid, rounded
@@ -1681,6 +1695,36 @@ object SparkEntry {
        |FROM sc QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Portable RRF mirror (Bm25.rrfFuse over the BM25 ranking and the
+    * quality-prior ranking): both bounded rankings recomputed, one
+    * exact division per contribution, fixed-order sum, 6-dp fused
+    * score, (score desc, id) final ranks.
+    */
+  private def duckRrfSql(query: String, listK: Int, k: Int,
+                         k0: Int): String = {
+    val bm = duckBm25Sql(query, listK, 1.2, 0.75)
+    s"""WITH bmr AS (
+       |$bm
+       |), qr AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM (${duckQualitySqlFrom("documents")})
+       |  QUALIFY rank <= $listK
+       |), fu AS (
+       |  SELECT doc_id,
+       |    ROUND(
+       |      COALESCE(1.0 / ($k0.0 + CAST(a.rank AS DOUBLE)), 0.0) +
+       |      COALESCE(1.0 / ($k0.0 + CAST(q.rank AS DOUBLE)), 0.0),
+       |      6) AS rrf_score
+       |  FROM bmr a FULL OUTER JOIN qr q USING (doc_id)
+       |)
+       |SELECT doc_id, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |FROM fu QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Portable logistic-GD mirror (Classifier.trainLogistic): every
     * iteration unrolled — sigmoid margins against the previous
     * round's one-row weight CTE, 8-dp-rounded decimal gradient sums,
@@ -2388,6 +2432,7 @@ object SparkEntry {
     "q_text_bpe_encode" -> duckBpeEncodeSql(6),
     "q_text_classifier" -> duckLogisticSql(4, 1.0),
     "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
+    "q_text_rrf" -> duckRrfSql("fast vector hash join", 100, 20, 60),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)

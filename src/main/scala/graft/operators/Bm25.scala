@@ -92,4 +92,45 @@ object Bm25 {
         .localCheckpoint() // ≤k rows — materialize, then release base
     } finally { base.unpersist(); () }
   }
+
+  /** Rank any scored table: top-k by (score desc, id asc) through the
+    * combinable bounded aggregate — the generic form of the ANN/BM25
+    * final stage. Output: (id, score, rank).
+    */
+  def rankBy(df: DataFrame, idCol: String, scoreCol: String,
+             k: Int): DataFrame =
+    df.agg(Similarity.topKByAgg(col(scoreCol), col(idCol), k).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as(idCol), col("__e.score").as(scoreCol),
+        (col("__pos") + 1).cast("bigint").as("rank"))
+
+  /** T13b — reciprocal-rank fusion (Cormack et al. 2009): combine any
+    * ranked lists — lexical BM25, dense ANN, a quality prior — by
+    * rrf = Σ_lists 1/(k0 + rank), the standard hybrid-retrieval
+    * merge: rank-based, so lists with incomparable score scales fuse
+    * without calibration, and an id missing from a list simply
+    * contributes nothing. Deterministic cross-engine: each
+    * contribution is one exact-input division, contributions add in
+    * fixed list order, the fused score rounds to 6 dp, and the final
+    * ranking is the same bounded (score desc, id) top-k as
+    * everywhere else.
+    *
+    * Inputs are (id, …, rank) tables — BOUNDED lists (each a prior
+    * top-k), so the fusion joins k-row tables: cost is independent of
+    * the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = joined.select(col(idCol),
+      round(contribs.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+        .reduce(_ + _), 6).as("rrf_score"))
+    rankBy(fused, idCol, "rrf_score", k)
+  }
 }

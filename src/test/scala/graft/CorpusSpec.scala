@@ -615,6 +615,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("rrfFuse: doubly-ranked ids beat single-list wins, missing ids contribute nothing") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((11L, 1L), (13L, 2L), (10L, 3L)).toDF("id", "rank")
+    val got = Bm25.rrfFuse(Seq(a, b), "id", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 10: 1/61 + 1/63; 11: 1/62 + 1/61; 12: 1/63; 13: 1/62
+    // both dual-list ids outrank both single-list ids, and 11
+    // (ranks 2+1) edges 10 (ranks 1+3)
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(got.map(_._3).toSeq == (1L to 4L))
+    val expect11 = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._2 == expect11)
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
