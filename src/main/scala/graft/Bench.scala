@@ -168,9 +168,34 @@ object Bench {
     // fit budget: the harness tail is 2000 chars and the line is the
     // LAST output (only its own newline follows), so 1985 leaves real
     // slack while letting the 96-query catalog keep 1-dp values — at
-    // the old 1950 guard it fell to the integer floor for nothing
+    // the old 1950 guard it fell to the integer floor for nothing.
+    // Past ~110 queries even integer values overflow the window
+    // (measured 2100 chars at 114 — the tail would clip mid-JSON and
+    // the driver's parse would fail), so the last resort keeps the
+    // SLOWEST queries' values — the ones round-over-round comparisons
+    // are about — and collapses the fast tail into one "_rest" sum
+    // ("_rest_n" carries how many queries it absorbed; full
+    // per-query precision is always on stderr).
+    def lineTruncated(budget: Int): String = {
+      val sorted = results.sortBy { case (k, v) => (-v, k) }
+      val total =
+        if (failed.nonEmpty) "null" else fmt(results.map(_._2).sum, 3)
+      def assemble(kept: Seq[(String, Double)]): String = {
+        val rest = sorted.drop(kept.size)
+        val entries = kept.map { case (k, v) =>
+          "\"" + k.stripPrefix("q_") + "\":" + fmtAdaptive(v) } ++
+          Seq("\"_rest\":" + fmtAdaptive(rest.map(_._2).sum),
+            "\"_rest_n\":" + rest.size)
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+          entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      }
+      (results.size to 0 by -1).view
+        .map(n => assemble(sorted.take(n)))
+        .find(_.length <= budget)
+        .getOrElse(assemble(Seq.empty))
+    }
     val out = candidates.view.map(lineWith).find(_.length <= 1985)
-      .getOrElse(lineWith(fmt(_, 0)))
+      .getOrElse(lineTruncated(1985))
     // full-precision per-query values on STDERR in one parseable line:
     // whatever precision the stdout contract line had to drop to, the
     // exact numbers are always recoverable from the bench log
