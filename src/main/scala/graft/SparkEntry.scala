@@ -1656,7 +1656,8 @@ object SparkEntry {
   private def duckBm25Sql(query: String, k: Int, k1: Double,
                           b: Double): String = {
     val terms = graft.operators.Bm25.queryTerms(query)
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val inList =
+      terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
     s"""WITH base AS (
        |  SELECT doc_id, regexp_extract_all(lower(text),
@@ -1736,7 +1737,8 @@ object SparkEntry {
     val f =
       s"""f AS (
          |  SELECT q.doc_id,
-         |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    CASE WHEN d.lang IS NULL THEN NULL
+         |         WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
          |    1.0 AS f_bias, q.alpha_ratio AS f_alpha,
          |    q.punct_ratio AS f_punct, q.stopword_ratio AS f_stop,
          |    LEAST(q.mean_token_len / 10.0, 1.0) AS f_mtl

@@ -34,7 +34,7 @@ object Bm25 {
     */
   def queryTerms(query: String): Seq[String] =
     graft.functions.TextFunctions.BpePattern.r
-      .findAllIn(query.toLowerCase).toSeq.distinct
+      .findAllIn(query.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
 
   /** Top-k documents for one query. Output: (id, score, rank), rank
     * dense 1..k by (score desc, id) — a total order. Documents

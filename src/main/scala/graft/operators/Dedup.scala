@@ -997,13 +997,31 @@ object Dedup {
           (col("win_start") + 1).cast("int"), lit(w)), " "), 256).as("whash"))
   }
 
+  /** The whash values occurring >= 2 times in the window table — the
+    * duplicate mark shared by the report and span gates. A plain
+    * aggregate, NOT `count over Window.partitionBy(whash)`: WindowExec
+    * would shuffle AND sort every window row by whash when the count
+    * needs no order at all. The aggregate combines map-side (each
+    * partition ships distinct hashes, not rows) and its output — the
+    * duplicated hashes only, typically a small fraction of the corpus
+    * — becomes the build side of the join back, which AQE can
+    * broadcast. Same single shuffle class for the big table, zero
+    * per-partition sorts.
+    */
+  private def duplicatedHashes(wins: DataFrame): DataFrame =
+    wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("whash"))
+
   /** D12 — per-document duplicated-window report: how many of each
     * document's w-token windows also occur elsewhere in the corpus
     * (any doc, any position — within-document repeats count: a
     * boilerplate run repeated inside one page is as much a training
     * hazard as one shared across pages). The per-corpus duplicate
-    * marking is ONE count-over-window on `whash` (a single shuffle —
-    * no self-join, no pair table), then one groupBy on the id;
+    * marking is one map-side-combinable aggregate to the duplicated
+    * hashes plus one join back (no self-join, no pair table, no
+    * sort — see [[duplicatedHashes]]), then one groupBy on the id;
     * documents shorter than w windows report zeros.
     *
     * Output: (id, n_windows, n_dup_windows) — the downstream filter
@@ -1012,14 +1030,13 @@ object Dedup {
     */
   def duplicateWindowReport(df: DataFrame, idCol: String, textCol: String,
                             w: Int, stride: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = windowHashes(df, idCol, textCol, w, stride)
-    val marked = wins
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("whash"))))
-    val perDoc = marked
+    val dup = duplicatedHashes(wins).withColumn("__dup", lit(1L))
+    val perDoc = wins
+      .join(dup, Seq("whash"), "left") // whash unique in dup: no fan-out
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -1042,9 +1059,12 @@ object Dedup {
                      w: Int, stride: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = windowHashes(df, idCol, textCol, w, stride)
+    // semi-join against the duplicated-hash set (unique keys) instead
+    // of a count-over-window: the only sorted shuffle left is the
+    // per-document gaps-and-islands below, whose window is as small
+    // as a single document
     val dups = wins
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("whash"))))
-      .filter(col("__c") >= 2)
+      .join(duplicatedHashes(wins), Seq("whash"), "left_semi")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("win_start"))
     dups
       .withColumn("__end", col("win_start") + w)

@@ -434,7 +434,10 @@ object Profiling {
     } yield (cols(i), cols(j))
     def dec(c: String) = col(c).cast("decimal(18,6)")
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
-      val both = col(x).isNotNull && col(y).isNotNull
+      // post-cast nullness: a value overflowing decimal(18,6) casts
+      // to NULL in non-ANSI mode, so gating on the cast keeps n in
+      // lock-step with the sums instead of silently skewing r
+      val both = dec(x).isNotNull && dec(y).isNotNull
       def s(e: Column, name: String) =
         sum(when(both, e)).as(s"__${name}$k")
       Seq(

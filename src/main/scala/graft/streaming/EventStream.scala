@@ -31,8 +31,12 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // an empty directory cannot be probed (no footers to read) —
+    // fall back to the INT64-nanos layout so the stream can be
+    // declared before the first file arrives
+    val tsIsLong = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType).getOrElse(true)
     val tsDecl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val raw = spark.readStream
       .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, " +
