@@ -274,6 +274,50 @@ object Pipeline {
     */
   private def indexDir(outDir: String) = s"$outDir/dedup_index"
 
+  /** Hash-evidence partitioning depth: silver norm_hashes side-index
+    * into `16^HashPrefixLen` prefix buckets inside each dedup-index
+    * batch directory, so the daily exact-dup probe reads only the
+    * partition directories the batch's own prefixes can hit — never
+    * silver itself. Deepen the prefix (and re-run
+    * [[Dedup.compactDedupIndex]] after a bootstrap re-index) when
+    * per-prefix evidence outgrows a comfortable probe read; the
+    * constant is a layout property like `recipe.shards`.
+    */
+  private[graft] val HashPrefixLen = 2
+
+  private def hashPrefix(c: org.apache.spark.sql.Column) =
+    substring(c, 1, HashPrefixLen)
+
+  /** The (norm_hash, hp, hp_p) evidence rows a silver landing
+    * contributes to its index batch directory. `repartition(hp_p)`
+    * yields exactly one file per prefix directory regardless of the
+    * upstream layout (a daily batch stays a handful of small files;
+    * the bootstrap write parallelizes across prefixes).
+    */
+  private def hashEvidence(silverDf: DataFrame): DataFrame =
+    silverDf.select(col("norm_hash"))
+      .withColumn("hp", hashPrefix(col("norm_hash")))
+      .withColumn("hp_p", col("hp"))
+      .repartition(col("hp_p"))
+
+  /** The partition-pruned paths the exact-dup probe will read for a
+    * batch covering `prefixes` — `None` when the index predates hash
+    * evidence (bare [[Dedup.writeDedupIndex]] state), `Some(paths)`
+    * otherwise, `paths` empty when no stored prefix overlaps the
+    * batch. Exposed so the scanned-input contract is spec-assertable
+    * (probe input ∝ batch, not corpus).
+    */
+  private[graft] def exactProbePaths(spark: SparkSession, outDir: String,
+                                     prefixes: Seq[String])
+      : Option[Seq[String]] = {
+    val idx = indexDir(outDir)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!Dedup.hasBatchTable(fs, idx, "hashes")) None
+    else Some(
+      Dedup.prunedBatchPartitionPaths(fs, idx, "hashes", "hp_p", prefixes))
+  }
+
   /** Bootstrap the incremental corpus state: bronze → FULLY deduped
     * silver (exact-hash canonical, then MinHash near-dup groups →
     * one best-quality doc per group — the same dedup semantics the
@@ -302,17 +346,22 @@ object Pipeline {
               maxDocFreq = maxDocFreq)
             .select(col("id_a"), col("id_b")))
         .withColumnRenamed("id", "doc_id")
-      writeSilver(
-        silverColumns(
+      val silverDf = silverColumns(
           Dedup.keepCanonical(exactCanon.join(groups, Seq("doc_id")),
             "doc_id", "group_id", "q"),
-          runDate, recipe),
-        outDir, "overwrite")
+          runDate, recipe)
+        .localCheckpoint() // two consumers: silver write + hash evidence
+      writeSilver(silverDf, outDir, "overwrite")
       // the boilerplate cap persists into the index _meta, so every
       // daily append and query runs the SAME cap the bootstrap dedup
-      // ran — the consistency the cap's Jaccard semantics need
+      // ran — the consistency the cap's Jaccard semantics need. The
+      // bootstrap batch also carries the hash evidence of everything
+      // that LANDED in silver, so the daily exact-dup probe never has
+      // to read silver itself (see classifyCleaned).
       Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text",
-        indexDir(outDir), maxDocFreq = maxDocFreq)
+        indexDir(outDir), maxDocFreq = maxDocFreq,
+        partitionedSideTables =
+          Seq(("hashes", "hp_p", hashEvidence(silverDf))))
     }
     withRetries(maxAttempts)(
       corpusGold(spark, outDir, runDate, epoch, recipe))
@@ -373,18 +422,43 @@ object Pipeline {
     */
   private def classifyCleaned(spark: SparkSession, outDir: String,
                               cleaned: DataFrame): DataFrame = {
-    val silver = spark.read.parquet(s"$outDir/silver/documents")
     val ids = cleaned.select(col("doc_id"))
     // (a) exact: best-quality batch sibling per norm_hash, then drop
-    // anything whose exact text is already in silver
+    // anything whose normalized text is already in silver. The
+    // evidence probe is BATCH-sized: silver's norm_hashes ride the
+    // dedup-index batch directories as a prefix-partitioned side
+    // table ([[hashEvidence]]), so the check reads only the partition
+    // directories the batch's own prefixes can hit — the batch prefix
+    // set is a bounded driver scalar (≤ 16^HashPrefixLen values) and
+    // the read never touches the silver table, whose full hash-column
+    // scan was the last O(corpus) step in the daily path.
     val exactWinners =
       Dedup.keepCanonical(cleaned, "doc_id", "norm_hash", "q")
     val exactLosers = ids.join(exactWinners.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val inSilver = cleaned
-      .join(silver.select(col("norm_hash")), Seq("norm_hash"),
-        "left_semi")
-      .select(col("doc_id"))
+    val batchPrefixes = cleaned
+      .select(hashPrefix(col("norm_hash")).as("hp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val inSilver = exactProbePaths(spark, outDir, batchPrefixes) match {
+      case Some(paths) if paths.isEmpty =>
+        // evidence exists but no stored prefix overlaps the batch:
+        // nothing can be an exact corpus dup
+        ids.limit(0)
+      case Some(paths) =>
+        cleaned.join(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(paths: _*).select(col("norm_hash")),
+          Seq("norm_hash"), "left_semi")
+          .select(col("doc_id"))
+      case None =>
+        // compatibility: an index built before hash evidence existed
+        // (bare writeDedupIndex state) — the O(corpus) silver scan
+        cleaned.join(
+          spark.read.parquet(s"$outDir/silver/documents")
+            .select(col("norm_hash")),
+          Seq("norm_hash"), "left_semi")
+          .select(col("doc_id"))
+    }
     val exactCorpus = exactWinners.select(col("doc_id"))
       .join(inSilver, Seq("doc_id"), "left_semi")
     val exactCanon = exactWinners
@@ -488,10 +562,13 @@ object Pipeline {
         classifyCleaned(spark, outDir, cleaned)
           .filter(col("decision") === "accept").select(col("doc_id")),
         Seq("doc_id"))
+      val acceptedSilver0 = silverColumns(accepted, runDate, recipe)
+        .localCheckpoint() // two consumers: commit record + hash evidence
       Dedup.writeDedupIndex(cleaned, "doc_id", "norm_text", idx,
         mode = "append",
-        sideTables =
-          Seq("accepted" -> silverColumns(accepted, runDate, recipe)))
+        sideTables = Seq("accepted" -> acceptedSilver0),
+        partitionedSideTables =
+          Seq(("hashes", "hp_p", hashEvidence(acceptedSilver0))))
       ()
     }
     afterIndexPublish()

@@ -460,6 +460,30 @@ object Dedup {
       .filter(fs.exists).map(_.toString).toSeq
   }
 
+  /** Does any published batch directory carry the side table `sub`? */
+  private[graft] def hasBatchTable(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String, sub: String): Boolean =
+    batchSubPaths(fs, path, sub).nonEmpty
+
+  /** Partition-PRUNED paths of a partitioned side table across every
+    * published batch directory: only the `partCol=<value>` partition
+    * directories whose value is in `values` are returned, so a probe's
+    * scanned input is proportional to the probing batch's key
+    * coverage, never the stored corpus. One `listStatus` per batch
+    * dir (driver metadata, no data read) — the pruning is explicit
+    * paths, not optimizer-dependent.
+    */
+  private[graft] def prunedBatchPartitionPaths(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, sub: String,
+      partCol: String, values: Seq[String]): Seq[String] = {
+    val wanted = values.map(v => s"$partCol=$v").toSet
+    batchSubPaths(fs, path, sub).flatMap { p =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(st => st.isDirectory && wanted(st.getPath.getName))
+        .map(_.getPath.toString)
+    }
+  }
+
   /** One scan relation over any number of batch directories. Every
     * batch table is self-contained (no partition-encoded columns — see
     * the band_p note in [[writeDedupIndex]]), so a recursive file
@@ -524,7 +548,9 @@ object Dedup {
                       mode: String = "overwrite",
                       maxDocFreq: Option[Int] = None,
                       auditOverlap: Boolean = false,
-                      sideTables: Seq[(String, DataFrame)] = Nil): String = {
+                      sideTables: Seq[(String, DataFrame)] = Nil,
+                      partitionedSideTables: Seq[(String, String, DataFrame)] =
+                        Nil): String = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got $mode")
     // all probes through the Hadoop FS API, NOT java.io.File: the
@@ -595,6 +621,16 @@ object Dedup {
     // file each — they are batch-sized by definition)
     sideTables.foreach { case (name, t) =>
       t.coalesce(1).write.mode("overwrite").parquet(s"$staging/$name")
+    }
+    // partitioned side tables: same atomic publish, but laid out for
+    // PRUNED reads (the hash-evidence pattern: a probe lists a batch
+    // dir once and opens only the partition directories its keys can
+    // live in — see prunedBatchPartitionPaths). The partition column
+    // should also ride as a data column (the band/band_p convention)
+    // so recursive full-table reads keep a uniform schema.
+    partitionedSideTables.foreach { case (name, pcol, t) =>
+      t.write.mode("overwrite").partitionBy(pcol)
+        .parquet(s"$staging/$name")
     }
     if (readIndexMeta(fs, path).isEmpty)
       writeIndexMeta(fs, path, IndexMeta(k, rowsPerBand, cap))
@@ -668,6 +704,7 @@ object Dedup {
     val shingles =
       readBatchTables(spark, batchSubPaths(fs, path, "shingles"))
         .distinct()
+    val hashPaths = batchSubPaths(fs, path, "hashes")
     val cid = batchId(bands, "sid")
     val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     if (!fs.exists(merged)) {
@@ -677,13 +714,22 @@ object Dedup {
         .write.mode("overwrite").partitionBy("band_p")
         .parquet(s"$staging/bands")
       shingles.write.mode("overwrite").parquet(s"$staging/shingles")
+      // the hash-evidence side table (corpus pipelines only) compacts
+      // with everything else: per-day prefix files merge into one
+      // partition directory per prefix, restoring the probe's
+      // one-file-per-prefix read shape
+      if (hashPaths.nonEmpty)
+        readBatchTables(spark, hashPaths).distinct()
+          .withColumn("hp_p", col("hp"))
+          .write.mode("overwrite").partitionBy("hp_p")
+          .parquet(s"$staging/hashes")
       if (!fs.rename(staging, merged)) throw new IllegalStateException(
         s"cannot publish compacted batch $staging to $merged")
     }
     // tombstone the superseded batches: drop payloads, keep the
     // directory + marker so replay refusal is unchanged
     batchDirs.filter(_.getName != cid).foreach { b =>
-      Seq("bands", "shingles", "accepted").foreach(t =>
+      Seq("bands", "shingles", "accepted", "hashes").foreach(t =>
         fs.delete(new org.apache.hadoop.fs.Path(b, t), true))
     }
     cid

@@ -143,6 +143,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(landed == acceptIds, s"landed $landed vs labeled $acceptIds")
   }
 
+  test("exact-dup probe: scanned input is the batch's prefix partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Corpus
+    val tf = graft.functions.TextFunctions
+    val out = java.nio.file.Files.createTempDirectory("graft-hprobe").toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "hprobe", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 1), out, "2026-08-12")
+    // completeness: the side-indexed hash evidence IS silver's hash set
+    val silverHashes = spark.read.parquet(s"$out/silver/documents")
+      .select("norm_hash")
+    val allPrefixes = (0 until 256).map(i => f"$i%02x")
+    val allPaths = Pipeline.exactProbePaths(spark, out, allPrefixes).get
+    val stored = spark.read.option("recursiveFileLookup", "true")
+      .parquet(allPaths: _*).select("norm_hash")
+    assert(stored.except(silverHashes).count() == 0 &&
+      silverHashes.except(stored).count() == 0,
+      "hash evidence mirrors silver exactly")
+    // a small batch opens ONLY its own prefix partitions — a strict
+    // subset of the stored evidence: the probe's input is
+    // batch-proportional, never a silver hash-column scan
+    // seed from SILVER (not the raw batch): a raw doc may have lost a
+    // near-dup race at bootstrap, leaving its hash out of silver
+    val seed = spark.read.parquet(s"$out/silver/documents")
+      .orderBy("doc_id").select("lang", "clean_text").limit(1)
+      .collect()(0)
+    val batch = Seq(
+        (910001L, seed.getString(0), seed.getString(1)), // exact corpus dup
+        (910002L, "en", "a genuinely fresh probe document " +
+          (1 to 30).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val batchPrefixes = batch.select(
+        substring(sha2(tf.normalizeText(tf.stripMarkup(col("text"))), 256),
+          1, 2).as("hp"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val probed = Pipeline.exactProbePaths(spark, out, batchPrefixes).get
+    assert(probed.nonEmpty, "the planted dup's prefix partition exists")
+    assert(probed.forall(p =>
+        batchPrefixes.exists(hp => p.endsWith(s"hp_p=$hp"))),
+      s"probe opened a partition outside the batch's prefixes: $probed")
+    assert(probed.size < allPaths.size,
+      s"probe is not pruned: ${probed.size} of ${allPaths.size} partitions")
+    // and the decisions that ride the pruned probe are right
+    val m = Pipeline.classifyBatch(spark, out, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(910001L) == "exact_dup_corpus", m.toString)
+    assert(m(910002L) == "accept", m.toString)
+    // evidence stays complete through an increment (accepted hashes
+    // ride the new batch directory)
+    val acc = Pipeline.corpusIncrement(spark, out, batch, "2026-08-13")
+    assert(acc == 1L)
+    val silverAfter = spark.read.parquet(s"$out/silver/documents")
+      .select("norm_hash")
+    val storedAfter = spark.read.option("recursiveFileLookup", "true")
+      .parquet(Pipeline.exactProbePaths(spark, out, allPrefixes).get: _*)
+      .select("norm_hash")
+    assert(storedAfter.except(silverAfter).count() == 0 &&
+      silverAfter.except(storedAfter).count() == 0,
+      "hash evidence still mirrors silver after an increment")
+  }
+
   test("increment crash after index publish: retry resumes, lands once") {
     import org.apache.spark.sql.functions._
     import graft.operators.Corpus
