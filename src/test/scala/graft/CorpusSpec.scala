@@ -615,6 +615,62 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("bm25 index: probe equals inline form, reads only query-term partitions, refuses uncommitted index") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "vector hash join fast pipeline"),
+      (2L, "vector vector vector vector vector filler filler"),
+      (3L, "hash join table scan"),
+      (4L, "completely unrelated prose text"),
+      (5L, "fast scan over the hash table")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toFile
+    try {
+      val path = dir.toString
+      Bm25.writeBm25Index(docs, "doc_id", "text", path)
+      val query = "fast vector hash join"
+      // bit-identical to the inline form: same rows, same doubles
+      val inline = Bm25.bm25TopK(docs, "doc_id", "text", query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val probed = Bm25.bm25TopKIndexed(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(probed == inline && probed.nonEmpty)
+      // pruning contract: the probe's explicit paths are a subset of
+      // the stored partitions and every one matches a query-term
+      // prefix — scanned input ∝ query, not vocabulary
+      val stored = new java.io.File(path, "postings").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      val wanted = Bm25.queryTerms(query)
+        .map(t => s"term_p=${Bm25.termPrefix(t)}").toSet
+      val probePaths = Bm25.prunedPostingPaths(spark, path,
+        Bm25.queryTerms(query))
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      assert(probePaths.subsetOf(stored))
+      assert(probePaths.subsetOf(wanted))
+      assert(stored.size > probePaths.size,
+        "a 5-doc vocabulary should spread past the 4 query prefixes")
+      // a term absent from the corpus prunes to nothing → empty result
+      assert(Bm25.bm25TopKIndexed(spark, path, "zzznotaterm", k = 5)
+        .count() == 0)
+      // commit marker: deleting _meta (a crash mid-rebuild) makes the
+      // probe refuse loudly instead of serving half an index
+      assert(new java.io.File(path, "_meta").delete())
+      val e = intercept[IllegalArgumentException] {
+        Bm25.bm25TopKIndexed(spark, path, query, k = 5)
+      }
+      assert(e.getMessage.contains("_meta"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("rrfFuse: doubly-ranked ids beat single-list wins, missing ids contribute nothing") {
     import spark.implicits._
     import graft.operators.Bm25
