@@ -626,6 +626,30 @@ object SparkEntry {
         "doc_id", "quality_score", k = 100)
       graft.operators.Bm25.rrfFuse(Seq(lexical, prior), "doc_id", k = 20)
     }),
+    // ---- §2.8 T13d hybrid retrieval: dense ANN ⊕ sparse BM25 ----
+    // the composition the whole T13/T13b + A-family exists for:
+    // lexical BM25 top-100 fused with an IVF ANN top-100 (query =
+    // embedding 0, the corpus's vec_id↔doc_id id bridge made explicit
+    // by the join) through reciprocal-rank fusion; the oracle
+    // recomputes BOTH rankings and the fusion
+    "q_text_hybrid" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val lexical = graft.operators.Bm25.bm25TopK(docs, "doc_id", "text",
+        "fast vector hash join", k = 100)
+      val dense = Similarity.ivfTopK(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", queryPred = col("vec_id") === 0,
+        centroidPred = col("vec_id") % 37 === 1, k = 100, nprobe = 2)
+      // embeddings↔documents id bridge: vec_id indexes the same
+      // corpus as doc_id; the join keeps only candidates that exist
+      // as documents (and is where a real vec_id→doc_id mapping
+      // table would slot in)
+      val bridged = dense.join(docs.select(col("doc_id")),
+          dense("cand_id") === col("doc_id"))
+        .select(col("doc_id"), col("rank"))
+      graft.operators.Bm25.rrfFuse(Seq(lexical, bridged), "doc_id",
+        k = 20)
+    }),
     // ---- §2.8 T12 logistic-regression classifier training ----
     // four GD rounds learning lang=='en' from the quality-report
     // features; the oracle unrolls every iteration (sigmoid, rounded
@@ -1745,6 +1769,59 @@ object SparkEntry {
        |FROM fu QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Portable hybrid-retrieval mirror (q_text_hybrid): the BM25
+    * ranking, the single-query IVF ANN ranking (the q_ann_ivf CTEs
+    * restricted to `qid`), the vec_id↔doc_id bridge join, and the
+    * RRF fusion — all recomputed.
+    */
+  private def duckHybridSql(query: String, qid: Long, listK: Int,
+                            k: Int, k0: Int): String = {
+    val bm = duckBm25Sql(query, listK, 1.2, 0.75)
+    s"""WITH bmr AS (
+       |$bm
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |  WHERE vec_id % 37 = 1
+       |), assigned AS (
+       |  SELECT cand_id, cv, cell FROM (
+       |    SELECT e.vec_id AS cand_id, e.embedding AS cv,
+       |      c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN cent c) x
+       |  WHERE r = 1
+       |), probed AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv,
+       |      c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN cent c
+       |    WHERE e.vec_id = $qid) x
+       |  WHERE r <= 2
+       |), dn AS (
+       |  SELECT y.cand_id AS doc_id, y.rank FROM (
+       |    SELECT p.query_id, a.cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${duckCos("p.qv", "a.cv")} DESC, a.cand_id) AS rank
+       |    FROM probed p
+       |    JOIN assigned a ON a.cell = p.cell AND p.query_id <> a.cand_id) y
+       |  JOIN documents d ON d.doc_id = y.cand_id
+       |  WHERE y.rank <= $listK
+       |), fu AS (
+       |  SELECT doc_id,
+       |    ROUND(
+       |      COALESCE(1.0 / ($k0.0 + CAST(b.rank AS DOUBLE)), 0.0) +
+       |      COALESCE(1.0 / ($k0.0 + CAST(n.rank AS DOUBLE)), 0.0),
+       |      6) AS rrf_score
+       |  FROM bmr b FULL OUTER JOIN dn n USING (doc_id)
+       |)
+       |SELECT doc_id, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |FROM fu QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Portable logistic-GD mirror (Classifier.trainLogistic): every
     * iteration unrolled — sigmoid margins against the previous
     * round's one-row weight CTE, 8-dp-rounded decimal gradient sums,
@@ -2458,6 +2535,8 @@ object SparkEntry {
     "q_text_bm25_indexed" ->
       duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     "q_text_rrf" -> duckRrfSql("fast vector hash join", 100, 20, 60),
+    "q_text_hybrid" ->
+      duckHybridSql("fast vector hash join", 0L, 100, 20, 60),
     // sliding 64-token windows at stride 48: the start grid is the
     // multiples of 48 up to the first start whose window reaches the
     // end (integer ceil-div — identical arithmetic in any engine)
