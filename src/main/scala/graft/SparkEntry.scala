@@ -930,6 +930,65 @@ object SparkEntry {
             "recon_cosine_floor", "codes_complete", "n_vectors")
       } finally cb.unpersist()
     }),
+    // ---- §2.7 A6 IVFPQ: cell-routed PQ, driver-gated ----
+    // outcome contract (q_ann_pq pattern): the codes table keyed by
+    // coarse cell, queries probe nprobe=6 of the ~n/37 cells, ADC
+    // runs over probed cells' codes only, exact rerank of the top-50
+    // shortlist. Floors measured with margin at BOTH gate scales
+    // (recall: sf0.01 0.60, sf0.1 0.348; mean candidate fraction:
+    // sf0.01 0.430, sf0.1 0.108): reranked recall@10 must clear the
+    // SAME 0.30 floor as global ADC while scanning a cand_fraction
+    // bounded ≤ 0.5 of the codes — approximate quality at a strictly
+    // sublinear candidate count, the production vector-index trade.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val (m, dim) = (8, 64)
+      val emb = Tables.table(s, d, "embeddings")
+      val qp = col("vec_id") % 50 === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
+        .persist()
+      try {
+        val cents = emb.filter(col("vec_id") % 37 === 1)
+          .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+        val cellCodes = graft.Checkpoints.truncate(
+          Similarity.pqEncodeCells(emb, "vec_id", "embedding", cents,
+            cb, m, dim))
+        def topSets(df: DataFrame) = df.collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val exact = topSets(Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qp))
+        val got = topSets(Similarity.ivfpqTopKReranked(emb, "vec_id",
+          "embedding", qp, cents, cellCodes, cb, m, dim,
+          k = 10, nprobe = 6, rerank = 50))
+        val per = exact.map { case (q, want) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(want)
+            .size.toDouble / want.size }
+        val rr = per.sum / per.size
+        // mean candidate fraction actually scanned: Σ probed-cell
+        // sizes per query / corpus — the measured sublinearity claim
+        val n = emb.count()
+        val cellSizes = cellCodes.filter(col("subspace") === 0)
+          .groupBy("cell").count()
+        val probeW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("qdist").desc, col("cell"))
+        val frac = emb.filter(qp)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+          .join(broadcast(cents))
+          .withColumn("qdist", Similarity.cosine(col("qv"), col("centv")))
+          .withColumn("r", row_number().over(probeW))
+          .filter(col("r") <= 6)
+          .join(cellSizes, Seq("cell"))
+          .groupBy("query_id").agg(sum("count").as("c"))
+          .agg(avg(col("c"))).head().getDouble(0) / n
+        import s.implicits._
+        Seq((rr >= 0.30, frac <= 0.5, n))
+          .toDF("rerank_recall_floor", "cand_fraction_bound",
+            "n_vectors")
+      } finally cb.unpersist()
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -3103,6 +3162,11 @@ object SparkEntry {
     "q_ann_pq" ->
       """SELECT true AS adc_recall_floor, true AS rerank_recall_floor,
         |  true AS recon_cosine_floor, true AS codes_complete,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // IVFPQ contract booleans are cross-run measurements checked in
+    // Spark (the q_ann_pq pattern); the real row is the corpus count
+    "q_ann_ivfpq" ->
+      """SELECT true AS rerank_recall_floor, true AS cand_fraction_bound,
         |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (

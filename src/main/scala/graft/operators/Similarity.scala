@@ -676,4 +676,83 @@ object Similarity {
       pqTopK(emb.filter(queryPred), idCol, vecCol,
         codes, codebook, m, dim, rerank), k)
   }
+
+  // ---- A6 — IVFPQ: cell-routed product quantization --------------
+
+  /** The IVFPQ index's candidate table: every vector's PQ codes KEYED
+    * BY its coarse cell — `(id, cell, subspace, code)`. This is the
+    * table a production index partitions (or bucket-sorts) by `cell`,
+    * so a probe's scan touches only its probed cells' files; built
+    * once per (re)index from [[pqEncode]] ⋈ [[assignToCentroids]].
+    */
+  def pqEncodeCells(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, codebook: DataFrame,
+                    m: Int, dim: Int): DataFrame =
+    pqEncode(emb, idCol, vecCol, codebook, m, dim)
+      .join(assignToCentroids(emb, idCol, vecCol, centroids)
+        .select(col("cand_id").as("id"), col("cell")), Seq("id"))
+
+  /** Stage 1 of the IVFPQ serve: ADC over ONLY the probed cells'
+    * codes. Queries probe their `nprobe` nearest coarse cells (the
+    * [[ivfTopKIndexed]] probe — centroid-table broadcast, bounded
+    * per-query window), and the ADC join starts from
+    * `cellCodes ⋈ probed-cells` — a 1/nlist-per-probe slice of the
+    * codes table instead of [[pqTopK]]'s full codes scan. At 10^11
+    * vectors × nlist=2^16 that is the difference between scanning
+    * ~100 GB of codes per query batch and a few MB per probe. The
+    * per-query LUT/norm sides are broadcast-sized as in [[pqTopK]];
+    * scores are identical ADC arithmetic, so recall differs from
+    * global ADC only through the cell restriction — exactly IVF's
+    * candidate-recall trade, measured and floored by the gate.
+    */
+  def ivfpqShortlist(queries: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cellCodes: DataFrame,
+                     codebook: DataFrame, m: Int, dim: Int,
+                     k: Int, nprobe: Int = 2): DataFrame = {
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("qdist", cosine(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val lut = sliced(queries, idCol, vecCol, m, dim)
+      .select(col("cand_id").as("query_id"), col("subspace"),
+        col("subvec"))
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        dot(col("subvec"), col("centv")).as("qc"),
+        dot(col("centv"), col("centv")).as("cc"))
+    val qnorm = queries.select(col(idCol).as("query_id"),
+      norm(col(vecCol)).as("qn"))
+    rankTopK(cellCodes.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("cn2"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("acos", col("qdot") / (col("qn") * sqrt(col("cn2"))))
+      .withColumnRenamed("id", "cand_id"),
+      col("acos"), k, "approx_cos")
+  }
+
+  /** A6 — the full IVFPQ serve: cell-routed ADC shortlist
+    * ([[ivfpqShortlist]]), exact re-rank of the shortlist
+    * ([[pqRerank]]). The production 100 TB shape: stage 1 reads
+    * 1/nlist of the codes per probe and no vectors; stage 2 touches
+    * only the shortlisted vectors by id equi-join.
+    */
+  def ivfpqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, centroids: DataFrame,
+                        cellCodes: DataFrame, codebook: DataFrame,
+                        m: Int, dim: Int, k: Int = 10,
+                        nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
+    pqRerank(emb, idCol, vecCol, queryPred,
+      ivfpqShortlist(emb.filter(queryPred), idCol, vecCol, centroids,
+        cellCodes, codebook, m, dim, rerank, nprobe), k)
+  }
 }

@@ -39,6 +39,57 @@ object Explore {
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
+    if (args.headOption.contains("ivfpq")) {
+      // IVFPQ floor measurement: reranked recall + candidate fraction
+      // across nprobe/rerank, vs the global-ADC baseline
+      val (m, dim) = (8, 64)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
+        .localCheckpoint()
+      val cents = emb.filter(col("vec_id") % 37 === 1)
+        .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+        .localCheckpoint()
+      val cellCodes = Similarity.pqEncodeCells(emb, "vec_id",
+        "embedding", cents, cb, m, dim).localCheckpoint()
+      val n = emb.count()
+      val cellSizes = cellCodes.filter(col("subspace") === 0)
+        .groupBy("cell").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"[explore] n=$n ncells=${cellSizes.size}")
+      for (np <- Seq(1, 2, 3, 4, 5, 6, 8); rr <- Seq(50, 100)) {
+        timed(s"ivfpq nprobe=$np rerank=$rr")(
+          Similarity.ivfpqTopKReranked(emb, "vec_id", "embedding", qp,
+            cents, cellCodes, cb, m, dim, nprobe = np, rerank = rr)
+            .collect())
+        val frac = Similarity.ivfpqShortlist(emb.filter(qp), "vec_id",
+            "embedding", cents, cellCodes, cb, m, dim,
+            k = rr, nprobe = np)
+          .select(countDistinct(col("query_id")))
+          .head().getLong(0) // force; fraction from the probe cells:
+        val probedCells = emb.filter(qp)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+          .join(broadcast(cents))
+          .withColumn("qdist",
+            Similarity.cosine(col("qv"), col("centv")))
+          .withColumn("r", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("qdist").desc, col("cell"))))
+          .filter(col("r") <= np).select("query_id", "cell").collect()
+        val perQ = probedCells.groupBy(_.getLong(0)).values
+          .map(_.map(r => cellSizes(r.getLong(1))).sum.toDouble / n)
+        println(f"[explore]   queries=$frac cand_frac mean=" +
+          f"${perQ.sum / perQ.size}%.3f max=${perQ.max}%.3f")
+      }
+      timed("global adc rerank=50 (baseline)")(
+        Similarity.pqTopKReranked(emb, "vec_id", "embedding", qp,
+          cellCodes.select("id", "subspace", "code"), cb, m, dim)
+          .collect())
+      spark.stop()
+      return
+    }
+
     for (pb <- 1 to 3)
       timed(s"lsh nPlanes=4 probeBits=$pb")(
         Similarity.lshTopK(emb, "vec_id", "embedding", qp,

@@ -747,6 +747,59 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.40, f"LSH pair recall $recall%.3f below 0.40")
   }
 
+  test("ivfpq: shortlist stays inside probed cells, rerank scores are exact cosines") {
+    val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") % 50 === 0
+    val cents = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+      .localCheckpoint()
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      col("vec_id") % 17 === 5, rounds = 2).localCheckpoint()
+    val cellCodes = Similarity.pqEncodeCells(emb, "vec_id", "embedding",
+      cents, cb, m, dim).localCheckpoint()
+    // index completeness: every vector carries one code per subspace
+    // and exactly one cell
+    val n = emb.count()
+    assert(cellCodes.count() == n * m)
+    assert(cellCodes.select("id", "cell").distinct().count() == n)
+    // nprobe=1 makes the cell restriction real (2 cells at this sf):
+    // every shortlisted candidate must live in its query's ONE
+    // probed (nearest) cell
+    val cellOf = cellCodes.filter(col("subspace") === 0)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearestCell = Similarity.assignToCentroids(
+        emb.filter(qp), "vec_id", "embedding", cents)
+      .select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sl = Similarity.ivfpqShortlist(emb.filter(qp), "vec_id",
+      "embedding", cents, cellCodes, cb, m, dim, k = 20, nprobe = 1)
+      .collect()
+    assert(sl.nonEmpty)
+    sl.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert(cellOf(c) == nearestCell(q),
+        s"candidate $c (cell ${cellOf(c)}) outside query $q's probed " +
+          s"cell ${nearestCell(q)}")
+      assert(c != q, "self-match in shortlist")
+    }
+    // the exact rerank inherits bruteForce's scores: any (q, cand)
+    // present in both must carry the identical rounded cosine
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qp, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rr = Similarity.ivfpqTopKReranked(emb, "vec_id", "embedding",
+      qp, cents, cellCodes, cb, m, dim, k = 10, nprobe = 1,
+      rerank = 20).collect()
+    val shared = rr.flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(1)))
+        .map(e => e == r.getDouble(3))
+    }
+    assert(shared.nonEmpty, "rerank found none of the exact top-10")
+    assert(shared.forall(identity), "rerank score drift vs bruteForce")
+  }
+
   test("semantic near-dup: subset of pairwise, cell-local, trained quantizer adds recall") {
     val emb = Tables.table(spark, sf, "embeddings")
     val full = Similarity
