@@ -422,17 +422,28 @@ object Profiling {
     * ~4.7 s over 600k rows × 3 pairs, vs sub-second for a double
     * aggregation. That constant is the price of bit-stable, mergeable
     * statistics; the structure (single scan, map-side combine) is
-    * already the 100 TB shape, and the kernel-level upgrade if the
-    * constant ever matters is an int128 sum-of-long-products
-    * aggregate, not a different plan.
+    * already the 100 TB shape. When the constant matters and
+    * bit-stability doesn't, `exact = false` swaps the kernel for raw
+    * double sums on the identical plan — same row selection, same
+    * output schema, pearson_r within 1e-9 of the exact form (spec-
+    * pinned at gate scale) but not mergeable bit-stably.
     */
-  def correlationReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationReport(df: DataFrame, cols: Seq[String],
+                        exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "columns must be distinct")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     def dec(c: String) = col(c).cast("decimal(18,6)")
+    // exact=false is the PRODUCTION scale path (the P1/P2 pattern):
+    // the same single scan and map-side-combinable shape, but sums in
+    // raw IEEE doubles — ~5× cheaper per row than BigDecimal, at the
+    // price of sum-order nondeterminism in the last ulps (the report
+    // is no longer bit-stable or hash-gateable; pearson_r agrees with
+    // the exact form to well under 1e-9 — pinned by spec). The row
+    // predicate stays the POST-CAST one in both modes, so both forms
+    // select identical rows and n stays in lock-step.
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
       // post-cast nullness: a value overflowing decimal(18,6) casts
       // to NULL in non-ANSI mode, so gating on the cast keeps n in
@@ -440,11 +451,12 @@ object Profiling {
       val both = dec(x).isNotNull && dec(y).isNotNull
       def s(e: Column, name: String) =
         sum(when(both, e)).as(s"__${name}$k")
+      def v(c: String) = if (exact) dec(c) else col(c).cast("double")
       Seq(
         count(when(both, 1)).as(s"__n$k"),
-        s(dec(x), "sx"), s(dec(y), "sy"),
-        s(dec(x) * dec(x), "sxx"), s(dec(y) * dec(y), "syy"),
-        s(dec(x) * dec(y), "sxy"))
+        s(v(x), "sx"), s(v(y), "sy"),
+        s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"),
+        s(v(x) * v(y), "sxy"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val long = row.select(explode(array(pairs.zipWithIndex.map {

@@ -136,6 +136,35 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(got(("y", "z")) == ((4L, Some(-1.0))))
   }
 
+  test("P10: exact=false double path lands within 1e-9 of the exact pearson_r") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def rMap(exact: Boolean) =
+      Profiling.correlationReport(li, cols, exact = exact).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.get(8)).map(_.asInstanceOf[Double])).toMap
+    val ex = rMap(exact = true)
+    val fast = rMap(exact = false)
+    assert(ex.keySet == fast.keySet && ex.size == 3)
+    // same rows selected (post-cast predicate shared), so r differs
+    // only by double-vs-decimal summation — the whole point of the
+    // fast path being safe to use for profiling at scale
+    ex.foreach { case (k, re) =>
+      (re, fast(k)) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-9, s"$k: exact $a vs fast $b")
+        case (a, b) => assert(a == b, s"$k: null-ness drift $a vs $b")
+      }
+    }
+    // n_pairs identical in both modes
+    val nEx = Profiling.correlationReport(li, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nFast = Profiling.correlationReport(li, cols, exact = false)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(nEx == nFast)
+  }
+
   test("P9: merged shard profiles equal the one-shot profile; " +
       "shard filters localize the profile") {
     val o = Tables.table(spark, sf, "orders")
