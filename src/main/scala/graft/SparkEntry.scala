@@ -1003,6 +1003,17 @@ object SparkEntry {
     // ---- §2.9 M3 frame sampling ----
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))),
+    // ---- §2.9 M2b REAL PNG codec round-trip ----
+    // deterministic gray PNGs (dimensions and every pixel an integer
+    // function of media_id) encoded through javax.imageio's real PNG
+    // writer, decoded back through ImageIO.read, raster-walked for
+    // the exact pixel mean; the oracle recomputes dimensions and
+    // mean from the same integer formulas — matching REQUIRES a
+    // working codec round-trip, not byte games
+    "q_multimodal_imgdecode" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.syntheticPngTable(s, d)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), round(col("mean_gray"), 6).as("mean_gray"))),
     // ---- §2.9 M4 media transform (resize analog) ----
     // payload → payload rewrite with metadata update; the deterministic
     // byte-decimation stub is mirrored byte-for-byte by the oracle
@@ -3040,6 +3051,27 @@ object SparkEntry {
         |  array_to_string(list_transform(range(0, n_out),
         |    i -> substr(hx, CAST(2*i*k + 1 AS INT), 2)), '') AS out_hex
         |FROM o""".stripMargin,
+    // integer-formula mirror of the synthetic PNG corpus: the Spark
+    // side must round-trip real PNG bytes through javax.imageio to
+    // land on these dimensions and this band-0 pixel mean
+    "q_multimodal_imgdecode" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + doc_id % 7 AS INT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT media_id, width, height, unnest(range(0, width)) AS x
+        |  FROM g
+        |), pxy AS (
+        |  SELECT media_id, width, height, x,
+        |    unnest(range(0, height)) AS y
+        |  FROM px
+        |)
+        |SELECT media_id, width, height, CAST(1 AS INT) AS channels,
+        |  ROUND(CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256)
+        |      AS DOUBLE) / (width * height), 6) AS mean_gray
+        |FROM pxy GROUP BY media_id, width, height""".stripMargin,
     // the same decimation, then the decodeStub feature math over the
     // DECIMATED byte list (q_multimodal_meta's checksum/mean mirror)
     "q_multimodal_decode" ->

@@ -149,4 +149,100 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         max(col("width")).as("max_width"),
         max(col("height")).as("max_height"))
+
+  // ---- M2 (real codec) — PNG decode through javax.imageio --------
+
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+                       channels: Int, mean_gray: Double)
+
+  /** A REAL image decode behind the same batched plumbing as
+    * [[extractFeatures]]: `javax.imageio` (in-JDK, no external
+    * codec) reads PNG/JPEG/BMP/GIF payloads per partition and emits
+    * decoded dimensions, band count, and the exact pixel mean of
+    * band 0. Undecodable payloads become explicit poison rows
+    * (width/height/channels = -1) rather than silent drops — a
+    * filterable contract, the same philosophy as the null-row gates.
+    *
+    * Mean arithmetic is cross-engine exact: integer sample sum and
+    * pixel count are exact, the final division is one correctly-
+    * rounded IEEE op, rounded to 6 dp.
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition: disable ImageIO's tmp-file cache once, then
+        // stream the batch through the codec — no per-row setup
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ImageMeta(id, -1, -1, -1, 0.0)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            // raw IEEE quotient of exact integers — callers round
+            // (Spark round == oracle ROUND; rounding here would pick
+            // a different tie rule than the gates' shared one)
+            ImageMeta(id, w, h, raster.getNumBands,
+              sum.toDouble / (w.toLong * h))
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG corpus for gating [[decodeImages]]:
+    * one grayscale PNG per document, dimensions and every pixel an
+    * integer function of `media_id` —
+    * `w = 8 + id % 9`, `h = 8 + id % 7`,
+    * `gray(x, y) = (id·31 + x·7 + y·13) mod 256` — ENCODED through
+    * the real `javax.imageio` PNG writer. The decode gate's oracle
+    * recomputes dimensions and pixel mean from the same integer
+    * formulas, so the Spark side must round-trip actual PNG bytes
+    * through a genuine codec to match: a broken encoder, decoder, or
+    * raster walk all break the hash.
+    */
+  def syntheticPngTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray, "image/png", w, h)
+        }
+      }
+      .toDF("media_id", "payload", "media_type", "width", "height")
+  }
 }

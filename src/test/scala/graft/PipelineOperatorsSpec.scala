@@ -652,6 +652,40 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(out.toDF()).count() == rows.length)
   }
 
+  test("multimodal: real PNG codec round-trips pixels; non-images become poison rows") {
+    import spark.implicits._
+    // a known 2x2 RGB PNG through the real encoder: decode must see
+    // 3 bands and band-0 (red) mean (10+20+30+40)/4
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, new java.awt.Color(10, 0, 0).getRGB)
+    img.setRGB(1, 0, new java.awt.Color(20, 0, 0).getRGB)
+    img.setRGB(0, 1, new java.awt.Color(30, 0, 0).getRGB)
+    img.setRGB(1, 1, new java.awt.Color(40, 0, 0).getRGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(
+      (1L, out.toByteArray),
+      (2L, "definitely not an image".getBytes("UTF-8")),
+      (3L, Array.empty[Byte])).toDF("media_id", "payload")
+    val got = Multimodal.decodeImages(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).width == 2 && got(1L).height == 2)
+    assert(got(1L).channels == 3)
+    assert(got(1L).mean_gray == 25.0)
+    // undecodable payloads are explicit poison rows, never dropped
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).width == -1 && got(id).channels == -1,
+        s"payload $id should decode to a poison row")
+    }
+    // the synthetic corpus generator and the decoder agree end-to-end
+    val rt = Multimodal.decodeImages(
+      Multimodal.syntheticPngTable(spark, sf)).collect()
+    assert(rt.nonEmpty && rt.forall(m =>
+      m.width == (8 + m.media_id % 9) && m.height == (8 + m.media_id % 7)
+        && m.channels == 1))
+  }
+
   test("multimodal: frame sampling reconstructs the payload windows") {
     import spark.implicits._
     val text = ("ab" * 100).take(150) // 150 bytes ASCII
