@@ -91,7 +91,7 @@ object Bench {
       "q_schema_evolution", "q_bucketed_join", "q_skipping_read",
       "q_upsert",
       "q_pipeline_run", "q_dedup_index", "q_text_bm25_indexed",
-      "q_namespace_init",
+      "q_ann_index", "q_namespace_init",
       "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).filterNot(stagingGates)

@@ -989,6 +989,43 @@ object SparkEntry {
             "n_vectors")
       } finally cb.unpersist()
     }),
+    // ---- §2.7 A6b persisted vector index (serve shape) ----
+    // the PRODUCTION form of q_ann_ivfpq: trained artifacts assembled
+    // into an on-disk index (codes partitioned by coarse cell, _meta
+    // commit marker), queries routed driver-side to their probed
+    // cells, ONLY those cell partitions read by explicit path. The
+    // contract: the indexed serve is bit-identical to the in-memory
+    // cell-routed serve over the same artifacts.
+    "q_ann_index" -> ((s, d) => {
+      val (m, dim) = (8, 64)
+      val emb = Tables.table(s, d, "embeddings")
+      val qp = col("vec_id") % 50 === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
+        .persist()
+      try {
+        val cents = emb.filter(col("vec_id") % 37 === 1)
+          .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vec-index").toString
+        try {
+          graft.operators.VectorIndex.write(emb, "vec_id", "embedding",
+            cents, cb, m, dim, dir)
+          val served = graft.operators.VectorIndex.topK(s, dir, emb,
+            "vec_id", "embedding", qp, k = 10, nprobe = 6, rerank = 50)
+            .collect()
+          val mem = Similarity.ivfpqTopKReranked(emb, "vec_id",
+            "embedding", qp, cents,
+            graft.Checkpoints.truncate(Similarity.pqEncodeCells(emb,
+              "vec_id", "embedding", cents, cb, m, dim)),
+            cb, m, dim, k = 10, nprobe = 6, rerank = 50).collect()
+          import s.implicits._
+          Seq((served.toSet == mem.toSet && served.nonEmpty,
+              emb.count()))
+            .toDF("indexed_equals_inmemory", "n_vectors")
+        } finally rmTree(new java.io.File(dir))
+      } finally cb.unpersist()
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -3199,6 +3236,12 @@ object SparkEntry {
     // Spark (the q_ann_pq pattern); the real row is the corpus count
     "q_ann_ivfpq" ->
       """SELECT true AS rerank_recall_floor, true AS cand_fraction_bound,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // the indexed serve's contract (bit-equality with the in-memory
+    // cell-routed serve) is checked in Spark; the real row is the
+    // corpus count
+    "q_ann_index" ->
+      """SELECT true AS indexed_equals_inmemory,
         |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (

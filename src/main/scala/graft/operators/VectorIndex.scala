@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A6b — the PERSISTED vector index (SURVEY.md §2.7): the serve shape
+  * of the ANN family, completing the build-once/probe-many discipline
+  * of the dedup index (D8b) and the BM25 postings index (T13c) for
+  * vectors. What a 100 TB deployment keeps on disk is exactly this:
+  *
+  *   path/
+  *     centroids/            (cell, centv)        — coarse quantizer
+  *     codebook/             (subspace, code, centv) — PQ codebooks
+  *     cellCodes/cell=<c>/   (id, subspace, code) — codes PARTITIONED
+  *                                                  by coarse cell
+  *     _meta                 (m, dim, n)          — commit marker
+  *
+  * The training artifacts (centroids from [[Similarity.kmeansIterate]]
+  * or any quantizer, codebook from [[Similarity.pqTrain]]) are INPUTS:
+  * the write assembles and lays out, it never trains — re-index and
+  * re-train stay independently schedulable, the same separation the
+  * reference keeps between derivation and load jobs
+  * (silver_to_gold.py:23 vs bigquery.py:105).
+  *
+  * Serve cost: a probe resolves its queries' probed cells DRIVER-side
+  * (|queries|·nprobe rows — the "query router" of a real vector DB),
+  * opens only those `cell=<c>` partition directories by explicit
+  * path, and runs the cell-local ADC + exact re-rank of
+  * [[Similarity.ivfpqShortlist]]/[[Similarity.pqRerank]] over them.
+  * Scanned input ∝ probed cells, never the corpus.
+  *
+  * Commit protocol: tables first, `_meta` LAST (the
+  * [[Bm25.writeBm25Index]] marker discipline) — a crash mid-build
+  * leaves a directory every probe refuses loudly.
+  */
+object VectorIndex {
+
+  private def fsFor(spark: SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): (Int, Int, Long) = {
+    val fs = fsFor(spark, path)
+    val p = metaPath(path)
+    require(fs.exists(p),
+      s"no committed vector index at $path (missing _meta — " +
+        "half-built index or wrong path); build one with " +
+        "VectorIndex.write")
+    val in = fs.open(p)
+    try {
+      val kv = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.split("=", 2)).collect {
+          case Array(a, b) => a -> b
+        }.toMap
+      (kv("m").toInt, kv("dim").toInt, kv("n").toLong)
+    } finally in.close()
+  }
+
+  /** Assemble and publish the index from its trained artifacts. */
+  def write(emb: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, codebook: DataFrame,
+            m: Int, dim: Int, path: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = fsFor(spark, path)
+    fs.delete(metaPath(path), false)
+    centroids.select(col("cell"), col("centv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.select(col("subspace"), col("code"), col("centv"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
+        m, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cellCodes")
+    val n = emb.count()
+    val out = fs.create(metaPath(path), true)
+    try out.write(s"m=$m\ndim=$dim\nn=$n\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `cell=<c>` partition directories matching `cells` — EXPLICIT
+    * paths (one driver listStatus), exposed package-private so the
+    * spec can assert the pruning contract on the literal path set.
+    */
+  private[graft] def prunedCellPaths(spark: SparkSession, path: String,
+                                     cells: Seq[Long]): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/cellCodes")
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val wanted = cells.map(c => s"cell=$c").toSet
+      fs.listStatus(base)
+        .filter(st => st.isDirectory && wanted(st.getPath.getName))
+        .map(_.getPath.toString).toSeq
+    }
+  }
+
+  /** The queries' probed cells, resolved driver-side: |queries|·nprobe
+    * rows — the bounded "query router" scalar of a real serving tier.
+    */
+  private[graft] def probedCells(queries: DataFrame, idCol: String,
+                                 vecCol: String, centroids: DataFrame,
+                                 nprobe: Int): Seq[Long] = {
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("cell"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("qdist", Similarity.cosine(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The full indexed serve: route queries to cells driver-side, read
+    * ONLY those cells' code partitions by explicit path, cell-local
+    * ADC shortlist, exact re-rank against the vector table. Results
+    * are bit-identical to the in-memory
+    * [[Similarity.ivfpqTopKReranked]] over the same artifacts — the
+    * index changes where codes come from, never the arithmetic.
+    *
+    * `emb` is the vector table stage 2 re-ranks from (the serving
+    * tier's vector store); only shortlisted ids are touched, by
+    * equi-join.
+    */
+  def topK(spark: SparkSession, path: String, emb: DataFrame,
+           idCol: String, vecCol: String,
+           queryPred: org.apache.spark.sql.Column,
+           k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
+    val (m, dim, _) = readMeta(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val queries = emb.filter(queryPred)
+    val cells = probedCells(queries, idCol, vecCol, centroids, nprobe)
+    val paths = prunedCellPaths(spark, path, cells)
+    require(paths.nonEmpty,
+      s"vector index at $path has no partitions for probed cells " +
+        s"$cells — empty index or cell scheme drift")
+    // basePath keeps the partition-encoded `cell` column on the
+    // pruned read
+    val cellCodes = spark.read
+      .option("basePath", s"$path/cellCodes").parquet(paths: _*)
+    Similarity.pqRerank(emb, idCol, vecCol, queryPred,
+      Similarity.ivfpqShortlist(queries, idCol, vecCol, centroids,
+        cellCodes, codebook, m, dim, rerank, nprobe), k)
+  }
+}

@@ -834,6 +834,55 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(shared.forall(identity), "rerank score drift vs bruteForce")
   }
 
+  test("vector index: serve reads only probed cell partitions, refuses uncommitted index") {
+    val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") % 50 === 0
+    val cents = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+      .localCheckpoint()
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      col("vec_id") % 17 === 5, rounds = 2).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-spec").toFile
+    try {
+      val path = dir.toString
+      graft.operators.VectorIndex.write(emb, "vec_id", "embedding",
+        cents, cb, m, dim, path)
+      // indexed serve == in-memory cell-routed serve, bit for bit
+      val mem = Similarity.ivfpqTopKReranked(emb, "vec_id", "embedding",
+        qp, cents, Similarity.pqEncodeCells(emb, "vec_id", "embedding",
+          cents, cb, m, dim), cb, m, dim,
+        k = 5, nprobe = 1, rerank = 10).collect().toSet
+      val served = graft.operators.VectorIndex.topK(spark, path, emb,
+        "vec_id", "embedding", qp, k = 5, nprobe = 1, rerank = 10)
+        .collect().toSet
+      assert(served == mem && served.nonEmpty)
+      // pruning contract: nprobe=1 probes a strict subset of the
+      // stored cell partitions (2 cells at this sf, 1 query), and
+      // the resolved paths all match probed cells
+      val stored = new java.io.File(path, "cellCodes").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      val cells = graft.operators.VectorIndex.probedCells(
+        emb.filter(qp), "vec_id", "embedding", cents, nprobe = 1)
+      val pruned = graft.operators.VectorIndex.prunedCellPaths(
+          spark, path, cells)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      assert(pruned == cells.map(c => s"cell=$c").toSet)
+      assert(pruned.subsetOf(stored) && pruned.size < stored.size,
+        s"probe should open fewer partitions than stored: " +
+          s"$pruned vs $stored")
+      // commit marker: a crash mid-rebuild leaves no _meta → loud
+      // refusal, never a half-vocabulary serve
+      assert(new java.io.File(path, "_meta").delete())
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.VectorIndex.topK(spark, path, emb,
+          "vec_id", "embedding", qp, k = 5, nprobe = 1, rerank = 10)
+      }
+      assert(e.getMessage.contains("_meta"))
+    } finally SparkTestSession.rmTree(dir)
+  }
+
   test("semantic near-dup: subset of pairwise, cell-local, trained quantizer adds recall") {
     val emb = Tables.table(spark, sf, "embeddings")
     val full = Similarity
