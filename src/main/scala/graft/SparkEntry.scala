@@ -740,6 +740,15 @@ object SparkEntry {
       Dedup.contaminationCheck(Tables.table(s, d, "documents"),
         "doc_id", "text",
         Corpus.hashBucket(col("doc_id"), "bench", 20) === 0)),
+    // ---- §2.6 D9b SEMANTIC contamination ----
+    // the dense complement of q_contamination: the same 5%-slice
+    // benchmark convention over the embeddings table, corpus vectors
+    // within cosine 0.30 of any benchmark vector flagged; the oracle
+    // recomputes every surviving pair's cosine
+    "q_contamination_semantic" -> ((s, d) =>
+      Similarity.semanticContamination(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding",
+        Corpus.hashBucket(col("vec_id"), "bench", 20) === 0, 0.30)),
     // ---- composed end-to-end LLM-corpus pipeline ----
     // The real composition the per-operator gates can't see: strip
     // (T6b) → normalize (T6) → exact-hash + MinHash near-dup pairs
@@ -991,15 +1000,20 @@ object SparkEntry {
     }),
     // ---- §2.7 A6b persisted vector index (serve shape) ----
     // the PRODUCTION form of q_ann_ivfpq: trained artifacts assembled
-    // into an on-disk index (codes partitioned by coarse cell, _meta
-    // commit marker), queries routed driver-side to their probed
-    // cells, ONLY those cell partitions read by explicit path. The
-    // contract: the indexed serve is bit-identical to the in-memory
-    // cell-routed serve over the same artifacts.
+    // into an on-disk index (codes partitioned by coarse cell inside
+    // atomic per-batch directories, _meta commit marker), queries
+    // routed driver-side to their probed cells, ONLY those cell
+    // partitions read by explicit path. The bootstrap lands an 80%
+    // slice and the remaining 20% arrives through the APPEND path
+    // (encoded with the STORED artifacts, atomic batch publish), so
+    // the gate's contract covers incremental dense ingest: the
+    // indexed serve over bootstrap+append is bit-identical to the
+    // in-memory cell-routed serve over the full corpus.
     "q_ann_index" -> ((s, d) => {
       val (m, dim) = (8, 64)
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
+      val isNew = Corpus.hashBucket(col("vec_id"), "inc", 5) === 0
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
         m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
         .persist()
@@ -1009,8 +1023,10 @@ object SparkEntry {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-vec-index").toString
         try {
-          graft.operators.VectorIndex.write(emb, "vec_id", "embedding",
-            cents, cb, m, dim, dir)
+          graft.operators.VectorIndex.write(emb.filter(!isNew),
+            "vec_id", "embedding", cents, cb, m, dim, dir)
+          graft.operators.VectorIndex.append(emb.filter(isNew),
+            "vec_id", "embedding", dir)
           val served = graft.operators.VectorIndex.topK(s, dir, emb,
             "vec_id", "embedding", qp, k = 10, nprobe = 6, rerank = 50)
             .collect()
@@ -2882,6 +2898,18 @@ object SparkEntry {
          |  packed_text
          |FROM packed""".stripMargin
     },
+    "q_contamination_semantic" ->
+      s"""WITH bench AS (
+         |  SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+         |  WHERE ${duckHashBucket("vec_id", "bench", 20)} = 0
+         |), corp AS (
+         |  SELECT vec_id AS doc_id, embedding AS cv FROM embeddings
+         |  WHERE ${duckHashBucket("vec_id", "bench", 20)} <> 0
+         |)
+         |SELECT doc_id, bench_id,
+         |  ROUND(${duckCos("cv", "bv")}, 6) AS cos_sim
+         |FROM corp CROSS JOIN bench
+         |WHERE ROUND(${duckCos("cv", "bv")}, 6) >= 0.30""".stripMargin,
     "q_contamination" ->
       s"""$duckShingles, bench AS (
          |  SELECT doc_id AS bid FROM documents

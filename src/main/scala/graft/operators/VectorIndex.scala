@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * vectors. What a 100 TB deployment keeps on disk is exactly this:
   *
   *   path/
-  *     centroids/            (cell, centv)        — coarse quantizer
-  *     codebook/             (subspace, code, centv) — PQ codebooks
-  *     cellCodes/cell=<c>/   (id, subspace, code) — codes PARTITIONED
-  *                                                  by coarse cell
-  *     _meta                 (m, dim, n)          — commit marker
+  *     centroids/              (cell, centv)        — coarse quantizer
+  *     codebook/               (subspace, code, centv) — PQ codebooks
+  *     batches/<bid>/cellCodes/cell=<c>/ (id, subspace, code)
+  *                             — one directory per ingested batch,
+  *                               codes PARTITIONED by coarse cell
+  *     _meta                   (m, dim)             — commit marker
   *
   * The training artifacts (centroids from [[Similarity.kmeansIterate]]
   * or any quantizer, codebook from [[Similarity.pqTrain]]) are INPUTS:
@@ -22,12 +23,21 @@ import org.apache.spark.sql.functions._
   * reference keeps between derivation and load jobs
   * (silver_to_gold.py:23 vs bigquery.py:105).
   *
+  * INCREMENTAL ingest is the D8b batch protocol verbatim: [[append]]
+  * encodes a new batch with the STORED artifacts (standard IVF
+  * behavior — appending never retrains; retrain-and-reindex is a
+  * separate scheduled rebuild), stages it under `_staging/<bid>`, and
+  * publishes with one atomic directory rename. A batch id that
+  * already has a published directory is refused loudly (O(1) probe),
+  * so redelivered embedding batches cannot double-count candidates.
+  *
   * Serve cost: a probe resolves its queries' probed cells DRIVER-side
   * (|queries|·nprobe rows — the "query router" of a real vector DB),
-  * opens only those `cell=<c>` partition directories by explicit
-  * path, and runs the cell-local ADC + exact re-rank of
-  * [[Similarity.ivfpqShortlist]]/[[Similarity.pqRerank]] over them.
-  * Scanned input ∝ probed cells, never the corpus.
+  * opens only those `cell=<c>` partition directories across the
+  * published batches by explicit path, and runs the cell-local ADC +
+  * exact re-rank of [[Similarity.ivfpqShortlist]]/
+  * [[Similarity.pqRerank]] over them. Scanned input ∝ probed cells,
+  * never the corpus.
   *
   * Commit protocol: tables first, `_meta` LAST (the
   * [[Bm25.writeBm25Index]] marker discipline) — a crash mid-build
@@ -44,7 +54,7 @@ object VectorIndex {
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
   private[graft] def readMeta(spark: SparkSession,
-                              path: String): (Int, Int, Long) = {
+                              path: String): (Int, Int) = {
     val fs = fsFor(spark, path)
     val p = metaPath(path)
     require(fs.exists(p),
@@ -57,11 +67,48 @@ object VectorIndex {
         .getLines().map(_.split("=", 2)).collect {
           case Array(a, b) => a -> b
         }.toMap
-      (kv("m").toInt, kv("dim").toInt, kv("n").toLong)
+      (kv("m").toInt, kv("dim").toInt)
     } finally in.close()
   }
 
-  /** Assemble and publish the index from its trained artifacts. */
+  /** Published batch directories under the index root. */
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath).toSeq
+  }
+
+  /** Stage a batch's cell-partitioned codes and publish them with one
+    * atomic rename; loud O(1) refusal of an already-published batch
+    * id (the [[Dedup.writeDedupIndex]] replay guard).
+    */
+  private def publishBatch(emb: DataFrame, idCol: String,
+                           vecCol: String, centroids: DataFrame,
+                           codebook: DataFrame, m: Int, dim: Int,
+                           path: String, bid: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = fsFor(spark, path)
+    val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
+    require(!fs.exists(target),
+      s"VectorIndex append refused: batch $bid is already published " +
+        s"at $target — a replayed embedding batch would double-count " +
+        "every candidate it carries; drop the stale directory first " +
+        "if this is an intentional re-ingest")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$path/_staging/$bid/cellCodes")
+    Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
+        m, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(staging.getParent, target),
+      s"atomic publish of batch $bid failed (staging → $target)")
+  }
+
+  /** Assemble and publish the index from its trained artifacts; the
+    * initial corpus lands as batch `bootstrap`.
+    */
   def write(emb: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, codebook: DataFrame,
             m: Int, dim: Int, path: String): Unit = {
@@ -72,28 +119,44 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     codebook.select(col("subspace"), col("code"), col("centv"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
-        m, dim)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cellCodes")
-    val n = emb.count()
+    publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
+      path, "bootstrap")
     val out = fs.create(metaPath(path), true)
-    try out.write(s"m=$m\ndim=$dim\nn=$n\n".getBytes("UTF-8"))
+    try out.write(s"m=$m\ndim=$dim\n".getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The `cell=<c>` partition directories matching `cells` — EXPLICIT
-    * paths (one driver listStatus), exposed package-private so the
-    * spec can assert the pruning contract on the literal path set.
+  /** Daily dense ingest: encode `emb` with the STORED artifacts and
+    * publish it as one atomic batch directory. Never retrains, never
+    * touches existing batches — `mode = "append"` in the reference's
+    * warehouse sense (bigquery.py:141). Returns the published batch
+    * id (content-derived from the batch's id set unless supplied).
+    */
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+             path: String, batchId: Option[String] = None): String = {
+    val spark = emb.sparkSession
+    val (m, dim) = readMeta(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val bid = batchId.getOrElse(Dedup.batchId(emb, idCol))
+    publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
+      path, bid)
+    bid
+  }
+
+  /** The `cell=<c>` partition directories matching `cells`, across
+    * every published batch — EXPLICIT paths (one driver listStatus
+    * per batch dir), exposed package-private so the spec can assert
+    * the pruning contract on the literal path set.
     */
   private[graft] def prunedCellPaths(spark: SparkSession, path: String,
                                      cells: Seq[Long]): Seq[String] = {
     val fs = fsFor(spark, path)
-    val base = new org.apache.hadoop.fs.Path(s"$path/cellCodes")
-    if (!fs.exists(base)) Seq.empty
-    else {
-      val wanted = cells.map(c => s"cell=$c").toSet
-      fs.listStatus(base)
+    val wanted = cells.map(c => s"cell=$c").toSet
+    batchDirs(fs, path).flatMap { b =>
+      val cc = new org.apache.hadoop.fs.Path(b, "cellCodes")
+      if (!fs.exists(cc)) Seq.empty
+      else fs.listStatus(cc)
         .filter(st => st.isDirectory && wanted(st.getPath.getName))
         .map(_.getPath.toString).toSeq
     }
@@ -118,11 +181,12 @@ object VectorIndex {
   }
 
   /** The full indexed serve: route queries to cells driver-side, read
-    * ONLY those cells' code partitions by explicit path, cell-local
-    * ADC shortlist, exact re-rank against the vector table. Results
-    * are bit-identical to the in-memory
-    * [[Similarity.ivfpqTopKReranked]] over the same artifacts — the
-    * index changes where codes come from, never the arithmetic.
+    * ONLY those cells' code partitions (across all published batches)
+    * by explicit path, cell-local ADC shortlist, exact re-rank
+    * against the vector table. Results are bit-identical to the
+    * in-memory [[Similarity.ivfpqTopKReranked]] over the same
+    * artifacts — the index changes where codes come from, never the
+    * arithmetic.
     *
     * `emb` is the vector table stage 2 re-ranks from (the serving
     * tier's vector store); only shortlisted ids are touched, by
@@ -133,7 +197,7 @@ object VectorIndex {
            queryPred: org.apache.spark.sql.Column,
            k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must cover k=$k")
-    val (m, dim, _) = readMeta(spark, path)
+    val (m, dim) = readMeta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val queries = emb.filter(queryPred)
@@ -142,10 +206,16 @@ object VectorIndex {
     require(paths.nonEmpty,
       s"vector index at $path has no partitions for probed cells " +
         s"$cells — empty index or cell scheme drift")
-    // basePath keeps the partition-encoded `cell` column on the
-    // pruned read
-    val cellCodes = spark.read
-      .option("basePath", s"$path/cellCodes").parquet(paths: _*)
+    // one scan relation per probed CELL (its directories across all
+    // batches union in a single read); the partition-encoded cell
+    // value is recovered from the directory name, so no
+    // basePath-wide discovery runs — plan size is bounded by the
+    // probed-cell count, not the batch count
+    val cellCodes = paths
+      .groupBy(p => p.substring(p.lastIndexOf("cell=") + 5).toLong)
+      .map { case (c, ps) =>
+        spark.read.parquet(ps: _*).withColumn("cell", lit(c))
+      }.reduce(_.unionByName(_))
     Similarity.pqRerank(emb, idCol, vecCol, queryPred,
       Similarity.ivfpqShortlist(queries, idCol, vecCol, centroids,
         cellCodes, codebook, m, dim, rerank, nprobe), k)

@@ -834,10 +834,11 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(shared.forall(identity), "rerank score drift vs bruteForce")
   }
 
-  test("vector index: serve reads only probed cell partitions, refuses uncommitted index") {
+  test("vector index: append is atomic and replay-refused, serve prunes to probed cells across batches") {
     val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
     val (m, dim) = (4, 64)
     val qp = col("vec_id") % 50 === 0
+    val isNew = col("vec_id") >= 40
     val cents = emb.filter(col("vec_id") % 37 === 1)
       .select(col("vec_id").as("cell"), col("embedding").as("centv"))
       .localCheckpoint()
@@ -847,9 +848,21 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .createTempDirectory("graft-vecidx-spec").toFile
     try {
       val path = dir.toString
-      graft.operators.VectorIndex.write(emb, "vec_id", "embedding",
-        cents, cb, m, dim, path)
-      // indexed serve == in-memory cell-routed serve, bit for bit
+      graft.operators.VectorIndex.write(emb.filter(!isNew), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      val bid = graft.operators.VectorIndex.append(emb.filter(isNew),
+        "vec_id", "embedding", path)
+      // replay guard: the same batch id is refused loudly, and the
+      // refused attempt leaves the published batch set unchanged
+      val e0 = intercept[IllegalArgumentException] {
+        graft.operators.VectorIndex.append(emb.filter(isNew),
+          "vec_id", "embedding", path)
+      }
+      assert(e0.getMessage.contains(bid))
+      assert(new java.io.File(path, "batches").listFiles()
+        .map(_.getName).toSet == Set("bootstrap", bid))
+      // indexed serve over bootstrap+append == in-memory serve over
+      // the full corpus, bit for bit
       val mem = Similarity.ivfpqTopKReranked(emb, "vec_id", "embedding",
         qp, cents, Similarity.pqEncodeCells(emb, "vec_id", "embedding",
           cents, cb, m, dim), cb, m, dim,
@@ -859,21 +872,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         .collect().toSet
       assert(served == mem && served.nonEmpty)
       // pruning contract: nprobe=1 probes a strict subset of the
-      // stored cell partitions (2 cells at this sf, 1 query), and
-      // the resolved paths all match probed cells
-      val stored = new java.io.File(path, "cellCodes").listFiles()
+      // stored cell partitions (2 cells at this sf, 1 query); the
+      // resolved paths all match probed cells and span BOTH batches
+      val stored = new java.io.File(path, "batches").listFiles()
+        .flatMap(b => new java.io.File(b, "cellCodes").listFiles())
         .filter(_.isDirectory).map(_.getName).toSet
       val cells = graft.operators.VectorIndex.probedCells(
         emb.filter(qp), "vec_id", "embedding", cents, nprobe = 1)
-      val pruned = graft.operators.VectorIndex.prunedCellPaths(
-          spark, path, cells)
+      val prunedPaths = graft.operators.VectorIndex.prunedCellPaths(
+        spark, path, cells)
+      val pruned = prunedPaths
         .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
       assert(pruned == cells.map(c => s"cell=$c").toSet)
       assert(pruned.subsetOf(stored) && pruned.size < stored.size,
         s"probe should open fewer partitions than stored: " +
           s"$pruned vs $stored")
+      assert(prunedPaths.map(_.split('/').takeRight(3).head).toSet ==
+        Set("bootstrap", bid),
+        "probed cell partitions should come from every published batch")
       // commit marker: a crash mid-rebuild leaves no _meta → loud
-      // refusal, never a half-vocabulary serve
+      // refusal, never a half-built serve
       assert(new java.io.File(path, "_meta").delete())
       val e = intercept[IllegalArgumentException] {
         graft.operators.VectorIndex.topK(spark, path, emb,
@@ -881,6 +899,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("_meta"))
     } finally SparkTestSession.rmTree(dir)
+  }
+
+  test("semantic contamination: planted paraphrase flagged, benchmark excluded from corpus side") {
+    import spark.implicits._
+    val base = Array.fill(8)(0.0)
+    def v(xs: (Int, Double)*) = {
+      val a = base.clone(); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    // 100 = benchmark item; 1 = near-copy (cos ~0.98); 2 = unrelated
+    // (orthogonal); 101 = another benchmark item near 100 — must NOT
+    // appear on the corpus side
+    val emb = Seq(
+      (100L, v(0 -> 1.0, 1 -> 0.1)),
+      (101L, v(0 -> 0.9, 1 -> 0.2)),
+      (1L, v(0 -> 1.0, 1 -> 0.15)),
+      (2L, v(5 -> 1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(emb, "vec_id",
+      "embedding", col("vec_id") >= 100L, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the near-copy is flagged against BOTH benchmark neighbors
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 100L), (1L, 101L)))
+    assert(got.forall(_._3 >= 0.8))
+    // corpus side excludes benchmark rows (100 vs 101 not reported),
+    // orthogonal doc untouched
+    assert(!got.exists(t => t._1 >= 100L || t._1 == 2L))
   }
 
   test("semantic near-dup: subset of pairwise, cell-local, trained quantizer adds recall") {
