@@ -677,6 +677,33 @@ object Similarity {
         codes, codebook, m, dim, rerank), k)
   }
 
+  /** D9b — SEMANTIC contamination check: eval-set leakage detection
+    * in embedding space, the dense complement of the lexical n-gram
+    * [[Dedup.contaminationCheck]] (a paraphrased benchmark item
+    * shares no 3-grams but still sits next to its source in
+    * embedding space). Flags corpus vectors within `minCos` of ANY
+    * benchmark vector, with the D9 scale argument verbatim: the
+    * benchmark side BROADCASTS (eval sets are small by definition)
+    * and the corpus streams through one scan — n·|bench| comparisons
+    * map-side, no shuffle, no pair table. For benchmark suites past
+    * broadcast size, run the benchmark as QUERIES through the
+    * persisted [[VectorIndex]] instead (same cosine math, probed-cell
+    * cost); this form is the exact reference the index probe is
+    * measured against.
+    */
+  def semanticContamination(emb: DataFrame, idCol: String,
+                            vecCol: String, isBenchmark: Column,
+                            minCos: Double): DataFrame = {
+    val bench = emb.filter(isBenchmark)
+      .select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    emb.filter(!isBenchmark)
+      .select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
+      .join(broadcast(bench))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("bv")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("doc_id"), col("bench_id"), col("cos_sim"))
+  }
+
   // ---- A6 — IVFPQ: cell-routed product quantization --------------
 
   /** The IVFPQ index's candidate table: every vector's PQ codes KEYED
