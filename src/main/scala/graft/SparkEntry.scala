@@ -1609,6 +1609,71 @@ object SparkEntry {
             "silver_deduped", "n_docs_source")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.7 O6b streaming dense-index ingest ----
+    // the CONTINUOUS form of q_ann_index's append path: an 80%
+    // bootstrap index, the 20% slice streamed in as one-file
+    // micro-batches, each published atomically through
+    // VectorIndex.append. Contract: the stream lands (batch dirs
+    // appear), a same-checkpoint restart is a no-op, a
+    // fresh-checkpoint redelivery is refused batch-by-batch, and the
+    // served top-k over the streamed index is bit-identical to the
+    // in-memory serve over the full corpus.
+    "q_stream_vectors" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-vstream-gate").toString
+      try {
+        val (m, dim) = (8, 64)
+        val emb = Tables.table(s, d, "embeddings")
+        val qp = col("vec_id") % 50 === 0
+        val isNew = Corpus.hashBucket(col("vec_id"), "vinc", 5) === 0
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m, dim, initPred = col("vec_id") % 17 === 5, rounds = 2)
+          .persist()
+        try {
+          val cents = emb.filter(col("vec_id") % 37 === 1)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("centv"))
+          val idx = s"$out/index"
+          graft.operators.VectorIndex.write(emb.filter(!isNew),
+            "vec_id", "embedding", cents, cb, m, dim, idx)
+          val src = s"$out/incoming"
+          emb.filter(isNew).repartition(3).write.parquet(src)
+          def batches() = new java.io.File(s"$idx/batches")
+            .listFiles().count(_.isDirectory)
+          def run(ckpt: String): Unit = {
+            graft.streaming.VectorStream.vectorIndexSink(
+              s.readStream
+                .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, " +
+                  "label INT")
+                .option("maxFilesPerTrigger", "1").parquet(src),
+              idx, s"$out/$ckpt")
+            ()
+          }
+          val b0 = batches()
+          run("ckpt")
+          val b1 = batches()
+          run("ckpt") // restart, same checkpoint: nothing new to read
+          val b2 = batches()
+          run("ckpt2") // fresh checkpoint: redelivery, all refused
+          val b3 = batches()
+          val served = graft.operators.VectorIndex.topK(s, idx, emb,
+            "vec_id", "embedding", qp, k = 10, nprobe = 6,
+            rerank = 50).collect()
+          val mem = Similarity.ivfpqTopKReranked(emb, "vec_id",
+            "embedding", qp, cents,
+            graft.Checkpoints.truncate(Similarity.pqEncodeCells(emb,
+              "vec_id", "embedding", cents, cb, m, dim)),
+            cb, m, dim, k = 10, nprobe = 6, rerank = 50).collect()
+          import s.implicits._
+          Seq((b1 > b0, b2 == b1, b3 == b1,
+              served.toSet == mem.toSet && served.nonEmpty,
+              emb.count()))
+            .toDF("stream_landed", "restart_noop",
+              "redelivery_skipped", "serve_equals_inmemory",
+              "n_vectors_source")
+        } finally cb.unpersist()
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.10/§2.11 batch decision introspection, driver-gated ----
     // classifyBatch = corpusIncrement's accept/reject decision as a
     // DRY-RUN report. Outcome contract: labels partition the batch
@@ -2460,6 +2525,11 @@ object SparkEntry {
       """SELECT true AS stream_landed, true AS restart_noop,
         |  true AS redelivery_skipped, true AS silver_deduped,
         |  (SELECT count(*) FROM documents) AS n_docs_source""".stripMargin,
+    "q_stream_vectors" ->
+      """SELECT true AS stream_landed, true AS restart_noop,
+        |  true AS redelivery_skipped, true AS serve_equals_inmemory,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors_source"""
+        .stripMargin,
     // n_docs_classified = the day-1 hash slice plus the two planted
     // duplicates, recounted from the raw table
     "q_corpus_classify" ->
