@@ -180,6 +180,74 @@ object VectorIndex {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  /** Remove one published batch — the executable repair for a batch
+    * ingested with bad embeddings (re-encode and re-append it after).
+    * Returns true if the batch existed.
+    */
+  def dropBatch(spark: SparkSession, path: String,
+                batchId: String): Boolean = {
+    val fs = fsFor(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$batchId"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"),
+      true)
+  }
+
+  /** Index MAINTENANCE: merge every published batch's codes into ONE
+    * batch directory — the compaction a years-lived daily ingest
+    * eventually needs (file and directory counts grow one batch per
+    * day). Correctness-preserving by construction: probes read the
+    * same (id, cell, subspace, code) row set afterwards.
+    *
+    * The REPLAY CONTRACT survives compaction: superseded batch
+    * directories are kept as payload-free tombstones, so [[append]]
+    * refuses re-submissions exactly as before, and
+    * [[prunedCellPaths]] already skips directories without a
+    * `cellCodes` table, so tombstones cost nothing at read time.
+    *
+    * Crash honesty: the merged batch publishes first (atomic
+    * rename), then old payloads delete. A crash between the two
+    * leaves exact-duplicate code rows visible — which [[topK]]'s
+    * read-side dropDuplicates already tolerates, so the residue
+    * degrades performance, never scores; re-run the compaction to
+    * finish the cleanup. Returns the merged batch's id.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val fs = fsFor(spark, path)
+    val dirs = batchDirs(fs, path)
+    require(dirs.nonEmpty, s"no published batches to compact at $path")
+    val all = dirs.flatMap { b =>
+      val cc = new org.apache.hadoop.fs.Path(b, "cellCodes")
+      if (!fs.exists(cc)) Seq.empty
+      else fs.listStatus(cc).filter(_.isDirectory).map(_.getPath)
+    }
+    require(all.nonEmpty, s"no code partitions to compact at $path")
+    val codes = all
+      .groupBy(p => p.getName.stripPrefix("cell=").toLong)
+      .map { case (c, ps) =>
+        spark.read.parquet(ps.map(_.toString): _*)
+          .withColumn("cell", lit(c))
+      }.reduce(_.unionByName(_))
+      .dropDuplicates("id", "subspace", "code", "cell")
+    val cid = Dedup.batchId(codes.select("id").distinct(), "id")
+    val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+    if (!fs.exists(merged)) {
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$path/_staging/$cid")
+      fs.delete(staging, true)
+      codes.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/cellCodes")
+      if (!fs.rename(staging, merged)) throw new IllegalStateException(
+        s"cannot publish compacted batch $staging to $merged")
+    }
+    // tombstone the superseded batches: drop payloads, keep the
+    // directory so replay refusal is unchanged
+    batchDirs(fs, path).filter(_.getName != cid).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(b, "cellCodes"), true); ()
+    }
+    cid
+  }
+
   /** The full indexed serve: route queries to cells driver-side, read
     * ONLY those cells' code partitions (across all published batches)
     * by explicit path, cell-local ADC shortlist, exact re-rank
@@ -210,12 +278,18 @@ object VectorIndex {
     // batches union in a single read); the partition-encoded cell
     // value is recovered from the directory name, so no
     // basePath-wide discovery runs — plan size is bounded by the
-    // probed-cell count, not the batch count
+    // probed-cell count, not the batch count. The exact-row
+    // dropDuplicates is defense in depth on probed-cells-sized data:
+    // a crash inside [[compact]]'s publish-then-delete window leaves
+    // exact-duplicate code rows visible, which would otherwise
+    // double the ADC partial sums (the dedup index's
+    // dedupe-on-read discipline)
     val cellCodes = paths
       .groupBy(p => p.substring(p.lastIndexOf("cell=") + 5).toLong)
       .map { case (c, ps) =>
         spark.read.parquet(ps: _*).withColumn("cell", lit(c))
       }.reduce(_.unionByName(_))
+      .dropDuplicates("id", "subspace", "code", "cell")
     Similarity.pqRerank(emb, idCol, vecCol, queryPred,
       Similarity.ivfpqShortlist(queries, idCol, vecCol, centroids,
         cellCodes, codebook, m, dim, rerank, nprobe), k)

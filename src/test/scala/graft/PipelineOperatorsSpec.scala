@@ -901,6 +901,62 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     } finally SparkTestSession.rmTree(dir)
   }
 
+  test("vector index: compaction preserves serve and replay refusal; duplicate payloads don't skew ADC") {
+    val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") % 50 === 0
+    val isNew = col("vec_id") >= 40
+    val cents = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+      .localCheckpoint()
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      col("vec_id") % 17 === 5, rounds = 2).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-veccompact-spec").toFile
+    try {
+      val path = dir.toString
+      import graft.operators.VectorIndex
+      VectorIndex.write(emb.filter(!isNew), "vec_id", "embedding",
+        cents, cb, m, dim, path)
+      val bid = VectorIndex.append(emb.filter(isNew), "vec_id",
+        "embedding", path)
+      def serve() = VectorIndex.topK(spark, path, emb, "vec_id",
+        "embedding", qp, k = 5, nprobe = 1, rerank = 10)
+        .collect().toSet
+      val before = serve()
+      assert(before.nonEmpty)
+      // an exact-duplicate payload under a DIFFERENT batch id (the
+      // compaction crash-window shape) must not skew ADC sums
+      VectorIndex.append(emb.filter(isNew), "vec_id", "embedding",
+        path, batchId = Some("dup-copy"))
+      assert(serve() == before,
+        "duplicate code rows changed the served ranking")
+      // compaction: one merged batch, superseded dirs tombstoned
+      // payload-free, serve identical
+      val cid = VectorIndex.compact(spark, path)
+      val batchDirs = new java.io.File(path, "batches").listFiles()
+        .filter(_.isDirectory)
+      assert(batchDirs.map(_.getName).toSet ==
+        Set("bootstrap", bid, "dup-copy", cid))
+      batchDirs.filter(_.getName != cid).foreach(b =>
+        assert(!new java.io.File(b, "cellCodes").exists,
+          s"tombstone ${b.getName} kept its payload"))
+      assert(serve() == before, "compaction changed the served ranking")
+      // the replay contract survives: the original batch id still
+      // refuses re-submission off its tombstone
+      val e = intercept[IllegalArgumentException] {
+        VectorIndex.append(emb.filter(isNew), "vec_id", "embedding",
+          path)
+      }
+      assert(e.getMessage.contains(bid))
+      // repair tooling: dropping the merged batch empties the index
+      // and the serve refuses loudly instead of returning nothing
+      assert(VectorIndex.dropBatch(spark, path, cid))
+      val e2 = intercept[IllegalArgumentException] { serve() }
+      assert(e2.getMessage.contains("no partitions"))
+    } finally SparkTestSession.rmTree(dir)
+  }
+
   test("semantic contamination: planted paraphrase flagged, benchmark excluded from corpus side") {
     import spark.implicits._
     val base = Array.fill(8)(0.0)
