@@ -155,7 +155,7 @@ object Bm25 {
 
   private[graft] def readBm25Meta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long, String) = {
+      path: String): (Long, Long, String, String) = {
     val fs = fsFor(spark, path)
     val p = bm25MetaPath(path)
     require(fs.exists(p),
@@ -167,7 +167,8 @@ object Bm25 {
         .getLines().map(_.split("=", 2)).collect {
           case Array(a, b) => a -> b
         }.toMap
-      (kv("n").toLong, kv("sum_len").toLong, kv("id_col"))
+      (kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
+        kv.getOrElse("id_type", "bigint"))
     } finally in.close()
   }
 
@@ -215,10 +216,15 @@ object Bm25 {
         .parquet(s"$path/postings")
       val s = base.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
         .head()
+      // id column NAME and TYPE both pin to the meta: the probe's
+      // empty-result branch must produce the exact schema a non-empty
+      // probe would, or downstream unions/comparisons break on the
+      // no-match case
+      val idType = docs.schema(idCol).dataType.sql
       val out = fs.create(bm25MetaPath(path), true)
       try out.write(
-        s"n=${s.getLong(0)}\nsum_len=${s.getLong(1)}\nid_col=$idCol\n"
-          .getBytes("UTF-8"))
+        (s"n=${s.getLong(0)}\nsum_len=${s.getLong(1)}\n" +
+          s"id_col=$idCol\nid_type=$idType\n").getBytes("UTF-8"))
       finally out.close()
     } finally { base.unpersist(); () }
   }
@@ -239,13 +245,13 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"query has no tokens: '$query'")
-    val (n, sl, idCol) = readBm25Meta(spark, path)
+    val (n, sl, idCol, idType) = readBm25Meta(spark, path)
     val paths = prunedPostingPaths(spark, path, terms)
     if (paths.isEmpty) {
       // no stored partition matches any query term → empty result,
-      // same schema as the scored path
+      // same schema (names AND types, from the meta) as a scored probe
       val empty = spark.emptyDataFrame
-        .withColumn(idCol, lit(null).cast("bigint"))
+        .withColumn(idCol, lit(null).cast(idType))
         .withColumn("score", lit(null).cast("double"))
         .withColumn("rank", lit(null).cast("bigint"))
       empty.filter(lit(false))

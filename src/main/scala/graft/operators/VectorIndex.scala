@@ -95,6 +95,10 @@ object VectorIndex {
         s"at $target — a replayed embedding batch would double-count " +
         "every candidate it carries; drop the stale directory first " +
         "if this is an intentional re-ingest")
+    // clear any crashed prior stage wholesale before re-staging, so
+    // residue files can never ride the rename into the live index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$bid"),
+      true)
     val staging = new org.apache.hadoop.fs.Path(
       s"$path/_staging/$bid/cellCodes")
     Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
