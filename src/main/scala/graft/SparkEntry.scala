@@ -650,6 +650,27 @@ object SparkEntry {
       graft.operators.Bm25.rrfFuse(Seq(lexical, bridged), "doc_id",
         k = 20)
     }),
+    // ---- §2.8 T14 LM-perplexity quality filter ----
+    // the CCNet-style trained quality gate: a bigram LM with add-0.5
+    // smoothing trained on the 80% held-in hash slice, every document
+    // scored by mean per-bigram negative log-likelihood, keep flag at
+    // nll <= 3.39 (the corpus median — a real split); the oracle recomputes counts, V, every smoothed
+    // probability, the 9-dp rounded log stream, and the 6-dp mean
+    "q_text_perplexity" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val heldin = docs.filter(
+        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
+      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
+        .persist()
+      try {
+        val v = graft.operators.LangModel.vocabSize(heldin, "text")
+        graft.operators.LangModel
+          .perplexityReport(docs, "doc_id", "text", bg, v)
+          .withColumn("keep", col("nll") <= 3.39)
+          .localCheckpoint()
+      } finally { bg.unpersist(); () }
+    }),
     // ---- §2.8 T12 logistic-regression classifier training ----
     // four GD rounds learning lang=='en' from the quality-report
     // features; the oracle unrolls every iteration (sigmoid, rounded
@@ -2010,6 +2031,54 @@ object SparkEntry {
        |FROM fu QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Portable perplexity mirror (LangModel): bigram counts from the
+    * held-in slice, derived left-context sums, the V scalar, smoothed
+    * probabilities as one IEEE division of exact integers, 9-dp
+    * rounded ln per bigram, exact decimal sum, 6-dp mean NLL.
+    */
+  private def duckPerplexitySql(alpha: Double, maxNll: Double): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+       |  FROM documents
+       |), hi AS (
+       |  SELECT t FROM tok
+       |  WHERE ${duckHashBucket("doc_id", "lm", 5)} <> 0
+       |), hbg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+       |    SELECT t, unnest(range(1, len(t))) AS i
+       |    FROM hi WHERE len(t) >= 2)
+       |), bg AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+       |  FROM hbg GROUP BY w1, w2
+       |), uni AS (
+       |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM bg GROUP BY w1
+       |), vv AS (
+       |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+       |    SELECT unnest(t) AS tk FROM hi)
+       |), pairs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |    FROM tok WHERE len(t) >= 2)
+       |), lp AS (
+       |  SELECT doc_id, CAST(ROUND(ln(
+       |      (CAST(COALESCE(bg.n12, 0) AS DOUBLE) + $alpha) /
+       |      (CAST(COALESCE(uni.n1, 0) AS DOUBLE)
+       |        + $alpha * CAST(vv.v AS DOUBLE))), 9)
+       |    AS DECIMAL(18,9)) AS lp
+       |  FROM pairs
+       |  LEFT JOIN bg USING (w1, w2)
+       |  LEFT JOIN uni USING (w1)
+       |  CROSS JOIN vv
+       |), sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    ROUND(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE),
+       |      6) AS nll
+       |  FROM lp GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, nll, nll <= $maxNll AS keep
+       |FROM sc""".stripMargin
+
   /** Portable logistic-GD mirror (Classifier.trainLogistic): every
     * iteration unrolled — sigmoid margins against the previous
     * round's one-row weight CTE, 8-dp-rounded decimal gradient sums,
@@ -2722,6 +2791,7 @@ object SparkEntry {
     "q_text_bpe" -> duckBpeSql(6),
     "q_text_bpe_encode" -> duckBpeEncodeSql(6),
     "q_text_classifier" -> duckLogisticSql(4, 1.0),
+    "q_text_perplexity" -> duckPerplexitySql(0.5, 3.39),
     "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     // the indexed probe is an execution strategy over identical
     // semantics — same mirror

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** T14 — n-gram language-model PERPLEXITY filtering (SURVEY.md §2.8):
+  * the CCNet-style quality gate — train a small LM on a trusted
+  * held-in slice, score every document by mean per-token negative
+  * log-likelihood, keep the low-perplexity tail. The fourth member of
+  * the trained-artifact family (k-means, BPE, logistic regression):
+  * training is corpus-scan aggregation into a bounded model table,
+  * serving is a join against that table.
+  *
+  * Model: bigram with add-α smoothing —
+  * P(w₂|w₁) = (C(w₁,w₂) + α) / (C(w₁) + α·V), where C(w₁) is derived
+  * as Σ_w₂ C(w₁,w₂) (so the conditional normalizes exactly) and V is
+  * the training slice's distinct-token count. Unseen bigrams fall
+  * back to α-mass; unseen left-contexts to 1/V. Tokens are the
+  * corpus-wide [[graft.functions.TextFunctions.BpePattern]] stream
+  * over lowercased text — the same convention as BM25/BPE, so one
+  * tokenize discipline covers every text operator.
+  *
+  * Cross-engine exactness (the BM25 discipline): every probability
+  * input is an exact integer (counts, V), the quotient is one
+  * correctly-rounded IEEE division, the ln's possible last-ulp libm
+  * difference dies in 9-dp per-bigram rounding, per-document sums run
+  * in exact decimal, and the final mean NLL is one division of that
+  * exact sum by an integer, rounded to 6 dp — the DuckDB oracle
+  * recomputes the whole trajectory bit-for-bit.
+  *
+  * Scale shape: training is ONE corpus scan into a groupBy (map-side
+  * combine; the model table is bigram-vocabulary-bounded, further
+  * prunable by a df floor for broadcast serving — the KenLM-pruning
+  * analog); scoring is one scan of the corpus joined to the model
+  * (broadcast when the model fits, shuffle hash join on (w1, w2)
+  * otherwise) with no window and no driver state beyond the V scalar.
+  */
+object LangModel {
+
+  private def tokensOf(textCol: Column): Column =
+    graft.functions.TextFunctions.bpeTokens(lower(textCol))
+
+  /** The adjacent-pair stream of each document with ≥ 2 tokens:
+    * (…, w1, w2), one row per bigram occurrence.
+    */
+  private def bigramsOf(docs: DataFrame, textCol: String,
+                        keep: Column*): DataFrame =
+    docs.select(keep :+ tokensOf(col(textCol)).as("__t"): _*)
+      .filter(size(col("__t")) >= 2)
+      .select(keep :+ explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__p"): _*)
+      .select(keep :+ col("__p.0").as("w1") :+ col("__p.1").as("w2"): _*)
+
+  /** TRAIN: the bigram count table (w1, w2, n12) from the held-in
+    * slice — the entire model, bounded by the slice's bigram
+    * vocabulary. `minCount` prunes the tail (KenLM-style) so the
+    * serving join's build side stays broadcastable on a real corpus;
+    * pruned mass falls back to the smoothing term like any unseen
+    * bigram.
+    */
+  def trainBigramLm(docs: DataFrame, textCol: String,
+                    minCount: Long = 1L): DataFrame =
+    bigramsOf(docs, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+
+  /** The training slice's distinct-token count — the model's V
+    * scalar (one aggregate, pulled once at train time and pinned
+    * beside the count table).
+    */
+  def vocabSize(docs: DataFrame, textCol: String): Long =
+    docs.select(explode(tokensOf(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+
+  /** SCORE: mean per-bigram negative log-likelihood of every document
+    * with ≥ 2 tokens under the trained model —
+    * (idCol, n_bigrams, nll). Lower is more fluent; shorter docs are
+    * absent (no bigrams to score — an explicit contract, not a
+    * silent 0). One corpus scan, two left joins against the model
+    * (broadcast-eligible), one combinable aggregate.
+    */
+  def perplexityReport(docs: DataFrame, idCol: String, textCol: String,
+                       bigrams: DataFrame, vocab: Long,
+                       alpha: Double = 0.5): DataFrame = {
+    require(vocab > 0, s"vocab must be positive, got $vocab")
+    val uni = bigrams.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val p = (coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
+      (coalesce(col("n1"), lit(0L)).cast("double") + alpha * vocab)
+    bigramsOf(docs, textCol, col(idCol))
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select(col(idCol),
+        round(log(p), 9).cast("decimal(18,9)").as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(negate(sum(col("__lp")).cast("double")) /
+          count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
+  /** FILTER: the trained-quality gate — keep documents whose mean
+    * NLL clears `maxNll` (the [[Corpus]] trainingFilter shape, with
+    * the learned score in place of heuristics).
+    */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                       bigrams: DataFrame, vocab: Long, maxNll: Double,
+                       alpha: Double = 0.5): DataFrame =
+    docs.join(
+      perplexityReport(docs, idCol, textCol, bigrams, vocab, alpha)
+        .filter(col("nll") <= maxNll)
+        .select(col(idCol)),
+      Seq(idCol))
+}

@@ -671,6 +671,50 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexity filter: in-domain text scores lower NLL than unseen gibberish, short docs unscoreable") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val fluent = "the quick brown fox jumps over the lazy dog and " +
+      "the dog sleeps under the tree while the fox runs away"
+    val train = Seq((1L, fluent), (2L, fluent), (3L, fluent))
+      .toDF("doc_id", "text")
+    val bg = LangModel.trainBigramLm(train, "text")
+    val v = LangModel.vocabSize(train, "text")
+    // C(w1) derived from bigram sums: the conditional normalizes —
+    // Σ_w2 (C(w1,w2)+α)/(C(w1)+αV) over ALL V words = 1 exactly
+    val byLeft = bg.groupBy("w1").agg(sum("n12").as("n1")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seenMass = bg.collect().map { r =>
+      (r.getString(0),
+        (r.getLong(2) + 0.5) / (byLeft(r.getString(0)) + 0.5 * v))
+    }.groupBy(_._1).map { case (w1, ps) =>
+      ps.map(_._2).sum + (v - ps.size) * 0.5 / (byLeft(w1) + 0.5 * v)
+    }
+    seenMass.foreach(m => assert(math.abs(m - 1.0) < 1e-9,
+      s"conditional mass $m != 1"))
+    val score = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // in-domain
+      (11L, "zxq vbn qwerty plok mnbv asdf zxcv uiop hjkl"), // unseen
+      (12L, "single"))                                       // 1 token
+      .toDF("doc_id", "text")
+    val got = LangModel.perplexityReport(score, "doc_id", "text", bg, v)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(10L, 11L), "1-token doc must be absent")
+    assert(got(10L) < got(11L),
+      s"in-domain ${got(10L)} should beat gibberish ${got(11L)}")
+    // the gibberish doc's every bigram is the unseen-context floor
+    // 1/V — its NLL is exactly round(-round(ln(1/V),9),6)
+    val floor = BigDecimal(-BigDecimal(math.log(1.0 / v))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(11L) == floor, s"${got(11L)} vs floor $floor")
+    // the filter keeps exactly the docs clearing the threshold
+    val kept = LangModel.perplexityFilter(score, "doc_id", "text",
+      bg, v, maxNll = (got(10L) + got(11L)) / 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L))
+  }
+
   test("rrfFuse: doubly-ranked ids beat single-list wins, missing ids contribute nothing") {
     import spark.implicits._
     import graft.operators.Bm25
