@@ -129,22 +129,26 @@ object Bm25 {
     new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
-  /** The `term_p=<prefix>` partition directories of a stored index
-    * that match the query's terms — EXPLICIT paths (one driver
-    * listStatus, no data read), so the probe's scanned input is
-    * proportional to the query's term count, never the corpus
-    * vocabulary. Exposed package-private so the spec can assert the
+  /** The `term_p=<prefix>` partition directories matching the query's
+    * terms, across every batch LISTED IN THE META — EXPLICIT paths
+    * (one driver listStatus per listed batch, no data read), so the
+    * probe's scanned input is proportional to the query's term count
+    * and the ingest-batch count, never the corpus vocabulary. Only
+    * meta-listed batches are visible: a batch directory whose meta
+    * swap hasn't committed yet (a crashed [[appendBm25Index]]) is
+    * simply invisible, keeping N/Σlen and the visible postings in
+    * lock-step. Exposed package-private so the spec can assert the
     * pruning contract on the literal path set.
     */
   private[graft] def prunedPostingPaths(
       spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String]): Seq[String] = {
     val fs = fsFor(spark, path)
-    val base = new org.apache.hadoop.fs.Path(s"$path/postings")
-    if (!fs.exists(base)) Seq.empty
-    else {
-      val wanted = terms.map(t => s"term_p=${termPrefix(t)}").toSet
-      fs.listStatus(base)
+    val wanted = terms.map(t => s"term_p=${termPrefix(t)}").toSet
+    readBm25Meta(spark, path).batches.flatMap { bid =>
+      val base = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base)
         .filter(st => st.isDirectory && wanted(st.getPath.getName))
         .map(_.getPath.toString).toSeq
     }
@@ -153,11 +157,23 @@ object Bm25 {
   private def bm25MetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
+  private[graft] final case class Bm25Meta(n: Long, sumLen: Long,
+                                           idCol: String, idType: String,
+                                           batches: Seq[String])
+
+  /** Read the committed meta. Self-healing: a crash between
+    * [[appendBm25Index]]'s delete-old-meta and rename-new-meta steps
+    * leaves `_meta.next` without `_meta`; the next reader completes
+    * the rename and proceeds — the swap is effectively atomic for
+    * every reader that comes after the crash.
+    */
   private[graft] def readBm25Meta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long, String, String) = {
+      path: String): Bm25Meta = {
     val fs = fsFor(spark, path)
     val p = bm25MetaPath(path)
+    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
+    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
     require(fs.exists(p),
       s"no committed BM25 index at $path (missing _meta — " +
         "half-built index or wrong path); build one with writeBm25Index")
@@ -167,40 +183,47 @@ object Bm25 {
         .getLines().map(_.split("=", 2)).collect {
           case Array(a, b) => a -> b
         }.toMap
-      (kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
-        kv.getOrElse("id_type", "bigint"))
+      Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
+        kv.getOrElse("id_type", "bigint"),
+        kv("batches").split(",").toSeq.filter(_.nonEmpty))
     } finally in.close()
   }
 
-  /** T13 (production shape) — materialize the inverted index ONCE so
-    * queries stop re-tokenizing the corpus: `postings/` holds one row
-    * per (doc, term) — (id, term, tf, len) — partitioned by the
-    * term's 2-hex sha256 prefix, and `_meta` pins the two corpus
-    * scalars (N, Σlen) plus the id column name. This is the D8b
-    * discipline applied to lexical retrieval: build once, probe many;
-    * the inline [[bm25TopK]] is the single-query form, the index is
-    * what a serving tier keeps. df is NOT stored — the pruned
-    * postings recompute it exactly for the probed terms (one row per
-    * (doc, term) upstream), so there is no second table to keep
-    * consistent.
-    *
-    * Commit protocol: postings first, `_meta` LAST — the meta file is
-    * the commit marker, so a crash mid-build leaves a directory every
-    * probe refuses loudly instead of serving half a vocabulary. A
-    * rebuild deletes the marker first (probes refuse during the
-    * rebuild window rather than reading mixed postings; for
-    * zero-downtime republish, build under a fresh path and swap —
-    * the [[graft.operators.Dedup.writeDedupIndex]] staging pattern).
-    *
-    * Reference anchor: the build-side analog of the reference's
-    * warehouse truncate-and-reload materializations (bigquery.py:105)
-    * — expensive derivation persisted once, served many times.
+  private def writeBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, m: Bm25Meta): Unit = {
+    val out = fs.create(bm25MetaPath(path), true)
+    try out.write(
+      (s"n=${m.n}\nsum_len=${m.sumLen}\nid_col=${m.idCol}\n" +
+        s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One batch's postings staged and atomically published under
+    * `batches/<bid>`, returning its (n, Σlen) contribution. A
+    * directory already listed in the meta refuses loudly (replay); an
+    * UNLISTED existing directory is crash residue from an append that
+    * never committed its meta swap — deleted and re-staged.
     */
-  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit = {
+  private def publishPostingsBatch(docs: DataFrame, idCol: String,
+                                   textCol: String, path: String,
+                                   bid: String,
+                                   committed: Seq[String]): (Long, Long) = {
     val spark = docs.sparkSession
     val fs = fsFor(spark, path)
-    fs.delete(bm25MetaPath(path), false)
+    val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
+    require(!committed.contains(bid),
+      s"BM25 index append refused: batch $bid is already committed at " +
+        s"$target — a replayed batch would double every tf/df it " +
+        "carries; drop it from the meta first if this is an " +
+        "intentional re-ingest")
+    // crash residue (published dir, meta swap never committed):
+    // invisible to probes, safe to redo
+    if (fs.exists(target)) fs.delete(target, true)
+    // the term_p partition dirs land DIRECTLY under the staged batch
+    // dir, so one rename publishes batches/<bid>/term_p=xx/
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
+    fs.delete(staging, true)
     val base = graft.sources.Tables.fanOut(
         docs.select(col(idCol),
           graft.functions.TextFunctions.bpeTokens(lower(col(textCol)))
@@ -213,20 +236,89 @@ object Bm25 {
         .agg(count(lit(1)).as("tf"))
         .withColumn("term_p", termPrefixCol(col("term")))
         .write.mode("overwrite").partitionBy("term_p")
-        .parquet(s"$path/postings")
+        .parquet(staging.toString)
       val s = base.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
         .head()
-      // id column NAME and TYPE both pin to the meta: the probe's
-      // empty-result branch must produce the exact schema a non-empty
-      // probe would, or downstream unions/comparisons break on the
-      // no-match case
-      val idType = docs.schema(idCol).dataType.sql
-      val out = fs.create(bm25MetaPath(path), true)
-      try out.write(
-        (s"n=${s.getLong(0)}\nsum_len=${s.getLong(1)}\n" +
-          s"id_col=$idCol\nid_type=$idType\n").getBytes("UTF-8"))
-      finally out.close()
+      fs.mkdirs(target.getParent)
+      require(fs.rename(staging, target),
+        s"atomic publish of batch $bid failed (staging → $target)")
+      (s.getLong(0), s.getLong(1))
     } finally { base.unpersist(); () }
+  }
+
+  /** T13 (production shape) — materialize the inverted index ONCE so
+    * queries stop re-tokenizing the corpus: one directory per ingest
+    * batch, `batches/<bid>/term_p=xx/`, holding one row per
+    * (doc, term) — (id, term, tf, len) — partitioned by the term's
+    * 2-hex sha256 prefix; `_meta` pins the corpus scalars (N, Σlen),
+    * the id column name AND type, and the COMMITTED batch list. This
+    * is the D8b discipline applied to lexical retrieval: build once,
+    * probe many; the inline [[bm25TopK]] is the single-query form,
+    * the index is what a serving tier keeps. df is NOT stored — the
+    * pruned postings recompute it exactly for the probed terms (one
+    * row per (doc, term) upstream across batches), so there is no
+    * second table to keep consistent — and that is also what makes
+    * the index APPEND-ABLE: postings rows, N and Σlen are all
+    * additive, so daily docs land as one atomic batch directory plus
+    * one meta swap ([[appendBm25Index]]) with no reconciliation.
+    *
+    * Commit protocol: postings first, `_meta` LAST — the meta is the
+    * commit marker AND the visibility list, so a crash anywhere
+    * leaves either a loudly-refused index (no meta) or a consistent
+    * older view (batch dir present but unlisted = invisible). A
+    * rebuild deletes the marker first; for zero-downtime republish,
+    * build under a fresh path and swap.
+    *
+    * Reference anchor: the build-side analog of the reference's
+    * warehouse truncate-and-reload materializations (bigquery.py:105)
+    * — expensive derivation persisted once, served many times — with
+    * appends as its `mode="append"` loads (bigquery.py:141).
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsFor(spark, path)
+    fs.delete(bm25MetaPath(path), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta.next"), false)
+    val (n, sl) = publishPostingsBatch(docs, idCol, textCol, path,
+      "bootstrap", Seq.empty)
+    // id column NAME and TYPE both pin to the meta: the probe's
+    // empty-result branch must produce the exact schema a non-empty
+    // probe would, or downstream unions/comparisons break on the
+    // no-match case
+    writeBm25Meta(fs, path, Bm25Meta(n, sl, idCol,
+      docs.schema(idCol).dataType.sql, Seq("bootstrap")))
+  }
+
+  /** Daily lexical ingest: publish `docs` as one atomic postings
+    * batch, then commit it with a meta swap that adds the batch to
+    * the visibility list and the batch's (n, Σlen) to the corpus
+    * scalars. Never touches existing batches; replayed batches refuse
+    * loudly off the meta's committed list. The swap stages
+    * `_meta.next` first — a crash mid-swap self-heals on the next
+    * read ([[readBm25Meta]]). Returns the batch id.
+    */
+  def appendBm25Index(docs: DataFrame, textCol: String, path: String,
+                      batchId: Option[String] = None): String = {
+    val spark = docs.sparkSession
+    val fs = fsFor(spark, path)
+    val meta = readBm25Meta(spark, path)
+    val bid = batchId.getOrElse(Dedup.batchId(docs, meta.idCol))
+    val (dn, dsl) = publishPostingsBatch(docs, meta.idCol, textCol,
+      path, bid, meta.batches)
+    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
+    val out = fs.create(next, true)
+    val m2 = meta.copy(n = meta.n + dn, sumLen = meta.sumLen + dsl,
+      batches = meta.batches :+ bid)
+    try out.write(
+      (s"n=${m2.n}\nsum_len=${m2.sumLen}\nid_col=${m2.idCol}\n" +
+        s"id_type=${m2.idType}\nbatches=${m2.batches.mkString(",")}\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(bm25MetaPath(path), false)
+    require(fs.rename(next, bm25MetaPath(path)),
+      s"meta swap failed publishing batch $bid")
+    bid
   }
 
   /** The probe against a [[writeBm25Index]] index: per-query cost is
@@ -245,13 +337,13 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"query has no tokens: '$query'")
-    val (n, sl, idCol, idType) = readBm25Meta(spark, path)
+    val meta = readBm25Meta(spark, path)
     val paths = prunedPostingPaths(spark, path, terms)
     if (paths.isEmpty) {
       // no stored partition matches any query term → empty result,
       // same schema (names AND types, from the meta) as a scored probe
       val empty = spark.emptyDataFrame
-        .withColumn(idCol, lit(null).cast(idType))
+        .withColumn(meta.idCol, lit(null).cast(meta.idType))
         .withColumn("score", lit(null).cast("double"))
         .withColumn("rank", lit(null).cast("bigint"))
       empty.filter(lit(false))
@@ -260,7 +352,7 @@ object Bm25 {
         // prefix pruning is files; the term equality is still exact
         .filter(col("term").isin(terms: _*))
         .withColumnRenamed("len", "__len")
-      scorePostings(tf, idCol, n, sl, k, k1, b)
+      scorePostings(tf, meta.idCol, meta.n, meta.sumLen, k, k1, b)
     }
   }
 

@@ -615,7 +615,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 4L))
   }
 
-  test("bm25 index: probe equals inline form, reads only query-term partitions, refuses uncommitted index") {
+  test("bm25 index: append equals one-shot, probe prunes to query terms, replay refused, meta swap self-heals") {
     import spark.implicits._
     import graft.operators.Bm25
     val docs = Seq(
@@ -628,9 +628,14 @@ class CorpusSpec extends AnyFunSuite {
       .createTempDirectory("graft-bm25-spec").toFile
     try {
       val path = dir.toString
-      Bm25.writeBm25Index(docs, "doc_id", "text", path)
+      // bootstrap 3 docs, append the other 2: additive postings/N/Σlen
+      // make the probed result the one-shot full-corpus BM25
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val bid = Bm25.appendBm25Index(docs.filter(col("doc_id") > 3),
+        "text", path)
       val query = "fast vector hash join"
-      // bit-identical to the inline form: same rows, same doubles
+      // bit-identical to the inline form over ALL docs
       val inline = Bm25.bm25TopK(docs, "doc_id", "text", query, k = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
         .toSet
@@ -638,25 +643,46 @@ class CorpusSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
         .toSet
       assert(probed == inline && probed.nonEmpty)
+      // replay refused off the meta's committed list
+      val e0 = intercept[IllegalArgumentException] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") > 3), "text",
+          path)
+      }
+      assert(e0.getMessage.contains(bid))
       // pruning contract: the probe's explicit paths are a subset of
-      // the stored partitions and every one matches a query-term
-      // prefix — scanned input ∝ query, not vocabulary
-      val stored = new java.io.File(path, "postings").listFiles()
-        .filter(_.isDirectory).map(_.getName).toSet
+      // the stored partitions (across BOTH batches) and every one
+      // matches a query-term prefix — scanned input ∝ query, not
+      // vocabulary
+      val stored = new java.io.File(path, "batches").listFiles()
+        .flatMap(_.listFiles()).filter(_.isDirectory)
+        .map(_.getName).toSet
       val wanted = Bm25.queryTerms(query)
         .map(t => s"term_p=${Bm25.termPrefix(t)}").toSet
       val probePaths = Bm25.prunedPostingPaths(spark, path,
         Bm25.queryTerms(query))
+      val probeNames = probePaths
         .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
-      assert(probePaths.subsetOf(stored))
-      assert(probePaths.subsetOf(wanted))
-      assert(stored.size > probePaths.size,
+      assert(probeNames.subsetOf(stored))
+      assert(probeNames.subsetOf(wanted))
+      assert(stored.size > probeNames.size,
         "a 5-doc vocabulary should spread past the 4 query prefixes")
+      assert(probePaths.map(_.split('/').takeRight(2).head).toSet ==
+        Set("bootstrap", bid),
+        "probed partitions should come from every committed batch")
       // a term absent from the corpus prunes to nothing → empty result
       assert(Bm25.bm25TopKIndexed(spark, path, "zzznotaterm", k = 5)
         .count() == 0)
-      // commit marker: deleting _meta (a crash mid-rebuild) makes the
-      // probe refuse loudly instead of serving half an index
+      // meta swap self-heal: the crash window between delete(_meta)
+      // and rename(_meta.next) leaves only _meta.next — the next
+      // reader completes the swap and serves
+      assert(new java.io.File(path, "_meta")
+        .renameTo(new java.io.File(path, "_meta.next")))
+      assert(Bm25.bm25TopKIndexed(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet == inline)
+      assert(new java.io.File(path, "_meta").exists)
+      // commit marker: no meta at all (crash mid-rebuild) → loud
+      // refusal instead of serving half an index
       assert(new java.io.File(path, "_meta").delete())
       val e = intercept[IllegalArgumentException] {
         Bm25.bm25TopKIndexed(spark, path, query, k = 5)
