@@ -1704,6 +1704,48 @@ object SparkEntry {
         } finally cb.unpersist()
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.8 O6c streaming lexical-index ingest ----
+    // the CONTINUOUS form of q_text_bm25_indexed's append path: 80%
+    // bootstrap, the 20% slice streamed in as one-file micro-batches
+    // through Bm25Stream.bm25IndexSink. The streaming contracts
+    // (landing, restart no-op, redelivery refusal) are asserted
+    // LOUDLY inside the gate; the hashed output is the served top-20
+    // itself — which must equal the one-shot full-corpus BM25, so
+    // this gate rides the REAL ranking oracle, not booleans.
+    "q_stream_bm25" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bstream-gate").toString
+      try {
+        val docs = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
+        val idx = s"$out/index"
+        graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
+          "doc_id", "text", idx)
+        val src = s"$out/incoming"
+        docs.filter(isNew).repartition(3).write.json(src)
+        def committed() =
+          graft.operators.Bm25.readBm25Meta(s, idx).batches.size
+        def run(ckpt: String): Unit = {
+          graft.streaming.Bm25Stream.bm25IndexSink(
+            s.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1").json(src),
+            "text", idx, s"$out/$ckpt")
+          ()
+        }
+        val b0 = committed()
+        run("ckpt")
+        val b1 = committed()
+        run("ckpt") // restart, same checkpoint: nothing new to read
+        val b2 = committed()
+        run("ckpt2") // fresh checkpoint: redelivery, all refused
+        val b3 = committed()
+        require(b1 > b0 && b2 == b1 && b3 == b1,
+          s"stream contract broken: batches $b0 -> $b1 -> $b2 -> $b3")
+        graft.operators.Bm25.bm25TopKIndexed(s, idx,
+          "fast vector hash join", k = 20).localCheckpoint()
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.10/§2.11 batch decision introspection, driver-gated ----
     // classifyBatch = corpusIncrement's accept/reject decision as a
     // DRY-RUN report. Outcome contract: labels partition the batch
@@ -2805,6 +2847,10 @@ object SparkEntry {
     // the indexed probe is an execution strategy over identical
     // semantics — same mirror
     "q_text_bm25_indexed" ->
+      duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
+    // the STREAMED index serves the same one-shot ranking — the gate
+    // asserts its streaming contracts loudly and hashes the ranking
+    "q_stream_bm25" ->
       duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     "q_text_rrf" -> duckRrfSql("fast vector hash join", 100, 20, 60),
     "q_text_hybrid" ->

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The CONTINUOUS form of lexical-index ingest (SURVEY.md §2.8 O6c —
+  * the [[CorpusStream]]/[[VectorStream]] discipline applied to the
+  * BM25 postings index): a Structured Streaming source of documents
+  * lands through [[graft.operators.Bm25.appendBm25Index]] one
+  * micro-batch at a time — each micro-batch tokenized once, published
+  * as one atomic postings batch, and committed by the self-healing
+  * meta swap.
+  *
+  * Exactly-once BY CONSTRUCTION, the same two independent layers as
+  * the other index streams: the stream checkpoint stops re-reads, and
+  * a redelivered micro-batch's content-derived batch id hits the
+  * committed-list refusal and is treated as "already done" —
+  * at-least-once delivery becomes exactly-once commitment. Any other
+  * failure still fails the query loudly. Empty micro-batches are
+  * skipped outright.
+  */
+object Bm25Stream {
+
+  def bm25IndexSink(docs: DataFrame, textCol: String, indexPath: String,
+                    checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.operators.Bm25.appendBm25Index(batch.toDF(), textCol,
+              indexPath)
+            ()
+          } catch {
+            // the redelivery case: this exact batch already committed
+            case e: IllegalArgumentException
+                if e.getMessage.contains("append refused") => ()
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
