@@ -499,6 +499,15 @@ object SparkEntry {
     "q_corpus_split" -> ((s, d) =>
       Corpus.splitByHash(Tables.table(s, d, "documents").select("doc_id"),
         "doc_id", "sp", Seq(("train", 8), ("val", 1), ("test", 1)))),
+    // ---- §2.11 K2b decontaminated split (K2 ∘ D9) ----
+    // benchmark rows excluded, lexically-contaminated docs dropped
+    // BEFORE the hash split; the oracle recomputes the shingle
+    // contamination join and the split cases in one statement
+    "q_corpus_decontam_split" -> ((s, d) =>
+      Corpus.decontaminatedSplit(Tables.table(s, d, "documents"),
+        "doc_id", "text",
+        Corpus.hashBucket(col("doc_id"), "bench", 20) === 0,
+        "sp", Seq(("train", 8), ("val", 1), ("test", 1)))),
     "q_corpus_cap" -> ((s, d) =>
       Corpus.capPerGroup(
         Tables.table(s, d, "documents").select("doc_id", "lang"),
@@ -2736,6 +2745,27 @@ object SparkEntry {
          |       WHEN ${duckHashBucket("doc_id", "sp", 10)} < 10 THEN 'test'
          |  END AS split
          |FROM documents""".stripMargin,
+    "q_corpus_decontam_split" ->
+      s"""$duckShingles, bench AS (
+         |  SELECT doc_id AS bid FROM documents
+         |  WHERE ${duckHashBucket("doc_id", "bench", 20)} = 0
+         |), bsh AS (
+         |  SELECT bid, sh FROM sh JOIN bench ON sid = bid
+         |), csh AS (
+         |  SELECT sid, sh FROM sh
+         |  WHERE sid NOT IN (SELECT bid FROM bench)
+         |), flagged AS (
+         |  SELECT c.sid FROM csh c JOIN bsh b USING (sh)
+         |  GROUP BY c.sid, b.bid HAVING count(*) >= 8
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN ${duckHashBucket("doc_id", "sp", 10)} < 8 THEN 'train'
+         |       WHEN ${duckHashBucket("doc_id", "sp", 10)} < 9 THEN 'val'
+         |       WHEN ${duckHashBucket("doc_id", "sp", 10)} < 10 THEN 'test'
+         |  END AS split
+         |FROM documents
+         |WHERE ${duckHashBucket("doc_id", "bench", 20)} <> 0
+         |  AND doc_id NOT IN (SELECT sid FROM flagged)""".stripMargin,
     "q_corpus_cap" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50""".stripMargin,

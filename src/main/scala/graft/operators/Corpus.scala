@@ -129,6 +129,33 @@ object Corpus {
     df.withColumn("split", cases)
   }
 
+  /** K2b — DECONTAMINATED train split: the two leakage guards
+    * composed into the one split a training run should actually
+    * consume. Benchmark rows are excluded outright, corpus documents
+    * sharing ≥ `minShared` 3-grams with any benchmark document
+    * ([[Dedup.contaminationCheck]]) are dropped BEFORE the
+    * hash-deterministic [[splitByHash]] — so no assignment, train or
+    * held-out, can carry eval contamination, and the split stays
+    * reproducible under re-runs and late-arriving data (membership
+    * depends only on each id's own hash and the benchmark content).
+    * Inherits both components' scale arguments verbatim: the
+    * benchmark side broadcasts, the corpus streams, the split is a
+    * shuffle-free projection. Output: (idCol, split).
+    */
+  def decontaminatedSplit(docs: DataFrame, idCol: String,
+                          textCol: String, isBenchmark: Column,
+                          salt: String, weights: Seq[(String, Int)],
+                          minShared: Int = 8): DataFrame = {
+    val flagged = Dedup.contaminationCheck(docs, idCol, textCol,
+        isBenchmark, minShared)
+      .select(col("doc_id").as("__flagged_id")).distinct()
+    splitByHash(
+      docs.filter(!isBenchmark)
+        .join(flagged, col(idCol) === col("__flagged_id"), "left_anti"),
+      idCol, salt, weights)
+      .select(col(idCol), col("split"))
+  }
+
   /** Keep at most `n` rows per group, chosen by `orderCols`
     * (class-balancing / per-source caps). One shuffle on the group
     * key; the per-partition sort is the window's local sort.

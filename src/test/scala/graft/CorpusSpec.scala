@@ -759,6 +759,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.head._2 == expect11)
   }
 
+  test("decontaminatedSplit: benchmark and contaminated docs land in NO split, clean docs keep their K2 assignment") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val leaked = ((1 to 15).map(i => s"tok$i") ++ Seq("x", "y"))
+      .mkString(" ")
+    val clean = (50 to 90).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (100L, bench),   // the benchmark doc itself
+      (1L, leaked),    // shares >= 8 3-grams with it
+      (2L, clean), (3L, clean + " tail"), (4L, "unrelated prose here"))
+      .toDF("doc_id", "text")
+    val weights = Seq(("train", 8), ("val", 1), ("test", 1))
+    val got = Corpus.decontaminatedSplit(docs, "doc_id", "text",
+      col("doc_id") === 100L, "sp", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(100L), "benchmark doc must land in no split")
+    assert(!got.contains(1L), "contaminated doc must land in no split")
+    assert(got.keySet == Set(2L, 3L, 4L))
+    // surviving docs keep EXACTLY their plain-K2 assignment: the
+    // decontamination never reshuffles anyone's split
+    val plain = Corpus.splitByHash(docs.select("doc_id"), "doc_id",
+      "sp", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) => assert(plain(id) == s) }
+  }
+
   test("contaminationCheck flags a doc overlapping the benchmark slice") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"q$i").mkString(" ")
