@@ -304,6 +304,12 @@ object Bm25 {
     val fs = fsFor(spark, path)
     val meta = readBm25Meta(spark, path)
     val bid = batchId.getOrElse(Dedup.batchId(docs, meta.idCol))
+    // a supplied id becomes both a directory name and an entry in the
+    // meta's comma-separated committed list; content-derived ids are
+    // hex, but a caller's id must not smuggle separators
+    require(bid.matches("[A-Za-z0-9._-]+"),
+      s"batch id '$bid' must be a path-safe token " +
+        "([A-Za-z0-9._-] only)")
     val (dn, dsl) = publishPostingsBatch(docs, meta.idCol, textCol,
       path, bid, meta.batches)
     val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")

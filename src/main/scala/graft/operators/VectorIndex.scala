@@ -143,6 +143,12 @@ object VectorIndex {
     val centroids = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val bid = batchId.getOrElse(Dedup.batchId(emb, idCol))
+    // a supplied id becomes a directory name; content-derived ids are
+    // hex, but a caller's id must not smuggle separators or the
+    // cell= marker the probe's path parser keys on
+    require(bid.matches("[A-Za-z0-9._-]+"),
+      s"batch id '$bid' must be a path-safe token " +
+        "([A-Za-z0-9._-] only)")
     publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
       path, bid)
     bid
