@@ -689,6 +689,33 @@ object SparkEntry {
           .localCheckpoint()
       } finally { bg.unpersist(); () }
     }),
+    // ---- §2.11 T14b DSIR importance selection ----
+    // two LMs — target = held-in English slice, raw = whole held-in
+    // slice — score every document; the per-token log importance
+    // ratio nll_raw − nll_target tilts selection toward the target
+    // domain (Xie et al. 2023 restated on the gated bigram LM); keep
+    // at ratio >= 0 (target-likelier than raw). The oracle recomputes
+    // BOTH LM trajectories and the joined ratio per document.
+    "q_corpus_dsir" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val heldin = docs.filter(
+        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
+      val target = heldin.filter(col("lang") === "en")
+      val tBg = graft.operators.LangModel.trainBigramLm(target, "text")
+        .persist()
+      val rBg = graft.operators.LangModel.trainBigramLm(heldin, "text")
+        .persist()
+      try {
+        val tV = graft.operators.LangModel.vocabSize(target, "text")
+        val rV = graft.operators.LangModel.vocabSize(heldin, "text")
+        graft.operators.LangModel.importanceReport(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            tBg, tV, rBg, rV)
+          .withColumn("keep", col("log_ratio") >= 0.0)
+          .localCheckpoint()
+      } finally { tBg.unpersist(); rBg.unpersist(); () }
+    }),
     // ---- §2.8 T12 logistic-regression classifier training ----
     // four GD rounds learning lang=='en' from the quality-report
     // features; the oracle unrolls every iteration (sigmoid, rounded
@@ -2091,53 +2118,90 @@ object SparkEntry {
        |FROM fu QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Shared head of every LM mirror: the token stream (with lang, so
+    * training slices can filter on it) and the all-docs bigram pair
+    * stream.
+    */
+  private val duckLmHead =
+    """tok AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text),
+      |    '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+      |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |    FROM tok WHERE len(t) >= 2)
+      |)""".stripMargin
+
+  /** One bigram-LM block (LangModel.trainBigramLm + perplexityReport)
+    * with CTE names prefixed by `p`: train on the `trainWhere` slice
+    * of `tok`, score every document from the shared `pairs` stream —
+    * ${p}sc(doc_id, n_bigrams, nll). Composable: the perplexity gate
+    * uses one block, the DSIR gate two with different slices.
+    */
+  private def duckLmBlock(p: String, trainWhere: String,
+                          alpha: Double): String =
+    s"""${p}hi AS (
+       |  SELECT t FROM tok WHERE $trainWhere
+       |), ${p}hbg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+       |    SELECT t, unnest(range(1, len(t))) AS i
+       |    FROM ${p}hi WHERE len(t) >= 2)
+       |), ${p}bg AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+       |  FROM ${p}hbg GROUP BY w1, w2
+       |), ${p}uni AS (
+       |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1
+       |  FROM ${p}bg GROUP BY w1
+       |), ${p}vv AS (
+       |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+       |    SELECT unnest(t) AS tk FROM ${p}hi)
+       |), ${p}lp AS (
+       |  SELECT doc_id, CAST(ROUND(ln(
+       |      (CAST(COALESCE(b.n12, 0) AS DOUBLE) + $alpha) /
+       |      (CAST(COALESCE(u.n1, 0) AS DOUBLE)
+       |        + $alpha * CAST(${p}vv.v AS DOUBLE))), 9)
+       |    AS DECIMAL(18,9)) AS lp
+       |  FROM pairs
+       |  LEFT JOIN ${p}bg b USING (w1, w2)
+       |  LEFT JOIN ${p}uni u USING (w1)
+       |  CROSS JOIN ${p}vv
+       |), ${p}sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    ROUND(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE),
+       |      6) AS nll
+       |  FROM ${p}lp GROUP BY doc_id
+       |)""".stripMargin
+
   /** Portable perplexity mirror (LangModel): bigram counts from the
     * held-in slice, derived left-context sums, the V scalar, smoothed
     * probabilities as one IEEE division of exact integers, 9-dp
     * rounded ln per bigram, exact decimal sum, 6-dp mean NLL.
     */
   private def duckPerplexitySql(alpha: Double, maxNll: Double): String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text),
-       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
-       |  FROM documents
-       |), hi AS (
-       |  SELECT t FROM tok
-       |  WHERE ${duckHashBucket("doc_id", "lm", 5)} <> 0
-       |), hbg AS (
-       |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
-       |    SELECT t, unnest(range(1, len(t))) AS i
-       |    FROM hi WHERE len(t) >= 2)
-       |), bg AS (
-       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
-       |  FROM hbg GROUP BY w1, w2
-       |), uni AS (
-       |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM bg GROUP BY w1
-       |), vv AS (
-       |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
-       |    SELECT unnest(t) AS tk FROM hi)
-       |), pairs AS (
-       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
-       |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
-       |    FROM tok WHERE len(t) >= 2)
-       |), lp AS (
-       |  SELECT doc_id, CAST(ROUND(ln(
-       |      (CAST(COALESCE(bg.n12, 0) AS DOUBLE) + $alpha) /
-       |      (CAST(COALESCE(uni.n1, 0) AS DOUBLE)
-       |        + $alpha * CAST(vv.v AS DOUBLE))), 9)
-       |    AS DECIMAL(18,9)) AS lp
-       |  FROM pairs
-       |  LEFT JOIN bg USING (w1, w2)
-       |  LEFT JOIN uni USING (w1)
-       |  CROSS JOIN vv
-       |), sc AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |    ROUND(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE),
-       |      6) AS nll
-       |  FROM lp GROUP BY doc_id
-       |)
+    s"""WITH $duckLmHead,
+       |${duckLmBlock("", s"${duckHashBucket("doc_id", "lm", 5)} <> 0",
+          alpha)}
        |SELECT doc_id, n_bigrams, nll, nll <= $maxNll AS keep
        |FROM sc""".stripMargin
+
+  /** Portable DSIR mirror (LangModel.importanceReport): TWO LM blocks
+    * — target slice and raw slice — joined per document, log
+    * importance ratio = one exact IEEE subtraction of the two 6-dp
+    * means, re-rounded.
+    */
+  private def duckDsirSql(alpha: Double, minRatio: Double): String =
+    s"""WITH $duckLmHead,
+       |${duckLmBlock("t_",
+          s"${duckHashBucket("doc_id", "lm", 5)} <> 0 AND lang = 'en'",
+          alpha)},
+       |${duckLmBlock("r_", s"${duckHashBucket("doc_id", "lm", 5)} <> 0",
+          alpha)}
+       |SELECT t.doc_id, t.n_bigrams, t.nll AS nll_target,
+       |  r.nll AS nll_raw,
+       |  ROUND(r.nll - t.nll, 6) AS log_ratio,
+       |  ROUND(r.nll - t.nll, 6) >= $minRatio AS keep
+       |FROM t_sc t JOIN r_sc r USING (doc_id)""".stripMargin
 
   /** Portable logistic-GD mirror (Classifier.trainLogistic): every
     * iteration unrolled — sigmoid margins against the previous
@@ -2873,6 +2937,7 @@ object SparkEntry {
     "q_text_bpe_encode" -> duckBpeEncodeSql(6),
     "q_text_classifier" -> duckLogisticSql(4, 1.0),
     "q_text_perplexity" -> duckPerplexitySql(0.5, 3.39),
+    "q_corpus_dsir" -> duckDsirSql(0.5, 0.0),
     "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     // the indexed probe is an execution strategy over identical
     // semantics — same mirror

@@ -111,4 +111,39 @@ object LangModel {
         .filter(col("nll") <= maxNll)
         .select(col(idCol)),
       Seq(idCol))
+
+  /** T14b — DSIR-style importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * restated on the hashed-n-gram LM this engine already trains):
+    * score every document under a TARGET-domain LM and a RAW-corpus
+    * LM and keep the documents whose per-token log importance ratio
+    * log p_target − log p_raw = nll_raw − nll_target is largest —
+    * the published recipe for tilting a web-scale corpus toward a
+    * trusted domain without a learned classifier. Both scores are
+    * the gated [[perplexityReport]], so the ratio inherits its
+    * cross-engine exactness (two 6-dp doubles, one exact IEEE
+    * subtraction, re-rounded to 6 dp); documents too short to score
+    * (< 2 tokens) are absent from both reports and hence from the
+    * ratio — the explicit contract, not a silent zero.
+    *
+    * Scale: two model-table joins over ONE logical corpus scan each
+    * (the two reports share nothing but the input), both LMs
+    * vocab-bounded/broadcastable; selection is a shuffle-free filter
+    * on the resulting ratio column.
+    */
+  def importanceReport(docs: DataFrame, idCol: String, textCol: String,
+                       targetBigrams: DataFrame, targetVocab: Long,
+                       rawBigrams: DataFrame, rawVocab: Long,
+                       alpha: Double = 0.5): DataFrame =
+    perplexityReport(docs, idCol, textCol, targetBigrams, targetVocab,
+        alpha)
+      .select(col(idCol), col("n_bigrams"),
+        col("nll").as("nll_target"))
+      .join(
+        perplexityReport(docs, idCol, textCol, rawBigrams, rawVocab,
+            alpha)
+          .select(col(idCol), col("nll").as("nll_raw")),
+        Seq(idCol))
+      .withColumn("log_ratio",
+        round(col("nll_raw") - col("nll_target"), 6))
 }

@@ -741,6 +741,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(10L))
   }
 
+  test("importanceReport: target-domain docs score a higher log ratio than off-domain") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val domain = "the quick brown fox jumps over the lazy dog and " +
+      "the dog sleeps under the tree"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    // raw corpus = both registers; target = the domain register only
+    val raw = Seq((1L, domain), (2L, domain), (3L, other), (4L, other))
+      .toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 2)
+    val tBg = LangModel.trainBigramLm(target, "text")
+    val rBg = LangModel.trainBigramLm(raw, "text")
+    val tV = LangModel.vocabSize(target, "text")
+    val rV = LangModel.vocabSize(raw, "text")
+    val score = Seq(
+      (10L, "the quick brown fox jumps over the dog"),
+      (11L, "uno dos tres cuatro cinco seis")).toDF("doc_id", "text")
+    val got = LangModel.importanceReport(score, "doc_id", "text",
+      tBg, tV, rBg, rV).collect()
+      .map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("log_ratio"))).toMap
+    assert(got(10L) > 0,
+      s"in-domain doc should be target-likelier: ${got(10L)}")
+    assert(got(10L) > got(11L),
+      s"in-domain ${got(10L)} must outrank off-domain ${got(11L)}")
+    // the ratio is exactly the difference of the two gated reports
+    val t10 = LangModel.perplexityReport(score, "doc_id", "text",
+      tBg, tV).filter(col("doc_id") === 10L).head().getDouble(2)
+    val r10 = LangModel.perplexityReport(score, "doc_id", "text",
+      rBg, rV).filter(col("doc_id") === 10L).head().getDouble(2)
+    val expect = BigDecimal(r10 - t10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == expect)
+  }
+
   test("rrfFuse: doubly-ranked ids beat single-list wins, missing ids contribute nothing") {
     import spark.implicits._
     import graft.operators.Bm25
