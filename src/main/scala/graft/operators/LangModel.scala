@@ -119,31 +119,50 @@ object LangModel {
     * LM and keep the documents whose per-token log importance ratio
     * log p_target − log p_raw = nll_raw − nll_target is largest —
     * the published recipe for tilting a web-scale corpus toward a
-    * trusted domain without a learned classifier. Both scores are
-    * the gated [[perplexityReport]], so the ratio inherits its
-    * cross-engine exactness (two 6-dp doubles, one exact IEEE
-    * subtraction, re-rounded to 6 dp); documents too short to score
-    * (< 2 tokens) are absent from both reports and hence from the
-    * ratio — the explicit contract, not a silent zero.
+    * trusted domain without a learned classifier. Both per-bigram
+    * scores follow [[perplexityReport]]'s exactness discipline
+    * verbatim, and the final ratio is one exact IEEE subtraction of
+    * the two 6-dp means, re-rounded to 6 dp — bit-identical to
+    * running the two reports separately and joining (the gate's
+    * oracle computes it that way); documents too short to score
+    * (< 2 tokens) are absent — the explicit contract, not a silent
+    * zero.
     *
-    * Scale: two model-table joins over ONE logical corpus scan each
-    * (the two reports share nothing but the input), both LMs
-    * vocab-bounded/broadcastable; selection is a shuffle-free filter
-    * on the resulting ratio column.
+    * Scale — ONE corpus scan, not two: the corpus tokenizes and
+    * explodes to its bigram stream once, and BOTH models join onto
+    * that single stream (four vocab-bounded/broadcastable sides);
+    * one combinable aggregate carries both decimal sums. Selection
+    * is a shuffle-free filter on the resulting ratio column.
     */
   def importanceReport(docs: DataFrame, idCol: String, textCol: String,
                        targetBigrams: DataFrame, targetVocab: Long,
                        rawBigrams: DataFrame, rawVocab: Long,
-                       alpha: Double = 0.5): DataFrame =
-    perplexityReport(docs, idCol, textCol, targetBigrams, targetVocab,
-        alpha)
-      .select(col(idCol), col("n_bigrams"),
-        col("nll").as("nll_target"))
-      .join(
-        perplexityReport(docs, idCol, textCol, rawBigrams, rawVocab,
-            alpha)
-          .select(col(idCol), col("nll").as("nll_raw")),
-        Seq(idCol))
+                       alpha: Double = 0.5): DataFrame = {
+    require(targetVocab > 0 && rawVocab > 0,
+      s"vocabs must be positive, got $targetVocab / $rawVocab")
+    def sided(bg: DataFrame, p: String): (DataFrame, DataFrame) = (
+      bg.select(col("w1"), col("w2"), col("n12").as(s"${p}n12")),
+      bg.groupBy(col("w1")).agg(sum(col("n12")).as(s"${p}n1")))
+    val (tBg, tUni) = sided(targetBigrams, "t_")
+    val (rBg, rUni) = sided(rawBigrams, "r_")
+    def lp(p: String, vocab: Long) = round(log(
+      (coalesce(col(s"${p}n12"), lit(0L)).cast("double") + alpha) /
+        (coalesce(col(s"${p}n1"), lit(0L)).cast("double") +
+          alpha * vocab)), 9).cast("decimal(18,9)")
+    def nllOf(c: Column) = round(
+      negate(c.cast("double")) / count(lit(1)).cast("double"), 6)
+    bigramsOf(docs, textCol, col(idCol))
+      .join(tBg, Seq("w1", "w2"), "left")
+      .join(tUni, Seq("w1"), "left")
+      .join(rBg, Seq("w1", "w2"), "left")
+      .join(rUni, Seq("w1"), "left")
+      .select(col(idCol), lp("t_", targetVocab).as("__tlp"),
+        lp("r_", rawVocab).as("__rlp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        nllOf(sum(col("__tlp"))).as("nll_target"),
+        nllOf(sum(col("__rlp"))).as("nll_raw"))
       .withColumn("log_ratio",
         round(col("nll_raw") - col("nll_target"), 6))
+  }
 }
