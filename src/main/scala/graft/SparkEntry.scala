@@ -1089,13 +1089,18 @@ object SparkEntry {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-vec-index").toString
         try {
+          // the serve goes THROUGH the republish pointer — the
+          // retrain→reindex indirection is part of the gated path
+          val idx = s"$dir/v1"
           graft.operators.VectorIndex.write(emb.filter(!isNew),
-            "vec_id", "embedding", cents, cb, m, dim, dir)
+            "vec_id", "embedding", cents, cb, m, dim, idx)
           graft.operators.VectorIndex.append(emb.filter(isNew),
-            "vec_id", "embedding", dir)
-          val served = graft.operators.VectorIndex.topK(s, dir, emb,
-            "vec_id", "embedding", qp, k = 10, nprobe = 6, rerank = 50)
-            .collect()
+            "vec_id", "embedding", idx)
+          graft.operators.VectorIndex.writePointer(s, s"$dir/current",
+            idx)
+          val served = graft.operators.VectorIndex.topKVia(s,
+            s"$dir/current", emb, "vec_id", "embedding", qp,
+            k = 10, nprobe = 6, rerank = 50).collect()
           val mem = Similarity.ivfpqTopKReranked(emb, "vec_id",
             "embedding", qp, cents,
             graft.Checkpoints.truncate(Similarity.pqEncodeCells(emb,

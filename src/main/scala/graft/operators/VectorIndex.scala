@@ -258,6 +258,59 @@ object VectorIndex {
     cid
   }
 
+  // ---- zero-downtime republish: the serving pointer --------------
+
+  /** Point the serving tier at an index root with one effectively
+    * atomic swap — the retrain→reindex flow: train new artifacts,
+    * [[write]] a complete index under a FRESH path, then redirect the
+    * pointer. In-flight probes finish against the root they already
+    * resolved; every later [[resolvePointer]] sees the new one; the
+    * superseded root is dropped after a grace period. The swap is the
+    * `_meta.next` protocol: stage `<pointer>.next`, delete, rename —
+    * a crash mid-swap self-heals on the next resolve.
+    */
+  def writePointer(spark: SparkSession, pointerPath: String,
+                   indexRoot: String): Unit = {
+    val fs = fsFor(spark, pointerPath)
+    // refuse to point at a root no probe could serve
+    readMeta(spark, indexRoot)
+    val p = new org.apache.hadoop.fs.Path(pointerPath)
+    val next = new org.apache.hadoop.fs.Path(s"$pointerPath.next")
+    val out = fs.create(next, true)
+    try out.write(s"$indexRoot\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(next, p),
+      s"pointer swap failed: $next -> $p")
+  }
+
+  /** Resolve the active index root; self-heals a crashed swap. */
+  def resolvePointer(spark: SparkSession,
+                     pointerPath: String): String = {
+    val fs = fsFor(spark, pointerPath)
+    val p = new org.apache.hadoop.fs.Path(pointerPath)
+    val next = new org.apache.hadoop.fs.Path(s"$pointerPath.next")
+    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
+    require(fs.exists(p),
+      s"no serving pointer at $pointerPath — publish one with " +
+        "VectorIndex.writePointer")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .next().trim
+    finally in.close()
+  }
+
+  /** The pointer-resolved serve — what a serving tier actually calls,
+    * so republishing an index never interrupts it.
+    */
+  def topKVia(spark: SparkSession, pointerPath: String, emb: DataFrame,
+              idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column,
+              k: Int = 10, nprobe: Int = 2,
+              rerank: Int = 50): DataFrame =
+    topK(spark, resolvePointer(spark, pointerPath), emb, idCol, vecCol,
+      queryPred, k, nprobe, rerank)
+
   /** The full indexed serve: route queries to cells driver-side, read
     * ONLY those cells' code partitions (across all published batches)
     * by explicit path, cell-local ADC shortlist, exact re-rank

@@ -957,6 +957,52 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     } finally SparkTestSession.rmTree(dir)
   }
 
+  test("vector index pointer: repoint swaps the served index, crashed swap self-heals, dangling target refused") {
+    val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") % 50 === 0
+    val cents = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+      .localCheckpoint()
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      col("vec_id") % 17 === 5, rounds = 2).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecptr-spec").toFile
+    try {
+      import graft.operators.VectorIndex
+      val root = dir.toString
+      // v1 indexes only the first 30 vectors, v2 the whole corpus —
+      // the two roots serve DIFFERENT results
+      VectorIndex.write(emb.filter(col("vec_id") < 30), "vec_id",
+        "embedding", cents, cb, m, dim, s"$root/v1")
+      VectorIndex.write(emb, "vec_id", "embedding", cents, cb, m, dim,
+        s"$root/v2")
+      def serveVia() = VectorIndex.topKVia(spark, s"$root/current",
+        emb, "vec_id", "embedding", qp, k = 5, nprobe = 1,
+        rerank = 10).collect().toSet
+      def serveAt(p: String) = VectorIndex.topK(spark, p, emb,
+        "vec_id", "embedding", qp, k = 5, nprobe = 1, rerank = 10)
+        .collect().toSet
+      // pointing at a root with no committed index refuses loudly
+      intercept[IllegalArgumentException] {
+        VectorIndex.writePointer(spark, s"$root/current", s"$root/v9")
+      }
+      VectorIndex.writePointer(spark, s"$root/current", s"$root/v1")
+      val v1 = serveAt(s"$root/v1")
+      val v2 = serveAt(s"$root/v2")
+      assert(v1 != v2, "the two roots must serve different results")
+      assert(serveVia() == v1)
+      // the zero-downtime republish: repoint, the serve follows
+      VectorIndex.writePointer(spark, s"$root/current", s"$root/v2")
+      assert(serveVia() == v2)
+      // crashed swap (delete committed, only .next left) self-heals
+      assert(new java.io.File(root, "current")
+        .renameTo(new java.io.File(root, "current.next")))
+      assert(serveVia() == v2)
+      assert(new java.io.File(root, "current").exists)
+    } finally SparkTestSession.rmTree(dir)
+  }
+
   test("semantic contamination: planted paraphrase flagged, benchmark excluded from corpus side") {
     import spark.implicits._
     val base = Array.fill(8)(0.0)
