@@ -689,6 +689,28 @@ object SparkEntry {
           .localCheckpoint()
       } finally { bg.unpersist(); () }
     }),
+    // ---- §2.8 T14c interpolated (Jelinek–Mercer) perplexity ----
+    // the same trained bigram counts served through λ·P_bigram +
+    // (1−λ)·P_unigram smoothing (λ = 0.8) — the standard fix for
+    // add-α's over-penalty of unseen bigrams ending in common words;
+    // the oracle recomputes the right-context sums, the total-bigram
+    // scalar, and every interpolated probability
+    "q_text_perplexity_interp" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val heldin = docs.filter(
+        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
+      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
+        .persist()
+      try {
+        val v = graft.operators.LangModel.vocabSize(heldin, "text")
+        graft.operators.LangModel
+          .perplexityReport(docs, "doc_id", "text", bg, v,
+            lambda = 0.8)
+          .withColumn("keep", col("nll") <= 3.387)
+          .localCheckpoint()
+      } finally { bg.unpersist(); () }
+    }),
     // ---- §2.11 T14b DSIR importance selection ----
     // two LMs — target = held-in English slice, raw = whole held-in
     // slice — score every document; the per-token log importance
@@ -2145,7 +2167,29 @@ object SparkEntry {
     * uses one block, the DSIR gate two with different slices.
     */
   private def duckLmBlock(p: String, trainWhere: String,
-                          alpha: Double): String =
+                          alpha: Double,
+                          lambda: Double = 1.0): String = {
+    val pBi =
+      s"""(CAST(COALESCE(b.n12, 0) AS DOUBLE) + $alpha) /
+         |      (CAST(COALESCE(u.n1, 0) AS DOUBLE)
+         |        + $alpha * CAST(${p}vv.v AS DOUBLE))""".stripMargin
+    val (interpCtes, interpJoin, prob) =
+      if (lambda == 1.0) ("", "", pBi)
+      else (
+        s"""${p}unir AS (
+           |  SELECT w2, CAST(SUM(n12) AS BIGINT) AS c2
+           |  FROM ${p}bg GROUP BY w2
+           |), ${p}tot AS (
+           |  SELECT CAST(SUM(n12) AS BIGINT) AS nb FROM ${p}bg
+           |), """.stripMargin,
+        s"""
+           |  LEFT JOIN ${p}unir ur USING (w2)
+           |  CROSS JOIN ${p}tot""".stripMargin,
+        s"""$lambda * ($pBi)
+           |      + ${1.0 - lambda} *
+           |      ((CAST(COALESCE(ur.c2, 0) AS DOUBLE) + $alpha) /
+           |       (CAST(${p}tot.nb AS DOUBLE)
+           |         + $alpha * CAST(${p}vv.v AS DOUBLE)))""".stripMargin)
     s"""${p}hi AS (
        |  SELECT t FROM tok WHERE $trainWhere
        |), ${p}hbg AS (
@@ -2158,18 +2202,16 @@ object SparkEntry {
        |), ${p}uni AS (
        |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1
        |  FROM ${p}bg GROUP BY w1
-       |), ${p}vv AS (
+       |), ${interpCtes}${p}vv AS (
        |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
        |    SELECT unnest(t) AS tk FROM ${p}hi)
        |), ${p}lp AS (
        |  SELECT doc_id, CAST(ROUND(ln(
-       |      (CAST(COALESCE(b.n12, 0) AS DOUBLE) + $alpha) /
-       |      (CAST(COALESCE(u.n1, 0) AS DOUBLE)
-       |        + $alpha * CAST(${p}vv.v AS DOUBLE))), 9)
+       |      $prob), 9)
        |    AS DECIMAL(18,9)) AS lp
        |  FROM pairs
        |  LEFT JOIN ${p}bg b USING (w1, w2)
-       |  LEFT JOIN ${p}uni u USING (w1)
+       |  LEFT JOIN ${p}uni u USING (w1)$interpJoin
        |  CROSS JOIN ${p}vv
        |), ${p}sc AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -2177,16 +2219,18 @@ object SparkEntry {
        |      6) AS nll
        |  FROM ${p}lp GROUP BY doc_id
        |)""".stripMargin
+  }
 
   /** Portable perplexity mirror (LangModel): bigram counts from the
     * held-in slice, derived left-context sums, the V scalar, smoothed
     * probabilities as one IEEE division of exact integers, 9-dp
     * rounded ln per bigram, exact decimal sum, 6-dp mean NLL.
     */
-  private def duckPerplexitySql(alpha: Double, maxNll: Double): String =
+  private def duckPerplexitySql(alpha: Double, maxNll: Double,
+                                lambda: Double = 1.0): String =
     s"""WITH $duckLmHead,
        |${duckLmBlock("", s"${duckHashBucket("doc_id", "lm", 5)} <> 0",
-          alpha)}
+          alpha, lambda)}
        |SELECT doc_id, n_bigrams, nll, nll <= $maxNll AS keep
        |FROM sc""".stripMargin
 
@@ -2943,6 +2987,7 @@ object SparkEntry {
     "q_text_classifier" -> duckLogisticSql(4, 1.0),
     "q_text_perplexity" -> duckPerplexitySql(0.5, 3.39),
     "q_corpus_dsir" -> duckDsirSql(0.5, 0.0),
+    "q_text_perplexity_interp" -> duckPerplexitySql(0.5, 3.387, 0.8),
     "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     // the indexed probe is an execution strategy over identical
     // semantics — same mirror

@@ -78,21 +78,48 @@ object LangModel {
     * with ≥ 2 tokens under the trained model —
     * (idCol, n_bigrams, nll). Lower is more fluent; shorter docs are
     * absent (no bigrams to score — an explicit contract, not a
-    * silent 0). One corpus scan, two left joins against the model
+    * silent 0). One corpus scan, left joins against the model
     * (broadcast-eligible), one combinable aggregate.
+    *
+    * `lambda` < 1 switches to Jelinek–Mercer INTERPOLATED smoothing —
+    * P = λ·P_bigram + (1−λ)·P_unigram, with P_unigram(w₂) =
+    * (C(·,w₂) + α)/(N + αV) derived from the SAME count table (right-
+    * context sums + the total-bigram scalar), the standard fix for
+    * add-α's over-penalty of unseen bigrams whose second word is
+    * common. λ = 1 (the default) is exactly the pure add-α bigram —
+    * same expression, bit-compatible with every existing gate.
     */
   def perplexityReport(docs: DataFrame, idCol: String, textCol: String,
                        bigrams: DataFrame, vocab: Long,
-                       alpha: Double = 0.5): DataFrame = {
+                       alpha: Double = 0.5,
+                       lambda: Double = 1.0): DataFrame = {
     require(vocab > 0, s"vocab must be positive, got $vocab")
+    require(lambda > 0 && lambda <= 1,
+      s"lambda must be in (0, 1], got $lambda")
     val uni = bigrams.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val p = (coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
+    val pBi = (coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
       (coalesce(col("n1"), lit(0L)).cast("double") + alpha * vocab)
-    bigramsOf(docs, textCol, col(idCol))
+    val scored0 = bigramsOf(docs, textCol, col(idCol))
       .join(bigrams, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
-      .select(col(idCol),
-        round(log(p), 9).cast("decimal(18,9)").as("__lp"))
+    val scored =
+      if (lambda == 1.0) scored0.select(col(idCol),
+        round(log(pBi), 9).cast("decimal(18,9)").as("__lp"))
+      else {
+        val uniR = bigrams.groupBy(col("w2"))
+          .agg(sum(col("n12")).as("c2"))
+        // the total-bigram scalar N: one aggregate over the
+        // model-sized table, a bounded driver pull
+        val n = bigrams.agg(sum(col("n12"))).head().getLong(0)
+        val pUni =
+          (coalesce(col("c2"), lit(0L)).cast("double") + alpha) /
+            (n.toDouble + alpha * vocab)
+        scored0.join(uniR, Seq("w2"), "left")
+          .select(col(idCol),
+            round(log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni), 9)
+              .cast("decimal(18,9)").as("__lp"))
+      }
+    scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(negate(sum(col("__lp")).cast("double")) /

@@ -739,6 +739,20 @@ class CorpusSpec extends AnyFunSuite {
       bg, v, maxNll = (got(10L) + got(11L)) / 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L))
+    // Jelinek–Mercer interpolation: unseen bigrams ENDING in common
+    // words are penalized less than pure add-α (the unigram backstop
+    // sees 'the'/'dog' are frequent), while λ = 1 is bit-identical
+    // to the default
+    val mixed = Seq((20L, "zzz the qqq dog xxx the yyy dog"))
+      .toDF("doc_id", "text")
+    def nllAt(lambda: Double) = LangModel.perplexityReport(mixed,
+      "doc_id", "text", bg, v, lambda = lambda)
+      .head().getDouble(2)
+    assert(nllAt(1.0) == LangModel.perplexityReport(mixed, "doc_id",
+      "text", bg, v).head().getDouble(2))
+    assert(nllAt(0.8) < nllAt(1.0),
+      s"interpolation should soften the unseen-bigram penalty: " +
+        s"${nllAt(0.8)} vs ${nllAt(1.0)}")
   }
 
   test("importanceReport: target-domain docs score a higher log ratio than off-domain") {
