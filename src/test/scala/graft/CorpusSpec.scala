@@ -613,6 +613,11 @@ class CorpusSpec extends AnyFunSuite {
     // distinct matched terms (the k1 sublinearity BM25 exists for)
     assert(got.find(_._1 == 3L).get._2 > got.find(_._1 == 2L).get._2)
     assert(!got.exists(_._1 == 4L))
+    // a query whose every term is absent from the corpus scores
+    // nothing: the bounded top-k aggregate emits an empty list, not
+    // a null row
+    assert(Bm25.bm25TopK(docs, "doc_id", "text", "zzzz qqqq", k = 5)
+      .count() == 0)
   }
 
   test("bm25 index: append equals one-shot, probe prunes to query terms, replay refused, meta swap self-heals") {
