@@ -327,6 +327,47 @@ object Bm25 {
     bid
   }
 
+  /** Remove one COMMITTED batch — the executable repair for a batch
+    * ingested with bad documents (re-ingest it after). The batch's
+    * (n, Σlen) contribution is recomputed from its own postings
+    * (distinct doc rows — batch-sized, never the corpus), subtracted
+    * from the meta scalars, and the batch leaves the visibility list
+    * in the same self-healing meta swap as [[appendBm25Index]]; the
+    * directory is deleted after the swap commits (an orphan dir left
+    * by a crash between the two is invisible and reclaimed by the
+    * next append of the same content). Returns false if the batch
+    * was not committed.
+    */
+  def dropBm25Batch(spark: org.apache.spark.sql.SparkSession,
+                    path: String, batchId: String): Boolean = {
+    val fs = fsFor(spark, path)
+    val meta = readBm25Meta(spark, path)
+    if (!meta.batches.contains(batchId)) false
+    else {
+      val dir = s"$path/batches/$batchId"
+      val s = spark.read.option("recursiveFileLookup", "true")
+        .parquet(dir)
+        .select(col(meta.idCol), col("len")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+        .head()
+      val m2 = meta.copy(n = meta.n - s.getLong(0),
+        sumLen = meta.sumLen - s.getLong(1),
+        batches = meta.batches.filterNot(_ == batchId))
+      val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
+      val out = fs.create(next, true)
+      try out.write(
+        (s"n=${m2.n}\nsum_len=${m2.sumLen}\nid_col=${m2.idCol}\n" +
+          s"id_type=${m2.idType}\nbatches=${m2.batches.mkString(",")}\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(bm25MetaPath(path), false)
+      require(fs.rename(next, bm25MetaPath(path)),
+        s"meta swap failed dropping batch $batchId")
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      true
+    }
+  }
+
   /** The probe against a [[writeBm25Index]] index: per-query cost is
     * QUERY-sized, never corpus-sized — the driver resolves the
     * query terms' ≤|terms| partition directories by explicit path

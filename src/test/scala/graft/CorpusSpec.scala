@@ -677,6 +677,24 @@ class CorpusSpec extends AnyFunSuite {
       // a term absent from the corpus prunes to nothing → empty result
       assert(Bm25.bm25TopKIndexed(spark, path, "zzznotaterm", k = 5)
         .count() == 0)
+      // repair tooling: dropping the appended batch restores the
+      // bootstrap-only index exactly — scalars subtracted, batch
+      // delisted and deleted, re-append accepted again
+      assert(Bm25.dropBm25Batch(spark, path, bid))
+      val bootOnly = Bm25.bm25TopK(docs.filter(col("doc_id") <= 3),
+          "doc_id", "text", query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(Bm25.bm25TopKIndexed(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet == bootOnly)
+      assert(!Bm25.dropBm25Batch(spark, path, bid),
+        "dropping an uncommitted batch must report false")
+      assert(Bm25.appendBm25Index(docs.filter(col("doc_id") > 3),
+        "text", path) == bid)
+      assert(Bm25.bm25TopKIndexed(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet == inline)
       // meta swap self-heal: the crash window between delete(_meta)
       // and rename(_meta.next) leaves only _meta.next — the next
       // reader completes the swap and serves
