@@ -59,6 +59,31 @@ object SparkEntry {
     }
   }
 
+  /** The three persisted-ANN gates (q_ann_pq, q_ann_ivfpq,
+    * q_ann_index) train the IDENTICAL PQ codebook — same corpus, same
+    * (m, dim, init, rounds) — so a gate sweep redid ~3 s of identical
+    * k-means three times at sf0.1. Train once per sf dir, memoize the
+    * COLLECTED rows (m·k codebook rows — driver-trivial), and
+    * re-parallelize per caller: values are byte-identical to a fresh
+    * train (same deterministic pqTrain on the same input), so every
+    * gate stays bit-exact while the sweep pays for one training run.
+    * Keyed by (sfDir, rounds); a new SparkSession reuses the rows —
+    * they are plain JVM data, session-free.
+    */
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int),
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+  private def sharedPqCodebook(s: SparkSession, d: String,
+                               rounds: Int): DataFrame = {
+    val (rows, schema) = pqCbCache.computeIfAbsent((d, rounds), _ => {
+      val cb = Similarity.pqTrain(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", 8, 64,
+        initPred = col("vec_id") % 17 === 5, rounds = rounds)
+      (cb.collect(), cb.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
@@ -711,6 +736,30 @@ object SparkEntry {
           .localCheckpoint()
       } finally { bg.unpersist(); () }
     }),
+    // ---- §2.8 T14d backoff trigram perplexity ----
+    // the T14c discipline one order up: λ₃P₃ + λ₂P₂ + λ₁P₁ with
+    // (0.5, 0.3, 0.2), the first scored position absorbing λ₃ into
+    // the bigram term; the oracle unrolls the full trajectory —
+    // trigram counts, context sums, both bigram-derived orders, the
+    // 9-dp log stream, and the 6-dp mean
+    "q_text_perplexity_tri" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val heldin = docs.filter(
+        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
+      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
+        .persist()
+      val tri = graft.operators.LangModel
+        .trainTrigramLm(heldin, "text").persist()
+      try {
+        val v = graft.operators.LangModel.vocabSize(heldin, "text")
+        graft.operators.LangModel
+          .perplexityReportTri(docs, "doc_id", "text", tri, bg, v,
+            alpha = 0.5, lambda3 = 0.5, lambda2 = 0.3, lambda1 = 0.2)
+          .withColumn("keep", col("nll") <= 3.35)
+          .localCheckpoint()
+      } finally { bg.unpersist(); tri.unpersist(); () }
+    }),
     // ---- §2.11 T14b DSIR importance selection ----
     // two LMs — target = held-in English slice, raw = whole held-in
     // slice — score every document; the per-token log importance
@@ -985,9 +1034,7 @@ object SparkEntry {
       val (m, dim) = (8, 64)
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
-        .persist()
+      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
       try {
         val codes = graft.Checkpoints.truncate(
           Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, dim))
@@ -1041,9 +1088,7 @@ object SparkEntry {
       val (m, dim) = (8, 64)
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
-        .persist()
+      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
       try {
         val cents = emb.filter(col("vec_id") % 37 === 1)
           .select(col("vec_id").as("cell"), col("embedding").as("centv"))
@@ -1102,9 +1147,7 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
       val isNew = Corpus.hashBucket(col("vec_id"), "inc", 5) === 0
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m, dim, initPred = col("vec_id") % 17 === 5, rounds = 3)
-        .persist()
+      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
       try {
         val cents = emb.filter(col("vec_id") % 37 === 1)
           .select(col("vec_id").as("cell"), col("embedding").as("centv"))
@@ -1719,9 +1762,7 @@ object SparkEntry {
         val emb = Tables.table(s, d, "embeddings")
         val qp = col("vec_id") % 50 === 0
         val isNew = Corpus.hashBucket(col("vec_id"), "vinc", 5) === 0
-        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
-          m, dim, initPred = col("vec_id") % 17 === 5, rounds = 2)
-          .persist()
+        val cb = sharedPqCodebook(s, d, rounds = 2).persist()
         try {
           val cents = emb.filter(col("vec_id") % 37 === 1)
             .select(col("vec_id").as("cell"),
@@ -2233,6 +2274,87 @@ object SparkEntry {
           alpha, lambda)}
        |SELECT doc_id, n_bigrams, nll, nll <= $maxNll AS keep
        |FROM sc""".stripMargin
+
+  /** Portable backoff-trigram mirror (LangModel.perplexityReportTri):
+    * trigram + bigram counts from the held-in slice, the one-scan
+    * scored-position stream with a NULL first-position trigram
+    * context, λ₃P₃+λ₂P₂+λ₁P₁ (first position (λ₃+λ₂)P₂+λ₁P₁), the
+    * 9-dp rounded log stream, exact decimal sums, 6-dp mean NLL.
+    */
+  private def duckTriPerplexitySql(alpha: Double, maxNll: Double,
+                                   l3: Double, l2: Double,
+                                   l1: Double): String = {
+    val pTri =
+      s"""(CAST(COALESCE(n123, 0) AS DOUBLE) + $alpha) /
+         |      (CAST(COALESCE(c12, 0) AS DOUBLE)
+         |        + $alpha * CAST(vv.v AS DOUBLE))""".stripMargin
+    val pBi =
+      s"""(CAST(COALESCE(b.n12, 0) AS DOUBLE) + $alpha) /
+         |      (CAST(COALESCE(u.n1, 0) AS DOUBLE)
+         |        + $alpha * CAST(vv.v AS DOUBLE))""".stripMargin
+    val pUni =
+      s"""(CAST(COALESCE(ur.c2, 0) AS DOUBLE) + $alpha) /
+         |      (CAST(tot.nb AS DOUBLE) + $alpha * CAST(vv.v AS DOUBLE))"""
+        .stripMargin
+    s"""WITH $duckLmHead,
+       |hi AS (
+       |  SELECT t FROM tok
+       |  WHERE ${duckHashBucket("doc_id", "lm", 5)} <> 0
+       |), hbg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+       |    SELECT t, unnest(range(1, len(t))) AS i
+       |    FROM hi WHERE len(t) >= 2)
+       |), bg AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+       |  FROM hbg GROUP BY w1, w2
+       |), uni AS (
+       |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM bg GROUP BY w1
+       |), unir AS (
+       |  SELECT w2, CAST(SUM(n12) AS BIGINT) AS c2 FROM bg GROUP BY w2
+       |), tot AS (
+       |  SELECT CAST(SUM(n12) AS BIGINT) AS nb FROM bg
+       |), htri AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM (
+       |    SELECT t, unnest(range(1, len(t) - 1)) AS i
+       |    FROM hi WHERE len(t) >= 3)
+       |), tri AS (
+       |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n123
+       |  FROM htri GROUP BY w1, w2, w3
+       |), tctx AS (
+       |  SELECT w1, w2, CAST(SUM(n123) AS BIGINT) AS c12
+       |  FROM tri GROUP BY w1, w2
+       |), vv AS (
+       |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+       |    SELECT unnest(t) AS tk FROM hi)
+       |), tpos AS (
+       |  SELECT doc_id, CASE WHEN i >= 2 THEN t[i - 1] END AS w1,
+       |    t[i] AS w2, t[i + 1] AS w3 FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |    FROM tok WHERE len(t) >= 2)
+       |), lp AS (
+       |  SELECT doc_id, CAST(ROUND(ln(CASE WHEN tpos.w1 IS NULL THEN
+       |      ${l3 + l2} * ($pBi)
+       |      + $l1 * ($pUni)
+       |    ELSE $l3 * ($pTri)
+       |      + $l2 * ($pBi)
+       |      + $l1 * ($pUni) END), 9)
+       |    AS DECIMAL(18,9)) AS lp
+       |  FROM tpos
+       |  LEFT JOIN tri USING (w1, w2, w3)
+       |  LEFT JOIN tctx USING (w1, w2)
+       |  LEFT JOIN bg b ON b.w1 = tpos.w2 AND b.w2 = tpos.w3
+       |  LEFT JOIN uni u ON u.w1 = tpos.w2
+       |  LEFT JOIN unir ur ON ur.w2 = tpos.w3
+       |  CROSS JOIN tot CROSS JOIN vv
+       |), sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       |    ROUND(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE),
+       |      6) AS nll
+       |  FROM lp GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_ngrams, nll, nll <= $maxNll AS keep
+       |FROM sc""".stripMargin
+  }
 
   /** Portable DSIR mirror (LangModel.importanceReport): TWO LM blocks
     * — target slice and raw slice — joined per document, log
@@ -2988,6 +3110,8 @@ object SparkEntry {
     "q_text_perplexity" -> duckPerplexitySql(0.5, 3.39),
     "q_corpus_dsir" -> duckDsirSql(0.5, 0.0),
     "q_text_perplexity_interp" -> duckPerplexitySql(0.5, 3.387, 0.8),
+    "q_text_perplexity_tri" ->
+      duckTriPerplexitySql(0.5, 3.35, 0.5, 0.3, 0.2),
     "q_text_bm25" -> duckBm25Sql("fast vector hash join", 20, 1.2, 0.75),
     // the indexed probe is an execution strategy over identical
     // semantics — same mirror

@@ -139,13 +139,19 @@ object Bm25 {
     * simply invisible, keeping N/Σlen and the visible postings in
     * lock-step. Exposed package-private so the spec can assert the
     * pruning contract on the literal path set.
+    *
+    * Takes the CALLER's meta snapshot rather than re-reading it: a
+    * probe reads `_meta` exactly once and threads it everywhere, so a
+    * concurrent append/drop landing mid-probe can never pair one
+    * snapshot's N/Σlen scalars with another's visibility list — the
+    * probe serves a single committed view, torn-free.
     */
   private[graft] def prunedPostingPaths(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String]): Seq[String] = {
+      meta: Bm25Meta, terms: Seq[String]): Seq[String] = {
     val fs = fsFor(spark, path)
     val wanted = terms.map(t => s"term_p=${termPrefix(t)}").toSet
-    readBm25Meta(spark, path).batches.flatMap { bid =>
+    meta.batches.flatMap { bid =>
       val base = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
       if (!fs.exists(base)) Seq.empty
       else fs.listStatus(base)
@@ -153,6 +159,14 @@ object Bm25 {
         .map(_.getPath.toString).toSeq
     }
   }
+
+  /** Convenience form for callers without a snapshot in hand (specs,
+    * one-off tooling): reads the meta itself, then delegates.
+    */
+  private[graft] def prunedPostingPaths(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String]): Seq[String] =
+    prunedPostingPaths(spark, path, readBm25Meta(spark, path), terms)
 
   private def bm25MetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
@@ -345,8 +359,14 @@ object Bm25 {
     if (!meta.batches.contains(batchId)) false
     else {
       val dir = s"$path/batches/$batchId"
-      val s = spark.read.option("recursiveFileLookup", "true")
-        .parquet(dir)
+      // recount scoped to the batch's `term_p=*` postings partitions
+      // ONLY: a future layout change dropping a stats/sidecar file
+      // into the batch dir must never leak into the (n, Σlen) repair
+      val termDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("term_p="))
+        .map(_.getPath.toString).toSeq
+      val s = spark.read.parquet(termDirs: _*)
         .select(col(meta.idCol), col("len")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
         .head()
@@ -385,7 +405,9 @@ object Bm25 {
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"query has no tokens: '$query'")
     val meta = readBm25Meta(spark, path)
-    val paths = prunedPostingPaths(spark, path, terms)
+    // ONE meta read per probe: the same snapshot supplies the
+    // visibility list here and the N/Σlen scalars below
+    val paths = prunedPostingPaths(spark, path, meta, terms)
     if (paths.isEmpty) {
       // no stored partition matches any query term → empty result,
       // same schema (names AND types, from the meta) as a scored probe

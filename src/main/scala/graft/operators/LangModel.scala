@@ -139,6 +139,124 @@ object LangModel {
         .select(col(idCol)),
       Seq(idCol))
 
+  /** The trigram stream of the training slice: one row per trigram
+    * occurrence in documents with ≥ 3 tokens.
+    */
+  private def trigramsOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(tokensOf(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 2),
+        slice(col("__t"), lit(2), size(col("__t")) - 2),
+        slice(col("__t"), lit(3), size(col("__t")) - 2))).as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"),
+        col("__p.2").as("w3"))
+
+  /** T14d TRAIN: the trigram count table (w1, w2, w3, n123) — one
+    * more count table on the exact block structure of
+    * [[trainBigramLm]]; `minCount` prunes the tail the same way
+    * (pruned mass falls back to the interpolated lower orders).
+    */
+  def trainTrigramLm(docs: DataFrame, textCol: String,
+                     minCount: Long = 1L): DataFrame =
+    trigramsOf(docs, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n123"))
+      .filter(col("n123") >= minCount)
+
+  /** Every scored position of each document with ≥ 2 tokens, in ONE
+    * scan: (…, w1, w2, w3) where w3 is the predicted token, w2 its
+    * predecessor, and w1 the token before that — NULL at the
+    * document's first scored position (no trigram context yet). The
+    * null-padded shift is built by array slicing, so the stream stays
+    * inside whole-stage codegen with no self-join and no second scan.
+    */
+  private def trigramPositionsOf(docs: DataFrame, textCol: String,
+                                 keep: Column*): DataFrame =
+    docs.select(keep :+ tokensOf(col(textCol)).as("__t"): _*)
+      .filter(size(col("__t")) >= 2)
+      .select(keep :+ explode(arrays_zip(
+        concat(array(lit(null).cast("string")),
+          slice(col("__t"), lit(1), size(col("__t")) - 2)),
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__p"): _*)
+      .select(keep :+ col("__p.0").as("w1") :+ col("__p.1").as("w2")
+        :+ col("__p.2").as("w3"): _*)
+
+  /** T14d — BACKOFF TRIGRAM perplexity: the T14c discipline one order
+    * up. Every position i ≥ 3 scores under the three-way
+    * interpolation λ₃P₃ + λ₂P₂ + λ₁P₁ —
+    * P₃(w₃|w₁w₂) = (C₁₂₃+α)/(C₁₂·+αV) from the trigram table,
+    * P₂(w₃|w₂) and P₁(w₃) derived from the SAME bigram table as
+    * T14c — and the document's first scored position (no trigram
+    * context exists) absorbs λ₃ into the bigram term:
+    * (λ₃+λ₂)P₂ + λ₁P₁. That convention makes λ = (0, λ₂, λ₁)
+    * degenerate BIT-EXACTLY to [[perplexityReport]]'s Jelinek–Mercer
+    * form (0·P₃ adds +0.0, the first-position weight is 0+λ₂ = λ₂),
+    * which the spec pins.
+    *
+    * Exactness is T14c verbatim: integer counts, one IEEE division
+    * per probability term, left-associated multiply-adds, 9-dp ln
+    * rounding, exact decimal sums, 6-dp mean — the DuckDB oracle
+    * unrolls the identical trajectory. Output:
+    * (idCol, n_ngrams, nll); documents with < 2 tokens are absent
+    * (nothing to score), same contract as the bigram report.
+    *
+    * Scale: one corpus scan explodes to the position stream; the
+    * trigram/bigram tables and their derived context sums are
+    * model-vocabulary-bounded join sides (broadcast when pruned with
+    * `minCount`, shuffle hash join otherwise); the N and V scalars
+    * are bounded driver pulls — no window, no driver state.
+    */
+  def perplexityReportTri(docs: DataFrame, idCol: String,
+                          textCol: String, trigrams: DataFrame,
+                          bigrams: DataFrame, vocab: Long,
+                          alpha: Double = 0.5,
+                          lambda3: Double = 0.5,
+                          lambda2: Double = 0.3,
+                          lambda1: Double = 0.2): DataFrame = {
+    require(vocab > 0, s"vocab must be positive, got $vocab")
+    require(lambda3 >= 0 && lambda2 >= 0 && lambda1 >= 0 &&
+      math.abs(lambda3 + lambda2 + lambda1 - 1.0) < 1e-9,
+      s"lambdas must be nonnegative and sum to 1, got " +
+        s"($lambda3, $lambda2, $lambda1)")
+    val ctx = trigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n123")).as("c12"))
+    // the bigram table re-keyed to THIS position's (prev, cur) pair
+    val bgR = bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("n12"))
+    val uniL = bigrams.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      .select(col("w1").as("w2"), col("n1"))
+    val uniR = bigrams.groupBy(col("w2")).agg(sum(col("n12")).as("c2"))
+      .select(col("w2").as("w3"), col("c2"))
+    val n = bigrams.agg(sum(col("n12"))).head().getLong(0)
+    val pTri =
+      (coalesce(col("n123"), lit(0L)).cast("double") + alpha) /
+        (coalesce(col("c12"), lit(0L)).cast("double") + alpha * vocab)
+    val pBi =
+      (coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
+        (coalesce(col("n1"), lit(0L)).cast("double") + alpha * vocab)
+    val pUni =
+      (coalesce(col("c2"), lit(0L)).cast("double") + alpha) /
+        (n.toDouble + alpha * vocab)
+    val p = when(col("w1").isNull,
+        lit(lambda3 + lambda2) * pBi + lit(lambda1) * pUni)
+      .otherwise(
+        lit(lambda3) * pTri + lit(lambda2) * pBi + lit(lambda1) * pUni)
+    trigramPositionsOf(docs, textCol, col(idCol))
+      .join(trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(bgR, Seq("w2", "w3"), "left")
+      .join(uniL, Seq("w2"), "left")
+      .join(uniR, Seq("w3"), "left")
+      .select(col(idCol),
+        round(log(p), 9).cast("decimal(18,9)").as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(negate(sum(col("__lp")).cast("double")) /
+          count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
   /** T14b — DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * restated on the hashed-n-gram LM this engine already trains):

@@ -177,10 +177,14 @@ object Multimodal {
         // stream the batch through the codec — no per-row setup
         javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, payload) =>
+          // NonFatal, not just IOException: ImageIO codec plugins
+          // throw RuntimeExceptions (IllegalArgument, IndexOutOfBounds)
+          // on malformed payloads — one adversarial byte string must
+          // become a poison row, never fail the whole job
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageMeta(id, -1, -1, -1, 0.0)
           else {
             val (w, h) = (img.getWidth, img.getHeight)

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *     batches/<bid>/cellCodes/cell=<c>/ (id, subspace, code)
   *                             — one directory per ingested batch,
   *                               codes PARTITIONED by coarse cell
-  *     _meta                   (m, dim)             — commit marker
+  *     _meta                   (m, dim, batches, retired) — commit
+  *                             marker AND visibility list
   *
   * The training artifacts (centroids from [[Similarity.kmeansIterate]]
   * or any quantizer, codebook from [[Similarity.pqTrain]]) are INPUTS:
@@ -23,25 +24,40 @@ import org.apache.spark.sql.functions._
   * reference keeps between derivation and load jobs
   * (silver_to_gold.py:23 vs bigquery.py:105).
   *
+  * VISIBILITY IS META-DRIVEN, exactly the [[Bm25.Bm25Meta]] protocol:
+  * a batch serves if and only if it is on the meta's committed list.
+  * A directory whose meta swap never landed (crashed [[append]]) is
+  * invisible and reclaimed as crash residue by the next publish of
+  * the same id; a directory half-deleted by a crashed [[dropBatch]]
+  * is equally invisible, because the list shrank BEFORE the delete
+  * started. Probes can never see a torn state. The `retired` list
+  * carries batch ids superseded by [[compact]], so replay refusal
+  * survives compaction without payload-free tombstone directories.
+  *
   * INCREMENTAL ingest is the D8b batch protocol verbatim: [[append]]
   * encodes a new batch with the STORED artifacts (standard IVF
   * behavior — appending never retrains; retrain-and-reindex is a
-  * separate scheduled rebuild), stages it under `_staging/<bid>`, and
-  * publishes with one atomic directory rename. A batch id that
-  * already has a published directory is refused loudly (O(1) probe),
-  * so redelivered embedding batches cannot double-count candidates.
+  * separate scheduled rebuild), stages it under `_staging/<bid>`,
+  * publishes with one atomic directory rename, and commits it with a
+  * self-healing `_meta.next` swap. A batch id already on the
+  * committed (or retired) list is refused loudly (O(1) probe), so
+  * redelivered embedding batches cannot double-count candidates.
   *
   * Serve cost: a probe resolves its queries' probed cells DRIVER-side
   * (|queries|·nprobe rows — the "query router" of a real vector DB),
   * opens only those `cell=<c>` partition directories across the
-  * published batches by explicit path, and runs the cell-local ADC +
+  * COMMITTED batches by explicit path, and runs the cell-local ADC +
   * exact re-rank of [[Similarity.ivfpqShortlist]]/
   * [[Similarity.pqRerank]] over them. Scanned input ∝ probed cells,
   * never the corpus.
   *
   * Commit protocol: tables first, `_meta` LAST (the
   * [[Bm25.writeBm25Index]] marker discipline) — a crash mid-build
-  * leaves a directory every probe refuses loudly.
+  * leaves a directory every probe refuses loudly, and [[write]] can
+  * be safely re-run over it (uncommitted residue is wiped wholesale).
+  * [[write]] REFUSES a path with a committed meta: rebuilding in
+  * place would mix codes encoded under two codebooks; the documented
+  * retrain→reindex flow is write-to-a-fresh-root + [[writePointer]].
   */
 object VectorIndex {
 
@@ -53,10 +69,26 @@ object VectorIndex {
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
+  private def nextPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta.next")
+
+  /** The committed state of an index: PQ geometry plus the two
+    * visibility lists. `batches` serve; `retired` only refuse replay.
+    */
+  private[graft] final case class VecMeta(m: Int, dim: Int,
+                                          batches: Seq[String],
+                                          retired: Seq[String])
+
+  /** Read the committed meta. Self-healing: a crash between a swap's
+    * delete-old and rename-new steps leaves `_meta.next` without
+    * `_meta`; the next reader completes the rename and proceeds.
+    */
   private[graft] def readMeta(spark: SparkSession,
-                              path: String): (Int, Int) = {
+                              path: String): VecMeta = {
     val fs = fsFor(spark, path)
     val p = metaPath(path)
+    val next = nextPath(path)
+    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
     require(fs.exists(p),
       s"no committed vector index at $path (missing _meta — " +
         "half-built index or wrong path); build one with " +
@@ -67,36 +99,55 @@ object VectorIndex {
         .getLines().map(_.split("=", 2)).collect {
           case Array(a, b) => a -> b
         }.toMap
-      (kv("m").toInt, kv("dim").toInt)
+      VecMeta(kv("m").toInt, kv("dim").toInt,
+        kv.getOrElse("batches", "").split(",").toSeq.filter(_.nonEmpty),
+        kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty))
     } finally in.close()
   }
 
-  /** Published batch directories under the index root. */
-  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
-                        path: String): Seq[org.apache.hadoop.fs.Path] = {
-    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath).toSeq
+  private def metaBytes(m: VecMeta): Array[Byte] =
+    (s"m=${m.m}\ndim=${m.dim}\nbatches=${m.batches.mkString(",")}\n" +
+      s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
+
+  /** Commit a new meta with the self-healing `_meta.next` swap. */
+  private def swapMeta(fs: org.apache.hadoop.fs.FileSystem,
+                       path: String, m: VecMeta): Unit = {
+    val next = nextPath(path)
+    val out = fs.create(next, true)
+    try out.write(metaBytes(m)) finally out.close()
+    fs.delete(metaPath(path), false)
+    require(fs.rename(next, metaPath(path)),
+      s"meta swap failed at $path")
   }
 
   /** Stage a batch's cell-partitioned codes and publish them with one
-    * atomic rename; loud O(1) refusal of an already-published batch
-    * id (the [[Dedup.writeDedupIndex]] replay guard).
+    * atomic rename. A batch id on the committed or retired list
+    * refuses loudly (O(1), the [[Bm25]] replay guard); an UNLISTED
+    * existing directory is crash residue from a publish whose meta
+    * swap never landed — deleted and re-staged, so residue can never
+    * ride into the live index.
     */
   private def publishBatch(emb: DataFrame, idCol: String,
                            vecCol: String, centroids: DataFrame,
                            codebook: DataFrame, m: Int, dim: Int,
-                           path: String, bid: String): Unit = {
+                           path: String, bid: String,
+                           committed: Seq[String],
+                           retired: Seq[String]): Unit = {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
-    require(!fs.exists(target),
-      s"VectorIndex append refused: batch $bid is already published " +
+    require(!committed.contains(bid),
+      s"VectorIndex append refused: batch $bid is already committed " +
         s"at $target — a replayed embedding batch would double-count " +
-        "every candidate it carries; drop the stale directory first " +
-        "if this is an intentional re-ingest")
-    // clear any crashed prior stage wholesale before re-staging, so
-    // residue files can never ride the rename into the live index
+        "every candidate it carries; drop it from the meta first if " +
+        "this is an intentional re-ingest")
+    require(!retired.contains(bid),
+      s"VectorIndex append refused: batch $bid was committed and " +
+        "later compacted away — its codes already live in the merged " +
+        "batch; a replay would double-count every candidate")
+    // crash residue (published dir, meta swap never committed):
+    // invisible to probes, safe to redo wholesale
+    if (fs.exists(target)) fs.delete(target, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$bid"),
       true)
     val staging = new org.apache.hadoop.fs.Path(
@@ -111,66 +162,99 @@ object VectorIndex {
   }
 
   /** Assemble and publish the index from its trained artifacts; the
-    * initial corpus lands as batch `bootstrap`.
+    * initial corpus lands as batch `bootstrap`, committed by the
+    * meta written LAST. Refuses a path that already serves a
+    * committed index — an in-place rebuild would first destroy the
+    * serving artifacts and could leave old-codebook batches visible
+    * next to new ones; retrain→reindex goes to a FRESH root behind
+    * [[writePointer]]. A path holding only uncommitted residue (a
+    * crashed earlier write) is wiped and rebuilt — re-running a
+    * failed bootstrap is always safe.
     */
   def write(emb: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, codebook: DataFrame,
             m: Int, dim: Int, path: String): Unit = {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
-    fs.delete(metaPath(path), false)
+    // complete a crashed swap first so it registers as committed
+    if (!fs.exists(metaPath(path)) && fs.exists(nextPath(path)))
+      fs.rename(nextPath(path), metaPath(path))
+    require(!fs.exists(metaPath(path)),
+      s"refusing to rebuild over the COMMITTED vector index at $path " +
+        "— in-place rebuilds mix codes from two codebooks and drop " +
+        "the serving index on failure; write to a fresh root and " +
+        "republish with VectorIndex.writePointer (or drop the old " +
+        "root explicitly first)")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     centroids.select(col("cell"), col("centv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     codebook.select(col("subspace"), col("code"), col("centv"))
       .write.mode("overwrite").parquet(s"$path/codebook")
     publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
-      path, "bootstrap")
+      path, "bootstrap", Seq.empty, Seq.empty)
     val out = fs.create(metaPath(path), true)
-    try out.write(s"m=$m\ndim=$dim\n".getBytes("UTF-8"))
+    try out.write(metaBytes(VecMeta(m, dim, Seq("bootstrap"),
+      Seq.empty)))
     finally out.close()
   }
 
-  /** Daily dense ingest: encode `emb` with the STORED artifacts and
-    * publish it as one atomic batch directory. Never retrains, never
-    * touches existing batches — `mode = "append"` in the reference's
-    * warehouse sense (bigquery.py:141). Returns the published batch
-    * id (content-derived from the batch's id set unless supplied).
+  /** Daily dense ingest: encode `emb` with the STORED artifacts,
+    * publish it as one atomic batch directory, and commit it with a
+    * meta swap adding the batch to the visibility list. Never
+    * retrains, never touches existing batches — `mode = "append"` in
+    * the reference's warehouse sense (bigquery.py:141). Returns the
+    * published batch id (content-derived from the batch's id set
+    * unless supplied).
     */
   def append(emb: DataFrame, idCol: String, vecCol: String,
              path: String, batchId: Option[String] = None): String = {
     val spark = emb.sparkSession
-    val (m, dim) = readMeta(spark, path)
+    val fs = fsFor(spark, path)
+    val meta = readMeta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val bid = batchId.getOrElse(Dedup.batchId(emb, idCol))
-    // a supplied id becomes a directory name; content-derived ids are
-    // hex, but a caller's id must not smuggle separators or the
-    // cell= marker the probe's path parser keys on
+    // a supplied id becomes a directory name and a meta-list entry;
+    // content-derived ids are hex, but a caller's id must not smuggle
+    // separators or the cell= marker the probe's path parser keys on
     require(bid.matches("[A-Za-z0-9._-]+"),
       s"batch id '$bid' must be a path-safe token " +
         "([A-Za-z0-9._-] only)")
-    publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
-      path, bid)
+    publishBatch(emb, idCol, vecCol, centroids, codebook, meta.m,
+      meta.dim, path, bid, meta.batches, meta.retired)
+    swapMeta(fs, path, meta.copy(batches = meta.batches :+ bid))
     bid
   }
 
   /** The `cell=<c>` partition directories matching `cells`, across
-    * every published batch — EXPLICIT paths (one driver listStatus
-    * per batch dir), exposed package-private so the spec can assert
-    * the pruning contract on the literal path set.
+    * every batch LISTED IN THE META snapshot — EXPLICIT paths (one
+    * driver listStatus per committed batch), exposed package-private
+    * so the spec can assert the pruning contract on the literal path
+    * set. Takes the caller's snapshot: a probe reads `_meta` once
+    * and threads it, so a concurrent append/drop can never show it a
+    * torn view.
     */
   private[graft] def prunedCellPaths(spark: SparkSession, path: String,
+                                     meta: VecMeta,
                                      cells: Seq[Long]): Seq[String] = {
     val fs = fsFor(spark, path)
     val wanted = cells.map(c => s"cell=$c").toSet
-    batchDirs(fs, path).flatMap { b =>
-      val cc = new org.apache.hadoop.fs.Path(b, "cellCodes")
+    meta.batches.flatMap { bid =>
+      val cc = new org.apache.hadoop.fs.Path(
+        s"$path/batches/$bid/cellCodes")
       if (!fs.exists(cc)) Seq.empty
       else fs.listStatus(cc)
         .filter(st => st.isDirectory && wanted(st.getPath.getName))
         .map(_.getPath.toString).toSeq
     }
   }
+
+  /** Convenience form for callers without a snapshot in hand (specs,
+    * one-off tooling): reads the meta itself, then delegates.
+    */
+  private[graft] def prunedCellPaths(spark: SparkSession, path: String,
+                                     cells: Seq[Long]): Seq[String] =
+    prunedCellPaths(spark, path, readMeta(spark, path), cells)
 
   /** The queries' probed cells, resolved driver-side: |queries|·nprobe
     * rows — the bounded "query router" scalar of a real serving tier.
@@ -190,42 +274,60 @@ object VectorIndex {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  /** Remove one published batch — the executable repair for a batch
-    * ingested with bad embeddings (re-encode and re-append it after).
-    * Returns true if the batch existed.
+  /** Remove one COMMITTED batch — the executable repair for a batch
+    * ingested with bad embeddings (re-encode and re-append it after;
+    * a dropped id does NOT join the retired list, so the re-append is
+    * allowed). The meta swap commits FIRST, then the directory
+    * deletes: a crash between the two leaves an invisible orphan that
+    * the next publish of the same content reclaims — a reprobe serves
+    * the pre-drop or post-drop view, never a torn one. Returns false
+    * if the batch was not committed.
     */
   def dropBatch(spark: SparkSession, path: String,
                 batchId: String): Boolean = {
     val fs = fsFor(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$batchId"),
       true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"),
-      true)
+    val meta = readMeta(spark, path)
+    if (!meta.batches.contains(batchId)) false
+    else {
+      swapMeta(fs, path,
+        meta.copy(batches = meta.batches.filterNot(_ == batchId)))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"),
+        true)
+      true
+    }
   }
 
-  /** Index MAINTENANCE: merge every published batch's codes into ONE
+  /** Index MAINTENANCE: merge every committed batch's codes into ONE
     * batch directory — the compaction a years-lived daily ingest
     * eventually needs (file and directory counts grow one batch per
     * day). Correctness-preserving by construction: probes read the
     * same (id, cell, subspace, code) row set afterwards.
     *
-    * The REPLAY CONTRACT survives compaction: superseded batch
-    * directories are kept as payload-free tombstones, so [[append]]
-    * refuses re-submissions exactly as before, and
-    * [[prunedCellPaths]] already skips directories without a
-    * `cellCodes` table, so tombstones cost nothing at read time.
+    * The REPLAY CONTRACT survives compaction: superseded batch ids
+    * move to the meta's `retired` list, so [[append]] refuses their
+    * re-submission exactly as before — and the superseded
+    * DIRECTORIES delete outright (no payload-free tombstones to
+    * carry forever).
     *
-    * Crash honesty: the merged batch publishes first (atomic
-    * rename), then old payloads delete. A crash between the two
-    * leaves exact-duplicate code rows visible — which [[topK]]'s
-    * read-side dropDuplicates already tolerates, so the residue
-    * degrades performance, never scores; re-run the compaction to
-    * finish the cleanup. Returns the merged batch's id.
+    * Crash honesty, stage by stage: merged batch publishes first
+    * (atomic rename, invisible — unlisted); the meta swap flips
+    * visibility to exactly [cid] atomically; only then do superseded
+    * dirs delete. A crash before the swap re-runs cleanly (the
+    * content-derived cid is deterministic, the residue dir is
+    * reclaimed); a crash after it leaves invisible orphan dirs that
+    * the post-swap sweep of any later compaction removes. At no
+    * point can a probe see duplicate code rows. Returns the merged
+    * batch's id.
     */
   def compact(spark: SparkSession, path: String): String = {
     val fs = fsFor(spark, path)
-    val dirs = batchDirs(fs, path)
-    require(dirs.nonEmpty, s"no published batches to compact at $path")
+    val meta = readMeta(spark, path)
+    require(meta.batches.nonEmpty,
+      s"no committed batches to compact at $path")
+    val dirs = meta.batches.map(b =>
+      new org.apache.hadoop.fs.Path(s"$path/batches/$b"))
     val all = dirs.flatMap { b =>
       val cc = new org.apache.hadoop.fs.Path(b, "cellCodes")
       if (!fs.exists(cc)) Seq.empty
@@ -240,21 +342,33 @@ object VectorIndex {
       }.reduce(_.unionByName(_))
       .dropDuplicates("id", "subspace", "code", "cell")
     val cid = Dedup.batchId(codes.select("id").distinct(), "id")
-    val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
-    if (!fs.exists(merged)) {
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$path/_staging/$cid")
-      fs.delete(staging, true)
-      codes.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$staging/cellCodes")
-      if (!fs.rename(staging, merged)) throw new IllegalStateException(
-        s"cannot publish compacted batch $staging to $merged")
+    if (meta.batches != Seq(cid)) {
+      val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+      // the merged payload may already exist from a crashed earlier
+      // compaction (unlisted residue) or — pathologically — as a
+      // committed batch that happens to carry the full id set; only
+      // residue is rebuilt
+      if (!meta.batches.contains(cid)) {
+        if (fs.exists(merged)) fs.delete(merged, true)
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$path/_staging/$cid")
+        fs.delete(staging, true)
+        codes.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/cellCodes")
+        if (!fs.rename(staging, merged))
+          throw new IllegalStateException(
+            s"cannot publish compacted batch $staging to $merged")
+      }
+      swapMeta(fs, path, meta.copy(batches = Seq(cid),
+        retired =
+          (meta.retired ++ meta.batches.filterNot(_ == cid)).distinct))
     }
-    // tombstone the superseded batches: drop payloads, keep the
-    // directory so replay refusal is unchanged
-    batchDirs(fs, path).filter(_.getName != cid).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(b, "cellCodes"), true); ()
-    }
+    // sweep every batch dir off the committed list: superseded
+    // payloads AND any invisible orphans a prior crash left behind
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    fs.listStatus(base).filter(st => st.isDirectory &&
+        st.getPath.getName != cid)
+      .foreach { st => fs.delete(st.getPath, true); () }
     cid
   }
 
@@ -312,12 +426,16 @@ object VectorIndex {
       queryPred, k, nprobe, rerank)
 
   /** The full indexed serve: route queries to cells driver-side, read
-    * ONLY those cells' code partitions (across all published batches)
+    * ONLY those cells' code partitions (across the committed batches)
     * by explicit path, cell-local ADC shortlist, exact re-rank
     * against the vector table. Results are bit-identical to the
     * in-memory [[Similarity.ivfpqTopKReranked]] over the same
     * artifacts — the index changes where codes come from, never the
-    * arithmetic.
+    * arithmetic. That includes the empty edge: a healthy sparse index
+    * whose probed cells all happen to be memberless (partitionBy
+    * writes no directory for them) returns the EMPTY result in the
+    * scored schema, exactly as the in-memory form does — only an
+    * index with no committed batches at all refuses loudly.
     *
     * `emb` is the vector table stage 2 re-ranks from (the serving
     * tier's vector store); only shortlisted ids are touched, by
@@ -328,25 +446,38 @@ object VectorIndex {
            queryPred: org.apache.spark.sql.Column,
            k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must cover k=$k")
-    val (m, dim) = readMeta(spark, path)
+    // ONE meta read per probe: the same snapshot supplies geometry
+    // and the visibility list, torn-free under concurrent maintenance
+    val meta = readMeta(spark, path)
+    require(meta.batches.nonEmpty,
+      s"vector index at $path has no committed batches — everything " +
+        "was dropped; append or rebuild before serving")
     val centroids = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val queries = emb.filter(queryPred)
     val cells = probedCells(queries, idCol, vecCol, centroids, nprobe)
-    val paths = prunedCellPaths(spark, path, cells)
-    require(paths.nonEmpty,
-      s"vector index at $path has no partitions for probed cells " +
-        s"$cells — empty index or cell scheme drift")
+    val paths = prunedCellPaths(spark, path, meta, cells)
+    if (paths.isEmpty) {
+      // every probed cell is memberless: the scored schema's empty
+      // result (names AND types as a non-empty serve), the same
+      // contract as the BM25 probe's absent-terms branch
+      val idT = emb.schema(idCol).dataType
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("query_id", lit(null).cast(idT))
+        .withColumn("cand_id", lit(null).cast(idT))
+        .withColumn("rank", lit(null).cast("bigint"))
+        .withColumn("cos_sim", lit(null).cast("double"))
+        .filter(lit(false))
+    }
     // one scan relation per probed CELL (its directories across all
     // batches union in a single read); the partition-encoded cell
     // value is recovered from the directory name, so no
     // basePath-wide discovery runs — plan size is bounded by the
     // probed-cell count, not the batch count. The exact-row
     // dropDuplicates is defense in depth on probed-cells-sized data:
-    // a crash inside [[compact]]'s publish-then-delete window leaves
-    // exact-duplicate code rows visible, which would otherwise
-    // double the ADC partial sums (the dedup index's
-    // dedupe-on-read discipline)
+    // an intentional re-ingest of identical content under a new
+    // batch id must not double the ADC partial sums (the dedup
+    // index's dedupe-on-read discipline)
     val cellCodes = paths
       .groupBy(p => p.substring(p.lastIndexOf("cell=") + 5).toLong)
       .map { case (c, ps) =>
@@ -355,6 +486,6 @@ object VectorIndex {
       .dropDuplicates("id", "subspace", "code", "cell")
     Similarity.pqRerank(emb, idCol, vecCol, queryPred,
       Similarity.ivfpqShortlist(queries, idCol, vecCol, centroids,
-        cellCodes, codebook, m, dim, rerank, nprobe), k)
+        cellCodes, codebook, meta.m, meta.dim, rerank, nprobe), k)
   }
 }

@@ -18,6 +18,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * at-least-once delivery becomes exactly-once commitment. Any other
   * failure still fails the query loudly. Empty micro-batches are
   * skipped outright.
+  *
+  * SCOPE of the second layer — identical composition only: the
+  * content-derived id refuses a redelivered micro-batch whose ROW SET
+  * is identical (the checkpoint-replay case it exists for). It does
+  * NOT detect a fresh-checkpoint re-read of the same source under a
+  * different file grouping (changed `maxFilesPerTrigger`, re-laid-out
+  * source): those batches carry the same documents in new
+  * compositions, get new ids, and would double-count tf/df/N. The
+  * operational contract is therefore: one checkpoint per index —
+  * resetting the checkpoint against a live index requires rebuilding
+  * the index (or dropping the re-read batches), exactly as for
+  * [[VectorStream]] and the dedup index. A per-document overlap probe
+  * would cost a corpus-id-sized read per micro-batch (postings are
+  * term-partitioned, not id-partitioned), which is the wrong trade
+  * for a guard against an operator error the checkpoint already
+  * prevents in normal operation.
   */
 object Bm25Stream {
 

@@ -22,6 +22,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     publication. Any other failure still fails the query loudly.
   * Empty micro-batches are skipped outright (same rationale as
   * [[CorpusStream]]: all empty sets share one content id).
+  *
+  * SCOPE of layer 2 — identical composition only, the same contract
+  * as [[Bm25Stream]]: a fresh-checkpoint re-read under a DIFFERENT
+  * file grouping composes the same vectors into differently-id'd
+  * batches and would land them twice. One checkpoint per index;
+  * resetting it against a live index means rebuilding (or dropping
+  * the re-read batches). Here the failure mode is duplicate code
+  * rows rather than corrupted scalars — [[VectorIndex.topK]]'s
+  * read-side dropDuplicates masks the scoring impact, but the index
+  * still carries the dead weight.
   */
 object VectorStream {
 
@@ -38,9 +48,10 @@ object VectorStream {
               vecCol, indexPath)
             ()
           } catch {
-            // the redelivery case: this exact batch already published
+            // the redelivery case: this exact batch already committed
+            // (or was committed and since compacted away)
             case e: IllegalArgumentException
-                if e.getMessage.contains("already published") => ()
+                if e.getMessage.contains("append refused") => ()
           }
         }
       }

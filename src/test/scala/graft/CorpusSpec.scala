@@ -813,6 +813,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(10L) == expect)
   }
 
+  test("trigram perplexity: λ3=0 degenerates bit-exactly to JM bigram; trigram context beats bigram on in-domain text") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val fluent = "the quick brown fox jumps over the lazy dog and " +
+      "the dog sleeps under the tree while the fox runs away"
+    val train = Seq((1L, fluent), (2L, fluent), (3L, fluent))
+      .toDF("doc_id", "text")
+    val bg = LangModel.trainBigramLm(train, "text")
+    val tri = LangModel.trainTrigramLm(train, "text")
+    val v = LangModel.vocabSize(train, "text")
+    val score = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "zxq vbn qwerty plok mnbv asdf zxcv uiop hjkl"),
+      (12L, "dog the fox quick lazy brown the jumps"), // shuffled
+      (13L, "single")).toDF("doc_id", "text")
+    // the degeneration pin: λ = (0, λ, 1−λ) must reproduce the
+    // Jelinek–Mercer bigram report BIT-EXACTLY — same scored docs,
+    // same n counts, same nll to the last bit
+    val lam = 0.8
+    val jm = LangModel.perplexityReport(score, "doc_id", "text",
+      bg, v, lambda = lam).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val degen = LangModel.perplexityReportTri(score, "doc_id", "text",
+      tri, bg, v, lambda3 = 0.0, lambda2 = lam, lambda1 = 1.0 - lam)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(degen == jm,
+      s"λ3=0 must be bit-identical to the JM bigram report:\n" +
+        s"  tri: $degen\n  jm:  $jm")
+    // with real trigram weight, in-domain word ORDER matters: the
+    // exact training prefix scores lower NLL than the same words
+    // shuffled (a bigram-only model rewards shared pairs; the
+    // trigram context separates them further), and both beat the
+    // all-unseen gibberish; the 1-token doc stays absent
+    val full = LangModel.perplexityReportTri(score, "doc_id", "text",
+      tri, bg, v).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == Set(10L, 11L, 12L),
+      "1-token doc must be absent")
+    assert(full(10L) < full(12L) && full(12L) < full(11L),
+      s"expected in-domain < shuffled < gibberish, got $full")
+    // n_ngrams = n−1 scored positions, same as the bigram report
+    val n10 = LangModel.perplexityReportTri(score, "doc_id", "text",
+      tri, bg, v).filter(col("doc_id") === 10L).head().getLong(1)
+    assert(n10 == 8, s"9-token doc should score 8 positions, got $n10")
+  }
+
   test("rrfFuse: doubly-ranked ids beat single-list wins, missing ids contribute nothing") {
     import spark.implicits._
     import graft.operators.Bm25

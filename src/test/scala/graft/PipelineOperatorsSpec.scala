@@ -925,35 +925,49 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         .collect().toSet
       val before = serve()
       assert(before.nonEmpty)
-      // an exact-duplicate payload under a DIFFERENT batch id (the
-      // compaction crash-window shape) must not skew ADC sums
+      // an exact-duplicate payload under a DIFFERENT batch id (an
+      // intentional re-ingest shape) must not skew ADC sums
       VectorIndex.append(emb.filter(isNew), "vec_id", "embedding",
         path, batchId = Some("dup-copy"))
       assert(serve() == before,
         "duplicate code rows changed the served ranking")
-      // compaction: one merged batch, superseded dirs tombstoned
-      // payload-free, serve identical
+      // compaction: one merged batch, superseded dirs DELETED (their
+      // ids move to the meta's retired list), serve identical
       val cid = VectorIndex.compact(spark, path)
       val batchDirs = new java.io.File(path, "batches").listFiles()
         .filter(_.isDirectory)
-      assert(batchDirs.map(_.getName).toSet ==
-        Set("bootstrap", bid, "dup-copy", cid))
-      batchDirs.filter(_.getName != cid).foreach(b =>
-        assert(!new java.io.File(b, "cellCodes").exists,
-          s"tombstone ${b.getName} kept its payload"))
+      assert(batchDirs.map(_.getName).toSet == Set(cid),
+        "superseded batch dirs should be swept, not tombstoned")
       assert(serve() == before, "compaction changed the served ranking")
-      // the replay contract survives: the original batch id still
-      // refuses re-submission off its tombstone
+      // the replay contract survives compaction: the original batch
+      // id still refuses re-submission off the meta's retired list
       val e = intercept[IllegalArgumentException] {
         VectorIndex.append(emb.filter(isNew), "vec_id", "embedding",
           path)
       }
-      assert(e.getMessage.contains(bid))
+      assert(e.getMessage.contains(bid) &&
+        e.getMessage.contains("compacted away"))
+      // an unlisted batch dir is INVISIBLE: plant an orphan copy of
+      // the corpus codes next to the committed batch — the serve must
+      // not change (meta-driven visibility, not directory listing)
+      val orphanSrc = new java.io.File(path, s"batches/$cid")
+      val orphan = new java.io.File(path, "batches/orphan-dir")
+      def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+        if (src.isDirectory) {
+          dst.mkdirs()
+          src.listFiles().foreach(f =>
+            copyTree(f, new java.io.File(dst, f.getName)))
+        } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+      }
+      copyTree(orphanSrc, orphan)
+      assert(serve() == before,
+        "an uncommitted orphan batch dir leaked into the serve")
+      SparkTestSession.rmTree(orphan)
       // repair tooling: dropping the merged batch empties the index
       // and the serve refuses loudly instead of returning nothing
       assert(VectorIndex.dropBatch(spark, path, cid))
       val e2 = intercept[IllegalArgumentException] { serve() }
-      assert(e2.getMessage.contains("no partitions"))
+      assert(e2.getMessage.contains("no committed batches"))
     } finally SparkTestSession.rmTree(dir)
   }
 
@@ -1000,6 +1014,62 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         .renameTo(new java.io.File(root, "current.next")))
       assert(serveVia() == v2)
       assert(new java.io.File(root, "current").exists)
+    } finally SparkTestSession.rmTree(dir)
+  }
+
+  test("vector index: write refuses a committed root, rebuilds crash residue; memberless probe serves empty") {
+    val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") % 50 === 0
+    val cents = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+      .localCheckpoint()
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+      col("vec_id") % 17 === 5, rounds = 2).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecwrite-spec").toFile
+    try {
+      import graft.operators.VectorIndex
+      val path = s"$dir/idx"
+      VectorIndex.write(emb, "vec_id", "embedding", cents, cb, m, dim,
+        path)
+      def serve() = VectorIndex.topK(spark, path, emb, "vec_id",
+        "embedding", qp, k = 5, nprobe = 1, rerank = 10)
+      val before = serve().collect().toSet
+      assert(before.nonEmpty)
+      // a COMMITTED index refuses an in-place rebuild — and the
+      // refused attempt must leave the serving index fully intact
+      val e = intercept[IllegalArgumentException] {
+        VectorIndex.write(emb, "vec_id", "embedding", cents, cb, m,
+          dim, path)
+      }
+      assert(e.getMessage.contains("COMMITTED"))
+      assert(serve().collect().toSet == before,
+        "a refused rebuild damaged the serving index")
+      // a crashed bootstrap (artifacts present, _meta never written)
+      // is residue: re-running write wipes and rebuilds cleanly
+      assert(new java.io.File(path, "_meta").delete())
+      VectorIndex.write(emb, "vec_id", "embedding", cents, cb, m, dim,
+        path)
+      assert(serve().collect().toSet == before)
+      // memberless probed cells (partitionBy writes no directory for
+      // a cell with no members): the serve returns the EMPTY result
+      // in the exact scored schema — never a throw on a healthy
+      // sparse index
+      val cells = VectorIndex.probedCells(emb.filter(qp), "vec_id",
+        "embedding", cents, nprobe = 1)
+      val cellPaths = VectorIndex.prunedCellPaths(spark, path, cells)
+      assert(cellPaths.nonEmpty)
+      cellPaths.foreach { p =>
+        SparkTestSession.rmTree(new java.io.File(
+          new org.apache.hadoop.fs.Path(p).toUri.getPath))
+      }
+      val sparse = serve()
+      assert(sparse.columns.toSeq ==
+        Seq("query_id", "cand_id", "rank", "cos_sim"))
+      assert(sparse.schema.map(_.dataType.sql.toLowerCase).toSeq ==
+        Seq("bigint", "bigint", "bigint", "double"))
+      assert(sparse.count() == 0)
     } finally SparkTestSession.rmTree(dir)
   }
 
