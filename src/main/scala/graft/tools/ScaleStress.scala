@@ -131,7 +131,9 @@ object ScaleStress {
       graft.operators.Bm25.appendBm25Index(docs.filter(isNew), "text",
         bm25Path)
     }
-    val query = "quick brown fox jumps"
+    // real corpus vocabulary (the synthetic documents' token space),
+    // so the probe exercises scoring, not just the absent-term branch
+    val query = "spark shuffle broadcast join"
     val ((bmRows, bmOpened), tBmProbe) = time {
       val meta = graft.operators.Bm25.readBm25Meta(spark, bm25Path)
       val paths = graft.operators.Bm25.prunedPostingPaths(spark,
@@ -146,14 +148,18 @@ object ScaleStress {
     val vecPath = s"$work/vec_index"
     val isNewV = graft.operators.Corpus.hashBucket(col("vec_id"),
       "sf1v", 5) === 0
-    val qp = col("vec_id") % 997 === 0 // ~20 queries at 20k vectors
+    val qp = col("vec_id") % 6659 === 0 // ~3 queries at 20k vectors
     val (m, dim) = (8, 64)
     val cents = emb.filter(col("vec_id") % 371 === 1)
       .select(col("vec_id").as("cell"), col("embedding").as("centv"))
       .localCheckpoint()
+    // FIXED-size codebook init (~120 codes — a model constant), not
+    // the gate's corpus-proportional modulo: a production codebook's
+    // k does not grow with the corpus, and training cost is
+    // k-bounded per round
     val (cb, tVecTrain) = time {
       val t = graft.operators.Similarity.pqTrain(emb, "vec_id",
-        "embedding", m, dim, initPred = col("vec_id") % 17 === 5,
+        "embedding", m, dim, initPred = col("vec_id") % 171 === 5,
         rounds = 2).localCheckpoint()
       t.count(); t
     }

@@ -677,6 +677,17 @@ class CorpusSpec extends AnyFunSuite {
       // a term absent from the corpus prunes to nothing → empty result
       assert(Bm25.bm25TopKIndexed(spark, path, "zzznotaterm", k = 5)
         .count() == 0)
+      // single-snapshot contract: path resolution takes the CALLER's
+      // meta snapshot and never re-reads _meta — with the marker gone,
+      // the threaded form still resolves the same paths (a probe pairs
+      // ONE snapshot's scalars with the SAME snapshot's visibility)
+      val snap = Bm25.readBm25Meta(spark, path)
+      val metaFile = new java.io.File(path, "_meta")
+      val metaBytes = java.nio.file.Files.readAllBytes(metaFile.toPath)
+      assert(metaFile.delete())
+      assert(Bm25.prunedPostingPaths(spark, path, snap,
+        Bm25.queryTerms(query)).toSet == probePaths.toSet)
+      java.nio.file.Files.write(metaFile.toPath, metaBytes)
       // repair tooling: dropping the appended batch restores the
       // bootstrap-only index exactly — scalars subtracted, batch
       // delisted and deleted, re-append accepted again

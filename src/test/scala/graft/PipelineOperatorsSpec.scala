@@ -1052,6 +1052,13 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       VectorIndex.write(emb, "vec_id", "embedding", cents, cb, m, dim,
         path)
       assert(serve().collect().toSet == before)
+      // meta swap self-heal (BM25 parity): the crash window between
+      // delete(_meta) and rename(_meta.next) leaves only _meta.next —
+      // the next reader completes the swap and serves
+      assert(new java.io.File(path, "_meta")
+        .renameTo(new java.io.File(path, "_meta.next")))
+      assert(serve().collect().toSet == before)
+      assert(new java.io.File(path, "_meta").exists)
       // memberless probed cells (partitionBy writes no directory for
       // a cell with no members): the serve returns the EMPTY result
       // in the exact scored schema — never a throw on a healthy
