@@ -84,6 +84,25 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Same memo for the BPE gates: q_text_bpe's result IS the trained
+    * merge table and q_text_bpe_encode retrains it only to collect
+    * the 6-row driver artifact — identical corpus, identical rounds.
+    * One training run serves both (the merge table is rounds-sized).
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int),
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+  private def sharedBpeMerges(s: SparkSession, d: String,
+                              rounds: Int): DataFrame = {
+    val (rows, schema) = bpeCache.computeIfAbsent((d, rounds), _ => {
+      val m = graft.operators.BpeTrain.train(
+        Tables.table(s, d, "documents").select(col("text")),
+        "text", rounds)
+      (m.collect(), m.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
@@ -802,17 +821,14 @@ object SparkEntry {
     // six merge rounds learned from the documents corpus; the oracle
     // unrolls the whole training loop, so any drift in pair counting,
     // tie-breaking, or the greedy merge pass breaks the hash
-    "q_text_bpe" -> ((s, d) =>
-      graft.operators.BpeTrain.train(
-        Tables.table(s, d, "documents").select(col("text")),
-        "text", rounds = 6)),
+    "q_text_bpe" -> ((s, d) => sharedBpeMerges(s, d, rounds = 6)),
     // ---- §2.8 T11 learn→serve: encode the corpus with its own
     // trained merges (memoized per-distinct-word scale path); the
     // 6-row merge table is the bounded driver-side artifact
     "q_text_bpe_encode" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
-      val merges = graft.operators.BpeTrain.train(docs, "text", 6)
+      val merges = sharedBpeMerges(s, d, rounds = 6)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.BpeTrain.encodeByVocab(docs, "doc_id", "text", merges)
