@@ -185,7 +185,13 @@ object VectorIndex {
         "the serving index on failure; write to a fresh root and " +
         "republish with VectorIndex.writePointer (or drop the old " +
         "root explicitly first)")
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // wipe crash residue by COMPONENT, never the root wholesale: a
+    // mistyped path pointing at a shared directory must cost at most
+    // the index-shaped names under it
+    Seq("centroids", "codebook", "batches", "_staging", "_meta.next")
+      .foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$c"), true); ()
+      }
     centroids.select(col("cell"), col("centv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     codebook.select(col("subspace"), col("code"), col("centv"))
