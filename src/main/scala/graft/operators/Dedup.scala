@@ -646,6 +646,13 @@ object Dedup {
     * normally recovers WITHOUT this: the helper exists for operator
     * intervention, e.g. re-ingesting a batch that was published with
     * bad data). Returns true if the batch existed.
+    *
+    * Crash honesty: the batch leaves visibility with one ATOMIC
+    * rename into `_dropping/` (readers list only `batches/`), and
+    * only then does the recursive delete run — a crash mid-delete
+    * leaves invisible residue, never a PARTIAL batch whose surviving
+    * band files would silently shrink candidate generation. Residue
+    * under `_dropping/` is reclaimed by the next drop of the same id.
     */
   def dropBatchFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, batchId: String): Boolean = {
@@ -653,7 +660,17 @@ object Dedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$batchId"),
       true)
-    fs.delete(p, true)
+    val dropping =
+      new org.apache.hadoop.fs.Path(s"$path/_dropping/$batchId")
+    fs.delete(dropping, true)
+    if (!fs.exists(p)) false
+    else {
+      fs.mkdirs(dropping.getParent)
+      require(fs.rename(p, dropping),
+        s"cannot move batch $batchId out of visibility ($p → $dropping)")
+      fs.delete(dropping, true)
+      true
+    }
   }
 
   /** Index MAINTENANCE: merge every published batch's bands/shingles

@@ -438,6 +438,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         mode = "append")
       assert(bid2 == bid, "content-derived id must be reproducible")
       assert(!Dedup.dropBatchFromIndex(spark, dir, "no-such-batch"))
+      // crash window: a drop that moved the batch into _dropping/ but
+      // died before the delete leaves the batch INVISIBLE (probes list
+      // only batches/) — never a partial batch with surviving band
+      // files — and the re-drop of the same id reclaims the residue
+      new java.io.File(dir, "_dropping").mkdirs() // may already exist
+      assert(new java.io.File(dir, s"batches/$bid")
+        .renameTo(new java.io.File(dir, s"_dropping/$bid")))
+      val day1Ids = day1.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val probePairs = Dedup.minhashDedupAgainstIndex(
+        day1.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+        "doc_id", "text", dir)
+        .select("id_a", "id_b").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(probePairs.intersect(day1Ids).isEmpty,
+        "a half-dropped batch leaked into candidate generation")
+      assert(!Dedup.dropBatchFromIndex(spark, dir, bid),
+        "an already-invisible batch must report false")
+      assert(!new java.io.File(dir, s"_dropping/$bid").exists,
+        "the re-drop should reclaim the residue")
     } finally rmTree(new java.io.File(dir))
   }
 
