@@ -668,6 +668,10 @@ object SparkEntry {
           "doc_id", "text", dir)
         graft.operators.Bm25.appendBm25Index(docs.filter(isNew),
           "text", dir)
+        // maintenance runs INSIDE the gated path: the compacted index
+        // must serve the identical ranking (merged postings, same
+        // scalars), so the oracle pins compaction correctness too
+        graft.operators.Bm25.compactBm25Index(s, dir)
         // materialize the ≤k-row result before deleting the staged
         // index (the q_dedup_index pattern)
         graft.operators.Bm25.bm25TopKIndexed(s, dir,

@@ -173,7 +173,24 @@ object Bm25 {
 
   private[graft] final case class Bm25Meta(n: Long, sumLen: Long,
                                            idCol: String, idType: String,
-                                           batches: Seq[String])
+                                           batches: Seq[String],
+                                           retired: Seq[String] = Nil)
+
+  private def bm25MetaBytes(m: Bm25Meta): Array[Byte] =
+    (s"n=${m.n}\nsum_len=${m.sumLen}\nid_col=${m.idCol}\n" +
+      s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n" +
+      s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
+
+  /** Commit a new meta with the self-healing `_meta.next` swap. */
+  private def swapBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, m: Bm25Meta): Unit = {
+    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
+    val out = fs.create(next, true)
+    try out.write(bm25MetaBytes(m)) finally out.close()
+    fs.delete(bm25MetaPath(path), false)
+    require(fs.rename(next, bm25MetaPath(path)),
+      s"meta swap failed at $path")
+  }
 
   /** Read the committed meta. Self-healing: a crash between
     * [[appendBm25Index]]'s delete-old-meta and rename-new-meta steps
@@ -199,18 +216,15 @@ object Bm25 {
         }.toMap
       Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
         kv.getOrElse("id_type", "bigint"),
-        kv("batches").split(",").toSeq.filter(_.nonEmpty))
+        kv("batches").split(",").toSeq.filter(_.nonEmpty),
+        kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty))
     } finally in.close()
   }
 
   private def writeBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
                             path: String, m: Bm25Meta): Unit = {
     val out = fs.create(bm25MetaPath(path), true)
-    try out.write(
-      (s"n=${m.n}\nsum_len=${m.sumLen}\nid_col=${m.idCol}\n" +
-        s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n")
-        .getBytes("UTF-8"))
-    finally out.close()
+    try out.write(bm25MetaBytes(m)) finally out.close()
   }
 
   /** One batch's postings staged and atomically published under
@@ -222,10 +236,15 @@ object Bm25 {
   private def publishPostingsBatch(docs: DataFrame, idCol: String,
                                    textCol: String, path: String,
                                    bid: String,
-                                   committed: Seq[String]): (Long, Long) = {
+                                   committed: Seq[String],
+                                   retired: Seq[String]): (Long, Long) = {
     val spark = docs.sparkSession
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
+    require(!retired.contains(bid),
+      s"BM25 index append refused: batch $bid was committed and later " +
+        "compacted away — its postings already live in the merged " +
+        "batch; a replay would double every tf/df it carries")
     require(!committed.contains(bid),
       s"BM25 index append refused: batch $bid is already committed at " +
         s"$target — a replayed batch would double every tf/df it " +
@@ -295,7 +314,7 @@ object Bm25 {
     fs.delete(bm25MetaPath(path), false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta.next"), false)
     val (n, sl) = publishPostingsBatch(docs, idCol, textCol, path,
-      "bootstrap", Seq.empty)
+      "bootstrap", Seq.empty, Seq.empty)
     // id column NAME and TYPE both pin to the meta: the probe's
     // empty-result branch must produce the exact schema a non-empty
     // probe would, or downstream unions/comparisons break on the
@@ -325,19 +344,10 @@ object Bm25 {
       s"batch id '$bid' must be a path-safe token " +
         "([A-Za-z0-9._-] only)")
     val (dn, dsl) = publishPostingsBatch(docs, meta.idCol, textCol,
-      path, bid, meta.batches)
-    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
-    val out = fs.create(next, true)
-    val m2 = meta.copy(n = meta.n + dn, sumLen = meta.sumLen + dsl,
-      batches = meta.batches :+ bid)
-    try out.write(
-      (s"n=${m2.n}\nsum_len=${m2.sumLen}\nid_col=${m2.idCol}\n" +
-        s"id_type=${m2.idType}\nbatches=${m2.batches.mkString(",")}\n")
-        .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(bm25MetaPath(path), false)
-    require(fs.rename(next, bm25MetaPath(path)),
-      s"meta swap failed publishing batch $bid")
+      path, bid, meta.batches, meta.retired)
+    swapBm25Meta(fs, path,
+      meta.copy(n = meta.n + dn, sumLen = meta.sumLen + dsl,
+        batches = meta.batches :+ bid))
     bid
   }
 
@@ -370,22 +380,86 @@ object Bm25 {
         .select(col(meta.idCol), col("len")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
         .head()
-      val m2 = meta.copy(n = meta.n - s.getLong(0),
-        sumLen = meta.sumLen - s.getLong(1),
-        batches = meta.batches.filterNot(_ == batchId))
-      val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
-      val out = fs.create(next, true)
-      try out.write(
-        (s"n=${m2.n}\nsum_len=${m2.sumLen}\nid_col=${m2.idCol}\n" +
-          s"id_type=${m2.idType}\nbatches=${m2.batches.mkString(",")}\n")
-          .getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(bm25MetaPath(path), false)
-      require(fs.rename(next, bm25MetaPath(path)),
-        s"meta swap failed dropping batch $batchId")
+      swapBm25Meta(fs, path,
+        meta.copy(n = meta.n - s.getLong(0),
+          sumLen = meta.sumLen - s.getLong(1),
+          batches = meta.batches.filterNot(_ == batchId)))
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       true
     }
+  }
+
+  /** Index MAINTENANCE: merge every committed batch's postings into
+    * ONE batch directory — the same compaction the dedup and vector
+    * indexes carry, closing the daily-append loop (file and directory
+    * counts otherwise grow one batch per day forever). Correctness-
+    * preserving by construction: the merged batch holds the same
+    * (id, term, tf, len) row set, re-partitioned by the SAME term
+    * prefix scheme, and the corpus scalars ride the meta unchanged —
+    * a probe reads identical integers afterwards.
+    *
+    * The REPLAY CONTRACT survives compaction: superseded batch ids
+    * move to the meta's `retired` list (the [[VectorIndex.compact]]
+    * protocol), so [[appendBm25Index]] refuses their re-submission
+    * forever, and the superseded directories delete outright.
+    *
+    * Crash honesty, stage by stage: the merged batch publishes first
+    * (atomic rename, invisible — unlisted); the meta swap flips
+    * visibility to exactly [cid] atomically; only then do superseded
+    * dirs delete (a crash leaves invisible orphans, swept by any
+    * later compaction). At no point can a probe see duplicate
+    * postings. Returns the merged batch's id.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    val fs = fsFor(spark, path)
+    val meta = readBm25Meta(spark, path)
+    require(meta.batches.nonEmpty,
+      s"no committed batches to compact at $path")
+    // postings read from the committed batches' term_p dirs only; the
+    // partition value is recomputed from the term with the exact
+    // write-side function, so no partition-discovery walk runs over
+    // heterogeneous batch roots
+    val termDirs = meta.batches.flatMap { b =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/batches/$b")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("term_p="))
+        .map(_.getPath.toString).toSeq
+    }
+    require(termDirs.nonEmpty, s"no postings to compact at $path")
+    val rows = spark.read.parquet(termDirs: _*)
+      // (id, term) is unique upstream by construction; the exact-row
+      // dedup is defense in depth against residue that slipped a
+      // crashed maintenance op
+      .dropDuplicates(meta.idCol, "term", "tf", "len")
+      .withColumn("term_p", termPrefixCol(col("term")))
+    val cid = Dedup.batchId(
+      rows.select(col(meta.idCol)).distinct(), meta.idCol)
+    if (meta.batches != Seq(cid)) {
+      if (!meta.batches.contains(cid)) {
+        val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+        if (fs.exists(target)) fs.delete(target, true)
+        val staging =
+          new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
+        fs.delete(staging, true)
+        rows.write.mode("overwrite").partitionBy("term_p")
+          .parquet(staging.toString)
+        fs.mkdirs(target.getParent)
+        require(fs.rename(staging, target),
+          s"cannot publish compacted batch $staging to $target")
+      }
+      swapBm25Meta(fs, path, meta.copy(batches = Seq(cid),
+        retired =
+          (meta.retired ++ meta.batches.filterNot(_ == cid)).distinct))
+    }
+    // sweep every batch dir off the committed list: superseded
+    // payloads AND any invisible orphans a prior crash left behind
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+      .filter(st => st.isDirectory && st.getPath.getName != cid)
+      .foreach { st => fs.delete(st.getPath, true); () }
+    cid
   }
 
   /** The probe against a [[writeBm25Index]] index: per-query cost is

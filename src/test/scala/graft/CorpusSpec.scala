@@ -731,6 +731,43 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 compaction: one merged batch, identical serve, replay refused off the retired list") {
+    import graft.operators.Bm25
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-compact").toFile
+    try {
+      val path = dir.toString
+      Bm25.writeBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", path)
+      val bid = Bm25.appendBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "text", path)
+      val query = "fast vector hash join"
+      def serve() = Bm25.bm25TopKIndexed(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val before = serve()
+      assert(before.nonEmpty)
+      val cid = Bm25.compactBm25Index(spark, path)
+      // one merged batch dir, superseded dirs swept
+      assert(new java.io.File(path, "batches").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set(cid))
+      // identical ranking, bit for bit (same integers, same scalars)
+      assert(serve() == before, "compaction changed the served ranking")
+      // the replay contract survives: the compacted-away batch id
+      // refuses re-submission off the retired list, forever
+      val e = intercept[IllegalArgumentException] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") % 5 === 0),
+          "text", path)
+      }
+      assert(e.getMessage.contains("compacted away"))
+      // idempotent: a re-run is a no-op on an already-compacted index
+      assert(Bm25.compactBm25Index(spark, path) == cid)
+      assert(serve() == before)
+    } finally SparkTestSession.rmTree(dir)
+  }
+
   test("perplexity filter: in-domain text scores lower NLL than unseen gibberish, short docs unscoreable") {
     import spark.implicits._
     import graft.operators.LangModel
