@@ -444,7 +444,12 @@ object Bm25 {
         val staging =
           new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
         fs.delete(staging, true)
-        rows.write.mode("overwrite").partitionBy("term_p")
+        // DEFRAGMENT, not just merge: cluster rows by their partition
+        // value before the write so each term_p dir lands as one file
+        // per writing task that owns the prefix (~1), instead of one
+        // per (task × prefix) — compaction exists to cut file counts
+        rows.repartition(col("term_p"))
+          .write.mode("overwrite").partitionBy("term_p")
           .parquet(staging.toString)
         fs.mkdirs(target.getParent)
         require(fs.rename(staging, target),

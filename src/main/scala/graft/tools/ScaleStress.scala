@@ -134,15 +134,23 @@ object ScaleStress {
     // real corpus vocabulary (the synthetic documents' token space),
     // so the probe exercises scoring, not just the absent-term branch
     val query = "spark shuffle broadcast join"
+    def bmServe() = graft.operators.Bm25.bm25TopKIndexed(spark,
+      bm25Path, query, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     val ((bmRows, bmOpened), tBmProbe) = time {
       val meta = graft.operators.Bm25.readBm25Meta(spark, bm25Path)
       val paths = graft.operators.Bm25.prunedPostingPaths(spark,
         bm25Path, meta, graft.operators.Bm25.queryTerms(query))
-      val n = graft.operators.Bm25.bm25TopKIndexed(spark, bm25Path,
-        query, k = 10).count()
-      (n, paths.map(p => dataFiles(spark, p)).sum)
+      (bmServe().size.toLong, paths.map(p => dataFiles(spark, p)).sum)
     }
     val bmStored = dataFiles(spark, s"$bm25Path/batches")
+    // maintenance at scale: compaction must preserve the serve
+    val bmPre = bmServe()
+    val (_, tBmCompact) = time {
+      graft.operators.Bm25.compactBm25Index(spark, bm25Path)
+    }
+    require(bmServe() == bmPre, "BM25 compaction changed the serve")
+    val bmStoredPost = dataFiles(spark, s"$bm25Path/batches")
 
     // ---- A6b vector index -----------------------------------------
     val vecPath = s"$work/vec_index"
@@ -198,7 +206,8 @@ object ScaleStress {
       s""""dedup":{"build_s":${f(tDedupBuild)},"append_s":${
         f(tDedupAppend)},"probe_s":${f(tDedupProbe)},"probe_dups":$dedupDup,"stored_files":$dedupStored},""" +
       s""""bm25":{"build_s":${f(tBmBuild)},"append_s":${f(tBmAppend)},"probe_s":${
-        f(tBmProbe)},"probe_rows":$bmRows,"opened_files":$bmOpened,"stored_files":$bmStored},""" +
+        f(tBmProbe)},"probe_rows":$bmRows,"opened_files":$bmOpened,"stored_files":$bmStored,"compact_s":${
+        f(tBmCompact)},"stored_files_post_compact":$bmStoredPost},""" +
       s""""vector":{"train_s":${f(tVecTrain)},"build_s":${f(tVecBuild)},"append_s":${
         f(tVecAppend)},"probe_s":${f(tVecProbe)},"probe_rows":$vecRows,"opened_files":$vecOpened,"stored_files":$vecStored}}""")
   }
