@@ -727,7 +727,12 @@ object Dedup {
     if (!fs.exists(merged)) {
       val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
       fs.delete(staging, true)
+      // DEFRAGMENT, not just merge (the compactBm25Index rationale):
+      // cluster rows by their partition value before each partitioned
+      // write so every partition dir lands as ~one file instead of
+      // one per (task × value) — file count is what compaction cuts
       bands.withColumn("band_p", col("band"))
+        .repartition(col("band_p"))
         .write.mode("overwrite").partitionBy("band_p")
         .parquet(s"$staging/bands")
       shingles.write.mode("overwrite").parquet(s"$staging/shingles")
@@ -738,6 +743,7 @@ object Dedup {
       if (hashPaths.nonEmpty)
         readBatchTables(spark, hashPaths).distinct()
           .withColumn("hp_p", col("hp"))
+          .repartition(col("hp_p"))
           .write.mode("overwrite").partitionBy("hp_p")
           .parquet(s"$staging/hashes")
       if (!fs.rename(staging, merged)) throw new IllegalStateException(

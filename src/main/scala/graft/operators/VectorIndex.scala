@@ -359,7 +359,11 @@ object VectorIndex {
         val staging = new org.apache.hadoop.fs.Path(
           s"$path/_staging/$cid")
         fs.delete(staging, true)
-        codes.write.mode("overwrite").partitionBy("cell")
+        // DEFRAGMENT, not just merge (the compactBm25Index rationale):
+        // cluster rows by cell before the write so each cell dir
+        // lands as ~one file instead of one per (task × cell)
+        codes.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$staging/cellCodes")
         if (!fs.rename(staging, merged))
           throw new IllegalStateException(
