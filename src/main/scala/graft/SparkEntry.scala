@@ -103,6 +103,28 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** And for the LM gates: four gates (q_text_perplexity, _interp,
+    * _tri, and q_corpus_dsir's raw side) train the identical bigram
+    * count table + V scalar over the SAME held-in hash slice. The
+    * table is bigram-vocabulary-bounded (~1k rows at sf0.1) — one
+    * training scan serves all four, bit-exact.
+    */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Long)]()
+  private def sharedHeldinBigramLm(s: SparkSession,
+                                   d: String): (DataFrame, Long) = {
+    val (rows, schema, v) = lmCache.computeIfAbsent(d, _ => {
+      val heldin = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
+      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
+      (bg.collect(), bg.schema,
+        graft.operators.LangModel.vocabSize(heldin, "text"))
+    })
+    (s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), v)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
@@ -725,12 +747,9 @@ object SparkEntry {
     "q_text_perplexity" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
-      val heldin = docs.filter(
-        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
-      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
-        .persist()
+      val (bg0, v) = sharedHeldinBigramLm(s, d)
+      val bg = bg0.persist()
       try {
-        val v = graft.operators.LangModel.vocabSize(heldin, "text")
         graft.operators.LangModel
           .perplexityReport(docs, "doc_id", "text", bg, v)
           .withColumn("keep", col("nll") <= 3.39)
@@ -746,12 +765,9 @@ object SparkEntry {
     "q_text_perplexity_interp" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
-      val heldin = docs.filter(
-        Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
-      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
-        .persist()
+      val (bg0, v) = sharedHeldinBigramLm(s, d)
+      val bg = bg0.persist()
       try {
-        val v = graft.operators.LangModel.vocabSize(heldin, "text")
         graft.operators.LangModel
           .perplexityReport(docs, "doc_id", "text", bg, v,
             lambda = 0.8)
@@ -770,12 +786,11 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val heldin = docs.filter(
         Corpus.hashBucket(col("doc_id"), "lm", 5) =!= 0)
-      val bg = graft.operators.LangModel.trainBigramLm(heldin, "text")
-        .persist()
+      val (bg0, v) = sharedHeldinBigramLm(s, d)
+      val bg = bg0.persist()
       val tri = graft.operators.LangModel
         .trainTrigramLm(heldin, "text").persist()
       try {
-        val v = graft.operators.LangModel.vocabSize(heldin, "text")
         graft.operators.LangModel
           .perplexityReportTri(docs, "doc_id", "text", tri, bg, v,
             alpha = 0.5, lambda3 = 0.5, lambda2 = 0.3, lambda1 = 0.2)
@@ -798,11 +813,10 @@ object SparkEntry {
       val target = heldin.filter(col("lang") === "en")
       val tBg = graft.operators.LangModel.trainBigramLm(target, "text")
         .persist()
-      val rBg = graft.operators.LangModel.trainBigramLm(heldin, "text")
-        .persist()
+      val (rBg0, rV) = sharedHeldinBigramLm(s, d)
+      val rBg = rBg0.persist()
       try {
         val tV = graft.operators.LangModel.vocabSize(target, "text")
-        val rV = graft.operators.LangModel.vocabSize(heldin, "text")
         graft.operators.LangModel.importanceReport(
             docs.select(col("doc_id"), col("text")), "doc_id", "text",
             tBg, tV, rBg, rV)
