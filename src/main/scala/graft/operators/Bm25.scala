@@ -181,16 +181,13 @@ object Bm25 {
       s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n" +
       s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
 
-  /** Commit a new meta with the self-healing `_meta.next` swap. */
+  /** Commit a new meta with the self-healing `_meta.next` swap
+    * ([[graft.sources.MetaSwap]] — shared with the vector index).
+    */
   private def swapBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
-                           path: String, m: Bm25Meta): Unit = {
-    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
-    val out = fs.create(next, true)
-    try out.write(bm25MetaBytes(m)) finally out.close()
-    fs.delete(bm25MetaPath(path), false)
-    require(fs.rename(next, bm25MetaPath(path)),
-      s"meta swap failed at $path")
-  }
+                           path: String, m: Bm25Meta): Unit =
+    graft.sources.MetaSwap.swap(fs, bm25MetaPath(path),
+      bm25MetaBytes(m))
 
   /** Read the committed meta. Self-healing: a crash between
     * [[appendBm25Index]]'s delete-old-meta and rename-new-meta steps
@@ -203,8 +200,7 @@ object Bm25 {
       path: String): Bm25Meta = {
     val fs = fsFor(spark, path)
     val p = bm25MetaPath(path)
-    val next = new org.apache.hadoop.fs.Path(s"$path/_meta.next")
-    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
+    graft.sources.MetaSwap.heal(fs, p)
     require(fs.exists(p),
       s"no committed BM25 index at $path (missing _meta — " +
         "half-built index or wrong path); build one with writeBm25Index")
@@ -403,12 +399,35 @@ object Bm25 {
     * protocol), so [[appendBm25Index]] refuses their re-submission
     * forever, and the superseded directories delete outright.
     *
+    * The merged postings are the EXACT ROW MULTISET of the committed
+    * batches — no row dedup. BM25 postings are additive state: if the
+    * same document was (deliberately or erroneously) ingested twice
+    * under two batch ids, the meta scalars count it twice and its
+    * doubled rows are what the pre-compaction serve scored, so
+    * collapsing them here would silently change every idf while N
+    * kept the double count. Compaction preserves the state it found,
+    * bit for bit; repairing a double-ingest is [[dropBm25Batch]]'s
+    * job. For the same reason the merged batch id derives from the
+    * COMMITTED BATCH LIST, not the doc-id set — a content-derived id
+    * could collide with a committed batch that happens to carry the
+    * full id set, and the collision would skip the merge while the
+    * sweep deleted the other batches' rows.
+    *
+    * A single committed batch is already compact — the call is a
+    * no-op returning that batch's id, which also makes re-running
+    * compaction idempotent.
+    *
     * Crash honesty, stage by stage: the merged batch publishes first
     * (atomic rename, invisible — unlisted); the meta swap flips
     * visibility to exactly [cid] atomically; only then do superseded
     * dirs delete (a crash leaves invisible orphans, swept by any
     * later compaction). At no point can a probe see duplicate
-    * postings. Returns the merged batch's id.
+    * postings. SINGLE MAINTAINER contract (all three indexes):
+    * compact/drop and the append/streaming ingest are one logical
+    * writer — run maintenance in the same scheduler slot as ingest,
+    * never concurrently; the meta swap is last-writer-wins, so a
+    * batch committed between this read and this swap would be
+    * delisted and swept. Returns the merged batch's id.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): String = {
@@ -416,6 +435,7 @@ object Bm25 {
     val meta = readBm25Meta(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
+    if (meta.batches.size == 1) return meta.batches.head
     // postings read from the committed batches' term_p dirs only; the
     // partition value is recomputed from the term with the exact
     // write-side function, so no partition-discovery walk runs over
@@ -430,35 +450,30 @@ object Bm25 {
     }
     require(termDirs.nonEmpty, s"no postings to compact at $path")
     val rows = spark.read.parquet(termDirs: _*)
-      // (id, term) is unique upstream by construction; the exact-row
-      // dedup is defense in depth against residue that slipped a
-      // crashed maintenance op
-      .dropDuplicates(meta.idCol, "term", "tf", "len")
       .withColumn("term_p", termPrefixCol(col("term")))
-    val cid = Dedup.batchId(
-      rows.select(col(meta.idCol)).distinct(), meta.idCol)
-    if (meta.batches != Seq(cid)) {
-      if (!meta.batches.contains(cid)) {
-        val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
-        if (fs.exists(target)) fs.delete(target, true)
-        val staging =
-          new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
-        fs.delete(staging, true)
-        // DEFRAGMENT, not just merge: cluster rows by their partition
-        // value before the write so each term_p dir lands as one file
-        // per writing task that owns the prefix (~1), instead of one
-        // per (task × prefix) — compaction exists to cut file counts
-        rows.repartition(col("term_p"))
-          .write.mode("overwrite").partitionBy("term_p")
-          .parquet(staging.toString)
-        fs.mkdirs(target.getParent)
-        require(fs.rename(staging, target),
-          s"cannot publish compacted batch $staging to $target")
-      }
-      swapBm25Meta(fs, path, meta.copy(batches = Seq(cid),
-        retired =
-          (meta.retired ++ meta.batches.filterNot(_ == cid)).distinct))
-    }
+    // deterministic merged id from the SORTED committed list: crash
+    // re-runs recompute the same id (residue reclaimed), and the
+    // derivation space is disjoint from content-derived append ids
+    val cid = "m" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(meta.batches.sorted.mkString(",").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+    if (fs.exists(target)) fs.delete(target, true)
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
+    fs.delete(staging, true)
+    // DEFRAGMENT, not just merge: cluster rows by their partition
+    // value before the write so each term_p dir lands as one file
+    // per writing task that owns the prefix (~1), instead of one
+    // per (task × prefix) — compaction exists to cut file counts
+    rows.repartition(col("term_p"))
+      .write.mode("overwrite").partitionBy("term_p")
+      .parquet(staging.toString)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(staging, target),
+      s"cannot publish compacted batch $staging to $target")
+    swapBm25Meta(fs, path, meta.copy(batches = Seq(cid),
+      retired = (meta.retired ++ meta.batches).distinct))
     // sweep every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))

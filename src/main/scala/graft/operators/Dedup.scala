@@ -698,6 +698,12 @@ object Dedup {
     * the compaction refuse: their `accepted/` record is the recovery
     * state [[graft.Pipeline.corpusIncrement]] still needs.
     *
+    * SINGLE MAINTAINER contract (all three indexes): compact/drop and
+    * the append/streaming ingest are one logical writer — run
+    * maintenance in the same scheduler slot as ingest, never
+    * concurrently (a batch published mid-compaction could lose its
+    * payload to the tombstoning pass).
+    *
     * Returns the merged batch's id.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,

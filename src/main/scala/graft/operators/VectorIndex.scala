@@ -69,9 +69,6 @@ object VectorIndex {
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
-  private def nextPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_meta.next")
-
   /** The committed state of an index: PQ geometry plus the two
     * visibility lists. `batches` serve; `retired` only refuse replay.
     */
@@ -87,8 +84,7 @@ object VectorIndex {
                               path: String): VecMeta = {
     val fs = fsFor(spark, path)
     val p = metaPath(path)
-    val next = nextPath(path)
-    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
+    graft.sources.MetaSwap.heal(fs, p)
     require(fs.exists(p),
       s"no committed vector index at $path (missing _meta — " +
         "half-built index or wrong path); build one with " +
@@ -99,8 +95,18 @@ object VectorIndex {
         .getLines().map(_.split("=", 2)).collect {
           case Array(a, b) => a -> b
         }.toMap
+      // a meta WITHOUT a batches key is the pre-committed-list format:
+      // defaulting it to empty would make a healthy index refuse every
+      // probe and — worse — let append/compact delist and sweep its
+      // data; refuse loudly instead (rebuild to a fresh root, or add
+      // the key listing the live batch dirs by hand)
+      require(kv.contains("batches"),
+        s"vector index meta at $path predates the committed-batch " +
+          "list format — refusing to guess visibility; rebuild the " +
+          "index (VectorIndex.write to a fresh root + writePointer) " +
+          "or add a batches= line listing the live batch directories")
       VecMeta(kv("m").toInt, kv("dim").toInt,
-        kv.getOrElse("batches", "").split(",").toSeq.filter(_.nonEmpty),
+        kv("batches").split(",").toSeq.filter(_.nonEmpty),
         kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty))
     } finally in.close()
   }
@@ -109,16 +115,12 @@ object VectorIndex {
     (s"m=${m.m}\ndim=${m.dim}\nbatches=${m.batches.mkString(",")}\n" +
       s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
 
-  /** Commit a new meta with the self-healing `_meta.next` swap. */
+  /** Commit a new meta with the self-healing `_meta.next` swap
+    * ([[graft.sources.MetaSwap]] — shared with the BM25 index).
+    */
   private def swapMeta(fs: org.apache.hadoop.fs.FileSystem,
-                       path: String, m: VecMeta): Unit = {
-    val next = nextPath(path)
-    val out = fs.create(next, true)
-    try out.write(metaBytes(m)) finally out.close()
-    fs.delete(metaPath(path), false)
-    require(fs.rename(next, metaPath(path)),
-      s"meta swap failed at $path")
-  }
+                       path: String, m: VecMeta): Unit =
+    graft.sources.MetaSwap.swap(fs, metaPath(path), metaBytes(m))
 
   /** Stage a batch's cell-partitioned codes and publish them with one
     * atomic rename. A batch id on the committed or retired list
@@ -177,8 +179,7 @@ object VectorIndex {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
     // complete a crashed swap first so it registers as committed
-    if (!fs.exists(metaPath(path)) && fs.exists(nextPath(path)))
-      fs.rename(nextPath(path), metaPath(path))
+    graft.sources.MetaSwap.heal(fs, metaPath(path))
     require(!fs.exists(metaPath(path)),
       s"refusing to rebuild over the COMMITTED vector index at $path " +
         "— in-place rebuilds mix codes from two codebooks and drop " +
@@ -324,8 +325,13 @@ object VectorIndex {
     * content-derived cid is deterministic, the residue dir is
     * reclaimed); a crash after it leaves invisible orphan dirs that
     * the post-swap sweep of any later compaction removes. At no
-    * point can a probe see duplicate code rows. Returns the merged
-    * batch's id.
+    * point can a probe see duplicate code rows. SINGLE MAINTAINER
+    * contract (all three indexes): compact/drop and the
+    * append/streaming ingest are one logical writer — run maintenance
+    * in the same scheduler slot as ingest, never concurrently; the
+    * meta swap is last-writer-wins, so a batch committed between this
+    * read and this swap would be delisted and swept. Returns the
+    * merged batch's id.
     */
   def compact(spark: SparkSession, path: String): String = {
     val fs = fsFor(spark, path)
@@ -398,14 +404,9 @@ object VectorIndex {
     val fs = fsFor(spark, pointerPath)
     // refuse to point at a root no probe could serve
     readMeta(spark, indexRoot)
-    val p = new org.apache.hadoop.fs.Path(pointerPath)
-    val next = new org.apache.hadoop.fs.Path(s"$pointerPath.next")
-    val out = fs.create(next, true)
-    try out.write(s"$indexRoot\n".getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(next, p),
-      s"pointer swap failed: $next -> $p")
+    graft.sources.MetaSwap.swap(fs,
+      new org.apache.hadoop.fs.Path(pointerPath),
+      s"$indexRoot\n".getBytes("UTF-8"))
   }
 
   /** Resolve the active index root; self-heals a crashed swap. */
@@ -413,8 +414,7 @@ object VectorIndex {
                      pointerPath: String): String = {
     val fs = fsFor(spark, pointerPath)
     val p = new org.apache.hadoop.fs.Path(pointerPath)
-    val next = new org.apache.hadoop.fs.Path(s"$pointerPath.next")
-    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
+    graft.sources.MetaSwap.heal(fs, p)
     require(fs.exists(p),
       s"no serving pointer at $pointerPath — publish one with " +
         "VectorIndex.writePointer")

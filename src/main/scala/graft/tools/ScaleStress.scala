@@ -113,8 +113,11 @@ object ScaleStress {
       graft.operators.Dedup.writeDedupIndex(docs.filter(isNew),
         "doc_id", "text", dedupPath, mode = "append")
     }
+    // probe ids must clear EVERY replica's id range (copies shift by
+    // c·1e8, c ≤ 9 — a +9e8 offset would collide copy-0 probe ids
+    // with copy-9 index ids and skew the dup counts)
     val dedupProbeBatch = docs.filter(probeSlice)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text"))
     val (dedupDup, tDedupProbe) = time {
       graft.operators.Dedup.minhashDedupAgainstIndex(dedupProbeBatch,
         "doc_id", "text", dedupPath).count()

@@ -765,6 +765,20 @@ class CorpusSpec extends AnyFunSuite {
       // idempotent: a re-run is a no-op on an already-compacted index
       assert(Bm25.compactBm25Index(spark, path) == cid)
       assert(serve() == before)
+      // double-ingest state is PRESERVED, never silently "repaired":
+      // the same docs appended again under a fresh id double
+      // N/Σlen/tf/df consistently (that IS the served state), and
+      // compaction of that state — where the merged row multiset
+      // contains exact cross-batch duplicates — must serve
+      // identically, with the scalars still matching the rows
+      Bm25.appendBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "text", path, batchId = Some("dup2"))
+      val doubled = serve()
+      assert(doubled != before, "the re-ingest should change scores")
+      val cid2 = Bm25.compactBm25Index(spark, path)
+      assert(cid2 != cid)
+      assert(serve() == doubled,
+        "compaction must preserve the double-ingest state bit for bit")
     } finally SparkTestSession.rmTree(dir)
   }
 
