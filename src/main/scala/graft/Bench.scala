@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * actually predicts cluster behavior.
   *
   * Training-artifact gates (`slow` tag in the JSON line): SparkEntry
-  * memoizes the PQ codebook and BPE merge table per (sf dir, params)
+  * memoizes the PQ codebook, BPE merge table, and held-in bigram LM per (sf dir, params)
   * — the artifact is a model constant, retrained by schedule, not per
   * query — so those gates' t1 includes one training run and their
   * min-of-2 reports the SERVE cost. The training cost itself stays
@@ -113,9 +113,14 @@ object Bench {
     // time (the value measures round count or in-gate training, not
     // scan speed) from the scan-throughput signal the round-over-round
     // comparison is about
+    // membership = iterative/train-heavy by construction PLUS every
+    // gate that can pay a memoized shared-training run (whichever of
+    // them runs FIRST in a sweep or isolated session pays the train;
+    // the others serve from the cache)
     val slowGates = Seq("q_ann_pq", "q_ann_ivfpq", "q_text_bpe",
       "q_text_bpe_encode", "q_pipeline_schedule", "q_pipeline_retries",
-      "q_embed_kmeans", "q_dedup_groups", "q_text_classifier")
+      "q_embed_kmeans", "q_dedup_groups", "q_text_classifier",
+      "q_corpus_dsir")
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).filterNot(stagingGates)
       .map(n => n -> runOne(n))

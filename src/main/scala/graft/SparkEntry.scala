@@ -71,16 +71,21 @@ object SparkEntry {
     * they are plain JVM data, session-free.
     */
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int),
+    (String, Int, Int, Int),
     (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
-  private def sharedPqCodebook(s: SparkSession, d: String,
-                               rounds: Int): DataFrame = {
-    val (rows, schema) = pqCbCache.computeIfAbsent((d, rounds), _ => {
-      val cb = Similarity.pqTrain(Tables.table(s, d, "embeddings"),
-        "vec_id", "embedding", 8, 64,
-        initPred = col("vec_id") % 17 === 5, rounds = rounds)
-      (cb.collect(), cb.schema)
-    })
+  // the cache key carries EVERY training input a caller can vary (sf
+  // dir, m, dim, rounds) — a key that omitted geometry would silently
+  // serve an 8/64 codebook to a caller that asked for 16/64; the init
+  // predicate is pinned here and is part of the memo's contract
+  private def sharedPqCodebook(s: SparkSession, d: String, m: Int,
+                               dim: Int, rounds: Int): DataFrame = {
+    val (rows, schema) =
+      pqCbCache.computeIfAbsent((d, m, dim, rounds), _ => {
+        val cb = Similarity.pqTrain(Tables.table(s, d, "embeddings"),
+          "vec_id", "embedding", m, dim,
+          initPred = col("vec_id") % 17 === 5, rounds = rounds)
+        (cb.collect(), cb.schema)
+      })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -1068,7 +1073,7 @@ object SparkEntry {
       val (m, dim) = (8, 64)
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
-      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
+      val cb = sharedPqCodebook(s, d, m, dim, rounds = 3).persist()
       try {
         val codes = graft.Checkpoints.truncate(
           Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, dim))
@@ -1122,7 +1127,7 @@ object SparkEntry {
       val (m, dim) = (8, 64)
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
-      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
+      val cb = sharedPqCodebook(s, d, m, dim, rounds = 3).persist()
       try {
         val cents = emb.filter(col("vec_id") % 37 === 1)
           .select(col("vec_id").as("cell"), col("embedding").as("centv"))
@@ -1181,7 +1186,7 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       val qp = col("vec_id") % 50 === 0
       val isNew = Corpus.hashBucket(col("vec_id"), "inc", 5) === 0
-      val cb = sharedPqCodebook(s, d, rounds = 3).persist()
+      val cb = sharedPqCodebook(s, d, m, dim, rounds = 3).persist()
       try {
         val cents = emb.filter(col("vec_id") % 37 === 1)
           .select(col("vec_id").as("cell"), col("embedding").as("centv"))
@@ -1796,7 +1801,7 @@ object SparkEntry {
         val emb = Tables.table(s, d, "embeddings")
         val qp = col("vec_id") % 50 === 0
         val isNew = Corpus.hashBucket(col("vec_id"), "vinc", 5) === 0
-        val cb = sharedPqCodebook(s, d, rounds = 2).persist()
+        val cb = sharedPqCodebook(s, d, m, dim, rounds = 2).persist()
         try {
           val cents = emb.filter(col("vec_id") % 37 === 1)
             .select(col("vec_id").as("cell"),

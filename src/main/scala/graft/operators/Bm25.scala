@@ -144,7 +144,13 @@ object Bm25 {
     * probe reads `_meta` exactly once and threads it everywhere, so a
     * concurrent append/drop landing mid-probe can never pair one
     * snapshot's N/Σlen scalars with another's visibility list — the
-    * probe serves a single committed view, torn-free.
+    * probe serves a single committed view, torn-free. Caveat on
+    * PHYSICAL deletion: a drop/compact that deletes a directory
+    * while an in-flight probe's job still holds its resolved paths
+    * fails that probe LOUDLY (missing files — never wrong results);
+    * the retry reads the post-maintenance view. Deployments that
+    * cannot retry probes should delay physical deletion by a grace
+    * period after the meta swap.
     */
   private[graft] def prunedPostingPaths(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -260,14 +266,22 @@ object Bm25 {
       .withColumn("len", size(col("__t")).cast("bigint"))
       .persist()
     try {
+      // scalars BEFORE any write: an empty batch must refuse loudly
+      // here (sum over zero rows is null — the old order NPE'd after
+      // already staging files), and the streams' skip-empty guard is
+      // not a contract direct API callers inherit
+      val s = base.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+        .head()
+      require(s.getLong(0) > 0L,
+        s"refusing to publish empty batch $bid: the batch has no " +
+          "documents (all empty sets share one content id — an empty " +
+          "append would permanently block future empty-able ids)")
       base.select(col(idCol), col("len"), explode(col("__t")).as("term"))
         .groupBy(col(idCol), col("len"), col("term"))
         .agg(count(lit(1)).as("tf"))
         .withColumn("term_p", termPrefixCol(col("term")))
         .write.mode("overwrite").partitionBy("term_p")
         .parquet(staging.toString)
-      val s = base.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
-        .head()
       fs.mkdirs(target.getParent)
       require(fs.rename(staging, target),
         s"atomic publish of batch $bid failed (staging → $target)")
@@ -355,8 +369,11 @@ object Bm25 {
     * in the same self-healing meta swap as [[appendBm25Index]]; the
     * directory is deleted after the swap commits (an orphan dir left
     * by a crash between the two is invisible and reclaimed by the
-    * next append of the same content). Returns false if the batch
-    * was not committed.
+    * next append of the same content). An IN-FLIGHT probe that
+    * resolved the batch's paths under the pre-drop snapshot fails
+    * loudly when the delete races its read — fail-closed, never a
+    * silently wrong score; retry, or delay the physical delete by a
+    * grace period. Returns false if the batch was not committed.
     */
   def dropBm25Batch(spark: org.apache.spark.sql.SparkSession,
                     path: String, batchId: String): Boolean = {
@@ -435,7 +452,18 @@ object Bm25 {
     val meta = readBm25Meta(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
-    if (meta.batches.size == 1) return meta.batches.head
+    def sweepAllBut(keep: String): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+        .filter(st => st.isDirectory && st.getPath.getName != keep)
+        .foreach { st => fs.delete(st.getPath, true); () }
+    if (meta.batches.size == 1) {
+      // already compact — but a crash between a PRIOR compaction's
+      // meta swap and its sweep leaves invisible orphan dirs, and
+      // this re-run is the documented recovery: sweep before
+      // returning, or the orphans persist until the next full cycle
+      sweepAllBut(meta.batches.head)
+      return meta.batches.head
+    }
     // postings read from the committed batches' term_p dirs only; the
     // partition value is recomputed from the term with the exact
     // write-side function, so no partition-discovery walk runs over
@@ -476,9 +504,7 @@ object Bm25 {
       retired = (meta.retired ++ meta.batches).distinct))
     // sweep every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
-      .filter(st => st.isDirectory && st.getPath.getName != cid)
-      .foreach { st => fs.delete(st.getPath, true); () }
+    sweepAllBut(cid)
     cid
   }
 

@@ -287,8 +287,11 @@ object VectorIndex {
     * allowed). The meta swap commits FIRST, then the directory
     * deletes: a crash between the two leaves an invisible orphan that
     * the next publish of the same content reclaims — a reprobe serves
-    * the pre-drop or post-drop view, never a torn one. Returns false
-    * if the batch was not committed.
+    * the pre-drop or post-drop view, never a torn one. An IN-FLIGHT
+    * probe that resolved this batch's cell paths under the pre-drop
+    * snapshot fails loudly if the delete races its read (fail-closed,
+    * never a wrong ranking); retry, or delay physical deletion by a
+    * grace period. Returns false if the batch was not committed.
     */
   def dropBatch(spark: SparkSession, path: String,
                 batchId: String): Boolean = {

@@ -32,13 +32,34 @@ private[graft] object MetaSwap {
   }
 
   /** Commit `bytes` as the marker's new content via the self-healing
-    * swap.
+    * swap. Tolerates the one benign race the protocol itself creates:
+    * between this writer's delete and rename, a concurrent READER's
+    * [[heal]] may complete the commit first — the writer's rename
+    * then fails, but the marker already holds exactly these bytes, so
+    * the commit succeeded. Only a rename failure with the marker
+    * absent or holding OTHER content is a real error.
     */
   def swap(fs: FileSystem, marker: Path, bytes: Array[Byte]): Unit = {
     val next = nextOf(marker)
     val out = fs.create(next, true)
     try out.write(bytes) finally out.close()
     fs.delete(marker, false)
-    require(fs.rename(next, marker), s"marker swap failed at $marker")
+    if (!fs.rename(next, marker)) {
+      val committed =
+        if (!fs.exists(marker)) null
+        else {
+          val in = fs.open(marker)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+        }
+      require(committed != null &&
+        java.util.Arrays.equals(committed, bytes),
+        s"marker swap failed at $marker")
+    }
   }
 }

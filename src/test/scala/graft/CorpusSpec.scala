@@ -779,6 +779,20 @@ class CorpusSpec extends AnyFunSuite {
       assert(cid2 != cid)
       assert(serve() == doubled,
         "compaction must preserve the double-ingest state bit for bit")
+      // an empty batch refuses loudly BEFORE writing anything (the
+      // old order staged files, then NPE'd on the null Σlen scalar)
+      val e2 = intercept[IllegalArgumentException] {
+        Bm25.appendBm25Index(docs.filter(lit(false)), "text", path)
+      }
+      assert(e2.getMessage.contains("empty batch"))
+      assert(serve() == doubled, "a refused empty append changed state")
+      // a crash between a compaction's meta swap and its sweep leaves
+      // orphan dirs; the documented recovery — re-running compaction —
+      // must reclaim them even on the single-batch no-op path
+      val orphan = new java.io.File(path, "batches/orphan-crash-dir")
+      assert(orphan.mkdirs())
+      assert(Bm25.compactBm25Index(spark, path) == cid2)
+      assert(!orphan.exists, "the no-op re-run should sweep orphans")
     } finally SparkTestSession.rmTree(dir)
   }
 
