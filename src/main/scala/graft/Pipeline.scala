@@ -552,7 +552,7 @@ object Pipeline {
     val batchDir = new org.apache.hadoop.fs.Path(s"$idx/batches/$bid")
     val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val landedMarker = new org.apache.hadoop.fs.Path(batchDir, "_landed")
-    if (fs.exists(landedMarker)) throw new IllegalStateException(
+    if (fs.exists(landedMarker)) throw new graft.ReplayRefused(
       s"corpusIncrement replay refused: batch $bid has already been " +
         s"processed and landed at $batchDir — re-submitting a committed " +
         "batch would double-count it")

@@ -187,41 +187,53 @@ object Bm25 {
       s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n" +
       s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
 
-  /** Commit a new meta with the self-healing `_meta.next` swap
-    * ([[graft.sources.MetaSwap]] — shared with the vector index).
+  /** Commit a new meta with the COMPARE-AND-SET `_meta.next` swap
+    * ([[graft.sources.MetaSwap]] — shared with the vector index):
+    * `expect` is the committed bytes this writer read when it planned
+    * the change, so a concurrent append/drop/compact landing in
+    * between fails this commit LOUDLY ([[graft.sources.MetaSwap.CasFailed]])
+    * instead of silently delisting the other writer's batch. Every
+    * maintenance path threads its own read through here — the
+    * single-logical-writer contract is enforced, not just documented.
     */
   private def swapBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
-                           path: String, m: Bm25Meta): Unit =
+                           path: String, m: Bm25Meta,
+                           expect: Array[Byte]): Unit =
     graft.sources.MetaSwap.swap(fs, bm25MetaPath(path),
-      bm25MetaBytes(m))
+      bm25MetaBytes(m), expect)
 
-  /** Read the committed meta. Self-healing: a crash between
-    * [[appendBm25Index]]'s delete-old-meta and rename-new-meta steps
-    * leaves `_meta.next` without `_meta`; the next reader completes
-    * the rename and proceeds — the swap is effectively atomic for
-    * every reader that comes after the crash.
+  /** Read the committed meta ALONG WITH its raw bytes — the bytes are
+    * what a maintenance path hands back to [[swapBm25Meta]] as its CAS
+    * expectation. Self-healing: a crash between a swap's
+    * delete-old-meta and rename-new-meta steps leaves `_meta.next`
+    * without `_meta`; the next reader completes the rename and
+    * proceeds — the swap is effectively atomic for every reader that
+    * comes after the crash.
     */
-  private[graft] def readBm25Meta(
+  private[graft] def readBm25MetaRaw(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Bm25Meta = {
+      path: String): (Bm25Meta, Array[Byte]) = {
     val fs = fsFor(spark, path)
     val p = bm25MetaPath(path)
     graft.sources.MetaSwap.heal(fs, p)
     require(fs.exists(p),
       s"no committed BM25 index at $path (missing _meta — " +
         "half-built index or wrong path); build one with writeBm25Index")
-    val in = fs.open(p)
-    try {
-      val kv = scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.split("=", 2)).collect {
-          case Array(a, b) => a -> b
-        }.toMap
-      Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
-        kv.getOrElse("id_type", "bigint"),
-        kv("batches").split(",").toSeq.filter(_.nonEmpty),
-        kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty))
-    } finally in.close()
+    val raw = graft.sources.MetaSwap.readCommitted(fs, p)
+    val kv = new String(raw, "UTF-8").linesIterator
+      .map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b
+      }.toMap
+    (Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
+      kv.getOrElse("id_type", "bigint"),
+      kv("batches").split(",").toSeq.filter(_.nonEmpty),
+      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty)),
+      raw)
   }
+
+  private[graft] def readBm25Meta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Meta = readBm25MetaRaw(spark, path)._1
 
   private def writeBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
                             path: String, m: Bm25Meta): Unit = {
@@ -243,15 +255,19 @@ object Bm25 {
     val spark = docs.sparkSession
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
-    require(!retired.contains(bid),
+    if (retired.contains(bid)) throw new graft.ReplayRefused(
       s"BM25 index append refused: batch $bid was committed and later " +
         "compacted away — its postings already live in the merged " +
         "batch; a replay would double every tf/df it carries")
-    require(!committed.contains(bid),
+    if (committed.contains(bid)) throw new graft.ReplayRefused(
       s"BM25 index append refused: batch $bid is already committed at " +
         s"$target — a replayed batch would double every tf/df it " +
         "carries; drop it from the meta first if this is an " +
         "intentional re-ingest")
+    // a pending grace-period delete of this id must be forgotten
+    // BEFORE the id is re-staged, or a later sweep would reap the
+    // re-ingested batch
+    IndexProtocol.clearPendingDelete(fs, path, bid)
     // crash residue (published dir, meta swap never committed):
     // invisible to probes, safe to redo
     if (fs.exists(target)) fs.delete(target, true)
@@ -345,19 +361,17 @@ object Bm25 {
                       batchId: Option[String] = None): String = {
     val spark = docs.sparkSession
     val fs = fsFor(spark, path)
-    val meta = readBm25Meta(spark, path)
+    val (meta, raw) = readBm25MetaRaw(spark, path)
     val bid = batchId.getOrElse(Dedup.batchId(docs, meta.idCol))
     // a supplied id becomes both a directory name and an entry in the
     // meta's comma-separated committed list; content-derived ids are
-    // hex, but a caller's id must not smuggle separators
-    require(bid.matches("[A-Za-z0-9._-]+"),
-      s"batch id '$bid' must be a path-safe token " +
-        "([A-Za-z0-9._-] only)")
+    // hex — and the merged-batch shape is reserved for compaction
+    IndexProtocol.validateAppendId(bid, "BM25 index")
     val (dn, dsl) = publishPostingsBatch(docs, meta.idCol, textCol,
       path, bid, meta.batches, meta.retired)
     swapBm25Meta(fs, path,
       meta.copy(n = meta.n + dn, sumLen = meta.sumLen + dsl,
-        batches = meta.batches :+ bid))
+        batches = meta.batches :+ bid), raw)
     bid
   }
 
@@ -372,13 +386,18 @@ object Bm25 {
     * next append of the same content). An IN-FLIGHT probe that
     * resolved the batch's paths under the pre-drop snapshot fails
     * loudly when the delete races its read — fail-closed, never a
-    * silently wrong score; retry, or delay the physical delete by a
-    * grace period. Returns false if the batch was not committed.
+    * silently wrong score; retry, or set `retainMs > 0`: the
+    * delisted directory then stays in place (invisible — probes are
+    * meta-driven) for at least that grace window, recorded under
+    * `_pending_delete/` and reclaimed by a later maintenance call's
+    * sweep ([[IndexProtocol.sweepPendingDeletes]]). Returns false if
+    * the batch was not committed.
     */
   def dropBm25Batch(spark: org.apache.spark.sql.SparkSession,
-                    path: String, batchId: String): Boolean = {
+                    path: String, batchId: String,
+                    retainMs: Long = 0L): Boolean = {
     val fs = fsFor(spark, path)
-    val meta = readBm25Meta(spark, path)
+    val (meta, raw) = readBm25MetaRaw(spark, path)
     if (!meta.batches.contains(batchId)) false
     else {
       val dir = s"$path/batches/$batchId"
@@ -396,8 +415,11 @@ object Bm25 {
       swapBm25Meta(fs, path,
         meta.copy(n = meta.n - s.getLong(0),
           sumLen = meta.sumLen - s.getLong(1),
-          batches = meta.batches.filterNot(_ == batchId)))
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          batches = meta.batches.filterNot(_ == batchId)), raw)
+      val now = System.currentTimeMillis()
+      IndexProtocol.markPendingDelete(fs, path, batchId, now)
+      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
+        meta.batches.filterNot(_ == batchId).toSet)
       true
     }
   }
@@ -413,8 +435,18 @@ object Bm25 {
     *
     * The REPLAY CONTRACT survives compaction: superseded batch ids
     * move to the meta's `retired` list (the [[VectorIndex.compact]]
-    * protocol), so [[appendBm25Index]] refuses their re-submission
-    * forever, and the superseded directories delete outright.
+    * protocol), so [[appendBm25Index]] refuses their re-submission,
+    * and the superseded directories delete outright (or after the
+    * `retainMs` grace window — see [[dropBm25Batch]]). The retired
+    * list is CAPPED at `maxRetired` ids, newest kept: an uncapped
+    * list grows one id per append forever on the O(1) replay-guard
+    * path (unbounded meta growth at daily batches over years). The
+    * trade-off is explicit: a batch retired more than `maxRetired`
+    * retirements ago could be re-appended without refusal — with the
+    * default 512 that is over a year of daily ingest between a
+    * batch's retirement and its guard aging out, and a checkpointed
+    * stream never redelivers that far back; size the knob to the
+    * redelivery horizon, not the corpus.
     *
     * The merged postings are the EXACT ROW MULTISET of the committed
     * batches — no row dedup. BM25 postings are additive state: if the
@@ -442,26 +474,51 @@ object Bm25 {
     * postings. SINGLE MAINTAINER contract (all three indexes):
     * compact/drop and the append/streaming ingest are one logical
     * writer — run maintenance in the same scheduler slot as ingest,
-    * never concurrently; the meta swap is last-writer-wins, so a
-    * batch committed between this read and this swap would be
-    * delisted and swept. Returns the merged batch's id.
+    * never concurrently; and since r10 that contract is ENFORCED, not
+    * just documented: the meta swap is compare-and-set against the
+    * bytes this compaction read, so a batch committed between the
+    * read and the swap fails the compaction loudly
+    * ([[graft.sources.MetaSwap.CasFailed]]) with the appended batch
+    * intact — the merged directory is unlisted residue, reclaimed by
+    * the re-run. Returns the merged batch's id.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       path: String): String = {
+                       path: String, retainMs: Long = 0L,
+                       maxRetired: Int = 512): String =
+    compactBm25Impl(spark, path, retainMs, maxRetired, () => ())
+
+  /** [[compactBm25Index]] with a test seam: `beforeSwap` runs between
+    * the merged batch's publish and the meta swap — the window the
+    * CAS exists to defend — so the interleaved-append spec can prove
+    * the compaction fails loudly instead of delisting the newcomer.
+    */
+  private[graft] def compactBm25Impl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, retainMs: Long, maxRetired: Int,
+      beforeSwap: () => Unit): String = {
+    require(maxRetired >= 1, s"maxRetired must be >= 1, got $maxRetired")
     val fs = fsFor(spark, path)
-    val meta = readBm25Meta(spark, path)
+    val (meta, raw) = readBm25MetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
-    def sweepAllBut(keep: String): Unit =
+    def retireAllBut(keep: String): Unit = {
+      val now = System.currentTimeMillis()
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
         .filter(st => st.isDirectory && st.getPath.getName != keep)
-        .foreach { st => fs.delete(st.getPath, true); () }
+        .foreach { st =>
+          IndexProtocol.markPendingDelete(fs, path, st.getPath.getName,
+            now)
+        }
+      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
+        Set(keep))
+      ()
+    }
     if (meta.batches.size == 1) {
       // already compact — but a crash between a PRIOR compaction's
       // meta swap and its sweep leaves invisible orphan dirs, and
       // this re-run is the documented recovery: sweep before
       // returning, or the orphans persist until the next full cycle
-      sweepAllBut(meta.batches.head)
+      retireAllBut(meta.batches.head)
       return meta.batches.head
     }
     // postings read from the committed batches' term_p dirs only; the
@@ -482,9 +539,16 @@ object Bm25 {
     // deterministic merged id from the SORTED committed list: crash
     // re-runs recompute the same id (residue reclaimed), and the
     // derivation space is disjoint from content-derived append ids
-    val cid = "m" + java.security.MessageDigest.getInstance("SHA-256")
-      .digest(meta.batches.sorted.mkString(",").getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val cid = IndexProtocol.mergedId(meta.batches)
+    // the shape is reserved at append time, so a collision can only
+    // come from an index predating that guard — refuse rather than
+    // destroy the committed batch's payload and rebuild over it
+    require(!meta.batches.contains(cid) && !meta.retired.contains(cid),
+      s"merged id $cid is already on the committed/retired list at " +
+        s"$path — a pre-reservation user-supplied id squats on the " +
+        "merged shape; drop and re-ingest that batch under another id " +
+        "before compacting")
+    IndexProtocol.clearPendingDelete(fs, path, cid)
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     if (fs.exists(target)) fs.delete(target, true)
     val staging =
@@ -500,11 +564,14 @@ object Bm25 {
     fs.mkdirs(target.getParent)
     require(fs.rename(staging, target),
       s"cannot publish compacted batch $staging to $target")
+    beforeSwap()
     swapBm25Meta(fs, path, meta.copy(batches = Seq(cid),
-      retired = (meta.retired ++ meta.batches).distinct))
-    // sweep every batch dir off the committed list: superseded
+      retired =
+        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)),
+      raw)
+    // retire every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
-    sweepAllBut(cid)
+    retireAllBut(cid)
     cid
   }
 

@@ -578,7 +578,7 @@ object Dedup {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       ()
     } else {
-      if (fs.exists(batchDir)) throw new IllegalStateException(
+      if (fs.exists(batchDir)) throw new graft.ReplayRefused(
         s"writeDedupIndex append refused: batch $bid is already " +
           s"published in the index at $path — a duplicated/retried " +
           "append would corrupt Jaccard verify counts " +
@@ -591,7 +591,7 @@ object Dedup {
           val batchIds = df.select(col(idCol).as("sid")).distinct()
           val overlap = stored.join(broadcast(batchIds), Seq("sid"),
             "left_semi").distinct().count()
-          if (overlap > 0L) throw new IllegalStateException(
+          if (overlap > 0L) throw new graft.ReplayRefused(
             s"writeDedupIndex append refused: $overlap batch id(s) are " +
               s"already in the index at $path — a duplicated/retried " +
               "append would corrupt Jaccard verify counts")

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Protocol pieces SHARED by the persisted BM25 and vector indexes —
+  * one implementation so the two cannot drift (the r9 lesson: the
+  * merged-id derivation was fixed for BM25 and the vector index kept
+  * the condemned content-derived form for a round).
+  *
+  * Three contracts live here:
+  *
+  *  - **Merged-batch ids** ([[mergedId]]): `"m" + 16 hex` derived from
+  *    the SORTED committed batch list. Deterministic (crash re-runs
+  *    recompute the same id, residue is reclaimed) and DISJOINT from
+  *    every other id space: content-derived append ids are pure hex
+  *    (never 'm'-prefixed, [[Dedup.batchId]]), and user-supplied ids
+  *    are refused at append time if they match the reserved shape
+  *    ([[validateAppendId]]). A collision between a merged id and a
+  *    committed batch therefore cannot arise on an index maintained by
+  *    this code — and compaction still guards it explicitly for
+  *    indexes built before the shape was reserved.
+  *
+  *  - **Append-id validation** ([[validateAppendId]]): path-safety
+  *    (the id becomes a directory name and a comma-separated meta
+  *    entry) plus the reserved-shape refusal above.
+  *
+  *  - **Grace-period deletes** ([[markPendingDelete]] /
+  *    [[sweepPendingDeletes]]): drop/compact delist a batch in the
+  *    meta swap (probes that read the meta afterwards never see it)
+  *    but may need to keep the PHYSICAL directory briefly — an
+  *    in-flight probe that path-resolved the batch under the pre-drop
+  *    snapshot reads files, not metas, and a same-instant delete fails
+  *    it loudly (fail-closed, but a retry a deployment may not want to
+  *    pay). With `retainMs > 0` the directory stays in place,
+  *    invisible, recorded under `_pending_delete/<bid>` with its
+  *    delist time; the next maintenance call's sweep deletes
+  *    directories whose grace has expired. `retainMs = 0` (the
+  *    default everywhere) deletes in the same call — the pre-grace
+  *    behavior, bit-identical end state. A re-publish of a pending id
+  *    (re-append after a drop) clears the marker FIRST
+  *    ([[clearPendingDelete]] from the publish paths), so a stale
+  *    sweep can never delete a live re-ingested batch.
+  */
+private[graft] object IndexProtocol {
+
+  /** Deterministic merged-batch id from the sorted committed list:
+    * `"m" + first 8 bytes of sha256`, a 17-char token whose shape is
+    * reserved for compaction (see [[validateAppendId]]).
+    */
+  def mergedId(committed: Seq[String]): String =
+    "m" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(committed.sorted.mkString(",").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  private val MergedShape = "m[0-9a-f]{16}"
+
+  /** An append-time batch id must be a path-safe token (it becomes a
+    * directory name and a comma-separated meta-list entry) and must
+    * not squat on the reserved merged-id shape — a user id of the
+    * form `m + 16 hex` could collide with a later compaction's derived id,
+    * and the compaction's rebuild would destroy the committed batch's
+    * payload while the meta still listed it.
+    */
+  def validateAppendId(bid: String, index: String): Unit = {
+    require(bid.matches("[A-Za-z0-9._-]+"),
+      s"batch id '$bid' must be a path-safe token " +
+        "([A-Za-z0-9._-] only)")
+    require(!bid.matches(MergedShape),
+      s"$index append refused: batch id '$bid' matches the RESERVED " +
+        "merged-batch shape (m + 16 hex) — compaction derives its ids " +
+        "in that space, and a collision would let a compaction " +
+        "destroy this batch's payload; pick any other token")
+  }
+
+  private def pendingDir(root: String) = new Path(s"$root/_pending_delete")
+
+  private def pendingMarker(root: String, bid: String) =
+    new Path(s"$root/_pending_delete/$bid")
+
+  /** Record that `batches/<bid>` was delisted at `nowMs` and awaits
+    * physical deletion once its grace period expires.
+    */
+  def markPendingDelete(fs: FileSystem, root: String, bid: String,
+                        nowMs: Long): Unit = {
+    val p = pendingMarker(root, bid)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(nowMs.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Forget a pending delete — called by every publish path BEFORE it
+    * (re)stages a batch id, so a marker left by an earlier drop can
+    * never reap the re-ingested batch.
+    */
+  def clearPendingDelete(fs: FileSystem, root: String,
+                         bid: String): Unit = {
+    fs.delete(pendingMarker(root, bid), false); ()
+  }
+
+  /** Delete every pending batch directory whose grace period has
+    * expired (marker older than `retainMs`), plus its marker. An
+    * unreadable marker counts as expired — fail toward reclaiming
+    * space, never toward resurrecting visibility (the batch is
+    * already off the committed list either way). `committed` is the
+    * sweep's safety rail: an id on the CURRENT committed list is
+    * never deleted — its marker is stale (a publish raced an orphan
+    * mark and committed after it) and is cleared instead, so a live
+    * batch can never be reaped by an old marker. Returns the ids
+    * deleted.
+    */
+  def sweepPendingDeletes(fs: FileSystem, root: String, retainMs: Long,
+                          nowMs: Long,
+                          committed: Set[String]): Seq[String] = {
+    val base = pendingDir(root)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq.flatMap { st =>
+      val bid = st.getPath.getName
+      if (committed(bid)) {
+        fs.delete(st.getPath, false)
+        Seq.empty
+      } else {
+        val ts =
+          try {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              .trim.toLong
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => 0L }
+        if (nowMs - ts >= retainMs) {
+          fs.delete(new Path(s"$root/batches/$bid"), true)
+          fs.delete(st.getPath, false)
+          Seq(bid)
+        } else Seq.empty
+      }
+    }
+  }
+}

@@ -109,8 +109,14 @@ object LangModel {
         val uniR = bigrams.groupBy(col("w2"))
           .agg(sum(col("n12")).as("c2"))
         // the total-bigram scalar N: one aggregate over the
-        // model-sized table, a bounded driver pull
-        val n = bigrams.agg(sum(col("n12"))).head().getLong(0)
+        // model-sized table, a bounded driver pull. An EMPTY count
+        // table sums to null — refuse loudly instead of an opaque NPE
+        // (an empty or all-short held-in slice is a caller error)
+        val nRow = bigrams.agg(sum(col("n12"))).head()
+        require(!nRow.isNullAt(0),
+          "bigram count table is empty — nothing to score against; " +
+            "train on a held-in slice with at least one 2-token doc")
+        val n = nRow.getLong(0)
         val pUni =
           (coalesce(col("c2"), lit(0L)).cast("double") + alpha) /
             (n.toDouble + alpha * vocab)
@@ -229,7 +235,13 @@ object LangModel {
       .select(col("w1").as("w2"), col("n1"))
     val uniR = bigrams.groupBy(col("w2")).agg(sum(col("n12")).as("c2"))
       .select(col("w2").as("w3"), col("c2"))
-    val n = bigrams.agg(sum(col("n12"))).head().getLong(0)
+    // an EMPTY bigram table sums to null — refuse loudly instead of
+    // an opaque NPE (same contract as perplexityReport's JM branch)
+    val nRow = bigrams.agg(sum(col("n12"))).head()
+    require(!nRow.isNullAt(0),
+      "bigram count table is empty — nothing to score against; " +
+        "train on a held-in slice with at least one 2-token doc")
+    val n = nRow.getLong(0)
     val pTri =
       (coalesce(col("n123"), lit(0L)).cast("double") + alpha) /
         (coalesce(col("c12"), lit(0L)).cast("double") + alpha * vocab)

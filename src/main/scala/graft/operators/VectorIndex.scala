@@ -76,12 +76,14 @@ object VectorIndex {
                                           batches: Seq[String],
                                           retired: Seq[String])
 
-  /** Read the committed meta. Self-healing: a crash between a swap's
-    * delete-old and rename-new steps leaves `_meta.next` without
-    * `_meta`; the next reader completes the rename and proceeds.
+  /** Read the committed meta ALONG WITH its raw bytes — the bytes are
+    * what a maintenance path hands back to [[swapMeta]] as its CAS
+    * expectation. Self-healing: a crash between a swap's delete-old
+    * and rename-new steps leaves `_meta.next` without `_meta`; the
+    * next reader completes the rename and proceeds.
     */
-  private[graft] def readMeta(spark: SparkSession,
-                              path: String): VecMeta = {
+  private[graft] def readMetaRaw(spark: SparkSession,
+                                 path: String): (VecMeta, Array[Byte]) = {
     val fs = fsFor(spark, path)
     val p = metaPath(path)
     graft.sources.MetaSwap.heal(fs, p)
@@ -89,38 +91,47 @@ object VectorIndex {
       s"no committed vector index at $path (missing _meta — " +
         "half-built index or wrong path); build one with " +
         "VectorIndex.write")
-    val in = fs.open(p)
-    try {
-      val kv = scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.split("=", 2)).collect {
-          case Array(a, b) => a -> b
-        }.toMap
-      // a meta WITHOUT a batches key is the pre-committed-list format:
-      // defaulting it to empty would make a healthy index refuse every
-      // probe and — worse — let append/compact delist and sweep its
-      // data; refuse loudly instead (rebuild to a fresh root, or add
-      // the key listing the live batch dirs by hand)
-      require(kv.contains("batches"),
-        s"vector index meta at $path predates the committed-batch " +
-          "list format — refusing to guess visibility; rebuild the " +
-          "index (VectorIndex.write to a fresh root + writePointer) " +
-          "or add a batches= line listing the live batch directories")
-      VecMeta(kv("m").toInt, kv("dim").toInt,
-        kv("batches").split(",").toSeq.filter(_.nonEmpty),
-        kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty))
-    } finally in.close()
+    val raw = graft.sources.MetaSwap.readCommitted(fs, p)
+    val kv = new String(raw, "UTF-8").linesIterator
+      .map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b
+      }.toMap
+    // a meta WITHOUT a batches key is the pre-committed-list format:
+    // defaulting it to empty would make a healthy index refuse every
+    // probe and — worse — let append/compact delist and sweep its
+    // data; refuse loudly instead (rebuild to a fresh root, or add
+    // the key listing the live batch dirs by hand)
+    require(kv.contains("batches"),
+      s"vector index meta at $path predates the committed-batch " +
+        "list format — refusing to guess visibility; rebuild the " +
+        "index (VectorIndex.write to a fresh root + writePointer) " +
+        "or add a batches= line listing the live batch directories")
+    (VecMeta(kv("m").toInt, kv("dim").toInt,
+      kv("batches").split(",").toSeq.filter(_.nonEmpty),
+      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty)),
+      raw)
   }
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): VecMeta =
+    readMetaRaw(spark, path)._1
 
   private def metaBytes(m: VecMeta): Array[Byte] =
     (s"m=${m.m}\ndim=${m.dim}\nbatches=${m.batches.mkString(",")}\n" +
       s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
 
-  /** Commit a new meta with the self-healing `_meta.next` swap
-    * ([[graft.sources.MetaSwap]] — shared with the BM25 index).
+  /** Commit a new meta with the COMPARE-AND-SET `_meta.next` swap
+    * ([[graft.sources.MetaSwap]] — shared with the BM25 index):
+    * `expect` is the committed bytes this writer read, so a
+    * concurrent append/drop/compact landing in between fails this
+    * commit loudly instead of silently delisting the other writer's
+    * batch — the single-logical-writer contract, enforced.
     */
   private def swapMeta(fs: org.apache.hadoop.fs.FileSystem,
-                       path: String, m: VecMeta): Unit =
-    graft.sources.MetaSwap.swap(fs, metaPath(path), metaBytes(m))
+                       path: String, m: VecMeta,
+                       expect: Array[Byte]): Unit =
+    graft.sources.MetaSwap.swap(fs, metaPath(path), metaBytes(m),
+      expect)
 
   /** Stage a batch's cell-partitioned codes and publish them with one
     * atomic rename. A batch id on the committed or retired list
@@ -138,15 +149,19 @@ object VectorIndex {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$bid")
-    require(!committed.contains(bid),
+    if (committed.contains(bid)) throw new graft.ReplayRefused(
       s"VectorIndex append refused: batch $bid is already committed " +
         s"at $target — a replayed embedding batch would double-count " +
         "every candidate it carries; drop it from the meta first if " +
         "this is an intentional re-ingest")
-    require(!retired.contains(bid),
+    if (retired.contains(bid)) throw new graft.ReplayRefused(
       s"VectorIndex append refused: batch $bid was committed and " +
         "later compacted away — its codes already live in the merged " +
         "batch; a replay would double-count every candidate")
+    // a pending grace-period delete of this id must be forgotten
+    // BEFORE the id is re-staged, or a later sweep would reap the
+    // re-ingested batch
+    IndexProtocol.clearPendingDelete(fs, path, bid)
     // crash residue (published dir, meta swap never committed):
     // invisible to probes, safe to redo wholesale
     if (fs.exists(target)) fs.delete(target, true)
@@ -217,19 +232,18 @@ object VectorIndex {
              path: String, batchId: Option[String] = None): String = {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
-    val meta = readMeta(spark, path)
+    val (meta, raw) = readMetaRaw(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val bid = batchId.getOrElse(Dedup.batchId(emb, idCol))
     // a supplied id becomes a directory name and a meta-list entry;
     // content-derived ids are hex, but a caller's id must not smuggle
-    // separators or the cell= marker the probe's path parser keys on
-    require(bid.matches("[A-Za-z0-9._-]+"),
-      s"batch id '$bid' must be a path-safe token " +
-        "([A-Za-z0-9._-] only)")
+    // separators or the cell= marker the probe's path parser keys on —
+    // and the merged-batch shape is reserved for compaction
+    IndexProtocol.validateAppendId(bid, "VectorIndex")
     publishBatch(emb, idCol, vecCol, centroids, codebook, meta.m,
       meta.dim, path, bid, meta.batches, meta.retired)
-    swapMeta(fs, path, meta.copy(batches = meta.batches :+ bid))
+    swapMeta(fs, path, meta.copy(batches = meta.batches :+ bid), raw)
     bid
   }
 
@@ -290,21 +304,27 @@ object VectorIndex {
     * the pre-drop or post-drop view, never a torn one. An IN-FLIGHT
     * probe that resolved this batch's cell paths under the pre-drop
     * snapshot fails loudly if the delete races its read (fail-closed,
-    * never a wrong ranking); retry, or delay physical deletion by a
-    * grace period. Returns false if the batch was not committed.
+    * never a wrong ranking); retry, or set `retainMs > 0`: the
+    * delisted directory then stays in place (invisible — probes are
+    * meta-driven) for at least that grace window, recorded under
+    * `_pending_delete/` and reclaimed by a later maintenance call's
+    * sweep ([[IndexProtocol.sweepPendingDeletes]]). Returns false if
+    * the batch was not committed.
     */
   def dropBatch(spark: SparkSession, path: String,
-                batchId: String): Boolean = {
+                batchId: String, retainMs: Long = 0L): Boolean = {
     val fs = fsFor(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$batchId"),
       true)
-    val meta = readMeta(spark, path)
+    val (meta, raw) = readMetaRaw(spark, path)
     if (!meta.batches.contains(batchId)) false
     else {
       swapMeta(fs, path,
-        meta.copy(batches = meta.batches.filterNot(_ == batchId)))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"),
-        true)
+        meta.copy(batches = meta.batches.filterNot(_ == batchId)), raw)
+      val now = System.currentTimeMillis()
+      IndexProtocol.markPendingDelete(fs, path, batchId, now)
+      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
+        meta.batches.filterNot(_ == batchId).toSet)
       true
     }
   }
@@ -318,29 +338,79 @@ object VectorIndex {
     * The REPLAY CONTRACT survives compaction: superseded batch ids
     * move to the meta's `retired` list, so [[append]] refuses their
     * re-submission exactly as before — and the superseded
-    * DIRECTORIES delete outright (no payload-free tombstones to
-    * carry forever).
+    * DIRECTORIES delete outright, or after the `retainMs` grace
+    * window (see [[dropBatch]]). The retired list is CAPPED at
+    * `maxRetired` ids, newest kept ([[Bm25.compactBm25Index]]'s
+    * rationale: bounded meta on the O(1) replay-guard path; the
+    * trade-off — a batch retired more than `maxRetired` retirements
+    * ago could be re-appended unrefused — is sized to the stream's
+    * redelivery horizon, not the corpus).
+    *
+    * The merged batch id derives from the SORTED COMMITTED LIST
+    * ([[IndexProtocol.mergedId]] — the [[Bm25.compactBm25Index]]
+    * scheme), NOT from the content id set: a content-derived id can
+    * collide with a committed batch that happens to carry the full id
+    * set (double-ingest, or a corrected re-ingest under a new id),
+    * and the collision would skip the merge while the sweep deleted
+    * the other batches' rows — the serve would change with no error.
+    * The list-derived space is disjoint from append ids by
+    * construction (reserved shape, refused at append), a single
+    * committed batch is a no-op, and crash re-runs recompute the same
+    * id so residue is reclaimed.
     *
     * Crash honesty, stage by stage: merged batch publishes first
     * (atomic rename, invisible — unlisted); the meta swap flips
     * visibility to exactly [cid] atomically; only then do superseded
-    * dirs delete. A crash before the swap re-runs cleanly (the
-    * content-derived cid is deterministic, the residue dir is
-    * reclaimed); a crash after it leaves invisible orphan dirs that
-    * the post-swap sweep of any later compaction removes. At no
-    * point can a probe see duplicate code rows. SINGLE MAINTAINER
-    * contract (all three indexes): compact/drop and the
-    * append/streaming ingest are one logical writer — run maintenance
-    * in the same scheduler slot as ingest, never concurrently; the
-    * meta swap is last-writer-wins, so a batch committed between this
-    * read and this swap would be delisted and swept. Returns the
-    * merged batch's id.
+    * dirs retire. A crash before the swap re-runs cleanly; a crash
+    * after it leaves invisible orphan dirs that the post-swap sweep
+    * of any later compaction removes. At no point can a probe see a
+    * torn view. SINGLE MAINTAINER contract (all three indexes):
+    * compact/drop and the append/streaming ingest are one logical
+    * writer — run maintenance in the same scheduler slot as ingest,
+    * never concurrently; and since r10 that contract is ENFORCED: the
+    * meta swap is compare-and-set against the bytes this compaction
+    * read, so a batch committed between the read and the swap fails
+    * the compaction loudly ([[graft.sources.MetaSwap.CasFailed]])
+    * with the appended batch intact — the merged directory is
+    * unlisted residue, reclaimed by the re-run. Returns the merged
+    * batch's id.
     */
-  def compact(spark: SparkSession, path: String): String = {
+  def compact(spark: SparkSession, path: String, retainMs: Long = 0L,
+              maxRetired: Int = 512): String =
+    compactImpl(spark, path, retainMs, maxRetired, () => ())
+
+  /** [[compact]] with a test seam: `beforeSwap` runs between the
+    * merged batch's publish and the meta swap — the window the CAS
+    * exists to defend — so the interleaved-append spec can prove the
+    * compaction fails loudly instead of delisting the newcomer.
+    */
+  private[graft] def compactImpl(spark: SparkSession, path: String,
+                                 retainMs: Long, maxRetired: Int,
+                                 beforeSwap: () => Unit): String = {
+    require(maxRetired >= 1, s"maxRetired must be >= 1, got $maxRetired")
     val fs = fsFor(spark, path)
-    val meta = readMeta(spark, path)
+    val (meta, raw) = readMetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
+    def retireAllBut(keep: String): Unit = {
+      val now = System.currentTimeMillis()
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+        .filter(st => st.isDirectory && st.getPath.getName != keep)
+        .foreach { st =>
+          IndexProtocol.markPendingDelete(fs, path, st.getPath.getName,
+            now)
+        }
+      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
+        Set(keep))
+      ()
+    }
+    if (meta.batches.size == 1) {
+      // already compact — but a crash between a PRIOR compaction's
+      // meta swap and its sweep leaves invisible orphan dirs, and
+      // this re-run is the documented recovery
+      retireAllBut(meta.batches.head)
+      return meta.batches.head
+    }
     val dirs = meta.batches.map(b =>
       new org.apache.hadoop.fs.Path(s"$path/batches/$b"))
     val all = dirs.flatMap { b =>
@@ -349,6 +419,10 @@ object VectorIndex {
       else fs.listStatus(cc).filter(_.isDirectory).map(_.getPath)
     }
     require(all.nonEmpty, s"no code partitions to compact at $path")
+    // the exact-row dedup mirrors the probe's read-side discipline
+    // (topK dropDuplicates the same four columns), so the merged batch
+    // serves bit-identically — including under double-ingest, where
+    // the duplicate codes were already invisible to scoring
     val codes = all
       .groupBy(p => p.getName.stripPrefix("cell=").toLong)
       .map { case (c, ps) =>
@@ -356,38 +430,39 @@ object VectorIndex {
           .withColumn("cell", lit(c))
       }.reduce(_.unionByName(_))
       .dropDuplicates("id", "subspace", "code", "cell")
-    val cid = Dedup.batchId(codes.select("id").distinct(), "id")
-    if (meta.batches != Seq(cid)) {
-      val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
-      // the merged payload may already exist from a crashed earlier
-      // compaction (unlisted residue) or — pathologically — as a
-      // committed batch that happens to carry the full id set; only
-      // residue is rebuilt
-      if (!meta.batches.contains(cid)) {
-        if (fs.exists(merged)) fs.delete(merged, true)
-        val staging = new org.apache.hadoop.fs.Path(
-          s"$path/_staging/$cid")
-        fs.delete(staging, true)
-        // DEFRAGMENT, not just merge (the compactBm25Index rationale):
-        // cluster rows by cell before the write so each cell dir
-        // lands as ~one file instead of one per (task × cell)
-        codes.repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$staging/cellCodes")
-        if (!fs.rename(staging, merged))
-          throw new IllegalStateException(
-            s"cannot publish compacted batch $staging to $merged")
-      }
-      swapMeta(fs, path, meta.copy(batches = Seq(cid),
-        retired =
-          (meta.retired ++ meta.batches.filterNot(_ == cid)).distinct))
-    }
-    // sweep every batch dir off the committed list: superseded
+    val cid = IndexProtocol.mergedId(meta.batches)
+    // the shape is reserved at append time, so a collision can only
+    // come from an index predating that guard — refuse rather than
+    // destroy the committed batch's payload and rebuild over it
+    require(!meta.batches.contains(cid) && !meta.retired.contains(cid),
+      s"merged id $cid is already on the committed/retired list at " +
+        s"$path — a pre-reservation user-supplied id squats on the " +
+        "merged shape; drop and re-ingest that batch under another id " +
+        "before compacting")
+    IndexProtocol.clearPendingDelete(fs, path, cid)
+    val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
+    // residue from a crashed earlier compaction of the SAME list is
+    // safe to rebuild wholesale — it was never committed
+    if (fs.exists(merged)) fs.delete(merged, true)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
+    fs.delete(staging, true)
+    // DEFRAGMENT, not just merge (the compactBm25Index rationale):
+    // cluster rows by cell before the write so each cell dir
+    // lands as ~one file instead of one per (task × cell)
+    codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cellCodes")
+    if (!fs.rename(staging, merged))
+      throw new IllegalStateException(
+        s"cannot publish compacted batch $staging to $merged")
+    beforeSwap()
+    swapMeta(fs, path, meta.copy(batches = Seq(cid),
+      retired =
+        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)),
+      raw)
+    // retire every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
-    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
-    fs.listStatus(base).filter(st => st.isDirectory &&
-        st.getPath.getName != cid)
-      .foreach { st => fs.delete(st.getPath, true); () }
+    retireAllBut(cid)
     cid
   }
 

@@ -11,15 +11,38 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * atomic for every reader that comes after the crash.
   *
   * One implementation instead of three copies, so a protocol change
-  * (e.g. a future check-and-set for multi-writer deployments) cannot
-  * silently diverge between the indexes. The protocol is
-  * LAST-WRITER-WINS by construction — the single-maintainer contract
-  * documented at every compact/drop call site exists because of this.
+  * cannot silently diverge between the indexes. The bare [[swap]] is
+  * LAST-WRITER-WINS; the compare-and-set overload (expected prior
+  * bytes) is what every index maintenance path uses, so a violated
+  * single-maintainer contract fails LOUDLY ([[MetaSwap.CasFailed]])
+  * instead of silently delisting — and then deleting — a batch a
+  * concurrent append committed. The serving POINTER keeps the bare
+  * form: repointing is idempotent and order-free, so last-writer-wins
+  * is its correct semantics.
   */
 private[graft] object MetaSwap {
 
+  /** A compare-and-set [[swap]] found the committed marker changed
+    * since the caller read it: a concurrent writer landed between this
+    * writer's read and its commit. The caller's staged state (if any)
+    * is unlisted residue — nothing committed, nothing lost; re-read
+    * the marker and re-run the maintenance.
+    */
+  final class CasFailed(msg: String) extends IllegalStateException(msg)
+
   private def nextOf(marker: Path): Path =
     new Path(marker.getParent, marker.getName + ".next")
+
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+  }
 
   /** Complete a crashed swap: `.next` present without the committed
     * marker renames in. No-op otherwise.
@@ -29,6 +52,17 @@ private[graft] object MetaSwap {
     if (!fs.exists(marker) && fs.exists(next)) {
       fs.rename(next, marker); ()
     }
+  }
+
+  /** The committed marker's bytes, healing a crashed swap first —
+    * what a CAS writer reads so the SAME bytes can be handed back as
+    * [[swap]]'s expectation (readers that only need the parsed view
+    * parse these bytes rather than re-opening the file).
+    */
+  def readCommitted(fs: FileSystem, marker: Path): Array[Byte] = {
+    heal(fs, marker)
+    require(fs.exists(marker), s"no committed marker at $marker")
+    readAll(fs, marker)
   }
 
   /** Commit `bytes` as the marker's new content via the self-healing
@@ -46,20 +80,43 @@ private[graft] object MetaSwap {
     fs.delete(marker, false)
     if (!fs.rename(next, marker)) {
       val committed =
-        if (!fs.exists(marker)) null
-        else {
-          val in = fs.open(marker)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val tmp = new Array[Byte](8192)
-            var n = in.read(tmp)
-            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-            buf.toByteArray
-          } finally in.close()
-        }
+        if (!fs.exists(marker)) null else readAll(fs, marker)
       require(committed != null &&
         java.util.Arrays.equals(committed, bytes),
         s"marker swap failed at $marker")
     }
+  }
+
+  /** COMPARE-AND-SET commit: refuse (typed, loud) unless the committed
+    * marker still holds exactly `expect` — the bytes this writer read
+    * when it planned its change. This is what turns the documented
+    * single-maintainer contract into an enforced one: a compaction
+    * that read the meta, spent minutes merging, and then finds an
+    * append landed in between FAILS with [[CasFailed]] instead of
+    * swapping a list that delists (and would then sweep away) the
+    * appended batch.
+    *
+    * Honesty about the guarantee: a filesystem rename cannot condition
+    * on file content, so a writer landing in the microseconds between
+    * this check and the rename is still last-writer-wins. The CAS
+    * shrinks the lost-update window from the WHOLE maintenance run
+    * (minutes of merge work) to that instant — every realistic
+    * violation of the one-logical-writer contract now fails loudly; a
+    * byte-true CAS needs a coordination service (a lock table, a
+    * catalog), which is exactly what a multi-writer deployment should
+    * put in front of these indexes.
+    */
+  def swap(fs: FileSystem, marker: Path, bytes: Array[Byte],
+           expect: Array[Byte]): Unit = {
+    heal(fs, marker)
+    val current = if (fs.exists(marker)) readAll(fs, marker) else null
+    if (current == null || !java.util.Arrays.equals(current, expect))
+      throw new CasFailed(
+        s"concurrent meta write detected at $marker: the committed " +
+          "content changed since this writer read it — another " +
+          "append/drop/compact committed in between; this writer's " +
+          "staged state is unlisted residue (nothing was lost); " +
+          "re-read the meta and re-run")
+    swap(fs, marker, bytes)
   }
 }

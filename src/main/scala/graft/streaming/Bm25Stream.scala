@@ -49,8 +49,9 @@ object Bm25Stream {
             ()
           } catch {
             // the redelivery case: this exact batch already committed
-            case e: IllegalArgumentException
-                if e.getMessage.contains("append refused") => ()
+            // (typed — never a message-substring match, so a reworded
+            // refusal cannot change what the stream swallows)
+            case _: graft.ReplayRefused => ()
           }
         }
       }

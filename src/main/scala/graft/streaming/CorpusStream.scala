@@ -42,9 +42,9 @@ object CorpusStream {
               batch.toDF(), runDate, epoch, recipe)
             ()
           } catch {
-            // the redelivery case: this exact batch already landed
-            case e: IllegalStateException
-                if e.getMessage.contains("replay refused") => ()
+            // the redelivery case: this exact batch already landed —
+            // typed, never a message-substring match
+            case _: graft.ReplayRefused => ()
           }
         }
       }

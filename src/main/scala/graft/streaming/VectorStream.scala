@@ -49,9 +49,9 @@ object VectorStream {
             ()
           } catch {
             // the redelivery case: this exact batch already committed
-            // (or was committed and since compacted away)
-            case e: IllegalArgumentException
-                if e.getMessage.contains("append refused") => ()
+            // (or was committed and since compacted away) — typed,
+            // never a message-substring match
+            case _: graft.ReplayRefused => ()
           }
         }
       }

@@ -648,8 +648,9 @@ class CorpusSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
         .toSet
       assert(probed == inline && probed.nonEmpty)
-      // replay refused off the meta's committed list
-      val e0 = intercept[IllegalArgumentException] {
+      // replay refused off the meta's committed list — TYPED, the
+      // structural contract the streaming sinks catch
+      val e0 = intercept[graft.ReplayRefused] {
         Bm25.appendBm25Index(docs.filter(col("doc_id") > 3), "text",
           path)
       }
@@ -757,7 +758,7 @@ class CorpusSpec extends AnyFunSuite {
       assert(serve() == before, "compaction changed the served ranking")
       // the replay contract survives: the compacted-away batch id
       // refuses re-submission off the retired list, forever
-      val e = intercept[IllegalArgumentException] {
+      val e = intercept[graft.ReplayRefused] {
         Bm25.appendBm25Index(docs.filter(col("doc_id") % 5 === 0),
           "text", path)
       }

@@ -367,7 +367,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       // a retried/duplicated append of an already-indexed batch must
       // refuse loudly — a silent double-append would double (sid, sh)
       // rows and shift every downstream Jaccard verify count
-      val e = intercept[IllegalStateException] {
+      val e = intercept[graft.ReplayRefused] {
         Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
       }
       assert(e.getMessage.contains("append refused"))
@@ -394,7 +394,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         assert(new java.io.File(b, "shingles")
           .renameTo(new java.io.File(b, "shingles_hidden")))
       }
-      val e = intercept[IllegalStateException] {
+      val e = intercept[graft.ReplayRefused] {
         Dedup.writeDedupIndex(doc.filter(bucket === 0), "doc_id", "text",
           dir, mode = "append")
       }
@@ -410,7 +410,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
       val partial = doc.filter(bucket === 0).limit(3)
         .unionByName(doc.filter(bucket === 1).limit(2))
-      val audited = intercept[IllegalStateException] {
+      val audited = intercept[graft.ReplayRefused] {
         Dedup.writeDedupIndex(partial, "doc_id", "text", dir,
           mode = "append", auditOverlap = true)
       }
@@ -874,7 +874,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         "vec_id", "embedding", path)
       // replay guard: the same batch id is refused loudly, and the
       // refused attempt leaves the published batch set unchanged
-      val e0 = intercept[IllegalArgumentException] {
+      val e0 = intercept[graft.ReplayRefused] {
         graft.operators.VectorIndex.append(emb.filter(isNew),
           "vec_id", "embedding", path)
       }
@@ -951,17 +951,43 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         path, batchId = Some("dup-copy"))
       assert(serve() == before,
         "duplicate code rows changed the served ranking")
+      // a CORRECTED subset re-ingested under a new id (same vec_ids,
+      // different embeddings → different codes) serves alongside the
+      // original rows; compaction must preserve exactly that state —
+      // the regression the content-derived merged id allowed (its
+      // collision with a full-id-set batch skipped the merge while
+      // the sweep deleted these rows)
+      VectorIndex.append(
+        emb.filter(isNew).withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.5f))),
+        "vec_id", "embedding", path, batchId = Some("fix-1"))
+      val withFix = serve()
       // compaction: one merged batch, superseded dirs DELETED (their
       // ids move to the meta's retired list), serve identical
       val cid = VectorIndex.compact(spark, path)
+      // merged ids derive from the SORTED COMMITTED LIST in the
+      // reserved shape (disjoint from content/user append ids)
+      assert(cid.matches("m[0-9a-f]{16}"),
+        s"merged id $cid is not in the reserved m+16hex space")
       val batchDirs = new java.io.File(path, "batches").listFiles()
         .filter(_.isDirectory)
       assert(batchDirs.map(_.getName).toSet == Set(cid),
         "superseded batch dirs should be swept, not tombstoned")
-      assert(serve() == before, "compaction changed the served ranking")
+      assert(serve() == withFix,
+        "compaction changed the served ranking (corrected re-ingest " +
+          "rows lost)")
+      // the reserved shape is refused at append time, so a user id
+      // can never collide with a future compaction's derived id
+      val eShape = intercept[IllegalArgumentException] {
+        VectorIndex.append(emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", path, batchId = Some("m0123456789abcdef"))
+      }
+      assert(eShape.getMessage.contains("RESERVED"))
+      // the refused append left the compacted state untouched
+      assert(serve() == withFix)
       // the replay contract survives compaction: the original batch
       // id still refuses re-submission off the meta's retired list
-      val e = intercept[IllegalArgumentException] {
+      val e = intercept[graft.ReplayRefused] {
         VectorIndex.append(emb.filter(isNew), "vec_id", "embedding",
           path)
       }
@@ -980,7 +1006,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         } else java.nio.file.Files.copy(src.toPath, dst.toPath)
       }
       copyTree(orphanSrc, orphan)
-      assert(serve() == before,
+      assert(serve() == withFix,
         "an uncommitted orphan batch dir leaked into the serve")
       SparkTestSession.rmTree(orphan)
       // repair tooling: dropping the merged batch empties the index

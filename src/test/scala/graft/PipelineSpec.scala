@@ -85,7 +85,7 @@ class PipelineSpec extends AnyFunSuite {
       "near-dup pair survived in silver")
     // replaying a committed batch is refused loudly, and silver is
     // unchanged by the refused replay
-    intercept[IllegalStateException] {
+    intercept[graft.ReplayRefused] {
       Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
     }
     assert(spark.read.parquet(silverPath).count() == n0 + acc1 + acc2)
@@ -244,7 +244,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n0 + acc,
       "marker-less retry double-landed silver rows")
     // and now the fully-landed batch replays are refused loudly
-    intercept[IllegalStateException] {
+    intercept[graft.ReplayRefused] {
       Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
     }
   }
@@ -268,7 +268,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n0)
     assert(spark.read.parquet(s"$out/gold/train_packed").count() == goldN,
       "empty increment touched gold")
-    intercept[IllegalStateException] {
+    intercept[graft.ReplayRefused] {
       Pipeline.corpusIncrement(spark, out, dupBatch, "2026-08-13")
     }
   }
