@@ -190,9 +190,20 @@ object Bench {
     val spreadMed =
       if (spreads.isEmpty) 0.0
       else spreads.sorted.apply(spreads.size / 2)
+    // the VALIDITY BIT, not just the raw inputs: four consecutive
+    // driver artifacts were load-inflated and each cost a judge rerun
+    // to adjudicate — the artifact now declares itself contended when
+    // the machine was already busy before any query ran (load_start
+    // above cores/8 ≈ 4 on this box), so a reader discards the
+    // absolute numbers without re-deriving the threshold
+    val contended = loadStart >
+      Runtime.getRuntime.availableProcessors() / 8.0
+    if (contended) System.err.println(
+      f"[bench] CONTENDED: load_start $loadStart%.2f exceeds " +
+        f"cores/8 — timings measure the machine, not the engine")
     val diag =
       s""""load_start":${fmt(loadStart, 2)},"load_end":${
-        fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"slow":${
+        fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"contended":$contended,"slow":${
         slowGates.map(g => "\"" + g.stripPrefix("q_") + "\"")
           .mkString("[", ",", "]")}"""
     def lineWith(f: Double => String): String = {

@@ -552,7 +552,14 @@ object Pipeline {
     val batchDir = new org.apache.hadoop.fs.Path(s"$idx/batches/$bid")
     val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val landedMarker = new org.apache.hadoop.fs.Path(batchDir, "_landed")
-    if (fs.exists(landedMarker)) throw new graft.ReplayRefused(
+    // the LANDED subtype, not the parent: this is the one replay the
+    // streaming sink may treat as "already done" — the batch finished
+    // the whole protocol, silver/gold included. Index-level append
+    // refusals further down (writeDedupIndex's dir-exists guard on a
+    // batch another writer published but never landed) stay the parent
+    // type and fail the stream loudly: swallowing them would drop a
+    // micro-batch that never reached silver/gold.
+    if (fs.exists(landedMarker)) throw new graft.BatchAlreadyLanded(
       s"corpusIncrement replay refused: batch $bid has already been " +
         s"processed and landed at $batchDir — re-submitting a committed " +
         "batch would double-count it")

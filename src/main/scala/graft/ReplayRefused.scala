@@ -7,15 +7,39 @@ package graft
   *
   * The streaming sinks ([[graft.streaming.Bm25Stream]],
   * [[graft.streaming.VectorStream]], [[graft.streaming.CorpusStream]])
-  * catch THIS TYPE — never a message substring — to turn foreachBatch's
-  * at-least-once redelivery into exactly-once commitment: a redelivered
-  * micro-batch whose content-derived id is already committed is
-  * "already done", while any OTHER failure still fails the stream
-  * loudly. Matching on the type instead of `getMessage.contains`
-  * makes the contract structural: rewording a refusal message can no
-  * longer silently change which failures a stream swallows.
+  * catch a replay TYPE — never a message substring — to turn
+  * foreachBatch's at-least-once redelivery into exactly-once
+  * commitment: a redelivered micro-batch whose content-derived id is
+  * already committed is "already done", while any OTHER failure still
+  * fails the stream loudly. Matching on the type instead of
+  * `getMessage.contains` makes the contract structural: rewording a
+  * refusal message can no longer silently change which failures a
+  * stream swallows.
   *
   * Extends IllegalStateException — a replay is a state conflict, and
   * callers that defensively catch the broad type keep working.
   */
-final class ReplayRefused(msg: String) extends IllegalStateException(msg)
+class ReplayRefused(msg: String) extends IllegalStateException(msg)
+
+/** The LANDING-ZONE replay specifically: this batch completed the full
+  * corpusIncrement commit protocol — index batch published, silver
+  * landed, gold rebuilt, `_landed` marker written. This is the only
+  * refusal [[graft.streaming.CorpusStream]] may treat as "already
+  * done": an INDEX-level append refusal inside the same pipeline
+  * (e.g. [[graft.operators.Dedup.writeDedupIndex]]'s dir-exists guard
+  * firing on a batch some other writer published but never landed)
+  * means silver/gold did NOT receive the batch, and swallowing it
+  * would silently drop the micro-batch's documents — so those stay
+  * the parent type and fail the stream loudly.
+  */
+final class BatchAlreadyLanded(msg: String) extends ReplayRefused(msg)
+
+/** An append-time batch id squats on the RESERVED merged-batch shape
+  * (`m` + 16 hex — [[graft.operators.IndexProtocol.mergedId]]'s
+  * derivation space). Distinct from the path-safety
+  * IllegalArgumentException so a caller can tell "pick another id"
+  * (this type — the id is well-formed, just reserved) from "the token
+  * itself is path-unsafe" without message matching.
+  */
+final class ReservedIdRefused(msg: String)
+  extends IllegalArgumentException(msg)

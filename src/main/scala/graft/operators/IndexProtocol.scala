@@ -32,12 +32,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    snapshot reads files, not metas, and a same-instant delete fails
   *    it loudly (fail-closed, but a retry a deployment may not want to
   *    pay). With `retainMs > 0` the directory stays in place,
-  *    invisible, recorded under `_pending_delete/<bid>` with its
-  *    delist time; the next maintenance call's sweep deletes
-  *    directories whose grace has expired. `retainMs = 0` (the
-  *    default everywhere) deletes in the same call — the pre-grace
-  *    behavior, bit-identical end state. A re-publish of a pending id
-  *    (re-append after a drop) clears the marker FIRST
+  *    invisible, recorded under `_pending_delete/<bid>`; the next
+  *    maintenance call's sweep deletes directories whose grace has
+  *    expired. `retainMs = 0` (the default everywhere) deletes in the
+  *    same call — the pre-grace behavior, bit-identical end state.
+  *    The marker stores the absolute retain DEADLINE (delist time +
+  *    retainMs), not the delist time: the grace a drop promised is
+  *    honored by EVERY later sweep regardless of the sweeping call's
+  *    own `retainMs` (a routine `compact(retainMs = 0)` cannot cut
+  *    short a `dropBatch(retainMs = 1h)`'s window). An existing
+  *    readable marker is never overwritten — the grace clock starts
+  *    at the FIRST delisting and re-marking by later maintenance
+  *    calls cannot reset it, so a maintenance cadence shorter than
+  *    the window still reclaims on schedule. A re-publish of a
+  *    pending id (re-append after a drop) clears the marker FIRST
   *    ([[clearPendingDelete]] from the publish paths), so a stale
   *    sweep can never delete a live re-ingested batch.
   */
@@ -65,7 +73,7 @@ private[graft] object IndexProtocol {
     require(bid.matches("[A-Za-z0-9._-]+"),
       s"batch id '$bid' must be a path-safe token " +
         "([A-Za-z0-9._-] only)")
-    require(!bid.matches(MergedShape),
+    if (bid.matches(MergedShape)) throw new graft.ReservedIdRefused(
       s"$index append refused: batch id '$bid' matches the RESERVED " +
         "merged-batch shape (m + 16 hex) — compaction derives its ids " +
         "in that space, and a collision would let a compaction " +
@@ -77,16 +85,45 @@ private[graft] object IndexProtocol {
   private def pendingMarker(root: String, bid: String) =
     new Path(s"$root/_pending_delete/$bid")
 
-  /** Record that `batches/<bid>` was delisted at `nowMs` and awaits
-    * physical deletion once its grace period expires.
+  /** Record that `batches/<bid>` was delisted and awaits physical
+    * deletion once `nowMs + retainMs` passes. The marker persists the
+    * absolute DEADLINE, so every later sweep honors the grace this
+    * delisting promised, whatever `retainMs` the sweeping call was
+    * given. An existing READABLE marker wins (first delisting starts
+    * the clock; re-marking by later maintenance calls must not reset
+    * it or a cadence shorter than the window retains forever); an
+    * unreadable one is replaced — a fresh deadline for a batch that
+    * is delisted either way.
     */
   def markPendingDelete(fs: FileSystem, root: String, bid: String,
-                        nowMs: Long): Unit = {
+                        nowMs: Long, retainMs: Long): Unit = {
     val p = pendingMarker(root, bid)
+    if (readDeadline(fs, p).isDefined) return
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(nowMs.toString.getBytes("UTF-8")) finally out.close()
+    try out.write((nowMs + retainMs).toString.getBytes("UTF-8"))
+    finally out.close()
   }
+
+  /** The marker's persisted deadline; None if absent or unreadable. */
+  private def readDeadline(fs: FileSystem,
+                           p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toLong)
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Is `bid` recorded as awaiting a grace-period delete? Compaction
+    * refuses to rebuild over a pending merged-id directory (a
+    * pre-reservation squatter still inside its grace window) instead
+    * of silently cutting the window short.
+    */
+  def hasPendingDelete(fs: FileSystem, root: String,
+                       bid: String): Boolean =
+    fs.exists(pendingMarker(root, bid))
 
   /** Forget a pending delete — called by every publish path BEFORE it
     * (re)stages a batch id, so a marker left by an earlier drop can
@@ -97,19 +134,20 @@ private[graft] object IndexProtocol {
     fs.delete(pendingMarker(root, bid), false); ()
   }
 
-  /** Delete every pending batch directory whose grace period has
-    * expired (marker older than `retainMs`), plus its marker. An
-    * unreadable marker counts as expired — fail toward reclaiming
-    * space, never toward resurrecting visibility (the batch is
-    * already off the committed list either way). `committed` is the
-    * sweep's safety rail: an id on the CURRENT committed list is
-    * never deleted — its marker is stale (a publish raced an orphan
-    * mark and committed after it) and is cleared instead, so a live
-    * batch can never be reaped by an old marker. Returns the ids
-    * deleted.
+  /** Delete every pending batch directory whose PERSISTED deadline
+    * has passed, plus its marker. An unreadable marker counts as
+    * expired — fail toward reclaiming space, never toward
+    * resurrecting visibility (the batch is already off the committed
+    * list either way, and the committed rail below protects a live
+    * one). `committed` is the sweep's safety rail and MUST be the
+    * CURRENT committed list, re-read from the meta marker immediately
+    * before the call ([[committedFromMeta]]) — never a set computed
+    * before the caller's own meta swap: an append that commits
+    * between the swap and this sweep is on the current list and its
+    * marker is the stale artifact, cleared here instead of acted on,
+    * so a live batch can never be reaped. Returns the ids deleted.
     */
-  def sweepPendingDeletes(fs: FileSystem, root: String, retainMs: Long,
-                          nowMs: Long,
+  def sweepPendingDeletes(fs: FileSystem, root: String, nowMs: Long,
                           committed: Set[String]): Seq[String] = {
     val base = pendingDir(root)
     if (!fs.exists(base)) return Seq.empty
@@ -119,19 +157,30 @@ private[graft] object IndexProtocol {
         fs.delete(st.getPath, false)
         Seq.empty
       } else {
-        val ts =
-          try {
-            val in = fs.open(st.getPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              .trim.toLong
-            finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => 0L }
-        if (nowMs - ts >= retainMs) {
+        val deadline = readDeadline(fs, st.getPath).getOrElse(0L)
+        if (nowMs >= deadline) {
           fs.delete(new Path(s"$root/batches/$bid"), true)
           fs.delete(st.getPath, false)
           Seq(bid)
         } else Seq.empty
       }
     }
+  }
+
+  /** The CURRENT committed-batch list, parsed straight from the
+    * index's `_meta` marker bytes (both index metas serialize a
+    * `batches=` line). This is what the post-swap sweep rails on: the
+    * pre-swap snapshot a compaction planned with is STALE by the time
+    * it sweeps — an append CAS-committed after the compaction's swap
+    * is only on the list this re-read returns.
+    */
+  def committedFromMeta(fs: FileSystem, root: String): Set[String] = {
+    val raw = graft.sources.MetaSwap.readCommitted(fs,
+      new Path(s"$root/_meta"))
+    new String(raw, "UTF-8").linesIterator
+      .map(_.split("=", 2)).collectFirst {
+        case Array("batches", v) =>
+          v.split(",").toSeq.filter(_.nonEmpty).toSet
+      }.getOrElse(Set.empty)
   }
 }

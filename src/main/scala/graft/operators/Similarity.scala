@@ -576,6 +576,34 @@ object Similarity {
     } finally long.unpersist()
   }
 
+  /** The PRODUCTION entry to PQ training: a codebook of exactly `k`
+    * codes per subspace, whatever the corpus size. Codebook size is a
+    * MODEL CONSTANT, not a corpus function — train cost is k·corpus
+    * per round, so an init whose seed count scales with the corpus
+    * (the gates' `id % 17` recipe, kept there only for oracle
+    * replay) melts at scale: measured at sf1, the modulo init's
+    * k≈1176 codebook trained in 911 s where this fixed k=120 trains
+    * in 7.2 s on the same data (docs/SCALE.md "sf1 serve-loop
+    * stress"). Seeds are the `k` rows ranked first by
+    * (xxhash64(id), id) — deterministic for a given corpus (re-runs
+    * retrain bit-identically), hash-spread across the id space (no
+    * locality bias from "first k ids"), and resolved driver-side as a
+    * bounded k-row TakeOrdered, never a full sort. Delegates to
+    * [[pqTrain]] — same joint-subspace Lloyd, same decimal grid, same
+    * reproducibility contract.
+    */
+  def pqTrainFixedK(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int, dim: Int, k: Int = 120,
+                    rounds: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seeds = emb.select(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).collect().map(_.get(0)).toSeq
+    require(seeds.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    pqTrain(emb, idCol, vecCol, m, dim,
+      col(idCol).isInCollection(seeds), rounds)
+  }
+
   /** Encode every vector as its per-subspace nearest code:
     * `(id, subspace, code)` long form — M small ints per vector, the
     * only thing the serving tier keeps per candidate. The argmin is

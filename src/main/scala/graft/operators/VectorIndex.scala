@@ -322,9 +322,12 @@ object VectorIndex {
       swapMeta(fs, path,
         meta.copy(batches = meta.batches.filterNot(_ == batchId)), raw)
       val now = System.currentTimeMillis()
-      IndexProtocol.markPendingDelete(fs, path, batchId, now)
-      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
-        meta.batches.filterNot(_ == batchId).toSet)
+      IndexProtocol.markPendingDelete(fs, path, batchId, now, retainMs)
+      // rail the sweep on the CURRENT committed list (re-read after
+      // the swap), never the pre-swap snapshot: a batch committed by
+      // a racing append between the swap and this sweep must survive
+      IndexProtocol.sweepPendingDeletes(fs, path, now,
+        IndexProtocol.committedFromMeta(fs, path))
       true
     }
   }
@@ -379,35 +382,55 @@ object VectorIndex {
               maxRetired: Int = 512): String =
     compactImpl(spark, path, retainMs, maxRetired, () => ())
 
-  /** [[compact]] with a test seam: `beforeSwap` runs between the
+  /** [[compact]] with two test seams: `beforeSwap` runs between the
     * merged batch's publish and the meta swap — the window the CAS
     * exists to defend — so the interleaved-append spec can prove the
-    * compaction fails loudly instead of delisting the newcomer.
+    * compaction fails loudly instead of delisting the newcomer; and
+    * `beforeSweep` runs between the committed swap and the retire
+    * sweep, so the sweep-rail spec can prove a batch committed in
+    * THAT window survives with its directory intact.
     */
   private[graft] def compactImpl(spark: SparkSession, path: String,
                                  retainMs: Long, maxRetired: Int,
-                                 beforeSwap: () => Unit): String = {
+                                 beforeSwap: () => Unit,
+                                 beforeSweep: () => Unit = () => ())
+      : String = {
     require(maxRetired >= 1, s"maxRetired must be >= 1, got $maxRetired")
     val fs = fsFor(spark, path)
     val (meta, raw) = readMetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
     def retireAllBut(keep: String): Unit = {
+      beforeSweep()
       val now = System.currentTimeMillis()
+      // the rail is the CURRENT committed list, re-read AFTER this
+      // compaction's swap: the pre-swap snapshot is stale here — an
+      // append that read the post-swap meta and CAS-committed before
+      // this sweep is only on the re-read list, and marking or
+      // sweeping its directory would be data loss with the batch
+      // still committed (the r10 finding)
+      val current = IndexProtocol.committedFromMeta(fs, path)
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
-        .filter(st => st.isDirectory && st.getPath.getName != keep)
+        .filter(st => st.isDirectory && st.getPath.getName != keep &&
+          !current(st.getPath.getName))
         .foreach { st =>
           IndexProtocol.markPendingDelete(fs, path, st.getPath.getName,
-            now)
+            now, retainMs)
         }
-      IndexProtocol.sweepPendingDeletes(fs, path, retainMs, now,
-        Set(keep))
+      IndexProtocol.sweepPendingDeletes(fs, path, now,
+        IndexProtocol.committedFromMeta(fs, path))
       ()
     }
     if (meta.batches.size == 1) {
       // already compact — but a crash between a PRIOR compaction's
       // meta swap and its sweep leaves invisible orphan dirs, and
-      // this re-run is the documented recovery
+      // this re-run is the documented recovery. The no-op still
+      // CAS-swaps the UNCHANGED meta first: a concurrent append
+      // landing since this call's read fails the swap loudly instead
+      // of having its published-but-not-yet-committed directory swept
+      // out from under its commit
+      beforeSwap()
+      swapMeta(fs, path, meta, raw)
       retireAllBut(meta.batches.head)
       return meta.batches.head
     }
@@ -439,7 +462,19 @@ object VectorIndex {
         s"$path — a pre-reservation user-supplied id squats on the " +
         "merged shape; drop and re-ingest that batch under another id " +
         "before compacting")
-    IndexProtocol.clearPendingDelete(fs, path, cid)
+    // the retired list is CAPPED, so a pre-reservation squatter that
+    // aged off it evades the list check — but a dropped squatter
+    // inside its grace window still has a pending-delete marker, and
+    // rebuilding over its directory would cut the promised window
+    // short; refuse until the sweep reclaims it (a marker for a
+    // merged id cannot be this compaction's own residue: markers are
+    // only written post-swap, and post-swap the list is [cid] whose
+    // mergedId differs)
+    require(!IndexProtocol.hasPendingDelete(fs, path, cid),
+      s"merged id $cid has a pending grace-period delete at $path — " +
+        "a delisted pre-reservation batch still inside its retain " +
+        "window squats on the merged shape; wait for the sweep to " +
+        "reclaim it (or clear the marker explicitly) before compacting")
     val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     // residue from a crashed earlier compaction of the SAME list is
     // safe to rebuild wholesale — it was never committed

@@ -43,8 +43,13 @@ object CorpusStream {
             ()
           } catch {
             // the redelivery case: this exact batch already landed —
-            // typed, never a message-substring match
-            case _: graft.ReplayRefused => ()
+            // typed, never a message-substring match. ONLY the landed
+            // subtype: an index-level ReplayRefused from inside the
+            // pipeline (a batch some other writer published to the
+            // dedup index but never landed) means silver/gold did NOT
+            // get these documents, and treating it as done would
+            // silently drop the micro-batch — it fails the query.
+            case _: graft.BatchAlreadyLanded => ()
           }
         }
       }

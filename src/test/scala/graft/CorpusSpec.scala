@@ -672,6 +672,13 @@ class CorpusSpec extends AnyFunSuite {
       assert(probeNames.subsetOf(wanted))
       assert(stored.size > probeNames.size,
         "a 5-doc vocabulary should spread past the 4 query prefixes")
+      // the literal COUNT bound, not just the subset: a probe may
+      // open at most |query terms| × |committed batches| term_p
+      // directories — a pruning regression fails here every round,
+      // not just in a manual ScaleStress run
+      assert(probePaths.size <= Bm25.queryTerms(query).size * 2,
+        s"probe opened ${probePaths.size} term dirs; bound is " +
+          s"|terms|=${Bm25.queryTerms(query).size} × 2 batches")
       assert(probePaths.map(_.split('/').takeRight(2).head).toSet ==
         Set("bootstrap", bid),
         "probed partitions should come from every committed batch")

@@ -1,0 +1,559 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bm25, IndexProtocol, Similarity, VectorIndex}
+import graft.sources.{MetaSwap, Tables}
+
+/** Adversarial specs for the persisted-index MAINTENANCE protocol —
+  * the shared CAS / grace-period / retired-cap machinery of the BM25
+  * and vector indexes (IndexProtocol.scala, MetaSwap.scala). The query
+  * gates prove the serve math; these prove the durability story: a
+  * maintenance call interleaved with an append/drop must fail loudly
+  * or leave the newcomer fully intact — never silently delist or
+  * delete a committed batch.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- shared vector-index fixtures (trained once per suite) -------
+  private val (m, dim) = (4, 64)
+  private lazy val emb =
+    Tables.table(spark, sf, "embeddings").localCheckpoint()
+  private lazy val cents = emb.filter(col("vec_id") % 37 === 1)
+    .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+    .localCheckpoint()
+  private lazy val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+    m, dim, col("vec_id") % 17 === 5, rounds = 1).localCheckpoint()
+  private val qp = col("vec_id") % 50 === 0
+
+  private def vecServe(path: String): Set[org.apache.spark.sql.Row] =
+    VectorIndex.topK(spark, path, emb, "vec_id", "embedding", qp,
+      k = 5, nprobe = 1, rerank = 10).collect().toSet
+
+  private def hadoopFs(root: String) =
+    new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def marker(root: String, bid: String) =
+    new java.io.File(s"$root/_pending_delete/$bid")
+
+  private def tmp(tag: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+
+  // ---- BM25 fixtures ------------------------------------------------
+  private def bm25Docs = {
+    import spark.implicits._
+    Seq((1L, "vector hash join fast pipeline"),
+      (2L, "vector vector vector vector vector filler filler"),
+      (3L, "hash join table scan"),
+      (4L, "completely unrelated prose text"),
+      (5L, "fast scan over the hash table")).toDF("doc_id", "text")
+  }
+  private val bmQuery = "fast vector hash join"
+
+  private def bmServe(path: String): Set[(Long, Double, Long)] =
+    Bm25.bm25TopKIndexed(spark, path, bmQuery, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  private def bmInline(docs: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Double, Long)] =
+    Bm25.bm25TopK(docs, "doc_id", "text", bmQuery, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  // ------------------------------------------------------------------
+
+  test("pending-delete markers persist the deadline: first delisting " +
+      "wins, later sweeps honor it, committed rail clears stale marks") {
+    val dir = tmp("pending-proto")
+    try {
+      val root = dir.toString
+      val fs = hadoopFs(root)
+      def mkBatch(b: String): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/$b")); ()
+      }
+      mkBatch("b1")
+      // deadline = delist time + retainMs, persisted in the marker
+      IndexProtocol.markPendingDelete(fs, root, "b1", 1000L, 500L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        marker(root, "b1").toPath), "UTF-8").trim == "1500")
+      // re-marking (a later maintenance call) must NOT reset the
+      // clock — even with a longer window the FIRST delisting wins,
+      // or a maintenance cadence shorter than the window would retain
+      // the directory forever
+      IndexProtocol.markPendingDelete(fs, root, "b1", 1400L, 500L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        marker(root, "b1").toPath), "UTF-8").trim == "1500")
+      assert(IndexProtocol.hasPendingDelete(fs, root, "b1"))
+      // a sweep BEFORE the deadline retains; the sweeping call has no
+      // retainMs of its own — the promise rides the marker (a routine
+      // retainMs=0 compact cannot cut a 1h drop window short)
+      assert(IndexProtocol.sweepPendingDeletes(fs, root, 1499L,
+        Set.empty).isEmpty)
+      assert(new java.io.File(s"$root/batches/b1").exists())
+      // at the deadline: directory and marker reclaimed
+      assert(IndexProtocol.sweepPendingDeletes(fs, root, 1500L,
+        Set.empty) == Seq("b1"))
+      assert(!new java.io.File(s"$root/batches/b1").exists())
+      assert(!IndexProtocol.hasPendingDelete(fs, root, "b1"))
+      // committed rail: an id on the CURRENT committed list is never
+      // deleted however expired its marker — the marker is the stale
+      // artifact and is cleared instead
+      mkBatch("b2")
+      IndexProtocol.markPendingDelete(fs, root, "b2", 0L, 0L)
+      assert(IndexProtocol.sweepPendingDeletes(fs, root, Long.MaxValue,
+        Set("b2")).isEmpty)
+      assert(new java.io.File(s"$root/batches/b2").exists())
+      assert(!IndexProtocol.hasPendingDelete(fs, root, "b2"))
+      // an unreadable marker counts as expired (fail toward
+      // reclaiming space — the batch is delisted either way, and the
+      // committed rail above protects a live one)
+      mkBatch("b3")
+      java.nio.file.Files.write(marker(root, "b3").toPath,
+        "not-a-number".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE)
+      assert(IndexProtocol.sweepPendingDeletes(fs, root, 0L,
+        Set.empty) == Seq("b3"))
+      // ...and markPendingDelete REPLACES an unreadable marker
+      mkBatch("b4")
+      java.nio.file.Files.write(marker(root, "b4").toPath,
+        "garbage".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE)
+      IndexProtocol.markPendingDelete(fs, root, "b4", 2000L, 100L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        marker(root, "b4").toPath), "UTF-8").trim == "2100")
+      // clearPendingDelete forgets the mark (the re-publish path)
+      IndexProtocol.clearPendingDelete(fs, root, "b4")
+      assert(!IndexProtocol.hasPendingDelete(fs, root, "b4"))
+    } finally rmTree(dir)
+  }
+
+  test("vector index: an append committed in the compaction's swap " +
+      "window fails the compaction loudly and survives intact") {
+    val dir = tmp("vec-cas")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      VectorIndex.append(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path)
+      var interleaved: String = null
+      // the append lands between the merged batch's publish and the
+      // meta swap — the exact window the CAS exists to defend
+      val e = intercept[MetaSwap.CasFailed] {
+        VectorIndex.compactImpl(spark, path, 0L, 512, () => {
+          interleaved = VectorIndex.append(
+            emb.filter(col("vec_id") >= 350), "vec_id", "embedding",
+            path)
+        })
+      }
+      assert(e.getMessage.contains("concurrent meta write"))
+      // the appended batch is COMMITTED, its directory intact, and it
+      // serves — the compaction's merged dir is unlisted residue
+      val meta = VectorIndex.readMeta(spark, path)
+      assert(meta.batches.contains(interleaved))
+      assert(new java.io.File(s"$path/batches/$interleaved").exists())
+      val afterFail = vecServe(path)
+      assert(afterFail.nonEmpty)
+      // the re-run (the documented recovery) merges all three batches
+      // — including the interleaved one — and reclaims the residue;
+      // the serve is bit-identical
+      val cid = VectorIndex.compact(spark, path)
+      assert(VectorIndex.readMeta(spark, path).batches == Seq(cid))
+      assert(new java.io.File(s"$path/batches").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set(cid))
+      assert(vecServe(path) == afterFail)
+    } finally rmTree(dir)
+  }
+
+  test("vector index: a single-batch compaction is CAS-guarded too — " +
+      "a racing append cannot have its directory swept mid-commit") {
+    val dir = tmp("vec-cas1")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      // size==1 early-return: before r11 it swept with NO meta swap
+      // at all, so a concurrent append's published-but-uncommitted
+      // dir was deleted and its CAS then committed a payload-less
+      // batch; now the no-op CAS-swaps the unchanged meta first
+      var interleaved: String = null
+      intercept[MetaSwap.CasFailed] {
+        VectorIndex.compactImpl(spark, path, 0L, 512, () => {
+          interleaved = VectorIndex.append(
+            emb.filter(col("vec_id") >= 350), "vec_id", "embedding",
+            path)
+        })
+      }
+      val meta = VectorIndex.readMeta(spark, path)
+      assert(meta.batches.contains(interleaved))
+      assert(new java.io.File(s"$path/batches/$interleaved").exists())
+      assert(vecServe(path).nonEmpty)
+      // the quiet re-run is a no-op that returns the sole batch after
+      // a genuine 2-batch compact
+      val cid = VectorIndex.compact(spark, path)
+      assert(VectorIndex.compact(spark, path) == cid)
+    } finally rmTree(dir)
+  }
+
+  test("vector index: an append committed between the compaction's " +
+      "swap and its sweep survives — the sweep rails on the CURRENT " +
+      "committed list") {
+    val dir = tmp("vec-rail")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      VectorIndex.append(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path)
+      var interleaved: String = null
+      // the append lands AFTER the compaction's meta swap commits and
+      // BEFORE its retire sweep runs: its CAS succeeds (it read the
+      // post-compact meta), so the compaction must not mark or sweep
+      // it — the r10 stale-rail finding (Set(keep) as the rail let
+      // exactly this batch be deleted while committed)
+      val cid = VectorIndex.compactImpl(spark, path, 0L, 512,
+        () => (), () => {
+          interleaved = VectorIndex.append(
+            emb.filter(col("vec_id") >= 350), "vec_id", "embedding",
+            path)
+        })
+      val meta = VectorIndex.readMeta(spark, path)
+      assert(meta.batches.toSet == Set(cid, interleaved))
+      assert(new java.io.File(s"$path/batches/$interleaved").exists(),
+        "the concurrently committed batch's directory was swept")
+      assert(!IndexProtocol.hasPendingDelete(hadoopFs(path), path,
+        interleaved))
+      // superseded dirs are still reclaimed; the serve covers the
+      // merged corpus AND the interleaved batch
+      assert(new java.io.File(s"$path/batches").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet ==
+        Set(cid, interleaved))
+      assert(vecServe(path).nonEmpty)
+    } finally rmTree(dir)
+  }
+
+  test("bm25 index: an append committed in the compaction's swap " +
+      "window fails the compaction loudly and survives intact") {
+    val dir = tmp("bm25-cas")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path)
+      var interleaved: String = null
+      val e = intercept[MetaSwap.CasFailed] {
+        Bm25.compactBm25Impl(spark, path, 0L, 512, () => {
+          interleaved = Bm25.appendBm25Index(
+            docs.filter(col("doc_id") === 5), "text", path)
+        })
+      }
+      assert(e.getMessage.contains("concurrent meta write"))
+      val meta = Bm25.readBm25Meta(spark, path)
+      assert(meta.batches.contains(interleaved))
+      assert(new java.io.File(s"$path/batches/$interleaved").exists())
+      // all five docs serve — scalars and postings in lock-step —
+      // and the recovery re-run compacts to one batch, bit-identical
+      assert(bmServe(path) == bmInline(docs))
+      val cid = Bm25.compactBm25Index(spark, path)
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(cid))
+      assert(bmServe(path) == bmInline(docs))
+    } finally rmTree(dir)
+  }
+
+  test("bm25 index: a drop committed in the compaction's swap window " +
+      "fails the compaction; the drop's effect stands") {
+    val dir = tmp("bm25-casdrop")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val a4 = Bm25.appendBm25Index(docs.filter(col("doc_id") === 4),
+        "text", path)
+      // the interleaved maintenance is a DROP: the compaction's swap
+      // would resurrect the dropped batch inside its merged payload
+      // (it merged pre-drop postings), so it must fail the same way
+      intercept[MetaSwap.CasFailed] {
+        Bm25.compactBm25Impl(spark, path, 0L, 512, () => {
+          assert(Bm25.dropBm25Batch(spark, path, a4)); ()
+        })
+      }
+      val meta = Bm25.readBm25Meta(spark, path)
+      assert(meta.batches == Seq("bootstrap"))
+      assert(!new java.io.File(s"$path/batches/$a4").exists())
+      assert(bmServe(path) ==
+        bmInline(docs.filter(col("doc_id") <= 3)))
+    } finally rmTree(dir)
+  }
+
+  test("bm25 index: an append committed between the compaction's " +
+      "swap and its sweep survives with its directory intact") {
+    val dir = tmp("bm25-rail")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path)
+      var interleaved: String = null
+      val cid = Bm25.compactBm25Impl(spark, path, 0L, 512,
+        () => (), () => {
+          interleaved = Bm25.appendBm25Index(
+            docs.filter(col("doc_id") === 5), "text", path)
+        })
+      val meta = Bm25.readBm25Meta(spark, path)
+      assert(meta.batches.toSet == Set(cid, interleaved))
+      assert(new java.io.File(s"$path/batches/$interleaved").exists(),
+        "the concurrently committed batch's directory was swept")
+      assert(new java.io.File(s"$path/batches").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet ==
+        Set(cid, interleaved))
+      assert(bmServe(path) == bmInline(docs))
+    } finally rmTree(dir)
+  }
+
+  test("grace period: a delisted batch stays on disk and invisible " +
+      "for its window, later maintenance honors the persisted " +
+      "deadline, re-append clears the mark, expiry reclaims") {
+    val dir = tmp("bm25-grace")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val bid = Bm25.appendBm25Index(docs.filter(col("doc_id") > 3),
+        "text", path)
+      val full = bmServe(path)
+      // drop with a 1h grace: delisted (probe-invisible) but the
+      // directory and its marker survive for in-flight probes
+      assert(Bm25.dropBm25Batch(spark, path, bid,
+        retainMs = 3600L * 1000))
+      assert(new java.io.File(s"$path/batches/$bid").exists())
+      assert(marker(path, bid).exists())
+      assert(bmServe(path) ==
+        bmInline(docs.filter(col("doc_id") <= 3)))
+      // a LATER maintenance call with retainMs=0 must NOT cut the 1h
+      // window short: the deadline rides the marker, not the caller
+      Bm25.compactBm25Index(spark, path)
+      assert(new java.io.File(s"$path/batches/$bid").exists(),
+        "a retainMs=0 compact reclaimed a batch still inside the " +
+          "grace window its drop promised")
+      // re-appending the same content clears the mark FIRST, so a
+      // stale marker can never reap the live re-ingested batch
+      assert(Bm25.appendBm25Index(docs.filter(col("doc_id") > 3),
+        "text", path) == bid)
+      assert(!marker(path, bid).exists())
+      assert(bmServe(path) == full)
+      Bm25.compactBm25Index(spark, path)
+      assert(bmServe(path) == full,
+        "a maintenance call after the re-append lost the live batch")
+      // expiry: a short window is reclaimed by the NEXT maintenance
+      // call once the deadline passes
+      val cid = Bm25.readBm25Meta(spark, path).batches.head
+      val b5 = Bm25.appendBm25Index(
+        docs.filter(col("doc_id") === 5)
+          .withColumn("doc_id", col("doc_id") + 100), "text", path)
+      assert(Bm25.dropBm25Batch(spark, path, b5, retainMs = 50L))
+      assert(new java.io.File(s"$path/batches/$b5").exists())
+      Thread.sleep(150L)
+      Bm25.compactBm25Index(spark, path) // single batch: no-op + sweep
+      assert(!new java.io.File(s"$path/batches/$b5").exists(),
+        "an expired pending delete was not reclaimed")
+      assert(!marker(path, b5).exists())
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(cid))
+    } finally rmTree(dir)
+  }
+
+  test("vector index: grace-period drop keeps the directory, serves " +
+      "the delisted view, and a re-append is safe from the stale mark") {
+    val dir = tmp("vec-grace")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      val bid = VectorIndex.append(emb.filter(col("vec_id") >= 200),
+        "vec_id", "embedding", path)
+      val full = vecServe(path)
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, s"$path-boot")
+      val bootOnly = vecServe(s"$path-boot")
+      assert(VectorIndex.dropBatch(spark, path, bid,
+        retainMs = 3600L * 1000))
+      assert(new java.io.File(s"$path/batches/$bid").exists())
+      assert(marker(path, bid).exists())
+      assert(vecServe(path) == bootOnly,
+        "a delisted batch leaked into the serve")
+      assert(VectorIndex.append(emb.filter(col("vec_id") >= 200),
+        "vec_id", "embedding", path) == bid)
+      assert(!marker(path, bid).exists())
+      assert(vecServe(path) == full)
+      VectorIndex.compact(spark, path)
+      assert(vecServe(path) == full,
+        "a maintenance call after the re-append lost the live batch")
+    } finally { rmTree(dir); rmTree(new java.io.File(s"$dir-boot")) }
+  }
+
+  test("retired-list cap: meta stays bounded, recent retirements " +
+      "refuse replay, aged-out ids re-append by documented contract") {
+    val dir = tmp("bm25-cap")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path, batchId = Some("day-a"))
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 5), "text",
+        path, batchId = Some("day-b"))
+      // cap 2 over a 3-batch retirement: newest kept, bootstrap ages
+      val cid1 = Bm25.compactBm25Index(spark, path, retainMs = 0L,
+        maxRetired = 2)
+      val m1 = Bm25.readBm25Meta(spark, path)
+      assert(m1.retired == Seq("day-a", "day-b"),
+        s"cap should keep the NEWEST 2 of 3 retirements: ${m1.retired}")
+      // recently retired: replay still refused, typed
+      intercept[graft.ReplayRefused] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") === 5), "text",
+          path, batchId = Some("day-b"))
+      }
+      // aged out: re-appending is ACCEPTED — the documented trade-off
+      // (the guard's horizon is the cap, sized to the redelivery
+      // window, not the corpus); pinned here so it is a contract, not
+      // a comment
+      Bm25.appendBm25Index(docs.filter(col("doc_id") <= 3), "text",
+        path, batchId = Some("bootstrap"))
+      assert(Bm25.readBm25Meta(spark, path).batches.toSet ==
+        Set(cid1, "bootstrap"))
+      // a second compaction keeps the bound: 4 lifetime retirements,
+      // meta still carries exactly 2
+      Bm25.compactBm25Index(spark, path, retainMs = 0L, maxRetired = 2)
+      val m2 = Bm25.readBm25Meta(spark, path)
+      assert(m2.retired == Seq(cid1, "bootstrap"))
+      assert(m2.retired.size <= 2)
+      // and day-a has now aged out too: accepted again
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path, batchId = Some("day-a"))
+      assert(Bm25.bm25TopKIndexed(spark, path, bmQuery, k = 10)
+        .count() > 0)
+    } finally rmTree(dir)
+  }
+
+  test("vector index: retired cap bounds the meta and recent " +
+      "retirements still refuse replay") {
+    val dir = tmp("vec-cap")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      VectorIndex.append(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path, batchId = Some("day-a"))
+      VectorIndex.append(emb.filter(col("vec_id") >= 350), "vec_id",
+        "embedding", path, batchId = Some("day-b"))
+      val cid = VectorIndex.compact(spark, path, retainMs = 0L,
+        maxRetired = 2)
+      val meta = VectorIndex.readMeta(spark, path)
+      assert(meta.batches == Seq(cid))
+      assert(meta.retired == Seq("day-a", "day-b"),
+        s"cap should keep the NEWEST 2 of 3 retirements: ${meta.retired}")
+      intercept[graft.ReplayRefused] {
+        VectorIndex.append(emb.filter(col("vec_id") >= 350), "vec_id",
+          "embedding", path, batchId = Some("day-b"))
+      }
+      // bootstrap aged out → accepted again, serve stays healthy
+      VectorIndex.append(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", path, batchId = Some("bootstrap"))
+      assert(vecServe(path).nonEmpty)
+    } finally rmTree(dir)
+  }
+
+  test("typed refusals: reserved merged shape is its own type, " +
+      "path-unsafe ids are not; a pending squatter blocks compaction") {
+    val dir = tmp("bm25-squat")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path)
+      // "pick another id" (well-formed but reserved) is typed apart
+      // from "the token is path-unsafe"
+      val eShape = intercept[graft.ReservedIdRefused] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") === 5), "text",
+          path, batchId = Some("m0123456789abcdef"))
+      }
+      assert(eShape.getMessage.contains("RESERVED"))
+      val ePath = intercept[IllegalArgumentException] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") === 5), "text",
+          path, batchId = Some("bad/slash"))
+      }
+      assert(!ePath.isInstanceOf[graft.ReservedIdRefused])
+      // (the vector index's reserved-shape refusal is pinned to the
+      // same type in PipelineOperatorsSpec's compaction spec)
+      // a pre-reservation squatter on the merged id, delisted but
+      // still inside its grace window (pending-delete marker), blocks
+      // the compaction instead of having its window cut short: the
+      // capped retired list cannot be the only guard
+      val meta = Bm25.readBm25Meta(spark, path)
+      val cid = IndexProtocol.mergedId(meta.batches)
+      val fs = hadoopFs(path)
+      IndexProtocol.markPendingDelete(fs, path, cid,
+        System.currentTimeMillis(), 3600L * 1000)
+      val eSquat = intercept[IllegalArgumentException] {
+        Bm25.compactBm25Index(spark, path)
+      }
+      assert(eSquat.getMessage.contains("pending grace-period"))
+      // clearing the marker (the squatter reclaimed) unblocks it
+      IndexProtocol.clearPendingDelete(fs, path, cid)
+      assert(Bm25.compactBm25Index(spark, path) == cid)
+      assert(bmServe(path) ==
+        bmInline(docs.filter(col("doc_id") <= 4)))
+    } finally rmTree(dir)
+  }
+
+  test("pqTrainFixedK: codebook size is a model constant, not a " +
+      "corpus function (the sf1 911s-vs-7.2s lesson, pinned in code)") {
+    // the sf0.1 corpus — the scale the bench sweeps; big enough that
+    // the gates' modulo init visibly scales its seed count with the
+    // corpus while the fixed-k entry does not
+    val sf01 = "/root/testdata/sf0.1"
+    val emb01 = Tables.table(spark, sf01, "embeddings").localCheckpoint()
+    val half = emb01.filter(col("vec_id") % 2 === 0)
+    val k = 16
+    def codesPerSubspace(cbDf: org.apache.spark.sql.DataFrame)
+        : Seq[Long] =
+      cbDf.groupBy(col("subspace")).count().collect()
+        .map(_.getLong(1)).toSeq
+    val cbFull = Similarity.pqTrainFixedK(emb01, "vec_id", "embedding",
+      m, dim, k, rounds = 1).localCheckpoint()
+    val cbHalf = Similarity.pqTrainFixedK(half, "vec_id", "embedding",
+      m, dim, k, rounds = 1)
+    // k seeds at EVERY corpus size: surviving codes never exceed k
+    // (Lloyd can only drop empty cells), and all m subspaces train
+    val fullCounts = codesPerSubspace(cbFull)
+    val halfCounts = codesPerSubspace(cbHalf)
+    assert(fullCounts.size == m && halfCounts.size == m)
+    assert(fullCounts.forall(c => c >= 1 && c <= k),
+      s"full-corpus codebook exceeded k=$k per subspace: $fullCounts")
+    assert(halfCounts.forall(c => c >= 1 && c <= k),
+      s"half-corpus codebook exceeded k=$k per subspace: $halfCounts")
+    // the contrast that cost 911s at sf1: the gate recipe's modulo
+    // init scales seeds with the corpus (≈ n/17), already far past k
+    // at sf0.1 — k must be pinned by the caller, not the data
+    val moduloSeeds = emb01.filter(col("vec_id") % 17 === 5).count()
+    assert(moduloSeeds > 2L * k,
+      s"modulo recipe should out-seed fixed k at sf0.1: $moduloSeeds")
+    // deterministic: retraining on the same corpus is bit-identical
+    val again = Similarity.pqTrainFixedK(emb01, "vec_id", "embedding",
+      m, dim, k, rounds = 1)
+    assert(cbFull.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+  }
+}

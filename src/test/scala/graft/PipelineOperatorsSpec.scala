@@ -371,6 +371,9 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         Dedup.writeDedupIndex(day1, "doc_id", "text", dir, mode = "append")
       }
       assert(e.getMessage.contains("append refused"))
+      // an INDEX-level refusal is NOT the landed subtype: the corpus
+      // stream must never treat "published but not landed" as done
+      assert(!e.isInstanceOf[graft.BatchAlreadyLanded])
     } finally rmTree(new java.io.File(dir))
   }
 
@@ -907,6 +910,13 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       assert(pruned.subsetOf(stored) && pruned.size < stored.size,
         s"probe should open fewer partitions than stored: " +
           s"$pruned vs $stored")
+      // the literal COUNT bound, not just the subset: a probe may
+      // open at most |probed cells| × |committed batches| partition
+      // directories — a pruning regression (extra batches, unprobed
+      // cells) fails here every round, not just in ScaleStress
+      assert(prunedPaths.size <= cells.size * 2,
+        s"probe opened ${prunedPaths.size} cell dirs; bound is " +
+          s"|cells|=${cells.size} × 2 batches")
       assert(prunedPaths.map(_.split('/').takeRight(3).head).toSet ==
         Set("bootstrap", bid),
         "probed cell partitions should come from every published batch")
@@ -977,8 +987,10 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         "compaction changed the served ranking (corrected re-ingest " +
           "rows lost)")
       // the reserved shape is refused at append time, so a user id
-      // can never collide with a future compaction's derived id
-      val eShape = intercept[IllegalArgumentException] {
+      // can never collide with a future compaction's derived id —
+      // typed apart from the path-safety refusal, so a caller knows
+      // "pick another id" without message matching
+      val eShape = intercept[graft.ReservedIdRefused] {
         VectorIndex.append(emb.filter(col("vec_id") < 3), "vec_id",
           "embedding", path, batchId = Some("m0123456789abcdef"))
       }

@@ -84,8 +84,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.minhashDedup(norm, "doc_id", "nt").count() == 0,
       "near-dup pair survived in silver")
     // replaying a committed batch is refused loudly, and silver is
-    // unchanged by the refused replay
-    intercept[graft.ReplayRefused] {
+    // unchanged by the refused replay — the LANDED subtype, the only
+    // refusal the streaming sink treats as "already done"
+    intercept[graft.BatchAlreadyLanded] {
       Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
     }
     assert(spark.read.parquet(silverPath).count() == n0 + acc1 + acc2)
@@ -244,7 +245,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n0 + acc,
       "marker-less retry double-landed silver rows")
     // and now the fully-landed batch replays are refused loudly
-    intercept[graft.ReplayRefused] {
+    intercept[graft.BatchAlreadyLanded] {
       Pipeline.corpusIncrement(spark, out, day1, "2026-08-13")
     }
   }
@@ -268,7 +269,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n0)
     assert(spark.read.parquet(s"$out/gold/train_packed").count() == goldN,
       "empty increment touched gold")
-    intercept[graft.ReplayRefused] {
+    intercept[graft.BatchAlreadyLanded] {
       Pipeline.corpusIncrement(spark, out, dupBatch, "2026-08-13")
     }
   }
