@@ -196,8 +196,11 @@ object Bench {
     // the machine was already busy before any query ran (load_start
     // above cores/8 ≈ 4 on this box), so a reader discards the
     // absolute numbers without re-deriving the threshold
+    // floored at 1.0: cores/8 collapses below one load-unit on small
+    // hosts, and flagging a near-idle 4-core box "contended" would
+    // train readers to ignore the bit
     val contended = loadStart >
-      Runtime.getRuntime.availableProcessors() / 8.0
+      math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0)
     if (contended) System.err.println(
       f"[bench] CONTENDED: load_start $loadStart%.2f exceeds " +
         f"cores/8 — timings measure the machine, not the engine")

@@ -177,15 +177,23 @@ object Bm25 {
   private def bm25MetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
+  /** `gen` is the swap FENCE ([[graft.operators.VectorIndex.VecMeta]]
+    * rationale): bumped on every commit so no two successive committed
+    * metas are byte-identical — a state-preserving swap (the
+    * single-batch compaction no-op) must still invalidate a concurrent
+    * writer's stale CAS expectation.
+    */
   private[graft] final case class Bm25Meta(n: Long, sumLen: Long,
                                            idCol: String, idType: String,
                                            batches: Seq[String],
-                                           retired: Seq[String] = Nil)
+                                           retired: Seq[String] = Nil,
+                                           gen: Long = 0L)
 
   private def bm25MetaBytes(m: Bm25Meta): Array[Byte] =
     (s"n=${m.n}\nsum_len=${m.sumLen}\nid_col=${m.idCol}\n" +
       s"id_type=${m.idType}\nbatches=${m.batches.mkString(",")}\n" +
-      s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
+      s"retired=${m.retired.mkString(",")}\ngen=${m.gen}\n")
+      .getBytes("UTF-8")
 
   /** Commit a new meta with the COMPARE-AND-SET `_meta.next` swap
     * ([[graft.sources.MetaSwap]] — shared with the vector index):
@@ -199,8 +207,9 @@ object Bm25 {
   private def swapBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
                            path: String, m: Bm25Meta,
                            expect: Array[Byte]): Unit =
+    // bump the fence on EVERY commit (see Bm25Meta.gen)
     graft.sources.MetaSwap.swap(fs, bm25MetaPath(path),
-      bm25MetaBytes(m), expect)
+      bm25MetaBytes(m.copy(gen = m.gen + 1)), expect)
 
   /** Read the committed meta ALONG WITH its raw bytes — the bytes are
     * what a maintenance path hands back to [[swapBm25Meta]] as its CAS
@@ -227,7 +236,8 @@ object Bm25 {
     (Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
       kv.getOrElse("id_type", "bigint"),
       kv("batches").split(",").toSeq.filter(_.nonEmpty),
-      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty)),
+      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty),
+      kv.getOrElse("gen", "0").toLong),
       raw)
   }
 
@@ -511,19 +521,28 @@ object Bm25 {
     def retireAllBut(keep: String): Unit = {
       beforeSweep()
       val now = System.currentTimeMillis()
-      // the rail is the CURRENT committed list, re-read AFTER this
-      // compaction's swap: the pre-swap snapshot is stale here — an
-      // append that read the post-swap meta and CAS-committed before
-      // this sweep is only on the re-read list, and marking or
-      // sweeping its directory would be data loss with the batch
-      // still committed (the r10 finding)
-      val current = IndexProtocol.committedFromMeta(fs, path)
+      // the rail is the CURRENT lists, re-read AFTER this compaction's
+      // swap: the pre-swap snapshot is stale here — an append that
+      // read the post-swap meta and CAS-committed before this sweep
+      // is only on the re-read list, and marking or sweeping its
+      // directory would be data loss with the batch still committed
+      // (the r10 finding)
+      val (current, curRetired) = IndexProtocol.listsFromMeta(fs, path)
+      val superseded = meta.batches.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
         .filter(st => st.isDirectory && st.getPath.getName != keep &&
           !current(st.getPath.getName))
         .foreach { st =>
-          IndexProtocol.markPendingDelete(fs, path, st.getPath.getName,
-            now, retainMs)
+          val bid = st.getPath.getName
+          // superseded/retired/merged-shape dirs are unambiguous →
+          // caller's retainMs; any other unlisted dir may be an
+          // in-flight publish whose CAS hasn't run → orphan-grace
+          // floor (see IndexProtocol.OrphanGraceMs)
+          val grace =
+            if (superseded(bid) || curRetired(bid) ||
+              IndexProtocol.isMergedShape(bid)) retainMs
+            else math.max(retainMs, IndexProtocol.OrphanGraceMs)
+          IndexProtocol.markPendingDelete(fs, path, bid, now, grace)
         }
       IndexProtocol.sweepPendingDeletes(fs, path, now,
         IndexProtocol.committedFromMeta(fs, path))
@@ -574,15 +593,22 @@ object Bm25 {
     // aged off it evades the list check — but a dropped squatter
     // inside its grace window still has a pending-delete marker, and
     // rebuilding over its directory would cut the promised window
-    // short; refuse until the sweep reclaims it (a marker for a
-    // merged id cannot be this compaction's own residue: markers are
-    // only written post-swap, and post-swap the list is [cid] whose
-    // mergedId differs)
-    require(!IndexProtocol.hasPendingDelete(fs, path, cid),
-      s"merged id $cid has a pending grace-period delete at $path — " +
-        "a delisted pre-reservation batch still inside its retain " +
-        "window squats on the merged shape; wait for the sweep to " +
-        "reclaim it (or clear the marker explicitly) before compacting")
+    // short; refuse while the window is open (a marker for a merged
+    // id cannot be this compaction's own residue: markers are only
+    // written post-swap, and post-swap the list is [cid] whose
+    // mergedId differs). An EXPIRED or unreadable marker is exactly
+    // what the sweep would reclaim — reclaim it here so a stale
+    // marker can never wedge every future compaction
+    IndexProtocol.pendingDeadline(fs, path, cid) match {
+      case Some(d) if d > System.currentTimeMillis() =>
+        throw new IllegalArgumentException(
+          s"merged id $cid has a pending grace-period delete at " +
+            s"$path — a delisted pre-reservation batch still inside " +
+            "its retain window squats on the merged shape; wait for " +
+            "the window to expire (or clear the marker explicitly) " +
+            "before compacting")
+      case _ => IndexProtocol.clearPendingDelete(fs, path, cid)
+    }
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     if (fs.exists(target)) fs.delete(target, true)
     val staging =

@@ -62,6 +62,40 @@ private[graft] object IndexProtocol {
 
   private val MergedShape = "m[0-9a-f]{16}"
 
+  /** Is `bid` in the reserved merged-id derivation space? Appends
+    * refuse this shape, so an unlisted directory carrying it can only
+    * be a failed compaction's residue — never an in-flight append's
+    * publish — and is safe to reclaim without the orphan grace.
+    */
+  def isMergedShape(bid: String): Boolean = bid.matches(MergedShape)
+
+  /** Minimum grace for an UNLISTED append-shaped directory found by a
+    * maintenance sweep. Such a directory is ambiguous: crash residue
+    * from a publish whose meta swap never ran — or an IN-FLIGHT
+    * append that published (atomic rename done) and is about to CAS
+    * its meta swap. Reclaiming it immediately would delete the
+    * in-flight batch's payload while its commit still succeeds (the
+    * sweep never touches `_meta`, so the append's CAS expectation
+    * stays satisfied) — a committed, payload-less batch. The floor
+    * buys the publish→commit window (driver-side milliseconds) with
+    * minutes of delayed residue reclaim; true residue is also
+    * reclaimed sooner by any re-publish of the same content. Dirs on
+    * the pre-swap committed list (delisted by the sweeping call's own
+    * swap), on the current retired list, or in the reserved merged
+    * shape are NOT ambiguous and reclaim at the caller's retainMs.
+    */
+  val OrphanGraceMs: Long = 15L * 60 * 1000
+
+  /** Pre-r11 markers stored the DELIST TIME (the window length lived
+    * only in the sweeping call's argument); current markers store the
+    * absolute deadline under a `deadline=` tag. A legacy bare-number
+    * marker maps to delist time + this constant — conservative in the
+    * direction that matters: never cut a promised window short
+    * (reading a delist time AS a deadline would expire every legacy
+    * grace instantly), at worst retain residue one extra day.
+    */
+  val LegacyGraceMs: Long = 24L * 3600 * 1000
+
   /** An append-time batch id must be a path-safe token (it becomes a
     * directory name and a comma-separated meta-list entry) and must
     * not squat on the reserved merged-id shape — a user id of the
@@ -101,20 +135,36 @@ private[graft] object IndexProtocol {
     if (readDeadline(fs, p).isDefined) return
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write((nowMs + retainMs).toString.getBytes("UTF-8"))
+    try out.write(s"deadline=${nowMs + retainMs}".getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The marker's persisted deadline; None if absent or unreadable. */
+  /** The marker's persisted deadline; None if absent or unreadable.
+    * `deadline=<ms>` is the current tagged format; a legacy bare
+    * number is a pre-deadline marker holding the DELIST time and maps
+    * to delist + [[LegacyGraceMs]] (see there for the direction
+    * argument).
+    */
   private def readDeadline(fs: FileSystem,
                            p: Path): Option[Long] =
     if (!fs.exists(p)) None
     else try {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        .trim.toLong)
-      finally in.close()
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (s.startsWith("deadline="))
+        Some(s.stripPrefix("deadline=").toLong)
+      else Some(s.toLong + LegacyGraceMs)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[readDeadline]] by batch id — what compaction's merged-id squat
+    * guard consults so an EXPIRED (or unreadable) marker reclaims
+    * instead of wedging every future compaction.
+    */
+  def pendingDeadline(fs: FileSystem, root: String,
+                      bid: String): Option[Long] =
+    readDeadline(fs, pendingMarker(root, bid))
 
   /** Is `bid` recorded as awaiting a grace-period delete? Compaction
     * refuses to rebuild over a pending merged-id directory (a
@@ -174,13 +224,24 @@ private[graft] object IndexProtocol {
     * it sweeps — an append CAS-committed after the compaction's swap
     * is only on the list this re-read returns.
     */
-  def committedFromMeta(fs: FileSystem, root: String): Set[String] = {
+  def committedFromMeta(fs: FileSystem, root: String): Set[String] =
+    listsFromMeta(fs, root)._1
+
+  /** The CURRENT (committed, retired) id sets from the index's
+    * `_meta` marker — the post-swap truth a retire sweep classifies
+    * against (committed = protected, retired = reclaimable
+    * superseded payload).
+    */
+  def listsFromMeta(fs: FileSystem,
+                    root: String): (Set[String], Set[String]) = {
     val raw = graft.sources.MetaSwap.readCommitted(fs,
       new Path(s"$root/_meta"))
-    new String(raw, "UTF-8").linesIterator
-      .map(_.split("=", 2)).collectFirst {
-        case Array("batches", v) =>
-          v.split(",").toSeq.filter(_.nonEmpty).toSet
-      }.getOrElse(Set.empty)
+    val kv = new String(raw, "UTF-8").linesIterator
+      .map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b
+      }.toMap
+    def parse(k: String) = kv.getOrElse(k, "")
+      .split(",").toSeq.filter(_.nonEmpty).toSet
+    (parse("batches"), parse("retired"))
   }
 }

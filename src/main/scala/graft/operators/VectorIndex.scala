@@ -71,10 +71,18 @@ object VectorIndex {
 
   /** The committed state of an index: PQ geometry plus the two
     * visibility lists. `batches` serve; `retired` only refuse replay.
+    * `gen` is the swap FENCE: a counter [[swapMeta]] bumps on every
+    * commit so no two successive committed metas are ever
+    * byte-identical — without it, a maintenance swap that changes
+    * nothing else (the single-batch compaction no-op) would be
+    * invisible to a concurrent writer's compare-and-set, and the
+    * racing append the swap exists to fail would commit against a
+    * marker the sweep had already acted on.
     */
   private[graft] final case class VecMeta(m: Int, dim: Int,
                                           batches: Seq[String],
-                                          retired: Seq[String])
+                                          retired: Seq[String],
+                                          gen: Long = 0L)
 
   /** Read the committed meta ALONG WITH its raw bytes — the bytes are
     * what a maintenance path hands back to [[swapMeta]] as its CAS
@@ -108,7 +116,8 @@ object VectorIndex {
         "or add a batches= line listing the live batch directories")
     (VecMeta(kv("m").toInt, kv("dim").toInt,
       kv("batches").split(",").toSeq.filter(_.nonEmpty),
-      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty)),
+      kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty),
+      kv.getOrElse("gen", "0").toLong),
       raw)
   }
 
@@ -118,7 +127,8 @@ object VectorIndex {
 
   private def metaBytes(m: VecMeta): Array[Byte] =
     (s"m=${m.m}\ndim=${m.dim}\nbatches=${m.batches.mkString(",")}\n" +
-      s"retired=${m.retired.mkString(",")}\n").getBytes("UTF-8")
+      s"retired=${m.retired.mkString(",")}\ngen=${m.gen}\n")
+      .getBytes("UTF-8")
 
   /** Commit a new meta with the COMPARE-AND-SET `_meta.next` swap
     * ([[graft.sources.MetaSwap]] — shared with the BM25 index):
@@ -130,8 +140,12 @@ object VectorIndex {
   private def swapMeta(fs: org.apache.hadoop.fs.FileSystem,
                        path: String, m: VecMeta,
                        expect: Array[Byte]): Unit =
-    graft.sources.MetaSwap.swap(fs, metaPath(path), metaBytes(m),
-      expect)
+    // bump the fence on EVERY commit: successive committed metas are
+    // never byte-identical, so even a state-preserving swap (the
+    // no-op compaction) invalidates a concurrent writer's stale CAS
+    // expectation instead of sliding under it
+    graft.sources.MetaSwap.swap(fs, metaPath(path),
+      metaBytes(m.copy(gen = m.gen + 1)), expect)
 
   /** Stage a batch's cell-partitioned codes and publish them with one
     * atomic rename. A batch id on the committed or retired list
@@ -403,19 +417,32 @@ object VectorIndex {
     def retireAllBut(keep: String): Unit = {
       beforeSweep()
       val now = System.currentTimeMillis()
-      // the rail is the CURRENT committed list, re-read AFTER this
-      // compaction's swap: the pre-swap snapshot is stale here — an
-      // append that read the post-swap meta and CAS-committed before
-      // this sweep is only on the re-read list, and marking or
-      // sweeping its directory would be data loss with the batch
-      // still committed (the r10 finding)
-      val current = IndexProtocol.committedFromMeta(fs, path)
+      // the rail is the CURRENT lists, re-read AFTER this compaction's
+      // swap: the pre-swap snapshot is stale here — an append that
+      // read the post-swap meta and CAS-committed before this sweep
+      // is only on the re-read list, and marking or sweeping its
+      // directory would be data loss with the batch still committed
+      // (the r10 finding)
+      val (current, curRetired) = IndexProtocol.listsFromMeta(fs, path)
+      val superseded = meta.batches.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
         .filter(st => st.isDirectory && st.getPath.getName != keep &&
           !current(st.getPath.getName))
         .foreach { st =>
-          IndexProtocol.markPendingDelete(fs, path, st.getPath.getName,
-            now, retainMs)
+          val bid = st.getPath.getName
+          // classification: a dir this compaction delisted, a
+          // currently-retired id, or merged-shape residue is
+          // unambiguous superseded payload → caller's retainMs. Any
+          // OTHER unlisted append-shaped dir may be an in-flight
+          // publish whose CAS hasn't run — reclaiming it immediately
+          // would leave that append committed and payload-less, so it
+          // gets the orphan-grace floor (true crash residue reclaims
+          // after the floor, or sooner via a re-publish)
+          val grace =
+            if (superseded(bid) || curRetired(bid) ||
+              IndexProtocol.isMergedShape(bid)) retainMs
+            else math.max(retainMs, IndexProtocol.OrphanGraceMs)
+          IndexProtocol.markPendingDelete(fs, path, bid, now, grace)
         }
       IndexProtocol.sweepPendingDeletes(fs, path, now,
         IndexProtocol.committedFromMeta(fs, path))
@@ -466,15 +493,22 @@ object VectorIndex {
     // aged off it evades the list check — but a dropped squatter
     // inside its grace window still has a pending-delete marker, and
     // rebuilding over its directory would cut the promised window
-    // short; refuse until the sweep reclaims it (a marker for a
-    // merged id cannot be this compaction's own residue: markers are
-    // only written post-swap, and post-swap the list is [cid] whose
-    // mergedId differs)
-    require(!IndexProtocol.hasPendingDelete(fs, path, cid),
-      s"merged id $cid has a pending grace-period delete at $path — " +
-        "a delisted pre-reservation batch still inside its retain " +
-        "window squats on the merged shape; wait for the sweep to " +
-        "reclaim it (or clear the marker explicitly) before compacting")
+    // short; refuse while the window is open (a marker for a merged
+    // id cannot be this compaction's own residue: markers are only
+    // written post-swap, and post-swap the list is [cid] whose
+    // mergedId differs). An EXPIRED or unreadable marker is exactly
+    // what the sweep would reclaim — reclaim it here so a stale
+    // marker can never wedge every future compaction
+    IndexProtocol.pendingDeadline(fs, path, cid) match {
+      case Some(d) if d > System.currentTimeMillis() =>
+        throw new IllegalArgumentException(
+          s"merged id $cid has a pending grace-period delete at " +
+            s"$path — a delisted pre-reservation batch still inside " +
+            "its retain window squats on the merged shape; wait for " +
+            "the window to expire (or clear the marker explicitly) " +
+            "before compacting")
+      case _ => IndexProtocol.clearPendingDelete(fs, path, cid)
+    }
     val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     // residue from a crashed earlier compaction of the SAME list is
     // safe to rebuild wholesale — it was never committed

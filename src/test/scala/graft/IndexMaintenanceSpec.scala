@@ -74,16 +74,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       }
       mkBatch("b1")
       // deadline = delist time + retainMs, persisted in the marker
+      // under the tagged format
       IndexProtocol.markPendingDelete(fs, root, "b1", 1000L, 500L)
       assert(new String(java.nio.file.Files.readAllBytes(
-        marker(root, "b1").toPath), "UTF-8").trim == "1500")
+        marker(root, "b1").toPath), "UTF-8").trim == "deadline=1500")
       // re-marking (a later maintenance call) must NOT reset the
       // clock — even with a longer window the FIRST delisting wins,
       // or a maintenance cadence shorter than the window would retain
       // the directory forever
       IndexProtocol.markPendingDelete(fs, root, "b1", 1400L, 500L)
       assert(new String(java.nio.file.Files.readAllBytes(
-        marker(root, "b1").toPath), "UTF-8").trim == "1500")
+        marker(root, "b1").toPath), "UTF-8").trim == "deadline=1500")
       assert(IndexProtocol.hasPendingDelete(fs, root, "b1"))
       // a sweep BEFORE the deadline retains; the sweeping call has no
       // retainMs of its own — the promise rides the marker (a routine
@@ -121,10 +122,22 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         java.nio.file.StandardOpenOption.CREATE)
       IndexProtocol.markPendingDelete(fs, root, "b4", 2000L, 100L)
       assert(new String(java.nio.file.Files.readAllBytes(
-        marker(root, "b4").toPath), "UTF-8").trim == "2100")
+        marker(root, "b4").toPath), "UTF-8").trim == "deadline=2100")
       // clearPendingDelete forgets the mark (the re-publish path)
       IndexProtocol.clearPendingDelete(fs, root, "b4")
       assert(!IndexProtocol.hasPendingDelete(fs, root, "b4"))
+      // a LEGACY bare-number marker (pre-deadline format: the delist
+      // TIME) maps to delist + LegacyGraceMs — never cut a promised
+      // window short by reading a delist time as a deadline
+      mkBatch("b5")
+      java.nio.file.Files.write(marker(root, "b5").toPath,
+        "5000".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE)
+      assert(IndexProtocol.sweepPendingDeletes(fs, root,
+        5000L + IndexProtocol.LegacyGraceMs - 1, Set.empty).isEmpty)
+      assert(new java.io.File(s"$root/batches/b5").exists())
+      assert(IndexProtocol.sweepPendingDeletes(fs, root,
+        5000L + IndexProtocol.LegacyGraceMs, Set.empty) == Seq("b5"))
     } finally rmTree(dir)
   }
 
@@ -315,6 +328,62 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         .filter(_.isDirectory).map(_.getName).toSet ==
         Set(cid, interleaved))
       assert(bmServe(path) == bmInline(docs))
+    } finally rmTree(dir)
+  }
+
+  test("an unlisted append-shaped dir gets the orphan-grace floor " +
+      "(it may be an in-flight publish) and every swap bumps the " +
+      "meta fence, failing a stale CAS even when state is unchanged") {
+    val dir = tmp("bm25-orphan")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val fs = hadoopFs(path)
+      // simulate an append mid-commit: directory published (atomic
+      // rename done), meta CAS not yet run — indistinguishable from
+      // crash residue at sweep time, so it must NOT be reclaimed
+      // immediately
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$path/batches/inflight-1"))
+      // merged-shape residue is unambiguous (appends refuse the
+      // shape): reclaimed at the caller's retainMs
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$path/batches/mdeadbeefdeadbeef"))
+      val rawBefore = java.nio.file.Files.readAllBytes(
+        new java.io.File(path, "_meta").toPath)
+      val t0 = System.currentTimeMillis()
+      assert(Bm25.compactBm25Index(spark, path) == "bootstrap")
+      // the possible in-flight publish survived, with a marker at
+      // least the orphan grace out; the merged-shape residue is gone
+      assert(new java.io.File(s"$path/batches/inflight-1").exists(),
+        "a possible in-flight publish was reclaimed as residue")
+      val dl = IndexProtocol.pendingDeadline(fs, path, "inflight-1")
+      assert(dl.exists(_ >= t0 + IndexProtocol.OrphanGraceMs),
+        s"orphan marker deadline $dl below the grace floor")
+      assert(!new java.io.File(
+        s"$path/batches/mdeadbeefdeadbeef").exists())
+      // the FENCE: the committed meta changed bytes even though the
+      // visible state did not (gen bumped), so the in-flight append's
+      // CAS against its pre-compact read now fails loudly instead of
+      // committing a batch the sweep could have already deleted
+      val rawAfter = java.nio.file.Files.readAllBytes(
+        new java.io.File(path, "_meta").toPath)
+      assert(!java.util.Arrays.equals(rawBefore, rawAfter),
+        "a no-op maintenance swap left the meta byte-identical — " +
+          "invisible to every concurrent writer's CAS")
+      intercept[MetaSwap.CasFailed] {
+        MetaSwap.swap(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_meta"),
+          rawBefore, rawBefore)
+      }
+      // a second maintenance pass keeps the orphan (first-marker-wins
+      // holds its original grace) and the index serves unchanged
+      assert(Bm25.compactBm25Index(spark, path) == "bootstrap")
+      assert(new java.io.File(s"$path/batches/inflight-1").exists())
+      assert(bmServe(path) ==
+        bmInline(docs.filter(col("doc_id") <= 3)))
     } finally rmTree(dir)
   }
 
@@ -510,9 +579,13 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         Bm25.compactBm25Index(spark, path)
       }
       assert(eSquat.getMessage.contains("pending grace-period"))
-      // clearing the marker (the squatter reclaimed) unblocks it
+      // an EXPIRED marker must not wedge compaction forever: the
+      // guard reclaims it (what the sweep would do) and proceeds
       IndexProtocol.clearPendingDelete(fs, path, cid)
+      IndexProtocol.markPendingDelete(fs, path, cid,
+        System.currentTimeMillis() - 10000L, 0L)
       assert(Bm25.compactBm25Index(spark, path) == cid)
+      assert(!IndexProtocol.hasPendingDelete(fs, path, cid))
       assert(bmServe(path) ==
         bmInline(docs.filter(col("doc_id") <= 4)))
     } finally rmTree(dir)
