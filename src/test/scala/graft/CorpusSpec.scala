@@ -795,12 +795,25 @@ class CorpusSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("empty batch"))
       assert(serve() == doubled, "a refused empty append changed state")
       // a crash between a compaction's meta swap and its sweep leaves
-      // orphan dirs; the documented recovery — re-running compaction —
-      // must reclaim them even on the single-batch no-op path
-      val orphan = new java.io.File(path, "batches/orphan-crash-dir")
-      assert(orphan.mkdirs())
+      // orphan dirs whose ids the swap already RETIRED; the documented
+      // recovery — re-running compaction — reclaims those even on the
+      // single-batch no-op path (a retired id is unambiguous
+      // superseded payload)
+      val crashed = new java.io.File(path, "batches/dup2")
+      assert(crashed.mkdirs())
+      // an UNLISTED, UNRETIRED append-shaped dir is ambiguous — it
+      // may be an in-flight append's publish racing this maintenance
+      // call — so the same re-run retains it under the orphan-grace
+      // floor instead of reaping a batch whose commit could still
+      // succeed
+      val ambiguous = new java.io.File(path, "batches/orphan-crash-dir")
+      assert(ambiguous.mkdirs())
       assert(Bm25.compactBm25Index(spark, path) == cid2)
-      assert(!orphan.exists, "the no-op re-run should sweep orphans")
+      assert(!crashed.exists,
+        "the no-op re-run should sweep retired-id orphans")
+      assert(ambiguous.exists,
+        "an ambiguous unlisted dir must get the orphan grace, not an " +
+          "instant reap")
     } finally SparkTestSession.rmTree(dir)
   }
 

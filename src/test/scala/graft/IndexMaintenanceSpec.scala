@@ -387,6 +387,40 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("vector index: orphan-grace floor and swap fence mirror the " +
+      "bm25 behavior (one protocol, two indexes)") {
+    val dir = tmp("vec-orphan")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      val fs = hadoopFs(path)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$path/batches/inflight-1"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$path/batches/mdeadbeefdeadbeef"))
+      val rawBefore = java.nio.file.Files.readAllBytes(
+        new java.io.File(path, "_meta").toPath)
+      val t0 = System.currentTimeMillis()
+      VectorIndex.compact(spark, path) // single batch: no-op + sweep
+      assert(new java.io.File(s"$path/batches/inflight-1").exists(),
+        "a possible in-flight publish was reclaimed as residue")
+      assert(IndexProtocol.pendingDeadline(fs, path, "inflight-1")
+        .exists(_ >= t0 + IndexProtocol.OrphanGraceMs))
+      assert(!new java.io.File(
+        s"$path/batches/mdeadbeefdeadbeef").exists())
+      val rawAfter = java.nio.file.Files.readAllBytes(
+        new java.io.File(path, "_meta").toPath)
+      assert(!java.util.Arrays.equals(rawBefore, rawAfter))
+      intercept[MetaSwap.CasFailed] {
+        MetaSwap.swap(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_meta"),
+          rawBefore, rawBefore)
+      }
+      assert(vecServe(path).nonEmpty)
+    } finally rmTree(dir)
+  }
+
   test("grace period: a delisted batch stays on disk and invisible " +
       "for its window, later maintenance honors the persisted " +
       "deadline, re-append clears the mark, expiry reclaims") {
