@@ -199,11 +199,13 @@ object Bench {
     // floored at 1.0: cores/8 collapses below one load-unit on small
     // hosts, and flagging a near-idle 4-core box "contended" would
     // train readers to ignore the bit
-    val contended = loadStart >
+    val contendedThreshold =
       math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0)
+    val contended = loadStart > contendedThreshold
     if (contended) System.err.println(
       f"[bench] CONTENDED: load_start $loadStart%.2f exceeds " +
-        f"cores/8 — timings measure the machine, not the engine")
+        f"max(1, cores/8) = $contendedThreshold%.2f — timings " +
+        f"measure the machine, not the engine")
     val diag =
       s""""load_start":${fmt(loadStart, 2)},"load_end":${
         fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"contended":$contended,"slow":${

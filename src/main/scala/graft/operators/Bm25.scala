@@ -382,6 +382,12 @@ object Bm25 {
     swapBm25Meta(fs, path,
       meta.copy(n = meta.n + dn, sumLen = meta.sumLen + dsl,
         batches = meta.batches :+ bid), raw)
+    // a racing maintenance sweep may have orphan-marked this batch
+    // between its publish and the swap above (unlisted then); the
+    // batch is committed now, so the marker is stale — clear it, or
+    // a LATER drop's first-marker-wins would inherit the orphan
+    // deadline and silently truncate that drop's promised window
+    IndexProtocol.clearPendingDelete(fs, path, bid)
     bid
   }
 
@@ -427,6 +433,11 @@ object Bm25 {
           sumLen = meta.sumLen - s.getLong(1),
           batches = meta.batches.filterNot(_ == batchId)), raw)
       val now = System.currentTimeMillis()
+      // THIS drop is the delist event — the batch was committed until
+      // the swap above, so any surviving marker is a stale
+      // publish-race artifact; clear it so the first-marker-wins rule
+      // starts this drop's window, not the stale one's
+      IndexProtocol.clearPendingDelete(fs, path, batchId)
       IndexProtocol.markPendingDelete(fs, path, batchId, now, retainMs)
       // rail the sweep on the CURRENT committed list (re-read after
       // the swap), never the pre-swap snapshot: a batch committed by
@@ -542,6 +553,11 @@ object Bm25 {
             if (superseded(bid) || curRetired(bid) ||
               IndexProtocol.isMergedShape(bid)) retainMs
             else math.max(retainMs, IndexProtocol.OrphanGraceMs)
+          // a superseded dir was committed until THIS swap, so its
+          // delist window starts now — an older marker on it is a
+          // stale publish-race artifact, not a running clock
+          if (superseded(bid))
+            IndexProtocol.clearPendingDelete(fs, path, bid)
           IndexProtocol.markPendingDelete(fs, path, bid, now, grace)
         }
       IndexProtocol.sweepPendingDeletes(fs, path, now,

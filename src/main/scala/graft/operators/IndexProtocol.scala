@@ -92,7 +92,11 @@ private[graft] object IndexProtocol {
     * marker maps to delist time + this constant — conservative in the
     * direction that matters: never cut a promised window short
     * (reading a delist time AS a deadline would expire every legacy
-    * grace instantly), at worst retain residue one extra day.
+    * grace instantly), at worst retain residue one extra day. A brief
+    * intermediate format wrote bare ABSOLUTE DEADLINES; those are
+    * indistinguishable from bare delist times and also get the +24h —
+    * still the conservative direction (delayed reclaim of delisted
+    * payload, bounded by a day, never a truncated promise).
     */
   val LegacyGraceMs: Long = 24L * 3600 * 1000
 

@@ -258,6 +258,13 @@ object VectorIndex {
     publishBatch(emb, idCol, vecCol, centroids, codebook, meta.m,
       meta.dim, path, bid, meta.batches, meta.retired)
     swapMeta(fs, path, meta.copy(batches = meta.batches :+ bid), raw)
+    // a racing maintenance sweep may have orphan-marked this batch
+    // between its publish and the swap above (the directory was
+    // unlisted then); the batch is committed now, so the marker is
+    // stale — clear it, or a LATER drop's first-marker-wins would
+    // inherit the orphan deadline and silently truncate the grace
+    // window that drop promises
+    IndexProtocol.clearPendingDelete(fs, path, bid)
     bid
   }
 
@@ -336,6 +343,12 @@ object VectorIndex {
       swapMeta(fs, path,
         meta.copy(batches = meta.batches.filterNot(_ == batchId)), raw)
       val now = System.currentTimeMillis()
+      // THIS drop is the batch's delist event — it was committed
+      // until the swap above, so any surviving marker is stale (a
+      // swept-over orphan mark from a publish race); clear it so the
+      // first-marker-wins rule starts this drop's window, not the
+      // stale one's
+      IndexProtocol.clearPendingDelete(fs, path, batchId)
       IndexProtocol.markPendingDelete(fs, path, batchId, now, retainMs)
       // rail the sweep on the CURRENT committed list (re-read after
       // the swap), never the pre-swap snapshot: a batch committed by
@@ -442,6 +455,11 @@ object VectorIndex {
             if (superseded(bid) || curRetired(bid) ||
               IndexProtocol.isMergedShape(bid)) retainMs
             else math.max(retainMs, IndexProtocol.OrphanGraceMs)
+          // a superseded dir was committed until THIS swap, so its
+          // delist window starts now — an older marker on it is a
+          // stale publish-race artifact, not a running clock
+          if (superseded(bid))
+            IndexProtocol.clearPendingDelete(fs, path, bid)
           IndexProtocol.markPendingDelete(fs, path, bid, now, grace)
         }
       IndexProtocol.sweepPendingDeletes(fs, path, now,

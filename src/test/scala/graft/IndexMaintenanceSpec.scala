@@ -470,6 +470,20 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         "an expired pending delete was not reclaimed")
       assert(!marker(path, b5).exists())
       assert(Bm25.readBm25Meta(spark, path).batches == Seq(cid))
+      // a stale (long-expired) marker left on a COMMITTED batch by a
+      // publish-race sweep must not pre-empt a later drop's promised
+      // window: the drop is the delist event and restarts the clock
+      val b6 = Bm25.appendBm25Index(
+        docs.filter(col("doc_id") === 4)
+          .withColumn("doc_id", col("doc_id") + 200), "text", path)
+      val fs = hadoopFs(path)
+      IndexProtocol.markPendingDelete(fs, path, b6, 0L, 0L)
+      assert(Bm25.dropBm25Batch(spark, path, b6,
+        retainMs = 3600L * 1000))
+      assert(new java.io.File(s"$path/batches/$b6").exists(),
+        "a stale marker truncated the drop's grace window")
+      assert(IndexProtocol.pendingDeadline(fs, path, b6)
+        .exists(_ > System.currentTimeMillis()))
     } finally rmTree(dir)
   }
 
