@@ -188,6 +188,34 @@ private[graft] object IndexProtocol {
     fs.delete(pendingMarker(root, bid), false); ()
   }
 
+  /** Delist `bid` NOW: the caller's own meta swap just removed it
+    * from the committed list, so this moment IS the batch's delist
+    * event and any surviving marker is a stale publish-race artifact
+    * — clear it, then start the window the caller promises. One
+    * implementation for both indexes' drop paths (the r9 drift
+    * lesson): the clear-then-mark order is load-bearing, because
+    * [[markPendingDelete]] is first-marker-wins.
+    */
+  def resetPendingDelete(fs: FileSystem, root: String, bid: String,
+                         nowMs: Long, retainMs: Long): Unit = {
+    clearPendingDelete(fs, root, bid)
+    markPendingDelete(fs, root, bid, nowMs, retainMs)
+  }
+
+  /** Clear stale markers off every COMMITTED batch — legitimate
+    * markers exist only for delisted ids, so a marker on a committed
+    * one can only be a swept-over publish-race artifact (a
+    * maintenance sweep orphan-marked the batch between its publish
+    * and its CAS). Compaction calls this at entry, while the
+    * committed list is in hand: without it, a stale pre-delist
+    * marker could survive a crash-recovery path into the batch's
+    * eventual retirement and truncate the grace window promised
+    * there (first-marker-wins would keep the stale clock).
+    */
+  def clearStaleMarkers(fs: FileSystem, root: String,
+                        committed: Seq[String]): Unit =
+    committed.foreach(clearPendingDelete(fs, root, _))
+
   /** Delete every pending batch directory whose PERSISTED deadline
     * has passed, plus its marker. An unreadable marker counts as
     * expired — fail toward reclaiming space, never toward

@@ -343,13 +343,9 @@ object VectorIndex {
       swapMeta(fs, path,
         meta.copy(batches = meta.batches.filterNot(_ == batchId)), raw)
       val now = System.currentTimeMillis()
-      // THIS drop is the batch's delist event — it was committed
-      // until the swap above, so any surviving marker is stale (a
-      // swept-over orphan mark from a publish race); clear it so the
-      // first-marker-wins rule starts this drop's window, not the
-      // stale one's
-      IndexProtocol.clearPendingDelete(fs, path, batchId)
-      IndexProtocol.markPendingDelete(fs, path, batchId, now, retainMs)
+      // THIS drop is the delist event: reset (clear + mark) so a
+      // stale publish-race marker cannot pre-empt the promised window
+      IndexProtocol.resetPendingDelete(fs, path, batchId, now, retainMs)
       // rail the sweep on the CURRENT committed list (re-read after
       // the swap), never the pre-swap snapshot: a batch committed by
       // a racing append between the swap and this sweep must survive
@@ -427,6 +423,11 @@ object VectorIndex {
     val (meta, raw) = readMetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
+    // a marker on a COMMITTED batch is by definition stale (see
+    // IndexProtocol.clearStaleMarkers) — clear them now so no stale
+    // clock survives a crash-recovery path into these batches'
+    // eventual retirement and truncates the window promised there
+    IndexProtocol.clearStaleMarkers(fs, path, meta.batches)
     def retireAllBut(keep: String): Unit = {
       beforeSweep()
       val now = System.currentTimeMillis()
@@ -455,11 +456,10 @@ object VectorIndex {
             if (superseded(bid) || curRetired(bid) ||
               IndexProtocol.isMergedShape(bid)) retainMs
             else math.max(retainMs, IndexProtocol.OrphanGraceMs)
-          // a superseded dir was committed until THIS swap, so its
-          // delist window starts now — an older marker on it is a
-          // stale publish-race artifact, not a running clock
-          if (superseded(bid))
-            IndexProtocol.clearPendingDelete(fs, path, bid)
+          // no stale-marker hazard here: markers on this run's
+          // committed list were cleared at compaction entry, so
+          // first-marker-wins only ever preserves a RUNNING clock
+          // (e.g. a prior crashed compaction's retirement window)
           IndexProtocol.markPendingDelete(fs, path, bid, now, grace)
         }
       IndexProtocol.sweepPendingDeletes(fs, path, now,

@@ -516,6 +516,64 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     } finally { rmTree(dir); rmTree(new java.io.File(s"$dir-boot")) }
   }
 
+  test("bm25 index: a stale marker on a committed batch is cleared " +
+      "at compaction entry, so retirement gets its full window") {
+    val dir = tmp("bm25-stale")
+    try {
+      val path = dir.toString
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val bid = Bm25.appendBm25Index(docs.filter(col("doc_id") > 3),
+        "text", path)
+      val fs = hadoopFs(path)
+      // the publish-race artifact shape: a long-expired marker
+      // sitting on a COMMITTED batch (a sweep orphan-marked it
+      // between publish and CAS, and no later sweep ran to clear it)
+      IndexProtocol.markPendingDelete(fs, path, bid, 0L, 0L)
+      // a compaction promising a 1h retirement window must clear the
+      // stale clock at entry — first-marker-wins would otherwise
+      // keep the expired deadline and reap the superseded payload
+      // instantly, truncating the promise
+      Bm25.compactBm25Index(spark, path, retainMs = 3600L * 1000)
+      assert(new java.io.File(s"$path/batches/$bid").exists(),
+        "a stale marker truncated the compaction's retirement window")
+      assert(IndexProtocol.pendingDeadline(fs, path, bid)
+        .exists(_ > System.currentTimeMillis()))
+      assert(bmServe(path) == bmInline(docs))
+    } finally rmTree(dir)
+  }
+
+  test("vector index: stale markers on committed batches cleared at " +
+      "compaction entry and reset by drop (the bm25 twin)") {
+    val dir = tmp("vec-stale")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      val bid = VectorIndex.append(emb.filter(col("vec_id") >= 200),
+        "vec_id", "embedding", path)
+      val fs = hadoopFs(path)
+      IndexProtocol.markPendingDelete(fs, path, bid, 0L, 0L)
+      VectorIndex.compact(spark, path, retainMs = 3600L * 1000)
+      assert(new java.io.File(s"$path/batches/$bid").exists(),
+        "a stale marker truncated the compaction's retirement window")
+      assert(IndexProtocol.pendingDeadline(fs, path, bid)
+        .exists(_ > System.currentTimeMillis()))
+      // the drop path restarts the clock the same way
+      val b2 = VectorIndex.append(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", path, batchId = Some("fresh-b2"))
+      IndexProtocol.markPendingDelete(fs, path, b2, 0L, 0L)
+      assert(VectorIndex.dropBatch(spark, path, b2,
+        retainMs = 3600L * 1000))
+      assert(new java.io.File(s"$path/batches/$b2").exists(),
+        "a stale marker truncated the drop's grace window")
+      assert(IndexProtocol.pendingDeadline(fs, path, b2)
+        .exists(_ > System.currentTimeMillis()))
+      assert(vecServe(path).nonEmpty)
+    } finally rmTree(dir)
+  }
+
   test("retired-list cap: meta stays bounded, recent retirements " +
       "refuse replay, aged-out ids re-append by documented contract") {
     val dir = tmp("bm25-cap")
