@@ -513,4 +513,85 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pending-delete marker protocol matches a reference model " +
+      "under random op interleavings; committed dirs never reaped, " +
+      "promised windows never truncated") {
+    import graft.operators.IndexProtocol
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-marker-prop").toFile
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val ids = Seq("a", "b", "c", "d")
+      // op 0 publish (dir appears, marker cleared — publishBatch's
+      // contract); 1 commit (post-swap clear); 2 delist/drop (reset:
+      // clear + mark with the promised window); 3 orphan-mark (a
+      // sweep classifying an unlisted dir — first-marker-wins);
+      // 4 sweep (rails on the current committed set); 5 clock tick
+      val opsGen = Gen.listOfN(60, for {
+        op <- Gen.chooseNum(0, 5)
+        id <- Gen.oneOf(ids)
+        amt <- Gen.chooseNum(0L, 30L)
+      } yield (op, id, amt))
+      samples(opsGen, 8).zipWithIndex.foreach { case (ops, i) =>
+        val root = s"$base/run$i"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches"))
+        // reference model: what each observable MUST be after each op
+        var clock = 1000L
+        val dirs = scala.collection.mutable.Set.empty[String]
+        val committed = scala.collection.mutable.Set.empty[String]
+        val markers = scala.collection.mutable.Map.empty[String, Long]
+        def dirOf(id: String) = new java.io.File(s"$root/batches/$id")
+        ops.foreach { case (op, id, amt) =>
+          op match {
+            case 0 =>
+              fs.mkdirs(new org.apache.hadoop.fs.Path(
+                s"$root/batches/$id"))
+              IndexProtocol.clearPendingDelete(fs, root, id)
+              dirs += id; markers -= id
+            case 1 if dirs(id) =>
+              committed += id
+              IndexProtocol.clearPendingDelete(fs, root, id)
+              markers -= id
+            case 2 if committed(id) =>
+              committed -= id
+              IndexProtocol.resetPendingDelete(fs, root, id, clock, amt)
+              markers(id) = clock + amt
+            case 3 if dirs(id) && !committed(id) =>
+              IndexProtocol.markPendingDelete(fs, root, id, clock, amt)
+              if (!markers.contains(id)) markers(id) = clock + amt
+            case 4 =>
+              val deleted = IndexProtocol.sweepPendingDeletes(fs, root,
+                clock, committed.toSet)
+              val expect = markers.toSeq.flatMap { case (mid, d) =>
+                if (committed(mid)) { markers -= mid; Seq.empty }
+                else if (clock >= d) {
+                  markers -= mid; dirs -= mid; Seq(mid)
+                } else Seq.empty
+              }
+              assert(deleted.toSet == expect.toSet,
+                s"run$i sweep@$clock: $deleted vs model $expect")
+            case 5 => clock += amt
+            case _ => () // op precondition not met: no-op
+          }
+          // SUT observables == model after EVERY op
+          ids.foreach { x =>
+            assert(IndexProtocol.pendingDeadline(fs, root, x) ==
+              markers.get(x),
+              s"run$i marker($x) after op($op,$id,$amt)@$clock")
+            assert(dirOf(x).exists() == dirs(x),
+              s"run$i dir($x) after op($op,$id,$amt)@$clock")
+          }
+          // the two load-bearing invariants, re-stated directly:
+          // a committed batch's directory always exists, and every
+          // live marker's deadline honors the window promised at its
+          // creation (first-marker-wins can only keep, reset only
+          // restarts at a NEW delisting)
+          committed.foreach(c => assert(dirOf(c).exists(),
+            s"run$i committed $c lost its directory"))
+        }
+      }
+    } finally SparkTestSession.rmTree(base)
+  }
 }
