@@ -483,6 +483,14 @@ object SparkEntry {
     "q_text_vocab" -> ((s, d) =>
       graft.functions.TextFunctions.vocabulary(
         Tables.table(s, d, "documents"), "doc_id", "text", 100)),
+    // ---- §2.8 T15 chi-square token↔label association (feature
+    // selection for the T12 classifier; label = English doc; k = 20
+    // so the cut BINDS — the corpus vocabulary holds ~31 qualifying
+    // tokens at every gate scale) ----
+    "q_text_chi2" -> ((s, d) =>
+      graft.functions.TextFunctions.chiSquareTerms(
+        Tables.table(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", topK = 20)),
     "q_text_quality" -> ((s, d) =>
       graft.functions.TextFunctions.qualityReport(
         Tables.table(s, d, "documents"), "doc_id", "text")),
@@ -495,6 +503,11 @@ object SparkEntry {
     // PipelineOperatorsSpec and PropertySpec
     "q_text_fingerprint" -> ((s, d) =>
       Dedup.fingerprintGroupsPortable(Tables.table(s, d, "documents"),
+        "doc_id", "text")),
+    // ---- §2.8 T16 cross-document n-gram novelty (the inter-doc
+    // complement of T7; shingle-less docs report NULL novelty) ----
+    "q_text_novelty" -> ((s, d) =>
+      Dedup.noveltyReport(Tables.table(s, d, "documents"),
         "doc_id", "text")),
     // ---- §2.6 D1–D5 dedup ----
     "q_dedup_exact_text" -> ((s, d) =>
@@ -586,6 +599,17 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, d) =>
       Corpus.trainingFilter(Tables.table(s, d, "documents"),
         "doc_id", "text", 0.45, 10, 100000)),
+    // ---- §2.10 K12 token-budget-constrained selection: top-quality
+    // docs until the 15k-token budget is spent (cuts mid-corpus at
+    // BOTH gate scales: ~15k of 27k sf0.01 / of 271k sf0.1 tokens) ----
+    "q_corpus_budget" -> ((s, d) =>
+      Corpus.budgetSelect(
+        Tables.table(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality_score"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("bigint").as("n_tokens")),
+        "doc_id", "quality_score", "n_tokens", 15000L)),
     // mixture recipe: keep all en, half de/fr, 30% es, drop zh
     "q_corpus_mixture" -> ((s, d) =>
       Corpus.mixtureSample(
@@ -1038,6 +1062,13 @@ object SparkEntry {
     // ---- §2.7 A1–A2 similarity search ----
     "q_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0)),
+    // ---- §2.7 A7 random-projection (JL) reduction: exact top-k in
+    // the PROJECTED space, the whole chain (±1 sign projection →
+    // prepped cosine → rank) recomputed by DuckDB from the same sign
+    // constants; the recall-vs-64-dim floor lives in the spec ----
+    "q_embed_project" -> ((s, d) =>
+      Similarity.projectedTopK(Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", col("vec_id") % 50 === 0)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.table(s, d, "embeddings"),
@@ -1978,6 +2009,30 @@ object SparkEntry {
   private def duckList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** A7 oracle projection: the SAME ±1 sign constants the Spark side
+    * uses (Similarity.projectionSigns), emitted as literal lists; same
+    * left-fold accumulation order, same exact /√16 scale.
+    */
+  private def duckProjection: String = {
+    val signs = graft.operators.Similarity.projectionSigns(64, 16, 43L)
+    val dims = signs.map { s =>
+      val lits = s.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      "list_reduce(list_transform(range(1, 65), " +
+        s"i -> embedding[i]::DOUBLE * ($lits)[i]), (x,y) -> x + y) / 4.0"
+    }.mkString("[", ", ", "]")
+    s"SELECT vec_id, $dims AS pv FROM embeddings"
+  }
+
+  /** 16-dim cosine over projected (double) vectors — [[duckCos]]'s
+    * shape at the reduced dimension, no element cast (both sides are
+    * already double).
+    */
+  private def duckCos16(a: String, b: String): String =
+    s"(list_reduce(list_transform(range(1, 17), i -> $a[i] * $b[i]), (x,y) -> x + y) / " +
+      s"(sqrt(list_reduce(list_transform(range(1, 17), i -> $a[i] * $a[i]), (x,y) -> x + y)) * " +
+      s"sqrt(list_reduce(list_transform(range(1, 17), i -> $b[i] * $b[i]), (x,y) -> x + y))))"
+
   /** LSH sign-bucket of a 64-dim vector column against the same seeded
     * hyperplanes the Spark side uses, as DuckDB SQL. Plane constants
     * are emitted via Double.toString (shortest round-trip repr), which
@@ -2748,6 +2803,39 @@ object SparkEntry {
     // (term_freq DESC, token) is a total order, so the top-100 cut is
     // deterministic; tokens are the same BPE-ish regex pieces as
     // n_bpe_tokens above (testdata is ASCII, so string order agrees)
+    // T15: exact-integer 2×2 contingency per token, χ² as ONE multiply
+    // + two left-associated divides (the identical IEEE shape the
+    // Spark side computes), round 6 BEFORE the rank, token tie-break
+    "q_text_chi2" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT DISTINCT doc_id, lab, unnest(ws) AS token FROM docs
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(lab) AS BIGINT) AS n_pos
+        |  FROM docs
+        |), cnt AS (
+        |  SELECT token, COUNT(*) AS df_all,
+        |    CAST(SUM(lab) AS BIGINT) AS df_pos
+        |  FROM pairs GROUP BY token
+        |), sc AS (
+        |  SELECT token, df_pos, df_all,
+        |    ROUND(CAST(n_docs AS DOUBLE)
+        |        * CAST((df_pos * (n_docs - n_pos - (df_all - df_pos))
+        |                - (df_all - df_pos) * (n_pos - df_pos))
+        |             * (df_pos * (n_docs - n_pos - (df_all - df_pos))
+        |                - (df_all - df_pos) * (n_pos - df_pos)) AS DOUBLE)
+        |        / CAST(df_all * (n_docs - df_all) AS DOUBLE)
+        |        / CAST(n_pos * (n_docs - n_pos) AS DOUBLE), 6) AS chi2
+        |  FROM cnt, tot
+        |  WHERE df_all >= 3 AND df_all < n_docs
+        |)
+        |SELECT token, df_pos, df_all, chi2,
+        |  ROW_NUMBER() OVER (ORDER BY chi2 DESC, token) AS chi2_rank
+        |FROM sc
+        |QUALIFY chi2_rank <= 20""".stripMargin,
     "q_text_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -2818,6 +2906,20 @@ object SparkEntry {
          |)
          |SELECT fingerprint, min(sid) AS keep_id, count(*) AS n_docs
          |FROM j GROUP BY fingerprint""".stripMargin,
+    // T16: same 3-gram shingle CTE as the fingerprint oracle; df from
+    // the distinct (doc, shingle) pairs, one division, round 6
+    "q_text_novelty" ->
+      s"""$duckShingles, dfc AS (
+         |  SELECT sh AS shv, COUNT(*) AS df FROM sh GROUP BY sh
+         |), per AS (
+         |  SELECT sid, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nov
+         |  FROM sh JOIN dfc ON sh.sh = dfc.shv GROUP BY sid
+         |)
+         |SELECT d.doc_id, COALESCE(n_sh, 0) AS n_shingles,
+         |  COALESCE(n_nov, 0) AS n_novel,
+         |  ROUND(CAST(n_nov AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS novelty
+         |FROM documents d LEFT JOIN per ON per.sid = d.doc_id""".stripMargin,
     // pmod-safe modulo mirror: DuckDB's % keeps the dividend's sign
     // while Spark's pmod is always non-negative — aligned here so the
     // parity holds even if ids ever go negative
@@ -3196,6 +3298,26 @@ object SparkEntry {
          |SELECT q.doc_id, q.quality_score, t.n_bpe_tokens
          |FROM q JOIN t USING (doc_id)
          |WHERE q.quality_score >= 0.45 AND t.n_bpe_tokens BETWEEN 10 AND 100000""".stripMargin,
+    // K12: the oracle states the selection rule directly — ONE global
+    // running sum over (score desc, id) and the inclusive-cum cut; the
+    // Spark side's two-phase bucket prefix must select the identical
+    // rows (integer token counts, so the cut is exact)
+    "q_corpus_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, quality_score FROM ($duckQualitySql)
+         |), t AS (
+         |  SELECT d.doc_id, q.quality_score,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |), c AS (
+         |  SELECT doc_id, quality_score, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, quality_score, n_tokens FROM c
+         |WHERE cum <= 15000""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
@@ -3817,6 +3939,23 @@ object SparkEntry {
          |      ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cell) AS r
          |  FROM embeddings e CROSS JOIN c2 c) x
          |WHERE r = 1""".stripMargin,
+    "q_embed_project" ->
+      s"""WITH p AS (
+         |  ${duckProjection}
+         |), q AS (
+         |  SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id % 50 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS cand_id,
+         |    ${duckCos16("qv", "c.pv")} AS pcos
+         |  FROM q JOIN p c ON query_id <> c.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, pcos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY pcos DESC, cand_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, rank, ROUND(pcos, 6) AS proj_cos
+         |FROM r WHERE rank <= 10""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings

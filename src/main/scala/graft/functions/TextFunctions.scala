@@ -263,4 +263,60 @@ object TextFunctions {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("term_freq").desc, col("token"))).cast("bigint"))
   }
+
+  /** T15 — chi-square token↔label association: the feature-selection
+    * table a quality/domain classifier (T12) is built from. For each
+    * token, the 2×2 document-frequency contingency against a boolean
+    * label (`labelPred` over the doc row):
+    * `a` = labeled docs containing the token, `b` = unlabeled docs
+    * containing it, `c`/`d` the complements, and
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — the classic
+    * feature-scoring statistic (Yang & Pedersen 1997).
+    *
+    * Exactness: every count is an exact integer (products stay well
+    * under 2⁵³); the χ² value is exactly three IEEE ops — one
+    * multiply, two left-associated divides — then round 6 dp, so any
+    * engine computing the same shape matches bit-for-bit.
+    *
+    * Plan shape at corpus scale: per-doc `array_distinct` BEFORE the
+    * explode (doc-frequency needs each (doc, token) once — deduping
+    * inside the row costs nothing and keeps the exchange at distinct
+    * pairs, the [[vocabulary]] partial-agg shape), one combinable
+    * groupBy(token), corpus totals as a broadcast 1-row scalar, and
+    * the rank window only over the k-row cut. Tokens in fewer than
+    * `minDf` docs (no evidence) or in EVERY doc (no signal, and a
+    * zero denominator) are excluded.
+    */
+  def chiSquareTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, labelPred: Column,
+                     topK: Int = 50, minDf: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val docs = graft.sources.Tables.fanOut(
+      df.select(col(idCol).as("__id"),
+        when(labelPred, 1L).otherwise(0L).as("__lab"),
+        col(textCol).as("__t")))
+    val pairs = docs.select(col("__id"), col("__lab"),
+      explode(array_distinct(tokens(col("__t")))).as("token"))
+    val counts = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_all"), sum(col("__lab")).as("df_pos"))
+    val totals = docs.agg(count(lit(1)).as("__n"),
+      sum(col("__lab")).as("__p"))
+    val b = col("df_all") - col("df_pos")
+    val c = col("__p") - col("df_pos")
+    val d = col("__n") - col("__p") - b
+    val adbc = col("df_pos") * d - b * c
+    val scored = counts.crossJoin(broadcast(totals))
+      .filter(col("df_all") >= minDf && col("df_all") < col("__n"))
+      .withColumn("chi2", round(
+        col("__n").cast("double") * (adbc * adbc).cast("double")
+          / (col("df_all") * (col("__n") - col("df_all"))).cast("double")
+          / (col("__p") * (col("__n") - col("__p"))).cast("double"), 6))
+      .select(col("token"), col("df_pos"), col("df_all"), col("chi2"))
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(topK)
+    scored.withColumn("chi2_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("chi2").desc, col("token"))).cast("bigint"))
+  }
 }

@@ -577,4 +577,63 @@ object Corpus {
       .filter(col("quality_score") >= minQuality &&
         col("n_bpe_tokens").between(minTokens, maxTokens))
       .select(col(idCol), col("quality_score"), col("n_bpe_tokens"))
+
+  /** K12 — token-budget-constrained selection: the best documents by
+    * score whose running token total fits a GLOBAL budget — "give me
+    * the top-quality 50 B tokens", the data-selection step between
+    * scoring (T2/T14/T14b) and mixing (K5). Selection rule: order by
+    * (score desc, id asc); keep every document whose INCLUSIVE
+    * running token sum ≤ `budget` (token counts are non-negative, so
+    * the kept set is exactly the maximal affordable prefix).
+    *
+    * Plan shape at corpus scale — a naive global running sum is a
+    * single-partition window (the one shape this repo bans), so the
+    * prefix is computed in two phases: (1) one combinable
+    * groupBy over score BUCKETS (`floor(score·buckets)` —
+    * IEEE multiply-by-positive is monotone, so bucket order respects
+    * score order) and a driver prefix over the ≤ `buckets`+1 bucket
+    * totals (a bounded scalar collect, the K5b pattern); (2) buckets
+    * strictly above the threshold bucket are selected OUTRIGHT by a
+    * pushed-down range filter, and ONLY the threshold bucket — a
+    * 1/`buckets` slice of the corpus — pays a windowed cumulative
+    * sum, partitioned by its (constant) bucket key. Scores are
+    * expected in [0, 1] (the T2 quality convention).
+    *
+    * Output: (id, score, nTokens) of the selected documents only.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   nTokensCol: String, budget: Long,
+                   buckets: Int = 1000): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val out = Seq(col(idCol), col(scoreCol), col(nTokensCol))
+    val base = df.select(out: _*)
+      .withColumn("__bk",
+        floor(col(scoreCol) * buckets).cast("bigint"))
+    val totals = base.groupBy(col("__bk"))
+      .agg(sum(col(nTokensCol).cast("bigint")).as("__bt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary: Option[(Long, Long)] = None // (bucket, cum before it)
+    totals.foreach { case (bk, bt) =>
+      if (boundary.isEmpty) {
+        if (cum + bt <= budget) cum += bt
+        else boundary = Some((bk, cum))
+      }
+    }
+    boundary match {
+      case None => base.select(out: _*) // the whole corpus fits
+      case Some((bk, cumBefore)) =>
+        val full = base.filter(col("__bk") > bk)
+        val w = Window.partitionBy(col("__bk"))
+          .orderBy(col(scoreCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val partial = base.filter(col("__bk") === bk)
+          .withColumn("__cum", sum(col(nTokensCol).cast("bigint")).over(w))
+          .filter(col("__cum") + cumBefore <= budget)
+        full.select(out: _*).unionByName(partial.select(out: _*))
+    }
+  }
 }

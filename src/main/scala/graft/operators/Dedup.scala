@@ -1040,6 +1040,43 @@ object Dedup {
       .agg(min(col("sid")).as("keep_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** T16 — cross-document n-gram NOVELTY: for each document, the
+    * fraction of its distinct word n-grams that appear in NO other
+    * document. The inter-document complement of T7's intra-document
+    * repetition signals — a low-novelty doc is assembled from text
+    * the corpus already has (boilerplate, templates, near-dups that
+    * slipped past whole-doc dedup), and novelty is the standard
+    * cheap proxy for marginal training value when ranking what to
+    * keep from a fresh crawl slice.
+    *
+    * `novelty = n_novel / n_shingles` over the doc's DISTINCT
+    * shingles (df is corpus-wide: a shingle with df = 1 exists only
+    * in this doc). Documents too short to shingle report 0 counts
+    * and a NULL novelty — no signal, not "perfectly novel".
+    *
+    * Plan shape at corpus scale: the [[shingleIndex]] distinct pairs
+    * (exchange carries per-doc distinct shingles), ONE combinable
+    * groupBy(sh) for df, an equi-join back on the shingle key, one
+    * combinable groupBy(doc) — all shuffles on bounded keys, no pair
+    * table anywhere (the D4 discipline).
+    */
+  def noveltyReport(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    val dfc = idx.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val per = idx.join(dfc, Seq("sh"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("__nsh"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__nnov"))
+    df.select(col(idCol).as("sid"))
+      .join(per, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("__nsh"), lit(0L)).as("n_shingles"),
+        coalesce(col("__nnov"), lit(0L)).as("n_novel"),
+        round(col("__nnov").cast("double")
+          / col("__nsh").cast("double"), 6).as("novelty"))
+  }
+
   /** D12 — duplicated token-WINDOW hashes: every w-token window of
     * every document, keyed by the sha256 of its space-joined tokens —
     * the distributed restatement of exact-SUBSTRING dedup (Lee et al.

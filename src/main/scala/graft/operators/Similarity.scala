@@ -810,4 +810,88 @@ object Similarity {
       ivfpqShortlist(emb.filter(queryPred), idCol, vecCol, centroids,
         cellCodes, codebook, m, dim, rerank, nprobe), k)
   }
+
+  // ===== A7 — random-projection dimensionality reduction (JL) =====
+
+  /** Deterministic ±1 projection signs (seeded), one array per OUTPUT
+    * dimension — the sparse random projection of Achlioptas 2003 (the
+    * database-friendly Johnson–Lindenstrauss construction: ±1 entries
+    * preserve pairwise distances within (1±ε) like Gaussian entries
+    * do, but the projection is 64 sign-folds instead of 64 float
+    * multiplies). `private[graft]` so the oracle-SQL generator emits
+    * the SAME sign constants as literal lists (the [[hyperplanes]]
+    * pattern).
+    */
+  private[graft] def projectionSigns(dim: Int, outDim: Int,
+                                     seed: Long): Seq[Array[Double]] = {
+    val r = new Random(seed)
+    Seq.fill(outDim)(Array.fill(dim)(if (r.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** A7 — project an embedding column to `outDim` dimensions:
+    * `proj[j] = Σ_i sign(i,j)·v[i] / √outDim`. Each output dimension
+    * is ONE index-ordered [[dot]] against a literal sign vector — the
+    * whole projection stays inside WholeStageCodegen, no shuffle, no
+    * UDF, and the left-fold accumulation order makes the values
+    * bit-reproducible by any engine's sequential fold.
+    *
+    * Scale design: this is the standard pre-ANN step at corpus scale —
+    * a 64→16 projection cuts every downstream pairwise dot product,
+    * LSH bucket test, and candidate shuffle by 4× while JL keeps
+    * neighborhoods approximately intact (recall floor spec-pinned
+    * against the exact 64-dim baseline). A map-only projection of a
+    * 100 TB embedding table is embarrassingly parallel; the reduced
+    * table is what the A2/A3 scale paths should index.
+    *
+    * `√outDim` must be exact in binary (outDim a power of 4: 4, 16,
+    * 64…) so the scaling divide is bit-portable.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    dim: Int = 64, outDim: Int = 16,
+                    seed: Long = 43L): DataFrame = {
+    val scale = math.sqrt(outDim.toDouble)
+    require(scale == math.rint(scale),
+      s"outDim must be a perfect square for an exact √outDim, got $outDim")
+    val signs = projectionSigns(dim, outDim, seed)
+    emb.select(col(idCol),
+      array(signs.map(s =>
+        dot(col(vecCol), array(s.map(lit): _*)) / scale): _*)
+        .as("proj"))
+  }
+
+  /** A7 gate shape — exact top-k in the PROJECTED space: project once
+    * ([[randomProject]]), then the A1 machinery verbatim on the
+    * 16-dim vectors. Scores are projected-space cosines (named
+    * `proj_cos` — approximations are never passed off as exact
+    * cosines, the D6/A2 rule).
+    */
+  def projectedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int = 10, dim: Int = 64,
+                    outDim: Int = 16, seed: Long = 43L): DataFrame = {
+    val proj = randomProject(emb, idCol, vecCol, dim, outDim, seed)
+    val q = prepped(proj.filter(queryPred), idCol, "proj",
+      "query_id", "qv", "qn")
+    val c = prepped(proj, idCol, "proj", "cand_id", "cv", "cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("pcos",
+        dotPre(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, col("pcos"), k, "proj_cos")
+  }
+
+  /** A7 (served form) — projected-space shortlist of `rerank`
+    * candidates, exact full-dimension re-rank of the shortlist
+    * ([[pqRerank]]): the standard two-stage reduce-then-rerank serve,
+    * the A5/A6 shape with JL projection as the cheap stage. Stage 1
+    * scores 4×-smaller vectors; stage 2 touches only the shortlist.
+    */
+  def projectedTopKReranked(emb: DataFrame, idCol: String,
+                            vecCol: String, queryPred: Column,
+                            k: Int = 10, rerank: Int = 50,
+                            dim: Int = 64, outDim: Int = 16,
+                            seed: Long = 43L): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
+    pqRerank(emb, idCol, vecCol, queryPred,
+      projectedTopK(emb, idCol, vecCol, queryPred, rerank, dim,
+        outDim, seed), k)
+  }
 }

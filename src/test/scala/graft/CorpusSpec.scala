@@ -1014,4 +1014,123 @@ class CorpusSpec extends AnyFunSuite {
     assert(hits.head.getLong(0) == 2L && hits.head.getLong(1) == 1L)
     assert(hits.head.getLong(2) >= 13, "13 shared 3-grams from 15 shared words")
   }
+
+  test("budgetSelect: maximal affordable prefix, no knapsack backfill, ties by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.9, 100L), (2L, 0.8, 200L), (3L, 0.7, 500L),
+      (4L, 0.6, 50L), (5L, 0.5, 10L)).toDF("doc_id", "score", "n")
+    // budget 320: docs 1+2 fit (300); doc 3 overflows and STOPS the
+    // prefix — docs 4 and 5 would fit the remainder but the rule is
+    // a prefix of the quality order, not a knapsack
+    val got = Corpus.budgetSelect(docs, "doc_id", "score", "n", 320L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // equal scores share a bucket; the id tie-break decides the cut
+    val tied = Seq((10L, 0.5, 100L), (11L, 0.5, 100L), (12L, 0.5, 100L))
+      .toDF("doc_id", "score", "n")
+    assert(Corpus.budgetSelect(tied, "doc_id", "score", "n", 250L)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    // everything fits → passthrough; zero budget → empty
+    assert(Corpus.budgetSelect(docs, "doc_id", "score", "n", 10000L)
+      .count() == 5)
+    assert(Corpus.budgetSelect(docs, "doc_id", "score", "n", 0L)
+      .count() == 0)
+  }
+
+  test("budgetSelect two-phase bucket prefix matches the naive global window on the corpus") {
+    val doc = Tables.table(spark, sf, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("s"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("bigint").as("n"))
+    val got = Corpus.budgetSelect(doc, "doc_id", "s", "n", 15000L)
+      .collect().map(_.getLong(0)).toSet
+    // naive reference: the single-partition global window the
+    // production path exists to avoid (fine over 500 test rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = doc.withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= 15000L).collect().map(_.getLong(0)).toSet
+    assert(got == ref, "two-phase selection must equal the global prefix")
+    assert(got.nonEmpty && got.size < doc.count(),
+      "budget must cut mid-corpus at the gate scale")
+  }
+
+  test("chiSquareTerms: hand-checked 2x2 contingency, df and no-signal exclusions") {
+    import spark.implicits._
+    // 6 docs, label = the 3 'en' rows. "aa": a=3 b=0 c=0 d=3 →
+    // χ² = 6·(3·3−0·0)² / (3·3·3·3) = 6. "bb" is in EVERY doc (no
+    // signal, zero denominator → excluded); "cc" has df 2 < minDf 3
+    val docs = Seq(
+      (1L, "en", "aa bb"), (2L, "en", "aa bb"), (3L, "en", "aa bb cc"),
+      (4L, "de", "bb"), (5L, "de", "bb cc"), (6L, "de", "bb"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.functions.TextFunctions.chiSquareTerms(
+      docs, "doc_id", "text", col("lang") === "en",
+      topK = 10, minDf = 3).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aa"))
+    val r = out.head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 3, "df_pos / df_all")
+    assert(r.getDouble(3) == 6.0, s"chi2 = ${r.getDouble(3)}")
+    assert(r.getLong(4) == 1L)
+  }
+
+  test("chiSquareTerms on the corpus: binding k-cut, rank follows (chi2 desc, token)") {
+    // the corpus vocabulary holds ~31 qualifying tokens, so the gate's
+    // k = 20 cut genuinely binds (a k that never binds tests nothing)
+    val out = graft.functions.TextFunctions.chiSquareTerms(
+      Tables.table(spark, sf, "documents"), "doc_id", "text",
+      col("lang") === "en", topK = 20).collect().sortBy(_.getLong(4))
+    assert(out.length == 20)
+    assert(out.map(_.getLong(4)).toSeq == (1L to 20L))
+    out.sliding(2).foreach { case Array(hi, lo) =>
+      val (c1, t1) = (hi.getDouble(3), hi.getString(0))
+      val (c2, t2) = (lo.getDouble(3), lo.getString(0))
+      assert(c1 > c2 || (c1 == c2 && t1 < t2), s"order broken at $t1/$t2")
+    }
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "df_pos bounded by df_all")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("noveltyReport: dup docs score 0, unique doc 1, short doc NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"), // exact duplicate of 1
+      (3L, "completely different words entirely here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.noveltyReport(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+    // every shingle of the duplicated pair has df 2
+    assert(out(1L).getDouble(3) == 0.0 && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).getDouble(3) == 1.0)
+    // 5 tokens → 3 distinct 3-gram shingles
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 0)
+    // 2 tokens → no shingles: zero counts, NULL novelty (no signal,
+    // not "perfectly novel")
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0)
+    assert(out(4L).isNullAt(3))
+  }
+
+  test("noveltyReport on the corpus: one row per doc, bounds hold, both tails present") {
+    val doc = Tables.table(spark, sf, "documents")
+    val out = Dedup.noveltyReport(doc, "doc_id", "text").collect()
+    assert(out.length == doc.count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel bounded by total")
+      if (r.isNullAt(3)) assert(r.getLong(1) == 0)
+      else assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the corpus carries known exact duplicates (the D1 fixtures) →
+    // some fully-derivative docs; and enough singleton text that
+    // high-novelty docs exist too
+    assert(out.exists(r => !r.isNullAt(3) && r.getDouble(3) == 0.0))
+    assert(out.exists(r => !r.isNullAt(3) && r.getDouble(3) > 0.5))
+  }
 }
