@@ -297,6 +297,11 @@ object SparkEntry {
     "q_profile_values" -> ((s, d) =>
       Profiling.valueSample(Tables.table(s, d, "orders"), 10)),
     "q_unique_counts" -> ((s, d) => Profiling.uniqueCounts(Tables.table(s, d, "customer"))),
+    // ---- §2.3 P11 key-skew profile over the events join keys (the
+    // diagnostic that triggers the §2.12 salting remedies) ----
+    "q_profile_skew" -> ((s, d) =>
+      Profiling.keySkewProfile(Tables.table(s, d, "events"),
+        Seq("user_id", "event_type"))),
     // ---- §2.3 P10 pairwise correlation from exact sufficient stats ----
     // one combinable aggregation; the oracle recomputes the decimal
     // sums and derives the identical IEEE pearson_r. The decimal sums
@@ -528,6 +533,12 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", maxDocFreq = 1000)),
+    // ---- §2.6 D13 shingle containment (asymmetric near-dup: the
+    // quote/excerpt detector; df-capped at 20 — the boilerplate
+    // guard bounding the inverted-index join) ----
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.table(s, d, "documents"),
+        "doc_id", "text", maxDocFreq = 20)),
     // ---- §2.6 D12 duplicated-window (exact-substring) detection ----
     // 16-token windows, stride 1: the per-document duplicated-window
     // report and the merged cut-list spans; the oracle recomputes the
@@ -3554,6 +3565,25 @@ object SparkEntry {
          |  SELECT sid, sh FROM sh
          |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
          |), ${duckJaccardTail(3, 10, restrictToCand = false, shTable = "shf")}""".stripMargin,
+    // D13: same shingle CTE, df-cap 20, containment over the SMALLER
+    // set by integer cross-multiplied threshold
+    "q_dedup_containment" ->
+      s"""$duckShingles, shf AS (
+         |  SELECT sid, sh FROM sh
+         |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 20
+         |), sizes AS (
+         |  SELECT sid, COUNT(*) AS n FROM shf GROUP BY sid
+         |), co AS (
+         |  SELECT x.sid AS id_a, y.sid AS id_b, COUNT(*) AS i
+         |  FROM shf x JOIN shf y ON x.sh = y.sh AND x.sid < y.sid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i AS n_shared,
+         |  ROUND(CAST(i AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+         |    AS containment
+         |FROM co JOIN sizes sa ON sa.sid = id_a
+         |        JOIN sizes sb ON sb.sid = id_b
+         |WHERE i * 10 >= LEAST(sa.n, sb.n) * 3""".stripMargin,
     // the full 16-token window table recomputed: tokens, start grid,
     // sha256 of every window slice, corpus-wide duplicate mark
     "q_dedup_windows" ->
@@ -4249,6 +4279,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
         |  AND source IS NOT NULL AND n_chars IS NOT NULL""".stripMargin,
+    // P11: one grouped-counts CTE per key column; top key by the same
+    // (count desc, key desc) total order the Spark struct-max uses
+    "q_profile_skew" -> Seq(
+      ("user_id", "COALESCE(CAST(user_id AS VARCHAR), '(null)')"),
+      ("event_type", "COALESCE(event_type, '(null)')"),
+    ).map { case (name, kexpr) =>
+      s"""SELECT '$name' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_distinct, MAX(c) AS max_freq,
+         |  (SELECT k FROM (SELECT $kexpr AS k, COUNT(*) AS c FROM events GROUP BY 1) g2
+         |   ORDER BY c DESC, k DESC LIMIT 1) AS top_key,
+         |  ROUND(CAST(MAX(c) AS DOUBLE)
+         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS top_fraction,
+         |  ROUND(CAST(MAX(c) * COUNT(*) AS DOUBLE)
+         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS skew_ratio
+         |FROM (SELECT $kexpr AS k, COUNT(*) AS c FROM events GROUP BY 1) g""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q_profile" -> Seq(
       ("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)", "o_orderkey"),
       ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)", "o_custkey"),

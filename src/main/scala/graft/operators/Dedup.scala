@@ -227,6 +227,42 @@ object Dedup {
     jaccardVerify(capped, None, thresholdNum, thresholdDen)
   }
 
+  /** D13 — shingle CONTAINMENT pairs: `|A∩B| / min(|A|, |B|)` over
+    * distinct word n-grams — the asymmetric complement of D4's
+    * Jaccard (Broder 1997 distinguishes resemblance from
+    * containment). A short document quoted wholesale inside a long
+    * one scores near-zero Jaccard (the union is the long doc) but
+    * containment ≈ 1; this is the detector for quote/excerpt/
+    * boilerplate-inclusion relations that whole-doc near-dup passes
+    * miss by construction.
+    *
+    * Same machinery and scale bounds as D4: the [[cooccurrence]]
+    * inverted-index self-join with [[capDocFreq]] bounding the join
+    * fan-out at Σ df² ≤ corpus·maxDocFreq; the threshold is applied
+    * by integer cross-multiplication (`i·den ≥ num·min(|A|,|B|)`) —
+    * no float boundary ambiguity. Emits ordered pairs with both set
+    * sizes, the shared count, and containment rounded to 6.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       thresholdNum: Int = 3, thresholdDen: Int = 10,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol)
+    val capped =
+      if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq)
+    val sizes = capped.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    cooccurrence(capped)
+      .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
+      .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
+      .filter(col("i") * thresholdDen >=
+        least(col("sa.n"), col("sb.n")) * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        col("i").as("n_shared"),
+        round(col("i").cast("double") /
+          least(col("sa.n"), col("sb.n")).cast("double"), 6)
+          .as("containment"))
+  }
+
   /** D3 — 64-bit SimHash per document: per-bit majority vote over
     * xxhash64 of the tokens. One explode + one aggregation; the bit
     * loop is unrolled into 64 codegen'd sums.

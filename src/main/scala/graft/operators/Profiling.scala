@@ -478,4 +478,42 @@ object Profiling {
       when(col("n_pairs") > 0 && varX > 0 && varY > 0,
         round(cov / (sqrt(varX) * sqrt(varY)), 6)))
   }
+
+  /** P11 — per-key SKEW profile: the diagnostic that decides whether
+    * a join/aggregation key needs the §2.12 remedies BEFORE the job
+    * that discovers it the hard way. For each key column: row count,
+    * distinct count, the hottest key and its frequency,
+    * `top_fraction` = max_freq / n_rows, and
+    * `skew_ratio` = max_freq / (n_rows / n_distinct) — the hottest
+    * key's multiple of the uniform expectation (≈1 balanced; a
+    * double-digit ratio is the X1/X2 salting trigger, the rule
+    * Skew.scala's scaladoc states in prose).
+    *
+    * One combinable groupBy per key column collapsed to a single row
+    * (the [[profile]] union-branch shape — each branch prunes to its
+    * own column); the hottest key is picked deterministically
+    * (largest count, then largest key string). Null keys group under
+    * the literal "(null)" so the profile is total and engine-portable.
+    * Integer products stay under 2⁵³ for any corpus whose max_freq ·
+    * n_distinct does (≤ ~9·10¹⁵ — beyond that the ratio saturates
+    * double precision anyway).
+    */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
+    keyCols.map { kc =>
+      df.groupBy(coalesce(col(kc).cast("string"), lit("(null)")).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_freq"),
+          max(struct(col("c").as("c"), col("k").as("k")))
+            .getField("k").as("top_key"))
+        .select(lit(kc).as("key_col"), col("n_rows"),
+          col("n_distinct"), col("max_freq"), col("top_key"),
+          round(col("max_freq").cast("double")
+            / col("n_rows").cast("double"), 6).as("top_fraction"),
+          round((col("max_freq") * col("n_distinct")).cast("double")
+            / col("n_rows").cast("double"), 6).as("skew_ratio"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -111,6 +111,45 @@ class CoreOperatorsSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
+  test("P11: keySkewProfile — hand-checked counts, deterministic top key, null bucket") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (1L, Option("a")), (1L, Option("b")),
+      (2L, Option("b")), (3L, Option.empty[String])).toDF("k1", "k2")
+    val out = Profiling.keySkewProfile(df, Seq("k1", "k2")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("k1", "k2"))
+    val k1 = out("k1")
+    // k1: 1→3, 2→1, 3→1 — 5 rows, 3 distinct, hottest "1" at 3
+    assert(k1.getLong(1) == 5 && k1.getLong(2) == 3 && k1.getLong(3) == 3)
+    assert(k1.getString(4) == "1")
+    assert(k1.getDouble(5) == 0.6) // 3/5
+    assert(k1.getDouble(6) == 1.8) // 3 · 3 distinct / 5 rows
+    val k2 = out("k2")
+    // k2: a→2, b→2, (null)→1 — max tie resolves to the LARGEST key
+    assert(k2.getLong(2) == 3 && k2.getLong(3) == 2)
+    assert(k2.getString(4) == "b")
+    assert(k2.getDouble(6) == 1.2)
+  }
+
+  test("P11: keySkewProfile on events — the uniform key reads ~1, the spiked key reads hot") {
+    val ev = Tables.table(spark, sf, "events")
+    val out = Profiling.keySkewProfile(ev, Seq("user_id", "event_type"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = ev.count()
+    out.values.foreach { r =>
+      assert(r.getLong(1) == n, "every profile row accounts for all rows")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 1.0 - 1e-9,
+        "max freq can never sit below the uniform expectation")
+    }
+    // event_type is a 5-value column whose top type owns ~20% of all
+    // rows — the single-hot-task shape a per-type shuffle would hit;
+    // the many-valued user_id's top key owns well under 10%
+    assert(out("event_type").getLong(2) == 5)
+    assert(out("event_type").getDouble(5) >
+      out("user_id").getDouble(5))
+  }
+
   test("P10: correlationReport — known correlations, pairwise-null n, zero variance null") {
     import spark.implicits._
     // y = 2x exactly (r = 1); z = -x (r = -1); w constant (no variance);

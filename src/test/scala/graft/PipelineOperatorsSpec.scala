@@ -819,6 +819,40 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       maxDocFreq = 4).count() == 6)
   }
 
+  test("D13 containment: quoted excerpt scores 1.0 where symmetric jaccard misses it") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 14).map(i => s"w$i").mkString(" ") // inside `long`
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 8, 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // 10-word excerpt → 8 shingles, every one inside doc 1's 38
+    assert(r.getLong(2) == 38 && r.getLong(3) == 8 && r.getLong(4) == 8)
+    assert(r.getDouble(5) == 1.0)
+    // the same pair under symmetric jaccard: 8/38 ≈ 0.21 — below a
+    // 3/10 bar, exactly the relation containment exists to catch
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 10)
+      .collect()
+    assert(!jac.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
+  }
+
+  test("D13 containment on the corpus: threshold holds, shared bounded by min, dups at 1.0") {
+    val doc = Tables.table(spark, sf, "documents")
+    val out = Dedup.containmentPairs(doc, "doc_id", "text",
+      maxDocFreq = 20).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(r.getDouble(5) >= 0.3 - 1e-9 && r.getDouble(5) <= 1.0)
+    }
+    assert(out.exists(_.getDouble(5) == 1.0),
+      "the corpus's exact-dup fixtures are full-containment pairs")
+  }
+
   test("minhash signature rejects k beyond the digest window bound") {
     import spark.implicits._
     val sh = Dedup.shingleIndex(
