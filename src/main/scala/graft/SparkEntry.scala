@@ -262,6 +262,20 @@ object SparkEntry {
     // ---- §2.2 C10 quantile clipping (winsorize) ----
     // deterministic null injection into BOTH the group and the value
     // column (TPC-H columns are non-null, which would leave the
+    // ---- §2.2 C11 declarative expectations over orders: a mixed
+    // rule list (clean keys, duplicate customers, ~40%-violating
+    // range and set rules) so both pass and fail paths carry real
+    // counts ----
+    "q_clean_validate" -> ((s, d) =>
+      Cleaning.validateExpectations(Tables.table(s, d, "orders"), Seq(
+        Cleaning.ExpectNotNull("o_custkey"),
+        Cleaning.ExpectUnique("o_orderkey"),
+        Cleaning.ExpectUnique("o_custkey"),
+        Cleaning.ExpectRange("o_totalprice", 1000.0, 300000.0),
+        Cleaning.ExpectInSet("o_orderstatus", Seq("O", "F", "P")),
+        Cleaning.ExpectInSet("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        Cleaning.ExpectMatches("o_orderpriority", "^[0-9]-[A-Z ]+$")))),
     // operator's null contract — null values stay null, null-group
     // rows are kept and clipped against their own bounds — mirrored
     // in the oracle but never exercised)
@@ -4395,6 +4409,29 @@ object SparkEntry {
     // Null semantics are mirrored AND exercised (the gate injects
     // nulls into both columns): a null value stays null (DuckDB's
     // least/greatest would otherwise skip the null and clamp to lo),
+    // C11: one UNION-ALL block per expectation, violation counts as
+    // scalar subqueries, detail strings byte-identical to the Scala
+    // case classes' renderings
+    "q_clean_validate" -> Seq(
+      ("o_custkey", "not_null", "",
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)"),
+      ("o_orderkey", "unique", "",
+        "(SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)"),
+      ("o_custkey", "unique", "",
+        "(SELECT COUNT(o_custkey) - COUNT(DISTINCT o_custkey) FROM orders)"),
+      ("o_totalprice", "range", "[1000.0,300000.0]",
+        "(SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0))"),
+      ("o_orderstatus", "in_set", "{O,F,P}",
+        "(SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))"),
+      ("o_orderpriority", "in_set", "{1-URGENT,2-HIGH,3-MEDIUM}",
+        "(SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM'))"),
+      ("o_orderpriority", "matches", "^[0-9]-[A-Z ]+$",
+        "(SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$'))"),
+    ).map { case (c, r, dt, v) =>
+      s"""SELECT '$c' AS column_name, '$r' AS rule, '$dt' AS detail,
+         |  (SELECT COUNT(*) FROM orders) AS n_rows,
+         |  $v AS n_violations, $v = 0 AS passed""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // both engines' quantiles skip null values, and the group join is
     // null-safe (JOIN USING would drop the null-group rows the
     // operator keeps and clips against their own bounds)

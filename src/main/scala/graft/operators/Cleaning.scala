@@ -180,6 +180,108 @@ object Cleaning {
     * reference uses `current_date()`, which would make runs
     * non-reproducible).
     */
+  /** C11 — declarative data-quality EXPECTATIONS (the dbt-test /
+    * Great-Expectations contract surface): a rule list validated in
+    * bulk, returning one row per rule with its violation count and a
+    * pass flag — the machine-readable gate a write-audit-publish
+    * step consumes before promoting a table.
+    */
+  sealed trait Expectation {
+    def column: String
+    def rule: String
+    def detail: String
+  }
+  /** Column must hold no nulls. */
+  case class ExpectNotNull(column: String) extends Expectation {
+    val rule = "not_null"; val detail = ""
+  }
+  /** Non-null values must be distinct (violations = duplicate
+    * surplus: n_nonnull − n_distinct).
+    */
+  case class ExpectUnique(column: String) extends Expectation {
+    val rule = "unique"; val detail = ""
+  }
+  /** Non-null numeric values must lie in [lo, hi]. */
+  case class ExpectRange(column: String, lo: Double, hi: Double)
+      extends Expectation {
+    val rule = "range"; val detail = s"[$lo,$hi]"
+  }
+  /** Non-null values must be one of `values`. */
+  case class ExpectInSet(column: String, values: Seq[String])
+      extends Expectation {
+    val rule = "in_set"
+    val detail = values.mkString("{", ",", "}")
+  }
+  /** Non-null values must match `regex` (unanchored find — anchor
+    * explicitly with ^…$ for full-value matches; keep to character
+    * classes and anchors so any regex engine agrees).
+    */
+  case class ExpectMatches(column: String, regex: String)
+      extends Expectation {
+    val rule = "matches"; val detail = regex
+  }
+
+  /** Validate `expectations` against `df` in bulk. Output per rule:
+    * (column_name, rule, detail, n_rows, n_violations, passed).
+    *
+    * Plan shape at scale: every row-predicate rule (not_null, range,
+    * in_set, matches) becomes one conditional-count in a SINGLE
+    * map-side-combinable aggregation — one scan for the whole rule
+    * list, then a driver-free explode of the 1-row aggregate into
+    * per-rule rows. Each `unique` rule runs its own two-phase
+    * distinct branch (the [[Profiling.profile]] union shape: a wide
+    * multi-count_distinct agg would Expand-multiply every row per
+    * rule, the branch prunes to its own column instead). Violation
+    * counts are exact integers; `passed` = zero violations.
+    */
+  def validateExpectations(df: DataFrame,
+                           expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "validateExpectations needs rules")
+    def violations(e: Expectation): Column = e match {
+      case ExpectNotNull(c) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      case ExpectRange(c, lo, hi) =>
+        sum(when(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+      case ExpectInSet(c, vs) =>
+        sum(when(col(c).isNotNull &&
+          !col(c).isin(vs: _*), 1L).otherwise(0L))
+      case ExpectMatches(c, re) =>
+        sum(when(col(c).isNotNull &&
+          !col(c).rlike(re), 1L).otherwise(0L))
+      case e: ExpectUnique =>
+        throw new IllegalStateException(s"unreachable: $e")
+    }
+    def row(e: Expectation, n: Column, v: Column): Column =
+      struct(lit(e.column).as("column_name"), lit(e.rule).as("rule"),
+        lit(e.detail).as("detail"), n.as("n_rows"),
+        v.as("n_violations"), (v === 0L).as("passed"))
+    val (uniques, scans) =
+      expectations.partition(_.isInstanceOf[ExpectUnique])
+    val parts = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    if (scans.nonEmpty) {
+      val aggs = scans.zipWithIndex.map { case (e, i) =>
+        violations(e).as(s"__v$i")
+      }
+      parts += df
+        .agg(count(lit(1)).as("__n"), aggs: _*)
+        .select(explode(array(scans.zipWithIndex.map { case (e, i) =>
+          row(e, col("__n"), col(s"__v$i"))
+        }: _*)).as("r"))
+        .select("r.*")
+    }
+    uniques.foreach { e =>
+      val c = col(e.column)
+      parts += df
+        .agg(count(lit(1)).as("__n"), count(c).as("__nn"),
+          count_distinct(c).as("__nd"))
+        .select(row(e, col("__n"),
+          col("__nn") - col("__nd")).as("r"))
+        .select("r.*")
+    }
+    parts.reduce(_ unionAll _)
+  }
+
   def silverPipeline(df: DataFrame, processingDate: String): DataFrame =
     dedupExact(trimStrings(removeNullRows(df)))
       .withColumn("_processing_date", lit(processingDate).cast("date"))

@@ -111,6 +111,38 @@ class CoreOperatorsSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
+  test("C11: validateExpectations — hand-checked violations per rule kind") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(5.0)),
+      (2L, Option("a"), Option(50.0)),
+      (3L, Option("zz"), Option(-1.0)),
+      (4L, Option.empty[String], Option.empty[Double]))
+      .toDF("id", "s", "v")
+    val out = Cleaning.validateExpectations(df, Seq(
+      Cleaning.ExpectNotNull("s"),          // row 4
+      Cleaning.ExpectUnique("id"),          // clean
+      Cleaning.ExpectUnique("s"),           // "a" twice → surplus 1
+      Cleaning.ExpectRange("v", 0.0, 10.0), // 50.0, −1.0; null ignored
+      Cleaning.ExpectInSet("s", Seq("a")),  // "zz"; null ignored
+      Cleaning.ExpectMatches("s", "^[a-y]+$"))) // "zz"
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6)
+    def viol(k: (String, String)) = out(k).getLong(4)
+    assert(viol(("s", "not_null")) == 1 &&
+      !out(("s", "not_null")).getBoolean(5))
+    assert(viol(("id", "unique")) == 0 &&
+      out(("id", "unique")).getBoolean(5))
+    assert(viol(("s", "unique")) == 1)
+    assert(viol(("v", "range")) == 2)
+    assert(viol(("s", "in_set")) == 1)
+    assert(viol(("s", "matches")) == 1)
+    out.values.foreach(r => assert(r.getLong(3) == 4))
+    intercept[IllegalArgumentException] {
+      Cleaning.validateExpectations(df, Seq.empty)
+    }
+  }
+
   test("P11: keySkewProfile — hand-checked counts, deterministic top key, null bucket") {
     import spark.implicits._
     val df = Seq((1L, Option("a")), (1L, Option("a")), (1L, Option("b")),
