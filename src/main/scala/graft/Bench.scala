@@ -104,7 +104,7 @@ object Bench {
       "q_orc_roundtrip",
       "q_partitioned_write", "q_freshness_gate", "q_compact",
       "q_schema_evolution", "q_bucketed_join", "q_skipping_read",
-      "q_upsert",
+      "q_upsert", "q_write_audited",
       "q_pipeline_run", "q_dedup_index", "q_text_bm25_indexed",
       "q_ann_index", "q_namespace_init",
       "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")

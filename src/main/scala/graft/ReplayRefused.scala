@@ -43,3 +43,15 @@ final class BatchAlreadyLanded(msg: String) extends ReplayRefused(msg)
   */
 final class ReservedIdRefused(msg: String)
   extends IllegalArgumentException(msg)
+
+/** A write-audit-publish ([[graft.sources.Tables.writeAudited]])
+  * refusal: either the staged data failed its expectation audit (the
+  * staging directory is LEFT for inspection — the message names the
+  * failing rules and their violation counts) or the publish target
+  * already exists (replace goes through fresh snapshot directories +
+  * a pointer swap, never an in-place overwrite — the A6b rule).
+  * Typed so orchestration can branch on "data problem, page the
+  * producer" without message matching; extends IllegalStateException
+  * like the other refusals on write paths.
+  */
+final class AuditFailed(msg: String) extends IllegalStateException(msg)

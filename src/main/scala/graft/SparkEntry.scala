@@ -1661,6 +1661,45 @@ object SparkEntry {
         .toDF("first_write", "second_skipped_is_false", "forced_rewrite",
           "rows_readable")
     }),
+    // ---- §2.1 S18 write-audit-publish, driver-gated ----
+    // outcome contract (q_freshness_gate pattern): a clean-rules
+    // publish lands and reads back (published_rows is the real row
+    // DuckDB recounts), a failing audit refuses with the TYPE, leaves
+    // staging for inspection and never creates the target, and a
+    // second publish onto the live target refuses
+    "q_write_audited" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wap")
+        .toString
+      val orders = Tables.table(s, d, "orders")
+      val goodRules = Seq(
+        Cleaning.ExpectNotNull("o_custkey"),
+        Cleaning.ExpectUnique("o_orderkey"),
+        Cleaning.ExpectInSet("o_orderstatus", Seq("O", "F", "P")))
+      val report = Tables.writeAudited(s, orders,
+        s"$tmp/orders_ok", goodRules)
+      val allPassed = report.collect().forall(_.getBoolean(5))
+      val publishedRows = s.read.parquet(s"$tmp/orders_ok").count()
+      val refused =
+        try {
+          Tables.writeAudited(s, orders, s"$tmp/orders_bad",
+            Seq(Cleaning.ExpectRange("o_totalprice", 1000.0, 300000.0)))
+          false
+        } catch { case _: graft.AuditFailed => true }
+      val targetAbsent = !new java.io.File(s"$tmp/orders_bad").exists()
+      val stagingLeft =
+        new java.io.File(s"$tmp/orders_bad.staging").exists()
+      val republishRefused =
+        try {
+          Tables.writeAudited(s, orders, s"$tmp/orders_ok", goodRules)
+          false
+        } catch { case _: graft.AuditFailed => true }
+      import s.implicits._
+      Seq((publishedRows, allPassed, refused, targetAbsent,
+        stagingLeft, republishRefused))
+        .toDF("published_rows", "audit_all_passed",
+          "failing_audit_refused", "failed_target_absent",
+          "staging_left_for_inspection", "existing_target_refused")
+    }),
     // ---- §2.11 O2 stage retries, driver-gated ----
     // outcome contract (q_pipeline_run pattern): a stage failing twice
     // then succeeding is retried to the third attempt and returns its
@@ -3034,6 +3073,13 @@ object SparkEntry {
         |  true AS exhaustion_rethrows_last,
         |  true AS failed_exactly_max_attempts,
         |  (SELECT count(*) FROM nation) AS nation_rows""".stripMargin,
+    "q_write_audited" ->
+      """SELECT (SELECT count(*) FROM orders) AS published_rows,
+        |  true AS audit_all_passed,
+        |  true AS failing_audit_refused,
+        |  true AS failed_target_absent,
+        |  true AS staging_left_for_inspection,
+        |  true AS existing_target_refused""".stripMargin,
     // the daily grid anchored on the events date span is inclusive of
     // both endpoints, so its length is the real data-derived row
     "q_pipeline_schedule" ->

@@ -376,4 +376,53 @@ object Tables {
     if (fresh) false
     else { df.write.mode("append").parquet(path); true }
   }
+
+  /** S18 — WRITE-AUDIT-PUBLISH: stage the write, audit WHAT WAS
+    * ACTUALLY WRITTEN against a C11 expectation list
+    * ([[graft.operators.Cleaning.validateExpectations]]), and only
+    * then publish by ONE atomic rename — the Iceberg/Netflix WAP
+    * discipline that keeps a bad batch from ever becoming visible.
+    * Auditing the STAGED parquet (not the input plan) is the point:
+    * it catches what a plan-level check cannot — writer bugs, schema
+    * coercions, and nondeterministic upstream reads — because it
+    * validates the exact bytes a consumer would see.
+    *
+    * On audit failure the staging directory is LEFT for inspection
+    * and a typed [[graft.AuditFailed]] names the failing rules; the
+    * target is never created. An existing target also refuses
+    * (replace = fresh snapshot dir + pointer swap, the A6b rule,
+    * never an in-place overwrite). Returns the audit report
+    * (re-parallelized from the bounded per-rule rows, so it does not
+    * re-read the renamed-away staging path).
+    *
+    * Scale shape: the write is a normal distributed parquet write;
+    * the audit is C11's one-scan bulk aggregation over the staged
+    * files; publish is one filesystem rename — no second data pass.
+    */
+  def writeAudited(spark: SparkSession, df: DataFrame, path: String,
+                   expectations: Seq[graft.operators.Cleaning.Expectation])
+      : DataFrame = {
+    val target = new java.io.File(path)
+    if (target.exists())
+      throw new graft.AuditFailed(
+        s"audited publish refused: target $path already exists — " +
+          "publish a fresh snapshot directory and repoint")
+    val staging = new java.io.File(path + ".staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val report = graft.operators.Cleaning.validateExpectations(
+      spark.read.parquet(staging.toString), expectations)
+    val rows = report.collect() // bounded: one row per rule
+    val failed = rows.filter(!_.getBoolean(5))
+    if (failed.nonEmpty)
+      throw new graft.AuditFailed(
+        s"audit failed for $path: " +
+          failed.map(r => s"${r.getString(0)}/${r.getString(1)}=" +
+            s"${r.getLong(4)} violations").mkString(", ") +
+          s"; staged data left at $staging for inspection")
+    if (!staging.renameTo(target))
+      throw new IllegalStateException(
+        s"publish rename failed: $staging -> $target")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
+  }
 }

@@ -296,6 +296,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("S18 writeAudited: clean audit publishes atomically, failed audit leaves staging and no target") {
+    import spark.implicits._
+    import graft.operators.Cleaning
+    val tmp = java.nio.file.Files.createTempDirectory("wap-spec").toString
+    val good = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    // clean publish: target readable, staging gone, report all-pass
+    val report = Tables.writeAudited(spark, good, s"$tmp/t1",
+      Seq(Cleaning.ExpectNotNull("s"), Cleaning.ExpectUnique("id")))
+    assert(report.collect().forall(_.getBoolean(5)))
+    assert(spark.read.parquet(s"$tmp/t1").count() == 3)
+    assert(!new java.io.File(s"$tmp/t1.staging").exists(),
+      "publish must consume the staging dir")
+    // failed audit: typed refusal naming the rule, staging LEFT for
+    // inspection with the exact staged rows, target never created
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    val e = intercept[graft.AuditFailed] {
+      Tables.writeAudited(spark, dup, s"$tmp/t2",
+        Seq(Cleaning.ExpectUnique("id")))
+    }
+    assert(e.getMessage.contains("id/unique=1"))
+    assert(!new java.io.File(s"$tmp/t2").exists())
+    assert(spark.read.parquet(s"$tmp/t2.staging").count() == 2,
+      "staged rows must stay inspectable after a failed audit")
+    // a corrected re-run replaces the stale staging and publishes
+    val fixed = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Tables.writeAudited(spark, fixed, s"$tmp/t2",
+      Seq(Cleaning.ExpectUnique("id")))
+    assert(spark.read.parquet(s"$tmp/t2").count() == 2)
+    // publishing onto a live target refuses with the TYPE
+    intercept[graft.AuditFailed] {
+      Tables.writeAudited(spark, fixed, s"$tmp/t2",
+        Seq(Cleaning.ExpectUnique("id")))
+    }
+  }
+
   test("P7: sharded HLL sketch union equals the one-shot global sketch") {
     import org.apache.spark.sql.functions._
     val ord = Tables.table(spark, sf, "orders")
