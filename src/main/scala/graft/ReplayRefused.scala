@@ -44,6 +44,19 @@ final class BatchAlreadyLanded(msg: String) extends ReplayRefused(msg)
 final class ReservedIdRefused(msg: String)
   extends IllegalArgumentException(msg)
 
+/** An as-of-generation index probe ([[graft.operators.VectorIndex.topKAt]],
+  * [[graft.operators.Bm25.bm25TopKIndexedAt]]) cannot serve the
+  * requested snapshot: the gen's history record is missing (never
+  * committed, crashed before recording, or aged past the history
+  * cap) or a batch directory the snapshot lists was retired and
+  * physically reclaimed after its grace window. Typed so a reader
+  * can fall back to the live index without message matching —
+  * snapshots are a BOUNDED window by design (`_meta_history` cap ×
+  * `retainMs` retention), not an unbounded time-travel log.
+  */
+final class SnapshotUnavailable(msg: String)
+  extends IllegalStateException(msg)
+
 /** A write-audit-publish ([[graft.sources.Tables.writeAudited]])
   * refusal: either the staged data failed its expectation audit (the
   * staging directory is LEFT for inspection — the message names the

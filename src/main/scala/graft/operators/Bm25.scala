@@ -206,10 +206,15 @@ object Bm25 {
     */
   private def swapBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
                            path: String, m: Bm25Meta,
-                           expect: Array[Byte]): Unit =
+                           expect: Array[Byte]): Unit = {
     // bump the fence on EVERY commit (see Bm25Meta.gen)
-    graft.sources.MetaSwap.swap(fs, bm25MetaPath(path),
-      bm25MetaBytes(m.copy(gen = m.gen + 1)), expect)
+    val next = m.copy(gen = m.gen + 1)
+    val bytes = bm25MetaBytes(next)
+    graft.sources.MetaSwap.swap(fs, bm25MetaPath(path), bytes, expect)
+    // snapshot log for as-of-gen probes — recorded AFTER the swap, so
+    // it never alters commit semantics (see IndexProtocol)
+    IndexProtocol.recordMetaHistory(fs, path, next.gen, bytes)
+  }
 
   /** Read the committed meta ALONG WITH its raw bytes — the bytes are
     * what a maintenance path hands back to [[swapBm25Meta]] as its CAS
@@ -229,16 +234,23 @@ object Bm25 {
       s"no committed BM25 index at $path (missing _meta — " +
         "half-built index or wrong path); build one with writeBm25Index")
     val raw = graft.sources.MetaSwap.readCommitted(fs, p)
+    (parseBm25Meta(raw), raw)
+  }
+
+  /** Parse serialized meta bytes — shared by the live read above and
+    * the as-of-gen history read ([[bm25TopKIndexedAt]]), so the two
+    * views can never diverge in format handling.
+    */
+  private def parseBm25Meta(raw: Array[Byte]): Bm25Meta = {
     val kv = new String(raw, "UTF-8").linesIterator
       .map(_.split("=", 2)).collect {
         case Array(a, b) => a -> b
       }.toMap
-    (Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
+    Bm25Meta(kv("n").toLong, kv("sum_len").toLong, kv("id_col"),
       kv.getOrElse("id_type", "bigint"),
       kv("batches").split(",").toSeq.filter(_.nonEmpty),
       kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty),
-      kv.getOrElse("gen", "0").toLong),
-      raw)
+      kv.getOrElse("gen", "0").toLong)
   }
 
   private[graft] def readBm25Meta(
@@ -247,8 +259,10 @@ object Bm25 {
 
   private def writeBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
                             path: String, m: Bm25Meta): Unit = {
+    val bytes = bm25MetaBytes(m)
     val out = fs.create(bm25MetaPath(path), true)
-    try out.write(bm25MetaBytes(m)) finally out.close()
+    try out.write(bytes) finally out.close()
+    IndexProtocol.recordMetaHistory(fs, path, m.gen, bytes)
   }
 
   /** One batch's postings staged and atomically published under
@@ -349,6 +363,10 @@ object Bm25 {
     val fs = fsFor(spark, path)
     fs.delete(bm25MetaPath(path), false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta.next"), false)
+    // stale snapshot records / grace markers from a predecessor index
+    // at this path must not resolve against the new one's batches
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta_history"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_pending_delete"), true)
     val (n, sl) = publishPostingsBatch(docs, idCol, textCol, path,
       "bootstrap", Seq.empty, Seq.empty)
     // id column NAME and TYPE both pin to the meta: the probe's
@@ -664,13 +682,49 @@ object Bm25 {
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, query: String, k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // ONE meta read per probe: the same snapshot supplies the
+    // visibility list and the N/Σlen scalars
+    probeWithMeta(spark, path, readBm25Meta(spark, path), query, k,
+      k1, b)
+
+  /** AS-OF-GENERATION probe — [[VectorIndex.topKAt]]'s contract on
+    * the lexical index: serve the query against the committed view at
+    * `gen` from its `_meta_history` record (scalars N/Σlen AND the
+    * visibility list both come from the snapshot, so the scores are
+    * exactly what a probe at that moment computed). Bounded by the
+    * history cap and by batch-dir retention (`retainMs`); missing
+    * record or reclaimed batch dir refuses with the typed
+    * [[graft.SnapshotUnavailable]].
+    */
+  def bm25TopKIndexedAt(spark: org.apache.spark.sql.SparkSession,
+                        path: String, gen: Long, query: String, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fs = fsFor(spark, path)
+    val raw = IndexProtocol.readMetaHistory(fs, path, gen).getOrElse {
+      throw new graft.SnapshotUnavailable(
+        s"BM25 index at $path has no snapshot record for gen $gen — " +
+          "the gen never committed, crashed before recording, or aged " +
+          "past the history cap; probe the live index instead")
+    }
+    val meta = parseBm25Meta(raw)
+    val missing = meta.batches.filterNot(bid =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/batches/$bid")))
+    if (missing.nonEmpty) throw new graft.SnapshotUnavailable(
+      s"snapshot gen $gen of the BM25 index at $path is no longer " +
+        s"servable: batch dir(s) ${missing.mkString(", ")} were " +
+        "retired and physically reclaimed (grace expired) — " +
+        "snapshots outlive maintenance only within retainMs")
+    probeWithMeta(spark, path, meta, query, k, k1, b)
+  }
+
+  private def probeWithMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String, meta: Bm25Meta,
+                            query: String, k: Int,
+                            k1: Double, b: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"query has no tokens: '$query'")
-    val meta = readBm25Meta(spark, path)
-    // ONE meta read per probe: the same snapshot supplies the
-    // visibility list here and the N/Σlen scalars below
     val paths = prunedPostingPaths(spark, path, meta, terms)
     if (paths.isEmpty) {
       // no stored partition matches any query term → empty result,

@@ -249,6 +249,55 @@ private[graft] object IndexProtocol {
     }
   }
 
+  private def historyDir(root: String) = new Path(s"$root/_meta_history")
+
+  private def historyFile(root: String, gen: Long) =
+    new Path(s"$root/_meta_history/$gen")
+
+  /** Record the meta bytes committed at `gen` under
+    * `_meta_history/<gen>` — the SNAPSHOT LOG behind the as-of-gen
+    * probes ([[VectorIndex.topKAt]], [[Bm25.bm25TopKIndexedAt]]).
+    * Append-only side record written AFTER a successful meta swap:
+    * it never participates in the CAS decision, so it cannot change
+    * commit semantics; a crash between swap and record leaves that
+    * one gen unprobeable (typed refusal), never un-commits it.
+    * Bounded: records older than `keep` generations are dropped in
+    * the same call — maintenance-path cost, one small listing.
+    */
+  def recordMetaHistory(fs: FileSystem, root: String, gen: Long,
+                        bytes: Array[Byte], keep: Int = 64): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val dir = historyDir(root)
+    fs.mkdirs(dir)
+    val out = fs.create(historyFile(root, gen), true)
+    try out.write(bytes) finally out.close()
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName.toLongOption.foreach { g =>
+        if (g <= gen - keep) { fs.delete(st.getPath, false); () }
+      }
+    }
+  }
+
+  /** The meta bytes committed at `gen`, if the snapshot record
+    * survives (None: never committed, crashed before recording, or
+    * aged past the history cap).
+    */
+  def readMetaHistory(fs: FileSystem, root: String,
+                      gen: Long): Option[Array[Byte]] = {
+    val p = historyFile(root, gen)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+  }
+
   /** The CURRENT committed-batch list, parsed straight from the
     * index's `_meta` marker bytes (both index metas serialize a
     * `batches=` line). This is what the post-swap sweep rails on: the

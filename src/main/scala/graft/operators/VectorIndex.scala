@@ -100,6 +100,14 @@ object VectorIndex {
         "half-built index or wrong path); build one with " +
         "VectorIndex.write")
     val raw = graft.sources.MetaSwap.readCommitted(fs, p)
+    (parseVecMeta(raw, path), raw)
+  }
+
+  /** Parse serialized meta bytes — shared by the live read above and
+    * the as-of-gen history read ([[topKAt]]), so the two views can
+    * never diverge in format handling.
+    */
+  private def parseVecMeta(raw: Array[Byte], path: String): VecMeta = {
     val kv = new String(raw, "UTF-8").linesIterator
       .map(_.split("=", 2)).collect {
         case Array(a, b) => a -> b
@@ -114,11 +122,10 @@ object VectorIndex {
         "list format — refusing to guess visibility; rebuild the " +
         "index (VectorIndex.write to a fresh root + writePointer) " +
         "or add a batches= line listing the live batch directories")
-    (VecMeta(kv("m").toInt, kv("dim").toInt,
+    VecMeta(kv("m").toInt, kv("dim").toInt,
       kv("batches").split(",").toSeq.filter(_.nonEmpty),
       kv.getOrElse("retired", "").split(",").toSeq.filter(_.nonEmpty),
-      kv.getOrElse("gen", "0").toLong),
-      raw)
+      kv.getOrElse("gen", "0").toLong)
   }
 
   private[graft] def readMeta(spark: SparkSession,
@@ -139,13 +146,18 @@ object VectorIndex {
     */
   private def swapMeta(fs: org.apache.hadoop.fs.FileSystem,
                        path: String, m: VecMeta,
-                       expect: Array[Byte]): Unit =
+                       expect: Array[Byte]): Unit = {
     // bump the fence on EVERY commit: successive committed metas are
     // never byte-identical, so even a state-preserving swap (the
     // no-op compaction) invalidates a concurrent writer's stale CAS
     // expectation instead of sliding under it
-    graft.sources.MetaSwap.swap(fs, metaPath(path),
-      metaBytes(m.copy(gen = m.gen + 1)), expect)
+    val next = m.copy(gen = m.gen + 1)
+    val bytes = metaBytes(next)
+    graft.sources.MetaSwap.swap(fs, metaPath(path), bytes, expect)
+    // snapshot log for as-of-gen probes — recorded AFTER the swap, so
+    // it never alters commit semantics (see IndexProtocol)
+    IndexProtocol.recordMetaHistory(fs, path, next.gen, bytes)
+  }
 
   /** Stage a batch's cell-partitioned codes and publish them with one
     * atomic rename. A batch id on the committed or retired list
@@ -217,8 +229,11 @@ object VectorIndex {
         "root explicitly first)")
     // wipe crash residue by COMPONENT, never the root wholesale: a
     // mistyped path pointing at a shared directory must cost at most
-    // the index-shaped names under it
-    Seq("centroids", "codebook", "batches", "_staging", "_meta.next")
+    // the index-shaped names under it (_meta_history/_pending_delete
+    // included — stale snapshot records from a torn-down predecessor
+    // index must not resolve against the new one's batches)
+    Seq("centroids", "codebook", "batches", "_staging", "_meta.next",
+      "_meta_history", "_pending_delete")
       .foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$c"), true); ()
       }
@@ -228,10 +243,11 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/codebook")
     publishBatch(emb, idCol, vecCol, centroids, codebook, m, dim,
       path, "bootstrap", Seq.empty, Seq.empty)
+    val m0bytes = metaBytes(VecMeta(m, dim, Seq("bootstrap"), Seq.empty))
     val out = fs.create(metaPath(path), true)
-    try out.write(metaBytes(VecMeta(m, dim, Seq("bootstrap"),
-      Seq.empty)))
+    try out.write(m0bytes)
     finally out.close()
+    IndexProtocol.recordMetaHistory(fs, path, 0L, m0bytes)
   }
 
   /** Daily dense ingest: encode `emb` with the STORED artifacts,
@@ -620,10 +636,63 @@ object VectorIndex {
            idCol: String, vecCol: String,
            queryPred: org.apache.spark.sql.Column,
            k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
-    require(rerank >= k, s"rerank width $rerank must cover k=$k")
     // ONE meta read per probe: the same snapshot supplies geometry
     // and the visibility list, torn-free under concurrent maintenance
-    val meta = readMeta(spark, path)
+    serveWithMeta(spark, path, readMeta(spark, path), emb, idCol,
+      vecCol, queryPred, k, nprobe, rerank)
+  }
+
+  /** The live index's current committed generation — what a reader
+    * records alongside derived artifacts so [[topKAt]] can later
+    * reproduce exactly the view those artifacts were computed from.
+    */
+  def currentGen(spark: SparkSession, path: String): Long =
+    readMeta(spark, path).gen
+
+  /** AS-OF-GENERATION serve (snapshot read): probe the index exactly
+    * as it was at committed generation `gen` — the Iceberg-style
+    * time-travel read restated on the batch-directory layout. The
+    * snapshot's committed list comes from the `_meta_history` record
+    * the swap at `gen` wrote; physical servability is bounded by
+    * retention — a batch RETIRED after `gen` stays on disk (and this
+    * probe stays answerable) only within its grace window
+    * (`retainMs`), so snapshots are a bounded window by design, not
+    * an unbounded log. A missing history record or a reclaimed batch
+    * directory refuses with the typed [[graft.SnapshotUnavailable]]
+    * so a reader can fall back to the live serve without message
+    * matching. The serve arithmetic is [[topK]]'s, bit-identical —
+    * only the visibility list differs.
+    */
+  def topKAt(spark: SparkSession, path: String, gen: Long,
+             emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column,
+             k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    val fs = fsFor(spark, path)
+    val raw = IndexProtocol.readMetaHistory(fs, path, gen).getOrElse {
+      throw new graft.SnapshotUnavailable(
+        s"vector index at $path has no snapshot record for gen $gen " +
+          "— the gen never committed, crashed before recording, or " +
+          "aged past the history cap; probe the live index instead")
+    }
+    val meta = parseVecMeta(raw, path)
+    val missing = meta.batches.filterNot(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/batches/$b")))
+    if (missing.nonEmpty) throw new graft.SnapshotUnavailable(
+      s"snapshot gen $gen of the vector index at $path is no longer " +
+        s"servable: batch dir(s) ${missing.mkString(", ")} were " +
+        "retired and physically reclaimed (grace expired) — " +
+        "snapshots outlive maintenance only within retainMs")
+    serveWithMeta(spark, path, meta, emb, idCol, vecCol, queryPred,
+      k, nprobe, rerank)
+  }
+
+  private def serveWithMeta(spark: SparkSession, path: String,
+                            meta: VecMeta, emb: DataFrame,
+                            idCol: String, vecCol: String,
+                            queryPred: org.apache.spark.sql.Column,
+                            k: Int, nprobe: Int,
+                            rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must cover k=$k")
     require(meta.batches.nonEmpty,
       s"vector index at $path has no committed batches — everything " +
         "was dropped; append or rebuild before serving")
