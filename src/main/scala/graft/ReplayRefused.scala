@@ -34,11 +34,16 @@ class ReplayRefused(msg: String) extends IllegalStateException(msg)
   */
 final class BatchAlreadyLanded(msg: String) extends ReplayRefused(msg)
 
-/** An append-time batch id squats on the RESERVED merged-batch shape
-  * (`m` + 16 hex — [[graft.operators.IndexProtocol.mergedId]]'s
-  * derivation space). Distinct from the path-safety
-  * IllegalArgumentException so a caller can tell "pick another id"
-  * (this type — the id is well-formed, just reserved) from "the token
+/** A batch id squats on the RESERVED merged-batch shape (`m` + 16 hex
+  * — [[graft.operators.IndexProtocol.mergedId]]'s derivation space).
+  * Two sides of the same condition carry the type: an APPEND supplying
+  * an id in the reserved space is refused up front, and a COMPACTION
+  * whose derived merged id collides with a pre-reservation squatter
+  * (on the committed/retired list, or delisted but still inside its
+  * grace window) refuses rather than rebuild over the squatter's
+  * payload. Distinct from the path-safety IllegalArgumentException so
+  * a caller can tell "pick another id / clear the squatter" (this
+  * type — the id is well-formed, just reserved) from "the token
   * itself is path-unsafe" without message matching.
   */
 final class ReservedIdRefused(msg: String)

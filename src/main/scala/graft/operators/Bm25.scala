@@ -617,13 +617,15 @@ object Bm25 {
     // derivation space is disjoint from content-derived append ids
     val cid = IndexProtocol.mergedId(meta.batches)
     // the shape is reserved at append time, so a collision can only
-    // come from an index predating that guard — refuse rather than
-    // destroy the committed batch's payload and rebuild over it
-    require(!meta.batches.contains(cid) && !meta.retired.contains(cid),
-      s"merged id $cid is already on the committed/retired list at " +
-        s"$path — a pre-reservation user-supplied id squats on the " +
-        "merged shape; drop and re-ingest that batch under another id " +
-        "before compacting")
+    // come from an index predating that guard — refuse (typed, the
+    // append-side twin's ReservedIdRefused) rather than destroy the
+    // committed batch's payload and rebuild over it
+    if (meta.batches.contains(cid) || meta.retired.contains(cid))
+      throw new graft.ReservedIdRefused(
+        s"merged id $cid is already on the committed/retired list at " +
+          s"$path — a pre-reservation user-supplied id squats on the " +
+          "merged shape; drop and re-ingest that batch under another " +
+          "id before compacting")
     // the retired list is CAPPED, so a pre-reservation squatter that
     // aged off it evades the list check — but a dropped squatter
     // inside its grace window still has a pending-delete marker, and
@@ -636,7 +638,7 @@ object Bm25 {
     // marker can never wedge every future compaction
     IndexProtocol.pendingDeadline(fs, path, cid) match {
       case Some(d) if d > System.currentTimeMillis() =>
-        throw new IllegalArgumentException(
+        throw new graft.ReservedIdRefused(
           s"merged id $cid has a pending grace-period delete at " +
             s"$path — a delisted pre-reservation batch still inside " +
             "its retain window squats on the merged shape; wait for " +

@@ -123,52 +123,88 @@ private[graft] object IndexProtocol {
   private def pendingMarker(root: String, bid: String) =
     new Path(s"$root/_pending_delete/$bid")
 
+  /** The readable states of a pending-delete marker. The split that
+    * matters is CORRUPT vs UNREADABLE: a marker whose bytes were read
+    * but don't parse is a damaged record of a batch that is delisted
+    * either way — fail toward reclaiming (treat as expired) — while a
+    * TRANSIENT read failure (an IOException from a flaky remote FS)
+    * says nothing about the marker's content, and acting on it as if
+    * expired would cut a promised grace window short on an FS hiccup.
+    * Unreadable markers are skipped this pass and retried by the next
+    * maintenance call.
+    */
+  private sealed trait MarkerState
+  private case object Absent extends MarkerState
+  private final case class Deadline(ms: Long) extends MarkerState
+  private case object Corrupt extends MarkerState
+  private case object Unreadable extends MarkerState
+
   /** Record that `batches/<bid>` was delisted and awaits physical
     * deletion once `nowMs + retainMs` passes. The marker persists the
     * absolute DEADLINE, so every later sweep honors the grace this
     * delisting promised, whatever `retainMs` the sweeping call was
     * given. An existing READABLE marker wins (first delisting starts
     * the clock; re-marking by later maintenance calls must not reset
-    * it or a cadence shorter than the window retains forever); an
-    * unreadable one is replaced — a fresh deadline for a batch that
-    * is delisted either way.
+    * it or a cadence shorter than the window retains forever); a
+    * corrupt one is replaced — a fresh deadline for a batch that is
+    * delisted either way. A TRANSIENTLY unreadable marker also wins:
+    * its clock may be running fine, and overwriting on an FS hiccup
+    * would reset a promised window.
     */
   def markPendingDelete(fs: FileSystem, root: String, bid: String,
                         nowMs: Long, retainMs: Long): Unit = {
     val p = pendingMarker(root, bid)
-    if (readDeadline(fs, p).isDefined) return
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(s"deadline=${nowMs + retainMs}".getBytes("UTF-8"))
-    finally out.close()
+    readMarker(fs, p) match {
+      case Deadline(_) | Unreadable => ()
+      case Absent | Corrupt =>
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(s"deadline=${nowMs + retainMs}".getBytes("UTF-8"))
+        finally out.close()
+    }
   }
 
-  /** The marker's persisted deadline; None if absent or unreadable.
-    * `deadline=<ms>` is the current tagged format; a legacy bare
-    * number is a pre-deadline marker holding the DELIST time and maps
-    * to delist + [[LegacyGraceMs]] (see there for the direction
-    * argument).
+  /** The marker's persisted state. `deadline=<ms>` is the current
+    * tagged format; a legacy bare number is a pre-deadline marker
+    * holding the DELIST time and maps to delist + [[LegacyGraceMs]]
+    * (see there for the direction argument). Parse failures are
+    * [[Corrupt]]; an IOException on open/read (the file EXISTS but
+    * can't be read right now) is [[Unreadable]] — the two must not
+    * be conflated (see [[MarkerState]]).
     */
-  private def readDeadline(fs: FileSystem,
-                           p: Path): Option[Long] =
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
-      val s =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (s.startsWith("deadline="))
-        Some(s.stripPrefix("deadline=").toLong)
-      else Some(s.toLong + LegacyGraceMs)
-    } catch { case scala.util.control.NonFatal(_) => None }
+  private def readMarker(fs: FileSystem, p: Path): MarkerState =
+    try {
+      if (!fs.exists(p)) Absent
+      else {
+        val in = fs.open(p)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try {
+          if (s.startsWith("deadline="))
+            Deadline(s.stripPrefix("deadline=").toLong)
+          else Deadline(s.toLong + LegacyGraceMs)
+        } catch { case _: NumberFormatException => Corrupt }
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => Absent
+      case _: java.io.IOException => Unreadable
+    }
 
-  /** [[readDeadline]] by batch id — what compaction's merged-id squat
-    * guard consults so an EXPIRED (or unreadable) marker reclaims
-    * instead of wedging every future compaction.
+  /** The marker's deadline by batch id — what compaction's merged-id
+    * squat guard consults so an EXPIRED or corrupt marker reclaims
+    * instead of wedging every future compaction. A TRANSIENTLY
+    * unreadable marker maps to a far-future deadline: the guard
+    * refuses the compaction (retry when the FS recovers) rather than
+    * rebuild over a window it could not read.
     */
   def pendingDeadline(fs: FileSystem, root: String,
                       bid: String): Option[Long] =
-    readDeadline(fs, pendingMarker(root, bid))
+    readMarker(fs, pendingMarker(root, bid)) match {
+      case Deadline(ms) => Some(ms)
+      case Unreadable   => Some(Long.MaxValue)
+      case Absent | Corrupt => None
+    }
 
   /** Is `bid` recorded as awaiting a grace-period delete? Compaction
     * refuses to rebuild over a pending merged-id directory (a
@@ -206,22 +242,36 @@ private[graft] object IndexProtocol {
     * markers exist only for delisted ids, so a marker on a committed
     * one can only be a swept-over publish-race artifact (a
     * maintenance sweep orphan-marked the batch between its publish
-    * and its CAS). Compaction calls this at entry, while the
-    * committed list is in hand: without it, a stale pre-delist
-    * marker could survive a crash-recovery path into the batch's
-    * eventual retirement and truncate the grace window promised
-    * there (first-marker-wins would keep the stale clock).
+    * and its CAS). Compaction calls this at entry: without it, a
+    * stale pre-delist marker could survive a crash-recovery path
+    * into the batch's eventual retirement and truncate the grace
+    * window promised there (first-marker-wins would keep the stale
+    * clock). The committed list is RE-READ from the meta immediately
+    * before clearing (not taken from the caller's earlier snapshot):
+    * a concurrent dropBatch that delisted one of the caller's
+    * batches and wrote its grace marker since the caller's read
+    * would otherwise have that legitimate marker erased here — while
+    * the caller's own CAS swap, which would have caught the race,
+    * only fails LATER. `candidates` bounds the clear to ids the
+    * caller believes committed; the re-read intersection keeps it
+    * honest.
     */
   def clearStaleMarkers(fs: FileSystem, root: String,
-                        committed: Seq[String]): Unit =
-    committed.foreach(clearPendingDelete(fs, root, _))
+                        candidates: Seq[String]): Unit = {
+    val current = committedFromMeta(fs, root)
+    candidates.filter(current).foreach(clearPendingDelete(fs, root, _))
+  }
 
   /** Delete every pending batch directory whose PERSISTED deadline
-    * has passed, plus its marker. An unreadable marker counts as
-    * expired — fail toward reclaiming space, never toward
-    * resurrecting visibility (the batch is already off the committed
-    * list either way, and the committed rail below protects a live
-    * one). `committed` is the sweep's safety rail and MUST be the
+    * has passed, plus its marker. A CORRUPT marker counts as expired
+    * — fail toward reclaiming space, never toward resurrecting
+    * visibility (the batch is already off the committed list either
+    * way, and the committed rail below protects a live one) — but a
+    * TRANSIENTLY unreadable one (IOException on a flaky FS) is
+    * SKIPPED this sweep and retried by the next maintenance call: an
+    * FS hiccup must not be indistinguishable from expiry, or it
+    * could cut a promised grace window short.
+    * `committed` is the sweep's safety rail and MUST be the
     * CURRENT committed list, re-read from the meta marker immediately
     * before the call ([[committedFromMeta]]) — never a set computed
     * before the caller's own meta swap: an append that commits
@@ -239,7 +289,11 @@ private[graft] object IndexProtocol {
         fs.delete(st.getPath, false)
         Seq.empty
       } else {
-        val deadline = readDeadline(fs, st.getPath).getOrElse(0L)
+        val deadline = readMarker(fs, st.getPath) match {
+          case Deadline(ms)     => ms
+          case Absent | Corrupt => 0L
+          case Unreadable       => Long.MaxValue // retry next sweep
+        }
         if (nowMs >= deadline) {
           fs.delete(new Path(s"$root/batches/$bid"), true)
           fs.delete(st.getPath, false)

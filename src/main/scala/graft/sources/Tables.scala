@@ -20,6 +20,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    scanning history.
   */
 object Tables {
+
+  /** The Hadoop FileSystem serving `path` — every metadata probe and
+    * publish rename in this module goes through it (the same
+    * primitive as the index protocols), so the freshness gates and
+    * the WAP publish work on hdfs:///s3a:// roots, not just the
+    * local filesystem.
+    */
+  private def fsFor(spark: SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
   /** Driver testdata tables (TESTDATA.md). */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -348,9 +360,11 @@ object Tables {
     */
   def writeIfStale(df: DataFrame, path: String, maxAgeDays: Int = 365,
                    nowMillis: Long = System.currentTimeMillis()): Boolean = {
-    val dir = new java.io.File(path)
-    val fresh = dir.exists() &&
-      (nowMillis - dir.lastModified()) < maxAgeDays * 86400000L
+    val fs = fsFor(df.sparkSession, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fresh = fs.exists(p) &&
+      (nowMillis - fs.getFileStatus(p).getModificationTime) <
+        maxAgeDays * 86400000L
     if (fresh) false
     else { df.write.mode("overwrite").parquet(path); true }
   }
@@ -364,8 +378,8 @@ object Tables {
     */
   def appendIfStaleByColumn(spark: SparkSession, df: DataFrame, path: String,
                             lineageDateCol: String, asOfYear: Int): Boolean = {
-    val dir = new java.io.File(path)
-    val fresh = dir.exists() && {
+    val fresh = fsFor(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(path)) && {
       val last = spark.read.parquet(path)
         .agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.year(
@@ -402,12 +416,18 @@ object Tables {
   def writeAudited(spark: SparkSession, df: DataFrame, path: String,
                    expectations: Seq[graft.operators.Cleaning.Expectation])
       : DataFrame = {
-    val target = new java.io.File(path)
-    if (target.exists())
+    // Hadoop FileSystem throughout (fsFor/exists/rename) — the same
+    // primitives as the index publish paths, so the exists check and
+    // the atomic publish hold on a cluster filesystem, not just
+    // file:// (java.io.File cannot see an object store and its
+    // renameTo silently returns false across filesystems)
+    val fs = fsFor(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(target))
       throw new graft.AuditFailed(
         s"audited publish refused: target $path already exists — " +
           "publish a fresh snapshot directory and repoint")
-    val staging = new java.io.File(path + ".staging")
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     df.write.mode("overwrite").parquet(staging.toString)
     val report = graft.operators.Cleaning.validateExpectations(
       spark.read.parquet(staging.toString), expectations)
@@ -419,7 +439,7 @@ object Tables {
           failed.map(r => s"${r.getString(0)}/${r.getString(1)}=" +
             s"${r.getLong(4)} violations").mkString(", ") +
           s"; staged data left at $staging for inspection")
-    if (!staging.renameTo(target))
+    if (!fs.rename(staging, target))
       throw new IllegalStateException(
         s"publish rename failed: $staging -> $target")
     spark.createDataFrame(

@@ -106,16 +106,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         Set("b2")).isEmpty)
       assert(new java.io.File(s"$root/batches/b2").exists())
       assert(!IndexProtocol.hasPendingDelete(fs, root, "b2"))
-      // an unreadable marker counts as expired (fail toward
-      // reclaiming space — the batch is delisted either way, and the
-      // committed rail above protects a live one)
+      // a CORRUPT marker (readable bytes, unparseable) counts as
+      // expired (fail toward reclaiming space — the batch is delisted
+      // either way, and the committed rail above protects a live
+      // one); the TRANSIENT-IO case is the separate flaky-FS spec
       mkBatch("b3")
       java.nio.file.Files.write(marker(root, "b3").toPath,
         "not-a-number".getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE)
       assert(IndexProtocol.sweepPendingDeletes(fs, root, 0L,
         Set.empty) == Seq("b3"))
-      // ...and markPendingDelete REPLACES an unreadable marker
+      // ...and markPendingDelete REPLACES a corrupt marker
       mkBatch("b4")
       java.nio.file.Files.write(marker(root, "b4").toPath,
         "garbage".getBytes("UTF-8"),
@@ -138,6 +139,83 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(new java.io.File(s"$root/batches/b5").exists())
       assert(IndexProtocol.sweepPendingDeletes(fs, root,
         5000L + IndexProtocol.LegacyGraceMs, Set.empty) == Seq("b5"))
+    } finally rmTree(dir)
+  }
+
+  /** A FileSystem whose open() fails for chosen file names — the
+    * flaky-remote-FS simulator: metadata ops (exists/listStatus/
+    * delete) keep working, only the marker READ throws, which is
+    * exactly the failure the transient/corrupt distinction exists
+    * for.
+    */
+  private class FlakyOpenFs(u: org.apache.hadoop.fs.FileSystem,
+                            flaky: String => Boolean)
+      extends org.apache.hadoop.fs.FilterFileSystem(u) {
+    override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+        : org.apache.hadoop.fs.FSDataInputStream =
+      if (flaky(f.getName))
+        throw new java.io.IOException(s"transient read failure: $f")
+      else super.open(f, bufferSize)
+  }
+
+  test("a TRANSIENTLY unreadable marker retains: the sweep skips it, " +
+      "re-marking does not reset its clock, the squat guard refuses") {
+    val dir = tmp("flaky-marker")
+    try {
+      val root = dir.toString
+      val real = hadoopFs(root)
+      real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/bx"))
+      IndexProtocol.markPendingDelete(real, root, "bx", 1000L, 500L)
+      val flaky = new FlakyOpenFs(real, _ == "bx")
+      flaky.setConf(spark.sparkContext.hadoopConfiguration)
+      // a sweep far past the deadline THROUGH the flaky FS: the
+      // marker exists but cannot be read right now — an FS hiccup
+      // must not be indistinguishable from expiry, so the batch is
+      // retained this pass and retried by the next maintenance call
+      assert(IndexProtocol.sweepPendingDeletes(flaky, root,
+        1000000L, Set.empty).isEmpty)
+      assert(new java.io.File(s"$root/batches/bx").exists())
+      assert(IndexProtocol.hasPendingDelete(flaky, root, "bx"))
+      // re-marking through the flaky FS must NOT overwrite — the
+      // persisted clock may be running fine, and resetting it on a
+      // hiccup would break first-delisting-wins
+      IndexProtocol.markPendingDelete(flaky, root, "bx", 9000L, 1L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        marker(root, "bx").toPath), "UTF-8").trim == "deadline=1500")
+      // the compaction squat guard maps unreadable to a far-future
+      // deadline: refuse (retry when the FS recovers), never rebuild
+      // over a window it could not read
+      assert(IndexProtocol.pendingDeadline(flaky, root, "bx")
+        .contains(Long.MaxValue))
+      // once the FS recovers, the next sweep reclaims normally
+      assert(IndexProtocol.sweepPendingDeletes(real, root,
+        1000000L, Set.empty) == Seq("bx"))
+    } finally rmTree(dir)
+  }
+
+  test("clearStaleMarkers rails on a RE-READ committed list: a batch " +
+      "delisted since the caller's snapshot keeps its grace marker") {
+    val dir = tmp("stale-clear")
+    try {
+      val root = dir.toString
+      val fs = hadoopFs(root)
+      // the CURRENT meta says only b1 is committed; the caller's
+      // snapshot (taken before a concurrent dropBatch delisted b2)
+      // still believes b1 AND b2 are
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
+      try out.write("batches=b1\nretired=\ngen=3\n".getBytes("UTF-8"))
+      finally out.close()
+      // b1's marker is a swept-over publish-race artifact (stale —
+      // the id is committed); b2's is the drop's promised window
+      IndexProtocol.markPendingDelete(fs, root, "b1", 1000L, 500L)
+      IndexProtocol.markPendingDelete(fs, root, "b2", 1000L, 500L)
+      IndexProtocol.clearStaleMarkers(fs, root, Seq("b1", "b2"))
+      assert(!IndexProtocol.hasPendingDelete(fs, root, "b1"),
+        "the stale marker on a committed batch must clear")
+      assert(IndexProtocol.hasPendingDelete(fs, root, "b2"),
+        "the concurrently delisted batch's promised window must " +
+          "survive the clear")
     } finally rmTree(dir)
   }
 
@@ -681,7 +759,10 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       val fs = hadoopFs(path)
       IndexProtocol.markPendingDelete(fs, path, cid,
         System.currentTimeMillis(), 3600L * 1000)
-      val eSquat = intercept[IllegalArgumentException] {
+      // the compaction-side squat refusal carries the SAME type as
+      // the append-side reservation — one taxonomy, no message
+      // matching needed to tell "the reserved space is occupied"
+      val eSquat = intercept[graft.ReservedIdRefused] {
         Bm25.compactBm25Index(spark, path)
       }
       assert(eSquat.getMessage.contains("pending grace-period"))
@@ -694,6 +775,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(!IndexProtocol.hasPendingDelete(fs, path, cid))
       assert(bmServe(path) ==
         bmInline(docs.filter(col("doc_id") <= 4)))
+    } finally rmTree(dir)
+  }
+
+  test("vector index: the compaction squat refusal carries the same " +
+      "type as BM25's, and an expired marker reclaims and proceeds") {
+    val dir = tmp("vec-squat")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      VectorIndex.append(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path)
+      val meta = VectorIndex.readMeta(spark, path)
+      val cid = IndexProtocol.mergedId(meta.batches)
+      val fs = hadoopFs(path)
+      // a delisted pre-reservation squatter inside its grace window
+      IndexProtocol.markPendingDelete(fs, path, cid,
+        System.currentTimeMillis(), 3600L * 1000)
+      val e = intercept[graft.ReservedIdRefused] {
+        VectorIndex.compact(spark, path)
+      }
+      assert(e.getMessage.contains("pending grace-period"))
+      // expired → the guard reclaims (what the sweep would do) and
+      // the compaction proceeds
+      IndexProtocol.clearPendingDelete(fs, path, cid)
+      IndexProtocol.markPendingDelete(fs, path, cid,
+        System.currentTimeMillis() - 10000L, 0L)
+      assert(VectorIndex.compact(spark, path) == cid)
+      assert(vecServe(path).nonEmpty)
     } finally rmTree(dir)
   }
 

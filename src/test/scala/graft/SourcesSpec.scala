@@ -300,13 +300,19 @@ class SourcesSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.Cleaning
     val tmp = java.nio.file.Files.createTempDirectory("wap-spec").toString
+    // every filesystem assertion goes through the Hadoop FileSystem
+    // API — the publish path must hold on the FS abstraction a
+    // cluster deployment actually uses, not java.io.File
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def hExists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val good = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
     // clean publish: target readable, staging gone, report all-pass
     val report = Tables.writeAudited(spark, good, s"$tmp/t1",
       Seq(Cleaning.ExpectNotNull("s"), Cleaning.ExpectUnique("id")))
     assert(report.collect().forall(_.getBoolean(5)))
     assert(spark.read.parquet(s"$tmp/t1").count() == 3)
-    assert(!new java.io.File(s"$tmp/t1.staging").exists(),
+    assert(hExists(s"$tmp/t1") && !hExists(s"$tmp/t1.staging"),
       "publish must consume the staging dir")
     // failed audit: typed refusal naming the rule, staging LEFT for
     // inspection with the exact staged rows, target never created
@@ -316,7 +322,7 @@ class SourcesSpec extends AnyFunSuite {
         Seq(Cleaning.ExpectUnique("id")))
     }
     assert(e.getMessage.contains("id/unique=1"))
-    assert(!new java.io.File(s"$tmp/t2").exists())
+    assert(!hExists(s"$tmp/t2"))
     assert(spark.read.parquet(s"$tmp/t2.staging").count() == 2,
       "staged rows must stay inspectable after a failed audit")
     // a corrected re-run replaces the stale staging and publishes
