@@ -1273,6 +1273,81 @@ object SparkEntry {
         } finally rmTree(new java.io.File(dir))
       } finally cb.unpersist()
     }),
+    // ---- §2.7 A6c as-of-generation snapshot serve (time travel) ----
+    // the Iceberg-style snapshot read on the batch-directory layout,
+    // on BOTH persisted indexes: every meta swap records its committed
+    // bytes under _meta_history, and topKAt / bm25TopKIndexedAt replay
+    // the serve against the committed view at a past gen — identical
+    // arithmetic, only the visibility list (and, for BM25, the N/Σlen
+    // scalars) differs. Outcome contract: the serve collected while
+    // gen g was LIVE must be reproduced bit-for-bit by the snapshot
+    // probe AFTER the next append lands, on both indexes — and a gen
+    // that never committed must refuse with the TYPED
+    // SnapshotUnavailable (never a wrong or partial ranking). Bounded
+    // by design: the history cap and batch-dir retention are
+    // spec-pinned (SnapshotProbeSpec), not gated here.
+    "q_ann_snapshot" -> ((s, d) => {
+      val (m, dim) = (8, 64)
+      val emb = Tables.table(s, d, "embeddings")
+      val qp = col("vec_id") % 50 === 0
+      val isNew = Corpus.hashBucket(col("vec_id"), "inc", 5) === 0
+      val cb = sharedPqCodebook(s, d, m, dim, rounds = 3).persist()
+      try {
+        val cents = emb.filter(col("vec_id") % 37 === 1)
+          .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-snapshot").toString
+        try {
+          // dense side: bootstrap → live serve collected → append
+          val idx = s"$dir/vec"
+          graft.operators.VectorIndex.write(emb.filter(!isNew),
+            "vec_id", "embedding", cents, cb, m, dim, idx)
+          val g0 = graft.operators.VectorIndex.currentGen(s, idx)
+          val before = graft.operators.VectorIndex.topK(s, idx, emb,
+            "vec_id", "embedding", qp, k = 10, nprobe = 6, rerank = 50)
+            .collect().toSet
+          graft.operators.VectorIndex.append(emb.filter(isNew),
+            "vec_id", "embedding", idx)
+          val atG0 = graft.operators.VectorIndex.topKAt(s, idx, g0, emb,
+            "vec_id", "embedding", qp, k = 10, nprobe = 6, rerank = 50)
+            .collect().toSet
+          val liveGen = graft.operators.VectorIndex.currentGen(s, idx)
+          val vecMissingTyped =
+            try {
+              graft.operators.VectorIndex.topKAt(s, idx, liveGen + 999,
+                emb, "vec_id", "embedding", qp).collect(); false
+            } catch { case _: graft.SnapshotUnavailable => true }
+          // lexical side: same shape — the snapshot must reproduce
+          // the pre-append SCALARS (N/Σlen/df), not just visibility
+          val docs = Tables.table(s, d, "documents")
+            .select(col("doc_id"), col("text"))
+          val bIsNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
+          val bIdx = s"$dir/bm25"
+          graft.operators.Bm25.writeBm25Index(docs.filter(!bIsNew),
+            "doc_id", "text", bIdx)
+          val bg0 = graft.operators.Bm25.currentGen(s, bIdx)
+          val bBefore = graft.operators.Bm25.bm25TopKIndexed(s, bIdx,
+            "fast vector hash join", k = 20).collect().toSet
+          graft.operators.Bm25.appendBm25Index(docs.filter(bIsNew),
+            "text", bIdx)
+          val bAtG0 = graft.operators.Bm25.bm25TopKIndexedAt(s, bIdx,
+            bg0, "fast vector hash join", k = 20).collect().toSet
+          val bMissingTyped =
+            try {
+              graft.operators.Bm25.bm25TopKIndexedAt(s, bIdx,
+                graft.operators.Bm25.currentGen(s, bIdx) + 999,
+                "fast vector hash join", k = 20).collect(); false
+            } catch { case _: graft.SnapshotUnavailable => true }
+          import s.implicits._
+          Seq((atG0 == before && before.nonEmpty,
+              bAtG0 == bBefore && bBefore.nonEmpty,
+              vecMissingTyped && bMissingTyped,
+              emb.count()))
+            .toDF("vec_snapshot_exact", "bm25_snapshot_exact",
+              "missing_gen_refused", "n_vectors")
+        } finally rmTree(new java.io.File(dir))
+      } finally cb.unpersist()
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -3985,6 +4060,14 @@ object SparkEntry {
     // corpus count
     "q_ann_index" ->
       """SELECT true AS indexed_equals_inmemory,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // the snapshot contract (as-of-gen serve bit-equals the serve
+    // collected while that gen was live, on both indexes; missing gen
+    // refuses typed) is checked in Spark; the real row is the corpus
+    // count
+    "q_ann_snapshot" ->
+      """SELECT true AS vec_snapshot_exact, true AS bm25_snapshot_exact,
+        |  true AS missing_gen_refused,
         |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (

@@ -690,6 +690,14 @@ object Bm25 {
     probeWithMeta(spark, path, readBm25Meta(spark, path), query, k,
       k1, b)
 
+  /** The live index's current committed generation — what a reader
+    * records alongside derived artifacts so [[bm25TopKIndexedAt]] can
+    * later reproduce exactly the view those artifacts were computed
+    * from ([[VectorIndex.currentGen]]'s lexical twin).
+    */
+  def currentGen(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Long = readBm25Meta(spark, path).gen
+
   /** AS-OF-GENERATION probe — [[VectorIndex.topKAt]]'s contract on
     * the lexical index: serve the query against the committed view at
     * `gen` from its `_meta_history` record (scalars N/Σlen AND the
