@@ -43,15 +43,39 @@ object Pipeline {
       s"$outDir/silver/nation")
   }
 
-  /** Gold: star-schema dimensions + fact from silver inputs. */
+  /** Gold: star-schema dimensions + fact from silver inputs.
+    *
+    * Every gold table publishes through the write-audit-publish gate
+    * ([[Tables.writeAudited]], `replace = true`): the reference's
+    * quality checks (bronze_to_silver.py:127's key↔name consistency
+    * audit) become a BLOCKING audit of the staged bytes instead of a
+    * report — a batch violating its rule list never reaches the gold
+    * path a consumer reads, the staged parquet stays inspectable, and
+    * the PREVIOUS gold copy is untouched (validate-before-destroy).
+    * `extraFactAudit` appends caller rules to the fact's defaults —
+    * the seam a deployment uses for run-specific contracts (and the
+    * spec uses to plant a violation).
+    */
   def gold(spark: SparkSession, sfDir: String, outDir: String,
-           modelingDate: String): Unit = {
-    Tables.writeParquet(StarSchema.dimDate(spark, sfDir),
-      s"$outDir/gold/dim_date")
-    Tables.writeParquet(StarSchema.dimCustomer(spark, sfDir),
-      s"$outDir/gold/dim_customer")
-    Tables.writeParquet(StarSchema.factSales(spark, sfDir, modelingDate),
-      s"$outDir/gold/fact_sales")
+           modelingDate: String,
+           extraFactAudit: Seq[Cleaning.Expectation] = Nil): Unit = {
+    Tables.writeAudited(spark, StarSchema.dimDate(spark, sfDir),
+      s"$outDir/gold/dim_date",
+      Seq(Cleaning.ExpectNotNull("id_date"),
+        Cleaning.ExpectUnique("id_date")), replace = true)
+    Tables.writeAudited(spark, StarSchema.dimCustomer(spark, sfDir),
+      s"$outDir/gold/dim_customer",
+      Seq(Cleaning.ExpectNotNull("id_customer"),
+        Cleaning.ExpectUnique("id_customer")), replace = true)
+    Tables.writeAudited(spark,
+      StarSchema.factSales(spark, sfDir, modelingDate),
+      s"$outDir/gold/fact_sales",
+      Seq(Cleaning.ExpectNotNull("id_fact"),
+        Cleaning.ExpectNotNull("id_ship_date"),
+        Cleaning.ExpectNotNull("id_part_kind"),
+        Cleaning.ExpectNotNull("id_supply")) ++ extraFactAudit,
+      replace = true)
+    ()
   }
 
   /** Retry wrapper for a pipeline stage (reference:
@@ -227,7 +251,8 @@ object Pipeline {
   def corpusGold(spark: SparkSession, outDir: String,
                  modelingDate: String, epoch: Int = 1,
                  recipe: Corpus.TrainingRecipe = Corpus.TrainingRecipe.Default,
-                 shards: Option[Seq[Long]] = None): Unit = {
+                 shards: Option[Seq[Long]] = None,
+                 extraAudit: Seq[Cleaning.Expectation] = Nil): Unit = {
     val silverPath = s"$outDir/silver/documents"
     if (shards.exists(_.isEmpty)) return // no shard touched: nothing to do
     val silver = shards match {
@@ -252,18 +277,48 @@ object Pipeline {
         "doc_id", "clean_text", "shard", "bin_id")
       .withColumn("pack_id", concat_ws("/", col("shard"), col("bin_id")))
     val ranked = Corpus.epochOrder(packed, "pack_id", "shard", epoch)
-    packed.join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+    val out = packed
+      .join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
       .select(col("shard"), col("bin_id"), col("n_docs"),
         col("epoch_rank"), col("packed_text"))
       .withColumn("_modeling_date", lit(modelingDate))
-      .repartition(col("shard"))
+    // WRITE-AUDIT-PUBLISH, restated for a shard-partitioned target
+    // (the S18 discipline composed into the DAG): stage the batch's
+    // shard directories, run the BLOCKING C11 audit over the staged
+    // bytes, and only then swap each staged shard dir over its target
+    // twin. The per-DIRECTORY swap — not a whole-table rename —
+    // preserves the incremental contract above: a shard-local rebuild
+    // still touches only its own partitions (what the former dynamic
+    // partitionOverwriteMode did), but a batch that fails its audit
+    // now never reaches a directory a trainer could read, and the
+    // staged parquet is LEFT for inspection.
+    val target = s"$outDir/gold/train_packed"
+    val staging = s"$target.staging"
+    out.repartition(col("shard"))
       .write.mode("overwrite")
-      // dynamic: an overwrite touches only the partitions present in
-      // the written data — the shard-local rebuild contract (a full
-      // rebuild writes every shard and so still replaces the table)
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
-      .parquet(s"$outDir/gold/train_packed")
+      .parquet(staging)
+    Tables.auditStaged(spark, staging,
+      Seq(Cleaning.ExpectNotNull("packed_text"),
+        Cleaning.ExpectNotNull("bin_id"),
+        Cleaning.ExpectRange("n_docs", 1, Long.MaxValue.toDouble),
+        Cleaning.ExpectRange("epoch_rank", 1, Long.MaxValue.toDouble))
+        ++ extraAudit)
+    val fs = Tables.fsFor(spark, target)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target))
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("shard="))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$target/${st.getPath.getName}")
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          throw new IllegalStateException(
+            s"publish rename failed: ${st.getPath} -> $dst")
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    ()
   }
 
   /** The persisted MinHash index over every document the corpus

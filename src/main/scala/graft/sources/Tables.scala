@@ -27,8 +27,8 @@ object Tables {
     * the WAP publish work on hdfs:///s3a:// roots, not just the
     * local filesystem.
     */
-  private def fsFor(spark: SparkSession,
-                    path: String): org.apache.hadoop.fs.FileSystem =
+  private[graft] def fsFor(spark: SparkSession,
+                           path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
@@ -403,18 +403,27 @@ object Tables {
     *
     * On audit failure the staging directory is LEFT for inspection
     * and a typed [[graft.AuditFailed]] names the failing rules; the
-    * target is never created. An existing target also refuses
-    * (replace = fresh snapshot dir + pointer swap, the A6b rule,
-    * never an in-place overwrite). Returns the audit report
-    * (re-parallelized from the bounded per-rule rows, so it does not
-    * re-read the renamed-away staging path).
+    * target is never created — and, in `replace` mode, the EXISTING
+    * target is never touched: validate-before-destroy, the serving
+    * copy cannot be lost to a batch that fails its audit. With
+    * `replace = false` (the default) an existing target refuses
+    * (publish a fresh snapshot dir and repoint, the A6b rule); with
+    * `replace = true` the swap deletes the old target only AFTER the
+    * staged bytes pass — the retry-idempotent form a scheduled
+    * pipeline's gold promotion needs (delete→rename is two metadata
+    * ops, not one atomic rename; a crash in between leaves the
+    * VALIDATED staging intact and the idempotent stage re-run
+    * republishes). Returns the audit report (re-parallelized from
+    * the bounded per-rule rows, so it does not re-read the
+    * renamed-away staging path).
     *
     * Scale shape: the write is a normal distributed parquet write;
     * the audit is C11's one-scan bulk aggregation over the staged
     * files; publish is one filesystem rename — no second data pass.
     */
   def writeAudited(spark: SparkSession, df: DataFrame, path: String,
-                   expectations: Seq[graft.operators.Cleaning.Expectation])
+                   expectations: Seq[graft.operators.Cleaning.Expectation],
+                   replace: Boolean = false)
       : DataFrame = {
     // Hadoop FileSystem throughout (fsFor/exists/rename) — the same
     // primitives as the index publish paths, so the exists check and
@@ -423,26 +432,43 @@ object Tables {
     // renameTo silently returns false across filesystems)
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target))
+    if (!replace && fs.exists(target))
       throw new graft.AuditFailed(
         s"audited publish refused: target $path already exists — " +
-          "publish a fresh snapshot directory and repoint")
+          "publish a fresh snapshot directory and repoint (or opt " +
+          "into replace = true for the validate-then-swap form)")
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     df.write.mode("overwrite").parquet(staging.toString)
+    val (rows, schema) = auditStaged(spark, staging.toString,
+      expectations)
+    if (replace) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(
+        s"publish rename failed: $staging -> $target")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The blocking-audit step of [[writeAudited]], factored out for
+    * publish paths whose swap is not one whole-table rename (the
+    * corpus gold's per-shard swap): validate the STAGED parquet with
+    * C11's one-scan aggregation; pass → the bounded per-rule report
+    * rows; fail → typed [[graft.AuditFailed]] naming the rules, with
+    * the staging directory LEFT for inspection.
+    */
+  private[graft] def auditStaged(spark: SparkSession, stagingPath: String,
+                                 expectations: Seq[graft.operators.Cleaning.Expectation])
+      : (Array[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) = {
     val report = graft.operators.Cleaning.validateExpectations(
-      spark.read.parquet(staging.toString), expectations)
+      spark.read.parquet(stagingPath), expectations)
     val rows = report.collect() // bounded: one row per rule
     val failed = rows.filter(!_.getBoolean(5))
     if (failed.nonEmpty)
       throw new graft.AuditFailed(
-        s"audit failed for $path: " +
+        s"audit failed for staged write at $stagingPath: " +
           failed.map(r => s"${r.getString(0)}/${r.getString(1)}=" +
             s"${r.getLong(4)} violations").mkString(", ") +
-          s"; staged data left at $staging for inspection")
-    if (!fs.rename(staging, target))
-      throw new IllegalStateException(
-        s"publish rename failed: $staging -> $target")
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), report.schema)
+          s"; staged data left at $stagingPath for inspection")
+    (rows, report.schema)
   }
 }

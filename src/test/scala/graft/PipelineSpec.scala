@@ -44,6 +44,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(gold.columns.contains("_modeling_date"))
   }
 
+  test("gold publish is write-audit-publish: a planted violation " +
+      "refuses, staging stays inspectable, the serving gold survives") {
+    import graft.operators.Cleaning
+    val out = java.nio.file.Files.createTempDirectory("graft-wapgold")
+      .toString
+    // happy path: the full run publishes an audited gold
+    Pipeline.run(spark, sf, out, "2026-08-12")
+    val factN = spark.read.parquet(s"$out/gold/fact_sales").count()
+    assert(factN > 0)
+    // re-run with a planted violation appended to the fact's rule
+    // list: quantities are positive, so this range fails every row
+    val e = intercept[AuditFailed] {
+      Pipeline.gold(spark, sf, out, "2026-08-13",
+        extraFactAudit =
+          Seq(Cleaning.ExpectRange("quantidade", -2.0, -1.0)))
+    }
+    assert(e.getMessage.contains("quantidade"))
+    // the staged batch is LEFT for inspection, and the SERVING copy
+    // was never touched (validate-before-destroy)
+    assert(spark.read.parquet(s"$out/gold/fact_sales.staging")
+      .count() == factN)
+    assert(spark.read.parquet(s"$out/gold/fact_sales").count() == factN)
+    // a corrected re-run consumes the stale staging and republishes
+    Pipeline.gold(spark, sf, out, "2026-08-13")
+    assert(spark.read.parquet(s"$out/gold/fact_sales").count() == factN)
+    assert(!graft.sources.Tables.fsFor(spark, out).exists(
+      new org.apache.hadoop.fs.Path(s"$out/gold/fact_sales.staging")))
+  }
+
+  test("corpus gold publish audits staged shards: a planted violation " +
+      "refuses the per-shard swap and the training set survives") {
+    import graft.operators.Cleaning
+    val out = java.nio.file.Files.createTempDirectory("graft-wapcorpus")
+      .toString
+    val gold = Pipeline.runCorpus(spark, sf, out, "2026-08-12")
+    val n = gold.count()
+    assert(n > 0)
+    // every packed row has n_docs >= 1, so the planted range fails all
+    val e = intercept[AuditFailed] {
+      Pipeline.corpusGold(spark, out, "2026-08-13",
+        extraAudit = Seq(Cleaning.ExpectRange("n_docs", -5.0, 0.0)))
+    }
+    assert(e.getMessage.contains("n_docs"))
+    // no shard directory was swapped; staged shards stay inspectable
+    assert(spark.read.parquet(s"$out/gold/train_packed").count() == n)
+    assert(spark.read.parquet(s"$out/gold/train_packed.staging")
+      .count() == n)
+    // the corrected re-run publishes and consumes the staging
+    Pipeline.corpusGold(spark, out, "2026-08-13")
+    assert(spark.read.parquet(s"$out/gold/train_packed").count() == n)
+    assert(!graft.sources.Tables.fsFor(spark, out).exists(
+      new org.apache.hadoop.fs.Path(s"$out/gold/train_packed.staging")))
+  }
+
   test("incremental corpus: daily batches dedupe against persisted state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
