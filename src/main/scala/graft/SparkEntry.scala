@@ -259,9 +259,6 @@ object SparkEntry {
       Cleaning.normalizeColumnNames(
         Cleaning.dropColumns(Tables.table(s, d, "part"), Seq("p_size")),
         Map("p_name" -> "part_name"))),
-    // ---- §2.2 C10 quantile clipping (winsorize) ----
-    // deterministic null injection into BOTH the group and the value
-    // column (TPC-H columns are non-null, which would leave the
     // ---- §2.2 C11 declarative expectations over orders: a mixed
     // rule list (clean keys, duplicate customers, ~40%-violating
     // range and set rules) so both pass and fail paths carry real
@@ -276,6 +273,9 @@ object SparkEntry {
         Cleaning.ExpectInSet("o_orderpriority",
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
         Cleaning.ExpectMatches("o_orderpriority", "^[0-9]-[A-Z ]+$")))),
+    // ---- §2.2 C10 quantile clipping (winsorize) ----
+    // deterministic null injection into BOTH the group and the value
+    // column (TPC-H columns are non-null, which would leave the
     // operator's null contract — null values stay null, null-group
     // rows are kept and clipped against their own bounds — mirrored
     // in the oracle but never exercised)

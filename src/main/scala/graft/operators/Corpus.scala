@@ -610,9 +610,27 @@ object Corpus {
     val base = df.select(out: _*)
       .withColumn("__bk",
         floor(col(scoreCol) * buckets).cast("bigint"))
-    val totals = base.groupBy(col("__bk"))
-      .agg(sum(col(nTokensCol).cast("bigint")).as("__bt"))
+    val totalRows = base.groupBy(col("__bk"))
+      .agg(sum(col(nTokensCol).cast("bigint")).as("__bt"),
+        count(lit(1)).as("__n"), count(col(nTokensCol)).as("__nt"))
       .collect()
+    // REFUSE null/NaN inputs before touching any cell: a null (or
+    // NaN) score floors to a null bucket and a null token count
+    // undercounts its bucket's total — both would otherwise surface
+    // as an opaque driver NullPointerException (or a silently wrong
+    // budget); a budget selection must not guess what a null costs
+    totalRows.foreach { r =>
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"budgetSelect: $scoreCol is null or NaN on ${r.getLong(2)} " +
+          "row(s) — a scoreless row cannot be ranked against the " +
+          "budget; filter or impute upstream")
+      if (r.getLong(3) != r.getLong(2)) throw new IllegalArgumentException(
+        s"budgetSelect: $nTokensCol is null on " +
+          s"${r.getLong(2) - r.getLong(3)} row(s) in score bucket " +
+          s"${r.getLong(0)} — a row without a token count cannot be " +
+          "budgeted; filter or impute upstream")
+    }
+    val totals = totalRows
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1)
     var cum = 0L

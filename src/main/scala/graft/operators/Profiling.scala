@@ -498,11 +498,23 @@ object Profiling {
     * n_distinct does (≤ ~9·10¹⁵ — beyond that the ratio saturates
     * double precision anyway).
     */
+  /** The per-key frequency histogram — THE single definition of key
+    * heat, consumed by both the P11 diagnostic ([[keySkewProfile]])
+    * and the §2.12 remedy ([[Skew.hotKeys]] → `saltedJoinHotKeys`),
+    * so the profile that says "this key is hot" and the join that
+    * salts it can never disagree on what the statistic is. One
+    * map-side-combinable groupBy; output `(k, c)` with the caller
+    * choosing the key normalization (the profile strings + buckets
+    * nulls, the remedy keeps the raw join key).
+    */
+  def keyFrequencies(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+
   def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
     keyCols.map { kc =>
-      df.groupBy(coalesce(col(kc).cast("string"), lit("(null)")).as("k"))
-        .agg(count(lit(1)).as("c"))
+      keyFrequencies(df,
+          coalesce(col(kc).cast("string"), lit("(null)")))
         .agg(sum(col("c")).as("n_rows"),
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("max_freq"),

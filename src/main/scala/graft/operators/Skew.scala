@@ -62,13 +62,15 @@ object Skew {
     * two-column aggregate that drives [[saltedJoinHotKeys]]. At most
     * |left| / hotThreshold keys can qualify, so the result is bounded
     * small by construction (a 100 TB table with a 10M-row threshold
-    * yields at most ~10k hot keys).
+    * yields at most ~10k hot keys). The frequency statistic itself is
+    * [[Profiling.keyFrequencies]] — the SAME histogram the P11 skew
+    * profile reports on, so the diagnostic and this remedy cannot
+    * drift apart on what "hot" means.
     */
   def hotKeys(left: DataFrame, key: String, hotThreshold: Long): DataFrame =
-    left.groupBy(col(key))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotThreshold)
-      .select(col(key))
+    Profiling.keyFrequencies(left, col(key))
+      .filter(col("c") > hotThreshold)
+      .select(col("k").as(key))
 
   /** Hot-key-only salted join — the production skew recipe.
     * [[saltedJoin]] replicates the ENTIRE right side ×saltBuckets,

@@ -1036,6 +1036,25 @@ class CorpusSpec extends AnyFunSuite {
       .count() == 5)
     assert(Corpus.budgetSelect(docs, "doc_id", "score", "n", 0L)
       .count() == 0)
+    // null inputs refuse with a CLEAR message, not a driver NPE: a
+    // scoreless row cannot be ranked, a token-less row cannot be
+    // budgeted — and silence would mean a wrong budget
+    val nullScore = Seq((1L, Some(0.9), Some(100L)),
+      (2L, Option.empty[Double], Some(50L)))
+      .toDF("doc_id", "score", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(nullScore, "doc_id", "score", "n", 500L)
+        .count()
+    }
+    assert(e1.getMessage.contains("null or NaN"))
+    val nullTokens = Seq((1L, Some(0.9), Some(100L)),
+      (2L, Some(0.9), Option.empty[Long]))
+      .toDF("doc_id", "score", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(nullTokens, "doc_id", "score", "n", 500L)
+        .count()
+    }
+    assert(e2.getMessage.contains("without a token count"))
   }
 
   test("budgetSelect two-phase bucket prefix matches the naive global window on the corpus") {
