@@ -209,8 +209,14 @@ object Bench {
     // would train readers to ignore the bit
     val contendedThreshold =
       math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0)
-    // measured on idle round-close sweeps (r10/r11: end load ~2.05)
-    val ownLoad = 2.0
+    // the bench's own steady-state loadavg contribution, measured on
+    // idle round-close sweeps (r10/r11: end load ~2.05 on 32 cores)
+    // and scaled with the local[cpus] parallelism actually driving
+    // it — a constant calibrated on one box would false-flag every
+    // idle sweep on a larger host, training readers to ignore the
+    // bit (the floored-threshold argument above)
+    val ownLoad = math.max(2.0,
+      Runtime.getRuntime.availableProcessors() / 16.0)
     val contended = loadStart > contendedThreshold ||
       (loadEnd - ownLoad) > contendedThreshold ||
       spreadMed > 1.5

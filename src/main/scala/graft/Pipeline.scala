@@ -243,8 +243,12 @@ object Pipeline {
     * groupBy, epoch window — is per-shard work with no cross-shard
     * dependency. So a rebuild restricted to `shards = Some(ks)` reads
     * ONLY those silver partition directories (explicit-path read:
-    * pruning is structural, not optimizer-dependent) and overwrites
-    * ONLY those gold partitions (dynamic partition overwrite), which
+    * pruning is structural, not optimizer-dependent) and replaces
+    * ONLY those gold shard directories — staged, C11-audited, then
+    * swapped per `shard=` dir (the S18 write-audit-publish gate,
+    * hand-rolled delete+verified-rename per directory rather than
+    * Spark's dynamic partition overwrite, so a failing audit leaves
+    * the serving table untouched and the staging inspectable). That
     * is what keeps [[corpusIncrement]]'s daily gold cost proportional
     * to the batch's affected shards, never the corpus.
     */
@@ -312,7 +316,14 @@ object Pipeline {
       .foreach { st =>
         val dst = new org.apache.hadoop.fs.Path(
           s"$target/${st.getPath.getName}")
-        fs.delete(dst, true)
+        // verified delete: renaming into a still-existing directory
+        // NESTS the staged shard under the old one and returns true
+        // — the table would silently keep serving stale rows
+        if (fs.exists(dst) && !fs.delete(dst, true))
+          throw new IllegalStateException(
+            s"gold publish could not remove the previous shard dir " +
+              s"$dst — refusing to rename into an existing directory " +
+              s"(staged shards left at $staging)")
         if (!fs.rename(st.getPath, dst))
           throw new IllegalStateException(
             s"publish rename failed: ${st.getPath} -> $dst")

@@ -124,10 +124,11 @@ object Bm25 {
       .digest(term.getBytes("UTF-8"))
       .take(1).map("%02x".format(_)).mkString
 
+  // one shared resolver ([[graft.sources.Tables.fsFor]]) so "the same
+  // FS primitive as every publish path" is structural, not copy-paste
   private def fsFor(spark: org.apache.spark.sql.SparkSession,
                     path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    graft.sources.Tables.fsFor(spark, path)
 
   /** The `term_p=<prefix>` partition directories matching the query's
     * terms, across every batch LISTED IN THE META — EXPLICIT paths
@@ -548,7 +549,18 @@ object Bm25 {
     // IndexProtocol.clearStaleMarkers) — clear them now so no stale
     // clock survives a crash-recovery path into these batches'
     // eventual retirement and truncates the window promised there
-    IndexProtocol.clearStaleMarkers(fs, path, meta.batches)
+    val cleared = IndexProtocol.clearStaleMarkers(fs, path, meta.batches)
+    // if OUR swap loses the CAS, a marker cleared above may have been
+    // a concurrent drop's promised window (delisted between the
+    // re-read and the clear) — restore it before failing, so the
+    // losing compaction cannot erase the winner's grace promise
+    def swapRestoring(m: Bm25Meta): Unit =
+      try swapBm25Meta(fs, path, m, raw)
+      catch {
+        case e: graft.sources.MetaSwap.CasFailed =>
+          IndexProtocol.restorePendingDeletes(fs, path, cleared)
+          throw e
+      }
     def retireAllBut(keep: String): Unit = {
       beforeSweep()
       val now = System.currentTimeMillis()
@@ -593,7 +605,7 @@ object Bm25 {
       // swap loudly instead of having its published-but-not-yet-
       // committed directory swept out from under its commit
       beforeSwap()
-      swapBm25Meta(fs, path, meta, raw)
+      swapRestoring(meta)
       retireAllBut(meta.batches.head)
       return meta.batches.head
     }
@@ -662,10 +674,9 @@ object Bm25 {
     require(fs.rename(staging, target),
       s"cannot publish compacted batch $staging to $target")
     beforeSwap()
-    swapBm25Meta(fs, path, meta.copy(batches = Seq(cid),
+    swapRestoring(meta.copy(batches = Seq(cid),
       retired =
-        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)),
-      raw)
+        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)))
     // retire every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
     retireAllBut(cid)

@@ -610,25 +610,38 @@ object Corpus {
     val base = df.select(out: _*)
       .withColumn("__bk",
         floor(col(scoreCol) * buckets).cast("bigint"))
+    // non-finite scores do NOT floor to a null bucket — Spark casts
+    // floor(NaN) to bucket 0 and floor(±Inf) to Long.Min/MaxValue —
+    // so they must be counted explicitly or an Infinity row would
+    // silently outrank every real document
+    val sD = col(scoreCol).cast("double")
+    val nonFinite = isnan(sD) || sD === Double.PositiveInfinity ||
+      sD === Double.NegativeInfinity
     val totalRows = base.groupBy(col("__bk"))
       .agg(sum(col(nTokensCol).cast("bigint")).as("__bt"),
-        count(lit(1)).as("__n"), count(col(nTokensCol)).as("__nt"))
+        count(lit(1)).as("__n"), count(col(nTokensCol)).as("__nt"),
+        count(when(nonFinite, lit(1))).as("__nf"))
       .collect()
-    // REFUSE null/NaN inputs before touching any cell: a null (or
-    // NaN) score floors to a null bucket and a null token count
-    // undercounts its bucket's total — both would otherwise surface
-    // as an opaque driver NullPointerException (or a silently wrong
-    // budget); a budget selection must not guess what a null costs
+    // REFUSE null/NaN/Inf scores and null token counts before
+    // touching any cell: a null score floors to a null bucket (an
+    // opaque driver NullPointerException below), a non-finite one
+    // lands in a wrong-but-real bucket (a silently wrong budget),
+    // and a null token count undercounts its bucket's total — a
+    // budget selection must not guess what a row costs or scores.
+    // Row layout: (0) __bk, (1) __bt, (2) __n, (3) __nt, (4) __nf
     totalRows.foreach { r =>
-      if (r.isNullAt(0)) throw new IllegalArgumentException(
-        s"budgetSelect: $scoreCol is null or NaN on ${r.getLong(2)} " +
-          "row(s) — a scoreless row cannot be ranked against the " +
-          "budget; filter or impute upstream")
-      if (r.getLong(3) != r.getLong(2)) throw new IllegalArgumentException(
-        s"budgetSelect: $nTokensCol is null on " +
-          s"${r.getLong(2) - r.getLong(3)} row(s) in score bucket " +
-          s"${r.getLong(0)} — a row without a token count cannot be " +
-          "budgeted; filter or impute upstream")
+      if (r.isNullAt(0) || r.getLong(4) > 0)
+        throw new IllegalArgumentException(
+          s"budgetSelect: $scoreCol is null, NaN, or infinite on " +
+            s"${if (r.isNullAt(0)) r.getLong(2) else r.getLong(4)} " +
+            "row(s) — a scoreless row cannot be ranked against the " +
+            "budget; filter or impute upstream")
+      if (r.getLong(3) != r.getLong(2))
+        throw new IllegalArgumentException(
+          s"budgetSelect: $nTokensCol is null on " +
+            s"${r.getLong(2) - r.getLong(3)} row(s) in score bucket " +
+            s"${r.getLong(0)} — a row without a token count cannot " +
+            "be budgeted; filter or impute upstream")
     }
     val totals = totalRows
       .map(r => (r.getLong(0), r.getLong(1)))

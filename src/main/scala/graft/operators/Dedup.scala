@@ -450,10 +450,11 @@ object Dedup {
   private[graft] final case class IndexMeta(k: Int, rowsPerBand: Int,
                                             maxDocFreq: Int)
 
+  // one shared resolver ([[graft.sources.Tables.fsFor]]) so "the same
+  // FS primitive as every publish path" is structural, not copy-paste
   private def fsFor(df: DataFrame,
                     path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.sources.Tables.fsFor(df.sparkSession, path)
 
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")

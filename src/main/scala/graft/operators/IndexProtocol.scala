@@ -170,22 +170,27 @@ private[graft] object IndexProtocol {
     * (see there for the direction argument). Parse failures are
     * [[Corrupt]]; an IOException on open/read (the file EXISTS but
     * can't be read right now) is [[Unreadable]] — the two must not
-    * be conflated (see [[MarkerState]]).
+    * be conflated (see [[MarkerState]]). The existence CHECK itself
+    * sits OUTSIDE the catch: an exists() that throws says nothing
+    * about whether a marker is there at all, and mapping it to
+    * Unreadable would turn [[markPendingDelete]]'s "an existing
+    * marker's clock may be running — don't reset it" skip into a
+    * silent no-op on a batch that has NO marker (a grace promise
+    * silently never persisted); let it propagate and fail the
+    * maintenance call loudly instead.
     */
   private def readMarker(fs: FileSystem, p: Path): MarkerState =
-    try {
-      if (!fs.exists(p)) Absent
-      else {
-        val in = fs.open(p)
-        val s =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        try {
-          if (s.startsWith("deadline="))
-            Deadline(s.stripPrefix("deadline=").toLong)
-          else Deadline(s.toLong + LegacyGraceMs)
-        } catch { case _: NumberFormatException => Corrupt }
-      }
+    if (!fs.exists(p)) Absent
+    else try {
+      val in = fs.open(p)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      try {
+        if (s.startsWith("deadline="))
+          Deadline(s.stripPrefix("deadline=").toLong)
+        else Deadline(s.toLong + LegacyGraceMs)
+      } catch { case _: NumberFormatException => Corrupt }
     } catch {
       case _: java.io.FileNotFoundException => Absent
       case _: java.io.IOException => Unreadable
@@ -254,13 +259,40 @@ private[graft] object IndexProtocol {
     * the caller's own CAS swap, which would have caught the race,
     * only fails LATER. `candidates` bounds the clear to ids the
     * caller believes committed; the re-read intersection keeps it
-    * honest.
+    * honest. Returns the `(bid, deadline)` pairs actually cleared so
+    * the caller can RESTORE them if its own CAS later fails — the
+    * re-read narrows the erase-a-concurrent-drop's-marker race to
+    * microseconds but cannot close it; restore-on-CasFailed does
+    * ([[restorePendingDeletes]]).
     */
   def clearStaleMarkers(fs: FileSystem, root: String,
-                        candidates: Seq[String]): Unit = {
+                        candidates: Seq[String]): Seq[(String, Long)] = {
     val current = committedFromMeta(fs, root)
-    candidates.filter(current).foreach(clearPendingDelete(fs, root, _))
+    candidates.filter(current).flatMap { bid =>
+      readMarker(fs, pendingMarker(root, bid)) match {
+        case Deadline(ms) =>
+          clearPendingDelete(fs, root, bid)
+          Seq(bid -> ms)
+        case Corrupt =>
+          clearPendingDelete(fs, root, bid)
+          Seq.empty // nothing meaningful to restore
+        case Absent | Unreadable => Seq.empty
+      }
+    }
   }
+
+  /** Re-persist markers [[clearStaleMarkers]] erased, after the
+    * caller's CAS swap FAILED — the erased marker belonged to a
+    * concurrent drop that won the race, and its promised window must
+    * survive the losing compaction. First-marker-wins semantics: if
+    * the drop has already re-marked the batch, that fresher marker
+    * stays.
+    */
+  def restorePendingDeletes(fs: FileSystem, root: String,
+                            cleared: Seq[(String, Long)]): Unit =
+    cleared.foreach { case (bid, deadline) =>
+      markPendingDelete(fs, root, bid, deadline, 0L)
+    }
 
   /** Delete every pending batch directory whose PERSISTED deadline
     * has passed, plus its marker. A CORRUPT marker counts as expired

@@ -479,6 +479,18 @@ object Profiling {
         round(cov / (sqrt(varX) * sqrt(varY)), 6)))
   }
 
+  /** The per-key frequency histogram — THE single definition of key
+    * heat, consumed by both the P11 diagnostic ([[keySkewProfile]])
+    * and the §2.12 remedy ([[Skew.hotKeys]] → `saltedJoinHotKeys`),
+    * so the profile that says "this key is hot" and the join that
+    * salts it can never disagree on what the statistic is. One
+    * map-side-combinable groupBy; output `(k, c)` with the caller
+    * choosing the key normalization (the profile strings + buckets
+    * nulls, the remedy keeps the raw join key).
+    */
+  def keyFrequencies(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+
   /** P11 — per-key SKEW profile: the diagnostic that decides whether
     * a join/aggregation key needs the §2.12 remedies BEFORE the job
     * that discovers it the hard way. For each key column: row count,
@@ -498,18 +510,6 @@ object Profiling {
     * n_distinct does (≤ ~9·10¹⁵ — beyond that the ratio saturates
     * double precision anyway).
     */
-  /** The per-key frequency histogram — THE single definition of key
-    * heat, consumed by both the P11 diagnostic ([[keySkewProfile]])
-    * and the §2.12 remedy ([[Skew.hotKeys]] → `saltedJoinHotKeys`),
-    * so the profile that says "this key is hot" and the join that
-    * salts it can never disagree on what the statistic is. One
-    * map-side-combinable groupBy; output `(k, c)` with the caller
-    * choosing the key normalization (the profile strings + buckets
-    * nulls, the remedy keeps the raw join key).
-    */
-  def keyFrequencies(df: DataFrame, key: Column): DataFrame =
-    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
-
   def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
     keyCols.map { kc =>

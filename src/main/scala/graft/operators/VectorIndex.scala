@@ -61,10 +61,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  // one shared resolver ([[graft.sources.Tables.fsFor]]) so "the same
+  // FS primitive as every publish path" is structural, not copy-paste
   private def fsFor(spark: SparkSession,
                     path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    graft.sources.Tables.fsFor(spark, path)
 
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
@@ -443,7 +444,18 @@ object VectorIndex {
     // IndexProtocol.clearStaleMarkers) — clear them now so no stale
     // clock survives a crash-recovery path into these batches'
     // eventual retirement and truncates the window promised there
-    IndexProtocol.clearStaleMarkers(fs, path, meta.batches)
+    val cleared = IndexProtocol.clearStaleMarkers(fs, path, meta.batches)
+    // if OUR swap loses the CAS, a marker cleared above may have been
+    // a concurrent drop's promised window (delisted between the
+    // re-read and the clear) — restore it before failing, so the
+    // losing compaction cannot erase the winner's grace promise
+    def swapRestoring(m: VecMeta): Unit =
+      try swapMeta(fs, path, m, raw)
+      catch {
+        case e: graft.sources.MetaSwap.CasFailed =>
+          IndexProtocol.restorePendingDeletes(fs, path, cleared)
+          throw e
+      }
     def retireAllBut(keep: String): Unit = {
       beforeSweep()
       val now = System.currentTimeMillis()
@@ -491,7 +503,7 @@ object VectorIndex {
       // of having its published-but-not-yet-committed directory swept
       // out from under its commit
       beforeSwap()
-      swapMeta(fs, path, meta, raw)
+      swapRestoring(meta)
       retireAllBut(meta.batches.head)
       return meta.batches.head
     }
@@ -561,10 +573,9 @@ object VectorIndex {
       throw new IllegalStateException(
         s"cannot publish compacted batch $staging to $merged")
     beforeSwap()
-    swapMeta(fs, path, meta.copy(batches = Seq(cid),
+    swapRestoring(meta.copy(batches = Seq(cid),
       retired =
-        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)),
-      raw)
+        (meta.retired ++ meta.batches).distinct.takeRight(maxRetired)))
     // retire every batch dir off the committed list: superseded
     // payloads AND any invisible orphans a prior crash left behind
     retireAllBut(cid)

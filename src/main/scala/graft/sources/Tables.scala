@@ -362,9 +362,17 @@ object Tables {
                    nowMillis: Long = System.currentTimeMillis()): Boolean = {
     val fs = fsFor(df.sparkSession, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    val fresh = fs.exists(p) &&
-      (nowMillis - fs.getFileStatus(p).getModificationTime) <
-        maxAgeDays * 86400000L
+    // freshness = the NEWEST FILE's mtime, never the directory's: on
+    // an object store the "directory" is synthetic and its reported
+    // mtime is 0 or listing time depending on the connector — either
+    // would silently break the gate in one direction; file mtimes
+    // are real everywhere, and the listing is one metadata call
+    val fresh = fs.exists(p) && {
+      val files = fs.listStatus(p).filter(_.isFile)
+      files.nonEmpty &&
+        (nowMillis - files.map(_.getModificationTime).max) <
+          maxAgeDays * 86400000L
+    }
     if (fresh) false
     else { df.write.mode("overwrite").parquet(path); true }
   }
@@ -441,7 +449,15 @@ object Tables {
     df.write.mode("overwrite").parquet(staging.toString)
     val (rows, schema) = auditStaged(spark, staging.toString,
       expectations)
-    if (replace) fs.delete(target, true)
+    // the delete must be VERIFIED before the rename: Hadoop rename
+    // into a still-existing directory nests src under dst and
+    // returns true — a silently stale table instead of a loud
+    // publish failure
+    if (replace && fs.exists(target) && !fs.delete(target, true))
+      throw new IllegalStateException(
+        s"audited publish could not remove the previous target " +
+          s"$target — refusing to rename into an existing directory " +
+          s"(staged data left at $staging)")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(
         s"publish rename failed: $staging -> $target")

@@ -1046,7 +1046,22 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.budgetSelect(nullScore, "doc_id", "score", "n", 500L)
         .count()
     }
-    assert(e1.getMessage.contains("null or NaN"))
+    assert(e1.getMessage.contains("null, NaN, or infinite"))
+    // NaN and Infinity do NOT floor to a null bucket (NaN casts to
+    // bucket 0, +Inf to Long.MaxValue) — they must refuse explicitly,
+    // or an Infinity row would silently outrank every real document
+    val nanScore = Seq((1L, 0.9, 100L), (2L, Double.NaN, 50L))
+      .toDF("doc_id", "score", "n")
+    assert(intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(nanScore, "doc_id", "score", "n", 500L)
+        .count()
+    }.getMessage.contains("null, NaN, or infinite"))
+    val infScore = Seq((1L, 0.9, 100L),
+      (2L, Double.PositiveInfinity, 50L)).toDF("doc_id", "score", "n")
+    assert(intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(infScore, "doc_id", "score", "n", 500L)
+        .count()
+    }.getMessage.contains("null, NaN, or infinite"))
     val nullTokens = Seq((1L, Some(0.9), Some(100L)),
       (2L, Some(0.9), Option.empty[Long]))
       .toDF("doc_id", "score", "n")

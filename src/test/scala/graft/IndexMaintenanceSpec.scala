@@ -210,12 +210,27 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       // the id is committed); b2's is the drop's promised window
       IndexProtocol.markPendingDelete(fs, root, "b1", 1000L, 500L)
       IndexProtocol.markPendingDelete(fs, root, "b2", 1000L, 500L)
-      IndexProtocol.clearStaleMarkers(fs, root, Seq("b1", "b2"))
+      val cleared = IndexProtocol.clearStaleMarkers(fs, root,
+        Seq("b1", "b2"))
       assert(!IndexProtocol.hasPendingDelete(fs, root, "b1"),
         "the stale marker on a committed batch must clear")
       assert(IndexProtocol.hasPendingDelete(fs, root, "b2"),
         "the concurrently delisted batch's promised window must " +
           "survive the clear")
+      // the cleared pairs come back with their deadlines, so a
+      // compaction whose CAS later FAILS can restore what it erased
+      // (the residual microsecond race the re-read cannot close)
+      assert(cleared == Seq("b1" -> 1500L))
+      IndexProtocol.restorePendingDeletes(fs, root, cleared)
+      assert(IndexProtocol.pendingDeadline(fs, root, "b1")
+        .contains(1500L), "restore re-persists the erased deadline")
+      // restore is first-marker-wins: if the racing drop already
+      // re-marked the batch, its FRESHER window survives the restore
+      IndexProtocol.clearPendingDelete(fs, root, "b1")
+      IndexProtocol.markPendingDelete(fs, root, "b1", 9000L, 100L)
+      IndexProtocol.restorePendingDeletes(fs, root, cleared)
+      assert(IndexProtocol.pendingDeadline(fs, root, "b1")
+        .contains(9100L), "a fresher marker must win over the restore")
     } finally rmTree(dir)
   }
 
