@@ -106,7 +106,8 @@ object Bench {
       "q_schema_evolution", "q_bucketed_join", "q_skipping_read",
       "q_upsert", "q_write_audited",
       "q_pipeline_run", "q_dedup_index", "q_text_bm25_indexed",
-      "q_ann_index", "q_ann_snapshot", "q_namespace_init",
+      "q_ann_index", "q_ann_snapshot", "q_index_audit",
+      "q_namespace_init",
       "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate

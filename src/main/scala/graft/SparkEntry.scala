@@ -1348,6 +1348,40 @@ object SparkEntry {
         } finally rmTree(new java.io.File(dir))
       } finally cb.unpersist()
     }),
+    // ---- §2.7 A6d persisted-index integrity audit (fsck) ----
+    // build a real postings index (bootstrap + append), plant the
+    // three incident classes an operator meets — crashed-compaction
+    // residue (reserved merged shape), an unlisted orphan directory,
+    // a dangling grace marker — and audit: the report's per-status
+    // counts are STRUCTURE-driven (2 committed batches, 1 of each
+    // plant, current gen recorded), identical at every sf, and the
+    // oracle states them literally. The audit itself is pure
+    // metadata (one meta read + three listings), so its cost is
+    // independent of corpus size.
+    "q_index_audit" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fsck").toString
+      try {
+        graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
+          "doc_id", "text", dir)
+        graft.operators.Bm25.appendBm25Index(docs.filter(isNew),
+          "text", dir)
+        val fs = graft.sources.Tables.fsFor(s, dir)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$dir/batches/m0123456789abcdef"))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$dir/batches/orphan01"))
+        graft.operators.IndexProtocol.markPendingDelete(fs, dir,
+          "gonebatch01", 0L, 0L)
+        graft.operators.IndexAudit.audit(s, dir)
+          .groupBy(col("kind"), col("status"), col("healthy"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // bounded rows; release the temp dir
+      } finally rmTree(new java.io.File(dir))
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -4069,6 +4103,18 @@ object SparkEntry {
       """SELECT true AS vec_snapshot_exact, true AS bm25_snapshot_exact,
         |  true AS missing_gen_refused,
         |  (SELECT count(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // the audit report's per-status counts are structure-driven
+    // (2 committed batches, one planted finding of each incident
+    // class, current gen recorded) — the oracle states the expected
+    // inventory literally, independent of sf
+    "q_index_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('batch', 'committed_ok', true, CAST(2 AS BIGINT)),
+        |  ('dir', 'compaction_residue', true, CAST(1 AS BIGINT)),
+        |  ('dir', 'orphan', false, CAST(1 AS BIGINT)),
+        |  ('history', 'current_recorded', true, CAST(1 AS BIGINT)),
+        |  ('marker', 'dangling', true, CAST(1 AS BIGINT))
+        |) AS t(kind, status, healthy, n)""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS cell, embedding AS centv FROM embeddings

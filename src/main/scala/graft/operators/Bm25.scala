@@ -295,7 +295,13 @@ object Bm25 {
     IndexProtocol.clearPendingDelete(fs, path, bid)
     // crash residue (published dir, meta swap never committed):
     // invisible to probes, safe to redo
-    if (fs.exists(target)) fs.delete(target, true)
+    // VERIFIED delete: renaming into a still-existing directory
+    // nests the staged payload under the residue and returns true —
+    // the meta would commit a batch dir holding stale postings
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new IllegalStateException(
+        s"cannot reclaim crash residue at $target before publishing " +
+          s"batch $bid — refusing to rename into an existing directory")
     // the term_p partition dirs land DIRECTLY under the staged batch
     // dir, so one rename publishes batches/<bid>/term_p=xx/
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
@@ -659,7 +665,10 @@ object Bm25 {
       case _ => IndexProtocol.clearPendingDelete(fs, path, cid)
     }
     val target = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new IllegalStateException(
+        s"cannot reclaim crashed-compaction residue at $target — " +
+          "refusing to rename into an existing directory")
     val staging =
       new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
     fs.delete(staging, true)

@@ -273,25 +273,43 @@ private[graft] object IndexProtocol {
         case Deadline(ms) =>
           clearPendingDelete(fs, root, bid)
           Seq(bid -> ms)
-        case Corrupt =>
+        // a marker on a COMMITTED id is stale whatever its bytes say,
+        // so Corrupt and even transiently Unreadable markers still
+        // CLEAR (the pre-r12 unconditional behavior — skipping on a
+        // read hiccup would let the stale clock survive into the
+        // batch's retirement and truncate the promised window); they
+        // just contribute nothing restorable
+        case Corrupt | Unreadable =>
           clearPendingDelete(fs, root, bid)
-          Seq.empty // nothing meaningful to restore
-        case Absent | Unreadable => Seq.empty
+          Seq.empty
+        case Absent => Seq.empty
       }
     }
   }
 
   /** Re-persist markers [[clearStaleMarkers]] erased, after the
-    * caller's CAS swap FAILED — the erased marker belonged to a
-    * concurrent drop that won the race, and its promised window must
-    * survive the losing compaction. First-marker-wins semantics: if
-    * the drop has already re-marked the batch, that fresher marker
-    * stays.
+    * caller's CAS swap FAILED — the erased marker may have belonged
+    * to a concurrent drop that won the race, and its promised window
+    * must survive the losing compaction. First-marker-wins: if the
+    * drop has already re-marked the batch, that fresher marker stays.
+    * The restored deadline is FLOORED at now + [[OrphanGraceMs]]: the
+    * captured deadline may be a stale EXPIRED clock read moments
+    * before the racing drop delisted the batch, and re-persisting it
+    * verbatim would reclaim the drop's directory immediately — the
+    * floor guarantees at least the orphan window (the same bound an
+    * unmarked delisted dir gets), at worst delaying residue reclaim
+    * by minutes. If the batch is in fact still COMMITTED (no drop
+    * raced — the common CAS-failure cause is an appended batch), the
+    * restored marker is the stale artifact again and the next sweep's
+    * committed rail clears it without deleting anything.
     */
   def restorePendingDeletes(fs: FileSystem, root: String,
-                            cleared: Seq[(String, Long)]): Unit =
+                            cleared: Seq[(String, Long)],
+                            nowMs: Long = System.currentTimeMillis())
+      : Unit =
     cleared.foreach { case (bid, deadline) =>
-      markPendingDelete(fs, root, bid, deadline, 0L)
+      markPendingDelete(fs, root, bid,
+        math.max(deadline, nowMs + OrphanGraceMs), 0L)
     }
 
   /** Delete every pending batch directory whose PERSISTED deadline
@@ -401,14 +419,117 @@ private[graft] object IndexProtocol {
     */
   def listsFromMeta(fs: FileSystem,
                     root: String): (Set[String], Set[String]) = {
-    val raw = graft.sources.MetaSwap.readCommitted(fs,
-      new Path(s"$root/_meta"))
-    val kv = new String(raw, "UTF-8").linesIterator
-      .map(_.split("=", 2)).collect {
-        case Array(a, b) => a -> b
-      }.toMap
+    val kv = metaKv(fs, root)
     def parse(k: String) = kv.getOrElse(k, "")
       .split(",").toSeq.filter(_.nonEmpty).toSet
     (parse("batches"), parse("retired"))
+  }
+
+  /** The full key→value map of the index's committed `_meta` marker
+    * (both index metas are `k=v` lines) — the audit's raw view.
+    */
+  def metaKv(fs: FileSystem, root: String): Map[String, String] = {
+    val raw = graft.sources.MetaSwap.readCommitted(fs,
+      new Path(s"$root/_meta"))
+    new String(raw, "UTF-8").linesIterator
+      .map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b
+      }.toMap
+  }
+
+  /** One audit finding: `kind` names the inventory the entity came
+    * from (batch / dir / marker / history), `name` the entity,
+    * `status` its classification, `healthy` whether the finding is an
+    * expected lifecycle state (true) or an inconsistency a deployment
+    * should act on (false).
+    */
+  final case class AuditFinding(kind: String, name: String,
+                                status: String, healthy: Boolean)
+
+  /** INTEGRITY AUDIT (fsck) of a persisted-index root — the
+    * never-trust-the-filesystem pass an operator runs before relying
+    * on an index after an incident. Classifies every meta entry,
+    * batch directory, pending-delete marker, and the snapshot-history
+    * log against the committed truth, using the same readers the
+    * probes use. Pure METADATA cost: one meta read plus three
+    * directory listings — bounded by batch count (compaction bounds
+    * that), never by data size, so it is free at 100 TB.
+    *
+    * Statuses (healthy=true unless noted):
+    *  - batch/committed_ok — committed id, payload directory present
+    *  - batch/committed_missing_payload (UNHEALTHY) — committed id
+    *    with NO directory: probes will fail; restore the directory or
+    *    drop the batch explicitly
+    *  - batch/retired_reclaimed — retired id, directory gone
+    *  - batch/retired_awaiting_reclaim — retired id, directory still
+    *    present (inside a grace window or awaiting the next sweep)
+    *  - dir/compaction_residue — unlisted directory in the reserved
+    *    merged shape: a crashed compaction's leftovers, reclaimed by
+    *    the next maintenance call
+    *  - dir/delisted_in_grace — unlisted directory whose marker
+    *    deadline is still in the future
+    *  - dir/delisted_reclaimable — unlisted directory whose marker
+    *    deadline has passed (the next sweep deletes it)
+    *  - dir/orphan (UNHEALTHY-adjacent, reported unhealthy) — an
+    *    unlisted, unmarked append-shaped directory: crash residue or
+    *    an in-flight publish; the orphan-grace floor protects it, but
+    *    an audit should surface it
+    *  - marker/stale_on_committed (UNHEALTHY) — a pending-delete
+    *    marker for a COMMITTED id (a swept-over publish-race
+    *    artifact; the next sweep or compaction entry clears it)
+    *  - marker/dangling — a marker whose directory is already gone
+    *    (cleared by the next sweep; healthy)
+    *  - history/current_recorded / history/current_missing
+    *    (UNHEALTHY when missing) — whether the CURRENT gen's snapshot
+    *    record survives (a crash between swap and record loses it;
+    *    the live index is intact but `topKAt(currentGen)` refuses)
+    */
+  def auditIndex(fs: FileSystem, root: String,
+                 nowMs: Long = System.currentTimeMillis())
+      : Seq[AuditFinding] = {
+    val kv = metaKv(fs, root)
+    def parse(k: String) = kv.getOrElse(k, "")
+      .split(",").toSeq.filter(_.nonEmpty)
+    val committed = parse("batches")
+    val retired = parse("retired")
+    val gen = kv.getOrElse("gen", "0").toLong
+    def names(p: Path): Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val dirs = names(new Path(s"$root/batches")).toSet
+    val markers = names(pendingDir(root))
+    val batchRows =
+      committed.map { b =>
+        if (dirs(b)) AuditFinding("batch", b, "committed_ok", true)
+        else AuditFinding("batch", b, "committed_missing_payload", false)
+      } ++ retired.map { b =>
+        if (dirs(b))
+          AuditFinding("batch", b, "retired_awaiting_reclaim", true)
+        else AuditFinding("batch", b, "retired_reclaimed", true)
+      }
+    val listed = committed.toSet ++ retired.toSet
+    val dirRows = dirs.toSeq.sorted.filterNot(listed).map { d =>
+      if (isMergedShape(d))
+        AuditFinding("dir", d, "compaction_residue", true)
+      else pendingDeadline(fs, root, d) match {
+        case Some(dl) if dl > nowMs =>
+          AuditFinding("dir", d, "delisted_in_grace", true)
+        case Some(_) =>
+          AuditFinding("dir", d, "delisted_reclaimable", true)
+        case None => AuditFinding("dir", d, "orphan", false)
+      }
+    }
+    val markerRows = markers.sorted.flatMap { m =>
+      if (committed.contains(m))
+        Seq(AuditFinding("marker", m, "stale_on_committed", false))
+      else if (!dirs(m)) Seq(AuditFinding("marker", m, "dangling", true))
+      else Seq.empty // a live grace window — already reported as dir/*
+    }
+    val historyRows = Seq(
+      if (readMetaHistory(fs, root, gen).isDefined)
+        AuditFinding("history", gen.toString, "current_recorded", true)
+      else
+        AuditFinding("history", gen.toString, "current_missing", false))
+    batchRows ++ dirRows ++ markerRows ++ historyRows
   }
 }

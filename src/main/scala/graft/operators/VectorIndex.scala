@@ -191,7 +191,13 @@ object VectorIndex {
     IndexProtocol.clearPendingDelete(fs, path, bid)
     // crash residue (published dir, meta swap never committed):
     // invisible to probes, safe to redo wholesale
-    if (fs.exists(target)) fs.delete(target, true)
+    // VERIFIED delete: renaming into a still-existing directory
+    // nests the staged payload under the residue and returns true —
+    // the meta would commit a batch dir holding stale files
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new IllegalStateException(
+        s"cannot reclaim crash residue at $target before publishing " +
+          s"batch $bid — refusing to rename into an existing directory")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$bid"),
       true)
     val staging = new org.apache.hadoop.fs.Path(
@@ -560,7 +566,10 @@ object VectorIndex {
     val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     // residue from a crashed earlier compaction of the SAME list is
     // safe to rebuild wholesale — it was never committed
-    if (fs.exists(merged)) fs.delete(merged, true)
+    if (fs.exists(merged) && !fs.delete(merged, true))
+      throw new IllegalStateException(
+        s"cannot reclaim crashed-compaction residue at $merged — " +
+          "refusing to rename into an existing directory")
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
     fs.delete(staging, true)
     // DEFRAGMENT, not just merge (the compactBm25Index rationale):

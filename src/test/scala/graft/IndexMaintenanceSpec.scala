@@ -190,6 +190,19 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       // once the FS recovers, the next sweep reclaims normally
       assert(IndexProtocol.sweepPendingDeletes(real, root,
         1000000L, Set.empty) == Seq("bx"))
+      // but a marker on a COMMITTED id clears even through the flaky
+      // FS — stale whatever its unreadable bytes say (skipping on a
+      // read hiccup would let the stale clock survive into the
+      // batch's retirement); it just contributes nothing restorable
+      real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/bx"))
+      val out = real.create(
+        new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
+      try out.write("batches=bx\nretired=\ngen=1\n".getBytes("UTF-8"))
+      finally out.close()
+      IndexProtocol.markPendingDelete(real, root, "bx", 1000L, 500L)
+      assert(IndexProtocol.clearStaleMarkers(flaky, root, Seq("bx"))
+        .isEmpty)
+      assert(!IndexProtocol.hasPendingDelete(real, root, "bx"))
     } finally rmTree(dir)
   }
 
@@ -221,14 +234,25 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       // compaction whose CAS later FAILS can restore what it erased
       // (the residual microsecond race the re-read cannot close)
       assert(cleared == Seq("b1" -> 1500L))
-      IndexProtocol.restorePendingDeletes(fs, root, cleared)
+      // restore FLOORS at now + orphan grace: the captured clock may
+      // be a stale EXPIRED deadline, and re-persisting it verbatim
+      // would reclaim a racing drop's directory immediately
+      IndexProtocol.restorePendingDeletes(fs, root, cleared, nowMs = 0L)
       assert(IndexProtocol.pendingDeadline(fs, root, "b1")
-        .contains(1500L), "restore re-persists the erased deadline")
+        .contains(IndexProtocol.OrphanGraceMs),
+        "an expired captured deadline restores at the orphan floor")
+      // a captured deadline beyond the floor is preserved verbatim
+      IndexProtocol.clearPendingDelete(fs, root, "b1")
+      val far = IndexProtocol.OrphanGraceMs + 123456L
+      IndexProtocol.restorePendingDeletes(fs, root, Seq("b1" -> far),
+        nowMs = 0L)
+      assert(IndexProtocol.pendingDeadline(fs, root, "b1")
+        .contains(far), "a future captured deadline restores as-is")
       // restore is first-marker-wins: if the racing drop already
       // re-marked the batch, its FRESHER window survives the restore
       IndexProtocol.clearPendingDelete(fs, root, "b1")
       IndexProtocol.markPendingDelete(fs, root, "b1", 9000L, 100L)
-      IndexProtocol.restorePendingDeletes(fs, root, cleared)
+      IndexProtocol.restorePendingDeletes(fs, root, cleared, nowMs = 0L)
       assert(IndexProtocol.pendingDeadline(fs, root, "b1")
         .contains(9100L), "a fresher marker must win over the restore")
     } finally rmTree(dir)
