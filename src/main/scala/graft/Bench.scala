@@ -107,7 +107,7 @@ object Bench {
       "q_upsert", "q_write_audited",
       "q_pipeline_run", "q_dedup_index", "q_text_bm25_indexed",
       "q_ann_index", "q_ann_snapshot", "q_index_audit",
-      "q_namespace_init",
+      "q_index_repair", "q_namespace_init",
       "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate

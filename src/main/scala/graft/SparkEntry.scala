@@ -1382,6 +1382,60 @@ object SparkEntry {
           .localCheckpoint() // bounded rows; release the temp dir
       } finally rmTree(new java.io.File(dir))
     }),
+    // ---- §2.7 A6e fsck REPAIR (diagnose → remedy, closed loop) ----
+    // plant the full repairable incident set on a live index — stale
+    // marker on a committed batch, dangling marker, orphan dir,
+    // crashed-compaction residue, a LOST current-gen snapshot record
+    // — run repair once, and pin the outcome: each action executed
+    // exactly once, the residue physically reclaimed in the same
+    // call, the index auditing healthy afterwards, and the re-recorded
+    // history record serving the as-of-gen probe again (the one lost-
+    // record case that IS recoverable, because the current meta holds
+    // that gen's bytes).
+    "q_index_repair" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-repair").toString
+      try {
+        graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
+          "doc_id", "text", dir)
+        graft.operators.Bm25.appendBm25Index(docs.filter(isNew),
+          "text", dir)
+        val fs = graft.sources.Tables.fsFor(s, dir)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$dir/batches/m0123456789abcdef"))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$dir/batches/orphan01"))
+        graft.operators.IndexProtocol.markPendingDelete(fs, dir,
+          "gonebatch01", 0L, 0L)
+        val committedId = graft.operators.IndexProtocol
+          .committedFromMeta(fs, dir).toSeq.sorted.head
+        graft.operators.IndexProtocol.markPendingDelete(fs, dir,
+          committedId, 0L, 0L)
+        val gen = graft.operators.Bm25.currentGen(s, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/_meta_history/$gen"), false)
+        val acts = graft.operators.IndexAudit.repair(s, dir)
+          .collect().map(_.getString(2))
+        def n(a: String) = acts.count(_ == a).toLong
+        val healthyAfter = graft.operators.IndexAudit.isHealthy(s, dir)
+        val snapServed =
+          try graft.operators.Bm25.bm25TopKIndexedAt(s, dir, gen,
+            "fast vector hash join", k = 5).collect().nonEmpty
+          catch { case _: graft.SnapshotUnavailable => false }
+        import s.implicits._
+        Seq((n("cleared_stale_marker"), n("cleared_dangling_marker"),
+            n("scheduled_reclaim_orphan_grace"), n("scheduled_reclaim"),
+            n("rerecorded_from_meta"), n("reclaimed"),
+            healthyAfter, snapServed))
+          .toDF("stale_cleared", "dangling_cleared",
+            "orphans_scheduled", "residue_scheduled",
+            "history_rerecorded", "dirs_reclaimed",
+            "healthy_after", "snapshot_served")
+      } finally rmTree(new java.io.File(dir))
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -4115,6 +4169,18 @@ object SparkEntry {
         |  ('history', 'current_recorded', true, CAST(1 AS BIGINT)),
         |  ('marker', 'dangling', true, CAST(1 AS BIGINT))
         |) AS t(kind, status, healthy, n)""".stripMargin,
+    // repair outcome: every planted incident remediated exactly once
+    // (the orphan only SCHEDULED — it may be an in-flight publish, so
+    // it gets the grace floor, never an instant delete), the index
+    // healthy afterwards, the re-recorded snapshot record serving
+    "q_index_repair" ->
+      """SELECT CAST(1 AS BIGINT) AS stale_cleared,
+        |  CAST(1 AS BIGINT) AS dangling_cleared,
+        |  CAST(1 AS BIGINT) AS orphans_scheduled,
+        |  CAST(1 AS BIGINT) AS residue_scheduled,
+        |  CAST(1 AS BIGINT) AS history_rerecorded,
+        |  CAST(1 AS BIGINT) AS dirs_reclaimed,
+        |  true AS healthy_after, true AS snapshot_served""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS cell, embedding AS centv FROM embeddings

@@ -48,4 +48,70 @@ object IndexAudit {
     IndexProtocol.auditIndex(
       graft.sources.Tables.fsFor(spark, path), path, nowMs)
       .forall(_.healthy)
+
+  /** Execute the SAFE remediations for the audit's findings — the
+    * P11→X2b diagnose-then-remedy pattern applied to the index
+    * protocol itself. A MAINTENANCE call (the single-logical-writer
+    * contract applies: run it in the ingest scheduler's slot). Every
+    * action either re-establishes an invariant or starts a bounded
+    * reclaim clock; nothing committed is ever touched:
+    *
+    *  - stale marker on a committed id → cleared (what the next
+    *    sweep's committed rail would do);
+    *  - dangling marker (directory already gone) → cleared;
+    *  - orphan directory → scheduled for reclaim with the ORPHAN
+    *    GRACE floor, never deleted now (it may be an in-flight
+    *    publish — the same ambiguity argument as compaction's
+    *    retire sweep);
+    *  - compaction residue (reserved merged shape, unambiguous) →
+    *    scheduled for immediate reclaim;
+    *  - missing current-gen history record → RE-RECORDED from the
+    *    committed `_meta` bytes (the one lost-record case that is
+    *    recoverable, because the current meta IS that gen's bytes —
+    *    `topKAt(currentGen)` serves again);
+    *  - a committed batch with lost payload is NOT repairable from
+    *    metadata — reported as `unrepairable_missing_payload` so the
+    *    operator restores the directory or drops the batch
+    *    explicitly;
+    *  - finally one sweep reclaims whatever clock has already
+    *    expired (railed on the re-read committed list, as always).
+    *
+    * Returns one row per action taken: (kind, name, action).
+    */
+  def repair(spark: SparkSession, path: String,
+             nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    val fs = graft.sources.Tables.fsFor(spark, path)
+    val actions = IndexProtocol.auditIndex(fs, path, nowMs).flatMap {
+      case IndexProtocol.AuditFinding("marker", m,
+          "stale_on_committed", _) =>
+        IndexProtocol.clearPendingDelete(fs, path, m)
+        Seq(("marker", m, "cleared_stale_marker"))
+      case IndexProtocol.AuditFinding("marker", m, "dangling", _) =>
+        IndexProtocol.clearPendingDelete(fs, path, m)
+        Seq(("marker", m, "cleared_dangling_marker"))
+      case IndexProtocol.AuditFinding("dir", d, "orphan", _) =>
+        IndexProtocol.markPendingDelete(fs, path, d, nowMs,
+          IndexProtocol.OrphanGraceMs)
+        Seq(("dir", d, "scheduled_reclaim_orphan_grace"))
+      case IndexProtocol.AuditFinding("dir", d,
+          "compaction_residue", _) =>
+        IndexProtocol.markPendingDelete(fs, path, d, nowMs, 0L)
+        Seq(("dir", d, "scheduled_reclaim"))
+      case IndexProtocol.AuditFinding("history", g,
+          "current_missing", _) =>
+        val raw = graft.sources.MetaSwap.readCommitted(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_meta"))
+        IndexProtocol.recordMetaHistory(fs, path, g.toLong, raw)
+        Seq(("history", g, "rerecorded_from_meta"))
+      case IndexProtocol.AuditFinding("batch", b,
+          "committed_missing_payload", _) =>
+        Seq(("batch", b, "unrepairable_missing_payload"))
+      case _ => Seq.empty
+    }
+    val swept = IndexProtocol.sweepPendingDeletes(fs, path, nowMs,
+      IndexProtocol.committedFromMeta(fs, path))
+      .map(b => ("dir", b, "reclaimed"))
+    import spark.implicits._
+    (actions ++ swept).toDF("kind", "name", "action")
+  }
 }

@@ -113,4 +113,67 @@ class IndexAuditSpec extends AnyFunSuite {
       assert(IndexAudit.isHealthy(spark, path))
     } finally rmTree(dir)
   }
+
+  test("repair remediates every repairable incident once, reports the " +
+      "unrepairable one, and the re-recorded snapshot serves again") {
+    import spark.implicits._
+    val dir = tmp("fsck-repair")
+    try {
+      val path = dir.toString
+      val fs = hadoopFs(path)
+      val docs = Seq((1L, "vector hash join fast pipeline"),
+        (2L, "hash join table scan"),
+        (3L, "completely unrelated prose text"),
+        (4L, "fast scan over the hash table")).toDF("doc_id", "text")
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path)
+      // the full repairable incident set
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$path/batches/m0123456789abcdef"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batches/orphan01"))
+      IndexProtocol.markPendingDelete(fs, path, "gonebatch01", 0L, 0L)
+      val committedId = IndexProtocol.committedFromMeta(fs, path)
+        .toSeq.sorted.head
+      IndexProtocol.markPendingDelete(fs, path, committedId, 0L, 0L)
+      val gen = Bm25.currentGen(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_meta_history/$gen"), false)
+      intercept[SnapshotUnavailable] {
+        Bm25.bm25TopKIndexedAt(spark, path, gen, "fast vector hash",
+          k = 5).collect()
+      }
+      val acts = IndexAudit.repair(spark, path).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts == Set(
+        (committedId, "cleared_stale_marker"),
+        ("gonebatch01", "cleared_dangling_marker"),
+        ("orphan01", "scheduled_reclaim_orphan_grace"),
+        ("m0123456789abcdef", "scheduled_reclaim"),
+        (gen.toString, "rerecorded_from_meta"),
+        ("m0123456789abcdef", "reclaimed")))
+      // healthy afterwards; the orphan sits in its grace window
+      // (delisted_in_grace, healthy) instead of deleted — it may
+      // have been an in-flight publish
+      assert(IndexAudit.isHealthy(spark, path))
+      assert(new java.io.File(s"$path/batches/orphan01").exists())
+      assert(!new java.io.File(
+        s"$path/batches/m0123456789abcdef").exists())
+      // the re-recorded history record makes the as-of-gen probe
+      // serve again, identical to the live probe (same committed view)
+      assert(Bm25.bm25TopKIndexedAt(spark, path, gen,
+        "fast vector hash join", k = 10).collect().toSet ==
+        Bm25.bm25TopKIndexed(spark, path,
+          "fast vector hash join", k = 10).collect().toSet)
+      // the one UNREPAIRABLE incident is reported, not papered over:
+      // a committed batch whose payload is gone needs the operator
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/batches/$committedId"), true)
+      val acts2 = IndexAudit.repair(spark, path).collect()
+        .map(_.getString(2)).toSeq
+      assert(acts2.contains("unrepairable_missing_payload"))
+      assert(!IndexAudit.isHealthy(spark, path))
+    } finally rmTree(dir)
+  }
 }
