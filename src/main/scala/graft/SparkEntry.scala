@@ -25,6 +25,33 @@ object SparkEntry {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Shared fixture of the two fsck gates (q_index_audit /
+    * q_index_repair): a REAL postings index over the documents table
+    * (80% bootstrap + 20% append) with the common incident plants —
+    * crashed-compaction residue (reserved merged shape), an orphan
+    * directory, a dangling grace marker. One definition so the two
+    * gates' oracles can never desynchronize on what was planted.
+    * Returns the index root's FileSystem for further plants.
+    */
+  private def plantedIndexFixture(s: SparkSession, d: String,
+                                  dir: String)
+      : org.apache.hadoop.fs.FileSystem = {
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
+    graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
+      "doc_id", "text", dir)
+    graft.operators.Bm25.appendBm25Index(docs.filter(isNew), "text",
+      dir)
+    val fs = graft.sources.Tables.fsFor(s, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/batches/m0123456789abcdef"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/batches/orphan01"))
+    graft.operators.IndexProtocol.markPendingDelete(fs, dir,
+      "gonebatch01", 0L, 0L)
+    fs
+  }
+
   /** Stage `copies` copies of the events table in a throwaway dir,
     * run `pipeline` over a file-source stream of it to completion, and
     * return the streamed result, fully detached from the run's
@@ -1359,23 +1386,10 @@ object SparkEntry {
     // metadata (one meta read + three listings), so its cost is
     // independent of corpus size.
     "q_index_audit" -> ((s, d) => {
-      val docs = Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-      val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
       val dir = java.nio.file.Files
         .createTempDirectory("graft-fsck").toString
       try {
-        graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
-          "doc_id", "text", dir)
-        graft.operators.Bm25.appendBm25Index(docs.filter(isNew),
-          "text", dir)
-        val fs = graft.sources.Tables.fsFor(s, dir)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$dir/batches/m0123456789abcdef"))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$dir/batches/orphan01"))
-        graft.operators.IndexProtocol.markPendingDelete(fs, dir,
-          "gonebatch01", 0L, 0L)
+        plantedIndexFixture(s, d, dir)
         graft.operators.IndexAudit.audit(s, dir)
           .groupBy(col("kind"), col("status"), col("healthy"))
           .agg(count(lit(1)).as("n"))
@@ -1393,23 +1407,12 @@ object SparkEntry {
     // record case that IS recoverable, because the current meta holds
     // that gen's bytes).
     "q_index_repair" -> ((s, d) => {
-      val docs = Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-      val isNew = Corpus.hashBucket(col("doc_id"), "binc", 5) === 0
       val dir = java.nio.file.Files
         .createTempDirectory("graft-repair").toString
       try {
-        graft.operators.Bm25.writeBm25Index(docs.filter(!isNew),
-          "doc_id", "text", dir)
-        graft.operators.Bm25.appendBm25Index(docs.filter(isNew),
-          "text", dir)
-        val fs = graft.sources.Tables.fsFor(s, dir)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$dir/batches/m0123456789abcdef"))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$dir/batches/orphan01"))
-        graft.operators.IndexProtocol.markPendingDelete(fs, dir,
-          "gonebatch01", 0L, 0L)
+        val fs = plantedIndexFixture(s, d, dir)
+        // two plants beyond the shared fixture: a stale marker on a
+        // committed batch, and a LOST current-gen snapshot record
         val committedId = graft.operators.IndexProtocol
           .committedFromMeta(fs, dir).toSeq.sorted.head
         graft.operators.IndexProtocol.markPendingDelete(fs, dir,

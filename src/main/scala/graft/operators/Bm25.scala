@@ -305,7 +305,12 @@ object Bm25 {
     // the term_p partition dirs land DIRECTLY under the staged batch
     // dir, so one rename publishes batches/<bid>/term_p=xx/
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
-    fs.delete(staging, true)
+    // verified wipe for uniformity (the overwrite below replaces the
+    // whole staging dir, but a silent false from delete must not pass)
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale staging at $staging before publishing " +
+          s"batch $bid")
     val base = graft.sources.Tables.fanOut(
         docs.select(col(idCol),
           graft.functions.TextFunctions.bpeTokens(lower(col(textCol)))
@@ -671,7 +676,9 @@ object Bm25 {
           "refusing to rename into an existing directory")
     val staging =
       new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
-    fs.delete(staging, true)
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale compaction staging at $staging")
     // DEFRAGMENT, not just merge: cluster rows by their partition
     // value before the write so each term_p dir lands as one file
     // per writing task that owns the prefix (~1), instead of one

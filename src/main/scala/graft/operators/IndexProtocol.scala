@@ -277,11 +277,18 @@ private[graft] object IndexProtocol {
         // so Corrupt and even transiently Unreadable markers still
         // CLEAR (the pre-r12 unconditional behavior — skipping on a
         // read hiccup would let the stale clock survive into the
-        // batch's retirement and truncate the promised window); they
-        // just contribute nothing restorable
-        case Corrupt | Unreadable =>
+        // batch's retirement and truncate the promised window). A
+        // corrupt marker contributes nothing restorable (its clock is
+        // already defined as expired), but an UNREADABLE one might
+        // have been a racing drop's fresh window — record it with
+        // deadline 0 so restore-on-CasFailed re-marks it at the
+        // orphan-grace floor instead of losing it entirely
+        case Corrupt =>
           clearPendingDelete(fs, root, bid)
           Seq.empty
+        case Unreadable =>
+          clearPendingDelete(fs, root, bid)
+          Seq(bid -> 0L)
         case Absent => Seq.empty
       }
     }
@@ -463,13 +470,21 @@ private[graft] object IndexProtocol {
     *  - batch/retired_reclaimed — retired id, directory gone
     *  - batch/retired_awaiting_reclaim — retired id, directory still
     *    present (inside a grace window or awaiting the next sweep)
-    *  - dir/compaction_residue — unlisted directory in the reserved
-    *    merged shape: a crashed compaction's leftovers, reclaimed by
-    *    the next maintenance call
     *  - dir/delisted_in_grace — unlisted directory whose marker
-    *    deadline is still in the future
+    *    deadline is still in the future (marker state decides BEFORE
+    *    shape: a dropped pre-reservation squatter on the merged shape
+    *    inside its window is in-grace, not residue)
     *  - dir/delisted_reclaimable — unlisted directory whose marker
-    *    deadline has passed (the next sweep deletes it)
+    *    deadline has passed, or whose marker is CORRUPT (corrupt
+    *    counts as expired by protocol definition; the next sweep
+    *    deletes it)
+    *  - dir/marker_unreadable — unlisted directory whose marker
+    *    exists but cannot be read right now (transient FS failure;
+    *    self-healing, surfaced so a persistent read problem shows up
+    *    across repeated audits)
+    *  - dir/compaction_residue — unlisted UNMARKED directory in the
+    *    reserved merged shape: a crashed compaction's leftovers,
+    *    reclaimed by the next maintenance call
     *  - dir/orphan (UNHEALTHY-adjacent, reported unhealthy) — an
     *    unlisted, unmarked append-shaped directory: crash residue or
     *    an in-flight publish; the orphan-grace floor protects it, but
@@ -508,15 +523,26 @@ private[graft] object IndexProtocol {
         else AuditFinding("batch", b, "retired_reclaimed", true)
       }
     val listed = committed.toSet ++ retired.toSet
+    // the MARKER state decides first — a dropped pre-reservation
+    // squatter on the merged shape still inside its grace window must
+    // audit as delisted_in_grace, not as residue a repair would
+    // (falsely) report scheduling; only an UNMARKED dir classifies by
+    // shape. A corrupt marker is already-expired by protocol
+    // definition (the sweep reclaims it) → delisted_reclaimable; a
+    // transiently unreadable one is its own status — self-healing,
+    // surfaced so repeated audits show a persistent read problem
     val dirRows = dirs.toSeq.sorted.filterNot(listed).map { d =>
-      if (isMergedShape(d))
-        AuditFinding("dir", d, "compaction_residue", true)
-      else pendingDeadline(fs, root, d) match {
-        case Some(dl) if dl > nowMs =>
+      readMarker(fs, pendingMarker(root, d)) match {
+        case Deadline(dl) if dl > nowMs =>
           AuditFinding("dir", d, "delisted_in_grace", true)
-        case Some(_) =>
+        case Deadline(_) | Corrupt =>
           AuditFinding("dir", d, "delisted_reclaimable", true)
-        case None => AuditFinding("dir", d, "orphan", false)
+        case Unreadable =>
+          AuditFinding("dir", d, "marker_unreadable", true)
+        case Absent =>
+          if (isMergedShape(d))
+            AuditFinding("dir", d, "compaction_residue", true)
+          else AuditFinding("dir", d, "orphan", false)
       }
     }
     val markerRows = markers.sorted.flatMap { m =>

@@ -198,8 +198,16 @@ object VectorIndex {
       throw new IllegalStateException(
         s"cannot reclaim crash residue at $target before publishing " +
           s"batch $bid — refusing to rename into an existing directory")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging/$bid"),
-      true)
+    // VERIFIED staging wipe: the rename source is the staging
+    // PARENT and the write below only refreshes its cellCodes child,
+    // so a failed delete could leave stale siblings from a crashed
+    // earlier publish that the rename would commit
+    val stagingRoot =
+      new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
+    if (fs.exists(stagingRoot) && !fs.delete(stagingRoot, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale staging at $stagingRoot before " +
+          s"publishing batch $bid")
     val staging = new org.apache.hadoop.fs.Path(
       s"$path/_staging/$bid/cellCodes")
     Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
@@ -571,7 +579,11 @@ object VectorIndex {
         s"cannot reclaim crashed-compaction residue at $merged — " +
           "refusing to rename into an existing directory")
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
-    fs.delete(staging, true)
+    // verified wipe — the write below refreshes only the cellCodes
+    // child of the rename source (publishBatch's rationale)
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale compaction staging at $staging")
     // DEFRAGMENT, not just merge (the compactBm25Index rationale):
     // cluster rows by cell before the write so each cell dir
     // lands as ~one file instead of one per (task × cell)

@@ -44,6 +44,19 @@ class IndexAuditSpec extends AnyFunSuite {
       mkDir("g2"); IndexProtocol.markPendingDelete(fs, root, "g2",
         1000L, 9000L) // deadline 10000
       mkDir("o1")
+      // a dropped pre-reservation SQUATTER on the merged shape, still
+      // inside its window: the marker must decide BEFORE the shape,
+      // or repair would falsely report scheduling residue every run
+      mkDir("m1111111111111111")
+      IndexProtocol.markPendingDelete(fs, root, "m1111111111111111",
+        1000L, 9000L)
+      // a delisted dir whose marker bytes are CORRUPT: corrupt counts
+      // as expired by protocol definition — reclaimable, not an alarm
+      mkDir("c1")
+      java.nio.file.Files.write(
+        new java.io.File(s"$root/_pending_delete/c1").toPath,
+        "garbage".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE)
       // markers: stale on committed b1, dangling for a gone dir
       IndexProtocol.markPendingDelete(fs, root, "b1", 0L, 0L)
       IndexProtocol.markPendingDelete(fs, root, "gone1", 0L, 0L)
@@ -60,6 +73,8 @@ class IndexAuditSpec extends AnyFunSuite {
         ("dir", "m0123456789abcdef", "compaction_residue", true),
         ("dir", "g1", "delisted_reclaimable", true), // 1500 < 2000
         ("dir", "g2", "delisted_in_grace", true), // 10000 > 2000
+        ("dir", "m1111111111111111", "delisted_in_grace", true),
+        ("dir", "c1", "delisted_reclaimable", true),
         ("dir", "o1", "orphan", false),
         ("marker", "b1", "stale_on_committed", false),
         ("marker", "gone1", "dangling", true),

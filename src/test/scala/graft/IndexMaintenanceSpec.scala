@@ -193,15 +193,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       // but a marker on a COMMITTED id clears even through the flaky
       // FS — stale whatever its unreadable bytes say (skipping on a
       // read hiccup would let the stale clock survive into the
-      // batch's retirement); it just contributes nothing restorable
+      // batch's retirement); it comes back with deadline 0, so a
+      // CAS-losing caller's restore re-marks it at the orphan floor
+      // (the marker MIGHT have been a racing drop's fresh window)
       real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/bx"))
       val out = real.create(
         new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
       try out.write("batches=bx\nretired=\ngen=1\n".getBytes("UTF-8"))
       finally out.close()
       IndexProtocol.markPendingDelete(real, root, "bx", 1000L, 500L)
-      assert(IndexProtocol.clearStaleMarkers(flaky, root, Seq("bx"))
-        .isEmpty)
+      assert(IndexProtocol.clearStaleMarkers(flaky, root, Seq("bx")) ==
+        Seq("bx" -> 0L))
       assert(!IndexProtocol.hasPendingDelete(real, root, "bx"))
     } finally rmTree(dir)
   }
