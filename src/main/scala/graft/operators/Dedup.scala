@@ -636,7 +636,13 @@ object Dedup {
       }
     }
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$bid")
-    fs.delete(staging, true) // a crashed earlier stage re-stages cleanly
+    // VERIFIED wipe: the writes below refresh only CHILDREN of the
+    // rename source, so a silently surviving sibling from a crashed
+    // earlier stage would be committed by the publish rename
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale staging at $staging before publishing " +
+          s"batch $bid")
     val all = shingleIndex(df, idCol, textCol)
     val sh = (if (cap < 0) all else capDocFreq(all, cap)).persist()
     // band rides BOTH as a data column and as the partition directory
@@ -769,7 +775,11 @@ object Dedup {
     val merged = new org.apache.hadoop.fs.Path(s"$path/batches/$cid")
     if (!fs.exists(merged)) {
       val staging = new org.apache.hadoop.fs.Path(s"$path/_staging/$cid")
-      fs.delete(staging, true)
+      // verified wipe — the writes below refresh only children of
+      // the rename source (the append path's rationale)
+      if (fs.exists(staging) && !fs.delete(staging, true))
+        throw new IllegalStateException(
+          s"cannot wipe stale compaction staging at $staging")
       // DEFRAGMENT, not just merge (the compactBm25Index rationale):
       // cluster rows by their partition value before each partitioned
       // write so every partition dir lands as ~one file instead of

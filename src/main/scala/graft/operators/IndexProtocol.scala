@@ -222,11 +222,20 @@ private[graft] object IndexProtocol {
 
   /** Forget a pending delete — called by every publish path BEFORE it
     * (re)stages a batch id, so a marker left by an earlier drop can
-    * never reap the re-ingested batch.
+    * never reap the re-ingested batch. The delete is VERIFIED: a
+    * silent false would leave the very marker callers assume gone —
+    * on a publish path the stale clock could later reap the
+    * re-ingested batch, and on a maintenance path it would truncate
+    * the batch's eventual retirement window.
     */
   def clearPendingDelete(fs: FileSystem, root: String,
                          bid: String): Unit = {
-    fs.delete(pendingMarker(root, bid), false); ()
+    val p = pendingMarker(root, bid)
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new IllegalStateException(
+        s"cannot clear pending-delete marker $p — a silently " +
+          "surviving marker's stale clock would cut a later grace " +
+          "window short (or reap a re-ingested batch)")
   }
 
   /** Delist `bid` NOW: the caller's own meta swap just removed it
@@ -287,8 +296,19 @@ private[graft] object IndexProtocol {
           clearPendingDelete(fs, root, bid)
           Seq.empty
         case Unreadable =>
-          clearPendingDelete(fs, root, bid)
-          Seq(bid -> 0L)
+          // ONE re-read before the blind clear: a one-off hiccup
+          // usually recovers the true deadline, and restoring the
+          // real value beats the orphan-floor fallback (which would
+          // truncate a racing drop's longer promised window)
+          readMarker(fs, pendingMarker(root, bid)) match {
+            case Deadline(ms) =>
+              clearPendingDelete(fs, root, bid)
+              Seq(bid -> ms)
+            case Absent => Seq.empty
+            case _ =>
+              clearPendingDelete(fs, root, bid)
+              Seq(bid -> 0L)
+          }
         case Absent => Seq.empty
       }
     }
@@ -343,7 +363,9 @@ private[graft] object IndexProtocol {
     fs.listStatus(base).toSeq.flatMap { st =>
       val bid = st.getPath.getName
       if (committed(bid)) {
-        fs.delete(st.getPath, false)
+        // verified clear: a silently surviving stale marker would
+        // truncate this batch's eventual retirement window
+        clearPendingDelete(fs, root, bid)
         Seq.empty
       } else {
         val deadline = readMarker(fs, st.getPath) match {
@@ -352,9 +374,16 @@ private[graft] object IndexProtocol {
           case Unreadable       => Long.MaxValue // retry next sweep
         }
         if (nowMs >= deadline) {
-          fs.delete(new Path(s"$root/batches/$bid"), true)
-          fs.delete(st.getPath, false)
-          Seq(bid)
+          val dir = new Path(s"$root/batches/$bid")
+          // the DIRECTORY delete must be verified before the marker
+          // goes: a silent false with the marker removed would leave
+          // the payload leaked with no record of it — keep the
+          // marker and retry next sweep instead
+          if (fs.exists(dir) && !fs.delete(dir, true)) Seq.empty
+          else {
+            clearPendingDelete(fs, root, bid)
+            Seq(bid)
+          }
         } else Seq.empty
       }
     }

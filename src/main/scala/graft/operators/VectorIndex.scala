@@ -208,14 +208,15 @@ object VectorIndex {
       throw new IllegalStateException(
         s"cannot wipe stale staging at $stagingRoot before " +
           s"publishing batch $bid")
-    val staging = new org.apache.hadoop.fs.Path(
-      s"$path/_staging/$bid/cellCodes")
+    // ONE root, children derived from it: the wiped, written, and
+    // renamed directory can never drift apart in a future edit
+    val staging = new org.apache.hadoop.fs.Path(stagingRoot, "cellCodes")
     Similarity.pqEncodeCells(emb, idCol, vecCol, centroids, codebook,
         m, dim)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(staging.toString)
     fs.mkdirs(target.getParent)
-    require(fs.rename(staging.getParent, target),
+    require(fs.rename(stagingRoot, target),
       s"atomic publish of batch $bid failed (staging → $target)")
   }
 
@@ -589,7 +590,8 @@ object VectorIndex {
     // lands as ~one file instead of one per (task × cell)
     codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$staging/cellCodes")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "cellCodes")
+        .toString)
     if (!fs.rename(staging, merged))
       throw new IllegalStateException(
         s"cannot publish compacted batch $staging to $merged")
