@@ -51,6 +51,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object IndexProtocol {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** How many times [[clearStaleMarkers]] re-reads a transiently
+    * unreadable marker before falling back to the blind clear. Each
+    * retry is one cheap metadata read; recovering the TRUE deadline
+    * beats the orphan-floor fallback (which can truncate a racing
+    * drop's much longer promised window), so a few extra reads on the
+    * already-failing path are well spent.
+    */
+  val MarkerReadRetries: Int = 3
+
   /** Deterministic merged-batch id from the sorted committed list:
     * `"m" + first 8 bytes of sha256`, a 17-char token whose shape is
     * reserved for compaction (see [[validateAppendId]]).
@@ -296,16 +308,34 @@ private[graft] object IndexProtocol {
           clearPendingDelete(fs, root, bid)
           Seq.empty
         case Unreadable =>
-          // ONE re-read before the blind clear: a one-off hiccup
-          // usually recovers the true deadline, and restoring the
-          // real value beats the orphan-floor fallback (which would
-          // truncate a racing drop's longer promised window)
-          readMarker(fs, pendingMarker(root, bid)) match {
-            case Deadline(ms) =>
+          // re-read (up to MarkerReadRetries) before the blind clear:
+          // a one-off hiccup usually recovers the true deadline, and
+          // restoring the real value beats the orphan-floor fallback
+          // (which would truncate a racing drop's longer promised
+          // window). Exhausting the retries is LOGGED with the 0L
+          // sentinel so a truncated window is diagnosable after the
+          // fact — and if the caller dies between this clear and its
+          // CAS (no restore runs), the unmarked delisted dir is
+          // re-marked at the orphan floor by later maintenance.
+          val recovered = (1 to MarkerReadRetries).iterator
+            .map(_ => readMarker(fs, pendingMarker(root, bid)))
+            .collectFirst {
+              case s @ Deadline(_) => s
+              case Absent          => Absent
+            }
+          recovered match {
+            case Some(Deadline(ms)) =>
               clearPendingDelete(fs, root, bid)
               Seq(bid -> ms)
-            case Absent => Seq.empty
-            case _ =>
+            case Some(_) => Seq.empty // Absent: nothing to clear
+            case None =>
+              log.warn(
+                s"clearStaleMarkers: marker for committed batch " +
+                  s"'$bid' at $root stayed unreadable through " +
+                  s"$MarkerReadRetries re-reads — clearing blind and " +
+                  "recording deadline 0; a CAS-failure restore will " +
+                  "re-mark it at the orphan-grace floor, which may " +
+                  "truncate a longer promised retain window")
               clearPendingDelete(fs, root, bid)
               Seq(bid -> 0L)
           }

@@ -208,6 +208,133 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  /** A FileSystem whose delete() RETURNS FALSE for chosen paths
+    * without deleting — the silent-failure simulator for the
+    * verified-delete discipline: every protocol delete must check the
+    * return value, because a silently surviving marker/payload is the
+    * corruption the discipline exists to prevent.
+    */
+  private class SilentDeleteFs(u: org.apache.hadoop.fs.FileSystem,
+                               silent: org.apache.hadoop.fs.Path => Boolean)
+      extends org.apache.hadoop.fs.FilterFileSystem(u) {
+    override def delete(f: org.apache.hadoop.fs.Path,
+                        recursive: Boolean): Boolean =
+      if (silent(f)) false else super.delete(f, recursive)
+  }
+
+  /** A FileSystem whose open() fails the first `n` times for chosen
+    * names, then recovers — the one-off-hiccup simulator the marker
+    * read-retry loop exists for.
+    */
+  private class FlakyNOpenFs(u: org.apache.hadoop.fs.FileSystem,
+                             flaky: String => Boolean, n: Int)
+      extends org.apache.hadoop.fs.FilterFileSystem(u) {
+    private var failures = 0
+    override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+        : org.apache.hadoop.fs.FSDataInputStream =
+      if (flaky(f.getName) && failures < n) {
+        failures += 1
+        throw new java.io.IOException(s"transient read failure: $f")
+      } else super.open(f, bufferSize)
+  }
+
+  test("clearPendingDelete is a VERIFIED delete: a silently surviving " +
+      "marker throws instead of leaving a stale clock behind") {
+    val dir = tmp("silent-clear")
+    try {
+      val root = dir.toString
+      val real = hadoopFs(root)
+      real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/b1"))
+      IndexProtocol.markPendingDelete(real, root, "b1", 1000L, 500L)
+      val silent = new SilentDeleteFs(real,
+        _.toString.contains("_pending_delete"))
+      silent.setConf(spark.sparkContext.hadoopConfiguration)
+      // the delete returns false with the marker still present: the
+      // clear must THROW — callers assume the marker gone, and its
+      // stale clock could later reap a re-ingested batch or truncate
+      // a retirement window
+      val e = intercept[IllegalStateException] {
+        IndexProtocol.clearPendingDelete(silent, root, "b1")
+      }
+      assert(e.getMessage.contains("cannot clear"))
+      assert(marker(root, "b1").exists(),
+        "the throw must describe reality: the marker survived")
+      // the same silent failure through resetPendingDelete (the drop
+      // path) also fails loudly before any re-marking happens
+      intercept[IllegalStateException] {
+        IndexProtocol.resetPendingDelete(silent, root, "b1", 9000L, 1L)
+      }
+      assert(new String(java.nio.file.Files.readAllBytes(
+        marker(root, "b1").toPath), "UTF-8").trim == "deadline=1500",
+        "a failed clear must not let the re-mark reset the clock")
+      // once the FS recovers, the clear succeeds
+      IndexProtocol.clearPendingDelete(real, root, "b1")
+      assert(!IndexProtocol.hasPendingDelete(real, root, "b1"))
+    } finally rmTree(dir)
+  }
+
+  test("the sweep KEEPS the marker when a payload delete silently " +
+      "fails: the leak stays recorded and the next pass retries") {
+    val dir = tmp("silent-sweep")
+    try {
+      val root = dir.toString
+      val real = hadoopFs(root)
+      real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/b1"))
+      // expired marker: the sweep WILL try to reclaim
+      IndexProtocol.markPendingDelete(real, root, "b1", 0L, 0L)
+      val silent = new SilentDeleteFs(real,
+        _.toString.contains("/batches/"))
+      silent.setConf(spark.sparkContext.hadoopConfiguration)
+      // the payload delete returns false: the sweep must report
+      // nothing reclaimed and KEEP the marker — clearing it would
+      // leave the surviving directory leaked with no record of it
+      assert(IndexProtocol.sweepPendingDeletes(silent, root, 1000L,
+        Set.empty).isEmpty)
+      assert(new java.io.File(s"$root/batches/b1").exists())
+      assert(IndexProtocol.hasPendingDelete(real, root, "b1"),
+        "the marker was cleared over a silently surviving payload")
+      // the next pass (FS recovered) finishes the reclaim
+      assert(IndexProtocol.sweepPendingDeletes(real, root, 1000L,
+        Set.empty) == Seq("b1"))
+      assert(!new java.io.File(s"$root/batches/b1").exists())
+      assert(!IndexProtocol.hasPendingDelete(real, root, "b1"))
+    } finally rmTree(dir)
+  }
+
+  test("clearStaleMarkers re-read RECOVERS a one-off unreadable " +
+      "marker: the true deadline is restored, not the 0L floor") {
+    val dir = tmp("flaky-retry")
+    try {
+      val root = dir.toString
+      val real = hadoopFs(root)
+      real.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batches/bx"))
+      val out = real.create(
+        new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
+      try out.write("batches=bx\nretired=\ngen=1\n".getBytes("UTF-8"))
+      finally out.close()
+      IndexProtocol.markPendingDelete(real, root, "bx", 1000L, 500L)
+      // the open fails twice then recovers — within the retry budget,
+      // so the clear must capture the TRUE deadline (1500), which a
+      // CAS-losing caller would restore verbatim instead of the
+      // orphan floor a 0L record maps to
+      val flaky = new FlakyNOpenFs(real, _ == "bx",
+        IndexProtocol.MarkerReadRetries - 1)
+      flaky.setConf(spark.sparkContext.hadoopConfiguration)
+      assert(IndexProtocol.clearStaleMarkers(flaky, root, Seq("bx")) ==
+        Seq("bx" -> 1500L))
+      assert(!IndexProtocol.hasPendingDelete(real, root, "bx"))
+      // exhausting the budget still degrades to the 0L sentinel (the
+      // always-flaky spec above pins that branch); one past the
+      // budget behaves the same as always-flaky
+      IndexProtocol.markPendingDelete(real, root, "bx", 1000L, 500L)
+      val tooFlaky = new FlakyNOpenFs(real, _ == "bx",
+        IndexProtocol.MarkerReadRetries + 1)
+      tooFlaky.setConf(spark.sparkContext.hadoopConfiguration)
+      assert(IndexProtocol.clearStaleMarkers(tooFlaky, root,
+        Seq("bx")) == Seq("bx" -> 0L))
+    } finally rmTree(dir)
+  }
+
   test("clearStaleMarkers rails on a RE-READ committed list: a batch " +
       "delisted since the caller's snapshot keeps its grace marker") {
     val dir = tmp("stale-clear")
