@@ -101,51 +101,100 @@ object Tables {
     * bytes. Data is unchanged (spec-asserted set equality); only the
     * layout is. Returns the new file count.
     *
-    * The swap is rename-based (write to a side directory, swap,
-    * delete) — the local-FS analog of a real table format's commit
-    * protocol, and STRICTLY single-writer / no-concurrent-reader:
-    * between the two renames there is a window where no table exists
-    * at `path`, and a crash inside it leaves the data at `__old` until
-    * manual recovery (the residue check below surfaces exactly that
-    * state). On object storage or with concurrent readers use the
-    * table format's own transactional OPTIMIZE instead.
+    * The swap is rename-based through the Hadoop FileSystem API
+    * (the same [[fsFor]] primitives as every index publish and the
+    * S18 WAP gate, so it runs on hdfs:///s3a:// roots, not just
+    * file://): write to a side directory, rename the live table
+    * aside, rename the compacted layout in, delete the old copy only
+    * after the swap. STRICTLY single-writer / reader-gapped: between
+    * the two renames there is a one-metadata-op window where no table
+    * exists at `path` (smaller than the pre-r13 delete-in-the-middle
+    * form, but real), and a crash inside it leaves the data
+    * RECOVERABLE at `__old` — the residue check below refuses the
+    * next compact and names it, and [[recoverCompact]] is the
+    * executable repair. For zero-downtime OPTIMIZE of a SERVING
+    * table, compact through the snapshot-table pointer instead
+    * ([[SnapshotStore.compactCurrent]]): readers resolve the pointer
+    * and never see a gap.
     */
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0)
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path.stripSuffix("/") + "__old")
+    val fs = fsFor(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__old")
     // residue check FIRST: after a swap that died between its two
     // renames the data lives at __old, and the full rewrite below
-    // would be wasted I/O ending in the same exception
-    if (old.exists()) throw new IllegalStateException(
-      s"stale compaction residue at $old — a prior swap failed mid-way" +
-        (if (dir.exists()) "" else s"; the table data is at $old"))
+    // would be wasted I/O ending in the same exception — refuse and
+    // name the repair instead of guessing which copy is the truth
+    if (fs.exists(old)) throw new IllegalStateException(
+      s"stale compaction residue at $old — a prior swap failed " +
+        "mid-way; run Tables.recoverCompact to restore the table" +
+        (if (fs.exists(dir)) "" else s" (the table data is at $old)"))
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L,
       (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val side = path.stripSuffix("/") + "__compacting"
-    df.repartition(files).write.mode("overwrite").parquet(side)
-    if (!dir.renameTo(old)) throw new IllegalStateException(
+    val side = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__compacting")
+    // verified wipe of side-dir residue: renaming into a surviving
+    // directory would NEST the table under it (the S18 lesson)
+    if (fs.exists(side) && !fs.delete(side, true))
+      throw new IllegalStateException(
+        s"cannot wipe stale compaction side directory $side")
+    df.repartition(files).write.mode("overwrite")
+      .parquet(side.toString)
+    if (!fs.rename(dir, old)) throw new IllegalStateException(
       s"cannot stage $path for swap")
-    if (!new java.io.File(side).renameTo(dir)) {
-      val rolledBack = old.renameTo(dir) // best-effort restore
+    if (!fs.rename(side, dir)) {
+      val rolledBack = fs.rename(old, dir) // best-effort restore
       throw new IllegalStateException(
         s"cannot swap $side into $path; table data is at " +
           (if (rolledBack) path else old.toString))
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(old)
-    // an undeletable residue would make every FUTURE compact refuse
-    // with a misleading "prior swap failed" — surface it now, while
-    // it is clear the swap itself succeeded
-    if (old.exists()) throw new IllegalStateException(
-      s"compaction succeeded but residue $old could not be deleted; " +
-        "remove it manually before the next compact")
+    // the delete is VERIFIED: undeletable residue would make every
+    // FUTURE compact refuse with a misleading "prior swap failed" —
+    // surface it now, while it is clear the swap itself succeeded
+    if (!fs.delete(old, true) || fs.exists(old))
+      throw new IllegalStateException(
+        s"compaction succeeded but residue $old could not be " +
+          "deleted; remove it manually before the next compact")
     files
+  }
+
+  /** The executable repair for a [[compact]] that crashed between its
+    * two renames (the residue state its entry check refuses): restore
+    * whichever copy survives. If the table is present at `path`, the
+    * `__old` copy is superseded residue and is deleted; if not, the
+    * `__old` copy IS the table and is renamed back. Idempotent; a
+    * no-op when there is no residue. Returns true if the table is
+    * readable at `path` afterwards.
+    */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__old")
+    val side = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__compacting")
+    if (fs.exists(old)) {
+      if (fs.exists(dir)) {
+        // swap completed, delete didn't: the old copy is residue
+        if (!fs.delete(old, true)) throw new IllegalStateException(
+          s"cannot delete superseded compaction residue at $old")
+      } else {
+        // crashed inside the window: the old copy IS the table
+        if (!fs.rename(old, dir)) throw new IllegalStateException(
+          s"cannot restore the table from $old to $path")
+      }
+    }
+    // compacted-but-unswapped side data is residue either way (the
+    // re-run rewrites it); verified wipe, same rationale as compact
+    if (fs.exists(side) && !fs.delete(side, true))
+      throw new IllegalStateException(
+        s"cannot delete compaction side residue at $side")
+    fs.exists(dir)
   }
 
   /** CSV read with explicit schema (bronze-layer ingest analog).

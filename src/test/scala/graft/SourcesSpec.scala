@@ -296,6 +296,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("S13: the compact swap runs on the Hadoop FS, refuses over " +
+      "crash residue, and recoverCompact restores either crash state") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact2").toString + "/t"
+    // every filesystem step below goes through the Hadoop FS API —
+    // the port off java.io.File is the point of this spec: the same
+    // calls hold on hdfs:///s3a:// roots
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val src = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").limit(600)
+    src.repartition(16).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // stale side-dir residue from an earlier crashed WRITE is wiped,
+    // not nested under (renaming into a surviving dir would nest)
+    fs.mkdirs(p(s"${dir}__compacting/junk"))
+    assert(Tables.compact(spark, dir, targetRowsPerFile = 600L) == 1)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before)
+    assert(!fs.exists(p(s"${dir}__compacting")) &&
+      !fs.exists(p(s"${dir}__old")))
+    // crash state A — died INSIDE the swap window (table renamed
+    // aside, compacted layout not yet in): the data lives at __old;
+    // the next compact refuses loudly and names the repair
+    assert(fs.rename(p(dir), p(s"${dir}__old")))
+    val eA = intercept[IllegalStateException] {
+      Tables.compact(spark, dir, targetRowsPerFile = 600L)
+    }
+    assert(eA.getMessage.contains("recoverCompact") &&
+      eA.getMessage.contains(s"${dir}__old"))
+    // the repair restores the table from the aside copy
+    assert(Tables.recoverCompact(spark, dir))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before)
+    assert(!fs.exists(p(s"${dir}__old")))
+    // crash state B — died AFTER the swap, before the old-copy
+    // delete: both copies exist; the repair keeps the live table and
+    // deletes the superseded one
+    src.limit(100).write.parquet(s"${dir}__old")
+    assert(Tables.recoverCompact(spark, dir))
+    assert(!fs.exists(p(s"${dir}__old")))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before, "recovery deleted the wrong copy")
+    // idempotent no-op when there is nothing to repair
+    assert(Tables.recoverCompact(spark, dir))
+    // and the table still compacts normally afterwards
+    assert(Tables.compact(spark, dir, targetRowsPerFile = 300L) == 2)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before)
+  }
+
   test("S18 writeAudited: clean audit publishes atomically, failed audit leaves staging and no target") {
     import spark.implicits._
     import graft.operators.Cleaning
