@@ -1866,6 +1866,62 @@ object SparkEntry {
           "failing_audit_refused", "failed_target_absent",
           "staging_left_for_inspection", "existing_target_refused")
     }),
+    // ---- §2.1 S19 snapshot-table pointer publish, driver-gated ----
+    // outcome contract (q_write_audited pattern): an audited v1 then
+    // v2 promote behind the pointer; time travel reproduces v1
+    // exactly; a crash injected BETWEEN the staged write and the
+    // repoint leaves the mid-crash reader serving v2 in full (the
+    // no-serving-gap claim, DRIVEN not asserted) and the residue gen
+    // refuses with the typed SnapshotUnavailable; the zero-downtime
+    // compactCurrent hits its file-count target with rows unchanged.
+    // rows_current is the real oracle row DuckDB recounts.
+    "q_snapshot_table" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snap").toString
+      try {
+        val root = s"$tmp/nation"
+        val nation = Tables.table(s, d, "nation")
+        val v1 = nation.filter(col("n_regionkey") < 2)
+        val rules = Seq(Cleaning.ExpectNotNull("n_nationkey"),
+          Cleaning.ExpectUnique("n_nationkey"))
+        graft.sources.SnapshotStore.publish(s, v1, root, rules)
+        graft.sources.SnapshotStore.publish(s, nation, root, rules)
+        val v1Exact = graft.sources.SnapshotStore.readAt(s, root, 1L)
+          .exceptAll(v1).isEmpty &&
+          v1.exceptAll(
+            graft.sources.SnapshotStore.readAt(s, root, 1L)).isEmpty
+        // the crash probe: mid-publish (written + audited, not yet
+        // repointed) the serving view is STILL the full v2 table
+        var midCrashServed = false
+        class Boom extends RuntimeException("injected")
+        val residueRefused =
+          try {
+            graft.sources.SnapshotStore.publishImpl(s, v1, root,
+              rules, 3, () => {
+                midCrashServed = graft.sources.SnapshotStore
+                  .readCurrent(s, root).count() == nation.count()
+                throw new Boom
+              })
+            false
+          } catch {
+            case _: Boom =>
+              try {
+                graft.sources.SnapshotStore.readAt(s, root, 3L)
+                false
+              } catch { case _: graft.SnapshotUnavailable => true }
+          }
+        val compactedToTarget = graft.sources.SnapshotStore
+          .compactCurrent(s, root, targetRowsPerFile = 10L) ==
+          math.max(1L, (nation.count() + 9L) / 10L).toInt
+        val rowsCurrent = graft.sources.SnapshotStore
+          .readCurrent(s, root).count()
+        import s.implicits._
+        Seq((v1Exact, midCrashServed, residueRefused,
+          compactedToTarget, rowsCurrent))
+          .toDF("v1_timetravel_exact", "crash_never_gapped",
+            "residue_refused", "compacted_to_target", "rows_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.11 O2 stage retries, driver-gated ----
     // outcome contract (q_pipeline_run pattern): a stage failing twice
     // then succeeding is retried to the third attempt and returns its
@@ -3246,6 +3302,12 @@ object SparkEntry {
         |  true AS failed_target_absent,
         |  true AS staging_left_for_inspection,
         |  true AS existing_target_refused""".stripMargin,
+    // snapshot-table contract booleans + the real recount of the
+    // currently served generation
+    "q_snapshot_table" ->
+      """SELECT true AS v1_timetravel_exact, true AS crash_never_gapped,
+        |  true AS residue_refused, true AS compacted_to_target,
+        |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
     // the daily grid anchored on the events date span is inclusive of
     // both endpoints, so its length is the real data-derived row
     "q_pipeline_schedule" ->

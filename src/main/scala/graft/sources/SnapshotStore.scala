@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S19 — SNAPSHOT TABLE: a parquet table published as immutable
+  * generation directories behind one atomically-swapped pointer — the
+  * Iceberg/Delta promotion discipline restated on the repo's own
+  * marker protocol ([[MetaSwap]], the same `.next` self-healing swap
+  * that commits the index metas). This is the zero-downtime publish
+  * path the plain rename-swap forms cannot give:
+  *
+  *  - [[Tables.writeAudited]]`(replace = true)` and [[Tables.compact]]
+  *    both have a one-rename window where no table exists at the
+  *    target — fine for a maintenance slot, an availability gap for a
+  *    SERVING table a trainer or dashboard reads on its own schedule.
+  *    Here a reader resolves the pointer and reads a generation
+  *    directory that is never mutated: there is NO moment without a
+  *    servable table, and a publish crash before the repoint changes
+  *    nothing a reader can see.
+  *  - Promotions become TIME-TRAVELABLE: superseded generations stay
+  *    readable ([[readAt]]) until the retention window prunes them —
+  *    the same bounded-snapshot contract as the index
+  *    `_meta_history` (A6c), sized in GENERATIONS because promotion
+  *    cadence, not wall time, is what a racing reader lags by.
+  *
+  * Layout: `<root>/_snapshots/<gen>/` immutable parquet directories,
+  * `<root>/_current` the pointer marker (`gen=<n>`), committed via
+  * the [[MetaSwap]] CAS so two racing promotions fail loudly instead
+  * of silently dropping one (single-logical-promoter contract,
+  * enforced the same way as the index maintenance paths). Underscore
+  * prefixes keep both invisible to a naive parquet read of the root —
+  * readers go through [[readCurrent]] by design.
+  *
+  * Crash honesty: a publish writes its generation directory FIRST
+  * (invisible — nothing points at it), audits the staged bytes, then
+  * repoints. A crash before the repoint leaves an orphan generation
+  * dir that the NEXT publish targets and overwrites (gens are
+  * current+1, so the orphan can only be the one the retry rewrites);
+  * a crash after the repoint but before retention pruning leaves
+  * over-retained old gens the next publish prunes. Neither state is
+  * ever served. A failed AUDIT leaves the staged generation for
+  * inspection and throws the typed [[graft.AuditFailed]] — the S18
+  * validate-before-publish contract with the serving copy untouched.
+  *
+  * Scale shape: the write is a normal distributed parquet write; the
+  * audit is C11's one-scan aggregation over the staged bytes; the
+  * repoint is one small-file swap; retention is one listing bounded
+  * by `keep`. Nothing here re-reads published data.
+  */
+object SnapshotStore {
+
+  private def pointer(root: String) = new Path(s"$root/_current")
+
+  private def genDir(root: String, gen: Long) =
+    new Path(s"$root/_snapshots/$gen")
+
+  private def parseGen(bytes: Array[Byte]): Long =
+    new String(bytes, "UTF-8").linesIterator
+      .collectFirst { case s if s.startsWith("gen=") =>
+        s.stripPrefix("gen=").trim.toLong }
+      .getOrElse(throw new IllegalStateException(
+        "malformed snapshot pointer: no gen= line"))
+
+  /** The committed generation the pointer serves, if the table has
+    * ever been published (self-heals a crashed swap first, like every
+    * marker read).
+    */
+  def currentGen(spark: SparkSession, root: String): Option[Long] = {
+    val fs = Tables.fsFor(spark, root)
+    val p = pointer(root)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) None
+    else Some(parseGen(MetaSwap.readCommitted(fs, p)))
+  }
+
+  /** Publish `df` as the table's next generation: write the new
+    * snapshot directory (invisible until the repoint), BLOCK on the
+    * C11 audit of the staged bytes, swap the pointer (CAS against the
+    * generation this publish was planned from — a concurrent
+    * promotion fails loudly), then prune generations older than
+    * `keep`. Returns the committed generation.
+    *
+    * `keep` is the time-travel/grace window in GENERATIONS (current
+    * counts as one): a reader that resolved the pointer keeps a
+    * servable directory until `keep − 1` further publishes land — for
+    * scheduled promotions that is hours-to-days of slack for a read
+    * that takes seconds. `keep = 1` disables time travel and prunes
+    * the superseded gen in the same call (still never a serving gap:
+    * the pointer moved first).
+    */
+  def publish(spark: SparkSession, df: DataFrame, root: String,
+              expectations: Seq[graft.operators.Cleaning.Expectation] =
+                Nil,
+              keep: Int = 3): Long =
+    publishImpl(spark, df, root, expectations, keep, () => ())
+
+  /** [[publish]] with a crash-injection hook fired between the staged
+    * write+audit and the pointer swap — exists so the
+    * no-serving-gap contract is TESTED, not asserted (the
+    * [[graft.Pipeline.corpusIncrementWithHook]] pattern).
+    */
+  private[graft] def publishImpl(spark: SparkSession, df: DataFrame,
+                                 root: String,
+                                 expectations: Seq[graft.operators.Cleaning.Expectation],
+                                 keep: Int,
+                                 beforeRepoint: () => Unit): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = Tables.fsFor(spark, root)
+    val p = pointer(root)
+    MetaSwap.heal(fs, p)
+    val prior =
+      if (fs.exists(p)) Some(MetaSwap.readCommitted(fs, p)) else None
+    val gen = prior.map(parseGen).getOrElse(0L) + 1L
+    val dir = genDir(root, gen)
+    // mode=overwrite consumes the one possible residue here: a prior
+    // publish of THIS gen that crashed (or failed its audit) before
+    // the repoint — nothing ever pointed at it
+    df.write.mode("overwrite").parquet(dir.toString)
+    if (expectations.nonEmpty) {
+      Tables.auditStaged(spark, dir.toString, expectations)
+      ()
+    }
+    beforeRepoint()
+    val bytes = s"gen=$gen\n".getBytes("UTF-8")
+    prior match {
+      case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
+      case None         => MetaSwap.swap(fs, p, bytes)
+    }
+    // retention AFTER the repoint: a crash anywhere above leaves the
+    // old gens (over-retention, pruned next publish), never a gap
+    prune(fs, root, gen, keep)
+    gen
+  }
+
+  private def prune(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                    gen: Long, keep: Int): Unit = {
+    val base = new Path(s"$root/_snapshots")
+    if (!fs.exists(base)) return
+    fs.listStatus(base).foreach { st =>
+      st.getPath.getName.toLongOption.foreach { g =>
+        // verified delete (the protocol-wide discipline): a silently
+        // surviving gen is over-retention, but an unreported failure
+        // would hide a persistent FS problem across publishes
+        if (g <= gen - keep && !fs.delete(st.getPath, true))
+          throw new IllegalStateException(
+            s"cannot prune superseded snapshot ${st.getPath} — " +
+              "the pointer has moved (the publish IS committed); " +
+              "remove the directory manually or let the next " +
+              "publish retry")
+      }
+    }
+  }
+
+  /** The serving view: resolve the pointer once, read that immutable
+    * generation. Concurrent publishes never disturb this read — the
+    * directory it resolved cannot change, only age out `keep − 1`
+    * publishes later.
+    */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published snapshot at $root — nothing has been " +
+          "promoted yet (SnapshotStore.publish)"))
+    spark.read.parquet(genDir(root, gen).toString)
+  }
+
+  /** Time travel: read generation `gen` as it was served. Refuses
+    * with the typed [[graft.SnapshotUnavailable]] when `gen` never
+    * committed (a crashed publish's residue gen is NOT readable —
+    * nothing ever served it) or has been pruned past the retention
+    * window — the A6c refusal contract, so a caller can fall back to
+    * [[readCurrent]] without message matching.
+    */
+  def readAt(spark: SparkSession, root: String, gen: Long): DataFrame = {
+    val cur = currentGen(spark, root).getOrElse(
+      throw new graft.SnapshotUnavailable(
+        s"no published snapshot at $root"))
+    if (gen > cur) throw new graft.SnapshotUnavailable(
+      s"generation $gen of $root never committed (current is $cur) — " +
+        "a crashed publish's staged directory is not a snapshot")
+    val fs = Tables.fsFor(spark, root)
+    if (!fs.exists(genDir(root, gen))) throw new graft.SnapshotUnavailable(
+      s"generation $gen of $root aged past the retention window " +
+        "(keep) — snapshots are a bounded window by design")
+    spark.read.parquet(genDir(root, gen).toString)
+  }
+
+  /** Zero-downtime OPTIMIZE: republish the CURRENT generation's rows
+    * compacted to ≈`targetRowsPerFile`-sized files as a fresh
+    * generation and repoint. Readers never see a gap (the
+    * [[Tables.compact]] rename window does not exist here — the old
+    * generation keeps serving until the pointer moves) and the
+    * superseded layout ages out under the normal retention window.
+    * Returns the file count of the compacted generation.
+    */
+  def compactCurrent(spark: SparkSession, root: String,
+                     targetRowsPerFile: Long, keep: Int = 3): Int = {
+    require(targetRowsPerFile > 0)
+    val df = readCurrent(spark, root)
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    publish(spark, df.repartition(files), root, Nil, keep)
+    files
+  }
+}

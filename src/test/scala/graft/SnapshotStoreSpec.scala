@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{MetaSwap, SnapshotStore, Tables}
+
+/** S19 — the snapshot-table pointer protocol: zero-downtime
+  * promotion, time travel, bounded retention, audit-gated publish,
+  * CAS'd single-promoter contract, and crash honesty at every seam.
+  * The availability claim ("a probe never sees a missing table") is
+  * DRIVEN here through the crash-injection hook, not asserted.
+  */
+class SnapshotStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(tag: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("publish → readCurrent → time travel → retention window") {
+    val dir = tmp("snap")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      assert(SnapshotStore.currentGen(spark, root).isEmpty)
+      intercept[IllegalStateException] {
+        SnapshotStore.readCurrent(spark, root)
+      }
+      val v1 = nation.filter(col("n_regionkey") === 0)
+      val v2 = nation
+      assert(SnapshotStore.publish(spark, v1, root) == 1L)
+      assert(SnapshotStore.currentGen(spark, root).contains(1L))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(v1))
+      assert(SnapshotStore.publish(spark, v2, root) == 2L)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(v2))
+      // time travel within the window (keep=3: both gens live)
+      assert(rows(SnapshotStore.readAt(spark, root, 1L)) == rows(v1))
+      assert(rows(SnapshotStore.readAt(spark, root, 2L)) == rows(v2))
+      // a never-committed gen refuses with the A6c type
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 3L)
+      }
+      // keep=2 on the next publishes prunes gen 1 then gen 2
+      assert(SnapshotStore.publish(spark, v1, root, keep = 2) == 3L)
+      assert(SnapshotStore.publish(spark, v2, root, keep = 2) == 4L)
+      val e = intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 2L)
+      }
+      assert(e.getMessage.contains("retention"))
+      assert(rows(SnapshotStore.readAt(spark, root, 3L)) == rows(v1))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(v2))
+    } finally rmTree(dir)
+  }
+
+  test("a publish crash before the repoint never disturbs the serving " +
+      "table; the retry consumes the residue generation") {
+    val dir = tmp("snapcrash")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val v1 = nation.filter(col("n_regionkey") < 2)
+      val v2 = nation
+      SnapshotStore.publish(spark, v1, root)
+      class Boom extends RuntimeException("injected crash")
+      // the kill lands AFTER the new generation is fully written and
+      // audited, BEFORE the pointer moves — the exact window where
+      // the old delete-then-rename gold promotion served nothing.
+      // Mid-crash, the table must still serve gen 1 in full.
+      intercept[Boom] {
+        SnapshotStore.publishImpl(spark, v2, root, Nil, 3, () => {
+          assert(rows(SnapshotStore.readCurrent(spark, root)) ==
+            rows(v1), "a reader mid-publish must see the old gen")
+          throw new Boom
+        })
+      }
+      assert(SnapshotStore.currentGen(spark, root).contains(1L))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(v1))
+      // the residue generation is NOT a snapshot: it never served
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 2L)
+      }
+      // the retry targets the same gen, overwrites the residue, and
+      // commits
+      assert(SnapshotStore.publish(spark, v2, root) == 2L)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(v2))
+    } finally rmTree(dir)
+  }
+
+  test("a failing audit leaves the staged generation for inspection " +
+      "and the pointer unmoved; the corrected re-run publishes") {
+    import graft.operators.Cleaning
+    val dir = tmp("snapaudit")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root,
+        Seq(Cleaning.ExpectNotNull("n_nationkey")))
+      // n_regionkey spans 0..4, so this range fails rows loudly
+      val e = intercept[AuditFailed] {
+        SnapshotStore.publish(spark, nation, root,
+          Seq(Cleaning.ExpectRange("n_regionkey", -9.0, -1.0)))
+      }
+      assert(e.getMessage.contains("n_regionkey"))
+      assert(SnapshotStore.currentGen(spark, root).contains(1L),
+        "a failed audit moved the pointer")
+      assert(rows(SnapshotStore.readCurrent(spark, root)) ==
+        rows(nation))
+      // staged bytes inspectable at the un-pointed gen directory
+      assert(spark.read.parquet(s"$root/_snapshots/2").count() ==
+        nation.count())
+      // corrected re-run consumes the residue and commits gen 2
+      assert(SnapshotStore.publish(spark, nation, root,
+        Seq(Cleaning.ExpectNotNull("n_nationkey"))) == 2L)
+    } finally rmTree(dir)
+  }
+
+  test("two racing promotions: the CAS fails the loser loudly and the " +
+      "winner's generation stands") {
+    val dir = tmp("snapcas")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val vA = nation.filter(col("n_regionkey") === 1)
+      val vB = nation.filter(col("n_regionkey") === 2)
+      SnapshotStore.publish(spark, nation, root)
+      // the interleaved promotion commits between the loser's staged
+      // write and its repoint — the single-promoter violation the
+      // CAS exists to catch
+      intercept[MetaSwap.CasFailed] {
+        SnapshotStore.publishImpl(spark, vA, root, Nil, 3, () => {
+          SnapshotStore.publish(spark, vB, root); ()
+        })
+      }
+      assert(SnapshotStore.currentGen(spark, root).contains(2L))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(vB),
+        "the losing promotion overwrote the winner")
+    } finally rmTree(dir)
+  }
+
+  test("compactCurrent: zero-downtime OPTIMIZE — fewer files, same " +
+      "rows, superseded layout still time-travelable") {
+    val dir = tmp("snapopt")
+    try {
+      val root = dir.toString + "/t"
+      val src = Tables.table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice").limit(900)
+      // a scattered first generation (the per-API-call landing shape)
+      SnapshotStore.publish(spark, src.repartition(32), root)
+      val before = rows(SnapshotStore.readCurrent(spark, root))
+      def genFiles(g: Long) = Option(new java.io.File(
+          s"$root/_snapshots/$g").listFiles()).get
+        .count(_.getName.endsWith(".parquet"))
+      assert(genFiles(1L) == 32)
+      assert(SnapshotStore.compactCurrent(spark, root,
+        targetRowsPerFile = 450L) == 2)
+      assert(genFiles(2L) == 2)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == before)
+      // the scattered layout is a superseded gen, not a gap risk: a
+      // reader that resolved gen 1 mid-compaction still reads it
+      assert(rows(SnapshotStore.readAt(spark, root, 1L)) == before)
+    } finally rmTree(dir)
+  }
+}
