@@ -45,36 +45,57 @@ object Pipeline {
 
   /** Gold: star-schema dimensions + fact from silver inputs.
     *
-    * Every gold table publishes through the write-audit-publish gate
-    * ([[Tables.writeAudited]], `replace = true`): the reference's
-    * quality checks (bronze_to_silver.py:127's key↔name consistency
-    * audit) become a BLOCKING audit of the staged bytes instead of a
-    * report — a batch violating its rule list never reaches the gold
-    * path a consumer reads, the staged parquet stays inspectable, and
-    * the PREVIOUS gold copy is untouched (validate-before-destroy).
+    * Every gold table PROMOTES through the snapshot-table pointer
+    * ([[graft.sources.SnapshotStore.publish]]) with a BLOCKING audit
+    * of the staged bytes: the reference's quality checks
+    * (bronze_to_silver.py:127's key↔name consistency audit) refuse
+    * instead of report — a batch violating its rule list never
+    * reaches a generation the pointer serves, the staged parquet
+    * stays inspectable, and the PREVIOUS gold generation keeps
+    * serving untouched. The pointer swap closes the availability gap
+    * the earlier `writeAudited(replace = true)` form documented: a
+    * reader racing a scheduled promotion — or a promotion that
+    * crashes between publish and repoint — always resolves a complete
+    * generation (spec-driven via the crash hook), and promotions are
+    * time-travelable within the retention window like the index
+    * snapshots. Read the serving gold with
+    * [[graft.sources.SnapshotStore.readCurrent]].
     * `extraFactAudit` appends caller rules to the fact's defaults —
     * the seam a deployment uses for run-specific contracts (and the
     * spec uses to plant a violation).
     */
   def gold(spark: SparkSession, sfDir: String, outDir: String,
            modelingDate: String,
-           extraFactAudit: Seq[Cleaning.Expectation] = Nil): Unit = {
-    Tables.writeAudited(spark, StarSchema.dimDate(spark, sfDir),
-      s"$outDir/gold/dim_date",
+           extraFactAudit: Seq[Cleaning.Expectation] = Nil): Unit =
+    goldImpl(spark, sfDir, outDir, modelingDate, extraFactAudit,
+      () => ())
+
+  /** [[gold]] with a crash-injection hook fired between the fact's
+    * staged write+audit and its pointer swap — exists so the
+    * no-serving-gap promotion contract is TESTED, not asserted (the
+    * [[corpusIncrementWithHook]] pattern).
+    */
+  private[graft] def goldImpl(spark: SparkSession, sfDir: String,
+                              outDir: String, modelingDate: String,
+                              extraFactAudit: Seq[Cleaning.Expectation],
+                              beforeFactRepoint: () => Unit): Unit = {
+    graft.sources.SnapshotStore.publish(spark,
+      StarSchema.dimDate(spark, sfDir), s"$outDir/gold/dim_date",
       Seq(Cleaning.ExpectNotNull("id_date"),
-        Cleaning.ExpectUnique("id_date")), replace = true)
-    Tables.writeAudited(spark, StarSchema.dimCustomer(spark, sfDir),
+        Cleaning.ExpectUnique("id_date")))
+    graft.sources.SnapshotStore.publish(spark,
+      StarSchema.dimCustomer(spark, sfDir),
       s"$outDir/gold/dim_customer",
       Seq(Cleaning.ExpectNotNull("id_customer"),
-        Cleaning.ExpectUnique("id_customer")), replace = true)
-    Tables.writeAudited(spark,
+        Cleaning.ExpectUnique("id_customer")))
+    graft.sources.SnapshotStore.publishImpl(spark,
       StarSchema.factSales(spark, sfDir, modelingDate),
       s"$outDir/gold/fact_sales",
       Seq(Cleaning.ExpectNotNull("id_fact"),
         Cleaning.ExpectNotNull("id_ship_date"),
         Cleaning.ExpectNotNull("id_part_kind"),
         Cleaning.ExpectNotNull("id_supply")) ++ extraFactAudit,
-      replace = true)
+      keep = 3, beforeFactRepoint)
     ()
   }
 
@@ -143,15 +164,16 @@ object Pipeline {
   }
 
   /** Run all three stages in dependency order (each stage retried like
-    * the reference DAG's task retries); returns the gold fact for
-    * inspection.
+    * the reference DAG's task retries); returns the gold fact's
+    * SERVING view (the pointer-resolved current generation).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           runDate: String, maxAttempts: Int = 3): DataFrame = {
     withRetries(maxAttempts)(bronze(spark, sfDir, outDir, runDate))
     withRetries(maxAttempts)(silver(spark, outDir, runDate))
     withRetries(maxAttempts)(gold(spark, sfDir, outDir, runDate))
-    spark.read.parquet(s"$outDir/gold/fact_sales")
+    graft.sources.SnapshotStore.readCurrent(spark,
+      s"$outDir/gold/fact_sales")
   }
 
   // ---- The same medallion pattern applied to the CORPUS domain ----

@@ -1660,7 +1660,8 @@ object SparkEntry {
         val fact = Pipeline.run(s, d, out, Stamp)
         val factN = fact.count()
         val silverN = s.read.parquet(s"$out/silver/nation").count()
-        val dims = s.read.parquet(s"$out/gold/dim_customer")
+        val dims = graft.sources.SnapshotStore.readCurrent(s,
+          s"$out/gold/dim_customer")
         val dimsUnique =
           dims.select(col("id_customer")).distinct().count() == dims.count()
         import s.implicits._

@@ -17,7 +17,8 @@ class PipelineSpec extends AnyFunSuite {
     val silverNation = spark.read.parquet(s"$out/silver/nation")
     assert(silverNation.count() == 25)
     assert(silverNation.columns.contains("_processing_date"))
-    val dims = spark.read.parquet(s"$out/gold/dim_customer")
+    val dims = graft.sources.SnapshotStore.readCurrent(spark,
+      s"$out/gold/dim_customer")
     assert(dims.select("id_customer").distinct().count() == dims.count())
   }
 
@@ -44,15 +45,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(gold.columns.contains("_modeling_date"))
   }
 
-  test("gold publish is write-audit-publish: a planted violation " +
-      "refuses, staging stays inspectable, the serving gold survives") {
+  test("gold promotion is audit-gated AND gapless: a planted violation " +
+      "refuses with the staged gen inspectable, a crash between publish " +
+      "and repoint never costs a probe the serving table") {
     import graft.operators.Cleaning
+    import graft.sources.SnapshotStore
     val out = java.nio.file.Files.createTempDirectory("graft-wapgold")
       .toString
-    // happy path: the full run publishes an audited gold
+    val factRoot = s"$out/gold/fact_sales"
+    // happy path: the full run promotes an audited gold generation
     Pipeline.run(spark, sf, out, "2026-08-12")
-    val factN = spark.read.parquet(s"$out/gold/fact_sales").count()
+    val factN = SnapshotStore.readCurrent(spark, factRoot).count()
     assert(factN > 0)
+    assert(SnapshotStore.currentGen(spark, factRoot).contains(1L))
     // re-run with a planted violation appended to the fact's rule
     // list: quantities are positive, so this range fails every row
     val e = intercept[AuditFailed] {
@@ -61,16 +66,37 @@ class PipelineSpec extends AnyFunSuite {
           Seq(Cleaning.ExpectRange("quantidade", -2.0, -1.0)))
     }
     assert(e.getMessage.contains("quantidade"))
-    // the staged batch is LEFT for inspection, and the SERVING copy
-    // was never touched (validate-before-destroy)
-    assert(spark.read.parquet(s"$out/gold/fact_sales.staging")
-      .count() == factN)
-    assert(spark.read.parquet(s"$out/gold/fact_sales").count() == factN)
-    // a corrected re-run consumes the stale staging and republishes
+    // the pointer never moved — the serving gold is the old gen, and
+    // the refused batch's staged generation is LEFT for inspection
+    // (never servable: nothing points at it, readAt refuses it)
+    assert(SnapshotStore.currentGen(spark, factRoot).contains(1L))
+    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN)
+    assert(spark.read.parquet(s"$factRoot/_snapshots/2").count() ==
+      factN, "staged generation must stay inspectable")
+    intercept[SnapshotUnavailable] {
+      SnapshotStore.readAt(spark, factRoot, 2L)
+    }
+    // CRASH INJECTION — the scheduled-promotion failure the old
+    // delete-then-rename publish documented as a no-table window: the
+    // kill lands after the fact's staged write+audit, before the
+    // repoint. A probe mid-crash AND after it still reads the full
+    // old generation; there is no moment without a serving table.
+    class Boom extends RuntimeException("injected crash")
+    intercept[Boom] {
+      Pipeline.goldImpl(spark, sf, out, "2026-08-13", Nil, () => {
+        assert(SnapshotStore.readCurrent(spark, factRoot).count() ==
+          factN, "a probe mid-promotion lost the serving table")
+        throw new Boom
+      })
+    }
+    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN,
+      "a crashed promotion cost the serving table")
+    // the corrected re-run consumes the residue gen and promotes;
+    // the superseded generation stays time-travelable
     Pipeline.gold(spark, sf, out, "2026-08-13")
-    assert(spark.read.parquet(s"$out/gold/fact_sales").count() == factN)
-    assert(!graft.sources.Tables.fsFor(spark, out).exists(
-      new org.apache.hadoop.fs.Path(s"$out/gold/fact_sales.staging")))
+    assert(SnapshotStore.currentGen(spark, factRoot).contains(2L))
+    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN)
+    assert(SnapshotStore.readAt(spark, factRoot, 1L).count() == factN)
   }
 
   test("corpus gold publish audits staged shards: a planted violation " +
