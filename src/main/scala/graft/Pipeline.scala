@@ -332,24 +332,68 @@ object Pipeline {
         ++ extraAudit)
     val fs = Tables.fsFor(spark, target)
     fs.mkdirs(new org.apache.hadoop.fs.Path(target))
-    fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+    // the swap is NOT atomic across shards — a failure mid-loop
+    // leaves gold serving a mix of new and old shard snapshots. The
+    // RECOVERY CONTRACT (stated in every failure message below): a
+    // re-run of the same batch re-stages and republishes EVERY shard,
+    // which is idempotent because the staged write is an overwrite
+    // and each per-shard swap replaces whatever is there. Each shard
+    // swaps by rename-ASIDE (old copy moves under `_retiring/` —
+    // underscore-prefixed, invisible to readers — and is reclaimed
+    // only after the whole batch is serving), so the per-shard
+    // no-directory window is one metadata rename and no copy is ever
+    // deleted before its replacement is in place.
+    val retiring = new org.apache.hadoop.fs.Path(s"$target/_retiring")
+    def recovery(detail: String) = new IllegalStateException(
+      s"$detail — gold may be serving a MIX of old and new shard " +
+        s"snapshots; superseded copies are preserved under $retiring " +
+        s"and the staged batch at $staging: re-running the same " +
+        "batch re-stages and republishes every shard (idempotent)")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("shard="))
-      .foreach { st =>
-        val dst = new org.apache.hadoop.fs.Path(
-          s"$target/${st.getPath.getName}")
-        // verified delete: renaming into a still-existing directory
-        // NESTS the staged shard under the old one and returns true
-        // — the table would silently keep serving stale rows
-        if (fs.exists(dst) && !fs.delete(dst, true))
-          throw new IllegalStateException(
-            s"gold publish could not remove the previous shard dir " +
-              s"$dst — refusing to rename into an existing directory " +
-              s"(staged shards left at $staging)")
-        if (!fs.rename(st.getPath, dst))
-          throw new IllegalStateException(
-            s"publish rename failed: ${st.getPath} -> $dst")
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    staged.foreach { st =>
+      val name = st.getPath.getName
+      val dst = new org.apache.hadoop.fs.Path(s"$target/$name")
+      val aside = new org.apache.hadoop.fs.Path(retiring, name)
+      if (fs.exists(dst)) {
+        fs.mkdirs(retiring)
+        // verified wipe of a prior crashed swap's aside residue:
+        // renaming into a surviving directory NESTS and returns true
+        if (fs.exists(aside) && !fs.delete(aside, true))
+          throw recovery(
+            s"gold publish cannot reclaim stale aside residue $aside")
+        if (!fs.rename(dst, aside))
+          throw recovery(
+            s"gold publish could not stage the previous shard dir " +
+              s"$dst aside")
       }
+      if (!fs.rename(st.getPath, dst))
+        throw recovery(s"publish rename failed: ${st.getPath} -> $dst")
+    }
+    // a FULL rebuild (shards = None) REPLACES the gold partitions: a
+    // target shard directory absent from the staged batch (a rebuild
+    // that now produces fewer shards) must not silently keep serving
+    // its old rows
+    if (shards.isEmpty)
+      fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("shard=") &&
+          !stagedNames(st.getPath.getName))
+        .foreach { st =>
+          if (!fs.delete(st.getPath, true))
+            throw recovery(
+              s"full rebuild could not remove the stale shard dir " +
+                s"${st.getPath} absent from the staged batch")
+        }
+    // the whole batch is serving: reclaim the superseded copies and
+    // the consumed staging (verified for the retiring copies — a
+    // silent survivor would shadow the next publish's aside slot)
+    if (fs.exists(retiring) && !fs.delete(retiring, true))
+      throw recovery(
+        s"gold publish succeeded but the superseded shard copies at " +
+          s"$retiring could not be deleted")
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     ()
   }

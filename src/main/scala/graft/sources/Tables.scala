@@ -465,12 +465,16 @@ object Tables {
     * copy cannot be lost to a batch that fails its audit. With
     * `replace = false` (the default) an existing target refuses
     * (publish a fresh snapshot dir and repoint, the A6b rule); with
-    * `replace = true` the swap deletes the old target only AFTER the
-    * staged bytes pass — the retry-idempotent form a scheduled
-    * pipeline's gold promotion needs (delete→rename is two metadata
-    * ops, not one atomic rename; a crash in between leaves the
-    * VALIDATED staging intact and the idempotent stage re-run
-    * republishes). Returns the audit report (re-parallelized from
+    * `replace = true` the swap renames the old target ASIDE
+    * (`<path>.old`), renames the staging in, and deletes the aside
+    * copy only after the swap — the no-table window is ONE metadata
+    * rename (not the delete-then-rename of the pre-r13 form, whose
+    * window included a recursive delete), and a crash inside it
+    * leaves BOTH the validated staging and a recoverable `.old`
+    * copy: the idempotent stage re-run re-stages, publishes, and
+    * reclaims the aside residue. For a target that must never gap at
+    * all, promote through the [[SnapshotStore]] pointer instead.
+    * Returns the audit report (re-parallelized from
     * the bounded per-rule rows, so it does not re-read the
     * renamed-away staging path).
     *
@@ -481,6 +485,19 @@ object Tables {
   def writeAudited(spark: SparkSession, df: DataFrame, path: String,
                    expectations: Seq[graft.operators.Cleaning.Expectation],
                    replace: Boolean = false)
+      : DataFrame =
+    writeAuditedImpl(spark, df, path, expectations, replace, () => ())
+
+  /** [[writeAudited]] with a crash-injection hook fired inside the
+    * replace-swap window (old target renamed aside, staging not yet
+    * renamed in) — exists so the recoverable-crash contract is
+    * TESTED, not asserted.
+    */
+  private[graft] def writeAuditedImpl(spark: SparkSession,
+                                      df: DataFrame, path: String,
+                                      expectations: Seq[graft.operators.Cleaning.Expectation],
+                                      replace: Boolean,
+                                      insideSwapWindow: () => Unit)
       : DataFrame = {
     // Hadoop FileSystem throughout (fsFor/exists/rename) — the same
     // primitives as the index publish paths, so the exists check and
@@ -495,21 +512,49 @@ object Tables {
           "publish a fresh snapshot directory and repoint (or opt " +
           "into replace = true for the validate-then-swap form)")
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val aside = new org.apache.hadoop.fs.Path(path + ".old")
     df.write.mode("overwrite").parquet(staging.toString)
     val (rows, schema) = auditStaged(spark, staging.toString,
       expectations)
-    // the delete must be VERIFIED before the rename: Hadoop rename
-    // into a still-existing directory nests src under dst and
-    // returns true — a silently stale table instead of a loud
-    // publish failure
-    if (replace && fs.exists(target) && !fs.delete(target, true))
+    if (replace && fs.exists(target)) {
+      // rename-ASIDE, never delete-then-rename: the swap window is
+      // one metadata rename, and a crash inside it leaves the old
+      // copy recoverable at .old (plus the validated staging) — the
+      // idempotent stage re-run republishes and reclaims it below.
+      // Aside residue with the target PRESENT is a prior crashed
+      // publish's superseded copy (the serving target is the truth);
+      // verified wipe, because renaming into a surviving directory
+      // would NEST the old copy under it
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new IllegalStateException(
+          s"audited publish cannot reclaim stale aside residue " +
+            s"$aside (staged data left at $staging)")
+      if (!fs.rename(target, aside))
+        throw new IllegalStateException(
+          s"audited publish could not stage the previous target " +
+            s"aside ($target -> $aside); nothing was changed " +
+            s"(staged data left at $staging)")
+      insideSwapWindow()
+    }
+    if (!fs.rename(staging, target)) {
+      // best-effort rollback: restore the serving copy rather than
+      // leave the window open for longer than one failed rename
+      val rolledBack = replace && fs.rename(aside, target)
       throw new IllegalStateException(
-        s"audited publish could not remove the previous target " +
-          s"$target — refusing to rename into an existing directory " +
-          s"(staged data left at $staging)")
-    if (!fs.rename(staging, target))
+        s"publish rename failed: $staging -> $target; the previous " +
+          "table is " + (if (rolledBack) s"restored at $target"
+          else s"recoverable at $aside") +
+          " — a re-run of the stage re-stages and republishes")
+    }
+    // the publish IS committed; reclaim the superseded aside copy
+    // (also consumes residue left by a crash-in-window retry, where
+    // the replace branch above was skipped because the target was
+    // absent). Verified: silently surviving residue would shadow the
+    // NEXT publish's crash recovery
+    if (fs.exists(aside) && !fs.delete(aside, true))
       throw new IllegalStateException(
-        s"publish rename failed: $staging -> $target")
+        s"audited publish succeeded but the superseded copy at " +
+          s"$aside could not be deleted; remove it manually")
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 

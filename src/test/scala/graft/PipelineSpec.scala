@@ -124,6 +124,55 @@ class PipelineSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$out/gold/train_packed.staging")))
   }
 
+  test("corpus gold swap: a shrunken full rebuild removes stale shard " +
+      "dirs, and crash residue in the swap heals on the batch re-run") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-goldswap")
+      .toString
+    val gold = Pipeline.runCorpus(spark, sf, out, "2026-08-12")
+    val rows = gold.select(col("shard").cast("bigint"), col("bin_id"),
+        col("n_docs"), col("epoch_rank"), col("packed_text"))
+      .orderBy("shard", "bin_id").collect().toSeq
+    val goldPath = s"$out/gold/train_packed"
+    val fs = graft.sources.Tables.fsFor(spark, out)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a stale shard dir from an earlier, wider layout (the shrunken-
+    // rebuild hazard): a FULL rebuild must not leave it serving
+    spark.range(3).withColumn("packed_text", lit("stale"))
+      .write.parquet(s"$goldPath/shard=99")
+    assert(spark.read.parquet(goldPath)
+      .filter(col("shard") === 99).count() == 3)
+    Pipeline.corpusGold(spark, out, "2026-08-12")
+    assert(!fs.exists(p(s"$goldPath/shard=99")),
+      "a full rebuild left a shard dir absent from the staged batch")
+    // ...but a SHARD-SCOPED rebuild only touches its own partitions:
+    // the stale-dir sweep must not fire outside a full rebuild
+    spark.range(3).withColumn("packed_text", lit("stale"))
+      .write.parquet(s"$goldPath/shard=99")
+    Pipeline.corpusGold(spark, out, "2026-08-12", shards = Some(Seq(0L)))
+    assert(fs.exists(p(s"$goldPath/shard=99")),
+      "a shard-scoped rebuild swept partitions outside its scope")
+    assert(fs.delete(p(s"$goldPath/shard=99"), true))
+    // crash residue inside the per-shard swap window: the old copy
+    // sits under _retiring (invisible to readers — underscore prefix)
+    // and the shard dir is gone; the documented recovery — re-running
+    // the same batch — republishes every shard and reclaims it
+    fs.mkdirs(p(s"$goldPath/_retiring"))
+    assert(fs.rename(p(s"$goldPath/shard=0"),
+      p(s"$goldPath/_retiring/shard=0")))
+    assert(spark.read.parquet(goldPath)
+      .filter(col("shard") === 0).count() == 0,
+      "the retiring copy leaked into the serving read")
+    Pipeline.corpusGold(spark, out, "2026-08-12")
+    assert(!fs.exists(p(s"$goldPath/_retiring")),
+      "the batch re-run must reclaim the superseded copies")
+    val healed = spark.read.parquet(goldPath)
+      .select(col("shard").cast("bigint"), col("bin_id"),
+        col("n_docs"), col("epoch_rank"), col("packed_text"))
+      .orderBy("shard", "bin_id").collect().toSeq
+    assert(healed == rows, "recovery diverged from the original gold")
+  }
+
   test("incremental corpus: daily batches dedupe against persisted state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

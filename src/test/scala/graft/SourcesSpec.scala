@@ -389,6 +389,52 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S18 replace mode swaps by rename-aside: a crash in the window " +
+      "leaves the old copy recoverable and the retry reclaims it") {
+    import spark.implicits._
+    import graft.operators.Cleaning
+    val tmp = java.nio.file.Files.createTempDirectory("wap-aside").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def hExists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val rules = Seq(Cleaning.ExpectUnique("id"))
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    Tables.writeAudited(spark, v1, s"$tmp/t", rules)
+    // happy replace: swapped, no aside residue, no staging
+    Tables.writeAudited(spark, v2, s"$tmp/t", rules, replace = true)
+    assert(spark.read.parquet(s"$tmp/t").count() == 3)
+    assert(!hExists(s"$tmp/t.old") && !hExists(s"$tmp/t.staging"))
+    // crash INSIDE the swap window (old renamed aside, staging not
+    // yet in): the old copy is at .old and the validated staging is
+    // intact — nothing was destroyed, everything is recoverable
+    class Boom extends RuntimeException("injected crash")
+    intercept[Boom] {
+      Tables.writeAuditedImpl(spark, v1, s"$tmp/t", rules,
+        replace = true, () => {
+          assert(!hExists(s"$tmp/t"), "inside the window")
+          assert(spark.read.parquet(s"$tmp/t.old").count() == 3,
+            "the old copy must be recoverable at .old")
+          assert(spark.read.parquet(s"$tmp/t.staging").count() == 2,
+            "the validated staging must survive the crash")
+          throw new Boom
+        })
+    }
+    // the idempotent stage re-run republishes and reclaims the aside
+    // residue (target absent → straight publish + cleanup branch)
+    Tables.writeAudited(spark, v1, s"$tmp/t", rules, replace = true)
+    assert(spark.read.parquet(s"$tmp/t").count() == 2)
+    assert(!hExists(s"$tmp/t.old") && !hExists(s"$tmp/t.staging"))
+    // a FAILED audit in replace mode still never touches the serving
+    // copy (validate-before-destroy is unchanged by the aside swap)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    intercept[graft.AuditFailed] {
+      Tables.writeAudited(spark, dup, s"$tmp/t", rules, replace = true)
+    }
+    assert(spark.read.parquet(s"$tmp/t").count() == 2)
+    assert(!hExists(s"$tmp/t.old"))
+  }
+
   test("P7: sharded HLL sketch union equals the one-shot global sketch") {
     import org.apache.spark.sql.functions._
     val ord = Tables.table(spark, sf, "orders")
