@@ -1439,6 +1439,62 @@ object SparkEntry {
             "healthy_after", "snapshot_served")
       } finally rmTree(new java.io.File(dir))
     }),
+    // ---- §2.7 A6f dedup-index fsck (directory-visibility) --------
+    // the same never-trust-the-filesystem pass as A6d, retargeted at
+    // the MinHash dedup index whose visibility IS directory presence:
+    // build a real two-batch index, compact it (merged batch + two
+    // replay tombstones), plant one incident of each class — a
+    // crashed landing (commit record without _landed), filesystem
+    // damage (partial payload), staging residue, dropping residue —
+    // and recount the structure-driven status inventory against a
+    // literal oracle. Repair runs in-gate behind requires: residue
+    // reclaimed, unrepairables reported not papered over, and the
+    // index audits healthy once the planted damage is lifted.
+    "q_dedup_index_audit" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dfsck").toString
+      try {
+        val idx = s"$dir/idx"
+        val docs = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.operators.Dedup.writeDedupIndex(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", idx)
+        graft.operators.Dedup.writeDedupIndex(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx,
+          mode = "append")
+        val merged = graft.operators.Dedup.compactDedupIndex(s, idx)
+        val fs = Tables.fsFor(s, idx)
+        def mk(p: String) = {
+          require(fs.mkdirs(new org.apache.hadoop.fs.Path(p))); ()
+        }
+        mk(s"$idx/batches/$merged/accepted") // crashed landing
+        mk(s"$idx/batches/feedbead01/bands") // FS damage: half payload
+        mk(s"$idx/_staging/crashed1")
+        mk(s"$idx/_dropping/crashed2")
+        val report = graft.operators.IndexAudit.auditDedupDf(s, idx)
+          .groupBy(col("kind"), col("status"), col("healthy"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        require(!graft.operators.IndexAudit.isDedupHealthy(s, idx))
+        // repair: residue reclaimed, damage reported — never hidden
+        val acts = graft.operators.IndexAudit.repairDedup(s, idx)
+          .collect().map(_.getString(2)).sorted.toSeq
+        require(acts == Seq("needs_increment_retry",
+          "reclaimed_dropping", "reclaimed_staging",
+          "unrepairable_partial_payload"), acts.toString)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$idx/_staging/crashed1")))
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$idx/_dropping/crashed2")))
+        // lifting the planted damage restores a healthy audit
+        require(fs.delete(new org.apache.hadoop.fs.Path(
+          s"$idx/batches/$merged/accepted"), true))
+        require(fs.delete(new org.apache.hadoop.fs.Path(
+          s"$idx/batches/feedbead01"), true))
+        require(graft.operators.IndexAudit.isDedupHealthy(s, idx))
+        report
+      } finally rmTree(new java.io.File(dir))
+    }),
     // ---- §2.9 M1 multimodal ----
     // features projected to scalar columns: the driver's pandas
     // comparator can't sort an array<float> cell, and scalars let the
@@ -4247,6 +4303,19 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS history_rerecorded,
         |  CAST(1 AS BIGINT) AS dirs_reclaimed,
         |  true AS healthy_after, true AS snapshot_served""".stripMargin,
+    // the dedup fsck inventory is structure-driven: one merged active
+    // batch carrying the planted crashed-landing record, two replay
+    // tombstones from the compaction, one planted half-payload dir,
+    // one staging and one dropping residue, params present
+    "q_dedup_index_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('batch', 'mid_landing', false, CAST(1 AS BIGINT)),
+        |  ('batch', 'partial_payload', false, CAST(1 AS BIGINT)),
+        |  ('batch', 'tombstone', true, CAST(2 AS BIGINT)),
+        |  ('dropping', 'residue', true, CAST(1 AS BIGINT)),
+        |  ('meta', 'params_present', true, CAST(1 AS BIGINT)),
+        |  ('staging', 'residue', true, CAST(1 AS BIGINT))
+        |) AS t(kind, status, healthy, n)""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS cell, embedding AS centv FROM embeddings

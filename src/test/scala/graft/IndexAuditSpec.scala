@@ -191,4 +191,113 @@ class IndexAuditSpec extends AnyFunSuite {
       assert(!IndexAudit.isHealthy(spark, path))
     } finally rmTree(dir)
   }
+
+  test("auditDedup classifies every directory-visibility state on a " +
+      "synthetic dedup-index root") {
+    val dir = tmp("dfsck-proto")
+    try {
+      val root = dir.toString
+      val fs = hadoopFs(root)
+      def mk(p: String): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$p")); ()
+      }
+      // params record + one batch of every shape: full payload,
+      // tombstone (replay guard), mid-landing (commit record, no
+      // _landed), LANDED with payload (accepted + _landed → active),
+      // half payload; plus staging and dropping residue
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
+      try out.write("k=16\nrowsPerBand=2\nmaxDocFreq=-1\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+      mk("batches/b_ok/bands"); mk("batches/b_ok/shingles")
+      mk("batches/b_tomb")
+      mk("batches/b_mid/bands"); mk("batches/b_mid/shingles")
+      mk("batches/b_mid/accepted")
+      mk("batches/b_land/bands"); mk("batches/b_land/shingles")
+      mk("batches/b_land/accepted"); mk("batches/b_land/_landed")
+      mk("batches/b_half/shingles")
+      mk("_staging/s1"); mk("_dropping/d1")
+      val got = IndexAudit.auditDedup(spark, root)
+        .map(f => (f.kind, f.name, f.status, f.healthy)).toSet
+      assert(got == Set(
+        ("meta", "_meta", "params_present", true),
+        ("batch", "b_ok", "active_ok", true),
+        ("batch", "b_tomb", "tombstone", true),
+        ("batch", "b_mid", "mid_landing", false),
+        ("batch", "b_land", "active_ok", true),
+        ("batch", "b_half", "partial_payload", false),
+        ("staging", "s1", "residue", true),
+        ("dropping", "d1", "residue", true)), got.toString)
+      assert(!IndexAudit.isDedupHealthy(spark, root))
+      // a batches-bearing root whose params record is GONE is
+      // unhealthy (appends/queries cannot verify the signature
+      // scheme); an EMPTY root reports nothing at all
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/_meta"),
+        false))
+      assert(IndexAudit.auditDedup(spark, root).exists(f =>
+        f.kind == "meta" && f.status == "params_missing" && !f.healthy))
+      val empty = tmp("dfsck-empty")
+      try assert(
+        IndexAudit.auditDedup(spark, empty.toString).isEmpty)
+      finally rmTree(empty)
+    } finally rmTree(dir)
+  }
+
+  test("repairDedup reclaims residue on a LIVE index, reports (never " +
+      "papers over) damage, and leaves serve + replay guards intact") {
+    import spark.implicits._
+    val dir = tmp("dfsck-live")
+    try {
+      val idx = dir.toString + "/idx"
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon eta"),
+        (3L, "totally different words in this one here"),
+        (4L, "yet another unrelated document body text"))
+        .toDF("doc_id", "text")
+      val b1 = graft.operators.Dedup.writeDedupIndex(
+        docs.filter(col("doc_id") <= 2), "doc_id", "text", idx)
+      graft.operators.Dedup.writeDedupIndex(
+        docs.filter(col("doc_id") > 2), "doc_id", "text", idx,
+        mode = "append")
+      assert(IndexAudit.isDedupHealthy(spark, idx),
+        "a freshly appended index must audit healthy")
+      val fs = hadoopFs(idx)
+      def mk(p: String): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/$p")); ()
+      }
+      mk("_staging/crashed"); mk("_dropping/crashed")
+      val acts = IndexAudit.repairDedup(spark, idx)
+        .collect().map(r => (r.getString(0), r.getString(2))).toSet
+      assert(acts == Set(("staging", "reclaimed_staging"),
+        ("dropping", "reclaimed_dropping")), acts.toString)
+      assert(IndexAudit.isDedupHealthy(spark, idx))
+      // idempotent: a second repair finds nothing to do
+      assert(IndexAudit.repairDedup(spark, idx).count() == 0)
+      // the repaired index still serves: the incremental probe finds
+      // the planted near-pair of a stored doc
+      val probe = Seq((9L, "alpha beta gamma delta epsilon zeta plus"))
+        .toDF("doc_id", "text")
+      assert(graft.operators.Dedup.minhashDedupAgainstIndex(
+        probe, "doc_id", "text", idx).count() > 0)
+      // and the replay guard is untouched (repair never deletes a
+      // published batch directory)
+      intercept[graft.ReplayRefused] {
+        graft.operators.Dedup.writeDedupIndex(
+          docs.filter(col("doc_id") <= 2), "doc_id", "text", idx,
+          mode = "append")
+      }
+      assert(b1.nonEmpty)
+      // damage classes are reported, not papered over: half payload
+      mk("batches/feedbead01/bands")
+      val acts2 = IndexAudit.repairDedup(spark, idx)
+        .collect().map(_.getString(2)).toSeq
+      assert(acts2 == Seq("unrepairable_partial_payload"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/batches/feedbead01/bands")),
+        "repair must not delete a damaged batch's surviving half")
+      assert(!IndexAudit.isDedupHealthy(spark, idx))
+    } finally rmTree(dir)
+  }
 }
