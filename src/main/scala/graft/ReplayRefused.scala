@@ -62,6 +62,22 @@ final class ReservedIdRefused(msg: String)
 final class SnapshotUnavailable(msg: String)
   extends IllegalStateException(msg)
 
+/** The maintenance pre-flight ([[graft.operators.IndexProtocol
+  * .preflightCompaction]], and the dedup twin inside
+  * [[graft.operators.Dedup.compactDedupIndex]]) found the index in a
+  * state COMPACTION would make PERMANENT: a committed batch whose
+  * payload directory is missing (the merge builds from whatever
+  * payload exists, so compacting would bake the loss silently into
+  * the merged batch and the retire sweep would destroy the evidence —
+  * the serve shrinks with no error, forever), or a dedup batch with
+  * half its payload (same silent-shrink consequence for candidate
+  * generation). Typed so a maintenance scheduler can branch to the
+  * fsck/repair path ([[graft.operators.IndexAudit]]) without message
+  * matching. Drops are deliberately NOT gated by this: dropping the
+  * damaged batch is the documented remedy.
+  */
+final class IndexUnhealthy(msg: String) extends IllegalStateException(msg)
+
 /** A write-audit-publish ([[graft.sources.Tables.writeAudited]])
   * refusal: either the staged data failed its expectation audit (the
   * staging directory is LEFT for inspection — the message names the

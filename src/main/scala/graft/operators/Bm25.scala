@@ -436,8 +436,15 @@ object Bm25 {
     * delisted directory then stays in place (invisible — probes are
     * meta-driven) for at least that grace window, recorded under
     * `_pending_delete/` and reclaimed by a later maintenance call's
-    * sweep ([[IndexProtocol.sweepPendingDeletes]]). Returns false if
-    * the batch was not committed.
+    * sweep ([[IndexProtocol.sweepPendingDeletes]]). If the batch's
+    * payload directory is LOST (the audit's committed_missing_payload
+    * — the incident [[IndexProtocol.preflightCompaction]] refuses on
+    * and points at this drop as the remedy), the drop still works:
+    * the scalars are rebuilt from the remaining committed batches'
+    * postings (per-batch recounts summed, preserving double-ingest
+    * counting) — the one data-sized pass in the protocol, reserved
+    * for this remedial case. Returns false if the batch was not
+    * committed.
     */
   def dropBm25Batch(spark: org.apache.spark.sql.SparkSession,
                     path: String, batchId: String,
@@ -447,20 +454,49 @@ object Bm25 {
     if (!meta.batches.contains(batchId)) false
     else {
       val dir = s"$path/batches/$batchId"
-      // recount scoped to the batch's `term_p=*` postings partitions
-      // ONLY: a future layout change dropping a stats/sidecar file
-      // into the batch dir must never leak into the (n, Σlen) repair
-      val termDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(st => st.isDirectory &&
+      def batchTermDirs(b: String): Seq[String] = {
+        val d = new org.apache.hadoop.fs.Path(s"$path/batches/$b")
+        // scoped to the batch's `term_p=*` postings partitions ONLY:
+        // a future layout change dropping a stats/sidecar file into
+        // the batch dir must never leak into the (n, Σlen) repair
+        fs.listStatus(d).filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("term_p="))
-        .map(_.getPath.toString).toSeq
-      val s = spark.read.parquet(termDirs: _*)
-        .select(col(meta.idCol), col("len")).distinct()
-        .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
-        .head()
+          .map(_.getPath.toString).toSeq
+      }
+      def scalars(dirs: Seq[String]): (Long, Long) =
+        if (dirs.isEmpty) (0L, 0L)
+        else {
+          val s = spark.read.parquet(dirs: _*)
+            .select(col(meta.idCol), col("len")).distinct()
+            .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+            .head()
+          (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+        }
+      val (newN, newSl) =
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+          // the normal remedial drop: subtract THIS batch's recounted
+          // contribution — batch-sized, never the corpus
+          val (dn, dsl) = scalars(batchTermDirs(batchId))
+          (meta.n - dn, meta.sumLen - dsl)
+        } else {
+          // the committed_missing_payload remedy (the incident the
+          // audit preflight points here): the batch's contribution
+          // cannot be recounted from its own lost rows, so REBUILD
+          // the scalars from the remaining committed batches —
+          // per-batch recounts summed, never one cross-batch distinct
+          // (a doc double-ingested under two batch ids counts twice
+          // in the scalars, exactly as the two appends counted it),
+          // so the serve over the survivors is bit-identical to an
+          // index that never saw the lost batch. A full-postings pass,
+          // acceptable for an explicitly remedial operation.
+          meta.batches.filterNot(_ == batchId)
+            .map(b => scalars(batchTermDirs(b)))
+            .foldLeft((0L, 0L)) { case ((an, asl), (bn, bsl)) =>
+              (an + bn, asl + bsl)
+            }
+        }
       swapBm25Meta(fs, path,
-        meta.copy(n = meta.n - s.getLong(0),
-          sumLen = meta.sumLen - s.getLong(1),
+        meta.copy(n = newN, sumLen = newSl,
           batches = meta.batches.filterNot(_ == batchId)), raw)
       val now = System.currentTimeMillis()
       // THIS drop is the delist event: reset (clear + mark) so a
@@ -531,7 +567,13 @@ object Bm25 {
     * read and the swap fails the compaction loudly
     * ([[graft.sources.MetaSwap.CasFailed]]) with the appended batch
     * intact — the merged directory is unlisted residue, reclaimed by
-    * the re-run. Returns the merged batch's id.
+    * the re-run. Entry runs the A6d audit as a PRE-FLIGHT
+    * ([[IndexProtocol.preflightCompaction]]): a committed batch with
+    * lost payload refuses the compaction (typed
+    * [[graft.IndexUnhealthy]] — merging would bake the loss in
+    * permanently) and a lost current-gen snapshot record is
+    * re-recorded while the meta bytes still exist. Returns the merged
+    * batch's id.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String, retainMs: Long = 0L,
@@ -556,6 +598,11 @@ object Bm25 {
     val (meta, raw) = readBm25MetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
+    // diagnose BEFORE destroying (the A6d audit at maintenance entry):
+    // refuse on a committed batch with lost payload — merging would
+    // bake the loss in and retire the evidence — and re-record a lost
+    // current-gen snapshot record while the meta bytes still exist
+    IndexProtocol.preflightCompaction(fs, path)
     // a marker on a COMMITTED batch is by definition stale (see
     // IndexProtocol.clearStaleMarkers) — clear them now so no stale
     // clock survives a crash-recovery path into these batches'

@@ -766,6 +766,25 @@ object Dedup {
       s"refusing to compact $path: ${midLanding.length} batch(es) are " +
         "mid-landing (commit record without _landed) — resume or drop " +
         s"them first: ${midLanding.map(_.getName).mkString(", ")}")
+    // diagnose BEFORE destroying (the A6f audit at maintenance entry,
+    // the meta-protocol indexes' preflightCompaction twin): a batch
+    // with HALF a payload (exactly one of bands/shingles — impossible
+    // under the atomic publish, so filesystem damage) must refuse —
+    // merging the surviving half and tombstoning the directory would
+    // silently shrink candidate generation and destroy the evidence,
+    // while before compaction the incident is recoverable (restore
+    // the directory, or dropBatchFromIndex + re-ingest)
+    val partial = IndexAudit.auditDedup(spark, path)
+      .collect { case IndexProtocol.AuditFinding(
+        "batch", b, "partial_payload", _) => b }
+    if (partial.nonEmpty) throw new graft.IndexUnhealthy(
+      s"refusing to compact $path: batch(es) " +
+        s"${partial.mkString(", ")} have a partial payload (exactly " +
+        "one of bands/shingles survives) — compacting would merge the " +
+        "surviving half and tombstone the evidence, silently shrinking " +
+        "candidate generation; restore the directory or " +
+        "dropBatchFromIndex + re-ingest (IndexAudit.auditDedup for the " +
+        "full report)")
     val bands = readBatchTables(spark, bandPaths).distinct()
     val shingles =
       readBatchTables(spark, batchSubPaths(fs, path, "shingles"))

@@ -617,4 +617,57 @@ private[graft] object IndexProtocol {
         AuditFinding("history", gen.toString, "current_missing", false))
     batchRows ++ dirRows ++ markerRows ++ historyRows
   }
+
+  /** MAINTENANCE PRE-FLIGHT — the A6d audit wired into the compaction
+    * entry points ([[VectorIndex.compact]], [[Bm25.compactBm25Index]])
+    * so the diagnose step runs before EVERY destructive maintenance
+    * pass, not only when an operator remembers to run the fsck. Two
+    * findings matter at this moment, and only this moment:
+    *
+    *  - a COMMITTED batch with no payload directory REFUSES the
+    *    compaction (typed [[graft.IndexUnhealthy]]). The merge builds
+    *    from whatever payload exists on disk, so compacting would bake
+    *    the loss silently into the merged batch and the retire sweep
+    *    would reclaim the remaining evidence — the serve shrinks with
+    *    no error, permanently. Before compaction the incident is
+    *    RECOVERABLE (restore the directory from backup, or drop the
+    *    batch explicitly — drops are deliberately not gated: they are
+    *    the remedy); after it, it is not.
+    *  - a MISSING current-gen history record is HEALED here:
+    *    re-recorded from the committed `_meta` bytes
+    *    ([[IndexAudit.repair]]'s one recoverable lost-record case).
+    *    Entry is the LAST moment that repair works — after this
+    *    compaction's swap the pre-compaction meta bytes are
+    *    unreachable and the as-of-gen probe for the current gen would
+    *    refuse forever.
+    *
+    * Orphan dirs and stale markers need no action here — the
+    * compaction body already clears stale markers at entry and
+    * grace-schedules unlisted dirs at retire time; refusing on them
+    * would wedge the very call that heals them. Returns the gens
+    * re-recorded (empty on a healthy index). Pure metadata cost: one
+    * audit (one meta read + three listings).
+    */
+  def preflightCompaction(fs: FileSystem, root: String,
+                          nowMs: Long = System.currentTimeMillis())
+      : Seq[Long] = {
+    val findings = auditIndex(fs, root, nowMs)
+    val lost = findings.collect {
+      case AuditFinding("batch", b, "committed_missing_payload", _) => b
+    }
+    if (lost.nonEmpty) throw new graft.IndexUnhealthy(
+      s"refusing to compact $root: committed batch(es) " +
+        s"${lost.mkString(", ")} have no payload directory — " +
+        "compacting would bake the loss into the merged batch and " +
+        "retire the evidence; restore the directory or drop the batch " +
+        "explicitly (IndexAudit.audit for the full report)")
+    findings.collect {
+      case AuditFinding("history", g, "current_missing", _) => g.toLong
+    }.map { g =>
+      val raw = graft.sources.MetaSwap.readCommitted(fs,
+        new Path(s"$root/_meta"))
+      recordMetaHistory(fs, root, g, raw)
+      g
+    }
+  }
 }

@@ -430,8 +430,12 @@ object VectorIndex {
     * read, so a batch committed between the read and the swap fails
     * the compaction loudly ([[graft.sources.MetaSwap.CasFailed]])
     * with the appended batch intact — the merged directory is
-    * unlisted residue, reclaimed by the re-run. Returns the merged
-    * batch's id.
+    * unlisted residue, reclaimed by the re-run. Entry runs the A6d
+    * audit as a PRE-FLIGHT ([[IndexProtocol.preflightCompaction]]):
+    * a committed batch with lost payload refuses the compaction
+    * (typed [[graft.IndexUnhealthy]] — merging would bake the loss in
+    * permanently) and a lost current-gen snapshot record is re-recorded
+    * while the meta bytes still exist. Returns the merged batch's id.
     */
   def compact(spark: SparkSession, path: String, retainMs: Long = 0L,
               maxRetired: Int = 512): String =
@@ -455,6 +459,11 @@ object VectorIndex {
     val (meta, raw) = readMetaRaw(spark, path)
     require(meta.batches.nonEmpty,
       s"no committed batches to compact at $path")
+    // diagnose BEFORE destroying (the A6d audit at maintenance entry):
+    // refuse on a committed batch with lost payload — merging would
+    // bake the loss in and retire the evidence — and re-record a lost
+    // current-gen snapshot record while the meta bytes still exist
+    IndexProtocol.preflightCompaction(fs, path)
     // a marker on a COMMITTED batch is by definition stale (see
     // IndexProtocol.clearStaleMarkers) — clear them now so no stale
     // clock survives a crash-recovery path into these batches'

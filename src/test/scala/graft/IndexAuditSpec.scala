@@ -300,4 +300,138 @@ class IndexAuditSpec extends AnyFunSuite {
       assert(!IndexAudit.isDedupHealthy(spark, idx))
     } finally rmTree(dir)
   }
+
+  // ---- maintenance PRE-FLIGHT (the audit wired into compaction) ----
+
+  test("bm25 compaction refuses typed on a committed batch with lost " +
+      "payload; dropBm25Batch is the remedy and rebuilds the scalars") {
+    import spark.implicits._
+    val dir = tmp("fsck-preflight")
+    try {
+      val path = dir.toString
+      val fs = hadoopFs(path)
+      val docs = Seq((1L, "vector hash join fast pipeline"),
+        (2L, "hash join table scan"),
+        (3L, "completely unrelated prose text"),
+        (4L, "fast scan over the hash table")).toDF("doc_id", "text")
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val b0 = Bm25.readBm25Meta(spark, path).batches.head
+      val lost = Bm25.appendBm25Index(docs.filter(col("doc_id") === 4),
+        "text", path)
+      // the incident: the appended batch's payload directory vanishes
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/batches/$lost"), true))
+      assert(!IndexAudit.isHealthy(spark, path))
+      // maintenance REFUSES (typed) instead of baking the loss into
+      // the merged batch and retiring the evidence — and the refusal
+      // mutates NOTHING: both ids still committed
+      val e = intercept[IndexUnhealthy] {
+        Bm25.compactBm25Index(spark, path)
+      }
+      assert(e.getMessage.contains(lost))
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(b0, lost))
+      // the remedy is deliberately NOT gated: the drop rebuilds the
+      // (n, Σlen) scalars from the surviving batches' postings, so
+      // the serve is bit-identical to an index that never saw the
+      // lost batch
+      assert(Bm25.dropBm25Batch(spark, path, lost))
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(b0))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(rows(Bm25.bm25TopKIndexed(spark, path,
+        "fast vector hash join", k = 10)) ==
+        rows(Bm25.bm25TopK(docs.filter(col("doc_id") <= 3), "doc_id",
+          "text", "fast vector hash join", k = 10)))
+      // and compaction runs clean on the recovered index
+      val cid = Bm25.compactBm25Index(spark, path)
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(cid))
+      assert(IndexAudit.isHealthy(spark, path))
+    } finally rmTree(dir)
+  }
+
+  test("compaction entry re-records a lost current-gen snapshot " +
+      "record — the last moment the pre-swap meta bytes still exist") {
+    import spark.implicits._
+    val dir = tmp("fsck-heal")
+    try {
+      val path = dir.toString
+      val fs = hadoopFs(path)
+      val docs = Seq((1L, "vector hash join fast pipeline"),
+        (2L, "hash join table scan"),
+        (3L, "completely unrelated prose text"),
+        (4L, "fast scan over the hash table")).toDF("doc_id", "text")
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") === 4), "text",
+        path)
+      val gen = Bm25.currentGen(spark, path)
+      val live = Bm25.bm25TopKIndexed(spark, path,
+        "fast vector hash join", k = 10).collect().toSet
+      // the crash between the append's meta swap and its history
+      // record: the current gen's snapshot record is lost
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_meta_history/$gen"), false))
+      intercept[SnapshotUnavailable] {
+        Bm25.bm25TopKIndexedAt(spark, path, gen,
+          "fast vector hash join", k = 10).collect()
+      }
+      // compaction entry heals it BEFORE its own swap would make the
+      // loss permanent (post-swap, gen's bytes are unreachable); with
+      // a grace window the superseded dirs stay physically servable,
+      // so the pre-compaction gen probes again — bit-identical to the
+      // serve collected while it was live
+      Bm25.compactBm25Index(spark, path, retainMs = 3600L * 1000)
+      assert(Bm25.bm25TopKIndexedAt(spark, path, gen,
+        "fast vector hash join", k = 10).collect().toSet == live)
+    } finally rmTree(dir)
+  }
+
+  test("dedup compaction refuses typed on a half payload and mutates " +
+      "nothing; dropBatchFromIndex is the remedy") {
+    import spark.implicits._
+    val dir = tmp("dfsck-preflight")
+    try {
+      val idx = dir.toString + "/idx"
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon eta"),
+        (3L, "totally different words in this one here"),
+        (4L, "yet another unrelated document body text"))
+        .toDF("doc_id", "text")
+      val b1 = graft.operators.Dedup.writeDedupIndex(
+        docs.filter(col("doc_id") <= 2), "doc_id", "text", idx)
+      val b2 = graft.operators.Dedup.writeDedupIndex(
+        docs.filter(col("doc_id") > 2), "doc_id", "text", idx,
+        mode = "append")
+      val fs = hadoopFs(idx)
+      // the incident: half of b2's payload vanishes (FS damage — the
+      // atomic publish cannot produce this shape)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$idx/batches/$b2/shingles"), true))
+      val e = intercept[IndexUnhealthy] {
+        graft.operators.Dedup.compactDedupIndex(spark, idx)
+      }
+      assert(e.getMessage.contains(b2))
+      // the refusal tombstoned nothing: b1 is whole, b2's surviving
+      // half is intact (the evidence an operator restores from)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/batches/$b1/bands")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/batches/$b1/shingles")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/batches/$b2/bands")))
+      // the remedy: drop the damaged batch, then compaction runs
+      // clean and the survivor still serves b1's near-pair
+      assert(graft.operators.Dedup.dropBatchFromIndex(spark, idx, b2))
+      assert(graft.operators.Dedup.compactDedupIndex(spark, idx)
+        .nonEmpty)
+      assert(IndexAudit.isDedupHealthy(spark, idx))
+      val probe = Seq((9L, "alpha beta gamma delta epsilon zeta plus"))
+        .toDF("doc_id", "text")
+      assert(graft.operators.Dedup.minhashDedupAgainstIndex(
+        probe, "doc_id", "text", idx).count() > 0)
+    } finally rmTree(dir)
+  }
 }

@@ -494,6 +494,38 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("vector compaction refuses typed on a committed batch with " +
+      "lost payload and mutates nothing; dropBatch is the remedy") {
+    val dir = tmp("vec-preflight")
+    try {
+      val path = dir.toString
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      val lost = VectorIndex.append(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path)
+      val fs = hadoopFs(path)
+      // the incident: a committed batch's payload directory vanishes.
+      // Compacting would merge only the surviving payload and retire
+      // the evidence — the serve would shrink silently, forever — so
+      // the entry preflight refuses instead (the A6d audit wired in)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/batches/$lost"), true))
+      val e = intercept[IndexUnhealthy] {
+        VectorIndex.compact(spark, path)
+      }
+      assert(e.getMessage.contains(lost))
+      // nothing mutated by the refusal — both ids still committed
+      assert(VectorIndex.readMeta(spark, path).batches.size == 2)
+      // the remedy is deliberately not gated; the recovered index
+      // compacts clean and serves
+      assert(VectorIndex.dropBatch(spark, path, lost))
+      val cid = VectorIndex.compact(spark, path)
+      assert(VectorIndex.readMeta(spark, path).batches == Seq(cid))
+      assert(vecServe(path).nonEmpty)
+    } finally rmTree(dir)
+  }
+
   test("bm25 index: an append committed in the compaction's swap " +
       "window fails the compaction loudly and survives intact") {
     val dir = tmp("bm25-cas")
