@@ -1979,6 +1979,70 @@ object SparkEntry {
             "residue_refused", "compacted_to_target", "rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S19b snapshot-table fsck (the A6d family on the ----
+    // ---- pointer protocol), driver-gated ----
+    // build a real two-generation snapshot table, plant one incident
+    // per class — a crashed publish's residue gen (current+1), an
+    // impossible future gen (tampering), an interrupted pointer swap
+    // (`.next` beside the committed pointer), and a crashed prune's
+    // leftover (audited with keep=1 against a keep=3 publish) — and
+    // recount the structure-driven status inventory against a literal
+    // oracle. Repair runs in-gate behind requires: residue and the
+    // stale prune reclaimed, the tampered gen REPORTED never deleted,
+    // the serving read untouched throughout, and the audit healthy
+    // once the planted damage is lifted.
+    "q_snapshot_audit" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snapfsck").toString
+      try {
+        val root = s"$tmp/tbl"
+        val nation = Tables.table(s, d, "nation")
+        graft.sources.SnapshotStore.publish(s, nation, root, Nil,
+          keep = 3) // gen 1
+        graft.sources.SnapshotStore.publish(s,
+          nation.filter(col("n_regionkey") < 2), root, Nil,
+          keep = 3) // gen 2 (serving)
+        val fs = Tables.fsFor(s, root)
+        def mk(p: String) = {
+          require(fs.mkdirs(new org.apache.hadoop.fs.Path(p))); ()
+        }
+        mk(s"$root/_snapshots/3") // crashed publish residue (cur+1)
+        mk(s"$root/_snapshots/9") // impossible future gen
+        val next = fs.create(
+          new org.apache.hadoop.fs.Path(s"$root/_current.next"), true)
+        try next.write("gen=3\n".getBytes("UTF-8")) finally next.close()
+        val report = graft.operators.IndexAudit
+          .auditSnapshotsDf(s, root, keep = 1)
+          .groupBy(col("kind"), col("status"), col("healthy"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // bounded rows; release the temp dir
+        require(!graft.operators.IndexAudit
+          .isSnapshotsHealthy(s, root, keep = 1))
+        val acts = graft.operators.IndexAudit
+          .repairSnapshots(s, root, keep = 1).collect()
+          .map(_.getString(2)).sorted.toSeq
+        require(acts == Seq("pruned_over_retained", "reclaimed_residue",
+          "reclaimed_swap_residue", "unrepairable_orphan_future"),
+          acts.toString)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_snapshots/3")))
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_current.next")))
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_snapshots/9")),
+          "repair must never delete tampering evidence")
+        // lifting the planted damage restores a healthy audit; the
+        // serving generation was untouched through all of it
+        require(fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/_snapshots/9"), true))
+        require(graft.operators.IndexAudit
+          .isSnapshotsHealthy(s, root, keep = 1))
+        require(graft.sources.SnapshotStore.readCurrent(s, root)
+          .count() ==
+          nation.filter(col("n_regionkey") < 2).count())
+        report
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.11 O2 stage retries, driver-gated ----
     // outcome contract (q_pipeline_run pattern): a stage failing twice
     // then succeeding is retried to the third attempt and returns its
@@ -3365,6 +3429,20 @@ object SparkEntry {
       """SELECT true AS v1_timetravel_exact, true AS crash_never_gapped,
         |  true AS residue_refused, true AS compacted_to_target,
         |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
+    // the snapshot fsck inventory is structure-driven: one serving
+    // gen, one superseded gen audited as a crashed prune's leftover
+    // (keep=1 against the keep=3 publish), one crashed-publish
+    // residue (cur+1), one impossible future gen, the committed
+    // pointer plus its planted interrupted-swap file
+    "q_snapshot_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('gen', 'orphan_future', false, CAST(1 AS BIGINT)),
+        |  ('gen', 'over_retained', true, CAST(1 AS BIGINT)),
+        |  ('gen', 'publish_residue', true, CAST(1 AS BIGINT)),
+        |  ('gen', 'serving', true, CAST(1 AS BIGINT)),
+        |  ('pointer', 'current_ok', true, CAST(1 AS BIGINT)),
+        |  ('pointer', 'swap_residue', true, CAST(1 AS BIGINT))
+        |) AS t(kind, status, healthy, n)""".stripMargin,
     // the daily grid anchored on the events date span is inclusive of
     // both endpoints, so its length is the real data-derived row
     "q_pipeline_schedule" ->

@@ -257,4 +257,190 @@ object IndexAudit {
     import spark.implicits._
     (actions ++ swept).toDF("kind", "name", "action")
   }
+
+  // ---- the SNAPSHOT TABLE's fsck (S19 pointer protocol) ------------
+  // SnapshotStore publishes immutable generation directories behind
+  // one CAS'd pointer; its incident classes mirror the index family —
+  // crashed-publish residue (the staged gen nothing points at), an
+  // interrupted pointer swap (`.next` beside or instead of the
+  // committed marker), over-retention after a crashed prune — plus
+  // two states only a pointer protocol has: a pointer whose target
+  // generation is GONE (the serving table is lost) and a future gen
+  // the gen=current+1 rule cannot produce (tampering/FS damage).
+
+  /** Audit a [[graft.sources.SnapshotStore]] root; one
+    * [[IndexProtocol.AuditFinding]] per entity, deterministic order.
+    * Pure metadata cost — one pointer read + one listing.
+    *
+    * Pass `keep` (the retention window the table is published with)
+    * to additionally classify over-retention; with the default 0 the
+    * audit cannot know the window and reports every superseded gen as
+    * retained. Statuses (healthy=true unless noted):
+    *
+    *  - pointer/swap_residue — `_current.next` present: an
+    *    interrupted swap; self-healing (the crashed form completes on
+    *    the next read — which THIS audit performs — and the
+    *    crashed-earlier form is overwritten by the next swap), but
+    *    surfaced so a persistent crash pattern shows across audits
+    *  - pointer/current_ok — the committed gen's directory exists
+    *  - pointer/missing_target (UNHEALTHY) — the pointer commits a
+    *    gen whose directory is GONE: the serving table is lost;
+    *    restore the directory or repoint explicitly — repair never
+    *    chooses to serve older data silently
+    *  - pointer/lost (UNHEALTHY) — generations beyond the first exist
+    *    with no pointer at all: gens are allocated current+1, so a
+    *    pointer must have existed; the operator repoints explicitly
+    *  - gen/serving — the pointer's target
+    *  - gen/superseded_retained — a past gen inside (or without a
+    *    known) retention window: the time-travel inventory
+    *  - gen/over_retained — a past gen beyond `keep`: a crashed
+    *    prune's leftover; the next publish (or [[repairSnapshots]])
+    *    reclaims it
+    *  - gen/publish_residue — gen current+1: a crashed or
+    *    audit-failed publish; nothing ever served it and the retried
+    *    publish overwrites it
+    *  - gen/first_publish_residue — a sole gen 1 with no pointer:
+    *    almost certainly a crashed FIRST publish (retry overwrites),
+    *    but indistinguishable from a pointer lost after one publish —
+    *    so repair only reports it and never deletes the one candidate
+    *    copy
+    *  - gen/orphan_future (UNHEALTHY) — a gen beyond current+1:
+    *    impossible under the allocation rule, so it marks manual
+    *    tampering or cross-table confusion; evidence, never deleted
+    *  - gen/stranded — a gen under a LOST pointer: classification
+    *    needs the pointer; the pointer/lost row carries the alarm and
+    *    these rows are the recovery inventory an operator repoints to
+    */
+  def auditSnapshots(spark: SparkSession, root: String,
+                     keep: Int = 0): Seq[IndexProtocol.AuditFinding] = {
+    import IndexProtocol.AuditFinding
+    val fs = graft.sources.Tables.fsFor(spark, root)
+    val swapResidue = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_current.next"))
+    // the committed read self-heals the crashed-swap form exactly as
+    // every reader does; the residue is recorded first so the finding
+    // survives its own remediation
+    val cur = graft.sources.SnapshotStore.currentGen(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
+    val gens: Seq[Long] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
+        .flatMap(_.getPath.getName.toLongOption).sorted
+    val residueRow = if (swapResidue)
+      Seq(AuditFinding("pointer", "_current", "swap_residue", true))
+    else Seq.empty
+    val pointerRows = cur match {
+      case Some(g) =>
+        if (gens.contains(g))
+          Seq(AuditFinding("pointer", g.toString, "current_ok", true))
+        else
+          Seq(AuditFinding("pointer", g.toString, "missing_target",
+            false))
+      case None =>
+        if (gens.isEmpty || gens == Seq(1L)) Seq.empty
+        else Seq(AuditFinding("pointer", "_current", "lost", false))
+    }
+    val genRows = gens.map { g =>
+      cur match {
+        case Some(c) if g == c =>
+          AuditFinding("gen", g.toString, "serving", true)
+        case Some(c) if g == c + 1L =>
+          AuditFinding("gen", g.toString, "publish_residue", true)
+        case Some(c) if g > c + 1L =>
+          AuditFinding("gen", g.toString, "orphan_future", false)
+        case Some(c) =>
+          if (keep > 0 && g <= c - keep)
+            AuditFinding("gen", g.toString, "over_retained", true)
+          else
+            AuditFinding("gen", g.toString, "superseded_retained", true)
+        case None =>
+          if (gens == Seq(1L))
+            AuditFinding("gen", g.toString, "first_publish_residue",
+              true)
+          else AuditFinding("gen", g.toString, "stranded", true)
+      }
+    }
+    residueRow ++ pointerRows ++ genRows
+  }
+
+  /** [[auditSnapshots]] as a DataFrame (the [[audit]] shape). */
+  def auditSnapshotsDf(spark: SparkSession, root: String,
+                       keep: Int = 0): DataFrame = {
+    import spark.implicits._
+    auditSnapshots(spark, root, keep)
+      .map(f => (f.kind, f.name, f.status, f.healthy))
+      .toDF("kind", "name", "status", "healthy")
+  }
+
+  /** True iff the snapshot-table audit has no unhealthy finding. */
+  def isSnapshotsHealthy(spark: SparkSession, root: String,
+                         keep: Int = 0): Boolean =
+    auditSnapshots(spark, root, keep).forall(_.healthy)
+
+  /** Safe remediations for the snapshot table's findings — a
+    * MAINTENANCE call under the single-PROMOTER contract (run it in
+    * the promotion scheduler's slot: with no publish in flight, a
+    * gen current+1 is by definition crashed-publish residue — the
+    * same no-writer-in-flight argument as [[repairDedup]]):
+    *
+    *  - publish_residue → verified delete (what the retried publish's
+    *    overwrite would do); under a lost pointer nothing is deleted —
+    *    those gens are the recovery inventory;
+    *  - first_publish_residue → REPORTED as
+    *    `needs_republish_or_repoint`, never deleted: it is almost
+    *    certainly a crashed first publish, but a pointer lost after
+    *    one publish looks identical and deleting would destroy the
+    *    only copy;
+    *  - over_retained (requires `keep`) → verified delete (finishing
+    *    the crashed prune);
+    *  - swap_residue → the crashed form was healed by the audit's own
+    *    committed read; a leftover `.next` beside a committed pointer
+    *    is verified-deleted ("reclaimed_swap_residue");
+    *  - missing_target → REPORTED as
+    *    `unrepairable_missing_current`: restore the generation
+    *    directory, or repoint explicitly — repair must never decide
+    *    to serve older data;
+    *  - lost pointer → REPORTED as `unrepairable_lost_pointer`: the
+    *    operator repoints to a chosen surviving gen;
+    *  - orphan_future → REPORTED as `unrepairable_orphan_future`:
+    *    tampering evidence, never deleted.
+    *
+    * Returns one row per action: (kind, name, action).
+    */
+  def repairSnapshots(spark: SparkSession, root: String,
+                      keep: Int = 0): DataFrame = {
+    val fs = graft.sources.Tables.fsFor(spark, root)
+    def reclaim(kind: String, name: String, p: String,
+                action: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // verified (the protocol-wide discipline): silently surviving
+      // residue would be re-reported forever while looking repaired
+      if (fs.exists(hp) && !fs.delete(hp, true))
+        throw new IllegalStateException(
+          s"snapshot-table repair cannot reclaim $hp")
+      Seq((kind, name, action))
+    }
+    val actions = auditSnapshots(spark, root, keep).flatMap {
+      case IndexProtocol.AuditFinding("gen", g, "publish_residue", _) =>
+        reclaim("gen", g, s"$root/_snapshots/$g", "reclaimed_residue")
+      case IndexProtocol.AuditFinding("gen", g,
+          "first_publish_residue", _) =>
+        Seq(("gen", g, "needs_republish_or_repoint"))
+      case IndexProtocol.AuditFinding("gen", g, "over_retained", _) =>
+        reclaim("gen", g, s"$root/_snapshots/$g", "pruned_over_retained")
+      case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _) =>
+        reclaim("pointer", "_current", s"$root/_current.next",
+          "reclaimed_swap_residue")
+      case IndexProtocol.AuditFinding("pointer", g,
+          "missing_target", _) =>
+        Seq(("pointer", g, "unrepairable_missing_current"))
+      case IndexProtocol.AuditFinding("pointer", n, "lost", _) =>
+        Seq(("pointer", n, "unrepairable_lost_pointer"))
+      case IndexProtocol.AuditFinding("gen", g, "orphan_future", _) =>
+        Seq(("gen", g, "unrepairable_orphan_future"))
+      case _ => Seq.empty
+    }
+    import spark.implicits._
+    actions.toDF("kind", "name", "action")
+  }
 }

@@ -162,4 +162,135 @@ class SnapshotStoreSpec extends AnyFunSuite {
       assert(rows(SnapshotStore.readAt(spark, root, 1L)) == before)
     } finally rmTree(dir)
   }
+
+  // ---- the fsck family on the pointer protocol (S19b) --------------
+
+  test("auditSnapshots classifies every pointer-protocol state; " +
+      "repair reclaims residue, reports tampering, never touches " +
+      "the serving gen") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snapfsck")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      // an empty root audits to nothing at all
+      assert(IndexAudit.auditSnapshots(spark, root).isEmpty)
+      SnapshotStore.publish(spark, nation, root, keep = 3) // gen 1
+      SnapshotStore.publish(spark,
+        nation.filter(col("n_regionkey") < 2), root, keep = 3) // gen 2
+      assert(IndexAudit.isSnapshotsHealthy(spark, root))
+      // plants: crashed-publish residue (cur+1), impossible future
+      // gen, an interrupted swap's leftover `.next`
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_snapshots/3"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_snapshots/9"))
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_current.next"), true)
+      try out.write("gen=3\n".getBytes("UTF-8")) finally out.close()
+      val got = IndexAudit.auditSnapshots(spark, root, keep = 1)
+        .map(f => (f.kind, f.name, f.status, f.healthy)).toSet
+      assert(got == Set(
+        ("pointer", "_current", "swap_residue", true),
+        ("pointer", "2", "current_ok", true),
+        ("gen", "1", "over_retained", true), // keep=1 vs keep=3 write
+        ("gen", "2", "serving", true),
+        ("gen", "3", "publish_residue", true),
+        ("gen", "9", "orphan_future", false)), got.toString)
+      // without a known keep, gen 1 is just the time-travel inventory
+      assert(IndexAudit.auditSnapshots(spark, root).exists(f =>
+        f.name == "1" && f.status == "superseded_retained" && f.healthy))
+      assert(!IndexAudit.isSnapshotsHealthy(spark, root))
+      val served = rows(SnapshotStore.readCurrent(spark, root))
+      val acts = IndexAudit.repairSnapshots(spark, root, keep = 1)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts == Set(
+        ("3", "reclaimed_residue"),
+        ("1", "pruned_over_retained"),
+        ("_current", "reclaimed_swap_residue"),
+        ("9", "unrepairable_orphan_future")), acts.toString)
+      // residue physically reclaimed; evidence preserved; serving
+      // generation untouched
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/3")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_current.next")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/9")))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == served)
+      // lifting the tampering restores a healthy audit; repair is
+      // then idempotent (nothing left to do)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/9"), true))
+      assert(IndexAudit.isSnapshotsHealthy(spark, root, keep = 1))
+      assert(IndexAudit.repairSnapshots(spark, root, keep = 1)
+        .count() == 0)
+    } finally rmTree(dir)
+  }
+
+  test("auditSnapshots: lost pointer and missing serving target are " +
+      "reported unrepairable — repair never repoints or deletes") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snapfsck2")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root, keep = 3)
+      SnapshotStore.publish(spark,
+        nation.filter(col("n_regionkey") < 2), root, keep = 3)
+      // a crashed swap's ONLY-.next form heals on the audit's own
+      // committed read and is reported as the residue it was
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/_current"),
+        new org.apache.hadoop.fs.Path(s"$root/_current.next")))
+      val healed = IndexAudit.auditSnapshots(spark, root)
+      assert(healed.exists(f => f.status == "swap_residue" && f.healthy))
+      assert(healed.exists(f => f.status == "current_ok"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_current")))
+      // the serving target vanishes: reported, never repointed-around
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/2"), true))
+      assert(IndexAudit.auditSnapshots(spark, root).exists(f =>
+        f.status == "missing_target" && !f.healthy))
+      val acts = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(_.getString(2)).toSeq
+      assert(acts == Seq("unrepairable_missing_current"))
+      // gen 1 (the operator's recovery candidate) is untouched
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      // the pointer itself vanishes with gens beyond the first on
+      // disk: lost-pointer alarm, gens reported as the stranded
+      // recovery inventory, nothing deleted
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/2")))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/_current"),
+        false))
+      val lost = IndexAudit.auditSnapshots(spark, root)
+        .map(f => (f.kind, f.status, f.healthy)).toSet
+      assert(lost == Set(
+        ("pointer", "lost", false),
+        ("gen", "stranded", true)), lost.toString)
+      val acts2 = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(_.getString(2)).toSeq
+      assert(acts2 == Seq("unrepairable_lost_pointer"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/2")))
+      // a SOLE gen 1 with no pointer is the crashed-first-publish
+      // shape — healthy residue, but repair only reports it (it is
+      // indistinguishable from a pointer lost after one publish, so
+      // deleting would risk the only copy)
+      val fresh = s"${dir.toString}/fresh"
+      Tables.fsFor(spark, fresh).mkdirs(
+        new org.apache.hadoop.fs.Path(s"$fresh/_snapshots/1"))
+      val firstRes = IndexAudit.auditSnapshots(spark, fresh)
+      assert(firstRes.map(f => (f.kind, f.status, f.healthy)) ==
+        Seq(("gen", "first_publish_residue", true)))
+      assert(IndexAudit.repairSnapshots(spark, fresh).collect()
+        .map(_.getString(2)).toSeq ==
+        Seq("needs_republish_or_repoint"))
+      assert(Tables.fsFor(spark, fresh).exists(
+        new org.apache.hadoop.fs.Path(s"$fresh/_snapshots/1")))
+    } finally rmTree(dir)
+  }
 }
