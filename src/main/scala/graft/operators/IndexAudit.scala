@@ -283,6 +283,11 @@ object IndexAudit {
     *    crashed-earlier form is overwritten by the next swap), but
     *    surfaced so a persistent crash pattern shows across audits
     *  - pointer/current_ok — the committed gen's directory exists
+    *  - pointer/corrupt (UNHEALTHY) — the committed pointer exists
+    *    but holds no parseable `gen=` line: classification of every
+    *    gen is unknowable (they report stranded), the operator
+    *    rewrites the pointer — an fsck reports this damage rather
+    *    than crashing on it
     *  - pointer/missing_target (UNHEALTHY) — the pointer commits a
     *    gen whose directory is GONE: the serving table is lost;
     *    restore the directory or repoint explicitly — repair never
@@ -315,12 +320,23 @@ object IndexAudit {
                      keep: Int = 0): Seq[IndexProtocol.AuditFinding] = {
     import IndexProtocol.AuditFinding
     val fs = graft.sources.Tables.fsFor(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")
     val swapResidue = fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/_current.next"))
     // the committed read self-heals the crashed-swap form exactly as
     // every reader does; the residue is recorded first so the finding
-    // survives its own remediation
-    val cur = graft.sources.SnapshotStore.currentGen(spark, root)
+    // survives its own remediation. CORRUPT pointer bytes (no
+    // parseable gen= line) classify instead of crashing — an fsck
+    // must report the damage it exists to diagnose; Left = corrupt
+    graft.sources.MetaSwap.heal(fs, ptr)
+    val ptrState: Either[Unit, Option[Long]] =
+      if (!fs.exists(ptr)) Right(None)
+      else graft.sources.SnapshotStore.parsedGen(
+        graft.sources.MetaSwap.readCommitted(fs, ptr)) match {
+        case Some(g) => Right(Some(g))
+        case None    => Left(())
+      }
+    val cur = ptrState.toOption.flatten
     val base = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
     val gens: Seq[Long] =
       if (!fs.exists(base)) Seq.empty
@@ -329,19 +345,29 @@ object IndexAudit {
     val residueRow = if (swapResidue)
       Seq(AuditFinding("pointer", "_current", "swap_residue", true))
     else Seq.empty
-    val pointerRows = cur match {
-      case Some(g) =>
-        if (gens.contains(g))
-          Seq(AuditFinding("pointer", g.toString, "current_ok", true))
-        else
-          Seq(AuditFinding("pointer", g.toString, "missing_target",
-            false))
-      case None =>
-        if (gens.isEmpty || gens == Seq(1L)) Seq.empty
-        else Seq(AuditFinding("pointer", "_current", "lost", false))
-    }
+    val corrupt = ptrState.isLeft
+    val pointerRows =
+      if (corrupt)
+        Seq(AuditFinding("pointer", "_current", "corrupt", false))
+      else cur match {
+        case Some(g) =>
+          if (gens.contains(g))
+            Seq(AuditFinding("pointer", g.toString, "current_ok", true))
+          else
+            Seq(AuditFinding("pointer", g.toString, "missing_target",
+              false))
+        case None =>
+          if (gens.isEmpty || gens == Seq(1L)) Seq.empty
+          else Seq(AuditFinding("pointer", "_current", "lost", false))
+      }
     val genRows = gens.map { g =>
       cur match {
+        // a corrupt pointer makes every gen classification unknowable:
+        // one of these dirs is probably the serving table, so they are
+        // the stranded recovery inventory, exactly as under a lost
+        // pointer — never residue
+        case _ if corrupt =>
+          AuditFinding("gen", g.toString, "stranded", true)
         case Some(c) if g == c =>
           AuditFinding("gen", g.toString, "serving", true)
         case Some(c) if g == c + 1L =>
@@ -395,7 +421,13 @@ object IndexAudit {
     *    the crashed prune);
     *  - swap_residue → the crashed form was healed by the audit's own
     *    committed read; a leftover `.next` beside a committed pointer
-    *    is verified-deleted ("reclaimed_swap_residue");
+    *    is verified-deleted ("reclaimed_swap_residue") — UNLESS the
+    *    committed pointer is corrupt, in which case the `.next` may
+    *    hold the last good bytes and is preserved as recovery
+    *    evidence;
+    *  - corrupt pointer → REPORTED as
+    *    `unrepairable_corrupt_pointer`: the operator rewrites the
+    *    pointer to a chosen gen — repair never guesses;
     *  - missing_target → REPORTED as
     *    `unrepairable_missing_current`: restore the generation
     *    directory, or repoint explicitly — repair must never decide
@@ -420,7 +452,10 @@ object IndexAudit {
           s"snapshot-table repair cannot reclaim $hp")
       Seq((kind, name, action))
     }
-    val actions = auditSnapshots(spark, root, keep).flatMap {
+    val findings = auditSnapshots(spark, root, keep)
+    val corrupt = findings.exists(f =>
+      f.kind == "pointer" && f.status == "corrupt")
+    val actions = findings.flatMap {
       case IndexProtocol.AuditFinding("gen", g, "publish_residue", _) =>
         reclaim("gen", g, s"$root/_snapshots/$g", "reclaimed_residue")
       case IndexProtocol.AuditFinding("gen", g,
@@ -428,9 +463,14 @@ object IndexAudit {
         Seq(("gen", g, "needs_republish_or_repoint"))
       case IndexProtocol.AuditFinding("gen", g, "over_retained", _) =>
         reclaim("gen", g, s"$root/_snapshots/$g", "pruned_over_retained")
-      case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _) =>
+      case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _)
+          if !corrupt =>
+        // under a CORRUPT committed pointer the leftover `.next` may
+        // hold the last good bytes — recovery evidence, never reclaimed
         reclaim("pointer", "_current", s"$root/_current.next",
           "reclaimed_swap_residue")
+      case IndexProtocol.AuditFinding("pointer", n, "corrupt", _) =>
+        Seq(("pointer", n, "unrepairable_corrupt_pointer"))
       case IndexProtocol.AuditFinding("pointer", g,
           "missing_target", _) =>
         Seq(("pointer", g, "unrepairable_missing_current"))

@@ -55,12 +55,21 @@ object SnapshotStore {
   private def genDir(root: String, gen: Long) =
     new Path(s"$root/_snapshots/$gen")
 
-  private def parseGen(bytes: Array[Byte]): Long =
+  /** The pointer bytes' committed generation, or None when the bytes
+    * are CORRUPT (no `gen=` line, or a non-numeric value) — the
+    * tolerant form the fsck classifies with ([[graft.operators
+    * .IndexAudit.auditSnapshots]] must report damage, never crash on
+    * it); the serving paths below keep throwing.
+    */
+  private[graft] def parsedGen(bytes: Array[Byte]): Option[Long] =
     new String(bytes, "UTF-8").linesIterator
       .collectFirst { case s if s.startsWith("gen=") =>
-        s.stripPrefix("gen=").trim.toLong }
-      .getOrElse(throw new IllegalStateException(
-        "malformed snapshot pointer: no gen= line"))
+        s.stripPrefix("gen=").trim }
+      .flatMap(_.toLongOption)
+
+  private def parseGen(bytes: Array[Byte]): Long =
+    parsedGen(bytes).getOrElse(throw new IllegalStateException(
+      "malformed snapshot pointer: no parseable gen= line"))
 
   /** The committed generation the pointer serves, if the table has
     * ever been published (self-heals a crashed swap first, like every

@@ -293,4 +293,57 @@ class SnapshotStoreSpec extends AnyFunSuite {
         new org.apache.hadoop.fs.Path(s"$fresh/_snapshots/1")))
     } finally rmTree(dir)
   }
+
+  test("auditSnapshots classifies a CORRUPT pointer instead of " +
+      "crashing; repair reports it and preserves the .next evidence") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snapfsck3")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root, keep = 3)
+      SnapshotStore.publish(spark,
+        nation.filter(col("n_regionkey") < 2), root, keep = 3)
+      // the last good bytes survive in a leftover .next (the
+      // crashed-after-stage swap form); then the committed pointer
+      // is corrupted
+      val next = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_current.next"), true)
+      try next.write("gen=2\n".getBytes("UTF-8")) finally next.close()
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_current"), true)
+      try out.write("garbage bytes no gen line".getBytes("UTF-8"))
+      finally out.close()
+      // the fsck classifies — never throws — and every gen becomes
+      // the stranded recovery inventory (one of them is probably the
+      // serving table; classification needs a readable pointer)
+      val got = IndexAudit.auditSnapshots(spark, root)
+        .map(f => (f.kind, f.status, f.healthy)).toSet
+      assert(got == Set(
+        ("pointer", "swap_residue", true),
+        ("pointer", "corrupt", false),
+        ("gen", "stranded", true)), got.toString)
+      assert(!IndexAudit.isSnapshotsHealthy(spark, root))
+      val acts = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(_.getString(2)).toSet
+      assert(acts == Set("unrepairable_corrupt_pointer"), acts.toString)
+      // the .next evidence (the last good bytes) and every gen dir
+      // survive the repair — rewriting the pointer is the operator's
+      // explicit call
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_current.next")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/2")))
+      // a non-numeric gen value corrupts the same way (toLongOption,
+      // not a NumberFormatException crash)
+      val out2 = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_current"), true)
+      try out2.write("gen=abc\n".getBytes("UTF-8")) finally out2.close()
+      assert(IndexAudit.auditSnapshots(spark, root).exists(f =>
+        f.status == "corrupt" && !f.healthy))
+    } finally rmTree(dir)
+  }
 }
