@@ -242,10 +242,12 @@ object IndexAudit {
         Seq(("dir", d, "scheduled_reclaim"))
       case IndexProtocol.AuditFinding("history", g,
           "current_missing", _) =>
-        val raw = graft.sources.MetaSwap.readCommitted(fs,
-          new org.apache.hadoop.fs.Path(s"$path/_meta"))
-        IndexProtocol.recordMetaHistory(fs, path, g.toLong, raw)
-        Seq(("history", g, "rerecorded_from_meta"))
+        // recorded under the gen parsed from the bytes actually read
+        // (rerecordCurrentGen's self-consistency contract), so a meta
+        // swapped since the audit read can never get its bytes filed
+        // under the stale gen and mis-serve topKAt
+        IndexProtocol.rerecordCurrentGen(fs, path, g.toLong)
+          .map(gen => ("history", gen.toString, "rerecorded_from_meta"))
       case IndexProtocol.AuditFinding("batch", b,
           "committed_missing_payload", _) =>
         Seq(("batch", b, "unrepairable_missing_payload"))

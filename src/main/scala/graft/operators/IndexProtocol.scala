@@ -663,11 +663,37 @@ private[graft] object IndexProtocol {
         "explicitly (IndexAudit.audit for the full report)")
     findings.collect {
       case AuditFinding("history", g, "current_missing", _) => g.toLong
-    }.map { g =>
-      val raw = graft.sources.MetaSwap.readCommitted(fs,
-        new Path(s"$root/_meta"))
-      recordMetaHistory(fs, root, g, raw)
-      g
+    }.flatMap { g =>
+      rerecordCurrentGen(fs, root, g)
     }
+  }
+
+  /** Re-record a lost current-gen snapshot record from the committed
+    * `_meta` bytes — shared by [[preflightCompaction]] and
+    * [[IndexAudit.repair]]. The record is written under the gen
+    * PARSED FROM THE BYTES ACTUALLY READ, never the gen an earlier
+    * audit read saw: if a (contract-violating) writer swapped the
+    * meta between the audit and this heal, recording fresh bytes
+    * under the stale gen would make `topKAt(staleGen)` silently serve
+    * the WRONG snapshot — the one failure the snapshot protocol
+    * promises never happens (it refuses typed, it never mis-serves).
+    * Re-parsed, the heal is self-consistent under any interleaving:
+    * either the missing gen's record is restored from its own bytes,
+    * or the newer gen (whose own swap already recorded it) is left
+    * alone and the stale gen stays typed-unavailable. Only a still-
+    * missing record is written (idempotent). Returns the gen recorded.
+    */
+  private[graft] def rerecordCurrentGen(fs: FileSystem, root: String,
+                                        auditedGen: Long): Seq[Long] = {
+    val raw = graft.sources.MetaSwap.readCommitted(fs,
+      new Path(s"$root/_meta"))
+    val genNow = new String(raw, "UTF-8").linesIterator
+      .collectFirst { case s if s.startsWith("gen=") =>
+        s.stripPrefix("gen=").trim }
+      .flatMap(_.toLongOption).getOrElse(auditedGen)
+    if (readMetaHistory(fs, root, genNow).isEmpty) {
+      recordMetaHistory(fs, root, genNow, raw)
+      Seq(genNow)
+    } else Seq.empty
   }
 }

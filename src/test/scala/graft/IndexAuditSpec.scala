@@ -181,6 +181,13 @@ class IndexAuditSpec extends AnyFunSuite {
         "fast vector hash join", k = 10).collect().toSet ==
         Bm25.bm25TopKIndexed(spark, path,
           "fast vector hash join", k = 10).collect().toSet)
+      // ...and it holds EXACTLY the committed meta bytes, filed under
+      // the gen those bytes declare — the self-consistency contract
+      // that makes the heal safe under any interleaving with a swap
+      assert(java.util.Arrays.equals(
+        IndexProtocol.readMetaHistory(fs, path, gen).get,
+        graft.sources.MetaSwap.readCommitted(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_meta"))))
       // the one UNREPAIRABLE incident is reported, not papered over:
       // a committed batch whose payload is gone needs the operator
       fs.delete(new org.apache.hadoop.fs.Path(
@@ -189,6 +196,33 @@ class IndexAuditSpec extends AnyFunSuite {
         .map(_.getString(2)).toSeq
       assert(acts2.contains("unrepairable_missing_payload"))
       assert(!IndexAudit.isHealthy(spark, path))
+    } finally rmTree(dir)
+  }
+
+  test("rerecordCurrentGen files the bytes under the gen THEY declare " +
+      "— a stale audited gen can never mis-label a newer meta") {
+    val dir = tmp("rerecord")
+    try {
+      val root = dir.toString
+      val fs = hadoopFs(root)
+      // a committed meta at gen 7 whose history record is lost
+      val bytes = "batches=b1\nretired=\ngen=7\n".getBytes("UTF-8")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_meta"), true)
+      try out.write(bytes) finally out.close()
+      // the heal was handed a STALE audited gen (5): a writer swapped
+      // the meta between the audit's read and this heal. Recording
+      // the gen-7 bytes under 5 would make topKAt(5) silently serve
+      // gen 7's view — instead the record files under 7, and 5 stays
+      // typed-unavailable
+      assert(IndexProtocol.rerecordCurrentGen(fs, root, auditedGen = 5L)
+        == Seq(7L))
+      assert(IndexProtocol.readMetaHistory(fs, root, 5L).isEmpty)
+      assert(java.util.Arrays.equals(
+        IndexProtocol.readMetaHistory(fs, root, 7L).get, bytes))
+      // idempotent: a record already present (e.g. written by the
+      // racing swap itself) is left alone and nothing is reported
+      assert(IndexProtocol.rerecordCurrentGen(fs, root, 5L).isEmpty)
     } finally rmTree(dir)
   }
 
