@@ -594,4 +594,82 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally SparkTestSession.rmTree(base)
   }
+
+  test("snapshot-table pointer protocol matches a reference model " +
+      "under random publish/crash/read interleavings; never a " +
+      "serving gap, never a wrong serve") {
+    import graft.sources.SnapshotStore
+    import graft.operators.IndexAudit
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snap-prop").toFile
+    try {
+      // three distinguishable contents; expected row sets precomputed
+      val variants = (0 to 2).map(v =>
+        (0 until 4).map(i => (v.toLong * 100 + i, s"v$v-$i"))
+          .toDF("id", "payload").localCheckpoint())
+      val expect = variants.map(_.collect().map(_.toSeq).toSet)
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // op 0 publish (variant amt%3, keep 2|3 — retention prunes);
+      // 1 crash-publish (staged + audited, dies before the repoint);
+      // 2 serving read; 3 time travel across the whole gen range,
+      // including pruned and never-committed gens
+      val opsGen = Gen.listOfN(12, for {
+        op <- Gen.chooseNum(0, 3)
+        amt <- Gen.chooseNum(0, 5)
+      } yield (op, amt))
+      class Boom extends RuntimeException("injected")
+      samples(opsGen, 5).zipWithIndex.foreach { case (ops, i) =>
+        val root = s"$base/run$i"
+        // reference model: the pointer gen and each retained gen's
+        // content after every op
+        var cur = 0L
+        val content = scala.collection.mutable.Map.empty[Long, Int]
+        ops.foreach { case (op, amt) =>
+          val v = amt % 3
+          op match {
+            case 0 =>
+              val keep = 2 + (amt % 2)
+              val gen = SnapshotStore.publish(spark, variants(v), root,
+                Nil, keep)
+              // gens allocate cur+1 even over crash residue (the
+              // overwrite consumes it)
+              assert(gen == cur + 1, s"run$i gen alloc")
+              cur = gen
+              content(gen) = v
+              content.keys.toSeq.foreach(g =>
+                if (g <= gen - keep) content -= g)
+            case 1 =>
+              // the crash changes NOTHING a reader can see
+              intercept[Boom] {
+                SnapshotStore.publishImpl(spark, variants(v), root,
+                  Nil, 3, () => throw new Boom)
+              }
+            case 2 if cur > 0 =>
+              assert(rowsOf(SnapshotStore.readCurrent(spark, root)) ==
+                expect(content(cur)), s"run$i serving read")
+            case 3 if cur > 0 =>
+              val g = (amt % (cur + 1)) + 1L // 1..cur+1
+              if (content.contains(g))
+                assert(rowsOf(SnapshotStore.readAt(spark, root, g)) ==
+                  expect(content(g)), s"run$i readAt($g)")
+              else intercept[SnapshotUnavailable] {
+                // pruned, or the crash residue at cur+1: typed
+                // refusal, never a wrong serve
+                SnapshotStore.readAt(spark, root, g).collect()
+              }
+            case _ => () // read before the first publish: no-op
+          }
+          // SUT observables == model after EVERY op, and the store
+          // audits healthy through every interleaving (crash residue
+          // is a healthy lifecycle state the next publish consumes)
+          assert(SnapshotStore.currentGen(spark, root)
+            .getOrElse(0L) == cur, s"run$i pointer after ($op,$amt)")
+          assert(IndexAudit.isSnapshotsHealthy(spark, root),
+            s"run$i health after ($op,$amt)")
+        }
+      }
+    } finally SparkTestSession.rmTree(base)
+  }
 }
