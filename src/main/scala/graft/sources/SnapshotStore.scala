@@ -213,4 +213,35 @@ object SnapshotStore {
     publish(spark, df.repartition(files), root, Nil, keep)
     files
   }
+
+  /** [[compactCurrent]] sized by BYTES from the current generation's
+    * file LISTING instead of a row count — the form that matters at
+    * scale: the row-count form reads the whole generation TWICE (one
+    * count scan + the rewrite), while the listing is pure metadata,
+    * so this halves the zero-downtime OPTIMIZE cost of a large
+    * table. `targetBytesPerFile` is the INPUT bytes per output file;
+    * same pointer, retention, and crash contract as [[publish]].
+    */
+  def compactCurrentBytes(spark: SparkSession, root: String,
+                          targetBytesPerFile: Long,
+                          keep: Int = 3): Int = {
+    require(targetBytesPerFile > 0)
+    val fs = Tables.fsFor(spark, root)
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published snapshot at $root — nothing has been " +
+          "promoted yet (SnapshotStore.publish)"))
+    val it = fs.listFiles(genDir(root, gen), true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
+    val files = math.max(1L,
+      (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    publish(spark,
+      spark.read.parquet(genDir(root, gen).toString).repartition(files),
+      root, Nil, keep)
+    files
+  }
 }

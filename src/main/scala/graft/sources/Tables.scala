@@ -120,22 +120,65 @@ object Tables {
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0)
+    // residue check BEFORE the sizing scan: in the crashed-swap state
+    // the table lives at __old and a read of `path` would throw a
+    // bare path-not-found instead of naming the repair
+    refuseCompactResidue(spark, path)
+    val n = spark.read.parquet(path).count()
+    compactToFiles(spark, path, math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+  }
+
+  /** [[compact]] sized by BYTES from the file LISTING instead of a
+    * row count — the form that matters at scale: the row-count form
+    * reads the whole table TWICE (one count scan + the rewrite),
+    * while the listing is pure metadata, so this halves the OPTIMIZE
+    * cost of a large table. `targetBytesPerFile` is the INPUT bytes
+    * per output file (e.g. 512 MB for ~128 MB row groups after
+    * re-encoding gains); same swap, residue, and recovery contract
+    * as [[compact]].
+    */
+  def compactBytes(spark: SparkSession, path: String,
+                   targetBytesPerFile: Long): Int = {
+    require(targetBytesPerFile > 0)
+    refuseCompactResidue(spark, path)
+    val fs = fsFor(spark, path)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
+    compactToFiles(spark, path, math.max(1L,
+      (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt)
+  }
+
+  /** The [[compact]] entry refusal: after a swap that died between
+    * its two renames the data lives at `__old`, and any sizing scan
+    * or rewrite would be wasted I/O ending in a misleading error —
+    * refuse and name the repair instead of guessing which copy is
+    * the truth.
+    */
+  private def refuseCompactResidue(spark: SparkSession,
+                                   path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__old")
+    if (fs.exists(old)) throw new IllegalStateException(
+      s"stale compaction residue at $old — a prior swap failed " +
+        "mid-way; run Tables.recoverCompact to restore the table" +
+        (if (fs.exists(new org.apache.hadoop.fs.Path(path))) ""
+         else s" (the table data is at $old)"))
+  }
+
+  private def compactToFiles(spark: SparkSession, path: String,
+                             files: Int): Int = {
     val fs = fsFor(spark, path)
     val dir = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__old")
-    // residue check FIRST: after a swap that died between its two
-    // renames the data lives at __old, and the full rewrite below
-    // would be wasted I/O ending in the same exception — refuse and
-    // name the repair instead of guessing which copy is the truth
-    if (fs.exists(old)) throw new IllegalStateException(
-      s"stale compaction residue at $old — a prior swap failed " +
-        "mid-way; run Tables.recoverCompact to restore the table" +
-        (if (fs.exists(dir)) "" else s" (the table data is at $old)"))
+    refuseCompactResidue(spark, path)
     val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1L,
-      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val side = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__compacting")
     // verified wipe of side-dir residue: renaming into a surviving

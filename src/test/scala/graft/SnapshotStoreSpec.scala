@@ -163,6 +163,45 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("compactCurrentBytes sizes output from the generation's file " +
+      "LISTING — no count scan — same pointer and retention contract") {
+    val dir = tmp("snapoptb")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val src = Tables.table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice").limit(900)
+      SnapshotStore.publish(spark, src.repartition(32), root)
+      val before = rows(SnapshotStore.readCurrent(spark, root))
+      def genBytes(g: Long) = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$root/_snapshots/$g"), true)
+        var t = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) t += st.getLen
+        }
+        t
+      }
+      // target = half the current gen's bytes → exactly 2 output
+      // files, sized from metadata alone; the rewrite is the ONLY
+      // data pass
+      val target = (genBytes(1L) + 1) / 2
+      assert(SnapshotStore.compactCurrentBytes(spark, root, target) == 2)
+      assert(SnapshotStore.currentGen(spark, root).contains(2L))
+      assert(Option(new java.io.File(s"$root/_snapshots/2")
+        .listFiles()).get.count(_.getName.endsWith(".parquet")) == 2)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == before)
+      // superseded layout still time-travelable under retention
+      assert(rows(SnapshotStore.readAt(spark, root, 1L)) == before)
+      // an unpublished root refuses like compactCurrent
+      intercept[IllegalStateException] {
+        SnapshotStore.compactCurrentBytes(spark,
+          dir.toString + "/none", target)
+      }
+    } finally rmTree(dir)
+  }
+
   // ---- the fsck family on the pointer protocol (S19b) --------------
 
   test("auditSnapshots classifies every pointer-protocol state; " +

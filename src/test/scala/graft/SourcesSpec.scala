@@ -348,6 +348,49 @@ class SourcesSpec extends AnyFunSuite {
       before)
   }
 
+  test("S13: compactBytes sizes output from the file LISTING — no " +
+      "count scan — with the same swap and residue contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compactb").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val src = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").limit(1000)
+    src.repartition(64).write.parquet(dir)
+    def totalBytes = {
+      val it = fs.listFiles(p(dir), true)
+      var t = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) t += st.getLen
+      }
+      t
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // target = half the input bytes → exactly ceil(total/target) = 2
+    // output files, computed from metadata alone
+    val target = (totalBytes + 1) / 2
+    assert(Tables.compactBytes(spark, dir, target) == 2)
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before)
+    assert(!fs.exists(p(s"${dir}__old")) &&
+      !fs.exists(p(s"${dir}__compacting")))
+    // the residue refusal guards the sizing listing too: with the
+    // table renamed aside, compactBytes names the repair instead of
+    // throwing a bare path error
+    assert(fs.rename(p(dir), p(s"${dir}__old")))
+    val e = intercept[IllegalStateException] {
+      Tables.compactBytes(spark, dir, target)
+    }
+    assert(e.getMessage.contains("recoverCompact"))
+    assert(Tables.recoverCompact(spark, dir))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet ==
+      before)
+  }
+
   test("S18 writeAudited: clean audit publishes atomically, failed audit leaves staging and no target") {
     import spark.implicits._
     import graft.operators.Cleaning
