@@ -1979,6 +1979,33 @@ object SparkEntry {
             "residue_refused", "compacted_to_target", "rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S19c time-travel CDC over the snapshot table ----
+    // S12's added/removed/changed/unchanged diff applied to two
+    // SERVED generations — answerable for any pair inside retention
+    // because generations are immutable. The gate publishes the full
+    // nation as v1, then a promotion that drops the high regions,
+    // renames one surviving row, and lands a batch of new keys; the
+    // per-status counts are all data-derived and DuckDB recomputes
+    // each from the base table.
+    "q_snapshot_diff_gens" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snapdiffg").toString
+      try {
+        val root = s"$tmp/nation"
+        val nation = Tables.table(s, d, "nation")
+        graft.sources.SnapshotStore.publish(s, nation, root) // gen 1
+        val v2 = nation.filter(col("n_regionkey") < 3)
+          .withColumn("n_name", when(col("n_nationkey") === 0,
+            lit("RENAMED")).otherwise(col("n_name")))
+          .unionByName(nation.filter(col("n_regionkey") === 4)
+            .withColumn("n_nationkey", col("n_nationkey") + 1000))
+        graft.sources.SnapshotStore.publish(s, v2, root) // gen 2
+        graft.sources.SnapshotStore
+          .diff(s, root, 1L, 2L, Seq("n_nationkey"))
+          .groupBy(col("change")).agg(count(lit(1)).as("n"))
+          .localCheckpoint() // bounded rows; release the temp dir
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S19b snapshot-table fsck (the A6d family on the ----
     // ---- pointer protocol), driver-gated ----
     // build a real two-generation snapshot table, plant one incident
@@ -3429,6 +3456,20 @@ object SparkEntry {
       """SELECT true AS v1_timetravel_exact, true AS crash_never_gapped,
         |  true AS residue_refused, true AS compacted_to_target,
         |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
+    // every time-travel CDC status count is data-derived: added =
+    // the re-keyed region-4 batch, changed = the one renamed
+    // surviving key, removed = the dropped high regions, unchanged =
+    // the rest of the survivors
+    "q_snapshot_diff_gens" ->
+      """SELECT * FROM (
+        |  SELECT 'added' AS change,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey = 4) AS n
+        |  UNION ALL SELECT 'changed', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'removed',
+        |    (SELECT count(*) FROM nation WHERE n_regionkey >= 3)
+        |  UNION ALL SELECT 'unchanged',
+        |    (SELECT count(*) FROM nation WHERE n_regionkey < 3) - 1
+        |) t""".stripMargin,
     // the snapshot fsck inventory is structure-driven: one serving
     // gen, one superseded gen audited as a crashed prune's leftover
     // (keep=1 against the keep=3 publish), one crashed-publish

@@ -195,6 +195,22 @@ object SnapshotStore {
     spark.read.parquet(genDir(root, gen).toString)
   }
 
+  /** Time-travel CDC (S12 composed over S19): the per-key
+    * added/removed/changed/unchanged diff between two SERVED
+    * generations of this table — "what did that promotion change"
+    * as one call, answerable for any pair inside the retention
+    * window because generations are immutable. Both sides inherit
+    * [[readAt]]'s refusal semantics (typed
+    * [[graft.SnapshotUnavailable]] for a crashed publish's residue
+    * gen or one pruned past retention), and the diff itself is the
+    * S12 plan: one full-outer join on the keys, null-safe struct
+    * compare over the rest.
+    */
+  def diff(spark: SparkSession, root: String, fromGen: Long,
+           toGen: Long, keys: Seq[String]): DataFrame =
+    graft.operators.Incremental.snapshotDiff(
+      readAt(spark, root, fromGen), readAt(spark, root, toGen), keys)
+
   /** Zero-downtime OPTIMIZE: republish the CURRENT generation's rows
     * compacted to ≈`targetRowsPerFile`-sized files as a fresh
     * generation and repoint. Readers never see a gap (the

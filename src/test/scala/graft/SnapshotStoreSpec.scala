@@ -202,6 +202,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("diff between two served generations: the S12 statuses per " +
+      "key, refusals inherited from readAt") {
+    val dir = tmp("snapdiff")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root)
+      val v2 = nation.filter(col("n_regionkey") < 2)
+        .withColumn("n_name", when(col("n_nationkey") === 0,
+          lit("RENAMED")).otherwise(col("n_name")))
+      SnapshotStore.publish(spark, v2, root)
+      val byChange = SnapshotStore
+        .diff(spark, root, 1L, 2L, Seq("n_nationkey"))
+        .groupBy(col("change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = nation.filter(col("n_regionkey") < 2).count()
+      val dropped = nation.filter(col("n_regionkey") >= 2).count()
+      assert(byChange == Map("changed" -> 1L, "removed" -> dropped,
+        "unchanged" -> (kept - 1L)), byChange.toString)
+      // the reverse direction swaps added/removed, same counts
+      val rev = SnapshotStore
+        .diff(spark, root, 2L, 1L, Seq("n_nationkey"))
+        .groupBy(col("change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rev("added") == dropped && rev("changed") == 1L)
+      // refusals are readAt's: a never-committed gen refuses typed
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.diff(spark, root, 1L, 9L, Seq("n_nationkey"))
+      }
+    } finally rmTree(dir)
+  }
+
   // ---- the fsck family on the pointer protocol (S19b) --------------
 
   test("auditSnapshots classifies every pointer-protocol state; " +
