@@ -108,7 +108,12 @@ object Bench {
       "q_pipeline_run", "q_dedup_index", "q_text_bm25_indexed",
       "q_ann_index", "q_ann_snapshot", "q_index_audit",
       "q_index_repair", "q_namespace_init",
-      "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify")
+      "q_corpus_pipeline", "q_corpus_increment", "q_corpus_classify",
+      // the r13 protocol gates: each builds temp tables/indexes on
+      // local disk (snapshot publishes, planted-incident fsck roots)
+      // — the same tmp-filesystem class as the rest of this list
+      "q_snapshot_table", "q_snapshot_audit", "q_snapshot_diff_gens",
+      "q_dedup_index_audit")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not
