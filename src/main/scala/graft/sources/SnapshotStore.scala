@@ -242,17 +242,13 @@ object SnapshotStore {
                           targetBytesPerFile: Long,
                           keep: Int = 3): Int = {
     require(targetBytesPerFile > 0)
-    val fs = Tables.fsFor(spark, root)
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published snapshot at $root — nothing has been " +
           "promoted yet (SnapshotStore.publish)"))
-    val it = fs.listFiles(genDir(root, gen), true)
-    var total = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
-    }
+    // sidecar-aware like Tables.compactBytes: a stats index or other
+    // underscore tree inside the generation must not inflate sizing
+    val total = Tables.tableDataBytes(spark, genDir(root, gen).toString)
     val files = math.max(1L,
       (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     publish(spark,

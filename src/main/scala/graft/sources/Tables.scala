@@ -142,15 +142,34 @@ object Tables {
                    targetBytesPerFile: Long): Int = {
     require(targetBytesPerFile > 0)
     refuseCompactResidue(spark, path)
+    compactToFiles(spark, path, math.max(1L,
+      (tableDataBytes(spark, path) + targetBytesPerFile - 1) /
+        targetBytesPerFile).toInt)
+  }
+
+  /** The table's DATA bytes: parquet files under `path`, excluding
+    * sidecar trees (underscore/dot-prefixed directories like
+    * `_stats/` — invisible to a parquet read of the table, so their
+    * bytes must not inflate a rewrite's sizing). Partition
+    * directories (`col=value/...`) are included as normal.
+    */
+  private[graft] def tableDataBytes(spark: SparkSession,
+                                    path: String): Long = {
     val fs = fsFor(spark, path)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
+    val it = fs.listFiles(root, true)
     var total = 0L
     while (it.hasNext) {
       val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
+      val p = fs.makeQualified(st.getPath).toString
+      val rel = p.stripPrefix(rootStr).stripPrefix("/")
+      val hidden = rel.split("/").dropRight(1)
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && st.getPath.getName.endsWith(".parquet"))
+        total += st.getLen
     }
-    compactToFiles(spark, path, math.max(1L,
-      (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt)
+    total
   }
 
   /** The [[compact]] entry refusal: after a swap that died between

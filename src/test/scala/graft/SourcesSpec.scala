@@ -358,19 +358,15 @@ class SourcesSpec extends AnyFunSuite {
     val src = Tables.table(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice").limit(1000)
     src.repartition(64).write.parquet(dir)
-    def totalBytes = {
-      val it = fs.listFiles(p(dir), true)
-      var t = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) t += st.getLen
-      }
-      t
-    }
+    // a stats sidecar (S16) lives under the table as `_stats/` —
+    // its parquet bytes are invisible to the table read and must
+    // not inflate the rewrite's sizing (counted, they would push
+    // ceil(total/target) from 2 to 3 here — the assertion is sharp)
+    Tables.writeStatsIndex(spark, dir, Seq("o_orderkey"))
     val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
-    // target = half the input bytes → exactly ceil(total/target) = 2
+    // target = half the DATA bytes → exactly ceil(total/target) = 2
     // output files, computed from metadata alone
-    val target = (totalBytes + 1) / 2
+    val target = (Tables.tableDataBytes(spark, dir) + 1) / 2
     assert(Tables.compactBytes(spark, dir, target) == 2)
     assert(Option(new java.io.File(dir).listFiles()).get
       .count(_.getName.endsWith(".parquet")) == 2)
