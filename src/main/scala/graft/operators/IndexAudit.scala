@@ -274,10 +274,13 @@ object IndexAudit {
     * [[IndexProtocol.AuditFinding]] per entity, deterministic order.
     * Pure metadata cost — one pointer read + one listing.
     *
-    * Pass `keep` (the retention window the table is published with)
-    * to additionally classify over-retention; with the default 0 the
-    * audit cannot know the window and reports every superseded gen as
-    * retained. Statuses (healthy=true unless noted):
+    * The retention window is read from the pointer bytes (publish
+    * records `keep=` alongside `gen=` since r13), so over-retention
+    * classifies with no out-of-band input; pass `keep` only to
+    * OVERRIDE (audit against a different window than the last
+    * publish's). A legacy gen-only pointer leaves the window unknown
+    * and every superseded gen reports retained. Statuses
+    * (healthy=true unless noted):
     *
     *  - pointer/swap_residue — `_current.next` present: an
     *    interrupted swap; self-healing (the crashed form completes on
@@ -331,14 +334,24 @@ object IndexAudit {
     // parseable gen= line) classify instead of crashing — an fsck
     // must report the damage it exists to diagnose; Left = corrupt
     graft.sources.MetaSwap.heal(fs, ptr)
-    val ptrState: Either[Unit, Option[Long]] =
-      if (!fs.exists(ptr)) Right(None)
-      else graft.sources.SnapshotStore.parsedGen(
-        graft.sources.MetaSwap.readCommitted(fs, ptr)) match {
-        case Some(g) => Right(Some(g))
-        case None    => Left(())
+    val (ptrState, persistedKeep) =
+      if (!fs.exists(ptr))
+        (Right(None): Either[Unit, Option[Long]], None)
+      else {
+        val raw = graft.sources.MetaSwap.readCommitted(fs, ptr)
+        graft.sources.SnapshotStore.parsedGen(raw) match {
+          case Some(g) => (Right(Some(g)),
+            graft.sources.SnapshotStore.parsedKeep(raw))
+          case None => (Left(()), None)
+        }
       }
     val cur = ptrState.toOption.flatten
+    // the retention window rides the pointer bytes since r13, so the
+    // audit is self-sufficient; an explicit caller `keep` overrides
+    // (the planted-stale-prune gate audits a keep=3 table as keep=1),
+    // and a legacy gen-only pointer leaves the window unknown — every
+    // superseded gen then reports retained, the pre-r13 behavior
+    val effKeep = if (keep > 0) keep else persistedKeep.getOrElse(0)
     val base = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
     val gens: Seq[Long] =
       if (!fs.exists(base)) Seq.empty
@@ -377,7 +390,7 @@ object IndexAudit {
         case Some(c) if g > c + 1L =>
           AuditFinding("gen", g.toString, "orphan_future", false)
         case Some(c) =>
-          if (keep > 0 && g <= c - keep)
+          if (effKeep > 0 && g <= c - effKeep)
             AuditFinding("gen", g.toString, "over_retained", true)
           else
             AuditFinding("gen", g.toString, "superseded_retained", true)

@@ -62,9 +62,22 @@ object SnapshotStore {
     * it); the serving paths below keep throwing.
     */
   private[graft] def parsedGen(bytes: Array[Byte]): Option[Long] =
+    parsedField(bytes, "gen")
+
+  /** The retention window the last publish committed with, recorded
+    * in the pointer bytes since r13 (`keep=` line) so the fsck can
+    * classify over-retention WITHOUT an out-of-band parameter. None
+    * on a pre-r13 pointer (gen-only bytes) — callers fall back to
+    * "window unknown", exactly the old behavior.
+    */
+  private[graft] def parsedKeep(bytes: Array[Byte]): Option[Int] =
+    parsedField(bytes, "keep").map(_.toInt)
+
+  private def parsedField(bytes: Array[Byte],
+                          key: String): Option[Long] =
     new String(bytes, "UTF-8").linesIterator
-      .collectFirst { case s if s.startsWith("gen=") =>
-        s.stripPrefix("gen=").trim }
+      .collectFirst { case s if s.startsWith(s"$key=") =>
+        s.stripPrefix(s"$key=").trim }
       .flatMap(_.toLongOption)
 
   private def parseGen(bytes: Array[Byte]): Long =
@@ -131,7 +144,14 @@ object SnapshotStore {
       ()
     }
     beforeRepoint()
-    val bytes = s"gen=$gen\n".getBytes("UTF-8")
+    // the pointer carries the retention window alongside the gen so
+    // the fsck (IndexAudit.auditSnapshots) can classify a crashed
+    // prune's over-retention without being told `keep` out-of-band;
+    // readers parse only the lines they know (legacy gen-only
+    // pointers stay readable, and the CAS expectation is the raw
+    // prior bytes verbatim, so the format change commits like any
+    // other swap)
+    val bytes = s"gen=$gen\nkeep=$keep\n".getBytes("UTF-8")
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
       case None         => MetaSwap.swap(fs, p, bytes)

@@ -365,6 +365,53 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("the retention window rides the pointer: the audit classifies " +
+      "a crashed prune's leftover with no out-of-band keep") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snapkeep")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root, keep = 3) // gen 1
+      SnapshotStore.publish(spark, nation, root, keep = 3) // gen 2
+      SnapshotStore.publish(spark, nation, root, keep = 3) // gen 3
+      // the fourth publish narrows the window to 2 and prunes 1..2
+      SnapshotStore.publish(spark, nation, root, keep = 2) // gen 4
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 2L)
+      }
+      // a crashed prune's leftover reappears (planted): with keep=2
+      // persisted in the pointer, the parameterless audit classifies
+      // it over_retained — no out-of-band window needed
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      def statusOf(gen: String, k: Int = 0) =
+        IndexAudit.auditSnapshots(spark, root, k)
+          .collectFirst { case f if f.name == gen => f.status }
+      assert(statusOf("1").contains("over_retained"))
+      assert(statusOf("3").contains("superseded_retained"))
+      // an explicit caller keep still overrides (audit the same table
+      // against a wider window: gen 1 is then just retained)
+      assert(statusOf("1", k = 4).contains("superseded_retained"))
+      // the parameterless repair finishes the crashed prune
+      val acts = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts == Set(("1", "pruned_over_retained")), acts.toString)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      // a LEGACY gen-only pointer leaves the window unknown: every
+      // superseded gen reports retained (the pre-r13 behavior)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_current"), true)
+      try out.write("gen=4\n".getBytes("UTF-8")) finally out.close()
+      assert(statusOf("3").contains("superseded_retained"))
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      assert(statusOf("1").contains("superseded_retained"))
+    } finally rmTree(dir)
+  }
+
   test("auditSnapshots classifies a CORRUPT pointer instead of " +
       "crashing; repair reports it and preserves the .next evidence") {
     import graft.operators.IndexAudit
