@@ -443,17 +443,38 @@ object Bm25 {
     * the scalars are rebuilt from the remaining committed batches'
     * postings (per-batch recounts summed, preserving double-ingest
     * counting) — the one data-sized pass in the protocol, reserved
-    * for this remedial case. Returns false if the batch was not
-    * committed.
+    * for this remedial case. That rebuild refuses TYPED
+    * ([[graft.IndexUnhealthy]]) when a SURVIVOR's payload is also
+    * lost — it cannot contribute to the recount — naming the batch
+    * and pointing at [[dropBm25Batches]], which delists any lost SET
+    * in one swap (dropping the batches one at a time would refuse in
+    * a circle: each rebuild needs the other survivor's postings).
+    * Returns false if the batch was not committed.
     */
   def dropBm25Batch(spark: org.apache.spark.sql.SparkSession,
                     path: String, batchId: String,
-                    retainMs: Long = 0L): Boolean = {
+                    retainMs: Long = 0L): Boolean =
+    dropBm25Batches(spark, path, Seq(batchId), retainMs)
+
+  /** [[dropBm25Batch]] for a SET of committed batches in ONE meta
+    * swap — the remedy for the multi-loss incident the one-at-a-time
+    * form cannot close: with two committed batches' payloads both
+    * lost, each single drop's scalar rebuild refuses on the other
+    * (it needs every survivor's postings), so the lost set must
+    * delist TOGETHER — one swap, one rebuild over the true
+    * survivors. Ids absent from the committed list are ignored
+    * (idempotent retry); returns false when none was committed.
+    */
+  def dropBm25Batches(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batchIds: Seq[String],
+                      retainMs: Long = 0L): Boolean = {
+    require(batchIds.nonEmpty, "dropBm25Batches needs at least one id")
     val fs = fsFor(spark, path)
     val (meta, raw) = readBm25MetaRaw(spark, path)
-    if (!meta.batches.contains(batchId)) false
+    val dropSet = batchIds.toSet
+    val drops = meta.batches.filter(dropSet)
+    if (drops.isEmpty) false
     else {
-      val dir = s"$path/batches/$batchId"
       def batchTermDirs(b: String): Seq[String] = {
         val d = new org.apache.hadoop.fs.Path(s"$path/batches/$b")
         // scoped to the batch's `term_p=*` postings partitions ONLY:
@@ -472,36 +493,53 @@ object Bm25 {
             .head()
           (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
         }
+      def sumPairs(xs: Seq[(Long, Long)]): (Long, Long) =
+        xs.foldLeft((0L, 0L)) { case ((an, asl), (bn, bsl)) =>
+          (an + bn, asl + bsl)
+        }
+      def payloadPresent(b: String) = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/batches/$b"))
+      val survivors = meta.batches.filterNot(dropSet)
       val (newN, newSl) =
-        if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
-          // the normal remedial drop: subtract THIS batch's recounted
-          // contribution — batch-sized, never the corpus
-          val (dn, dsl) = scalars(batchTermDirs(batchId))
+        if (drops.forall(payloadPresent)) {
+          // the normal remedial drop: subtract the dropped batches'
+          // recounted contributions — drop-sized, never the corpus
+          val (dn, dsl) =
+            sumPairs(drops.map(b => scalars(batchTermDirs(b))))
           (meta.n - dn, meta.sumLen - dsl)
         } else {
           // the committed_missing_payload remedy (the incident the
-          // audit preflight points here): the batch's contribution
+          // audit preflight points here): a lost batch's contribution
           // cannot be recounted from its own lost rows, so REBUILD
           // the scalars from the remaining committed batches —
           // per-batch recounts summed, never one cross-batch distinct
           // (a doc double-ingested under two batch ids counts twice
           // in the scalars, exactly as the two appends counted it),
           // so the serve over the survivors is bit-identical to an
-          // index that never saw the lost batch. A full-postings pass,
-          // acceptable for an explicitly remedial operation.
-          meta.batches.filterNot(_ == batchId)
-            .map(b => scalars(batchTermDirs(b)))
-            .foldLeft((0L, 0L)) { case ((an, asl), (bn, bsl)) =>
-              (an + bn, asl + bsl)
-            }
+          // index that never saw the lost batches. A full-postings
+          // pass, acceptable for an explicitly remedial operation. A
+          // lost payload AMONG THE SURVIVORS is refused TYPED before
+          // any listing — it cannot feed the recount, and letting
+          // listStatus throw a raw FileNotFoundException mid-rebuild
+          // would crash the documented repair path on the very damage
+          // class it exists to remedy; the remedy is to include that
+          // batch in the drop set.
+          survivors.find(b => !payloadPresent(b))
+            .foreach(lost => throw new graft.IndexUnhealthy(
+              s"dropBm25Batches(${drops.mkString(",")}): committed " +
+                s"batch $lost has also lost its payload directory at " +
+                s"$path/batches/$lost — the scalar rebuild needs " +
+                "every surviving batch's postings; include it in the " +
+                s"drop set (dropBm25Batches(Seq(..., \"$lost\")))"))
+          sumPairs(survivors.map(b => scalars(batchTermDirs(b))))
         }
       swapBm25Meta(fs, path,
-        meta.copy(n = newN, sumLen = newSl,
-          batches = meta.batches.filterNot(_ == batchId)), raw)
+        meta.copy(n = newN, sumLen = newSl, batches = survivors), raw)
       val now = System.currentTimeMillis()
       // THIS drop is the delist event: reset (clear + mark) so a
       // stale publish-race marker cannot pre-empt the promised window
-      IndexProtocol.resetPendingDelete(fs, path, batchId, now, retainMs)
+      drops.foreach(b =>
+        IndexProtocol.resetPendingDelete(fs, path, b, now, retainMs))
       // rail the sweep on the CURRENT committed list (re-read after
       // the swap), never the pre-swap snapshot: a batch committed by
       // a racing append between the swap and this sweep must survive

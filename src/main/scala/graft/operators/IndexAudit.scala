@@ -427,6 +427,15 @@ object IndexAudit {
     *  - publish_residue → verified delete (what the retried publish's
     *    overwrite would do); under a lost pointer nothing is deleted —
     *    those gens are the recovery inventory;
+    *  - ANY unhealthy pointer finding (missing_target, corrupt, lost)
+    *    suspends EVERY gen reclaim: with the serving generation's
+    *    directory lost or the pointer unreadable, an over-retained
+    *    leftover or a crashed publish's residue may be the only
+    *    surviving copy of the table — repair reports those gens as
+    *    `preserved_recovery_candidate` instead of deleting them
+    *    (the same evidence-preservation discipline that keeps
+    *    swap_residue under a corrupt pointer and stranded gens under
+    *    a lost one); reclaims resume once the pointer is current_ok;
     *  - first_publish_residue → REPORTED as
     *    `needs_republish_or_repoint`, never deleted: it is almost
     *    certainly a crashed first publish, but a pointer lost after
@@ -470,14 +479,23 @@ object IndexAudit {
     val findings = auditSnapshots(spark, root, keep)
     val corrupt = findings.exists(f =>
       f.kind == "pointer" && f.status == "corrupt")
+    // ANY unhealthy pointer (missing_target / corrupt / lost) suspends
+    // gen reclaims: with the serving copy lost or unlocatable, a
+    // residue or over-retained gen may be the only surviving copy —
+    // preserve it as recovery inventory until the pointer is repaired
+    val pointerUnhealthy = findings.exists(f =>
+      f.kind == "pointer" && !f.healthy)
+    def reclaimGen(g: String, action: String) =
+      if (pointerUnhealthy) Seq(("gen", g, "preserved_recovery_candidate"))
+      else reclaim("gen", g, s"$root/_snapshots/$g", action)
     val actions = findings.flatMap {
       case IndexProtocol.AuditFinding("gen", g, "publish_residue", _) =>
-        reclaim("gen", g, s"$root/_snapshots/$g", "reclaimed_residue")
+        reclaimGen(g, "reclaimed_residue")
       case IndexProtocol.AuditFinding("gen", g,
           "first_publish_residue", _) =>
         Seq(("gen", g, "needs_republish_or_repoint"))
       case IndexProtocol.AuditFinding("gen", g, "over_retained", _) =>
-        reclaim("gen", g, s"$root/_snapshots/$g", "pruned_over_retained")
+        reclaimGen(g, "pruned_over_retained")
       case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _)
           if !corrupt =>
         // under a CORRUPT committed pointer the leftover `.next` may

@@ -385,6 +385,57 @@ class IndexAuditSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("a SECOND lost payload refuses typed mid-rebuild (never a raw " +
+      "listing crash); dropBm25Batches delists the lost set together") {
+    import spark.implicits._
+    val dir = tmp("fsck-multiloss")
+    try {
+      val path = dir.toString
+      val fs = hadoopFs(path)
+      val docs = Seq((1L, "vector hash join fast pipeline"),
+        (2L, "hash join table scan"),
+        (3L, "completely unrelated prose text"),
+        (4L, "fast scan over the hash table"),
+        (5L, "prose about fast vector scans")).toDF("doc_id", "text")
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", path)
+      val b0 = Bm25.readBm25Meta(spark, path).batches.head
+      val lostA = Bm25.appendBm25Index(docs.filter(col("doc_id") === 4),
+        "text", path)
+      val lostB = Bm25.appendBm25Index(docs.filter(col("doc_id") === 5),
+        "text", path)
+      // the incident: BOTH appended batches' payload directories
+      // vanish while committed
+      Seq(lostA, lostB).foreach(b => assert(fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/batches/$b"), true)))
+      // the single drop's rebuild refuses TYPED, names the other lost
+      // batch, and mutates NOTHING — a raw FileNotFoundException here
+      // would crash the documented remedy on the damage it remedies
+      val e = intercept[IndexUnhealthy] {
+        Bm25.dropBm25Batch(spark, path, lostA)
+      }
+      assert(e.getMessage.contains(lostB))
+      assert(Bm25.readBm25Meta(spark, path).batches ==
+        Seq(b0, lostA, lostB))
+      // the set drop closes the circle: one swap, one rebuild over
+      // the true survivors — the serve is bit-identical to an index
+      // that never saw either lost batch
+      assert(Bm25.dropBm25Batches(spark, path, Seq(lostA, lostB)))
+      assert(Bm25.readBm25Meta(spark, path).batches == Seq(b0))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(rows(Bm25.bm25TopKIndexed(spark, path,
+        "fast vector hash join", k = 10)) ==
+        rows(Bm25.bm25TopK(docs.filter(col("doc_id") <= 3), "doc_id",
+          "text", "fast vector hash join", k = 10)))
+      // a retry of the set drop is an idempotent no-op (false: none
+      // of the ids is still committed), and the index audits healthy
+      assert(!Bm25.dropBm25Batches(spark, path, Seq(lostA, lostB)))
+      assert(IndexAudit.isHealthy(spark, path))
+    } finally rmTree(dir)
+  }
+
   test("compaction entry re-records a lost current-gen snapshot " +
       "record — the last moment the pre-swap meta bytes still exist") {
     import spark.implicits._

@@ -412,6 +412,62 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("an unhealthy pointer suspends gen reclaims: residue and " +
+      "over-retained gens are preserved as recovery candidates") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snappreserve")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root, keep = 2) // gen 1
+      SnapshotStore.publish(spark, nation, root, keep = 2) // gen 2
+      SnapshotStore.publish(spark,
+        nation.filter(col("n_regionkey") < 2), root, keep = 2) // gen 3
+      // plant a crashed prune's leftover and a crashed publish's
+      // residue, then LOSE the serving target: either leftover may now
+      // be the only surviving copy of the table
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/4")))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/3"), true))
+      val statuses = IndexAudit.auditSnapshots(spark, root)
+        .map(f => (f.status, f.healthy)).toSet
+      assert(statuses == Set(("missing_target", false),
+        ("over_retained", true), ("publish_residue", true),
+        ("superseded_retained", true)), statuses.toString)
+      // repair deletes NOTHING while the pointer is unhealthy — the
+      // gen reclaims are reported as preserved recovery inventory
+      val acts = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts == Set(
+        ("1", "preserved_recovery_candidate"),
+        ("4", "preserved_recovery_candidate"),
+        ("3", "unrepairable_missing_current")), acts.toString)
+      Seq(1, 2, 4).foreach(g => assert(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/_snapshots/$g")),
+        s"gen $g must survive repair under an unhealthy pointer"))
+      // the operator restores the serving target (here: republish from
+      // the surviving gen 2 copy into gen 3's slot) — with the pointer
+      // current_ok again, the SAME repair finishes the suspended
+      // reclaims
+      Tables.table(spark, sf, "nation").filter(col("n_regionkey") < 2)
+        .write.mode("overwrite").parquet(s"$root/_snapshots/3")
+      val acts2 = IndexAudit.repairSnapshots(spark, root).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts2 == Set(("1", "pruned_over_retained"),
+        ("4", "reclaimed_residue")), acts2.toString)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/1")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/4")))
+      assert(SnapshotStore.readCurrent(spark, root).count() ==
+        nation.filter(col("n_regionkey") < 2).count())
+    } finally rmTree(dir)
+  }
+
   test("auditSnapshots classifies a CORRUPT pointer instead of " +
       "crashing; repair reports it and preserves the .next evidence") {
     import graft.operators.IndexAudit
