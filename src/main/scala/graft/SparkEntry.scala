@@ -1979,6 +1979,90 @@ object SparkEntry {
             "residue_refused", "compacted_to_target", "rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S20 manifest table (file-level reuse between ----
+    // ---- generations), driver-gated ----
+    // outcome contract (q_snapshot_table pattern): a full publish
+    // then a PARTITION-SCOPED promotion; the gate asserts on the
+    // literal on-disk paths+mtimes that every untouched partition's
+    // files were reused (not rewritten), that time travel reproduces
+    // gen 1 exactly, that retention with keep=2 prunes the manifest
+    // but keeps every file a surviving manifest references (deltas,
+    // not full copies), and that the fsck flags a manifest naming a
+    // missing file. rows_current is the real oracle row.
+    "q_snapshot_manifest" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manifest").toString
+      try {
+        val root = s"$tmp/nation"
+        val M = graft.sources.ManifestStore
+        val nation = Tables.table(s, d, "nation")
+        M.publish(s, nation, root, "n_regionkey",
+          Seq(Cleaning.ExpectNotNull("n_nationkey")), keep = 2)
+        val fs = Tables.fsFor(s, root)
+        def state(gen: Long) = M.manifestAt(s, root, gen).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        val v2part = nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_name", lit("CHANGED"))
+        M.publish(s, v2part, root, "n_regionkey", Nil, keep = 2)
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "2").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val changedIsNew = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition == "2")
+          .forall(_.relPath.startsWith("_writes/2/"))
+        val v1Exact = M.readAt(s, root, 1L).exceptAll(nation).isEmpty &&
+          nation.exceptAll(M.readAt(s, root, 1L)).isEmpty
+        // third promotion (region 2 back to the original rows) prunes
+        // manifest 1 under keep=2, yet gens 2+3 keep serving gen 1's
+        // untouched FILES — retention held a delta, not 2 full copies
+        M.publish(s, nation.filter(col("n_regionkey") === 2), root,
+          "n_regionkey", Nil, keep = 2)
+        val manifest1Pruned =
+          try { M.readAt(s, root, 1L); false }
+          catch { case _: graft.SnapshotUnavailable => true }
+        val deltaRetention = manifest1Pruned &&
+          M.manifestAt(s, root, 3L).entries
+            .exists(_.relPath.startsWith("_writes/1/")) &&
+          M.manifestAt(s, root, 3L).entries.forall(e => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}")))
+        // the fsck: a manifest naming a GONE file is UNHEALTHY
+        val victim = M.manifestAt(s, root, 3L).entries.head.relPath
+        val victimBytes = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(
+            s"$root/$victim"))
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b = new Array[Byte](8192)
+            var n = in.read(b)
+            while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+            buf.toByteArray
+          } finally in.close()
+        }
+        require(fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/$victim"), false))
+        val missingFlagged = graft.operators.IndexAudit
+          .auditManifestTable(s, root)
+          .exists(f => f.status == "manifest_missing_file" &&
+            !f.healthy)
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$root/$victim"), true)
+        try out.write(victimBytes) finally out.close()
+        require(graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root))
+        val rowsCurrent = M.readCurrent(s, root).count()
+        import s.implicits._
+        Seq((untouchedReused, changedIsNew, v1Exact, deltaRetention,
+          missingFlagged, rowsCurrent))
+          .toDF("untouched_files_reused", "changed_partition_new",
+            "v1_timetravel_exact", "retention_holds_deltas",
+            "missing_file_unhealthy", "rows_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S19c time-travel CDC over the snapshot table ----
     // S12's added/removed/changed/unchanged diff applied to two
     // SERVED generations — answerable for any pair inside retention
@@ -3455,6 +3539,15 @@ object SparkEntry {
     "q_snapshot_table" ->
       """SELECT true AS v1_timetravel_exact, true AS crash_never_gapped,
         |  true AS residue_refused, true AS compacted_to_target,
+        |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
+    // manifest-table contract booleans + the real recount of the
+    // served state (the final promotion restored region 2's original
+    // rows, so the serving table is the full base table again)
+    "q_snapshot_manifest" ->
+      """SELECT true AS untouched_files_reused,
+        |  true AS changed_partition_new, true AS v1_timetravel_exact,
+        |  true AS retention_holds_deltas,
+        |  true AS missing_file_unhealthy,
         |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
     // every time-travel CDC status count is data-derived: added =
     // the re-keyed region-4 batch, changed = the one renamed

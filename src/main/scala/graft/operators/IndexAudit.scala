@@ -418,6 +418,302 @@ object IndexAudit {
                          keep: Int = 0): Boolean =
     auditSnapshots(spark, root, keep).forall(_.healthy)
 
+  // ---- the MANIFEST TABLE's fsck (S20 file-reuse protocol) ---------
+  // ManifestStore generations are MANIFESTS (file lists) over a pool
+  // of immutable write directories, so the incident classes are the
+  // snapshot table's (crashed-publish residue, interrupted swap,
+  // over-retention, lost/corrupt/missing pointer) PLUS the two only a
+  // file-reuse protocol has: a manifest naming a file that is GONE
+  // (the table it describes cannot be served in full — UNHEALTHY) and
+  // pool files no manifest references (crashed-publish or
+  // crashed-prune residue — reclaimable).
+
+  /** Audit a [[graft.sources.ManifestStore]] root; one
+    * [[IndexProtocol.AuditFinding]] per entity, deterministic order.
+    * Metadata cost: one pointer read, one listing per tree, one
+    * existence stat per RETAINED manifest entry (bounded by the file
+    * count, which [[graft.sources.ManifestStore.compactSmallPartitions]]
+    * bounds) — never a data read.
+    *
+    * Pointer statuses are [[auditSnapshots]]'s (`swap_residue`,
+    * `current_ok`, `corrupt`, `missing_target` — here: the committed
+    * gen's MANIFEST file is gone — and `lost`). Manifest statuses
+    * reuse the gen taxonomy (`serving`, `superseded_retained`,
+    * `over_retained`, `publish_residue`, `first_publish_residue`,
+    * `orphan_future`, `stranded`) plus `corrupt` (unparseable bytes,
+    * UNHEALTHY). File-level statuses:
+    *
+    *  - file/manifest_missing_file (UNHEALTHY) — a manifest at or
+    *    below the serving gen names a file that does not exist: that
+    *    generation cannot be served in full; restore the file or
+    *    republish. (A publish_residue manifest's missing files are
+    *    NOT findings — a later publish's retention legitimately
+    *    sweeps unreferenced files.)
+    *  - writes/orphan_files — a write directory holds data files no
+    *    existing manifest references: crashed-publish or
+    *    crashed-prune residue; reclaimable.
+    */
+  def auditManifestTable(spark: SparkSession, root: String)
+      : Seq[IndexProtocol.AuditFinding] = {
+    import IndexProtocol.AuditFinding
+    import graft.sources.{ManifestStore, MetaSwap, SnapshotStore}
+    val fs = graft.sources.Tables.fsFor(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val swapResidue = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_current.next"))
+    MetaSwap.heal(fs, ptr)
+    val (ptrState, persistedKeep) =
+      if (!fs.exists(ptr))
+        (Right(None): Either[Unit, Option[Long]], None)
+      else {
+        val raw = MetaSwap.readCommitted(fs, ptr)
+        SnapshotStore.parsedGen(raw) match {
+          case Some(g) => (Right(Some(g)),
+            SnapshotStore.parsedKeep(raw))
+          case None => (Left(()), None)
+        }
+      }
+    val cur = ptrState.toOption.flatten
+    val corrupt = ptrState.isLeft
+    val effKeep = persistedKeep.getOrElse(0)
+    val mBase = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    val gens: Seq[Long] =
+      if (!fs.exists(mBase)) Seq.empty
+      else fs.listStatus(mBase).toSeq
+        .filterNot(_.getPath.getName.endsWith(".next"))
+        .flatMap(_.getPath.getName.toLongOption).sorted
+    def parsed(g: Long)
+        : Option[graft.sources.ManifestStore.Manifest] =
+      try Some(ManifestStore.parseManifest(MetaSwap.readCommitted(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/$g"))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val residueRow = if (swapResidue)
+      Seq(AuditFinding("pointer", "_current", "swap_residue", true))
+    else Seq.empty
+    val pointerRows =
+      if (corrupt)
+        Seq(AuditFinding("pointer", "_current", "corrupt", false))
+      else cur match {
+        case Some(g) =>
+          if (gens.contains(g))
+            Seq(AuditFinding("pointer", g.toString, "current_ok", true))
+          else
+            Seq(AuditFinding("pointer", g.toString, "missing_target",
+              false))
+        case None =>
+          if (gens.isEmpty || gens == Seq(1L)) Seq.empty
+          else Seq(AuditFinding("pointer", "_current", "lost", false))
+      }
+    val manifestRows = gens.flatMap { g =>
+      val status = cur match {
+        case _ if corrupt => "stranded"
+        case Some(c) if g == c => "serving"
+        case Some(c) if g == c + 1L => "publish_residue"
+        case Some(c) if g > c + 1L => "orphan_future"
+        case Some(c) =>
+          if (effKeep > 0 && g <= c - effKeep) "over_retained"
+          else "superseded_retained"
+        case None =>
+          if (gens == Seq(1L)) "first_publish_residue" else "stranded"
+      }
+      parsed(g) match {
+        case None =>
+          // unparseable bytes: the generation's file list is
+          // unknowable — damage, reported not crashed-on
+          Seq(AuditFinding("manifest", g.toString, "corrupt", false))
+        case Some(m) =>
+          val base = AuditFinding("manifest", g.toString, status,
+            status != "orphan_future")
+          // file integrity for every gen a reader could resolve
+          // (serving + retained/stranded); residue manifests'
+          // missing files are expected post-retention
+          val checkFiles = status == "serving" ||
+            status == "superseded_retained" ||
+            status == "over_retained" || status == "stranded"
+          val missing =
+            if (!checkFiles) Seq.empty
+            else m.entries.filterNot(e => fs.exists(
+                new org.apache.hadoop.fs.Path(s"$root/${e.relPath}")))
+              .map(e => AuditFinding("file", s"$g:${e.relPath}",
+                "manifest_missing_file", false))
+          base +: missing
+      }
+    }
+    // pool files no existing manifest references (any gen — residue
+    // manifests legitimately hold their staged files)
+    val referenced = gens.flatMap(g => parsed(g).toSeq
+      .flatMap(_.entries.map(_.relPath))).toSet
+    val wBase = new org.apache.hadoop.fs.Path(s"$root/_writes")
+    val writeRows =
+      if (!fs.exists(wBase)) Seq.empty
+      else fs.listStatus(wBase).toSeq
+        .sortBy(_.getPath.getName)
+        .flatMap { wd =>
+          wd.getPath.getName.toLongOption.toSeq.flatMap { g =>
+            val it = fs.listFiles(wd.getPath, true)
+            var orphan = false
+            while (it.hasNext && !orphan) {
+              val f = it.next()
+              val rel = s"_writes/$g/" + f.getPath.toString
+                .split(s"/_writes/$g/", 2).last
+              val hidden = f.getPath.getName.startsWith("_") ||
+                f.getPath.getName.startsWith(".")
+              if (!hidden && !referenced(rel)) orphan = true
+            }
+            if (orphan)
+              Seq(AuditFinding("writes", g.toString, "orphan_files",
+                true))
+            else Seq.empty
+          }
+        }
+    residueRow ++ pointerRows ++ manifestRows ++ writeRows
+  }
+
+  /** [[auditManifestTable]] as a DataFrame (the [[audit]] shape). */
+  def auditManifestTableDf(spark: SparkSession,
+                           root: String): DataFrame = {
+    import spark.implicits._
+    auditManifestTable(spark, root)
+      .map(f => (f.kind, f.name, f.status, f.healthy))
+      .toDF("kind", "name", "status", "healthy")
+  }
+
+  /** True iff the manifest-table audit has no unhealthy finding. */
+  def isManifestTableHealthy(spark: SparkSession,
+                             root: String): Boolean =
+    auditManifestTable(spark, root).forall(_.healthy)
+
+  /** Safe remediations for the manifest table's findings — the
+    * [[repairSnapshots]] discipline on the file-reuse layout, under
+    * the same single-promoter contract:
+    *
+    *  - publish_residue manifest → verified delete (the retried
+    *    publish rewrites it), its now-unreferenced files swept;
+    *  - over_retained manifest → verified delete (finishing the
+    *    crashed prune), files swept;
+    *  - orphan pool files → verified delete;
+    *  - ANY unhealthy pointer finding suspends every reclaim
+    *    (`preserved_recovery_candidate`) — a residue manifest under a
+    *    lost serving manifest may be the only record of the table;
+    *  - manifest_missing_file → `unrepairable_missing_file`: restore
+    *    the file or republish — repair never serves a partial table
+    *    silently;
+    *  - corrupt manifest / pointer problems → reported unrepairable,
+    *    mirroring [[repairSnapshots]].
+    *
+    * Returns one row per action: (kind, name, action).
+    */
+  def repairManifestTable(spark: SparkSession,
+                          root: String): DataFrame = {
+    import graft.sources.{ManifestStore, MetaSwap}
+    val fs = graft.sources.Tables.fsFor(spark, root)
+    val findings = auditManifestTable(spark, root)
+    val pointerUnhealthy = findings.exists(f =>
+      f.kind == "pointer" && !f.healthy)
+    val corrupt = findings.exists(f =>
+      f.kind == "pointer" && f.status == "corrupt")
+    def verifiedDelete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp) && !fs.delete(hp, true))
+        throw new IllegalStateException(
+          s"manifest-table repair cannot reclaim $hp")
+    }
+    val manifestActions = findings.flatMap {
+      case IndexProtocol.AuditFinding("manifest", g,
+          "publish_residue", _) =>
+        if (pointerUnhealthy)
+          Seq(("manifest", g, "preserved_recovery_candidate"))
+        else {
+          verifiedDelete(s"$root/_manifests/$g")
+          Seq(("manifest", g, "reclaimed_residue"))
+        }
+      case IndexProtocol.AuditFinding("manifest", g,
+          "over_retained", _) =>
+        if (pointerUnhealthy)
+          Seq(("manifest", g, "preserved_recovery_candidate"))
+        else {
+          verifiedDelete(s"$root/_manifests/$g")
+          Seq(("manifest", g, "pruned_over_retained"))
+        }
+      case IndexProtocol.AuditFinding("manifest", g,
+          "first_publish_residue", _) =>
+        Seq(("manifest", g, "needs_republish_or_repoint"))
+      case IndexProtocol.AuditFinding("manifest", g, "corrupt", _) =>
+        Seq(("manifest", g, "unrepairable_corrupt_manifest"))
+      case IndexProtocol.AuditFinding("manifest", g,
+          "orphan_future", _) =>
+        Seq(("manifest", g, "unrepairable_orphan_future"))
+      case IndexProtocol.AuditFinding("file", n,
+          "manifest_missing_file", _) =>
+        Seq(("file", n, "unrepairable_missing_file"))
+      case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _)
+          if !corrupt =>
+        verifiedDelete(s"$root/_current.next")
+        Seq(("pointer", "_current", "reclaimed_swap_residue"))
+      case IndexProtocol.AuditFinding("pointer", n, "corrupt", _) =>
+        Seq(("pointer", n, "unrepairable_corrupt_pointer"))
+      case IndexProtocol.AuditFinding("pointer", g,
+          "missing_target", _) =>
+        Seq(("pointer", g, "unrepairable_missing_current"))
+      case IndexProtocol.AuditFinding("pointer", n, "lost", _) =>
+        Seq(("pointer", n, "unrepairable_lost_pointer"))
+      case _ => Seq.empty
+    }
+    // the orphan-file sweep runs AFTER the manifest reclaims above
+    // (a reclaimed residue manifest's files become orphans in the
+    // same repair), against the re-listed surviving manifests
+    val sweepActions =
+      if (pointerUnhealthy) findings.collect {
+        case IndexProtocol.AuditFinding("writes", g,
+            "orphan_files", _) =>
+          ("writes", g, "preserved_recovery_candidate")
+      }
+      else {
+        val mBase = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+        val referenced =
+          if (!fs.exists(mBase)) Set.empty[String]
+          else fs.listStatus(mBase).toSeq
+            .filterNot(_.getPath.getName.endsWith(".next"))
+            .flatMap(_.getPath.getName.toLongOption)
+            .flatMap { g =>
+              try ManifestStore.parseManifest(MetaSwap.readCommitted(
+                  fs, new org.apache.hadoop.fs.Path(
+                    s"$root/_manifests/$g")))
+                .entries.map(_.relPath)
+              catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            }.toSet
+        val wBase = new org.apache.hadoop.fs.Path(s"$root/_writes")
+        if (!fs.exists(wBase)) Seq.empty
+        else fs.listStatus(wBase).toSeq.sortBy(_.getPath.getName)
+          .flatMap { wd =>
+            wd.getPath.getName.toLongOption.toSeq.flatMap { g =>
+              var kept = false
+              val doomed =
+                scala.collection.mutable.ArrayBuffer[String]()
+              val it = fs.listFiles(wd.getPath, true)
+              while (it.hasNext) {
+                val f = it.next()
+                val rel = s"_writes/$g/" + f.getPath.toString
+                  .split(s"/_writes/$g/", 2).last
+                val hidden = f.getPath.getName.startsWith("_") ||
+                  f.getPath.getName.startsWith(".")
+                if (referenced(rel)) kept = true
+                else if (!hidden) doomed += f.getPath.toString
+              }
+              if (!kept && doomed.nonEmpty) {
+                verifiedDelete(wd.getPath.toString)
+                Seq(("writes", g.toString, "reclaimed_write_dir"))
+              } else if (doomed.nonEmpty) {
+                doomed.foreach(verifiedDelete)
+                Seq(("writes", g.toString, "reclaimed_orphan_files"))
+              } else Seq.empty
+            }
+          }
+      }
+    import spark.implicits._
+    (manifestActions ++ sweepActions).toDF("kind", "name", "action")
+  }
+
   /** Safe remediations for the snapshot table's findings — a
     * MAINTENANCE call under the single-PROMOTER contract (run it in
     * the promotion scheduler's slot: with no publish in flight, a

@@ -1,0 +1,329 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IndexAudit
+import graft.sources.{ManifestStore, Tables}
+
+/** S20 — the manifest table: generations as FILE LISTS over an
+  * immutable pool, so partition-scoped promotions write only changed
+  * partitions, retention holds deltas (never N full copies), and
+  * OPTIMIZE rewrites only small-file partitions. The file-reuse
+  * claims are asserted on the literal on-disk paths and mtimes — not
+  * on row counts.
+  */
+class ManifestStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(tag: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  /** (relPath, mtime) of every file a generation's manifest names. */
+  private def fileState(root: String, gen: Long)
+      : Map[String, Long] = {
+    val fs = Tables.fsFor(spark, root)
+    ManifestStore.manifestAt(spark, root, gen).entries.map { e =>
+      e.relPath -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/${e.relPath}")).getModificationTime
+    }.toMap
+  }
+
+  test("partition-scoped promotion reuses untouched partitions' " +
+      "files byte-for-byte; time travel stays exact") {
+    val dir = tmp("mani")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val g1 = ManifestStore.publish(spark, nation, root,
+        "n_regionkey",
+        Seq(graft.operators.Cleaning.ExpectNotNull("n_nationkey")))
+      assert(g1 == 1L)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+      val before = fileState(root, 1L)
+      // promote ONLY region 2's partition, renamed rows
+      val v2part = nation.filter(col("n_regionkey") === 2)
+        .withColumn("n_name", lit("CHANGED"))
+      val g2 = ManifestStore.publish(spark, v2part, root,
+        "n_regionkey")
+      assert(g2 == 2L)
+      val after = fileState(root, 2L)
+      // every untouched partition's files: SAME paths, SAME mtimes —
+      // nothing was rewritten, moved, or copied
+      val untouchedBefore = ManifestStore.manifestAt(spark, root, 1L)
+        .entries.filter(_.partition != "2").map(_.relPath).toSet
+      val untouchedAfter = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.filter(_.partition != "2").map(_.relPath).toSet
+      assert(untouchedBefore == untouchedAfter)
+      untouchedAfter.foreach(p => assert(before(p) == after(p),
+        s"untouched file $p was rewritten"))
+      // the changed partition's entries are NEW files in gen 2's
+      // write dir
+      assert(ManifestStore.manifestAt(spark, root, 2L).entries
+        .filter(_.partition == "2")
+        .forall(_.relPath.startsWith("_writes/2/")))
+      // serving view = old table with region 2 replaced
+      val expect = nation.filter(col("n_regionkey") =!= 2)
+        .unionByName(v2part)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(expect))
+      // time travel: gen 1 is still the original, exactly
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) ==
+        rows(nation))
+      // structural pruning reads only the asked partition's files
+      assert(rows(ManifestStore.readPartitions(spark, root, Seq("2")))
+        == rows(v2part))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("retention holds DELTAS: pruning drops only files no " +
+      "surviving manifest references") {
+    val dir = tmp("manikeep")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey",
+        keep = 2) // gen 1: all partitions
+      def touch(i: Int) = ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 0)
+          .withColumn("n_name", lit(s"v$i")),
+        root, "n_regionkey", keep = 2)
+      touch(2) // gen 2: region 0 only
+      touch(3) // gen 3: region 0 only → manifest 1 pruned
+      // gen 1's manifest is gone (window = 2) …
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 1L)
+      }
+      // … but gen 1's UNTOUCHED partition files still serve gens 2+3
+      // (file-level reuse means pruning a manifest must NOT drop
+      // files later manifests still reference)
+      val m3 = ManifestStore.manifestAt(spark, root, 3L)
+      assert(m3.entries.exists(_.relPath.startsWith("_writes/1/")),
+        "untouched partitions must still ride gen 1's files")
+      m3.entries.foreach(e => assert(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))))
+      // gen 2's region-0 delta survives (gen 2 is in the window);
+      // gen 1's region-0 ORIGINAL file is gone — no manifest in the
+      // window references it: keep=N retained a delta, not 3 copies
+      val m1Region0Gone = !fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_writes/1/graft_p=0"))
+      assert(m1Region0Gone, "the superseded region-0 file must be " +
+        "pruned once no surviving manifest references it")
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation.filter(col("n_regionkey") =!= 0).unionByName(
+          nation.filter(col("n_regionkey") === 0)
+            .withColumn("n_name", lit("v3")))))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("mergePartitions: partition-scoped upsert — batch wins on key " +
+      "collision, other partitions untouched on disk") {
+    val dir = tmp("manimerge")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val before = fileState(root, 1L)
+      // batch: one UPDATE of an existing key in region 1 plus one
+      // INSERT of a new key in region 1
+      import spark.implicits._
+      val existingKey = nation.filter(col("n_regionkey") === 1)
+        .select("n_nationkey").head().getInt(0)
+      val batch = Seq(
+        (existingKey, "UPDATED", 1),
+        (9999, "BRANDNEW", 1))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      ManifestStore.mergePartitions(spark, batch, root,
+        Seq("n_nationkey"))
+      val expect = nation
+        .filter(col("n_nationkey") =!= existingKey)
+        .unionByName(batch.filter(col("n_nationkey") === existingKey))
+        .unionByName(batch.filter(col("n_nationkey") === 9999))
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(expect))
+      // partitions the batch never touched kept their gen-1 files
+      val after = fileState(root, 2L)
+      ManifestStore.manifestAt(spark, root, 2L).entries
+        .filter(_.partition != "1").foreach { e =>
+          assert(e.relPath.startsWith("_writes/1/"))
+          assert(before(e.relPath) == after(e.relPath))
+        }
+    } finally rmTree(dir)
+  }
+
+  test("crash honesty: mid-publish the serving view is intact, the " +
+      "residue manifest refuses, retry overwrites it; fsck classifies " +
+      "and repair reclaims") {
+    val dir = tmp("manicrash")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val v2 = nation.filter(col("n_regionkey") === 0)
+        .withColumn("n_name", lit("V2"))
+      class Boom extends RuntimeException("injected")
+      var midServed = false
+      intercept[Boom] {
+        ManifestStore.publishImpl(spark, v2, root, "n_regionkey",
+          Nil, 3, false, true, () => {
+            // staged + manifest written, NOT repointed: the serving
+            // view is still gen 1 in full
+            midServed = rows(ManifestStore.readCurrent(spark, root)) ==
+              rows(nation)
+            throw new Boom
+          })
+      }
+      assert(midServed)
+      // the residue manifest (gen 2) never committed: refused typed
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 2L)
+      }
+      // fsck: residue manifest + its orphan staged files, all healthy
+      // residue classes; pointer still current_ok
+      // the residue manifest's staged files count as referenced (a
+      // retry consumes them), so there is no orphan-files row yet
+      val statuses = IndexAudit.auditManifestTable(spark, root)
+        .map(f => (f.kind, f.status)).toSet
+      assert(statuses == Set(("pointer", "current_ok"),
+        ("manifest", "serving"), ("manifest", "publish_residue")),
+        statuses.toString)
+      // the RETRY allocates the same gen and overwrites the residue
+      val g2 = ManifestStore.publish(spark, v2, root, "n_regionkey")
+      assert(g2 == 2L)
+      assert(rows(ManifestStore.readAt(spark, root, 2L)) ==
+        rows(nation.filter(col("n_regionkey") =!= 0).unionByName(v2)))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+      // plant a fresh crash residue, then let REPAIR (not a retry)
+      // reclaim it: manifest deleted, orphan files swept
+      intercept[Boom] {
+        ManifestStore.publishImpl(spark, v2, root, "n_regionkey",
+          Nil, 3, false, true, () => throw new Boom)
+      }
+      val acts = IndexAudit.repairManifestTable(spark, root).collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(acts == Set(("manifest", "reclaimed_residue"),
+        ("writes", "reclaimed_write_dir")), acts.toString)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/3")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_writes/3")))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("a manifest naming a missing file is UNHEALTHY and repair " +
+      "reports it unrepairable; an unhealthy pointer suspends reclaims") {
+    val dir = tmp("manimiss")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val victim = ManifestStore.manifestAt(spark, root, 1L)
+        .entries.head.relPath
+      assert(fs.delete(
+        new org.apache.hadoop.fs.Path(s"$root/$victim"), false))
+      val bad = IndexAudit.auditManifestTable(spark, root)
+        .filter(!_.healthy)
+      assert(bad.map(_.status) == Seq("manifest_missing_file"),
+        bad.toString)
+      assert(bad.head.name == s"1:$victim")
+      val acts = IndexAudit.repairManifestTable(spark, root).collect()
+        .map(_.getString(2)).toSeq
+      assert(acts == Seq("unrepairable_missing_file"))
+      // now ALSO lose the pointer's target manifest, with a planted
+      // residue manifest on disk: reclaims suspend (the residue may
+      // be the only record), mirroring the snapshot-table discipline
+      val mBytes = graft.sources.MetaSwap.readCommitted(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/1"))
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/2"), true)
+      try out.write(mBytes) finally out.close()
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/1"), false))
+      val acts2 = IndexAudit.repairManifestTable(spark, root).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(acts2.contains(("1", "unrepairable_missing_current")))
+      assert(acts2.contains(("2", "preserved_recovery_candidate")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/2")),
+        "the residue manifest must survive under an unhealthy pointer")
+    } finally rmTree(dir)
+  }
+
+  test("compactSmallPartitions rewrites ONLY offending partitions; " +
+      "well-laid-out partitions' files are untouched") {
+    val dir = tmp("manicompact")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      // region 0 lands FRAGMENTED (one file per row), the rest as one
+      // file each: publish region 0 with coalescing off from a
+      // many-partition layout
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") =!= 0), root, "n_regionkey")
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 0).repartition(4),
+        root, "n_regionkey", coalescePartitions = false)
+      val m2 = ManifestStore.manifestAt(spark, root, 2L)
+      val fragBefore = m2.entries.count(_.partition == "0")
+      assert(fragBefore > 1, "setup: region 0 must be fragmented")
+      val before = fileState(root, 2L)
+      // a byte target far above any partition's size → every
+      // fragmented partition compacts to 1 file
+      val rewritten = ManifestStore.compactSmallPartitions(spark, root,
+        targetBytesPerFile = 1L << 30)
+      assert(rewritten == 1)
+      val m3 = ManifestStore.manifestAt(spark, root, 3L)
+      assert(m3.entries.count(_.partition == "0") == 1)
+      // untouched partitions: same files, same mtimes
+      val after = fileState(root, 3L)
+      m3.entries.filter(_.partition != "0").foreach { e =>
+        assert(before(e.relPath) == after(e.relPath),
+          s"untouched file ${e.relPath} was rewritten by OPTIMIZE")
+      }
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+      // idempotent: nothing left to compact, no new generation
+      assert(ManifestStore.compactSmallPartitions(spark, root,
+        targetBytesPerFile = 1L << 30) == 0)
+      assert(ManifestStore.currentGen(spark, root).contains(3L))
+    } finally rmTree(dir)
+  }
+
+  test("full rebuild (replaceAll) stops serving partitions absent " +
+      "from the rebuild; racing promotions CAS-fail loudly") {
+    val dir = tmp("manifull")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      // full rebuild with region 4 dropped
+      val rebuilt = nation.filter(col("n_regionkey") < 4)
+      ManifestStore.publish(spark, rebuilt, root, "n_regionkey",
+        replaceAll = true)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(rebuilt))
+      assert(ManifestStore.manifestAt(spark, root, 2L).entries
+        .forall(_.partition != "4"))
+      // the CAS: a promotion planned from a stale pointer read fails
+      // loudly once another promotion lands in between
+      val fs = Tables.fsFor(spark, root)
+      intercept[graft.sources.MetaSwap.CasFailed] {
+        ManifestStore.publishImpl(spark, rebuilt, root, "n_regionkey",
+          Nil, 3, false, true, () => {
+            ManifestStore.publish(spark, rebuilt, root, "n_regionkey")
+            ()
+          })
+      }
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root)))
+    } finally rmTree(dir)
+  }
+}
