@@ -45,58 +45,160 @@ object Pipeline {
 
   /** Gold: star-schema dimensions + fact from silver inputs.
     *
-    * Every gold table PROMOTES through the snapshot-table pointer
-    * ([[graft.sources.SnapshotStore.publish]]) with a BLOCKING audit
+    * Every gold table PROMOTES behind a pointer with a BLOCKING audit
     * of the staged bytes: the reference's quality checks
     * (bronze_to_silver.py:127's key↔name consistency audit) refuse
     * instead of report — a batch violating its rule list never
-    * reaches a generation the pointer serves, the staged parquet
-    * stays inspectable, and the PREVIOUS gold generation keeps
-    * serving untouched. The pointer swap closes the availability gap
-    * the earlier `writeAudited(replace = true)` form documented: a
-    * reader racing a scheduled promotion — or a promotion that
-    * crashes between publish and repoint — always resolves a complete
-    * generation (spec-driven via the crash hook), and promotions are
-    * time-travelable within the retention window like the index
-    * snapshots. Read the serving gold with
-    * [[graft.sources.SnapshotStore.readCurrent]].
+    * reaches a generation a pointer serves, the staged parquet stays
+    * inspectable, and the PREVIOUS gold generation keeps serving
+    * untouched. The bounded DIMS publish through the snapshot table
+    * ([[graft.sources.SnapshotStore.publish]] — full physical gens,
+    * the right cost for a small table); the FACT publishes through
+    * the MANIFEST table ([[graft.sources.ManifestStore]], partitioned
+    * by ship month) so a promotion writes only changed partitions'
+    * files and retention holds deltas — at a 100 TB fact the daily
+    * cost is O(batch), never O(table). Promotions stay
+    * time-travelable within the retention window, crashes never gap
+    * a reader (spec-driven via the crash hooks), and the THREE
+    * generations commit as one consistent schema via a single
+    * `_schema` pointer swapped LAST — read joined gold through
+    * [[goldTable]], which can never pair fact gen N with dim gen N−1.
     * `extraFactAudit` appends caller rules to the fact's defaults —
     * the seam a deployment uses for run-specific contracts (and the
-    * spec uses to plant a violation).
+    * spec uses to plant a violation). `factLineitem` overrides the
+    * fact's source rows (the full-rebuild form of the batch seam
+    * [[goldIncrement]] uses daily).
     */
   def gold(spark: SparkSession, sfDir: String, outDir: String,
            modelingDate: String,
-           extraFactAudit: Seq[Cleaning.Expectation] = Nil): Unit =
+           extraFactAudit: Seq[Cleaning.Expectation] = Nil,
+           factLineitem: Option[DataFrame] = None): Unit =
     goldImpl(spark, sfDir, outDir, modelingDate, extraFactAudit,
-      () => ())
+      () => (), () => (), factLineitem, incremental = false)
 
-  /** [[gold]] with a crash-injection hook fired between the fact's
-    * staged write+audit and its pointer swap — exists so the
-    * no-serving-gap promotion contract is TESTED, not asserted (the
-    * [[corpusIncrementWithHook]] pattern).
+  /** DAILY gold increment — the production shape the reference's
+    * "today's partition" read implies (bigquery.py:96 reads the
+    * latest dim partition; bigquery.py:141 appends the fact by
+    * partition): dims republish in full (bounded tables, the
+    * reference's own rebuild-from-latest-snapshot discipline,
+    * silver_to_gold.py:96) while the FACT takes only
+    * `batchLineitem`'s rows — built with [[StarSchema.factSalesFrom]]
+    * and MERGED partition-scoped into the manifest fact
+    * ([[graft.sources.ManifestStore.mergePartitions]] on the lineitem
+    * PK): untouched ship months' files are not rewritten, moved, or
+    * read, so the daily cost is O(batch's months), never O(fact).
+    * The schema pointer swaps once at the end, same as [[gold]].
+    */
+  def goldIncrement(spark: SparkSession, sfDir: String, outDir: String,
+                    batchLineitem: DataFrame, modelingDate: String,
+                    extraFactAudit: Seq[Cleaning.Expectation] = Nil)
+      : Unit =
+    goldImpl(spark, sfDir, outDir, modelingDate, extraFactAudit,
+      () => (), () => (), Some(batchLineitem), incremental = true)
+
+  private def factRules(extra: Seq[Cleaning.Expectation]) =
+    Seq(Cleaning.ExpectNotNull("id_fact"),
+      Cleaning.ExpectNotNull("id_ship_date"),
+      Cleaning.ExpectNotNull("id_part_kind"),
+      Cleaning.ExpectNotNull("id_supply")) ++ extra
+
+  /** [[gold]]/[[goldIncrement]] with crash-injection hooks —
+    * `beforeFactRepoint` fires between the fact's staged write+audit
+    * and its pointer swap; `beforeSchemaSwap` between the last
+    * per-table publish and the one schema-pointer swap — so the
+    * no-serving-gap AND consistent-triple contracts are TESTED, not
+    * asserted (the [[corpusIncrementWithHook]] pattern).
     */
   private[graft] def goldImpl(spark: SparkSession, sfDir: String,
                               outDir: String, modelingDate: String,
                               extraFactAudit: Seq[Cleaning.Expectation],
-                              beforeFactRepoint: () => Unit): Unit = {
-    graft.sources.SnapshotStore.publish(spark,
+                              beforeFactRepoint: () => Unit,
+                              beforeSchemaSwap: () => Unit = () => (),
+                              factLineitem: Option[DataFrame] = None,
+                              incremental: Boolean = false): Unit = {
+    val gDate = graft.sources.SnapshotStore.publish(spark,
       StarSchema.dimDate(spark, sfDir), s"$outDir/gold/dim_date",
       Seq(Cleaning.ExpectNotNull("id_date"),
         Cleaning.ExpectUnique("id_date")))
-    graft.sources.SnapshotStore.publish(spark,
+    val gCust = graft.sources.SnapshotStore.publish(spark,
       StarSchema.dimCustomer(spark, sfDir),
       s"$outDir/gold/dim_customer",
       Seq(Cleaning.ExpectNotNull("id_customer"),
         Cleaning.ExpectUnique("id_customer")))
-    graft.sources.SnapshotStore.publishImpl(spark,
-      StarSchema.factSales(spark, sfDir, modelingDate),
-      s"$outDir/gold/fact_sales",
-      Seq(Cleaning.ExpectNotNull("id_fact"),
-        Cleaning.ExpectNotNull("id_ship_date"),
-        Cleaning.ExpectNotNull("id_part_kind"),
-        Cleaning.ExpectNotNull("id_supply")) ++ extraFactAudit,
-      keep = 3, beforeFactRepoint)
+    val li = factLineitem.getOrElse(
+      Tables.table(spark, sfDir, "lineitem"))
+    val factRows = StarSchema.factSalesFrom(li,
+      Tables.table(spark, sfDir, "part").select("p_partkey", "p_brand"),
+      modelingDate, withShipMonth = true)
+    val factRoot = s"$outDir/gold/fact_sales"
+    // the fact is a MANIFEST table (S20): a generation is a file
+    // list, so the daily promotion writes only the touched ship
+    // months' files and keep=3 retains deltas — never three copies
+    // of a 100 TB fact (the O1×S19 full-rewrite boundary, closed)
+    val gFact =
+      if (incremental)
+        graft.sources.ManifestStore.mergePartitions(spark, factRows,
+          factRoot, Seq("l_orderkey", "l_linenumber"),
+          factRules(extraFactAudit), keep = 3)
+      else
+        graft.sources.ManifestStore.publishImpl(spark, factRows,
+          factRoot, "ship_month", factRules(extraFactAudit), keep = 3,
+          replaceAll = true, coalescePartitions = true,
+          beforeFactRepoint)
+    beforeSchemaSwap()
+    // ONE schema-level pointer naming all three generations, swapped
+    // LAST: a reader resolving the triple through [[goldTable]] can
+    // never join fact gen N against dim gen N−1 — the swap is a
+    // single marker rename, and a crash anywhere earlier leaves the
+    // OLD triple served in full (per-table keep=3 guarantees the old
+    // gens outlive one in-flight promotion). Per-table pointers still
+    // advance per publish for single-table readers; the schema
+    // pointer is THE cross-table consistency surface.
+    val fs = Tables.fsFor(spark, outDir)
+    graft.sources.MetaSwap.swap(fs,
+      new org.apache.hadoop.fs.Path(s"$outDir/gold/_schema"),
+      (s"dim_date=$gDate\ndim_customer=$gCust\n" +
+        s"fact_sales=$gFact\n").getBytes("UTF-8"))
     ()
+  }
+
+  /** The generations the last completed DAG run promoted as ONE
+    * consistent star schema — parsed from the schema pointer the
+    * [[gold]] stage swaps exactly once per run.
+    */
+  def goldSchemaGens(spark: SparkSession,
+                     outDir: String): Map[String, Long] = {
+    val fs = Tables.fsFor(spark, outDir)
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/gold/_schema")
+    graft.sources.MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no promoted gold schema at $outDir/gold — run the DAG first")
+    new String(graft.sources.MetaSwap.readCommitted(fs, p), "UTF-8")
+      .linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None
+        else l.drop(i + 1).trim.toLongOption.map(g => l.take(i) -> g)
+      }.toMap
+  }
+
+  /** A gold table AS THE SCHEMA POINTER NAMES IT — the
+    * consistent-triple reader: all three tables resolved through one
+    * pointer read join correctly even while a promotion is mid-swap
+    * elsewhere (dims via snapshot-table time travel, the fact via its
+    * manifest). Readers that only need one table can keep the
+    * per-table `readCurrent`; a JOIN across gold tables should come
+    * through here.
+    */
+  def goldTable(spark: SparkSession, outDir: String,
+                name: String): DataFrame = {
+    val gens = goldSchemaGens(spark, outDir)
+    val gen = gens.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown gold table $name (schema names: " +
+        s"${gens.keys.toSeq.sorted.mkString(", ")})"))
+    val root = s"$outDir/gold/$name"
+    if (name == "fact_sales")
+      graft.sources.ManifestStore.readAt(spark, root, gen)
+    else graft.sources.SnapshotStore.readAt(spark, root, gen)
   }
 
   /** Retry wrapper for a pipeline stage (reference:
@@ -172,8 +274,7 @@ object Pipeline {
     withRetries(maxAttempts)(bronze(spark, sfDir, outDir, runDate))
     withRetries(maxAttempts)(silver(spark, outDir, runDate))
     withRetries(maxAttempts)(gold(spark, sfDir, outDir, runDate))
-    graft.sources.SnapshotStore.readCurrent(spark,
-      s"$outDir/gold/fact_sales")
+    goldTable(spark, outDir, "fact_sales")
   }
 
   // ---- The same medallion pattern applied to the CORPUS domain ----

@@ -1725,6 +1725,54 @@ object SparkEntry {
           .toDF("silver_nation_rows", "dim_keys_unique", "fact_rows")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.11 O1b incremental gold (S7 as-of slice + S17 merge ----
+    // ---- into the S20 manifest fact), driver-gated ----
+    // outcome contract: day 1 bootstraps gold from the pre-1998
+    // lineitem slice; day 2 merges the 1998 slice partition-scoped.
+    // The gate asserts on literal paths+mtimes that every pre-1998
+    // ship month's files were REUSED (the daily cost is the batch's
+    // months, never the fact), that the batch's months are new files,
+    // and that the schema triple advanced atomically. fact_rows is
+    // the real oracle row: the merged fact must equal the full-table
+    // build, which DuckDB recounts from lineitem.
+    "q_pipeline_incremental" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-goldinc").toString
+      try {
+        val M = graft.sources.ManifestStore
+        val factRoot = s"$out/gold/fact_sales"
+        val li = Tables.table(s, d, "lineitem")
+        val cut = col("l_shipdate").cast("date") >=
+          lit("1998-01-01").cast("date")
+        Pipeline.gold(s, d, out, Stamp,
+          factLineitem = Some(li.filter(!cut)))
+        val fs = Tables.fsFor(s, factRoot)
+        def state(gen: Long) = M.manifestAt(s, factRoot, gen).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$factRoot/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        Pipeline.goldIncrement(s, d, out, li.filter(cut), Stamp)
+        val m2 = M.manifestAt(s, factRoot, 2L)
+        val after = state(2L)
+        val untouched = m2.entries.filter(_.partition < "1998-01")
+        val untouchedReused = untouched.nonEmpty && untouched.forall(
+          e => e.relPath.startsWith("_writes/1/") &&
+            before.get(e.relPath).contains(after(e.relPath)))
+        val batchMonthsNew = m2.entries
+          .filter(_.partition >= "1998-01").nonEmpty &&
+          m2.entries.filter(_.partition >= "1998-01")
+            .forall(_.relPath.startsWith("_writes/2/"))
+        val gens = Pipeline.goldSchemaGens(s, out)
+        val tripleAdvanced = gens("fact_sales") == 2L &&
+          gens("dim_date") == 2L && gens("dim_customer") == 2L
+        val factRows = Pipeline.goldTable(s, out, "fact_sales").count()
+        import s.implicits._
+        Seq((untouchedReused, batchMonthsNew, tripleAdvanced, factRows))
+          .toDF("untouched_months_reused", "batch_months_new",
+            "schema_triple_advanced", "fact_rows")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.1 S13 small-file compaction, driver-gated ----
     // outcome contract (same pattern as q_freshness_gate): scatter the
     // table across many small files, compact, and emit the invariants
@@ -3464,6 +3512,12 @@ object SparkEntry {
     "q_pipeline_run" ->
       """SELECT CAST(25 AS BIGINT) AS silver_nation_rows,
         |  true AS dim_keys_unique,
+        |  (SELECT count(*) FROM lineitem) AS fact_rows""".stripMargin,
+    // the incremental DAG's merged fact must equal the full-table
+    // build — DuckDB recounts it from the raw lineitem
+    "q_pipeline_incremental" ->
+      """SELECT true AS untouched_months_reused,
+        |  true AS batch_months_new, true AS schema_triple_advanced,
         |  (SELECT count(*) FROM lineitem) AS fact_rows""".stripMargin,
     "q_compact" ->
       """SELECT true AS scattered_24, true AS compacted_to_target,

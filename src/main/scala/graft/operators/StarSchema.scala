@@ -90,13 +90,28 @@ object StarSchema {
     * (the reference stamps wall-clock `today`, silver_to_gold.py:160).
     */
   def factSales(spark: SparkSession, sfDir: String,
-                modelingDate: String = "2026-08-12"): DataFrame = {
-    val li = Tables.fanOut(Tables.table(spark, sfDir, "lineitem"))
-    val partKind = Tables.table(spark, sfDir, "part")
-      .select("p_partkey", "p_brand")
+                modelingDate: String = "2026-08-12"): DataFrame =
+    factSalesFrom(Tables.table(spark, sfDir, "lineitem"),
+      Tables.table(spark, sfDir, "part").select("p_partkey", "p_brand"),
+      modelingDate)
+
+  /** [[factSales]] with the inputs supplied directly — the seam the
+    * incremental DAG uses to build fact rows for a lineitem BATCH (an
+    * as-of partition slice, S7) instead of the whole table.
+    * `withShipMonth = true` additionally carries `ship_month`
+    * (`yyyy-MM` of l_shipdate) — the partition key the manifest-table
+    * fact needs for partition-scoped daily promotions (the
+    * reference's fact load is partition-append by date,
+    * bigquery.py:141; a hash FK cannot partition, so the natural
+    * date rides along).
+    */
+  def factSalesFrom(lineitem: DataFrame, partKind: DataFrame,
+                    modelingDate: String,
+                    withShipMonth: Boolean = false): DataFrame = {
+    val li = Tables.fanOut(lineitem)
     // part is ~1% of lineitem — no forced broadcast; AQE broadcasts it
     // while it fits and degrades to a shuffle join when it doesn't.
-    li
+    val base = li
       .join(partKind, li("l_partkey") === partKind("p_partkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -107,11 +122,16 @@ object StarSchema {
         // FK hashes recomputed inline — zero-shuffle FK attachment:
         surrogateKey(col("l_shipdate").cast("date")).as("id_ship_date"),
         surrogateKey(col("p_brand")).as("id_part_kind"),
-        surrogateKey(col("l_orderkey"), col("l_suppkey")).as("id_supply"))
+        surrogateKey(col("l_orderkey"), col("l_suppkey")).as("id_supply"),
+        col("l_shipdate").cast("date").as("__ship_date"))
       .withColumn("_source", lit("lineitem"))
       .withColumn("_modeling_date", lit(modelingDate).cast("date"))
       .withColumn("id_fact",
         factId(col("id_ship_date"), col("id_part_kind"), col("id_supply")))
+    if (withShipMonth)
+      base.withColumn("ship_month",
+        date_format(col("__ship_date"), "yyyy-MM")).drop("__ship_date")
+    else base.drop("__ship_date")
   }
 
   /** G14 — SCD Type-2 dimension versioning: turn an append-only change

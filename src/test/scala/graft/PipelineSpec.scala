@@ -46,18 +46,20 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("gold promotion is audit-gated AND gapless: a planted violation " +
-      "refuses with the staged gen inspectable, a crash between publish " +
-      "and repoint never costs a probe the serving table") {
+      "refuses with the staged files inspectable, a crash between " +
+      "publish and repoint never costs a probe the serving table") {
     import graft.operators.Cleaning
-    import graft.sources.SnapshotStore
+    import graft.sources.ManifestStore
     val out = java.nio.file.Files.createTempDirectory("graft-wapgold")
       .toString
     val factRoot = s"$out/gold/fact_sales"
     // happy path: the full run promotes an audited gold generation
+    // (the fact is a MANIFEST table since r14 — a generation is a
+    // file list, so the crash/audit contracts below hold file-level)
     Pipeline.run(spark, sf, out, "2026-08-12")
-    val factN = SnapshotStore.readCurrent(spark, factRoot).count()
+    val factN = ManifestStore.readCurrent(spark, factRoot).count()
     assert(factN > 0)
-    assert(SnapshotStore.currentGen(spark, factRoot).contains(1L))
+    assert(ManifestStore.currentGen(spark, factRoot).contains(1L))
     // re-run with a planted violation appended to the fact's rule
     // list: quantities are positive, so this range fails every row
     val e = intercept[AuditFailed] {
@@ -67,14 +69,14 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quantidade"))
     // the pointer never moved — the serving gold is the old gen, and
-    // the refused batch's staged generation is LEFT for inspection
-    // (never servable: nothing points at it, readAt refuses it)
-    assert(SnapshotStore.currentGen(spark, factRoot).contains(1L))
-    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN)
-    assert(spark.read.parquet(s"$factRoot/_snapshots/2").count() ==
-      factN, "staged generation must stay inspectable")
+    // the refused batch's staged files are LEFT for inspection
+    // (never servable: no manifest committed, readAt refuses)
+    assert(ManifestStore.currentGen(spark, factRoot).contains(1L))
+    assert(ManifestStore.readCurrent(spark, factRoot).count() == factN)
+    assert(spark.read.parquet(s"$factRoot/_writes/2").count() ==
+      factN, "staged write must stay inspectable")
     intercept[SnapshotUnavailable] {
-      SnapshotStore.readAt(spark, factRoot, 2L)
+      ManifestStore.readAt(spark, factRoot, 2L)
     }
     // CRASH INJECTION — the scheduled-promotion failure the old
     // delete-then-rename publish documented as a no-table window: the
@@ -84,19 +86,109 @@ class PipelineSpec extends AnyFunSuite {
     class Boom extends RuntimeException("injected crash")
     intercept[Boom] {
       Pipeline.goldImpl(spark, sf, out, "2026-08-13", Nil, () => {
-        assert(SnapshotStore.readCurrent(spark, factRoot).count() ==
+        assert(ManifestStore.readCurrent(spark, factRoot).count() ==
           factN, "a probe mid-promotion lost the serving table")
         throw new Boom
       })
     }
-    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN,
+    assert(ManifestStore.readCurrent(spark, factRoot).count() == factN,
       "a crashed promotion cost the serving table")
-    // the corrected re-run consumes the residue gen and promotes;
-    // the superseded generation stays time-travelable
+    // the corrected re-run consumes the residue and promotes; the
+    // superseded generation stays time-travelable
     Pipeline.gold(spark, sf, out, "2026-08-13")
-    assert(SnapshotStore.currentGen(spark, factRoot).contains(2L))
-    assert(SnapshotStore.readCurrent(spark, factRoot).count() == factN)
-    assert(SnapshotStore.readAt(spark, factRoot, 1L).count() == factN)
+    assert(ManifestStore.currentGen(spark, factRoot).contains(2L))
+    assert(ManifestStore.readCurrent(spark, factRoot).count() == factN)
+    assert(ManifestStore.readAt(spark, factRoot, 1L).count() == factN)
+  }
+
+  test("the schema pointer commits dims+fact as ONE triple: a crash " +
+      "after every per-table publish still serves the OLD consistent " +
+      "schema through goldTable") {
+    import graft.sources.{ManifestStore, SnapshotStore}
+    val out = java.nio.file.Files.createTempDirectory("graft-triple")
+      .toString
+    Pipeline.run(spark, sf, out, "2026-08-12")
+    val gens1 = Pipeline.goldSchemaGens(spark, out)
+    assert(gens1 == Map("dim_date" -> 1L, "dim_customer" -> 1L,
+      "fact_sales" -> 1L))
+    val factN = Pipeline.goldTable(spark, out, "fact_sales").count()
+    val dimN = Pipeline.goldTable(spark, out, "dim_date").count()
+    class Boom extends RuntimeException("injected crash")
+    intercept[Boom] {
+      Pipeline.goldImpl(spark, sf, out, "2026-08-13", Nil, () => (),
+        beforeSchemaSwap = () => {
+          // every per-table pointer has advanced …
+          assert(SnapshotStore.currentGen(spark,
+            s"$out/gold/dim_date").contains(2L))
+          assert(ManifestStore.currentGen(spark,
+            s"$out/gold/fact_sales").contains(2L))
+          // … but the schema still names — and SERVES — the old
+          // consistent triple: a reader in this window can never
+          // join fact gen 2 against dim gen 1
+          assert(Pipeline.goldSchemaGens(spark, out) == gens1)
+          assert(Pipeline.goldTable(spark, out, "fact_sales")
+            .count() == factN)
+          assert(Pipeline.goldTable(spark, out, "dim_date")
+            .count() == dimN)
+          throw new Boom
+        })
+    }
+    // after the crash the old triple still serves in full
+    assert(Pipeline.goldSchemaGens(spark, out) == gens1)
+    assert(Pipeline.goldTable(spark, out, "fact_sales").count() ==
+      factN)
+    // the retried run advances the whole triple in one swap
+    Pipeline.gold(spark, sf, out, "2026-08-13")
+    val gens2 = Pipeline.goldSchemaGens(spark, out)
+    assert(gens2 == Map("dim_date" -> 3L, "dim_customer" -> 3L,
+      "fact_sales" -> 3L))
+    assert(Pipeline.goldTable(spark, out, "fact_sales").count() ==
+      factN)
+  }
+
+  test("incremental gold: a day-2 lineitem batch merges " +
+      "partition-scoped into the manifest fact — untouched ship " +
+      "months' files byte-identical across the second day's run") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ManifestStore, Tables}
+    val out = java.nio.file.Files.createTempDirectory("graft-goldinc")
+      .toString
+    val factRoot = s"$out/gold/fact_sales"
+    val li = Tables.table(spark, sf, "lineitem")
+    val cut = col("l_shipdate").cast("date") >=
+      lit("1998-01-01").cast("date")
+    // day 1 bootstraps gold from the pre-1998 slice
+    Pipeline.gold(spark, sf, out, "2026-08-12",
+      factLineitem = Some(li.filter(!cut)))
+    val fs = Tables.fsFor(spark, factRoot)
+    def state(gen: Long) = ManifestStore.manifestAt(spark, factRoot,
+      gen).entries.map(e => e.relPath -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$factRoot/${e.relPath}"))
+        .getModificationTime).toMap
+    val before = state(1L)
+    assert(ManifestStore.manifestAt(spark, factRoot, 1L).entries
+      .forall(_.partition < "1998-01"))
+    // day 2: the 1998 slice arrives as a batch; only its ship
+    // months' partitions are written
+    Pipeline.goldIncrement(spark, sf, out, li.filter(cut),
+      "2026-08-13")
+    val m2 = ManifestStore.manifestAt(spark, factRoot, 2L)
+    val after = state(2L)
+    val untouched = m2.entries.filter(_.partition < "1998-01")
+    assert(untouched.nonEmpty)
+    untouched.foreach { e =>
+      assert(e.relPath.startsWith("_writes/1/"),
+        s"untouched month ${e.partition} was rewritten")
+      assert(before(e.relPath) == after(e.relPath),
+        s"untouched file ${e.relPath} changed mtime")
+    }
+    assert(m2.entries.filter(_.partition >= "1998-01")
+      .forall(_.relPath.startsWith("_writes/2/")))
+    // the merged fact equals the full-table build, and the schema
+    // triple advanced atomically with it
+    assert(Pipeline.goldTable(spark, out, "fact_sales").count() ==
+      li.count())
+    assert(Pipeline.goldSchemaGens(spark, out)("fact_sales") == 2L)
   }
 
   test("corpus gold publish audits staged shards: a planted violation " +
