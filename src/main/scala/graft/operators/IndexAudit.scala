@@ -303,9 +303,14 @@ object IndexAudit {
     *  - gen/serving — the pointer's target
     *  - gen/superseded_retained — a past gen inside (or without a
     *    known) retention window: the time-travel inventory
-    *  - gen/over_retained — a past gen beyond `keep`: a crashed
-    *    prune's leftover; the next publish (or [[repairSnapshots]])
-    *    reclaims it
+    *  - gen/over_retained — a past gen beyond `keep` and past any
+    *    wall-clock grace: a crashed prune's leftover; the next
+    *    publish (or [[repairSnapshots]]) reclaims it
+    *  - gen/grace_retained — a past gen beyond `keep` but still
+    *    inside the wall-clock grace floor the pointer records
+    *    (`grace=` ms beside `keep=`, read against the gen's
+    *    `_published_at` marker): the reader-contract inventory, NOT
+    *    reclaimable until the floor expires
     *  - gen/publish_residue — gen current+1: a crashed or
     *    audit-failed publish; nothing ever served it and the retried
     *    publish overwrites it
@@ -322,7 +327,9 @@ object IndexAudit {
     *    these rows are the recovery inventory an operator repoints to
     */
   def auditSnapshots(spark: SparkSession, root: String,
-                     keep: Int = 0): Seq[IndexProtocol.AuditFinding] = {
+                     keep: Int = 0,
+                     nowMs: Long = System.currentTimeMillis())
+      : Seq[IndexProtocol.AuditFinding] = {
     import IndexProtocol.AuditFinding
     val fs = graft.sources.Tables.fsFor(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")
@@ -334,15 +341,16 @@ object IndexAudit {
     // parseable gen= line) classify instead of crashing — an fsck
     // must report the damage it exists to diagnose; Left = corrupt
     graft.sources.MetaSwap.heal(fs, ptr)
-    val (ptrState, persistedKeep) =
+    val (ptrState, persistedKeep, persistedGrace) =
       if (!fs.exists(ptr))
-        (Right(None): Either[Unit, Option[Long]], None)
+        (Right(None): Either[Unit, Option[Long]], None, None)
       else {
         val raw = graft.sources.MetaSwap.readCommitted(fs, ptr)
         graft.sources.SnapshotStore.parsedGen(raw) match {
           case Some(g) => (Right(Some(g)),
-            graft.sources.SnapshotStore.parsedKeep(raw))
-          case None => (Left(()), None)
+            graft.sources.SnapshotStore.parsedKeep(raw),
+            graft.sources.SnapshotStore.parsedGrace(raw))
+          case None => (Left(()), None, None)
         }
       }
     val cur = ptrState.toOption.flatten
@@ -390,9 +398,18 @@ object IndexAudit {
         case Some(c) if g > c + 1L =>
           AuditFinding("gen", g.toString, "orphan_future", false)
         case Some(c) =>
-          if (effKeep > 0 && g <= c - effKeep)
-            AuditFinding("gen", g.toString, "over_retained", true)
-          else
+          if (effKeep > 0 && g <= c - effKeep) {
+            // beyond the generation window — but a gen inside the
+            // pointer's wall-clock grace floor is the READER
+            // CONTRACT's inventory, not a crashed prune's leftover
+            val inGrace = persistedGrace.exists(gr => gr > 0 &&
+              graft.sources.SnapshotStore.publishedAt(fs, root, g)
+                .exists(t => nowMs - t < gr))
+            if (inGrace)
+              AuditFinding("gen", g.toString, "grace_retained", true)
+            else
+              AuditFinding("gen", g.toString, "over_retained", true)
+          } else
             AuditFinding("gen", g.toString, "superseded_retained", true)
         case None =>
           if (gens == Seq(1L))

@@ -73,6 +73,13 @@ object SnapshotStore {
   private[graft] def parsedKeep(bytes: Array[Byte]): Option[Int] =
     parsedField(bytes, "keep").map(_.toInt)
 
+  /** The wall-clock grace floor the last publish committed with
+    * (`grace=` ms line, recorded since r14). None on an older pointer
+    * — callers treat the floor as 0, the pre-r14 behavior.
+    */
+  private[graft] def parsedGrace(bytes: Array[Byte]): Option[Long] =
+    parsedField(bytes, "grace")
+
   private def parsedField(bytes: Array[Byte],
                           key: String): Option[Long] =
     new String(bytes, "UTF-8").linesIterator
@@ -110,12 +117,26 @@ object SnapshotStore {
     * that takes seconds. `keep = 1` disables time travel and prunes
     * the superseded gen in the same call (still never a serving gap:
     * the pointer moved first).
+    *
+    * `retainMs` is the WALL-CLOCK floor beside the generation window
+    * — the index protocol's grace discipline applied to prune:
+    * `keep` counts PROMOTIONS, so an irregular cadence (or keep = 1)
+    * can prune a generation a slow reader resolved seconds ago; with
+    * `retainMs > 0` a superseded generation also survives until at
+    * least that many ms after its publish (each gen records its
+    * publish instant in an `_published_at` marker inside the dir —
+    * invisible to parquet reads). The READER CONTRACT this buys:
+    * size `retainMs` above the longest read a consumer runs against
+    * a resolved generation, and no publish cadence can invalidate an
+    * in-flight read. Expired grace is reclaimed by the NEXT publish's
+    * prune (the pending-delete sweep pattern).
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
               expectations: Seq[graft.operators.Cleaning.Expectation] =
                 Nil,
-              keep: Int = 3): Long =
-    publishImpl(spark, df, root, expectations, keep, () => ())
+              keep: Int = 3, retainMs: Long = 0L): Long =
+    publishImpl(spark, df, root, expectations, keep, () => (),
+      retainMs)
 
   /** [[publish]] with a crash-injection hook fired between the staged
     * write+audit and the pointer swap — exists so the
@@ -126,8 +147,10 @@ object SnapshotStore {
                                  root: String,
                                  expectations: Seq[graft.operators.Cleaning.Expectation],
                                  keep: Int,
-                                 beforeRepoint: () => Unit): Long = {
+                                 beforeRepoint: () => Unit,
+                                 retainMs: Long = 0L): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     val fs = Tables.fsFor(spark, root)
     val p = pointer(root)
     MetaSwap.heal(fs, p)
@@ -143,35 +166,68 @@ object SnapshotStore {
       Tables.auditStaged(spark, dir.toString, expectations)
       ()
     }
+    // the gen's publish instant, recorded as an explicit marker (the
+    // index-protocol discipline — directory mtimes are not portable
+    // to object stores); underscore-prefixed, invisible to readers
+    val stamp = fs.create(new Path(dir, "_published_at"), true)
+    try stamp.write(
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally stamp.close()
     beforeRepoint()
-    // the pointer carries the retention window alongside the gen so
-    // the fsck (IndexAudit.auditSnapshots) can classify a crashed
-    // prune's over-retention without being told `keep` out-of-band;
-    // readers parse only the lines they know (legacy gen-only
-    // pointers stay readable, and the CAS expectation is the raw
-    // prior bytes verbatim, so the format change commits like any
-    // other swap)
-    val bytes = s"gen=$gen\nkeep=$keep\n".getBytes("UTF-8")
+    // the pointer carries the retention window AND the grace floor
+    // alongside the gen so the fsck (IndexAudit.auditSnapshots) can
+    // classify a crashed prune's over-retention — and distinguish it
+    // from grace-retention — without out-of-band parameters; readers
+    // parse only the lines they know (legacy pointers stay readable,
+    // and the CAS expectation is the raw prior bytes verbatim, so
+    // format changes commit like any other swap)
+    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$retainMs\n"
+      .getBytes("UTF-8")
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
       case None         => MetaSwap.swap(fs, p, bytes)
     }
     // retention AFTER the repoint: a crash anywhere above leaves the
     // old gens (over-retention, pruned next publish), never a gap
-    prune(fs, root, gen, keep)
+    prune(fs, root, gen, keep, retainMs)
     gen
   }
 
+  /** The `_published_at` instant of generation `g`, or None for a gen
+    * published before the marker existed (treated as grace-expired —
+    * the pre-r14 prune behavior).
+    */
+  private[graft] def publishedAt(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: String, g: Long): Option[Long] = {
+    val m = new Path(genDir(root, g), "_published_at")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8").trim.toLongOption
+      } finally in.close()
+    }
+  }
+
   private def prune(fs: org.apache.hadoop.fs.FileSystem, root: String,
-                    gen: Long, keep: Int): Unit = {
+                    gen: Long, keep: Int, retainMs: Long): Unit = {
     val base = new Path(s"$root/_snapshots")
     if (!fs.exists(base)) return
+    val now = System.currentTimeMillis()
     fs.listStatus(base).foreach { st =>
       st.getPath.getName.toLongOption.foreach { g =>
+        // beyond the generation window AND past the wall-clock grace
+        // floor (a marker-less legacy gen has no grace claim)
+        val inGrace = retainMs > 0 && publishedAt(fs, root, g)
+          .exists(t => now - t < retainMs)
         // verified delete (the protocol-wide discipline): a silently
         // surviving gen is over-retention, but an unreported failure
         // would hide a persistent FS problem across publishes
-        if (g <= gen - keep && !fs.delete(st.getPath, true))
+        if (g <= gen - keep && !inGrace && !fs.delete(st.getPath, true))
           throw new IllegalStateException(
             s"cannot prune superseded snapshot ${st.getPath} — " +
               "the pointer has moved (the publish IS committed); " +

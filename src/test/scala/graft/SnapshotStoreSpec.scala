@@ -412,6 +412,48 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("retainMs: a wall-clock grace floor keeps a superseded gen " +
+      "servable past the generation window until the floor expires") {
+    import graft.operators.IndexAudit
+    val dir = tmp("snapgrace")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val v1 = nation.filter(col("n_regionkey") < 2)
+      val hour = 3600L * 1000
+      SnapshotStore.publish(spark, v1, root, Nil, keep = 1,
+        retainMs = hour) // gen 1
+      // keep=1 would prune gen 1 here — the grace floor saves it: a
+      // reader that resolved gen 1 seconds ago keeps a servable dir
+      SnapshotStore.publish(spark, nation, root, Nil, keep = 1,
+        retainMs = hour) // gen 2
+      assert(SnapshotStore.readAt(spark, root, 1L).count() ==
+        v1.count(), "a gen inside the grace window must stay servable")
+      // the audit knows the difference: grace_retained (the reader
+      // contract), never over_retained (a crashed prune's leftover)
+      val st = IndexAudit.auditSnapshots(spark, root)
+        .collectFirst { case f if f.name == "1" => f.status }
+      assert(st.contains("grace_retained"), st.toString)
+      // and repair leaves it alone
+      assert(IndexAudit.repairSnapshots(spark, root).collect()
+        .forall(_.getString(1) != "1"))
+      // once the floor expires, the next publish's prune reclaims:
+      // republish with a 1 ms floor after letting it lapse
+      Thread.sleep(10)
+      SnapshotStore.publish(spark, nation, root, Nil, keep = 1,
+        retainMs = 1L) // gen 3
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 1L)
+      }
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 2L)
+      }
+      assert(SnapshotStore.readCurrent(spark, root).count() ==
+        nation.count())
+      assert(IndexAudit.isSnapshotsHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("an unhealthy pointer suspends gen reclaims: residue and " +
       "over-retained gens are preserved as recovery candidates") {
     import graft.operators.IndexAudit
