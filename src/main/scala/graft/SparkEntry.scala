@@ -2381,6 +2381,50 @@ object SparkEntry {
             "silver_deduped", "n_docs_source")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.11 O6d streaming snapshot promotion ----
+    // the exactly-once foreachBatch discipline applied to the
+    // pointer-served table family: each micro-batch promotes ONE
+    // content-keyed partition of a manifest table (O(batch) cost) and
+    // swaps the pointer — a reader never gaps across promotions.
+    // Contract: the stream lands (one gen per micro-batch), a
+    // same-checkpoint restart is a no-op, a fresh-checkpoint
+    // redelivery is refused batch-by-batch by the content-derived
+    // partition guard, and time travel across promotions stays exact.
+    "q_stream_snapshot" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sstream-gate").toString
+      try {
+        val M = graft.sources.ManifestStore
+        val root = s"$out/gold"
+        val doc = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val src = s"$out/incoming"
+        doc.repartition(3).write.json(src)
+        def run(ckpt: String): Unit = {
+          graft.streaming.SnapshotStream.snapshotSink(
+            s.readStream
+              .schema("doc_id BIGINT, lang STRING, text STRING")
+              .option("maxFilesPerTrigger", "1").json(src),
+            root, s"$out/$ckpt", "doc_id")
+          ()
+        }
+        run("ckpt")
+        val n1 = M.readCurrent(s, root).count()
+        val gen1 = M.currentGen(s, root).get
+        run("ckpt") // restart, same checkpoint: nothing new to read
+        val restartNoop = M.currentGen(s, root).contains(gen1)
+        run("ckpt2") // fresh checkpoint: redelivery, all refused
+        val redeliverySkipped = M.currentGen(s, root).contains(gen1) &&
+          M.readCurrent(s, root).count() == n1
+        val g1 = M.readAt(s, root, 1L).count()
+        val timetravelPartial = g1 > 0 && g1 < n1
+        import s.implicits._
+        Seq((n1 == doc.count() && gen1 == 3L, restartNoop,
+          redeliverySkipped, timetravelPartial, doc.count()))
+          .toDF("stream_landed", "restart_noop", "redelivery_skipped",
+            "timetravel_per_batch", "n_docs_source")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.7 O6b streaming dense-index ingest ----
     // the CONTINUOUS form of q_ann_index's append path: an 80%
     // bootstrap index, the 20% slice streamed in as one-file
@@ -3656,6 +3700,11 @@ object SparkEntry {
       """SELECT true AS stream_landed, true AS restart_noop,
         |  true AS redelivery_skipped, true AS serve_equals_inmemory,
         |  (SELECT count(*) FROM embeddings) AS n_vectors_source"""
+        .stripMargin,
+    "q_stream_snapshot" ->
+      """SELECT true AS stream_landed, true AS restart_noop,
+        |  true AS redelivery_skipped, true AS timetravel_per_batch,
+        |  (SELECT count(*) FROM documents) AS n_docs_source"""
         .stripMargin,
     // n_docs_classified = the day-1 hash slice plus the two planted
     // duplicates, recounted from the raw table
