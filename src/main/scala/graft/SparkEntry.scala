@@ -2202,6 +2202,37 @@ object SparkEntry {
         report
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S19d SQL time-travel surface, driver-gated ----
+    // S19's readCurrent/readAt reachable from pure SQL: a pinned
+    // VERSION-AS-OF temp view and a serving view over a real
+    // two-generation table, queried with an aggregate DuckDB
+    // recomputes from the base table — the output IS the SQL result,
+    // not booleans.
+    "q_snapshot_sql" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snapsql").toString
+      try {
+        val root = s"$tmp/nation"
+        val nation = Tables.table(s, d, "nation")
+        graft.sources.SnapshotStore.publish(s, nation, root) // gen 1
+        graft.sources.SnapshotStore.publish(s,
+          nation.filter(col("n_regionkey") < 2), root)       // gen 2
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap_v1 " +
+          s"USING graft.sources.SnapshotSource " +
+          s"OPTIONS (path '$root', versionAsOf '1')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap_cur " +
+          s"USING graft.sources.SnapshotSource " +
+          s"OPTIONS (path '$root')")
+        val out = s.sql(
+          """SELECT n_regionkey, count(*) AS n_v1,
+            |  (SELECT count(*) FROM graft_snap_cur) AS n_current
+            |FROM graft_snap_v1 GROUP BY n_regionkey""".stripMargin)
+          .localCheckpoint() // bounded rows; release the temp dir
+        s.catalog.dropTempView("graft_snap_v1")
+        s.catalog.dropTempView("graft_snap_cur")
+        out
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.11 O2 stage retries, driver-gated ----
     // outcome contract (q_pipeline_run pattern): a stage failing twice
     // then succeeding is retried to the third attempt and returns its
@@ -3661,6 +3692,14 @@ object SparkEntry {
         |  UNION ALL SELECT 'unchanged',
         |    (SELECT count(*) FROM nation WHERE n_regionkey < 3) - 1
         |) t""".stripMargin,
+    // the pinned VERSION-AS-OF view is the full base table; the
+    // serving view is the low-region promotion — both recomputed by
+    // DuckDB from nation
+    "q_snapshot_sql" ->
+      """SELECT n_regionkey, count(*) AS n_v1,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+        |    AS n_current
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     // the snapshot fsck inventory is structure-driven: one serving
     // gen, one superseded gen audited as a crashed prune's leftover
     // (keep=1 against the keep=3 publish), one crashed-publish

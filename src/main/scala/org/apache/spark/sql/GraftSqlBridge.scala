@@ -11,4 +11,18 @@ object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The file-source [[sources.BaseRelation]] inside a DataFrame's
+    * analyzed plan — what lets graft's pointer-resolving data source
+    * ([[graft.sources.SnapshotSource]]) hand Spark the REAL
+    * HadoopFsRelation of the resolved generation, so SQL reads over a
+    * snapshot get native pushdown/pruning instead of a wrapper scan.
+    * Defined here because [[execution.datasources.LogicalRelation]]
+    * is an sql-internal plan node.
+    */
+  def fileRelationOf(df: Dataset[Row]): sources.BaseRelation =
+    df.queryExecution.analyzed.collectFirst {
+      case l: execution.datasources.LogicalRelation => l.relation
+    }.getOrElse(throw new IllegalStateException(
+      "no file relation in plan — expected a plain file-source read"))
 }

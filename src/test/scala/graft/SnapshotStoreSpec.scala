@@ -412,6 +412,62 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("SQL surface: generations queryable via CREATE TEMPORARY VIEW " +
+      "USING the snapshot source and the DataFrameReader, with native " +
+      "pushdown; the manifest table rides the same source") {
+    val dir = tmp("snapsql")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val v2 = nation.filter(col("n_regionkey") < 2)
+      SnapshotStore.publish(spark, nation, root) // gen 1
+      SnapshotStore.publish(spark, v2, root)     // gen 2
+      // pure SQL: a pinned time-travel view and a serving view
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_v1 " +
+        s"USING graft.sources.SnapshotSource " +
+        s"OPTIONS (path '$root', versionAsOf '1')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_cur " +
+        s"USING graft.sources.SnapshotSource OPTIONS (path '$root')")
+      assert(spark.sql("SELECT count(*) FROM snap_v1").head()
+        .getLong(0) == nation.count())
+      assert(spark.sql("SELECT count(*) FROM snap_cur").head()
+        .getLong(0) == v2.count())
+      // DataFrameReader form by short name, rows exact
+      val viaReader = spark.read.format("graft-snapshot")
+        .option("versionAsOf", "1").load(root)
+      assert(rows(viaReader) == rows(nation))
+      // the relation is the generation's REAL parquet relation:
+      // filters reach the scan (PushedFilters), nothing is wrapped
+      val plan = viaReader.filter(col("n_regionkey") === 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("n_regionkey"), plan.takeWhile(_ != '\n'))
+      // refusals stay typed through the SQL surface
+      intercept[SnapshotUnavailable] {
+        spark.read.format("graft-snapshot").option("versionAsOf", "9")
+          .load(root)
+      }
+      // the S20 manifest table serves through the SAME source name
+      // (layout probed from the root)
+      val mroot = dir.toString + "/m"
+      graft.sources.ManifestStore.publish(spark, nation, mroot,
+        "n_regionkey")
+      graft.sources.ManifestStore.publish(spark,
+        v2.withColumn("n_name", lit("CHANGED")), mroot, "n_regionkey")
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", "1").load(mroot).count() ==
+        nation.count())
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mani_cur " +
+        s"USING graft.sources.SnapshotSource OPTIONS (path '$mroot')")
+      assert(spark.sql(
+        "SELECT count(*) FROM mani_cur WHERE n_name = 'CHANGED'")
+        .head().getLong(0) == v2.count())
+      spark.catalog.dropTempView("snap_v1")
+      spark.catalog.dropTempView("snap_cur")
+      spark.catalog.dropTempView("mani_cur")
+    } finally rmTree(dir)
+  }
+
   test("retainMs: a wall-clock grace floor keeps a superseded gen " +
       "servable past the generation window until the floor expires") {
     import graft.operators.IndexAudit
