@@ -80,12 +80,40 @@ object Bench {
       math.min(t1, t2)
     }
 
+    // threshold floored at 1.0: cores/8 collapses below one load-unit
+    // on small hosts, and flagging a near-idle 4-core box "contended"
+    // would train readers to ignore the bit
+    val contendedThreshold =
+      math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0)
+
+    // IDLE-WAIT instead of publish-and-flag: five driver artifacts
+    // were load-inflated and each cost a judge rerun to adjudicate,
+    // and r12/r13 still PUBLISHED the contended number with the bit
+    // set. Now a busy start COOLS DOWN first — re-sample the load in
+    // 15 s steps up to a bounded budget and begin timing only once it
+    // drops under the threshold, so the recorded artifact is
+    // idle-valid by construction whenever the foreign load is
+    // transient (the usual case: a co-scheduled job draining). A box
+    // still busy after the budget proceeds and the contended bit
+    // tells, exactly as before; the wait itself is recorded in the
+    // artifact (`idle_wait_sec`) so a reader sees the cool-down
+    // happened rather than inferring it from timestamps.
+    var idleWaitSec = 0
+    while (loadAvg > contendedThreshold && idleWaitSec < 300) {
+      System.err.println(f"[bench] load ${loadAvg}%.2f over " +
+        f"threshold $contendedThreshold%.2f — cooling down " +
+        f"(waited ${idleWaitSec}s)")
+      Thread.sleep(15000)
+      idleWaitSec += 15
+    }
+
     // Environment contention self-report: a system load already near
     // or above the core count BEFORE any query runs means the numbers
     // below measure the machine, not the engine.
     val loadStart = loadAvg
     System.err.println(f"[bench] system load average at start: " +
-      f"$loadStart%.2f (timing with local[$cpus%s])")
+      f"$loadStart%.2f (timing with local[$cpus%s], idle-waited " +
+      f"${idleWaitSec}s)")
 
     // JVM/codegen warmup on the flagship before timing anything.
     try SparkEntry.queries("q_pricing_summary")(spark, sfDir)
@@ -113,7 +141,10 @@ object Bench {
       // local disk (snapshot publishes, planted-incident fsck roots)
       // — the same tmp-filesystem class as the rest of this list
       "q_snapshot_table", "q_snapshot_audit", "q_snapshot_diff_gens",
-      "q_dedup_index_audit")
+      "q_dedup_index_audit",
+      // the r14 protocol gates: temp-dir snapshot/manifest tables and
+      // the full two-day DAG run — the same tmp-filesystem class
+      "q_snapshot_manifest", "q_snapshot_sql", "q_pipeline_incremental")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not
@@ -214,11 +245,6 @@ object Bench {
     //    NOT ≈1.0 on this catalog) and below r8's 2.73× contention;
     //    the r11-style slow ramp (spread 1.59) is caught by the
     //    load_end signal above, not this one.
-    // threshold floored at 1.0: cores/8 collapses below one load-unit
-    // on small hosts, and flagging a near-idle 4-core box "contended"
-    // would train readers to ignore the bit
-    val contendedThreshold =
-      math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0)
     // the bench's own steady-state loadavg contribution, measured on
     // idle round-close sweeps (r10/r11: end load ~2.05 on 32 cores)
     // and scaled with the local[cpus] parallelism actually driving
@@ -238,7 +264,7 @@ object Bench {
     // load_thr documents the threshold INSIDE the artifact so a
     // reader can audit the bit without re-deriving cores/8
     val diag =
-      s""""load_start":${fmt(loadStart, 2)},"load_end":${
+      s""""idle_wait_sec":$idleWaitSec,"load_start":${fmt(loadStart, 2)},"load_end":${
         fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"load_thr":${
         fmt(contendedThreshold, 1)},"contended":$contended,"slow":${
         slowGates.map(g => "\"" + g.stripPrefix("q_") + "\"")
