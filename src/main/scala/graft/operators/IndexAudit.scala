@@ -456,7 +456,9 @@ object IndexAudit {
     * `current_ok`, `corrupt`, `missing_target` — here: the committed
     * gen's MANIFEST file is gone — and `lost`). Manifest statuses
     * reuse the gen taxonomy (`serving`, `superseded_retained`,
-    * `over_retained`, `publish_residue`, `first_publish_residue`,
+    * `over_retained`, `grace_retained` — beyond the window but
+    * inside the pointer's wall-clock grace floor, the reader-contract
+    * inventory — `publish_residue`, `first_publish_residue`,
     * `orphan_future`, `stranded`) plus `corrupt` (unparseable bytes,
     * UNHEALTHY). File-level statuses:
     *
@@ -470,7 +472,8 @@ object IndexAudit {
     *    existing manifest references: crashed-publish or
     *    crashed-prune residue; reclaimable.
     */
-  def auditManifestTable(spark: SparkSession, root: String)
+  def auditManifestTable(spark: SparkSession, root: String,
+                         nowMs: Long = System.currentTimeMillis())
       : Seq[IndexProtocol.AuditFinding] = {
     import IndexProtocol.AuditFinding
     import graft.sources.{ManifestStore, MetaSwap, SnapshotStore}
@@ -479,15 +482,16 @@ object IndexAudit {
     val swapResidue = fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/_current.next"))
     MetaSwap.heal(fs, ptr)
-    val (ptrState, persistedKeep) =
+    val (ptrState, persistedKeep, persistedGrace) =
       if (!fs.exists(ptr))
-        (Right(None): Either[Unit, Option[Long]], None)
+        (Right(None): Either[Unit, Option[Long]], None, None)
       else {
         val raw = MetaSwap.readCommitted(fs, ptr)
         SnapshotStore.parsedGen(raw) match {
           case Some(g) => (Right(Some(g)),
-            SnapshotStore.parsedKeep(raw))
-          case None => (Left(()), None)
+            SnapshotStore.parsedKeep(raw),
+            SnapshotStore.parsedGrace(raw))
+          case None => (Left(()), None, None)
         }
       }
     val cur = ptrState.toOption.flatten
@@ -522,18 +526,25 @@ object IndexAudit {
           else Seq(AuditFinding("pointer", "_current", "lost", false))
       }
     val manifestRows = gens.flatMap { g =>
+      val m0 = parsed(g)
       val status = cur match {
         case _ if corrupt => "stranded"
         case Some(c) if g == c => "serving"
         case Some(c) if g == c + 1L => "publish_residue"
         case Some(c) if g > c + 1L => "orphan_future"
         case Some(c) =>
-          if (effKeep > 0 && g <= c - effKeep) "over_retained"
-          else "superseded_retained"
+          if (effKeep > 0 && g <= c - effKeep) {
+            // inside the pointer's wall-clock grace floor = the
+            // reader-contract inventory, not a crashed prune's
+            // leftover (the auditSnapshots grace_retained discipline)
+            val inGrace = persistedGrace.exists(gr => gr > 0 &&
+              m0.exists(m => nowMs - m.publishedMs < gr))
+            if (inGrace) "grace_retained" else "over_retained"
+          } else "superseded_retained"
         case None =>
           if (gens == Seq(1L)) "first_publish_residue" else "stranded"
       }
-      parsed(g) match {
+      m0 match {
         case None =>
           // unparseable bytes: the generation's file list is
           // unknowable — damage, reported not crashed-on
@@ -546,6 +557,7 @@ object IndexAudit {
           // missing files are expected post-retention
           val checkFiles = status == "serving" ||
             status == "superseded_retained" ||
+            status == "grace_retained" ||
             status == "over_retained" || status == "stranded"
           val missing =
             if (!checkFiles) Seq.empty

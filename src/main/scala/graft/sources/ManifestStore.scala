@@ -80,10 +80,13 @@ object ManifestStore {
   final case class ManifestEntry(partition: String, relPath: String)
 
   /** A generation: the partition column, the data schema (DDL — what
-    * makes a zero-entry manifest servable), and the file list.
+    * makes a zero-entry manifest servable), the file list, and the
+    * publish instant (0 on a pre-grace manifest — treated as
+    * grace-expired, the pre-r14 prune behavior).
     */
   final case class Manifest(partCol: String, schemaDdl: String,
-                            entries: Seq[ManifestEntry])
+                            entries: Seq[ManifestEntry],
+                            publishedMs: Long = 0L)
 
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
@@ -121,6 +124,7 @@ object ManifestStore {
     val sb = new StringBuilder
     sb.append("partcol=").append(m.partCol).append('\n')
     sb.append("schema=").append(m.schemaDdl).append('\n')
+    sb.append("published=").append(m.publishedMs).append('\n')
     m.entries.foreach { e =>
       sb.append(enc(e.partition)).append('\t').append(e.relPath)
         .append('\n')
@@ -139,7 +143,13 @@ object ManifestStore {
       val i = l.indexOf('\t')
       ManifestEntry(dec(l.take(i)), l.drop(i + 1))
     }
-    Manifest(header("partcol"), header("schema"), entries)
+    // `published=` is optional: a pre-grace manifest parses with 0
+    // (grace-expired), so old tables keep their exact prune behavior
+    val published = lines.collectFirst {
+      case s if s.startsWith("published=") =>
+        s.stripPrefix("published=").trim
+    }.flatMap(_.toLongOption).getOrElse(0L)
+    Manifest(header("partcol"), header("schema"), entries, published)
   }
 
   /** Generation `gen`'s manifest. Refuses with the typed
@@ -242,16 +252,22 @@ object ManifestStore {
     * `keep` is the retention window in generations (current counts
     * as one): older manifests are pruned, then every file no
     * surviving manifest references is deleted — so retention holds
-    * deltas, never `keep` full copies.
+    * deltas, never `keep` full copies. `retainMs` is the WALL-CLOCK
+    * grace floor beside it ([[SnapshotStore.publish]]'s r14 reader
+    * contract): a superseded manifest also survives until at least
+    * that many ms after its publish instant (recorded in the
+    * manifest's own `published=` header), and while it survives,
+    * every file it references survives with it.
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
               partCol: String,
               expectations: Seq[graft.operators.Cleaning.Expectation] =
                 Nil,
               keep: Int = 3, replaceAll: Boolean = false,
-              coalescePartitions: Boolean = true): Long =
+              coalescePartitions: Boolean = true,
+              retainMs: Long = 0L): Long =
     publishImpl(spark, df, root, partCol, expectations, keep,
-      replaceAll, coalescePartitions, () => ())
+      replaceAll, coalescePartitions, () => (), retainMs)
 
   /** [[publish]] with a crash-injection hook fired between the staged
     * write+audit+manifest and the pointer swap — the
@@ -263,8 +279,10 @@ object ManifestStore {
                                  expectations: Seq[graft.operators.Cleaning.Expectation],
                                  keep: Int, replaceAll: Boolean,
                                  coalescePartitions: Boolean,
-                                 beforeRepoint: () => Unit): Long = {
+                                 beforeRepoint: () => Unit,
+                                 retainMs: Long = 0L): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     require(df.columns.contains(partCol),
       s"partition column $partCol not in ${df.columns.mkString(",")}")
     require(!df.columns.contains("graft_p"),
@@ -322,21 +340,23 @@ object ManifestStore {
       else priorManifest.get.entries
         .filterNot(e => stagedValues(e.partition)) ++ stagedEntries
     val schemaDdl = df.drop("graft_p").schema.toDDL
-    val manifest = Manifest(partCol, schemaDdl, entries)
+    val manifest = Manifest(partCol, schemaDdl, entries,
+      System.currentTimeMillis())
     // the manifest commits through the same self-healing swap as the
     // pointer (stage `.next`, rename in): a reader healing a crashed
     // publish can never observe a half-written file list
     MetaSwap.swap(fs, manifestPath(root, gen),
       serializeManifest(manifest))
     beforeRepoint()
-    val bytes = s"gen=$gen\nkeep=$keep\n".getBytes("UTF-8")
+    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$retainMs\n"
+      .getBytes("UTF-8")
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
       case None         => MetaSwap.swap(fs, p, bytes)
     }
     // retention AFTER the repoint: a crash anywhere above leaves
     // residue nothing points at, never a gap
-    prune(fs, root, gen, keep)
+    prune(fs, root, gen, keep, retainMs)
     gen
   }
 
@@ -347,23 +367,30 @@ object ManifestStore {
     * Verified deletes throughout (the protocol-wide discipline).
     */
   private def prune(fs: org.apache.hadoop.fs.FileSystem, root: String,
-                    gen: Long, keep: Int): Unit = {
+                    gen: Long, keep: Int, retainMs: Long): Unit = {
     val mBase = new Path(s"$root/_manifests")
     if (!fs.exists(mBase)) return
     val allGens = fs.listStatus(mBase).toSeq
+      .filterNot(_.getPath.getName.endsWith(".next"))
       .flatMap(_.getPath.getName.toLongOption)
     def verifiedDelete(p: Path, what: String): Unit =
       if (!fs.delete(p, true)) throw new IllegalStateException(
         s"cannot prune $what ${p} — the pointer has moved (the " +
           "publish IS committed); remove it manually or let the " +
           "next publish retry")
-    allGens.filter(_ <= gen - keep).foreach(g =>
+    val now = System.currentTimeMillis()
+    def inGrace(g: Long): Boolean = retainMs > 0 &&
+      now - parseManifest(MetaSwap.readCommitted(fs,
+        manifestPath(root, g))).publishedMs < retainMs
+    // the kept set is decided FIRST (generation window OR wall-clock
+    // grace), and the file sweep is railed on exactly that set — a
+    // grace-retained manifest keeps every file it references, so it
+    // stays SERVABLE for the whole floor, not just present
+    val (kept, doomedGens) = allGens.partition(g =>
+      g > gen - keep || (g <= gen && inGrace(g)))
+    doomedGens.foreach(g =>
       verifiedDelete(manifestPath(root, g), "superseded manifest"))
-    // referenced = the union of every SURVIVING manifest's file list
-    // (a publish-residue manifest at gen+1 cannot exist while this
-    // publish runs — single-promoter — and a stale one was just
-    // overwritten if it collided with this gen)
-    val referenced = allGens.filter(g => g > gen - keep && g <= gen)
+    val referenced = kept.filter(_ <= gen)
       .flatMap(g => parseManifest(
         MetaSwap.readCommitted(fs, manifestPath(root, g)))
         .entries.map(_.relPath))

@@ -298,6 +298,61 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("retainMs: a grace-retained manifest keeps EVERY file it " +
+      "references servable until the floor expires") {
+    val dir = tmp("manigrace")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val hour = 3600L * 1000
+      ManifestStore.publish(spark, nation, root, "n_regionkey",
+        keep = 1, retainMs = hour) // gen 1
+      // keep=1 would prune manifest 1 AND region 0's superseded file
+      // here — the grace floor keeps the whole generation servable
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 0)
+          .withColumn("n_name", lit("V2")),
+        root, "n_regionkey", keep = 1, retainMs = hour) // gen 2
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) ==
+        rows(nation),
+        "a grace-retained generation must serve IN FULL — its " +
+          "replaced partitions' files survive with it")
+      // the audit classifies the reader-contract inventory, and the
+      // grace-retained manifest's files are integrity-checked too
+      val st = graft.operators.IndexAudit
+        .auditManifestTable(spark, root)
+        .collectFirst { case f if f.kind == "manifest" &&
+          f.name == "1" => f.status }
+      assert(st.contains("grace_retained"), st.toString)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      // expired floor: the next publish's prune reclaims manifest 1
+      // and exactly the files only it referenced
+      Thread.sleep(10)
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 0)
+          .withColumn("n_name", lit("V3")),
+        root, "n_regionkey", keep = 1, retainMs = 1L) // gen 3
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 1L)
+      }
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 2L)
+      }
+      val fs = Tables.fsFor(spark, root)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_writes/1/graft_p=0")),
+        "gen 1's superseded region-0 file must go once no surviving " +
+          "manifest references it")
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation.filter(col("n_regionkey") =!= 0).unionByName(
+          nation.filter(col("n_regionkey") === 0)
+            .withColumn("n_name", lit("V3")))))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("full rebuild (replaceAll) stops serving partitions absent " +
       "from the rebuild; racing promotions CAS-fail loudly") {
     val dir = tmp("manifull")
