@@ -1783,12 +1783,18 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
         .toString + "/orders"
       try {
-        Tables.table(s, d, "orders").repartition(24)
-          .write.mode("overwrite").parquet(tmp)
+        val orders = Tables.table(s, d, "orders")
+        orders.repartition(24).write.mode("overwrite").parquet(tmp)
         def nFiles = Option(new java.io.File(tmp).listFiles()).get
           .count(f => f.getName.endsWith(".parquet"))
         val before = nFiles
-        val target = Tables.compact(s, tmp, targetRowsPerFile = 10000L)
+        // the per-file row target scales WITH the table (≈12 output
+        // files at any sf) — a fixed 10k target stops being a
+        // compaction above 240k rows (the sf1 sweep caught target >
+        // scattered there, inverting the shrink assertion)
+        val rowsPerFile = math.max(1L, (orders.count() + 11L) / 12L)
+        val target = Tables.compact(s, tmp,
+          targetRowsPerFile = rowsPerFile)
         val after = nFiles
         import s.implicits._
         Seq((before == 24, after == target && after < before,
@@ -2362,8 +2368,12 @@ object SparkEntry {
         val replayRefused =
           try { Pipeline.corpusIncrement(s, out, day1, Stamp); false }
           catch { case _: IllegalStateException => true }
+        // exactly the planted ids, not an id-space threshold: a
+        // larger scale factor legitimately populates high doc_ids
+        // (the sf1 sweep caught the >= form misfiring there)
         Seq((silver.count() == n0 + acc1 + acc2,
-          silver.filter(col("doc_id") >= 900001L).count() == 0,
+          silver.filter(col("doc_id").isin(900001L, 900002L))
+            .count() == 0,
           noExact && noNear, replayRefused, doc.count() + 2))
           .toDF("growth_exact", "planted_rejected", "silver_deduped",
             "replay_refused", "n_docs_processed")

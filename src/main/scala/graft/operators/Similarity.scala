@@ -659,7 +659,21 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     rankTopK(codes.join(broadcast(lut), Seq("subspace", "code"))
       .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("cn2"))
+      // EXACT-DECIMAL partial sums (the BM25 per-term discipline):
+      // the m per-subspace doubles are row-local and identical on
+      // every path, but a DOUBLE sum is order-sensitive — codes read
+      // from an index's cell partitions aggregate in a different row
+      // order than freshly-encoded codes, and with near-duplicate
+      // corpora the shortlist's rank-`rerank` cut sits in an exact
+      // ADC-tie zone, so a last-ulp difference flips WHICH tied
+      // candidate survives the cut (caught by the sf1 sweep:
+      // indexed serve ≠ in-memory serve at 10× replication). Decimal
+      // addition is order-free, so the ADC score — and therefore the
+      // shortlist — is bit-identical however the codes are stored.
+      .agg(sum(col("qc").cast("decimal(38,18)")).cast("double")
+          .as("qdot"),
+        sum(col("cc").cast("decimal(38,18)")).cast("double")
+          .as("cn2"))
       .join(broadcast(qnorm), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("acos", col("qdot") / (col("qn") * sqrt(col("cn2"))))
@@ -786,7 +800,21 @@ object Similarity {
     rankTopK(cellCodes.join(broadcast(probed), Seq("cell"))
       .join(broadcast(lut), Seq("query_id", "subspace", "code"))
       .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("cn2"))
+      // EXACT-DECIMAL partial sums (the BM25 per-term discipline):
+      // the m per-subspace doubles are row-local and identical on
+      // every path, but a DOUBLE sum is order-sensitive — codes read
+      // from an index's cell partitions aggregate in a different row
+      // order than freshly-encoded codes, and with near-duplicate
+      // corpora the shortlist's rank-`rerank` cut sits in an exact
+      // ADC-tie zone, so a last-ulp difference flips WHICH tied
+      // candidate survives the cut (caught by the sf1 sweep:
+      // indexed serve ≠ in-memory serve at 10× replication). Decimal
+      // addition is order-free, so the ADC score — and therefore the
+      // shortlist — is bit-identical however the codes are stored.
+      .agg(sum(col("qc").cast("decimal(38,18)")).cast("double")
+          .as("qdot"),
+        sum(col("cc").cast("decimal(38,18)")).cast("double")
+          .as("cn2"))
       .join(broadcast(qnorm), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("acos", col("qdot") / (col("qn") * sqrt(col("cn2"))))

@@ -953,6 +953,60 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(shared.forall(identity), "rerank score drift vs bruteForce")
   }
 
+  test("ADC sums are order-free: indexed serve == in-memory serve " +
+      "even when the shortlist cut lands inside an exact-tie zone") {
+    // the sf1 finding: a DOUBLE sum over the m per-subspace ADC terms
+    // is order-sensitive, and codes read back from an index's cell
+    // partitions aggregate in a different row order than freshly
+    // encoded ones — on a near-duplicate corpus the rank-`rerank` cut
+    // sits among EXACTLY tied candidates, so a last-ulp difference
+    // flips which tied candidate survives. The decimal partial sums
+    // make the ADC score order-free; this corpus makes the tie zone
+    // certain: 12 identical copies of each base vector, rerank=10.
+    val emb = Tables.table(spark, sf, "embeddings")
+    val bases = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("b"), col("embedding"))
+      .localCheckpoint()
+    val rep = (0 until 12).map(c =>
+        bases.select((col("b") * 1000 + c).as("vec_id"),
+          col("embedding")))
+      .reduce(_.unionByName(_)).localCheckpoint()
+    val (m, dim) = (4, 64)
+    val qp = col("vec_id") === 0 // base 0's first copy
+    val cents = bases.select(col("b").as("cell"),
+      col("embedding").as("centv")).localCheckpoint()
+    val cb = Similarity.pqTrain(rep, "vec_id", "embedding", m, dim,
+      col("vec_id") % 5 === 2, rounds = 1).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adc-ties").toFile
+    try {
+      val path = dir.toString
+      val isNew = col("vec_id") % 3 === 0
+      graft.operators.VectorIndex.write(rep.filter(!isNew), "vec_id",
+        "embedding", cents, cb, m, dim, path)
+      graft.operators.VectorIndex.append(rep.filter(isNew), "vec_id",
+        "embedding", path)
+      val served = graft.operators.VectorIndex.topK(spark, path, rep,
+        "vec_id", "embedding", qp, k = 5, nprobe = 2, rerank = 10)
+        .collect()
+      val mem = Similarity.ivfpqTopKReranked(rep, "vec_id",
+        "embedding", qp, cents,
+        Similarity.pqEncodeCells(rep, "vec_id", "embedding", cents,
+          cb, m, dim), cb, m, dim, k = 5, nprobe = 2, rerank = 10)
+        .collect()
+      assert(served.toSet == mem.toSet && served.nonEmpty)
+      // the survivors of the tie zone are the id-ascending prefix of
+      // base 0's sibling copies (score desc, id asc — the declared
+      // total order), not an arbitrary subset
+      val sibs = served.filter(_.getDouble(3) == 1.0)
+        .map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+      assert(sibs.nonEmpty)
+      assert(sibs.map(_._2).toSeq == sibs.map(_._2).sorted.toSeq,
+        s"tied candidates must rank id-ascending: ${sibs.toSeq}")
+      assert(sibs.map(_._2).forall(_ <= sibs.map(_._2).max))
+    } finally rmTree(dir)
+  }
+
   test("vector index: append is atomic and replay-refused, serve prunes to probed cells across batches") {
     val emb = Tables.table(spark, sf, "embeddings").localCheckpoint()
     val (m, dim) = (4, 64)
