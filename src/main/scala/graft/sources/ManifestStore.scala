@@ -473,6 +473,21 @@ object ManifestStore {
                              targetBytesPerFile: Long,
                              keep: Int = 3): Int = {
     require(targetBytesPerFile > 0)
+    // maintenance PREFLIGHT (the compaction-entry discipline every
+    // persisted store carries): an unhealthy table — a manifest
+    // naming a missing file, a damaged pointer — refuses TYPED
+    // before any sizing or rewrite, naming the finding and the
+    // remedy surface, rather than baking a partial table into a
+    // fresh generation or crashing mid-rewrite on the damage the
+    // fsck exists to diagnose
+    graft.operators.IndexAudit.auditManifestTable(spark, root)
+      .find(!_.healthy)
+      .foreach(f => throw new graft.IndexUnhealthy(
+        s"manifest table at $root is unhealthy " +
+          s"(${f.kind}/${f.name}: ${f.status}) — compaction would " +
+          "republish damaged state; run IndexAudit.auditManifestTable " +
+          "for the full report and repairManifestTable / restore the " +
+          "named file, then retry"))
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))

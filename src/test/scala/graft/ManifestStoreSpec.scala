@@ -298,6 +298,50 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("compaction preflight: an unhealthy manifest table refuses " +
+      "typed before any rewrite; the repaired table compacts clean") {
+    val dir = tmp("manipre")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") =!= 0), root, "n_regionkey")
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 0).repartition(4),
+        root, "n_regionkey", coalescePartitions = false)
+      // the incident: a served file vanishes
+      val victim = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.head.relPath
+      val victimPath = new org.apache.hadoop.fs.Path(s"$root/$victim")
+      val bytes = {
+        val in = fs.open(victimPath)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      assert(fs.delete(victimPath, false))
+      // OPTIMIZE refuses TYPED at entry — nothing sized, nothing
+      // rewritten, no new generation
+      val e = intercept[IndexUnhealthy] {
+        ManifestStore.compactSmallPartitions(spark, root, 1L << 30)
+      }
+      assert(e.getMessage.contains("manifest_missing_file"))
+      assert(ManifestStore.currentGen(spark, root).contains(2L))
+      // the operator restores the file; compaction then runs clean
+      val out = fs.create(victimPath, true)
+      try out.write(bytes) finally out.close()
+      assert(ManifestStore.compactSmallPartitions(spark, root,
+        1L << 30) == 1)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+    } finally rmTree(dir)
+  }
+
   test("retainMs: a grace-retained manifest keeps EVERY file it " +
       "references servable until the floor expires") {
     val dir = tmp("manigrace")
