@@ -173,6 +173,14 @@ object ManifestStore {
     parseManifest(MetaSwap.readCommitted(fs, p))
   }
 
+  /** Schema posture across generations (the S14 discipline on the
+    * file-reuse layout): a partial publish may carry a WIDER or
+    * REORDERED schema than the files it reuses — the manifest records
+    * the publishing df's DDL and the read pins it, so parquet's
+    * by-name resolution null-fills added columns in older files and
+    * ignores dropped ones. A TYPE change of an existing column needs
+    * a `replaceAll` rebuild, exactly like any parquet table.
+    */
   private def readEntries(spark: SparkSession, root: String,
                           m: Manifest,
                           entries: Seq[ManifestEntry]): DataFrame = {
@@ -439,6 +447,13 @@ object ManifestStore {
     * driver scalar (≤ the table's partition count); the read side is
     * [[readPartitions]]' structural pruning, so the daily cost is
     * O(touched partitions), never O(table).
+    *
+    * Preconditions (the S17 contract): the partition key is stable
+    * under updates for a given row key, and merge `keys` are
+    * non-null — SQL null-semantics make a null key unmatchable by
+    * the anti-join, so a null-keyed existing row would survive
+    * alongside its null-keyed replacement; gate such rows out
+    * upstream (C1) or via `expectations`.
     */
   def mergePartitions(spark: SparkSession, batch: DataFrame,
                       root: String, keys: Seq[String],

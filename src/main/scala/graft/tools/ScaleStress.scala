@@ -201,12 +201,52 @@ object ScaleStress {
     }
     val vecStored = dataFiles(spark, s"$vecPath/batches")
 
+    // ---- S20 manifest table ---------------------------------------
+    // the r14 file-reuse claims measured at sf1: a partition-scoped
+    // promotion's WRITE cost is the batch's partitions (one file
+    // here), not the table; untouched partitions' files are carried
+    // byte-for-byte; a partition read opens only its own files
+    val maniPath = s"$work/manifest_table"
+    val M = graft.sources.ManifestStore
+    val maniDocs = docs.withColumn("pk", pmod(col("doc_id"), lit(50L)))
+    val (_, tManiBoot) = time {
+      M.publish(spark, maniDocs, maniPath, "pk")
+    }
+    val tableFiles = M.manifestAt(spark, maniPath, 1L).entries.size
+    val delta = maniDocs.filter(col("pk") === 7L)
+      .withColumn("text", concat(col("text"), lit(" day2")))
+    val (_, tManiPromote) = time {
+      M.publish(spark, delta, maniPath, "pk")
+    }
+    val m2 = M.manifestAt(spark, maniPath, 2L)
+    val promotedFiles = m2.entries
+      .count(_.relPath.startsWith("_writes/2/"))
+    val reusedFiles = m2.entries.size - promotedFiles
+    val reusedIdentical = {
+      val m1 = M.manifestAt(spark, maniPath, 1L).entries
+        .map(e => e.partition -> e.relPath).toMap
+      m2.entries.filter(_.partition != "7")
+        .forall(e => m1.get(e.partition).contains(e.relPath) ||
+          m1.values.toSet.contains(e.relPath))
+    }
+    val (partReadRows, tManiRead) = time {
+      M.readPartitions(spark, maniPath, Seq("7")).count()
+    }
+    val partReadFiles = m2.entries.count(_.partition == "7")
+
     // the scale assertions, on literal file sets: each probe opened a
-    // strict minority of the stored files
+    // strict minority of the stored files, and the manifest
+    // promotion wrote a strict minority of the table's files
     require(bmOpened < bmStored,
       s"BM25 probe opened $bmOpened of $bmStored stored files")
     require(vecOpened < vecStored,
       s"vector probe opened $vecOpened of $vecStored stored files")
+    require(promotedFiles < tableFiles && reusedIdentical,
+      s"manifest promotion wrote $promotedFiles of $tableFiles and " +
+        s"reuse=$reusedIdentical")
+    require(partReadFiles < m2.entries.size,
+      s"partition read should open $partReadFiles << ${m2.entries.size}")
+    require(partReadRows == delta.count())
 
     spark.stop()
     def f(d: Double) = f"$d%.1f"
@@ -218,6 +258,9 @@ object ScaleStress {
         f(tBmProbe)},"probe_rows":$bmRows,"opened_files":$bmOpened,"stored_files":$bmStored,"compact_s":${
         f(tBmCompact)},"stored_files_post_compact":$bmStoredPost},""" +
       s""""vector":{"train_s":${f(tVecTrain)},"build_s":${f(tVecBuild)},"append_s":${
-        f(tVecAppend)},"probe_s":${f(tVecProbe)},"probe_rows":$vecRows,"opened_files":$vecOpened,"stored_files":$vecStored}}""")
+        f(tVecAppend)},"probe_s":${f(tVecProbe)},"probe_rows":$vecRows,"opened_files":$vecOpened,"stored_files":$vecStored},""" +
+      s""""manifest":{"bootstrap_s":${f(tManiBoot)},"promote_s":${
+        f(tManiPromote)},"promoted_files":$promotedFiles,"reused_files":$reusedFiles,"table_files":${
+        m2.entries.size},"partition_read_s":${f(tManiRead)},"partition_read_files":$partReadFiles}}""")
   }
 }
