@@ -595,6 +595,117 @@ class PropertySpec extends AnyFunSuite {
     } finally SparkTestSession.rmTree(base)
   }
 
+  test("manifest-table protocol matches a reference model under " +
+      "random full/partial/merge/crash/read interleavings; untouched " +
+      "partitions' files are reused through every step") {
+    import graft.sources.ManifestStore
+    import graft.operators.IndexAudit
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mani-prop").toFile
+    try {
+      // 4 partitions × 3 content variants; the id set is FIXED per
+      // partition (payload varies), so a whole-partition merge equals
+      // a partition replace — every batch row's key collides
+      def fullDf(v: Int) = (0 until 4).flatMap(p =>
+          (0 until 3).map(i => (p.toLong * 100 + i, s"p$p-v$v-$i",
+            p.toLong)))
+        .toDF("id", "payload", "part")
+      val variants = (0 to 2).map(v => fullDf(v).localCheckpoint())
+      val expectRows = (0 until 4).map(p => (0 to 2).map(v =>
+        variants(v).filter(col("part") === p)
+          .collect().map(_.toSeq).toSet))
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // op 0 full publish (replaceAll); 1 partial publish (one
+      // partition); 2 whole-partition MERGE (same outcome as 1 by
+      // construction); 3 crash-publish (dies before repoint);
+      // 4 serving read; 5 time travel incl. pruned/residue gens;
+      // 6 structural partition read
+      val opsGen = Gen.listOfN(10, for {
+        op <- Gen.chooseNum(0, 6)
+        amt <- Gen.chooseNum(0, 11)
+      } yield (op, amt))
+      class Boom extends RuntimeException("injected")
+      samples(opsGen, 5).zipWithIndex.foreach { case (ops, i) =>
+        val root = s"$base/run$i"
+        var cur = 0L
+        // model: per-gen partition→variant maps for retained gens
+        val gens =
+          scala.collection.mutable.Map.empty[Long, Map[Int, Int]]
+        def parts = gens.getOrElse(cur, Map.empty)
+        def expectedTable(m: Map[Int, Int]) =
+          m.toSeq.flatMap { case (p, v) => expectRows(p)(v) }.toSet
+        ops.foreach { case (op, amt) =>
+          val v = amt % 3
+          val p = amt % 4
+          val keep = 2 + (amt % 2)
+          def reuseCheck(before: Map[String, String]): Unit = {
+            // every carried partition's file entries are IDENTICAL
+            // relPaths — file-level reuse holds at every step
+            val after = ManifestStore.manifestAt(spark, root, cur)
+              .entries.filterNot(_.partition == p.toString)
+              .map(e => e.relPath -> e.partition).toMap
+            after.foreach { case (rel, part) =>
+              assert(before.get(rel).contains(part),
+                s"run$i: carried partition $part file $rel is new")
+            }
+          }
+          op match {
+            case 0 =>
+              val gen = ManifestStore.publish(spark, variants(v), root,
+                "part", Nil, keep, replaceAll = true)
+              assert(gen == cur + 1, s"run$i gen alloc")
+              cur = gen
+              gens(gen) = (0 until 4).map(_ -> v).toMap
+              gens.keys.toSeq.foreach(g =>
+                if (g <= gen - keep) gens -= g)
+            case 1 | 2 if cur > 0 =>
+              val before = ManifestStore.manifestAt(spark, root, cur)
+                .entries.map(e => e.relPath -> e.partition).toMap
+              val batch = variants(v).filter(col("part") === p)
+              val gen =
+                if (op == 1) ManifestStore.publish(spark, batch, root,
+                  "part", Nil, keep)
+                else ManifestStore.mergePartitions(spark, batch, root,
+                  Seq("id"), Nil, keep)
+              assert(gen == cur + 1, s"run$i gen alloc ($op)")
+              cur = gen
+              gens(gen) = gens(gen - 1).updated(p, v)
+              gens.keys.toSeq.foreach(g =>
+                if (g <= gen - keep) gens -= g)
+              reuseCheck(before)
+            case 3 =>
+              intercept[Boom] {
+                ManifestStore.publishImpl(spark, variants(v), root,
+                  "part", Nil, 3, false, true, () => throw new Boom)
+              }
+            case 4 if cur > 0 =>
+              assert(rowsOf(ManifestStore.readCurrent(spark, root)) ==
+                expectedTable(parts), s"run$i serving read")
+            case 5 if cur > 0 =>
+              val g = (amt % (cur + 1)) + 1L
+              if (gens.contains(g))
+                assert(rowsOf(ManifestStore.readAt(spark, root, g)) ==
+                  expectedTable(gens(g)), s"run$i readAt($g)")
+              else intercept[SnapshotUnavailable] {
+                ManifestStore.readAt(spark, root, g).collect()
+              }
+            case 6 if cur > 0 && parts.contains(p) =>
+              assert(rowsOf(ManifestStore.readPartitions(spark, root,
+                Seq(p.toString))) == expectRows(p)(parts(p)),
+                s"run$i readPartitions($p)")
+            case _ => () // op precondition unmet: no-op
+          }
+          assert(ManifestStore.currentGen(spark, root)
+            .getOrElse(0L) == cur, s"run$i pointer after ($op,$amt)")
+          assert(IndexAudit.isManifestTableHealthy(spark, root),
+            s"run$i health after ($op,$amt)")
+        }
+      }
+    } finally SparkTestSession.rmTree(base)
+  }
+
   test("snapshot-table pointer protocol matches a reference model " +
       "under random publish/crash/read interleavings; never a " +
       "serving gap, never a wrong serve") {
