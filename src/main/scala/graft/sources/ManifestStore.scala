@@ -469,6 +469,9 @@ object ManifestStore {
     val affected = batch
       .select(col(partCol).cast("string")).distinct()
       .collect().map(r => nullSafe(r.getString(0))).toSeq
+    // an empty batch touches nothing: no staged write, no new
+    // generation (the corpusGold no-shard-touched discipline)
+    if (affected.isEmpty) return gen
     val existing = readPartitions(spark, root, affected, Some(gen))
     val merged = batch.unionByName(
       existing.join(batch.select(keys.map(col): _*).distinct(),
