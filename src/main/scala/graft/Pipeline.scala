@@ -116,15 +116,36 @@ object Pipeline {
                               beforeSchemaSwap: () => Unit = () => (),
                               factLineitem: Option[DataFrame] = None,
                               incremental: Boolean = false): Unit = {
+    // SCHEMA-PINNED retention for the dims: if the fact stage keeps
+    // failing run after run, the dims advance a generation per run
+    // while `_schema` stays put — with a flat keep=3 the third failed
+    // run would prune the generation `_schema` still names and break
+    // the consistent-triple reader exactly while promotions are
+    // failing. Each dim publish therefore sizes its keep so the
+    // schema-named generation survives: keep >= (about-to-commit gen)
+    // + 1 - (schema-named gen).
+    def pinnedKeep(name: String): Int = {
+      val schemaGen =
+        try goldSchemaGens(spark, outDir).get(name)
+        catch { case _: IllegalStateException => None } // first run
+      val cur = graft.sources.SnapshotStore
+        .currentGen(spark, s"$outDir/gold/$name")
+      (schemaGen, cur) match {
+        case (Some(s), Some(c)) => math.max(3, (c + 2 - s).toInt)
+        case _                  => 3
+      }
+    }
     val gDate = graft.sources.SnapshotStore.publish(spark,
       StarSchema.dimDate(spark, sfDir), s"$outDir/gold/dim_date",
       Seq(Cleaning.ExpectNotNull("id_date"),
-        Cleaning.ExpectUnique("id_date")))
+        Cleaning.ExpectUnique("id_date")),
+      keep = pinnedKeep("dim_date"))
     val gCust = graft.sources.SnapshotStore.publish(spark,
       StarSchema.dimCustomer(spark, sfDir),
       s"$outDir/gold/dim_customer",
       Seq(Cleaning.ExpectNotNull("id_customer"),
-        Cleaning.ExpectUnique("id_customer")))
+        Cleaning.ExpectUnique("id_customer")),
+      keep = pinnedKeep("dim_customer"))
     val li = factLineitem.getOrElse(
       Tables.table(spark, sfDir, "lineitem"))
     val factRows = StarSchema.factSalesFrom(li,
@@ -135,16 +156,29 @@ object Pipeline {
     // list, so the daily promotion writes only the touched ship
     // months' files and keep=3 retains deltas — never three copies
     // of a 100 TB fact (the O1×S19 full-rewrite boundary, closed)
+    // same pin for the fact: a schema swap crashing run after run
+    // must never let the fact's retention prune the generation
+    // `_schema` still names
+    val factKeep = {
+      val schemaGen =
+        try goldSchemaGens(spark, outDir).get("fact_sales")
+        catch { case _: IllegalStateException => None }
+      val cur = graft.sources.ManifestStore.currentGen(spark, factRoot)
+      (schemaGen, cur) match {
+        case (Some(sg), Some(c)) => math.max(3, (c + 2 - sg).toInt)
+        case _                   => 3
+      }
+    }
     val gFact =
       if (incremental)
         graft.sources.ManifestStore.mergePartitions(spark, factRows,
           factRoot, Seq("l_orderkey", "l_linenumber"),
-          factRules(extraFactAudit), keep = 3)
+          factRules(extraFactAudit), keep = factKeep)
       else
         graft.sources.ManifestStore.publishImpl(spark, factRows,
-          factRoot, "ship_month", factRules(extraFactAudit), keep = 3,
-          replaceAll = true, coalescePartitions = true,
-          beforeFactRepoint)
+          factRoot, "ship_month", factRules(extraFactAudit),
+          keep = factKeep, replaceAll = true,
+          coalescePartitions = true, beforeFactRepoint)
     beforeSchemaSwap()
     // ONE schema-level pointer naming all three generations, swapped
     // LAST: a reader resolving the triple through [[goldTable]] can

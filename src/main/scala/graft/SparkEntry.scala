@@ -2239,6 +2239,159 @@ object SparkEntry {
         out
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S19e TIME-based travel (timestampAsOf), ----
+    // ---- driver-gated ----
+    // both pointer-served table kinds resolve "as of instant T" to
+    // the newest generation published at-or-before T (publish
+    // instants are recorded per gen — _published_at / published=);
+    // the SQL surface pins a timestampAsOf view the same way. A T
+    // before every retained publish refuses typed. n_at_t1 and
+    // n_current are the real oracle rows (DuckDB recounts both).
+    "q_snapshot_ts" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snapts").toString
+      try {
+        val S = graft.sources.SnapshotStore
+        val M = graft.sources.ManifestStore
+        val snapRoot = s"$tmp/nation"
+        val maniRoot = s"$tmp/mani"
+        val nation = Tables.table(s, d, "nation")
+        val preT = System.currentTimeMillis() - 1L
+        S.publish(s, nation, snapRoot) // gen 1
+        Thread.sleep(5)
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(5)
+        S.publish(s, nation.filter(col("n_regionkey") < 2),
+          snapRoot) // gen 2
+        val nAtT1 = S.readAsOfTimestamp(s, snapRoot, t1).count()
+        val nNow = S.readAsOfTimestamp(s, snapRoot,
+          System.currentTimeMillis()).count()
+        val currentMatches =
+          nNow == S.readCurrent(s, snapRoot).count()
+        // an instant before the first retained publish refuses typed
+        val preRefused =
+          try { S.readAsOfTimestamp(s, snapRoot, preT); false }
+          catch { case _: graft.SnapshotUnavailable => true }
+        // the manifest kind resolves time through published= headers
+        M.publish(s, nation, maniRoot, "n_regionkey")
+        Thread.sleep(5)
+        val t2 = System.currentTimeMillis()
+        Thread.sleep(5)
+        M.publish(s, nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_name", lit("CHANGED")), maniRoot,
+          "n_regionkey")
+        val maniResolves =
+          M.readAsOfTimestamp(s, maniRoot, t2).count() ==
+            nation.count() &&
+          M.genAsOfTimestamp(s, maniRoot,
+            System.currentTimeMillis()) == 2L
+        // SQL: a timestampAsOf view is pinned to the resolved gen
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap_ts " +
+          s"USING graft.sources.SnapshotSource " +
+          s"OPTIONS (path '$snapRoot', timestampAsOf '$t1')")
+        val sqlPinned = s.sql(
+          "SELECT count(*) FROM graft_snap_ts").head().getLong(0) ==
+          nAtT1
+        s.catalog.dropTempView("graft_snap_ts")
+        import s.implicits._
+        Seq((preRefused, currentMatches, maniResolves, sqlPinned,
+          nAtT1, nNow))
+          .toDF("pre_publish_refused", "now_resolves_current",
+            "manifest_ts_resolves", "sql_ts_pinned", "n_at_t1",
+            "n_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S21 row-level DELETE on the manifest table, ----
+    // ---- driver-gated ----
+    // outcome contract (q_snapshot_manifest pattern): a takedown
+    // predicate touching ONE partition rewrites only it (untouched
+    // files byte-identical by literal path+mtime), a predicate that
+    // empties a partition drops it from the manifest instead of
+    // resurrecting its files, pre-delete generations stay
+    // time-travelable, and the fsck stays healthy. n_rows_current is
+    // the real oracle row — DuckDB recomputes the post-delete table
+    // from orders.
+    "q_manifest_delete" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manidel").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        // the takedown: 1996's F-status rows — only 1996's partition
+        // may be rewritten
+        M.deleteWhere(s, root, col("o_year") === "1996" &&
+          col("o_orderstatus") === "F")
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "1996").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        // a delete that empties 2001 entirely must DROP the partition
+        // from the manifest, not resurrect its old files
+        M.deleteWhere(s, root, col("o_year") === "2001")
+        val emptiedDropped = M.manifestAt(s, root, 3L).entries
+          .forall(_.partition != "2001")
+        val timetravelIntact =
+          M.readAt(s, root, 1L).count() == orders.count()
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val nCur = M.readCurrent(s, root).count()
+        import s.implicits._
+        Seq((untouchedReused, emptiedDropped, timetravelIntact,
+          healthy, nCur))
+          .toDF("untouched_files_reused", "emptied_partition_dropped",
+            "timetravel_intact", "fsck_healthy", "n_rows_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S22 per-file column stats in manifest entries → ----
+    // ---- scan-pruned manifest reads, driver-gated ----
+    // S16's data skipping folded into the S20 metadata layer: entries
+    // carry (min, max) per declared stat column, and a range read
+    // prunes the ENTRY LIST driver-side before opening anything. The
+    // gate asserts the literal kept-entry count (one file of seven)
+    // and recounts the pruned read's aggregate against DuckDB's plain
+    // range filter.
+    "q_manifest_skipping" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-maniskip").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year",
+          statsCols = Seq("o_orderdate"))
+        val total = M.manifestAt(s, root, 1L).entries.size
+        val (lo, hi) = ("1996-03-01", "1996-05-31")
+        val (_, kept) = M.statsPrunedEntries(s, root, "o_orderdate",
+          lo, hi)
+        val prunedUnderHalf = kept.size * 2 < total
+        val openedOnlyMatching = kept.map(_.partition).toSet ==
+          Set("1996")
+        val pruned = M.readWhere(s, root, "o_orderdate", lo, hi)
+        val unpruned = M.readCurrent(s, root)
+          .filter(col("o_orderdate").between(lit(lo), lit(hi)))
+        val rowsEqual = pruned.exceptAll(unpruned).isEmpty &&
+          unpruned.exceptAll(pruned).isEmpty
+        val agg = pruned.agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((prunedUnderHalf, openedOnlyMatching, rowsEqual,
+          agg.getLong(0), agg.getDouble(1)))
+          .toDF("pruned_under_half", "opened_only_matching",
+            "rows_equal_unpruned", "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.11 O2 stage retries, driver-gated ----
     // outcome contract (q_pipeline_run pattern): a stage failing twice
     // then succeeding is retried to the third attempt and returns its
@@ -3710,6 +3863,37 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation WHERE n_regionkey < 2)
         |    AS n_current
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+    // the instant between the two publishes resolves to gen 1 (the
+    // full table), "now" to the serving low-region gen — both
+    // recounted from nation; refusal/pinning laws ride as booleans
+    "q_snapshot_ts" ->
+      """SELECT true AS pre_publish_refused,
+        |  true AS now_resolves_current, true AS manifest_ts_resolves,
+        |  true AS sql_ts_pinned,
+        |  (SELECT count(*) FROM nation) AS n_at_t1,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+        |    AS n_current""".stripMargin,
+    // the post-delete table recomputed from orders: 1996's F rows and
+    // all of 2001 gone — the contract booleans ride along
+    "q_manifest_delete" ->
+      """SELECT true AS untouched_files_reused,
+        |  true AS emptied_partition_dropped,
+        |  true AS timetravel_intact, true AS fsck_healthy,
+        |  (SELECT count(*) FROM orders
+        |   WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
+        |     AND year(o_orderdate) <> 2001) AS n_rows_current"""
+        .stripMargin,
+    // skipping changes which FILES are opened, never the rows: the
+    // mirror is the plain range filter over the same table (the
+    // q_skipping_read discipline, on the manifest layer)
+    "q_manifest_skipping" ->
+      """SELECT true AS pruned_under_half, true AS opened_only_matching,
+        |  true AS rows_equal_unpruned, count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1996-03-01' AND '1996-05-31'"""
+        .stripMargin,
     // the snapshot fsck inventory is structure-driven: one serving
     // gen, one superseded gen audited as a crashed prune's leftover
     // (keep=1 against the keep=3 publish), one crashed-publish

@@ -75,18 +75,31 @@ object ManifestStore {
   /** One data file of one partition. `partition` is the RAW value
     * string (directory-name escaping already undone); `relPath` is
     * the file's path relative to the table root — immutable once a
-    * manifest names it.
+    * manifest names it. `stats` carries the file's per-column
+    * `(min, max)` for the table's declared stat columns (the S16
+    * data-skipping index folded INTO the metadata layer): recorded
+    * once at staged-write time, it rides every manifest the file is
+    * carried into, so a range read prunes the ENTRY LIST driver-side
+    * before opening anything. A column absent from the map means "no
+    * stats" (all-null file, or recorded before the column was
+    * declared) — never pruned on, always read; values are canonical
+    * strings compared TYPED via the schema ([[statCompare]]).
     */
-  final case class ManifestEntry(partition: String, relPath: String)
+  final case class ManifestEntry(partition: String, relPath: String,
+                                 stats: Map[String, (String, String)] =
+                                   Map.empty)
 
   /** A generation: the partition column, the data schema (DDL — what
-    * makes a zero-entry manifest servable), the file list, and the
+    * makes a zero-entry manifest servable), the file list, the
     * publish instant (0 on a pre-grace manifest — treated as
-    * grace-expired, the pre-r14 prune behavior).
+    * grace-expired, the pre-r14 prune behavior), and the table's
+    * declared stat columns (inherited by every later publish unless
+    * re-declared, the grace-inheritance pattern).
     */
   final case class Manifest(partCol: String, schemaDdl: String,
                             entries: Seq[ManifestEntry],
-                            publishedMs: Long = 0L)
+                            publishedMs: Long = 0L,
+                            statsCols: Seq[String] = Nil)
 
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
@@ -125,9 +138,16 @@ object ManifestStore {
     sb.append("partcol=").append(m.partCol).append('\n')
     sb.append("schema=").append(m.schemaDdl).append('\n')
     sb.append("published=").append(m.publishedMs).append('\n')
+    if (m.statsCols.nonEmpty)
+      sb.append("statscols=").append(m.statsCols.map(enc).mkString(","))
+        .append('\n')
     m.entries.foreach { e =>
       sb.append(enc(e.partition)).append('\t').append(e.relPath)
-        .append('\n')
+      if (e.stats.nonEmpty)
+        sb.append('\t').append(e.stats.toSeq.sortBy(_._1).map {
+          case (c, (mn, mx)) => s"${enc(c)}=${enc(mn)}..${enc(mx)}"
+        }.mkString(";"))
+      sb.append('\n')
     }
     sb.toString.getBytes("UTF-8")
   }
@@ -140,8 +160,24 @@ object ManifestStore {
       .getOrElse(throw new IllegalStateException(
         s"malformed manifest: no $key= header"))
     val entries = lines.filter(_.contains('\t')).map { l =>
-      val i = l.indexOf('\t')
-      ManifestEntry(dec(l.take(i)), l.drop(i + 1))
+      // 2 fields (pre-stats) or 3 (with the stats block) — the
+      // partition value and every stats token are URL-encoded, and
+      // relPaths are the writer's own path-safe names, so the tab
+      // split is unambiguous
+      l.split('\t') match {
+        case Array(p, r) => ManifestEntry(dec(p), r)
+        case Array(p, r, st) =>
+          val stats = st.split(';').filter(_.nonEmpty).flatMap { tok =>
+            val eq = tok.indexOf('=')
+            val dots = tok.indexOf("..", eq + 1)
+            if (eq < 0 || dots < 0) None
+            else Some(dec(tok.take(eq)) ->
+              (dec(tok.slice(eq + 1, dots)), dec(tok.drop(dots + 2))))
+          }.toMap
+          ManifestEntry(dec(p), r, stats)
+        case other => throw new IllegalStateException(
+          s"malformed manifest entry line: ${other.mkString("\\t")}")
+      }
     }
     // `published=` is optional: a pre-grace manifest parses with 0
     // (grace-expired), so old tables keep their exact prune behavior
@@ -149,7 +185,13 @@ object ManifestStore {
       case s if s.startsWith("published=") =>
         s.stripPrefix("published=").trim
     }.flatMap(_.toLongOption).getOrElse(0L)
-    Manifest(header("partcol"), header("schema"), entries, published)
+    val statsCols = lines.collectFirst {
+      case s if s.startsWith("statscols=") =>
+        s.stripPrefix("statscols=").split(',').toSeq
+          .filter(_.nonEmpty).map(dec)
+    }.getOrElse(Nil)
+    Manifest(header("partcol"), header("schema"), entries, published,
+      statsCols)
   }
 
   /** Generation `gen`'s manifest. Refuses with the typed
@@ -218,6 +260,47 @@ object ManifestStore {
     readEntries(spark, root, m, m.entries)
   }
 
+  /** TIME-based travel ([[SnapshotStore.genAsOfTimestamp]] on the
+    * manifest layout): the newest retained generation whose
+    * manifest's `published=` instant is at-or-before `tsMs`.
+    * Resolution parses the retained manifests' headers — bounded by
+    * `keep`, metadata only. Typed refusal when T predates every
+    * retained generation or only pre-instant (published=0) manifests
+    * remain.
+    */
+  def genAsOfTimestamp(spark: SparkSession, root: String,
+                       tsMs: Long): Long = {
+    val cur = currentGen(spark, root).getOrElse(
+      throw new graft.SnapshotUnavailable(
+        s"no published manifest table at $root"))
+    val fs = Tables.fsFor(spark, root)
+    val base = new Path(s"$root/_manifests")
+    val candidates =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
+        .filterNot(_.getPath.getName.endsWith(".next"))
+        .flatMap(_.getPath.getName.toLongOption)
+        .filter(_ <= cur) // residue manifests never served
+        .map(g => g -> parseManifest(MetaSwap.readCommitted(fs,
+          manifestPath(root, g))).publishedMs)
+        .filter(_._2 > 0L) // pre-instant manifests cannot answer
+    if (candidates.isEmpty) throw new graft.SnapshotUnavailable(
+      s"no generation of $root carries a publish instant — the table " +
+        "predates the published= header; time travel needs at least " +
+        "one marked publish")
+    candidates.filter(_._2 <= tsMs)
+      .sortBy(_._1).lastOption.map(_._1)
+      .getOrElse(throw new graft.SnapshotUnavailable(
+        s"no retained generation of $root was published at or before " +
+          s"$tsMs — the state at that instant aged past the " +
+          "retention window (keep/grace)"))
+  }
+
+  /** [[readAt]] addressed by TIME instead of generation. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMs: Long): DataFrame =
+    readAt(spark, root, genAsOfTimestamp(spark, root, tsMs))
+
   /** STRUCTURAL partition pruning: read only `values`' partitions of
     * generation `gen` (default: the serving generation) — the driver
     * filters the manifest's entry list and the scan opens exactly
@@ -236,11 +319,134 @@ object ManifestStore {
       m.entries.filter(e => want(e.partition)))
   }
 
+  /** The partition-value key a row addresses on disk. Spark writes
+    * BOTH null and empty-string partition values into the hive
+    * default-partition directory
+    * (ExternalCatalogUtils.getPartitionPathString), so both must map
+    * to the sentinel here — mapping only null would make a merge of
+    * an empty-string batch compute affected="" while its staged files
+    * landed under the sentinel, silently replacing that partition's
+    * existing rows instead of merging them.
+    */
   private def nullSafe(v: String): String =
-    if (v == null)
+    if (v == null || v.isEmpty)
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME
     else v
+
+  /** TYPED comparison of two canonical stat strings under the
+    * column's schema type: numerics and decimals parse (lexicographic
+    * "9" > "10" would mis-prune), booleans parse, dates/timestamps/
+    * strings compare as recorded (ISO date and `java.sql.Timestamp`
+    * renderings are order-preserving lexicographically).
+    */
+  private[graft] def statCompare(dt: org.apache.spark.sql.types.DataType)
+      : (String, String) => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        (a, b) => BigDecimal(a).compare(BigDecimal(b))
+      case BooleanType => (a, b) => a.toBoolean.compareTo(b.toBoolean)
+      case _ => (a, b) => a.compareTo(b)
+    }
+  }
+
+  /** The entries of generation `gen` (default serving) that can hold
+    * a row with `column` in `[lo, hi]` — the driver-side skipping
+    * decision, exposed so the opened-file contract is assertable on
+    * the literal entry list. An entry with no stats for the column is
+    * KEPT (cannot be proven empty of matches).
+    */
+  private[graft] def statsPrunedEntries(spark: SparkSession,
+                                        root: String, column: String,
+                                        lo: Any, hi: Any,
+                                        gen: Option[Long] = None)
+      : (Manifest, Seq[ManifestEntry]) = {
+    val g = gen.orElse(currentGen(spark, root)).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val m = manifestAt(spark, root, g)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(column),
+      s"column $column not in the manifest schema " +
+        s"(${schema.fieldNames.mkString(",")})")
+    val cmp = statCompare(schema(column).dataType)
+    val kept = m.entries.filter { e =>
+      e.stats.get(column) match {
+        case Some((mn, mx)) =>
+          !(cmp(mx, lo.toString) < 0 || cmp(mn, hi.toString) > 0)
+        case None => true
+      }
+    }
+    (m, kept)
+  }
+
+  /** SCAN-PRUNED range read (S16 composed into S20): open only the
+    * files whose recorded `[min, max]` for `column` intersects
+    * `[lo, hi]`, then apply the exact predicate as a residual filter
+    * (stats are file-granular; the residual still pushes into the
+    * pruned parquet scan). The pruning is a driver pass over the
+    * ENTRY LIST — pure metadata, no listing, no footer opens — so a
+    * narrow range read of a 100 TB fact costs the matching files
+    * plus one manifest parse.
+    */
+  def readWhere(spark: SparkSession, root: String, column: String,
+                lo: Any, hi: Any, gen: Option[Long] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (m, kept) = statsPrunedEntries(spark, root, column, lo, hi, gen)
+    readEntries(spark, root, m, kept)
+      .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Row-level DELETE (the reference's only delete is the
+    * WRITE_TRUNCATE full replace, bigquery.py:141 — this is the
+    * partition-scoped form a takedown/opt-out path needs): remove
+    * every row where `predicate` is TRUE (SQL DELETE semantics — a
+    * NULL predicate keeps the row) and publish the result as a new
+    * generation. Only the partitions that actually contain matching
+    * rows are rewritten; every other partition's files ride into the
+    * new manifest byte-identical (the S17 merge contract), and a
+    * partition deleted EMPTY leaves the manifest entirely instead of
+    * resurrecting its old files. Time travel keeps serving the
+    * pre-delete generations until retention/grace lapse them — for a
+    * hard take-down, follow with publishes that age the window out
+    * (or use `keep = 1` with no grace).
+    *
+    * Cost: one column-pruned predicate scan to find the affected
+    * partitions (at most one pass over the table — with a partition-
+    * or stats-aligned predicate, parquet pushdown makes it a
+    * footer-bounded read), then a rewrite of ONLY those partitions'
+    * surviving rows. The publish CAS-checks against the generation
+    * the delete was computed from — a racing promotion fails loudly.
+    * Returns the committed generation (the serving one when nothing
+    * matched — no empty generation is published).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  expectations: Seq[graft.operators.Cleaning.Expectation] =
+                    Nil,
+                  keep: Int = 3, retainMs: Long = 0L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val fs = Tables.fsFor(spark, root)
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val m = manifestAt(spark, root, gen)
+    val affected = readAt(spark, root, gen).filter(predicate)
+      .select(col(m.partCol).cast("string")).distinct()
+      .collect().map(r => nullSafe(r.getString(0))).toSet
+    if (affected.isEmpty) return gen
+    val remaining = readPartitions(spark, root, affected.toSeq,
+        Some(gen))
+      .filter(not(coalesce(predicate, lit(false))))
+    publishImpl(spark, remaining, root, m.partCol, expectations, keep,
+      replaceAll = false, coalescePartitions = true, () => (),
+      retainMs, Some(raw), replacedPartitions = affected)
+  }
 
   /** Publish `df` as the next generation. `replaceAll = false` (the
     * steady-state promotion) REPLACES only the partitions `df`
@@ -265,7 +471,12 @@ object ManifestStore {
     * contract): a superseded manifest also survives until at least
     * that many ms after its publish instant (recorded in the
     * manifest's own `published=` header), and while it survives,
-    * every file it references survives with it.
+    * every file it references survives with it. The floor is a table
+    * PROPERTY: an explicit `retainMs > 0` sets it (raise or lower);
+    * the default 0 INHERITS the prior pointer's `grace=` — so a
+    * maintenance publish (merge, OPTIMIZE, streaming promotion) that
+    * passes no retainMs preserves the configured grace instead of
+    * silently pruning inside the promised reader window.
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
               partCol: String,
@@ -273,14 +484,29 @@ object ManifestStore {
                 Nil,
               keep: Int = 3, replaceAll: Boolean = false,
               coalescePartitions: Boolean = true,
-              retainMs: Long = 0L): Long =
+              retainMs: Long = 0L,
+              statsCols: Seq[String] = Nil): Long =
     publishImpl(spark, df, root, partCol, expectations, keep,
-      replaceAll, coalescePartitions, () => (), retainMs)
+      replaceAll, coalescePartitions, () => (), retainMs,
+      statsCols = statsCols)
 
   /** [[publish]] with a crash-injection hook fired between the staged
     * write+audit+manifest and the pointer swap — the
     * [[SnapshotStore.publishImpl]] pattern, so the no-serving-gap and
     * residue-refusal contracts are TESTED, not asserted.
+    *
+    * `expectPointer` is a CAS expectation captured when the CALLER
+    * read the table it planned this publish from
+    * ([[mergePartitions]]/[[compactSmallPartitions]] pass it): the
+    * final swap then compare-and-sets against the generation the
+    * caller computed from, so a promotion landing between the
+    * caller's read and this publish fails loudly
+    * ([[MetaSwap.CasFailed]]) instead of silently overwriting the
+    * winner's partitions. The expectation is ALSO checked before any
+    * staging: the staged write targets `_writes/<expectedGen+1>`,
+    * which a racing winner may have committed, and overwriting it
+    * would destroy committed files — the fail-fast check turns that
+    * destructive window into the microseconds [[MetaSwap]] documents.
     */
   private[graft] def publishImpl(spark: SparkSession, df: DataFrame,
                                  root: String, partCol: String,
@@ -288,7 +514,12 @@ object ManifestStore {
                                  keep: Int, replaceAll: Boolean,
                                  coalescePartitions: Boolean,
                                  beforeRepoint: () => Unit,
-                                 retainMs: Long = 0L): Long = {
+                                 retainMs: Long = 0L,
+                                 expectPointer: Option[Array[Byte]] =
+                                   None,
+                                 replacedPartitions: Set[String] =
+                                   Set.empty,
+                                 statsCols: Seq[String] = Nil): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     require(df.columns.contains(partCol),
@@ -298,8 +529,17 @@ object ManifestStore {
     val fs = Tables.fsFor(spark, root)
     val p = pointer(root)
     MetaSwap.heal(fs, p)
-    val prior =
+    val committedNow =
       if (fs.exists(p)) Some(MetaSwap.readCommitted(fs, p)) else None
+    expectPointer.foreach { exp =>
+      if (!committedNow.exists(java.util.Arrays.equals(_, exp)))
+        throw new MetaSwap.CasFailed(
+          s"concurrent promotion detected at $root: the serving " +
+            "pointer changed since this writer read the table it " +
+            "planned from — nothing was staged or lost; re-read and " +
+            "re-run (mergePartitions rebases disjoint races itself)")
+    }
+    val prior = expectPointer.orElse(committedNow)
     val priorGen = prior.map(b => SnapshotStore.parsedGen(b).getOrElse(
       throw new IllegalStateException(
         "malformed manifest-table pointer: no parseable gen= line")))
@@ -342,21 +582,78 @@ object ManifestStore {
           .map(f => ManifestEntry(value,
             s"_writes/$gen/${dir.getPath.getName}/${f.getPath.getName}"))
       }
+    // stat columns: explicit declaration wins, the default inherits
+    // the table's declared set (the grace-inheritance pattern) — so
+    // merge/OPTIMIZE/delete rewrites re-record stats without every
+    // caller re-passing the column list
+    val effStatsCols =
+      if (statsCols.nonEmpty) statsCols
+      else priorManifest.map(_.statsCols).getOrElse(Nil)
+    effStatsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column $c not in ${df.columns.mkString(",")}"))
+    val statsByFile: Map[String, Map[String, (String, String)]] =
+      if (effStatsCols.isEmpty || stagedEntries.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{min, max,
+          input_file_name}
+        // ONE column-pruned aggregation over the just-staged bytes,
+        // grouped by file — O(changed files), the writeStatsIndex
+        // plan folded into the publish
+        val aggs = effStatsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        spark.read.parquet(stagingDir)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            // key on the file's last two path segments (the staged
+            // graft_p dir + file name), URI-decoded so exotic
+            // partition values match the listing-derived relPaths
+            val raw = r.getString(0)
+            val pathOnly =
+              try new java.net.URI(raw).getPath
+              catch { case _: java.net.URISyntaxException => raw }
+            val key = pathOnly.split('/').takeRight(2).mkString("/")
+            key -> effStatsCols.zipWithIndex.flatMap { case (c, i) =>
+              val mn = r.get(1 + 2 * i)
+              val mx = r.get(2 + 2 * i)
+              // an all-null file has no (min, max): no stats for the
+              // column — never pruned on, always read
+              if (mn == null || mx == null) None
+              else Some(c -> (mn.toString, mx.toString))
+            }.toMap
+          }.toMap
+      }
+    val stagedWithStats =
+      if (statsByFile.isEmpty) stagedEntries
+      else stagedEntries.map { e =>
+        e.copy(stats = statsByFile.getOrElse(
+          e.relPath.split('/').takeRight(2).mkString("/"), Map.empty))
+      }
     val stagedValues = stagedEntries.map(_.partition).toSet
     val entries =
-      if (replaceAll || priorManifest.isEmpty) stagedEntries
+      if (replaceAll || priorManifest.isEmpty) stagedWithStats
       else priorManifest.get.entries
-        .filterNot(e => stagedValues(e.partition)) ++ stagedEntries
+        .filterNot(e => stagedValues(e.partition) ||
+          replacedPartitions(e.partition)) ++ stagedWithStats
     val schemaDdl = df.drop("graft_p").schema.toDDL
     val manifest = Manifest(partCol, schemaDdl, entries,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), effStatsCols)
     // the manifest commits through the same self-healing swap as the
     // pointer (stage `.next`, rename in): a reader healing a crashed
     // publish can never observe a half-written file list
     MetaSwap.swap(fs, manifestPath(root, gen),
       serializeManifest(manifest))
     beforeRepoint()
-    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$retainMs\n"
+    // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
+    // floor (raise or lower, an explicit operator decision); the
+    // default 0 means "unspecified" and INHERITS the grace the prior
+    // pointer committed — so a maintenance publish (merge, OPTIMIZE,
+    // streaming promotion) can never silently prune inside the reader
+    // window an earlier publish promised
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
+    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
@@ -364,7 +661,7 @@ object ManifestStore {
     }
     // retention AFTER the repoint: a crash anywhere above leaves
     // residue nothing points at, never a gap
-    prune(fs, root, gen, keep, retainMs)
+    prune(fs, root, gen, keep, effRetain)
     gen
   }
 
@@ -459,24 +756,98 @@ object ManifestStore {
                       root: String, keys: Seq[String],
                       expectations: Seq[graft.operators.Cleaning.Expectation] =
                         Nil,
-                      keep: Int = 3): Long = {
-    val gen = currentGen(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"no published manifest table at $root — bootstrap with " +
-          "ManifestStore.publish first"))
-    val m = manifestAt(spark, root, gen)
-    val partCol = m.partCol
-    val affected = batch
-      .select(col(partCol).cast("string")).distinct()
-      .collect().map(r => nullSafe(r.getString(0))).toSeq
-    // an empty batch touches nothing: no staged write, no new
-    // generation (the corpusGold no-shard-touched discipline)
-    if (affected.isEmpty) return gen
-    val existing = readPartitions(spark, root, affected, Some(gen))
-    val merged = batch.unionByName(
-      existing.join(batch.select(keys.map(col): _*).distinct(),
-        keys, "left_anti"))
-    publish(spark, merged, root, partCol, expectations, keep)
+                      keep: Int = 3, retainMs: Long = 0L): Long =
+    mergePartitionsImpl(spark, batch, root, keys, expectations, keep,
+      retainMs, () => ())
+
+  /** [[mergePartitions]] with a hook fired between the planning read
+    * and the publish — the window a racing promotion can land in — so
+    * the CAS-loss and disjoint-rebase contracts are TESTED, not
+    * asserted.
+    */
+  private[graft] def mergePartitionsImpl(spark: SparkSession,
+                                         batch: DataFrame, root: String,
+                                         keys: Seq[String],
+                                         expectations: Seq[graft.operators.Cleaning.Expectation],
+                                         keep: Int, retainMs: Long,
+                                         beforePublish: () => Unit)
+      : Long = {
+    val fs = Tables.fsFor(spark, root)
+    def plan(): (Long, Array[Byte], Manifest) = {
+      val gen = currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published manifest table at $root — bootstrap with " +
+            "ManifestStore.publish first"))
+      // the CAS expectation is the bytes THIS plan read — publish
+      // compare-and-sets against them, so a promotion landing between
+      // here and the swap fails loudly instead of being overwritten
+      val raw = MetaSwap.readCommitted(fs, pointer(root))
+      (gen, raw, manifestAt(spark, root, gen))
+    }
+    def attempt(gen: Long, raw: Array[Byte], m: Manifest): Long = {
+      val partCol = m.partCol
+      val affected = batch
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(r => nullSafe(r.getString(0))).toSeq
+      // an empty batch touches nothing: no staged write, no new
+      // generation (the corpusGold no-shard-touched discipline)
+      if (affected.isEmpty) return gen
+      val existing = readPartitions(spark, root, affected, Some(gen))
+      val merged = batch.unionByName(
+        existing.join(batch.select(keys.map(col): _*).distinct(),
+          keys, "left_anti"))
+      beforePublish()
+      try publishImpl(spark, merged, root, partCol, expectations,
+        keep, replaceAll = false, coalescePartitions = true,
+        () => (), retainMs, Some(raw))
+      catch {
+        case e: MetaSwap.CasFailed =>
+          throw new RebaseSignal(gen, affected.toSet, e)
+      }
+    }
+    val (gen0, raw0, m0) = plan()
+    try attempt(gen0, raw0, m0)
+    catch {
+      // OPTIMISTIC REBASE (the Iceberg commit-conflict rule): a race
+      // was lost, but if the winner's promotion touched a DISJOINT
+      // partition set, replanning from the winner's manifest and
+      // retrying once is equal to either sequential order — the
+      // carried entries rebase for free because publish derives them
+      // from the NEW prior manifest. An overlapping race rethrows
+      // typed: the merge was computed against rows the winner
+      // replaced, and only the caller can re-derive its batch.
+      case rs: RebaseSignal =>
+        val (gen1, raw1, m1) = plan()
+        // the planned-from manifest may have aged out under keep=1 —
+        // then disjointness is unprovable and the race stays loud
+        val plannedM =
+          try manifestAt(spark, root, rs.plannedGen)
+          catch { case _: graft.SnapshotUnavailable => throw rs.cause }
+        if ((touchedBetween(plannedM, m1) & rs.affected).nonEmpty)
+          throw rs.cause
+        try attempt(gen1, raw1, m1)
+        catch { case rs2: RebaseSignal => throw rs2.cause }
+    }
+  }
+
+  /** Carrier for a lost CAS inside [[mergePartitionsImpl]]'s attempt:
+    * the planned-from generation and the batch's partition set, so
+    * the rebase decision runs outside the attempt.
+    */
+  private final class RebaseSignal(val plannedGen: Long,
+                                   val affected: Set[String],
+                                   val cause: MetaSwap.CasFailed)
+      extends RuntimeException(cause)
+
+  /** The partitions whose file-entry sets differ between two
+    * manifests — what a racing winner's promotion touched.
+    */
+  private def touchedBetween(a: Manifest, b: Manifest): Set[String] = {
+    def byPart(m: Manifest) =
+      m.entries.groupBy(_.partition)
+        .view.mapValues(_.map(_.relPath).toSet).toMap
+    val (pa, pb) = (byPart(a), byPart(b))
+    (pa.keySet | pb.keySet).filter(p => pa.get(p) != pb.get(p))
   }
 
   /** Zero-downtime OPTIMIZE, file-level: rewrite ONLY the partitions
@@ -489,7 +860,7 @@ object ManifestStore {
     */
   def compactSmallPartitions(spark: SparkSession, root: String,
                              targetBytesPerFile: Long,
-                             keep: Int = 3): Int = {
+                             keep: Int = 3, retainMs: Long = 0L): Int = {
     require(targetBytesPerFile > 0)
     // maintenance PREFLIGHT (the compaction-entry discipline every
     // persisted store carries): an unhealthy table — a manifest
@@ -509,8 +880,12 @@ object ManifestStore {
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
-    val m = manifestAt(spark, root, gen)
     val fs = Tables.fsFor(spark, root)
+    // CAS expectation captured with the sizing read: a promotion
+    // landing mid-OPTIMIZE fails this publish loudly (re-run the
+    // maintenance) instead of being silently overwritten
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val m = manifestAt(spark, root, gen)
     val byPart = m.entries.groupBy(_.partition)
     val offenders = byPart.filter { case (_, es) =>
       val bytes = es.map(e =>
@@ -537,18 +912,24 @@ object ManifestStore {
       }.toDF("__pv", "__want")
       val rows = readPartitions(spark, root, offenders, Some(gen))
       val resized = rows
-        // null partition rows must join their sentinel-keyed want row
-        .withColumn("__pv", org.apache.spark.sql.functions.coalesce(
-          col(m.partCol).cast("string"),
-          lit(org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+        // null AND empty-string partition rows land in the sentinel
+        // directory (nullSafe's contract), so both must join their
+        // sentinel-keyed want row
+        .withColumn("__pv",
+          org.apache.spark.sql.functions.when(
+            col(m.partCol).isNull ||
+              col(m.partCol).cast("string") === lit(""),
+            lit(org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+            .otherwise(col(m.partCol).cast("string")))
         .join(broadcast(want), Seq("__pv"))
         .withColumn("__salt",
           pmod(monotonically_increasing_id(), col("__want")))
         .repartition(col("__pv"), col("__salt"))
         .drop("__pv", "__want", "__salt")
-      publish(spark, resized, root, m.partCol, Nil, keep,
-        coalescePartitions = false)
+      publishImpl(spark, resized, root, m.partCol, Nil, keep,
+        replaceAll = false, coalescePartitions = false, () => (),
+        retainMs, Some(raw))
       offenders.size
     }
   }

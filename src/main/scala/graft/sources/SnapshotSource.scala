@@ -44,6 +44,27 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
+  /** `timestampAsOf` accepts epoch milliseconds or an ISO-ish local
+    * timestamp (`yyyy-MM-dd[ HH:mm:ss[.fff]]`, `T` separator fine),
+    * interpreted in UTC — the timezone the publish instants are
+    * recorded in.
+    */
+  private def parseTs(v: String): Long =
+    v.toLongOption.getOrElse {
+      val norm = v.trim.replace('T', ' ')
+      val withTime =
+        if (norm.contains(' ')) norm else s"$norm 00:00:00"
+      try java.time.LocalDateTime
+        .parse(withTime.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"timestampAsOf must be epoch millis or " +
+              s"yyyy-MM-dd[ HH:mm:ss], got '$v'")
+      }
+    }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
       : BaseRelation = {
@@ -51,18 +72,54 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot needs a path option (the table root)"))
-    val gen = parameters.get("versionAsOf").map { v =>
+    val genOpt = parameters.get("versionAsOf").map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"versionAsOf must be a generation number, got '$v'"))
     }
+    val tsOpt = parameters.get("timestampAsOf").map(parseTs)
+    require(genOpt.isEmpty || tsOpt.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val isManifest = Tables.fsFor(spark, root).exists(
       new org.apache.hadoop.fs.Path(s"$root/_manifests"))
-    val df = (isManifest, gen) match {
-      case (true, Some(g))  => ManifestStore.readAt(spark, root, g)
-      case (true, None)     => ManifestStore.readCurrent(spark, root)
-      case (false, Some(g)) => SnapshotStore.readAt(spark, root, g)
-      case (false, None)    => SnapshotStore.readCurrent(spark, root)
+    // time resolves to a generation ONCE, here — the view is then
+    // pinned exactly like a versionAsOf view
+    val gen = genOpt.orElse(tsOpt.map { t =>
+      if (isManifest) ManifestStore.genAsOfTimestamp(spark, root, t)
+      else SnapshotStore.genAsOfTimestamp(spark, root, t)
+    })
+    if (isManifest) {
+      val g = gen.getOrElse(
+        ManifestStore.currentGen(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"no published manifest table at $root")))
+      val m = ManifestStore.manifestAt(spark, root, g)
+      // a zero-entry generation is servable via the recorded schema
+      // DDL, but its DataFrame is a LocalRelation with no file source
+      // inside — hand SQL an explicit empty relation instead of
+      // letting fileRelationOf refuse
+      if (m.entries.isEmpty)
+        new EmptySnapshotRelation(sqlContext,
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+        ManifestStore.readAt(spark, root, g))
+    } else {
+      val df = gen match {
+        case Some(g) => SnapshotStore.readAt(spark, root, g)
+        case None    => SnapshotStore.readCurrent(spark, root)
+      }
+      org.apache.spark.sql.GraftSqlBridge.fileRelationOf(df)
     }
-    org.apache.spark.sql.GraftSqlBridge.fileRelationOf(df)
   }
+}
+
+/** The zero-entry manifest generation's SQL relation: the recorded
+  * schema with no rows — what makes an emptied-by-retention (or
+  * [[ManifestStore.deleteWhere]]-emptied) table still SELECTable.
+  */
+private[graft] class EmptySnapshotRelation(
+    override val sqlContext: SQLContext,
+    override val schema: org.apache.spark.sql.types.StructType)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row]
 }

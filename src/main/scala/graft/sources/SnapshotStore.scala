@@ -180,8 +180,16 @@ object SnapshotStore {
     // from grace-retention — without out-of-band parameters; readers
     // parse only the lines they know (legacy pointers stay readable,
     // and the CAS expectation is the raw prior bytes verbatim, so
-    // format changes commit like any other swap)
-    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$retainMs\n"
+    // format changes commit like any other swap). The floor INHERITS:
+    // retainMs > 0 SETS the table's grace (raise or lower, an
+    // explicit operator decision); the default 0 means "unspecified"
+    // and inherits the prior pointer's grace= — so a maintenance
+    // publish (compactCurrent*, a default-0 promotion) preserves the
+    // configured reader window instead of pruning inside it.
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else prior.flatMap(parsedGrace).getOrElse(0L)
+    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
@@ -189,7 +197,7 @@ object SnapshotStore {
     }
     // retention AFTER the repoint: a crash anywhere above leaves the
     // old gens (over-retention, pruned next publish), never a gap
-    prune(fs, root, gen, keep, retainMs)
+    prune(fs, root, gen, keep, effRetain)
     gen
   }
 
@@ -271,6 +279,46 @@ object SnapshotStore {
     spark.read.parquet(genDir(root, gen).toString)
   }
 
+  /** TIME-based travel: the newest generation whose `_published_at`
+    * instant is at-or-before `tsMs` — "the table as it was served at
+    * time T". Resolution is a bounded listing of the retained gens
+    * plus one marker read each (metadata only). Refuses with the
+    * typed [[graft.SnapshotUnavailable]] when T predates every
+    * retained generation's publish (the answer aged out — the
+    * [[readAt]] retention contract) or when no retained generation
+    * carries a publish marker (a pre-marker legacy table cannot
+    * honestly answer time queries).
+    */
+  def genAsOfTimestamp(spark: SparkSession, root: String,
+                       tsMs: Long): Long = {
+    val cur = currentGen(spark, root).getOrElse(
+      throw new graft.SnapshotUnavailable(
+        s"no published snapshot at $root"))
+    val fs = Tables.fsFor(spark, root)
+    val base = new Path(s"$root/_snapshots")
+    val candidates =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
+        .flatMap(_.getPath.getName.toLongOption)
+        .filter(_ <= cur) // residue gens never served — not answers
+        .flatMap(g => publishedAt(fs, root, g).map(g -> _))
+    if (candidates.isEmpty) throw new graft.SnapshotUnavailable(
+      s"no generation of $root carries a publish instant — the table " +
+        "predates the _published_at marker; time travel needs at " +
+        "least one marked publish")
+    candidates.filter(_._2 <= tsMs)
+      .sortBy(_._1).lastOption.map(_._1)
+      .getOrElse(throw new graft.SnapshotUnavailable(
+        s"no retained generation of $root was published at or before " +
+          s"$tsMs — the state at that instant aged past the " +
+          "retention window (keep/grace)"))
+  }
+
+  /** [[readAt]] addressed by TIME instead of generation. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMs: Long): DataFrame =
+    readAt(spark, root, genAsOfTimestamp(spark, root, tsMs))
+
   /** Time-travel CDC (S12 composed over S19): the per-key
     * added/removed/changed/unchanged diff between two SERVED
     * generations of this table — "what did that promotion change"
@@ -296,13 +344,14 @@ object SnapshotStore {
     * Returns the file count of the compacted generation.
     */
   def compactCurrent(spark: SparkSession, root: String,
-                     targetRowsPerFile: Long, keep: Int = 3): Int = {
+                     targetRowsPerFile: Long, keep: Int = 3,
+                     retainMs: Long = 0L): Int = {
     require(targetRowsPerFile > 0)
     val df = readCurrent(spark, root)
     val n = df.count()
     val files = math.max(1L,
       (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    publish(spark, df.repartition(files), root, Nil, keep)
+    publish(spark, df.repartition(files), root, Nil, keep, retainMs)
     files
   }
 
@@ -316,7 +365,7 @@ object SnapshotStore {
     */
   def compactCurrentBytes(spark: SparkSession, root: String,
                           targetBytesPerFile: Long,
-                          keep: Int = 3): Int = {
+                          keep: Int = 3, retainMs: Long = 0L): Int = {
     require(targetBytesPerFile > 0)
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -329,7 +378,7 @@ object SnapshotStore {
       (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     publish(spark,
       spark.read.parquet(genDir(root, gen).toString).repartition(files),
-      root, Nil, keep)
+      root, Nil, keep, retainMs)
     files
   }
 }

@@ -52,7 +52,8 @@ object SnapshotStream {
     * Returns the committed generation.
     */
   def publishBatch(spark: SparkSession, batch: DataFrame, root: String,
-                   idCol: String, keep: Int = 3): Long = {
+                   idCol: String, keep: Int = 3,
+                   retainMs: Long = 0L): Long = {
     val M = graft.sources.ManifestStore
     val bid = graft.operators.Dedup.batchId(batch, idCol)
     M.currentGen(spark, root).foreach { g =>
@@ -63,8 +64,11 @@ object SnapshotStream {
             s"a partition of $root's serving manifest — re-promoting " +
             "a committed micro-batch would double-count it")
     }
+    // retainMs rides through to the manifest publish; the table's
+    // configured grace is preserved either way by the publish-side
+    // ratchet (max with the prior pointer's grace= line)
     M.publish(spark, batch.withColumn("snapshot_batch", lit(bid)),
-      root, "snapshot_batch", Nil, keep)
+      root, "snapshot_batch", Nil, keep, retainMs = retainMs)
   }
 
   /** The streaming sink: every micro-batch promotes through
@@ -75,9 +79,9 @@ object SnapshotStream {
     */
   def snapshotSink(stream: DataFrame, root: String,
                    checkpointDir: String, idCol: String,
-                   keep: Int = 3): StreamingQuery =
+                   keep: Int = 3, retainMs: Long = 0L): StreamingQuery =
     snapshotSinkWithProbe(stream, root, checkpointDir, idCol, keep,
-      () => ())
+      () => (), retainMs)
 
   /** [[snapshotSink]] with a probe fired after each promotion —
     * exists so the never-gaps reader contract is TESTED across
@@ -87,7 +91,8 @@ object SnapshotStream {
                                            root: String,
                                            checkpointDir: String,
                                            idCol: String, keep: Int,
-                                           afterBatch: () => Unit)
+                                           afterBatch: () => Unit,
+                                           retainMs: Long = 0L)
       : StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -95,7 +100,7 @@ object SnapshotStream {
         if (!batch.isEmpty) {
           try {
             publishBatch(batch.sparkSession, batch.toDF(), root,
-              idCol, keep)
+              idCol, keep, retainMs)
             ()
           } catch {
             // the redelivery case: this exact batch already promoted

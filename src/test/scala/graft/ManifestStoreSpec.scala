@@ -425,4 +425,239 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(fs.exists(new org.apache.hadoop.fs.Path(root)))
     } finally rmTree(dir)
   }
+
+  test("grace RATCHET: a maintenance publish with the default " +
+      "retainMs preserves the configured reader window") {
+    val dir = tmp("maniratchet")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val hour = 3600L * 1000
+      ManifestStore.publish(spark, nation, root, "n_regionkey",
+        keep = 1, retainMs = hour) // gen 1, grace configured
+      import spark.implicits._
+      val batch = Seq((9999, "NEW", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      // the routine daily merge passes NO retainMs — before the
+      // ratchet this pruned gen 1 inside the promised hour
+      ManifestStore.mergePartitions(spark, batch, root,
+        Seq("n_nationkey"), keep = 1)
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) ==
+        rows(nation),
+        "a default-retainMs merge pruned inside the configured grace")
+      // and an OPTIMIZE (also default retainMs) keeps honoring it
+      ManifestStore.compactSmallPartitions(spark, root, 1L)
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) ==
+        rows(nation),
+        "a default-retainMs OPTIMIZE pruned inside the configured grace")
+      // the ratcheted floor is PERSISTED: the latest pointer still
+      // carries grace=hour even though no caller re-passed it
+      val fs = Tables.fsFor(spark, root)
+      val raw = graft.sources.MetaSwap.readCommitted(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_current"))
+      assert(graft.sources.SnapshotStore.parsedGrace(raw)
+        .contains(hour))
+    } finally rmTree(dir)
+  }
+
+  test("empty-string partition values address the hive sentinel: a " +
+      "merge of an empty-string batch MERGES instead of replacing") {
+    val dir = tmp("maniempty")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      // base table: one null-partition row, one empty-string row, one
+      // normal partition — null and "" both land in the sentinel dir
+      val base = Seq((1, "nullpart", null.asInstanceOf[String]),
+        (2, "emptypart", ""), (3, "xpart", "x"))
+        .toDF("id", "name", "p")
+      ManifestStore.publish(spark, base, root, "p")
+      val batch = Seq((4, "emptynew", "")).toDF("id", "name", "p")
+      ManifestStore.mergePartitions(spark, batch, root, Seq("id"))
+      // the existing sentinel rows (null AND "") survived the merge
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(base.unionByName(batch)),
+        "an empty-string batch must merge with the sentinel " +
+          "partition's existing rows, not replace them")
+      // and readPartitions addresses the sentinel for "" like null
+      assert(ManifestStore.readPartitions(spark, root, Seq(""))
+        .count() == 3L)
+    } finally rmTree(dir)
+  }
+
+  test("racing promotions: a DISJOINT-partition race rebases and " +
+      "both land; a same-partition race refuses typed") {
+    val dir = tmp("manirace")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      import spark.implicits._
+      val mergeBatch = Seq((9999, "MERGED", 1))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      // DISJOINT: a racing promotion of region 3 lands between the
+      // merge's planning read and its publish — the merge loses the
+      // CAS, proves disjointness, rebases, and BOTH changes serve
+      val racer3 = nation.filter(col("n_regionkey") === 3)
+        .withColumn("n_name", lit("RACER"))
+      var fired = false
+      ManifestStore.mergePartitionsImpl(spark, mergeBatch, root,
+        Seq("n_nationkey"), Nil, 3, 0L, () => {
+          if (!fired) {
+            fired = true
+            ManifestStore.publish(spark, racer3, root, "n_regionkey")
+            ()
+          }
+        })
+      val served = ManifestStore.readCurrent(spark, root)
+      assert(served.filter(col("n_name") === "MERGED").count() == 1L)
+      assert(served.filter(col("n_name") === "RACER").count() ==
+        racer3.count())
+      // equal to either sequential order
+      assert(rows(served) == rows(
+        nation.filter(col("n_regionkey") =!= 3).unionByName(racer3)
+          .unionByName(mergeBatch)))
+      // SAME partition: the winner replaced rows the merge was
+      // computed from — rebase is impossible, the race stays loud
+      var fired2 = false
+      intercept[graft.sources.MetaSwap.CasFailed] {
+        ManifestStore.mergePartitionsImpl(spark,
+          Seq((9998, "LOSER", 1))
+            .toDF("n_nationkey", "n_name", "n_regionkey"),
+          root, Seq("n_nationkey"), Nil, 3, 0L, () => {
+            if (!fired2) {
+              fired2 = true
+              ManifestStore.publish(spark,
+                nation.filter(col("n_regionkey") === 1)
+                  .withColumn("n_name", lit("WINNER")),
+                root, "n_regionkey")
+              ()
+            }
+          })
+      }
+      // the winner's promotion was never overwritten
+      assert(ManifestStore.readCurrent(spark, root)
+        .filter(col("n_name") === "WINNER").count() ==
+        nation.filter(col("n_regionkey") === 1).count())
+    } finally rmTree(dir)
+  }
+
+  test("deleteWhere: only matching rows go, only affected partitions " +
+      "rewrite, emptied partitions leave the manifest, NULL " +
+      "predicates keep their rows") {
+    val dir = tmp("manidel")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      // 100 rows over 4 partitions, plus one row whose predicate
+      // column is NULL (SQL DELETE must keep it)
+      val base = (1 to 100).map(i =>
+          (i, s"r$i", (i - 1) / 25, java.lang.Integer.valueOf(i)))
+        .toDF("id", "name", "p", "v")
+        .unionByName(Seq((101, "nullv", 2,
+          null.asInstanceOf[java.lang.Integer]))
+          .toDF("id", "name", "p", "v"))
+      ManifestStore.publish(spark, base, root, "p")
+      val before = fileState(root, 1L)
+      // delete ALL of partition 1 (v in 26..50) and one row of
+      // partition 2 (v = 60); the null-v row's predicate is NULL
+      val g = ManifestStore.deleteWhere(spark, root,
+        col("v").between(26, 50) || col("v") === 60)
+      assert(g == 2L)
+      val served = ManifestStore.readCurrent(spark, root)
+      assert(served.count() == 101L - 25L - 1L)
+      assert(served.filter(col("v").between(26, 50)).count() == 0L)
+      assert(served.filter(col("id") === 101).count() == 1L,
+        "a NULL predicate must KEEP the row (SQL DELETE semantics)")
+      val m2 = ManifestStore.manifestAt(spark, root, 2L)
+      // the emptied partition left the manifest — its old files did
+      // not resurrect through entry carrying
+      assert(m2.entries.forall(_.partition != "1"))
+      // untouched partitions: same files, same mtimes
+      val after = fileState(root, 2L)
+      m2.entries.filter(e => e.partition == "0" || e.partition == "3")
+        .foreach { e =>
+          assert(e.relPath.startsWith("_writes/1/"))
+          assert(before(e.relPath) == after(e.relPath))
+        }
+      // partition 2 was rewritten (new files)
+      assert(m2.entries.filter(_.partition == "2")
+        .forall(_.relPath.startsWith("_writes/2/")))
+      // the pre-delete generation still time-travels in full
+      assert(ManifestStore.readAt(spark, root, 1L).count() == 101L)
+      // nothing matched → no new generation
+      assert(ManifestStore.deleteWhere(spark, root,
+        col("v") === -1) == 2L)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("per-file stats: readWhere prunes the ENTRY LIST driver-side, " +
+      "stats ride carried entries, results equal the unpruned read") {
+    val dir = tmp("manistats")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      val base = (1 to 100).map(i => (i, s"r$i", (i - 1) / 25))
+        .toDF("id", "name", "p")
+      ManifestStore.publish(spark, base, root, "p",
+        statsCols = Seq("id"))
+      val m1 = ManifestStore.manifestAt(spark, root, 1L)
+      assert(m1.statsCols == Seq("id"))
+      assert(m1.entries.forall(_.stats.contains("id")))
+      // the range 30..40 lives entirely in partition 1's file: the
+      // driver prune keeps exactly that entry
+      val (_, kept) = ManifestStore.statsPrunedEntries(spark, root,
+        "id", 30, 40)
+      assert(kept.size == 1 && kept.head.partition == "1",
+        kept.toString)
+      val pruned = ManifestStore.readWhere(spark, root, "id", 30, 40)
+      assert(rows(pruned) ==
+        rows(base.filter(col("id").between(30, 40))))
+      // a partial publish CARRIES the untouched entries' stats and
+      // inherits the declared stat columns for the rewritten files
+      val batch = Seq((26, "UPDATED", 1)).toDF("id", "name", "p")
+      ManifestStore.mergePartitions(spark, batch, root, Seq("id"))
+      val m2 = ManifestStore.manifestAt(spark, root, 2L)
+      assert(m2.statsCols == Seq("id"))
+      assert(m2.entries.forall(_.stats.contains("id")),
+        "carried AND rewritten entries must both carry stats")
+      val (_, kept2) = ManifestStore.statsPrunedEntries(spark, root,
+        "id", 80, 90)
+      assert(kept2.size == 1 && kept2.head.partition == "3")
+      assert(rows(ManifestStore.readWhere(spark, root, "id", 80, 90)) ==
+        rows(base.filter(col("id").between(80, 90))))
+      // typed compare: numeric stats never prune lexicographically
+      // ("9" > "10" would wrongly drop partition 0 for lo=9)
+      val (_, kept3) = ManifestStore.statsPrunedEntries(spark, root,
+        "id", 9, 10)
+      assert(kept3.size == 1 && kept3.head.partition == "0")
+    } finally rmTree(dir)
+  }
+
+  test("a zero-entry generation serves the recorded schema — " +
+      "including through the SQL source") {
+    val dir = tmp("manizero")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      // a full rebuild from an empty frame: zero entries, schema kept
+      ManifestStore.publish(spark, nation.limit(0), root,
+        "n_regionkey", replaceAll = true)
+      val cur = ManifestStore.readCurrent(spark, root)
+      assert(cur.count() == 0L)
+      assert(cur.schema == nation.schema)
+      // the SQL surface serves it as an empty relation instead of
+      // refusing with "no file relation in plan"
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_zero_mani " +
+        s"USING graft.sources.SnapshotSource OPTIONS (path '$root')")
+      assert(spark.sql(
+        "SELECT count(*) AS n, count(n_name) AS nn " +
+          "FROM graft_zero_mani").head().getLong(0) == 0L)
+      spark.catalog.dropTempView("graft_zero_mani")
+      ()
+    } finally rmTree(dir)
+  }
 }

@@ -604,6 +604,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated fact failures never prune the schema-named dim " +
+      "generation: goldTable keeps serving the committed triple") {
+    import graft.operators.Cleaning
+    val out = java.nio.file.Files.createTempDirectory("graft-pin")
+      .toString
+    Pipeline.run(spark, sf, out, "2026-08-12")
+    val gens1 = Pipeline.goldSchemaGens(spark, out)
+    val dimN = Pipeline.goldTable(spark, out, "dim_date").count()
+    // four consecutive runs whose FACT audit refuses: each advances
+    // the dims a generation while `_schema` stays put — with a flat
+    // keep=3 the dims' prune would delete the generation `_schema`
+    // still names on the third failure
+    (1 to 4).foreach { _ =>
+      intercept[AuditFailed] {
+        Pipeline.gold(spark, sf, out, "2026-08-13",
+          extraFactAudit =
+            Seq(Cleaning.ExpectRange("quantidade", -2.0, -1.0)))
+      }
+    }
+    assert(Pipeline.goldSchemaGens(spark, out) == gens1)
+    // the consistent-triple reader still serves — the schema-named
+    // dim generations were pinned through every failed run
+    assert(Pipeline.goldTable(spark, out, "dim_date").count() == dimN)
+    assert(Pipeline.goldTable(spark, out, "fact_sales").count() > 0)
+    // a finally-successful run advances the triple and retention
+    // returns to normal
+    Pipeline.gold(spark, sf, out, "2026-08-13")
+    val gens2 = Pipeline.goldSchemaGens(spark, out)
+    assert(gens2("dim_date") == gens1("dim_date") + 5)
+    assert(Pipeline.goldTable(spark, out, "dim_date").count() == dimN)
+  }
+
   test("withRetries re-runs a flaky stage, rethrows after exhaustion") {
     var n = 0
     val r = Pipeline.withRetries(3) { n += 1; if (n < 3) sys.error("boom"); n }

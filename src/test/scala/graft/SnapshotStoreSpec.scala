@@ -618,4 +618,61 @@ class SnapshotStoreSpec extends AnyFunSuite {
         f.status == "corrupt" && !f.healthy))
     } finally rmTree(dir)
   }
+
+  test("timestampAsOf: an instant resolves to the newest generation " +
+      "published at-or-before it, on both table kinds and in SQL; " +
+      "out-of-window instants refuse typed") {
+    val dir = tmp("snapts")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      val preT = System.currentTimeMillis() - 1L
+      SnapshotStore.publish(spark, nation, root) // gen 1
+      Thread.sleep(5)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(5)
+      SnapshotStore.publish(spark,
+        nation.filter(col("n_regionkey") < 2), root) // gen 2
+      assert(SnapshotStore.genAsOfTimestamp(spark, root, t1) == 1L)
+      assert(rows(SnapshotStore.readAsOfTimestamp(spark, root, t1)) ==
+        rows(nation))
+      assert(SnapshotStore.genAsOfTimestamp(spark, root,
+        System.currentTimeMillis()) == 2L)
+      intercept[SnapshotUnavailable] {
+        SnapshotStore.readAsOfTimestamp(spark, root, preT)
+      }
+      // SQL: timestampAsOf pins the resolved generation; epoch millis
+      // and versionAsOf are mutually exclusive
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ts_v " +
+        s"USING graft.sources.SnapshotSource " +
+        s"OPTIONS (path '$root', timestampAsOf '$t1')")
+      assert(spark.sql("SELECT count(*) FROM graft_ts_v")
+        .head().getLong(0) == nation.count())
+      spark.catalog.dropTempView("graft_ts_v")
+      intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ts_bad " +
+          s"USING graft.sources.SnapshotSource " +
+          s"OPTIONS (path '$root', timestampAsOf '$t1', " +
+          "versionAsOf '1')")
+      }
+      // manifest kind: published= headers answer the same question
+      val mroot = dir.toString + "/m"
+      graft.sources.ManifestStore.publish(spark, nation, mroot,
+        "n_regionkey")
+      Thread.sleep(5)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(5)
+      graft.sources.ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_name", lit("X")), mroot, "n_regionkey")
+      assert(graft.sources.ManifestStore
+        .genAsOfTimestamp(spark, mroot, t2) == 1L)
+      assert(rows(graft.sources.ManifestStore
+        .readAsOfTimestamp(spark, mroot, t2)) == rows(nation))
+      intercept[SnapshotUnavailable] {
+        graft.sources.ManifestStore.readAsOfTimestamp(spark, mroot,
+          preT)
+      }
+    } finally rmTree(dir)
+  }
 }
