@@ -874,6 +874,160 @@ object Pipeline {
     acceptedSilver.count()
   }
 
+  /** What [[retractDocs]] did, per store — bounded driver scalars for
+    * the caller's audit trail.
+    */
+  final case class RetractReport(requested: Long, silverRemoved: Long,
+                                 shardsRewritten: Seq[Long],
+                                 dedupHits: Long, bm25Removed: Long,
+                                 vectorRemoved: Long)
+
+  /** CROSS-STORE TAKEDOWN (R2 — the opt-out path a production
+    * training-data pipeline needs on day one): make `docIds`
+    * unservable EVERYWHERE the corpus pipeline persisted them, in one
+    * call:
+    *
+    *  1. SILVER — the affected shard partitions (layout-derived from
+    *     the recipe, no scan of unaffected shards) rewrite without
+    *     the docs; a shard emptied by the retraction is removed. The
+    *     victims' `norm_hash` values are captured first (bounded by
+    *     the request) to scrub the exact-dup evidence below.
+    *  2. GOLD — the affected `train_packed` shards are DELETED first
+    *     and then rebuilt from the rewritten silver
+    *     ([[corpusGold]]'s shard-scoped rebuild): a retracted doc's
+    *     text can sit inside a packed row, so the bias is removal
+    *     over availability — a crash mid-step leaves the affected
+    *     shards absent, never a packed row still carrying the text;
+    *     re-run to finish the rebuild.
+    *  3. DEDUP INDEX — band/shingle rows, exact-dup hash evidence,
+    *     and the batches' `accepted` text records scrub via
+    *     [[Dedup.retractFromDedupIndex]] (tombstoned originals keep
+    *     refusing replays, so a redelivered batch cannot resurrect
+    *     the doc).
+    *  4. Optionally a BM25 postings index and a vector index over the
+    *     same ids ([[Bm25.retractFromBm25Index]] /
+    *     [[VectorIndex.retractIds]]).
+    *
+    * NOT touched: bronze (the raw landing zone — retention there is a
+    * lifecycle policy, not an index rewrite) and past manifest/
+    * snapshot GENERATIONS still inside their retention windows
+    * (bounded by keep/grace by design; size those windows to the
+    * take-down SLA, or age them out with follow-up publishes).
+    *
+    * Recovery: silver shards swap via rename-aside under
+    * `<silver>.retracting/` — a crash mid-swap preserves every
+    * superseded copy there, and the recovery is re-running the same
+    * retraction (idempotent: already-scrubbed stores report 0 hits).
+    */
+  def retractDocs(spark: SparkSession, outDir: String,
+                  docIds: Seq[String], modelingDate: String,
+                  epoch: Int = 1,
+                  recipe: Corpus.TrainingRecipe =
+                    Corpus.TrainingRecipe.Default,
+                  bm25IndexPath: Option[String] = None,
+                  vectorIndexPath: Option[String] = None)
+      : RetractReport = {
+    require(docIds.nonEmpty, "retractDocs needs at least one doc id")
+    import spark.implicits._
+    val silverPath = s"$outDir/silver/documents"
+    val fs = Tables.fsFor(spark, silverPath)
+    val idsDf = docIds.toDF("doc_id").distinct()
+    // affected shards are LAYOUT-derived (the recipe's hash bucket):
+    // a bounded driver list, no scan of unaffected partitions
+    val affected = docIds.toDF("doc_id")
+      .select(Corpus.hashBucket(col("doc_id"), recipe.shardSalt,
+        recipe.shards).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val existingShardDirs = affected
+      .map(k => k -> s"$silverPath/shard=$k")
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p)) }
+    var silverRemoved = 0L
+    var victimHashes = Seq.empty[String]
+    if (existingShardDirs.nonEmpty) {
+      val rows = spark.read.option("basePath", silverPath)
+        .parquet(existingShardDirs.map(_._2): _*)
+      // the stored doc_id keeps its ingest type — cast the request
+      // to it so the joins are typed, never coercion-dependent
+      val idsTyped = idsDf.select(col("doc_id")
+        .cast(rows.schema("doc_id").dataType).as("doc_id"))
+      // bounded collect (≤ the request size): the hashes that scrub
+      // the index's exact-dup evidence
+      victimHashes = rows
+        .join(broadcast(idsTyped), Seq("doc_id"), "left_semi")
+        .select(col("norm_hash")).collect().map(_.getString(0)).toSeq
+      silverRemoved = victimHashes.size
+      if (silverRemoved > 0) {
+        val staging = s"$silverPath.retracting"
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
+            !fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+          throw new IllegalStateException(
+            s"cannot wipe stale retraction staging at $staging")
+        rows.join(broadcast(idsDf.select(col("doc_id")
+            .cast(rows.schema("doc_id").dataType).as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .withColumn("shard", col("shard").cast("bigint"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(staging)
+        val stagedNames = fs.listStatus(
+            new org.apache.hadoop.fs.Path(staging))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("shard="))
+          .map(_.getPath.getName).toSet
+        existingShardDirs.foreach { case (k, p) =>
+          val name = s"shard=$k"
+          val dst = new org.apache.hadoop.fs.Path(p)
+          val aside = new org.apache.hadoop.fs.Path(
+            s"$staging/__retired_$name")
+          if (!fs.rename(dst, aside))
+            throw new IllegalStateException(
+              s"silver retraction could not stage $dst aside — " +
+                s"superseded copies are under $staging; re-run the " +
+                "same retraction to recover")
+          // a shard emptied by the retraction stays absent
+          if (stagedNames(name) &&
+              !fs.rename(new org.apache.hadoop.fs.Path(
+                s"$staging/$name"), dst))
+            throw new IllegalStateException(
+              s"silver retraction publish failed for $name — " +
+                s"superseded copies are under $staging; re-run the " +
+                "same retraction to recover")
+        }
+        if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+          throw new IllegalStateException(
+            s"cannot reclaim retraction staging at $staging")
+      }
+    }
+    // gold: removal first (a packed row can carry the text), then the
+    // shard-scoped rebuild from the rewritten silver
+    val goldTarget = s"$outDir/gold/train_packed"
+    affected.foreach { k =>
+      val p = new org.apache.hadoop.fs.Path(s"$goldTarget/shard=$k")
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new IllegalStateException(
+          s"cannot remove the affected gold shard $p")
+    }
+    val rebuildable = affected.filter(k => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$silverPath/shard=$k")))
+    if (rebuildable.nonEmpty)
+      corpusGold(spark, outDir, modelingDate, epoch, recipe,
+        shards = Some(rebuildable))
+    val dedupHits =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexDir(outDir))))
+        Dedup.retractFromDedupIndex(spark, indexDir(outDir), docIds,
+          victimHashes)
+      else 0L
+    val bm25N = bm25IndexPath
+      .map(p => Bm25.retractFromBm25Index(spark, p, docIds))
+      .getOrElse(0L)
+    val vecN = vectorIndexPath
+      .map(p => VectorIndex.retractIds(spark, p, docIds))
+      .getOrElse(0L)
+    RetractReport(docIds.distinct.size.toLong, silverRemoved, affected,
+      dedupHits, bm25N, vecN)
+  }
+
   /** Corpus-domain DAG run (bronze → silver → gold with retries, same
     * orchestration contract as [[run]]); returns the packed training
     * set. One-shot form of [[corpusInit]] without the incremental

@@ -2476,6 +2476,82 @@ object SparkEntry {
           .toDF("gold_nonempty", "epoch_ranks_dense", "silver_docs")
       } finally rmTree(new java.io.File(out))
     }),
+    // ---- §2.11 R2 cross-store takedown, driver-gated ----
+    // the opt-out path: two documents retract from EVERY store that
+    // persisted them — corpus silver + packed gold (the composed
+    // Pipeline.retractDocs), a BM25 postings index, and a vector
+    // index over the same ids. The gate asserts PHYSICAL scrub (a
+    // recursive read of every listed batch finds zero rows for the
+    // ids), that no packed gold row still carries the text, and that
+    // every index audits healthy after. n_silver_after is the real
+    // oracle row: DuckDB recomputes the canonical silver count from
+    // the raw table and subtracts the two retracted docs.
+    "q_corpus_retract" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-retract-gate").toString
+      try {
+        Pipeline.runCorpus(s, d, out, Stamp)
+        val silverPath = s"$out/silver/documents"
+        val victims = s.read.parquet(silverPath)
+          .orderBy("doc_id").select("doc_id", "clean_text")
+          .limit(2).collect()
+        val ids = victims.map(_.getLong(0)).toSeq
+        val cleanTexts = victims.map(_.getString(1)).toSeq
+        // standalone serving stores over the same corpus
+        val docs = Tables.table(s, d, "documents")
+          .select("doc_id", "text")
+        val bm25Dir = s"$out/bm25"
+        graft.operators.Bm25.writeBm25Index(docs, "doc_id", "text",
+          bm25Dir)
+        val (m, dim) = (8, 64)
+        val emb = Tables.table(s, d, "embeddings")
+        val cb = sharedPqCodebook(s, d, m, dim, rounds = 3)
+        val cents = emb.filter(col("vec_id") % 37 === 1)
+          .select(col("vec_id").as("cell"),
+            col("embedding").as("centv"))
+        val vecDir = s"$out/vec"
+        graft.operators.VectorIndex.write(emb, "vec_id", "embedding",
+          cents, cb, m, dim, vecDir)
+        val vecBefore = s.read
+          .parquet(s"$vecDir/batches/bootstrap/cellCodes")
+          .filter(col("id").isin(ids.map(Long.box): _*))
+          .select("id").distinct().count()
+        val report = Pipeline.retractDocs(s, out,
+          ids.map(_.toString), Stamp,
+          bm25IndexPath = Some(bm25Dir),
+          vectorIndexPath = Some(vecDir))
+        def scrubbed(batchDirs: Seq[String], idCol: String): Boolean =
+          batchDirs.forall(p => s.read
+            .option("recursiveFileLookup", "true").parquet(p)
+            .filter(col(idCol).isin(ids.map(Long.box): _*))
+            .count() == 0L)
+        val bmMeta = graft.operators.Bm25.readBm25Meta(s, bm25Dir)
+        val bm25Scrubbed = report.bm25Removed == 2L &&
+          scrubbed(bmMeta.batches.map(b => s"$bm25Dir/batches/$b"),
+            "doc_id")
+        val vecMeta = graft.operators.VectorIndex.readMeta(s, vecDir)
+        val vecScrubbed = report.vectorRemoved == vecBefore &&
+          scrubbed(vecMeta.batches.map(b =>
+            s"$vecDir/batches/$b/cellCodes"), "id")
+        val silverAfter = s.read.parquet(silverPath)
+        val silverScrubbed = report.silverRemoved == 2L &&
+          silverAfter.filter(col("doc_id")
+            .isin(ids.map(Long.box): _*)).count() == 0L
+        val packed = s.read.parquet(s"$out/gold/train_packed")
+        val goldScrubbed = packed.count() > 0 &&
+          cleanTexts.forall(t =>
+            packed.filter(col("packed_text").contains(t))
+              .count() == 0L)
+        val auditsHealthy =
+          graft.operators.IndexAudit.isHealthy(s, bm25Dir) &&
+          graft.operators.IndexAudit.isHealthy(s, vecDir)
+        import s.implicits._
+        Seq((silverScrubbed, goldScrubbed, bm25Scrubbed, vecScrubbed,
+          auditsHealthy, silverAfter.count()))
+          .toDF("silver_scrubbed", "gold_scrubbed", "bm25_scrubbed",
+            "vector_scrubbed", "audits_healthy", "n_silver_after")
+      } finally rmTree(new java.io.File(out))
+    }),
     // ---- §2.10/§2.11 INCREMENTAL corpus pipeline, driver-gated ----
     // the production daily shape: init on a 60% slice, then two daily
     // increments checked against the persisted state (silver hashes +
@@ -3948,6 +4024,22 @@ object SparkEntry {
          |  (SELECT count(*) + 2 FROM documents
          |   WHERE ${duckHashBucket("doc_id", "cinc", 5)} = 0)
          |    AS n_docs_classified""".stripMargin,
+    // the post-takedown silver = the canonical count (the
+    // q_corpus_pipeline mirror) minus the two retracted docs; the
+    // physical-scrub and audit laws ride as booleans
+    "q_corpus_retract" ->
+      """SELECT true AS silver_scrubbed, true AS gold_scrubbed,
+        |  true AS bm25_scrubbed, true AS vector_scrubbed,
+        |  true AS audits_healthy,
+        |  (SELECT count(DISTINCT lower(regexp_replace(trim(
+        |      trim(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |            'https?://[^\s]+', ' ', 'g'),
+        |          '&#?[A-Za-z0-9]+;', ' ', 'g'),
+        |        '\s+', ' ', 'g'))), '\s+', ' ', 'g'))) - 2
+        |   FROM documents) AS n_silver_after""".stripMargin,
     // silver_docs = one canonical doc per distinct strip+normalized
     // text, recomputed from the raw table (same strip/normalize
     // mirrors as q_text_strip/q_text_normalize, unwrapped)

@@ -549,6 +549,115 @@ object Bm25 {
     }
   }
 
+  /** DOC-LEVEL RETRACTION (the takedown/opt-out path, R1): remove
+    * `ids`' postings from the index PHYSICALLY — after this returns,
+    * no probe can surface a retracted document and no bytes of its
+    * postings remain in any listed batch. Per affected batch the
+    * remainder postings republish as a fresh batch directory (atomic
+    * rename, invisible until the swap) and ONE compare-and-set meta
+    * swap then: subtracts the retracted documents' per-batch (n, Σlen)
+    * contributions from the corpus scalars, replaces the affected
+    * batch ids with their rewritten twins, and RETIRES the old ids —
+    * so a checkpointed stream redelivering an original batch is still
+    * refused (a replay would resurrect the retracted docs). Old
+    * directories delete after the swap (or linger invisibly for
+    * `retainMs`, the [[dropBm25Batch]] grace contract). A batch whose
+    * documents are ALL retracted delists without a replacement.
+    *
+    * Cost: one column-pruned scan per committed batch to find hits
+    * (compaction keeps the batch count bounded) plus a rewrite of
+    * only the AFFECTED batches. Crash honesty: staged rewrites are
+    * unlisted residue until the single swap; a crash before it
+    * changes nothing a probe sees, and the re-run re-stages over the
+    * residue. Returns the number of distinct retracted documents
+    * found (0 = nothing to do, meta untouched).
+    */
+  def retractFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                           path: String, ids: Seq[Any],
+                           retainMs: Long = 0L): Long = {
+    require(ids.nonEmpty, "retractFromBm25Index needs at least one id")
+    val fs = fsFor(spark, path)
+    val (meta, raw) = readBm25MetaRaw(spark, path)
+    import spark.implicits._
+    val idsDf = ids.map(_.toString).toDF("__rid")
+      .select(col("__rid").cast(meta.idType).as(meta.idCol)).distinct()
+    def termDirs(b: String): Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/batches/$b")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("term_p="))
+        .map(_.getPath.toString).toSeq
+    }
+    final case class Rewrite(old: String, replacement: Option[String],
+                             dn: Long, dsl: Long)
+    val rewrites = meta.batches.flatMap { b =>
+      val dirs = termDirs(b)
+      if (dirs.isEmpty) None
+      else {
+        val rows = spark.read.parquet(dirs: _*)
+        val victims = rows.join(broadcast(idsDf), Seq(meta.idCol),
+          "left_semi")
+        val vs = victims.select(col(meta.idCol), col("len")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("sl")).head()
+        if (vs.getLong(0) == 0L) None
+        else {
+          val remainder = rows.join(broadcast(idsDf), Seq(meta.idCol),
+            "left_anti")
+          val replacement =
+            if (remainder.isEmpty) None
+            else {
+              // deterministic rewrite id: re-running the same retract
+              // after a crash re-stages the same directory; the "r"
+              // prefix keeps it disjoint from content-derived (bare
+              // hex) and merged ("m" + hex) id spaces
+              val rid = "r" + java.security.MessageDigest
+                .getInstance("SHA-256")
+                .digest((b + ":" + ids.map(_.toString).sorted
+                  .mkString(",")).getBytes("UTF-8"))
+                .take(8).map("%02x".format(_)).mkString
+              val staging = new org.apache.hadoop.fs.Path(
+                s"$path/_staging/$rid")
+              val target = new org.apache.hadoop.fs.Path(
+                s"$path/batches/$rid")
+              if (fs.exists(staging) && !fs.delete(staging, true))
+                throw new IllegalStateException(
+                  s"cannot wipe stale staging at $staging")
+              if (fs.exists(target) && !fs.delete(target, true))
+                throw new IllegalStateException(
+                  s"cannot reclaim crash residue at $target")
+              remainder
+                .withColumn("term_p", termPrefixCol(col("term")))
+                .write.mode("overwrite").partitionBy("term_p")
+                .parquet(staging.toString)
+              fs.mkdirs(target.getParent)
+              require(fs.rename(staging, target),
+                s"atomic publish of rewritten batch $rid failed")
+              Some(rid)
+            }
+          Some(Rewrite(b, replacement, vs.getLong(0),
+            if (vs.isNullAt(1)) 0L else vs.getLong(1)))
+        }
+      }
+    }
+    if (rewrites.isEmpty) return 0L
+    val byOld = rewrites.map(r => r.old -> r).toMap
+    val newBatches = meta.batches.flatMap {
+      case b if byOld.contains(b) => byOld(b).replacement.toSeq
+      case b                      => Seq(b)
+    }
+    swapBm25Meta(fs, path, meta.copy(
+      n = meta.n - rewrites.map(_.dn).sum,
+      sumLen = meta.sumLen - rewrites.map(_.dsl).sum,
+      batches = newBatches,
+      retired = (meta.retired ++ rewrites.map(_.old)).distinct), raw)
+    val now = System.currentTimeMillis()
+    rewrites.foreach(r =>
+      IndexProtocol.resetPendingDelete(fs, path, r.old, now, retainMs))
+    IndexProtocol.sweepPendingDeletes(fs, path, now,
+      IndexProtocol.committedFromMeta(fs, path))
+    rewrites.map(_.dn).sum
+  }
+
   /** Index MAINTENANCE: merge every committed batch's postings into
     * ONE batch directory — the same compaction the dedup and vector
     * indexes carry, closing the daily-append loop (file and directory

@@ -716,6 +716,145 @@ object Dedup {
     }
   }
 
+  /** DOC-LEVEL RETRACTION (the takedown/opt-out path, R1 — the
+    * [[Bm25.retractFromBm25Index]] discipline on the directory-
+    * visibility index): physically remove `sids`' band/shingle rows —
+    * and `normHashes`' exact-dup evidence — from every published
+    * batch. Per affected batch the remainder republishes as a fresh
+    * `r…` batch directory (atomic rename), and the superseded batch
+    * is TOMBSTONED the compaction way: payload tables delete, the
+    * directory and its `_landed`/`accepted` markers stay — so the
+    * replay guard still refuses the original batch (a replay would
+    * resurrect the retracted doc) and [[graft.Pipeline]]'s landed
+    * probes are unchanged. Crash honesty matches [[compactDedupIndex]]:
+    * a crash between the republish and the tombstoning leaves
+    * duplicate rows that reads already tolerate AND the retracted
+    * rows still visible — re-run the retraction to finish. Returns
+    * the number of distinct retracted sids found across batches.
+    */
+  def retractFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, sids: Seq[String],
+                            normHashes: Seq[String] = Nil): Long = {
+    require(sids.nonEmpty || normHashes.nonEmpty,
+      "retractFromDedupIndex needs sids or normHashes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val sidDf = sids.toDF("sid").distinct()
+    val hashDf = normHashes.toDF("norm_hash").distinct()
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(base)) return 0L
+    // the compactDedupIndex entry guard: a mid-landing batch's
+    // `accepted/` record is live recovery state — tombstoning it
+    // would destroy the resume path; finish or drop the landing first
+    val midLanding = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath).filter(b =>
+        fs.exists(new org.apache.hadoop.fs.Path(b, "accepted")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(b, "_landed")))
+    require(midLanding.isEmpty,
+      s"refusing to retract from $path: ${midLanding.length} " +
+        "batch(es) are mid-landing (commit record without _landed) — " +
+        "resume or drop them first: " +
+        midLanding.map(_.getName).mkString(", "))
+    var found = 0L
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName).foreach { bdir =>
+        val b = bdir.getName
+        def sub(t: String) = new org.apache.hadoop.fs.Path(bdir, t)
+        def readSub(t: String) = spark.read
+          .option("recursiveFileLookup", "true")
+          .parquet(sub(t).toString)
+        val hasBands = fs.exists(sub("bands"))
+        val hasShingles = fs.exists(sub("shingles"))
+        val hasHashes = fs.exists(sub("hashes"))
+        // the stored sid column keeps the ingest's type (bigint ids
+        // are common); cast the request to it so the join is typed,
+        // never coercion-dependent
+        def sidAs(t: org.apache.spark.sql.types.DataType) =
+          sidDf.select(col("sid").cast(t).as("sid"))
+        val sidHits =
+          if (sids.isEmpty || !hasBands) 0L
+          else {
+            val b0 = readSub("bands")
+            b0.select(col("sid"))
+              .join(broadcast(sidAs(b0.schema("sid").dataType)),
+                Seq("sid"), "left_semi")
+              .distinct().count()
+          }
+        val hashHits =
+          if (normHashes.isEmpty || !hasHashes) 0L
+          else readSub("hashes").select(col("norm_hash"))
+            .join(broadcast(hashDf), Seq("norm_hash"), "left_semi")
+            .distinct().count()
+        if (sidHits > 0L || hashHits > 0L) {
+          found += sidHits
+          val rid = "r" + java.security.MessageDigest
+            .getInstance("SHA-256")
+            .digest((b + ":" + (sids ++ normHashes).sorted
+              .mkString(",")).getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString
+          val staging =
+            new org.apache.hadoop.fs.Path(s"$path/_staging/$rid")
+          val target =
+            new org.apache.hadoop.fs.Path(s"$path/batches/$rid")
+          if (fs.exists(staging) && !fs.delete(staging, true))
+            throw new IllegalStateException(
+              s"cannot wipe stale staging at $staging")
+          if (fs.exists(target) && !fs.delete(target, true))
+            throw new IllegalStateException(
+              s"cannot reclaim crash residue at $target")
+          var wroteAny = false
+          if (hasBands) {
+            val b0 = readSub("bands")
+            val rem = b0.join(
+              broadcast(sidAs(b0.schema("sid").dataType)),
+              Seq("sid"), "left_anti")
+            if (!rem.isEmpty) {
+              rem.withColumn("band_p", col("band"))
+                .repartition(col("band_p"))
+                .write.mode("overwrite").partitionBy("band_p")
+                .parquet(s"$staging/bands")
+              wroteAny = true
+            }
+          }
+          if (hasShingles) {
+            val s0 = readSub("shingles")
+            val rem = s0.join(
+              broadcast(sidAs(s0.schema("sid").dataType)),
+              Seq("sid"), "left_anti")
+            if (!rem.isEmpty) {
+              rem.write.mode("overwrite").parquet(s"$staging/shingles")
+              wroteAny = true
+            }
+          }
+          if (hasHashes) {
+            val rem = readSub("hashes")
+              .join(broadcast(hashDf), Seq("norm_hash"), "left_anti")
+            if (!rem.isEmpty) {
+              rem.withColumn("hp_p", col("hp"))
+                .repartition(col("hp_p"))
+                .write.mode("overwrite").partitionBy("hp_p")
+                .parquet(s"$staging/hashes")
+              wroteAny = true
+            }
+          }
+          if (wroteAny) {
+            fs.mkdirs(target.getParent)
+            require(fs.rename(staging, target),
+              s"atomic publish of rewritten batch $rid failed")
+          }
+          // tombstone the superseded batch: payloads go — `accepted`
+          // included, since it carries the retracted docs' TEXT and
+          // is dead state once `_landed` exists (the compaction
+          // precedent) — while the directory + markers stay (replay
+          // refusal and landed probes unchanged)
+          Seq("bands", "shingles", "hashes", "accepted").foreach(t =>
+            fs.delete(sub(t), true))
+        }
+      }
+    found
+  }
+
   /** Index MAINTENANCE: merge every published batch's bands/shingles
     * into ONE batch directory — the compaction a years-lived daily
     * index eventually needs (file and directory counts grow one batch

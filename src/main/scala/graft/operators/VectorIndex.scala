@@ -387,6 +387,88 @@ object VectorIndex {
     }
   }
 
+  /** DOC-LEVEL RETRACTION (the takedown/opt-out path, R1 — the
+    * [[Bm25.retractFromBm25Index]] twin for vectors): physically
+    * remove `ids`' codes from every listed batch. Affected batches'
+    * remainder codes republish as fresh cell-partitioned batch
+    * directories (atomic rename, invisible until the swap), then ONE
+    * compare-and-set meta swap replaces the affected ids and RETIRES
+    * the originals, so a redelivered embedding batch is still refused
+    * instead of resurrecting the retracted vectors. Old directories
+    * delete after the swap (or linger invisibly for `retainMs`, the
+    * [[dropBatch]] grace contract). The meta carries no corpus
+    * scalars, so the swap is pure list surgery. Returns the number of
+    * distinct retracted ids found (0 = meta untouched).
+    */
+  def retractIds(spark: SparkSession, path: String, ids: Seq[Any],
+                 retainMs: Long = 0L): Long = {
+    require(ids.nonEmpty, "retractIds needs at least one id")
+    val fs = fsFor(spark, path)
+    val (meta, raw) = readMetaRaw(spark, path)
+    import spark.implicits._
+    final case class Rewrite(old: String, replacement: Option[String],
+                             dn: Long)
+    val rewrites = meta.batches.flatMap { b =>
+      val cc = new org.apache.hadoop.fs.Path(
+        s"$path/batches/$b/cellCodes")
+      if (!fs.exists(cc)) None
+      else {
+        val rows = spark.read.parquet(cc.toString)
+        val idsDf = ids.map(_.toString).toDF("__rid")
+          .select(col("__rid").cast(rows.schema("id").dataType)
+            .as("id")).distinct()
+        val dn = rows.join(broadcast(idsDf), Seq("id"), "left_semi")
+          .select(col("id")).distinct().count()
+        if (dn == 0L) None
+        else {
+          val remainder = rows.join(broadcast(idsDf), Seq("id"),
+            "left_anti")
+          val replacement =
+            if (remainder.isEmpty) None
+            else {
+              val rid = "r" + java.security.MessageDigest
+                .getInstance("SHA-256")
+                .digest((b + ":" + ids.map(_.toString).sorted
+                  .mkString(",")).getBytes("UTF-8"))
+                .take(8).map("%02x".format(_)).mkString
+              val stagingRoot = new org.apache.hadoop.fs.Path(
+                s"$path/_staging/$rid")
+              val target = new org.apache.hadoop.fs.Path(
+                s"$path/batches/$rid")
+              if (fs.exists(stagingRoot) && !fs.delete(stagingRoot, true))
+                throw new IllegalStateException(
+                  s"cannot wipe stale staging at $stagingRoot")
+              if (fs.exists(target) && !fs.delete(target, true))
+                throw new IllegalStateException(
+                  s"cannot reclaim crash residue at $target")
+              remainder.write.mode("overwrite").partitionBy("cell")
+                .parquet(new org.apache.hadoop.fs.Path(stagingRoot,
+                  "cellCodes").toString)
+              fs.mkdirs(target.getParent)
+              require(fs.rename(stagingRoot, target),
+                s"atomic publish of rewritten batch $rid failed")
+              Some(rid)
+            }
+          Some(Rewrite(b, replacement, dn))
+        }
+      }
+    }
+    if (rewrites.isEmpty) return 0L
+    val byOld = rewrites.map(r => r.old -> r).toMap
+    val newBatches = meta.batches.flatMap {
+      case b if byOld.contains(b) => byOld(b).replacement.toSeq
+      case b                      => Seq(b)
+    }
+    swapMeta(fs, path, meta.copy(batches = newBatches,
+      retired = (meta.retired ++ rewrites.map(_.old)).distinct), raw)
+    val now = System.currentTimeMillis()
+    rewrites.foreach(r =>
+      IndexProtocol.resetPendingDelete(fs, path, r.old, now, retainMs))
+    IndexProtocol.sweepPendingDeletes(fs, path, now,
+      IndexProtocol.committedFromMeta(fs, path))
+    rewrites.map(_.dn).sum
+  }
+
   /** Index MAINTENANCE: merge every committed batch's codes into ONE
     * batch directory — the compaction a years-lived daily ingest
     * eventually needs (file and directory counts grow one batch per

@@ -1046,4 +1046,139 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(cbFull.collect().map(_.toString).sorted.toSeq ==
       again.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("bm25 retraction: the doc is gone physically, scores equal a " +
+      "never-ingested index, and the original batch stays refused") {
+    val dir = tmp("bmretract")
+    try {
+      val root = dir.toString + "/idx"
+      val docs = bm25Docs
+      Bm25.writeBm25Index(docs.filter(col("doc_id") <= 3), "doc_id",
+        "text", root)
+      Bm25.appendBm25Index(docs.filter(col("doc_id") > 3), "text", root)
+      assert(bmServe(root) == bmInline(docs))
+      // retract doc 2 (the vector-heavy doc): removal shifts every
+      // idf through N/Σlen — the inline form over the remaining docs
+      // is the exact oracle (probeWithMeta's bit-identical contract)
+      assert(Bm25.retractFromBm25Index(spark, root, Seq(2L)) == 1L)
+      val remaining = docs.filter(col("doc_id") =!= 2)
+      assert(bmServe(root) == bmInline(remaining),
+        "post-retraction scores must equal an index that never saw " +
+          "the doc")
+      assert(!bmServe(root).exists(_._1 == 2L))
+      // no committed batch's postings still carry the doc's bytes
+      val meta = Bm25.readBm25Meta(spark, root)
+      meta.batches.foreach { b =>
+        assert(spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/batches/$b")
+          .filter(col("doc_id") === 2L).count() == 0L)
+      }
+      // a redelivered ORIGINAL batch is still refused (retired), so
+      // replay cannot resurrect the retracted doc
+      intercept[ReplayRefused] {
+        Bm25.appendBm25Index(docs.filter(col("doc_id") <= 3), "text",
+          root, batchId = Some("bootstrap"))
+      }
+      assert(graft.operators.IndexAudit.isHealthy(spark, root))
+      // idempotent: nothing left to retract
+      assert(Bm25.retractFromBm25Index(spark, root, Seq(2L)) == 0L)
+      // retracting EVERY doc of a batch delists it with no
+      // replacement; the serve stays exact over the survivor batch
+      assert(Bm25.retractFromBm25Index(spark, root,
+        Seq(4L, 5L)) == 2L)
+      assert(bmServe(root) ==
+        bmInline(docs.filter(col("doc_id") === 1 ||
+          col("doc_id") === 3)))
+      assert(graft.operators.IndexAudit.isHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("vector retraction: the id leaves every probe, results equal " +
+      "a never-ingested index, replay stays refused") {
+    val dir = tmp("vecretract")
+    try {
+      val root = dir.toString + "/idx"
+      val fresh = dir.toString + "/fresh"
+      VectorIndex.write(emb.filter(col("vec_id") < 200), "vec_id",
+        "embedding", cents, cb, m, dim, root)
+      // pick a served CANDIDATE that is not itself a probe query
+      val target = vecServe(root).map(_.getLong(1))
+        .find(_ % 50 != 0L).getOrElse(vecServe(root).head.getLong(1))
+      assert(VectorIndex.retractIds(spark, root, Seq(target)) == 1L)
+      val served = vecServe(root)
+      assert(!served.exists(_.getLong(1) == target),
+        s"retracted id $target still served")
+      // the oracle: an index that never ingested the id (same
+      // artifacts → identical codes → identical ADC + re-rank)
+      VectorIndex.write(
+        emb.filter(col("vec_id") < 200 && col("vec_id") =!= target),
+        "vec_id", "embedding", cents, cb, m, dim, fresh)
+      assert(served == vecServe(fresh))
+      // no committed batch's codes still carry the id
+      val meta = VectorIndex.readMeta(spark, root)
+      meta.batches.foreach { b =>
+        assert(spark.read.parquet(s"$root/batches/$b/cellCodes")
+          .filter(col("id") === target).count() == 0L)
+      }
+      intercept[ReplayRefused] {
+        VectorIndex.append(emb.filter(col("vec_id") < 200), "vec_id",
+          "embedding", root, batchId = Some("bootstrap"))
+      }
+      assert(graft.operators.IndexAudit.isHealthy(spark, root))
+      assert(VectorIndex.retractIds(spark, root, Seq(target)) == 0L)
+    } finally rmTree(dir)
+  }
+
+  test("dedup retraction: the sid stops matching as a stored " +
+      "candidate, tombstones keep refusing replays, audit healthy") {
+    import graft.operators.Dedup
+    val dir = tmp("dedupretract")
+    try {
+      val root = dir.toString + "/idx"
+      import spark.implicits._
+      val corpus = Seq(
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "entirely different content about spark shuffles and joins"),
+        ("c", "a third unrelated document concerning parquet footers"))
+        .toDF("sid", "text")
+      Dedup.writeDedupIndex(corpus, "sid", "text", root, k = 8,
+        rowsPerBand = 2)
+      // a near-dup of doc a matches it before the retraction …
+      val probe = Seq(("p1",
+        "the quick brown fox jumps over the lazy dog again and again!"))
+        .toDF("sid", "text")
+      def matches(): Set[String] =
+        Dedup.minhashDedupAgainstIndex(probe, "sid", "text", root,
+          k = 8, rowsPerBand = 2)
+          .select(col("id_a"), col("id_b")).collect()
+          .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+      assert(matches().contains("a"))
+      // … and stops matching once a is retracted; others unaffected
+      assert(Dedup.retractFromDedupIndex(spark, root, Seq("a")) == 1L)
+      assert(!matches().contains("a"))
+      // no surviving batch table carries the sid's rows
+      val fs = hadoopFs(root)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/batches"))
+        .filter(_.isDirectory).foreach { st =>
+          Seq("bands", "shingles").foreach { t =>
+            val p = new org.apache.hadoop.fs.Path(st.getPath, t)
+            if (fs.exists(p))
+              assert(spark.read
+                .option("recursiveFileLookup", "true")
+                .parquet(p.toString)
+                .filter(col("sid") === "a").count() == 0L)
+          }
+        }
+      // the ORIGINAL batch directory survives as a tombstone, so an
+      // exact replay of the corpus batch still refuses
+      intercept[ReplayRefused] {
+        Dedup.writeDedupIndex(corpus, "sid", "text", root, k = 8,
+          rowsPerBand = 2, mode = "append")
+      }
+      assert(graft.operators.IndexAudit.isDedupHealthy(spark, root))
+      assert(graft.operators.IndexAudit.auditDedup(spark, root)
+        .exists(_.status == "tombstone"))
+      assert(Dedup.retractFromDedupIndex(spark, root, Seq("a")) == 0L)
+    } finally rmTree(dir)
+  }
 }

@@ -315,6 +315,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/gold/train_packed").count() > 0)
   }
 
+  test("retractDocs: cross-store takedown — silver, gold, and the " +
+      "dedup evidence scrub; the text becomes re-submittable") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-retract")
+      .toString
+    val doc = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val bucket = Corpus.hashBucket(col("doc_id"), "cinc", 5)
+    Pipeline.corpusInit(spark, doc.filter(bucket >= 3), out,
+      "2026-08-12")
+    val silverPath = s"$out/silver/documents"
+    val silver0 = spark.read.parquet(silverPath)
+    val n0 = silver0.count()
+    // two accepted victims, their served text captured for the
+    // gold-scrub assertion and their raw text for re-submission
+    val victims = silver0.orderBy("doc_id")
+      .select("doc_id", "clean_text").limit(2).collect()
+    val ids = victims.map(_.getLong(0))
+    val cleanTexts = victims.map(_.getString(1))
+    val raw = spark.read.parquet(s"$out/bronze/documents")
+      .filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select("doc_id", "lang", "text").collect()
+    // before the takedown: a re-submission of the same text under a
+    // new id is rejected as a corpus duplicate
+    val probe = raw.zipWithIndex.map { case (r, i) =>
+      (990001L + i, r.getString(1), r.getString(2)) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val before = Pipeline.classifyBatch(spark, out, probe)
+      .select("decision").collect().map(_.getString(0)).toSet
+    assert(before.forall(d => d == "exact_dup_corpus" ||
+      d == "near_dup_corpus"), before.toString)
+    val report = Pipeline.retractDocs(spark, out,
+      ids.map(_.toString).toSeq, "2026-08-15")
+    assert(report.silverRemoved == 2L)
+    assert(report.dedupHits >= 2L)
+    // silver: gone, everything else intact
+    val s1 = spark.read.parquet(silverPath)
+    assert(s1.count() == n0 - 2)
+    assert(s1.filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .count() == 0L)
+    // gold: no packed row carries a victim's text
+    val packed = spark.read.parquet(s"$out/gold/train_packed")
+    assert(packed.count() > 0)
+    cleanTexts.foreach { t =>
+      assert(packed.filter(col("packed_text").contains(t))
+        .count() == 0L, "a packed row still carries retracted text")
+    }
+    // the dedup evidence is scrubbed: the same text under a new id
+    // is now ACCEPTED — the corpus treats it as never seen
+    val after = Pipeline.classifyBatch(spark, out, probe)
+      .select("decision").collect().map(_.getString(0)).toSet
+    assert(after == Set("accept"), after.toString)
+    assert(graft.operators.IndexAudit.isDedupHealthy(spark, out +
+      "/dedup_index"))
+    // idempotent re-run: nothing left anywhere
+    val again = Pipeline.retractDocs(spark, out,
+      ids.map(_.toString).toSeq, "2026-08-15")
+    assert(again.silverRemoved == 0L && again.dedupHits == 0L)
+  }
+
   test("classifyBatch: every rejection reason labeled, dry-run, accept = landed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
