@@ -2239,6 +2239,71 @@ object SparkEntry {
         out
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S23 change feed (streaming CDC source), ----
+    // ---- driver-gated ----
+    // the read complement of the O6d sink: per-promotion diffs served
+    // in order behind a persisted cursor. The gate consumes a real
+    // two-promotion table from scratch (full-sync bootstrap + one
+    // diff), proves restart is a no-op and a crashed handler gets
+    // exactly its generation redelivered, and recounts every streamed
+    // change class against DuckDB (the q_snapshot_diff_gens shapes,
+    // minus `unchanged` — a change feed carries changes).
+    "q_snapshot_cdc" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-cdc-gate").toString
+      try {
+        val S = graft.sources.SnapshotStore
+        val CF = graft.sources.ChangeFeed
+        val root = s"$tmp/nation"
+        val nation = Tables.table(s, d, "nation")
+        S.publish(s, nation, root) // gen 1
+        val v2 = nation.filter(col("n_regionkey") < 3)
+          .withColumn("n_name", when(col("n_nationkey") === 0,
+            lit("RENAMED")).otherwise(col("n_name")))
+          .unionByName(nation.filter(col("n_regionkey") === 4)
+            .withColumn("n_nationkey", col("n_nationkey") + 1000))
+        S.publish(s, v2, root) // gen 2
+        val keys = Seq("n_nationkey")
+        val seen = scala.collection.mutable.Map
+          .empty[Long, Set[org.apache.spark.sql.Row]]
+        val p1 = CF.consume(s, root, s"$tmp/ck1", keys,
+          (g, df) => { seen(g) = df.collect().toSet; () })
+        val fullSyncAdded = p1 == Seq(1L, 2L) &&
+          seen(1L).forall(_.getAs[String]("change") == "added")
+        val restartNoop = CF.consume(s, root, s"$tmp/ck1", keys,
+          (_, _) => throw new RuntimeException("not a no-op")).isEmpty
+        // crash redelivery: a handler failing on gen 2 gets exactly
+        // that generation's set again on retry
+        class Boom extends RuntimeException("injected")
+        var first = true
+        val crashRedelivers =
+          try {
+            CF.consume(s, root, s"$tmp/ck2", keys, (g, df) => {
+              if (g == 2L && first) { first = false; throw new Boom }
+              df.count(); ()
+            })
+            false
+          } catch {
+            case _: Boom =>
+              val re = scala.collection.mutable.Map
+                .empty[Long, Set[org.apache.spark.sql.Row]]
+              CF.consume(s, root, s"$tmp/ck2", keys,
+                (g, df) => { re(g) = df.collect().toSet; () }) ==
+                Seq(2L) && re(2L) == seen(2L)
+          }
+        val g2 = seen(2L).toSeq
+          .groupBy(_.getAs[String]("change"))
+          .view.mapValues(_.size.toLong).toMap
+        import s.implicits._
+        Seq((fullSyncAdded, restartNoop, crashRedelivers,
+          seen(1L).size.toLong,
+          g2.getOrElse("added", 0L), g2.getOrElse("changed", 0L),
+          g2.getOrElse("removed", 0L)))
+          .toDF("full_sync_added", "restart_noop",
+            "crash_redelivers_exact", "n_bootstrap", "n_added",
+            "n_changed", "n_removed")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S19e TIME-based travel (timestampAsOf), ----
     // ---- driver-gated ----
     // both pointer-served table kinds resolve "as of instant T" to
@@ -3939,6 +4004,18 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation WHERE n_regionkey < 2)
         |    AS n_current
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+    // every streamed change class is data-derived (the
+    // q_snapshot_diff_gens counts, minus unchanged): bootstrap = the
+    // full table as adds, then the promotion's adds/changes/removes
+    "q_snapshot_cdc" ->
+      """SELECT true AS full_sync_added, true AS restart_noop,
+        |  true AS crash_redelivers_exact,
+        |  (SELECT count(*) FROM nation) AS n_bootstrap,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 4)
+        |    AS n_added,
+        |  CAST(1 AS BIGINT) AS n_changed,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey >= 3)
+        |    AS n_removed""".stripMargin,
     // the instant between the two publishes resolves to gen 1 (the
     // full table), "now" to the serving low-region gen — both
     // recounted from nation; refusal/pinning laws ride as booleans

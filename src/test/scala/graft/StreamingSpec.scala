@@ -302,4 +302,101 @@ class StreamingSpec extends AnyFunSuite {
       assert(g1rows > 0 && g1rows < doc.count())
     } finally rmTree(new java.io.File(out))
   }
+
+  test("change feed: per-promotion diffs stream in order with a " +
+      "persisted cursor — full-sync bootstrap, restart no-op, " +
+      "crash redelivery, retention lag refused typed") {
+    import graft.sources.{ChangeFeed, ManifestStore, SnapshotStore,
+      Tables}
+    val out = java.nio.file.Files.createTempDirectory("graft-cdc")
+      .toString
+    try {
+      val root = s"$out/tbl"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root) // gen 1
+      val v2 = nation.filter(col("n_regionkey") < 3)
+        .withColumn("n_name", when(col("n_nationkey") === 0,
+          lit("RENAMED")).otherwise(col("n_name")))
+        .unionByName(nation.filter(col("n_regionkey") === 4)
+          .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      SnapshotStore.publish(spark, v2, root) // gen 2
+      val keys = Seq("n_nationkey")
+      val seen = scala.collection.mutable.Map
+        .empty[Long, Set[org.apache.spark.sql.Row]]
+      val p1 = ChangeFeed.consume(spark, root, s"$out/ck1", keys,
+        (g, df) => { seen(g) = df.collect().toSet; () })
+      assert(p1 == Seq(1L, 2L))
+      // bootstrap: the oldest retained generation as all-added rows
+      assert(seen(1L).size == nation.count() &&
+        seen(1L).forall(_.getAs[String]("change") == "added"))
+      // each later promotion's stream equals the batch diff minus
+      // `unchanged` — the S19c oracle
+      val g2expect = SnapshotStore.diff(spark, root, 1L, 2L, keys)
+        .filter(col("change") =!= "unchanged").collect().toSet
+      assert(seen(2L) == g2expect)
+      // restart: nothing new, nothing redelivered
+      assert(ChangeFeed.consume(spark, root, s"$out/ck1", keys,
+        (_, _) => fail("restart must be a no-op")).isEmpty)
+      // a new promotion streams exactly one more diff
+      SnapshotStore.publish(spark, nation, root) // gen 3
+      val p3 = ChangeFeed.consume(spark, root, s"$out/ck1", keys,
+        (g, df) => { seen(g) = df.collect().toSet; () })
+      assert(p3 == Seq(3L))
+      assert(seen(3L) == SnapshotStore.diff(spark, root, 2L, 3L, keys)
+        .filter(col("change") =!= "unchanged").collect().toSet)
+      // crash honesty: a handler failing on gen 2 leaves the cursor
+      // at 1; the retry redelivers EXACTLY gen 2's set, then 3
+      class Boom extends RuntimeException("injected")
+      var first = true
+      intercept[Boom] {
+        ChangeFeed.consume(spark, root, s"$out/ck2", keys, (g, df) => {
+          if (g == 2L && first) { first = false; throw new Boom }
+          df.count(); ()
+        })
+      }
+      assert(ChangeFeed.cursor(spark, root, s"$out/ck2")
+        .contains(1L))
+      val redelivered = scala.collection.mutable.Map
+        .empty[Long, Set[org.apache.spark.sql.Row]]
+      assert(ChangeFeed.consume(spark, root, s"$out/ck2", keys,
+        (g, df) => { redelivered(g) = df.collect().toSet; () }) ==
+        Seq(2L, 3L))
+      assert(redelivered(2L) == g2expect)
+      // the MANIFEST table kind streams the same way
+      val mroot = s"$out/mtbl"
+      ManifestStore.publish(spark, nation, mroot, "n_regionkey")
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_name", lit("X")), mroot, "n_regionkey")
+      val mseen = scala.collection.mutable.Map
+        .empty[Long, Set[org.apache.spark.sql.Row]]
+      assert(ChangeFeed.consume(spark, mroot, s"$out/ck3", keys,
+        (g, df) => { mseen(g) = df.collect().toSet; () }) ==
+        Seq(1L, 2L))
+      assert(mseen(2L).nonEmpty &&
+        mseen(2L).forall(_.getAs[String]("change") == "changed"))
+      // retention lag: a cursor stranded behind a keep=1 table's
+      // prune refuses TYPED (re-sync with a fresh checkpoint)
+      val kroot = s"$out/ktbl"
+      SnapshotStore.publish(spark, nation, kroot, keep = 1)
+      val pk = ChangeFeed.consume(spark, kroot, s"$out/ck4", keys,
+        (_, df) => { df.count(); () })
+      assert(pk == Seq(1L))
+      SnapshotStore.publish(spark, v2, kroot, keep = 1)     // prunes 1
+      SnapshotStore.publish(spark, nation, kroot, keep = 1) // prunes 2
+      intercept[SnapshotUnavailable] {
+        ChangeFeed.consume(spark, kroot, s"$out/ck4", keys,
+          (_, df) => { df.count(); () })
+      }
+      // and a FRESH consumer on that keep=1 table full-syncs the
+      // serving generation (the only retained one)
+      val fseen = scala.collection.mutable.Map
+        .empty[Long, Set[org.apache.spark.sql.Row]]
+      assert(ChangeFeed.consume(spark, kroot, s"$out/ck5", keys,
+        (g, df) => { fseen(g) = df.collect().toSet; () }) ==
+        Seq(3L))
+      assert(fseen(3L).size == nation.count() &&
+        fseen(3L).forall(_.getAs[String]("change") == "added"))
+    } finally rmTree(new java.io.File(out))
+  }
 }
