@@ -2304,6 +2304,63 @@ object SparkEntry {
             "n_changed", "n_removed")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S24 manifest-list layer (two-level metadata), ----
+    // ---- driver-gated ----
+    // the data layer's reuse trick applied to the METADATA layer: a
+    // generation file lists per-group manifests, a partition-scoped
+    // promotion writes only the touched groups' manifests (untouched
+    // groups carry by REFERENCE into earlier generations' files), and
+    // a partition-scoped read parses O(touched groups) of metadata.
+    // The gate asserts the literal group-file reuse and the
+    // one-group-parse contract; rows_current is the real oracle row.
+    "q_manifest_list" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manilist").toString
+      try {
+        val root = s"$tmp/nation"
+        val M = graft.sources.ManifestStore
+        val nation = Tables.table(s, d, "nation")
+        M.publish(s, nation, root, "n_regionkey", manifestGroups = 4)
+        val lg1 = M.genFileAt(s, root, 1L)
+          .asInstanceOf[graft.sources.ManifestStore.ListGen]
+        val v2part = nation.filter(col("n_regionkey") === 2)
+          .withColumn("n_name", lit("CHANGED"))
+        M.publish(s, v2part, root, "n_regionkey")
+        val lg2 = M.genFileAt(s, root, 2L)
+          .asInstanceOf[graft.sources.ManifestStore.ListGen]
+        val g2 = graft.sources.ManifestStore.groupOf("2", 4)
+        // untouched groups: the REFERENCE strings carry verbatim and
+        // still point into gen 1's group dir — nothing was reparsed
+        // or rewritten at the metadata layer either
+        val refsReused = lg2.refs.filter(_.group != g2).nonEmpty &&
+          lg2.refs.filter(_.group != g2).forall(r =>
+            r.relPath.startsWith("_manifests/1.d/") &&
+              lg1.refs.find(_.group == r.group)
+                .exists(_.relPath == r.relPath)) &&
+          lg2.refs.find(_.group == g2)
+            .exists(_.relPath == s"_manifests/2.d/$g2")
+        val oneGroupParse =
+          M.scopedGroupPaths(lg2, Seq("2")).size == 1
+        val partRead = M.readPartitions(s, root, Seq("2"))
+        val partExact = partRead.exceptAll(v2part).isEmpty &&
+          v2part.exceptAll(partRead).isEmpty
+        val v1Exact = M.readAt(s, root, 1L).exceptAll(nation).isEmpty &&
+          nation.exceptAll(M.readAt(s, root, 1L)).isEmpty
+        // third promotion restores region 2 — the serving table is
+        // the full base again (the q_snapshot_manifest recount shape)
+        M.publish(s, nation.filter(col("n_regionkey") === 2), root,
+          "n_regionkey")
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val rowsCurrent = M.readCurrent(s, root).count()
+        import s.implicits._
+        Seq((refsReused, oneGroupParse, partExact, v1Exact, healthy,
+          rowsCurrent))
+          .toDF("group_refs_reused", "single_group_parse",
+            "partition_read_exact", "v1_timetravel_exact",
+            "fsck_healthy", "rows_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S19e TIME-based travel (timestampAsOf), ----
     // ---- driver-gated ----
     // both pointer-served table kinds resolve "as of instant T" to
@@ -4004,6 +4061,14 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation WHERE n_regionkey < 2)
         |    AS n_current
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+    // manifest-list contract booleans + the real recount (the final
+    // promotion restored region 2, so the serving table is the full
+    // base again — the q_snapshot_manifest shape)
+    "q_manifest_list" ->
+      """SELECT true AS group_refs_reused, true AS single_group_parse,
+        |  true AS partition_read_exact, true AS v1_timetravel_exact,
+        |  true AS fsck_healthy,
+        |  (SELECT count(*) FROM nation) AS rows_current""".stripMargin,
     // every streamed change class is data-derived (the
     // q_snapshot_diff_gens counts, minus unchanged): bootstrap = the
     // full table as adds, then the promotion's adds/changes/removes

@@ -504,8 +504,8 @@ object IndexAudit {
         .filterNot(_.getPath.getName.endsWith(".next"))
         .flatMap(_.getPath.getName.toLongOption).sorted
     def parsed(g: Long)
-        : Option[graft.sources.ManifestStore.Manifest] =
-      try Some(ManifestStore.parseManifest(MetaSwap.readCommitted(fs,
+        : Option[graft.sources.ManifestStore.GenFile] =
+      try Some(ManifestStore.parseGenFile(MetaSwap.readCommitted(fs,
         new org.apache.hadoop.fs.Path(s"$root/_manifests/$g"))))
       catch { case scala.util.control.NonFatal(_) => None }
     val residueRow = if (swapResidue)
@@ -549,7 +549,7 @@ object IndexAudit {
           // unparseable bytes: the generation's file list is
           // unknowable — damage, reported not crashed-on
           Seq(AuditFinding("manifest", g.toString, "corrupt", false))
-        case Some(m) =>
+        case Some(gfile) =>
           val base = AuditFinding("manifest", g.toString, status,
             status != "orphan_future")
           // file integrity for every gen a reader could resolve
@@ -559,19 +559,32 @@ object IndexAudit {
             status == "superseded_retained" ||
             status == "grace_retained" ||
             status == "over_retained" || status == "stranded"
+          val (entries, missingGroups) =
+            ManifestStore.assembleLenient(fs, root, gfile)
+          // a resolvable generation whose LIST references a gone
+          // group manifest cannot be served in full — the list-layer
+          // twin of manifest_missing_file (residue manifests'
+          // missing groups are expected post-retention)
+          val groupRows =
+            if (!checkFiles) Seq.empty
+            else missingGroups.map(r =>
+              AuditFinding("group", s"$g:${r.relPath}",
+                "manifest_missing_group", false))
           val missing =
             if (!checkFiles) Seq.empty
-            else m.entries.filterNot(e => fs.exists(
+            else entries.filterNot(e => fs.exists(
                 new org.apache.hadoop.fs.Path(s"$root/${e.relPath}")))
               .map(e => AuditFinding("file", s"$g:${e.relPath}",
                 "manifest_missing_file", false))
-          base +: missing
+          base +: (groupRows ++ missing)
       }
     }
     // pool files no existing manifest references (any gen — residue
     // manifests legitimately hold their staged files)
     val referenced = gens.flatMap(g => parsed(g).toSeq
-      .flatMap(_.entries.map(_.relPath))).toSet
+      .flatMap(gf =>
+        ManifestStore.assembleLenient(fs, root, gf)._1
+          .map(_.relPath))).toSet
     val wBase = new org.apache.hadoop.fs.Path(s"$root/_writes")
     val writeRows =
       if (!fs.exists(wBase)) Seq.empty
@@ -675,6 +688,12 @@ object IndexAudit {
       case IndexProtocol.AuditFinding("file", n,
           "manifest_missing_file", _) =>
         Seq(("file", n, "unrepairable_missing_file"))
+      case IndexProtocol.AuditFinding("group", n,
+          "manifest_missing_group", _) =>
+        // the list-layer twin of a missing data file: restore the
+        // group manifest or republish — repair never serves a
+        // partial table silently
+        Seq(("group", n, "unrepairable_missing_group"))
       case IndexProtocol.AuditFinding("pointer", _, "swap_residue", _)
           if !corrupt =>
         verifiedDelete(s"$root/_current.next")
@@ -690,12 +709,21 @@ object IndexAudit {
     }
     // the orphan-file sweep runs AFTER the manifest reclaims above
     // (a reclaimed residue manifest's files become orphans in the
-    // same repair), against the re-listed surviving manifests
+    // same repair), against the re-listed surviving manifests.
+    // SUSPENDED whenever any reference set is unknowable — a corrupt
+    // manifest or a missing group file means "unreferenced" cannot be
+    // proven, and sweeping on a guess would delete live data (the
+    // same evidence-preservation rule as an unhealthy pointer)
+    val referencesIncomplete = findings.exists(f =>
+      (f.kind == "manifest" && f.status == "corrupt") ||
+        (f.kind == "group" && f.status == "manifest_missing_group"))
     val sweepActions =
-      if (pointerUnhealthy) findings.collect {
+      if (pointerUnhealthy || referencesIncomplete) findings.collect {
         case IndexProtocol.AuditFinding("writes", g,
             "orphan_files", _) =>
-          ("writes", g, "preserved_recovery_candidate")
+          ("writes", g,
+            if (pointerUnhealthy) "preserved_recovery_candidate"
+            else "preserved_unprovable_orphan")
       }
       else {
         val mBase = new org.apache.hadoop.fs.Path(s"$root/_manifests")
@@ -705,10 +733,11 @@ object IndexAudit {
             .filterNot(_.getPath.getName.endsWith(".next"))
             .flatMap(_.getPath.getName.toLongOption)
             .flatMap { g =>
-              try ManifestStore.parseManifest(MetaSwap.readCommitted(
+              try ManifestStore.assembleLenient(fs, root,
+                ManifestStore.parseGenFile(MetaSwap.readCommitted(
                   fs, new org.apache.hadoop.fs.Path(
-                    s"$root/_manifests/$g")))
-                .entries.map(_.relPath)
+                    s"$root/_manifests/$g"))))._1
+                .map(_.relPath)
               catch { case scala.util.control.NonFatal(_) => Seq.empty }
             }.toSet
         val wBase = new org.apache.hadoop.fs.Path(s"$root/_writes")

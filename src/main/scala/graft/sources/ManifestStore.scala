@@ -99,11 +99,64 @@ object ManifestStore {
   final case class Manifest(partCol: String, schemaDdl: String,
                             entries: Seq[ManifestEntry],
                             publishedMs: Long = 0L,
-                            statsCols: Seq[String] = Nil)
+                            statsCols: Seq[String] = Nil,
+                            nGroups: Int = 0)
+
+  // ---- the MANIFEST-LIST layer (S24) ------------------------------
+  // A generation's metadata file is either FLAT (header + every entry
+  // line — the small-table default) or a LIST: header + `list=v1` +
+  // one `(group, relative group-manifest path)` line per non-empty
+  // partition GROUP, where a group manifest holds only its
+  // partitions' entry lines under `_manifests/<gen>.d/<group>`. The
+  // point is the data layer's reuse trick applied to the METADATA
+  // layer: a partition-scoped promotion writes only the touched
+  // groups' manifests and carries every other group's REFERENCE
+  // byte-identical (possibly pointing into an earlier generation's
+  // `.d` directory), so at crawl scale a partition-scoped read parses
+  // O(touched groups) of metadata instead of O(table files), and the
+  // daily promotion's metadata write is O(touched groups) too.
+
+  /** One list line: partition group → the group manifest's path
+    * relative to the table root (possibly an earlier generation's —
+    * reuse is the point).
+    */
+  private[graft] final case class GroupRef(group: Int, relPath: String)
+
+  /** A parsed generation file, layout made explicit. */
+  private[graft] sealed trait GenFile {
+    def partCol: String
+    def schemaDdl: String
+    def publishedMs: Long
+    def statsCols: Seq[String]
+  }
+  private[graft] final case class FlatGen(manifest: Manifest)
+      extends GenFile {
+    def partCol: String = manifest.partCol
+    def schemaDdl: String = manifest.schemaDdl
+    def publishedMs: Long = manifest.publishedMs
+    def statsCols: Seq[String] = manifest.statsCols
+  }
+  private[graft] final case class ListGen(partCol: String,
+                                          schemaDdl: String,
+                                          publishedMs: Long,
+                                          statsCols: Seq[String],
+                                          nGroups: Int,
+                                          refs: Seq[GroupRef])
+      extends GenFile
+
+  /** The partition group of a raw partition-value string. Stability
+    * contract: `String.hashCode` is specified by the JLS (31-polynomial),
+    * so the assignment is identical across JVMs and releases —
+    * required, since group membership is baked into persisted layout.
+    */
+  private[graft] def groupOf(value: String, nGroups: Int): Int =
+    math.floorMod(value.hashCode, nGroups)
 
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
     new Path(s"$root/_manifests/$gen")
+  private def groupDir(root: String, gen: Long) =
+    s"$root/_manifests/$gen.d"
   private def writesDir(root: String, gen: Long) =
     s"$root/_writes/$gen"
 
@@ -133,52 +186,90 @@ object ManifestStore {
   private def dec(v: String): String =
     java.net.URLDecoder.decode(v, "UTF-8")
 
-  private[graft] def serializeManifest(m: Manifest): Array[Byte] = {
+  private def serializeEntry(sb: StringBuilder,
+                             e: ManifestEntry): Unit = {
+    sb.append(enc(e.partition)).append('\t').append(e.relPath)
+    if (e.stats.nonEmpty)
+      sb.append('\t').append(e.stats.toSeq.sortBy(_._1).map {
+        case (c, (mn, mx)) => s"${enc(c)}=${enc(mn)}..${enc(mx)}"
+      }.mkString(";"))
+    sb.append('\n')
+    ()
+  }
+
+  private def parseEntryLine(l: String): ManifestEntry =
+    // 2 fields (pre-stats) or 3 (with the stats block) — the
+    // partition value and every stats token are URL-encoded, and
+    // relPaths are the writer's own path-safe names, so the tab
+    // split is unambiguous
+    l.split('\t') match {
+      case Array(p, r) => ManifestEntry(dec(p), r)
+      case Array(p, r, st) =>
+        val stats = st.split(';').filter(_.nonEmpty).flatMap { tok =>
+          val eq = tok.indexOf('=')
+          val dots = tok.indexOf("..", eq + 1)
+          if (eq < 0 || dots < 0) None
+          else Some(dec(tok.take(eq)) ->
+            (dec(tok.slice(eq + 1, dots)), dec(tok.drop(dots + 2))))
+        }.toMap
+        ManifestEntry(dec(p), r, stats)
+      case other => throw new IllegalStateException(
+        s"malformed manifest entry line: ${other.mkString("\\t")}")
+    }
+
+  private def headerBlock(partCol: String, schemaDdl: String,
+                          publishedMs: Long,
+                          statsCols: Seq[String]): StringBuilder = {
     val sb = new StringBuilder
-    sb.append("partcol=").append(m.partCol).append('\n')
-    sb.append("schema=").append(m.schemaDdl).append('\n')
-    sb.append("published=").append(m.publishedMs).append('\n')
-    if (m.statsCols.nonEmpty)
-      sb.append("statscols=").append(m.statsCols.map(enc).mkString(","))
+    sb.append("partcol=").append(partCol).append('\n')
+    sb.append("schema=").append(schemaDdl).append('\n')
+    sb.append("published=").append(publishedMs).append('\n')
+    if (statsCols.nonEmpty)
+      sb.append("statscols=").append(statsCols.map(enc).mkString(","))
         .append('\n')
-    m.entries.foreach { e =>
-      sb.append(enc(e.partition)).append('\t').append(e.relPath)
-      if (e.stats.nonEmpty)
-        sb.append('\t').append(e.stats.toSeq.sortBy(_._1).map {
-          case (c, (mn, mx)) => s"${enc(c)}=${enc(mn)}..${enc(mx)}"
-        }.mkString(";"))
-      sb.append('\n')
+    sb
+  }
+
+  private[graft] def serializeManifest(m: Manifest): Array[Byte] = {
+    val sb = headerBlock(m.partCol, m.schemaDdl, m.publishedMs,
+      m.statsCols)
+    m.entries.foreach(serializeEntry(sb, _))
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private[graft] def serializeList(g: ListGen): Array[Byte] = {
+    val sb = headerBlock(g.partCol, g.schemaDdl, g.publishedMs,
+      g.statsCols)
+    sb.append("list=v1\n")
+    sb.append("groups=").append(g.nGroups).append('\n')
+    g.refs.sortBy(_.group).foreach { r =>
+      sb.append(r.group).append('\t').append(r.relPath).append('\n')
     }
     sb.toString.getBytes("UTF-8")
   }
 
-  private[graft] def parseManifest(bytes: Array[Byte]): Manifest = {
+  private[graft] def serializeGroup(entries: Seq[ManifestEntry])
+      : Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("group=v1\n") // never header-less: an empty group file
+    entries.foreach(serializeEntry(sb, _)) // must still parse as one
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private[graft] def parseGroup(bytes: Array[Byte]): Seq[ManifestEntry] =
+    new String(bytes, "UTF-8").linesIterator
+      .filter(_.contains('\t')).map(parseEntryLine).toSeq
+
+  /** Parse a generation FILE without resolving group references —
+    * what publish/prune/audit need to reason about layout and reuse.
+    */
+  private[graft] def parseGenFile(bytes: Array[Byte]): GenFile = {
     val lines = new String(bytes, "UTF-8").linesIterator.toSeq
     def header(key: String): String = lines
       .collectFirst { case s if s.startsWith(s"$key=") =>
         s.stripPrefix(s"$key=") }
       .getOrElse(throw new IllegalStateException(
         s"malformed manifest: no $key= header"))
-    val entries = lines.filter(_.contains('\t')).map { l =>
-      // 2 fields (pre-stats) or 3 (with the stats block) — the
-      // partition value and every stats token are URL-encoded, and
-      // relPaths are the writer's own path-safe names, so the tab
-      // split is unambiguous
-      l.split('\t') match {
-        case Array(p, r) => ManifestEntry(dec(p), r)
-        case Array(p, r, st) =>
-          val stats = st.split(';').filter(_.nonEmpty).flatMap { tok =>
-            val eq = tok.indexOf('=')
-            val dots = tok.indexOf("..", eq + 1)
-            if (eq < 0 || dots < 0) None
-            else Some(dec(tok.take(eq)) ->
-              (dec(tok.slice(eq + 1, dots)), dec(tok.drop(dots + 2))))
-          }.toMap
-          ManifestEntry(dec(p), r, stats)
-        case other => throw new IllegalStateException(
-          s"malformed manifest entry line: ${other.mkString("\\t")}")
-      }
-    }
     // `published=` is optional: a pre-grace manifest parses with 0
     // (grace-expired), so old tables keep their exact prune behavior
     val published = lines.collectFirst {
@@ -190,9 +281,71 @@ object ManifestStore {
         s.stripPrefix("statscols=").split(',').toSeq
           .filter(_.nonEmpty).map(dec)
     }.getOrElse(Nil)
-    Manifest(header("partcol"), header("schema"), entries, published,
-      statsCols)
+    if (lines.contains("list=v1")) {
+      val n = header("groups").toInt
+      require(n >= 1, s"malformed manifest list: groups=$n")
+      val refs = lines.filter(_.contains('\t')).map { l =>
+        val i = l.indexOf('\t')
+        GroupRef(l.take(i).toInt, l.drop(i + 1))
+      }
+      ListGen(header("partcol"), header("schema"), published,
+        statsCols, n, refs)
+    } else {
+      val entries = lines.filter(_.contains('\t')).map(parseEntryLine)
+      FlatGen(Manifest(header("partcol"), header("schema"), entries,
+        published, statsCols))
+    }
   }
+
+  /** Assemble the FULL manifest of a parsed generation file —
+    * resolving group references for the list layout. A missing group
+    * file throws typed ([[graft.SnapshotUnavailable]]): the
+    * generation cannot be served in full; the fsck reports the same
+    * state without throwing.
+    */
+  private[graft] def assemble(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String, gf: GenFile): Manifest =
+    gf match {
+      case FlatGen(m) => m
+      case lg: ListGen =>
+        val entries = lg.refs.sortBy(_.group).flatMap { r =>
+          val p = new Path(s"$root/${r.relPath}")
+          if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+            s"manifest group ${r.group} of $root is missing its " +
+              s"group file ${r.relPath} — the generation cannot be " +
+              "served in full; run IndexAudit.auditManifestTable")
+          parseGroup(MetaSwap.readCommitted(fs, p))
+        }
+        Manifest(lg.partCol, lg.schemaDdl, entries, lg.publishedMs,
+          lg.statsCols, lg.nGroups)
+    }
+
+  /** [[assemble]] for the fsck: reports missing group files instead
+    * of throwing, returning the entries of the groups that ARE
+    * readable plus the refs that are not — damage is classified,
+    * never crashed on.
+    */
+  private[graft] def assembleLenient(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String, gf: GenFile)
+      : (Seq[ManifestEntry], Seq[GroupRef]) = gf match {
+    case FlatGen(m) => (m.entries, Seq.empty)
+    case lg: ListGen =>
+      val (ok, missing) = lg.refs.sortBy(_.group).partition(r =>
+        fs.exists(new Path(s"$root/${r.relPath}")))
+      (ok.flatMap(r => parseGroup(MetaSwap.readCommitted(fs,
+        new Path(s"$root/${r.relPath}")))), missing)
+  }
+
+  /** Back-compatible helper (flat layout only — kept because specs
+    * and the fsck use it for byte-level assertions).
+    */
+  private[graft] def parseManifest(bytes: Array[Byte]): Manifest =
+    parseGenFile(bytes) match {
+      case FlatGen(m) => m
+      case _: ListGen => throw new IllegalStateException(
+        "parseManifest on a LIST generation file — use parseGenFile " +
+          "+ assemble")
+    }
 
   /** Generation `gen`'s manifest. Refuses with the typed
     * [[graft.SnapshotUnavailable]] when `gen` never committed (a
@@ -201,6 +354,16 @@ object ManifestStore {
     */
   def manifestAt(spark: SparkSession, root: String,
                  gen: Long): Manifest = {
+    val fs = Tables.fsFor(spark, root)
+    assemble(fs, root, genFileAt(spark, root, gen))
+  }
+
+  /** The parsed (unresolved) generation file, with [[manifestAt]]'s
+    * refusal semantics — the layout-aware entry point the scoped
+    * reads and the publish path share.
+    */
+  private[graft] def genFileAt(spark: SparkSession, root: String,
+                               gen: Long): GenFile = {
     val cur = currentGen(spark, root).getOrElse(
       throw new graft.SnapshotUnavailable(
         s"no published manifest table at $root"))
@@ -212,7 +375,45 @@ object ManifestStore {
     if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
       s"generation $gen of $root aged past the retention window " +
         "(keep) — snapshots are a bounded window by design")
-    parseManifest(MetaSwap.readCommitted(fs, p))
+    parseGenFile(MetaSwap.readCommitted(fs, p))
+  }
+
+  /** The group-manifest paths a read of `values`' partitions must
+    * parse — O(touched groups), exposed so the metadata-pruning
+    * contract is spec-assertable on the literal path list. Empty for
+    * a flat generation (everything is in the generation file itself).
+    */
+  private[graft] def scopedGroupPaths(gf: GenFile,
+                                      values: Seq[String])
+      : Seq[GroupRef] = gf match {
+    case _: FlatGen => Seq.empty
+    case lg: ListGen =>
+      val wanted = values.map(v => groupOf(nullSafe(v), lg.nGroups))
+        .toSet
+      lg.refs.filter(r => wanted(r.group))
+  }
+
+  /** The entries that can hold `values`' partitions, parsing ONLY the
+    * covering group manifests on a list-layout generation — the
+    * metadata twin of [[readPartitions]]' structural file pruning.
+    */
+  private[graft] def scopedEntries(spark: SparkSession, root: String,
+                                   gf: GenFile, values: Seq[String])
+      : Seq[ManifestEntry] = gf match {
+    case FlatGen(m) =>
+      val want = values.map(nullSafe).toSet
+      m.entries.filter(e => want(e.partition))
+    case lg: ListGen =>
+      val fs = Tables.fsFor(spark, root)
+      val want = values.map(nullSafe).toSet
+      scopedGroupPaths(gf, values).flatMap { r =>
+        val p = new Path(s"$root/${r.relPath}")
+        if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+          s"manifest group ${r.group} of $root is missing its group " +
+            s"file ${r.relPath} — run IndexAudit.auditManifestTable")
+        parseGroup(MetaSwap.readCommitted(fs, p))
+          .filter(e => want(e.partition))
+      }
   }
 
   /** Schema posture across generations (the S14 discipline on the
@@ -224,10 +425,10 @@ object ManifestStore {
     * a `replaceAll` rebuild, exactly like any parquet table.
     */
   private def readEntries(spark: SparkSession, root: String,
-                          m: Manifest,
+                          schemaDdl: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
-      .fromDDL(m.schemaDdl)
+      .fromDDL(schemaDdl)
     if (entries.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -257,7 +458,7 @@ object ManifestStore {
     */
   def readAt(spark: SparkSession, root: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, root, gen)
-    readEntries(spark, root, m, m.entries)
+    readEntries(spark, root, m.schemaDdl, m.entries)
   }
 
   /** TIME-based travel ([[SnapshotStore.genAsOfTimestamp]] on the
@@ -281,7 +482,7 @@ object ManifestStore {
         .filterNot(_.getPath.getName.endsWith(".next"))
         .flatMap(_.getPath.getName.toLongOption)
         .filter(_ <= cur) // residue manifests never served
-        .map(g => g -> parseManifest(MetaSwap.readCommitted(fs,
+        .map(g => g -> parseGenFile(MetaSwap.readCommitted(fs,
           manifestPath(root, g))).publishedMs)
         .filter(_._2 > 0L) // pre-instant manifests cannot answer
     if (candidates.isEmpty) throw new graft.SnapshotUnavailable(
@@ -313,11 +514,22 @@ object ManifestStore {
     val g = gen.orElse(currentGen(spark, root)).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
-    val m = manifestAt(spark, root, g)
-    val want = values.map(nullSafe).toSet
-    readEntries(spark, root, m,
-      m.entries.filter(e => want(e.partition)))
+    // layout-aware: on a LIST generation only the covering group
+    // manifests are parsed (O(touched groups) metadata), mirroring
+    // the file-level pruning below
+    val gf = genFileAt(spark, root, g)
+    readEntries(spark, root, gf.schemaDdl,
+      scopedEntries(spark, root, gf, values))
   }
+
+  /** Is `value` a served partition of generation `gen`? One group
+    * parse on a list layout — the O(metadata) replay-guard probe the
+    * streaming snapshot sink uses.
+    */
+  private[graft] def partitionServed(spark: SparkSession, root: String,
+                                     gen: Long, value: String): Boolean =
+    scopedEntries(spark, root, genFileAt(spark, root, gen),
+      Seq(value)).nonEmpty
 
   /** The partition-value key a row addresses on disk. Spark writes
     * BOTH null and empty-string partition values into the hive
@@ -397,7 +609,7 @@ object ManifestStore {
       : DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (m, kept) = statsPrunedEntries(spark, root, column, lo, hi, gen)
-    readEntries(spark, root, m, kept)
+    readEntries(spark, root, m.schemaDdl, kept)
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
@@ -485,10 +697,11 @@ object ManifestStore {
               keep: Int = 3, replaceAll: Boolean = false,
               coalescePartitions: Boolean = true,
               retainMs: Long = 0L,
-              statsCols: Seq[String] = Nil): Long =
+              statsCols: Seq[String] = Nil,
+              manifestGroups: Int = 0): Long =
     publishImpl(spark, df, root, partCol, expectations, keep,
       replaceAll, coalescePartitions, () => (), retainMs,
-      statsCols = statsCols)
+      statsCols = statsCols, manifestGroups = manifestGroups)
 
   /** [[publish]] with a crash-injection hook fired between the staged
     * write+audit+manifest and the pointer swap — the
@@ -519,7 +732,8 @@ object ManifestStore {
                                    None,
                                  replacedPartitions: Set[String] =
                                    Set.empty,
-                                 statsCols: Seq[String] = Nil): Long = {
+                                 statsCols: Seq[String] = Nil,
+                                 manifestGroups: Int = 0): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     require(df.columns.contains(partCol),
@@ -543,11 +757,11 @@ object ManifestStore {
     val priorGen = prior.map(b => SnapshotStore.parsedGen(b).getOrElse(
       throw new IllegalStateException(
         "malformed manifest-table pointer: no parseable gen= line")))
-    val priorManifest = priorGen.map(g =>
-      parseManifest(MetaSwap.readCommitted(fs, manifestPath(root, g))))
-    priorManifest.foreach(pm => require(pm.partCol == partCol,
+    val priorFile = priorGen.map(g =>
+      parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g))))
+    priorFile.foreach(pf => require(pf.partCol == partCol,
       s"partition column mismatch: table is partitioned by " +
-        s"${pm.partCol}, publish got $partCol"))
+        s"${pf.partCol}, publish got $partCol"))
     val gen = priorGen.getOrElse(0L) + 1L
     val stagingDir = writesDir(root, gen)
     // mode=overwrite consumes the one possible residue here: a prior
@@ -588,7 +802,7 @@ object ManifestStore {
     // caller re-passing the column list
     val effStatsCols =
       if (statsCols.nonEmpty) statsCols
-      else priorManifest.map(_.statsCols).getOrElse(Nil)
+      else priorFile.map(_.statsCols).getOrElse(Nil)
     effStatsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(",")}"))
     val statsByFile: Map[String, Map[String, (String, String)]] =
@@ -630,19 +844,85 @@ object ManifestStore {
           e.relPath.split('/').takeRight(2).mkString("/"), Map.empty))
       }
     val stagedValues = stagedEntries.map(_.partition).toSet
-    val entries =
-      if (replaceAll || priorManifest.isEmpty) stagedWithStats
-      else priorManifest.get.entries
-        .filterNot(e => stagedValues(e.partition) ||
-          replacedPartitions(e.partition)) ++ stagedWithStats
+    val dropped = (v: String) =>
+      stagedValues(v) || replacedPartitions(v)
     val schemaDdl = df.drop("graft_p").schema.toDDL
-    val manifest = Manifest(partCol, schemaDdl, entries,
-      System.currentTimeMillis(), effStatsCols)
-    // the manifest commits through the same self-healing swap as the
-    // pointer (stage `.next`, rename in): a reader healing a crashed
-    // publish can never observe a half-written file list
-    MetaSwap.swap(fs, manifestPath(root, gen),
-      serializeManifest(manifest))
+    val publishedMs = System.currentTimeMillis()
+    // layout: explicit manifestGroups wins; the default inherits the
+    // prior generation's layout (flat stays flat, a grouped table
+    // keeps its group count) — the statsCols/grace inheritance
+    // pattern. Once grouped, a table stays grouped (re-group by
+    // publishing with a different manifestGroups).
+    val effGroups =
+      if (manifestGroups > 0) manifestGroups
+      else priorFile match {
+        case Some(lg: ListGen) => lg.nGroups
+        case _                 => 0
+      }
+    if (effGroups == 0) {
+      // FLAT: one generation file carrying every entry line
+      val entries =
+        if (replaceAll || priorFile.isEmpty) stagedWithStats
+        else assemble(fs, root, priorFile.get).entries
+          .filterNot(e => dropped(e.partition)) ++ stagedWithStats
+      MetaSwap.swap(fs, manifestPath(root, gen),
+        serializeManifest(Manifest(partCol, schemaDdl, entries,
+          publishedMs, effStatsCols)))
+    } else {
+      // LIST: write ONLY the touched groups' manifests under this
+      // generation's `.d` dir; every untouched group's REFERENCE is
+      // carried verbatim (metadata-level reuse — the group file may
+      // live in an earlier generation's `.d`). A layout migration
+      // (flat → grouped, or a group-count change) touches every
+      // group once, by construction.
+      val priorRefs: Map[Int, String] = priorFile match {
+        case Some(lg: ListGen) if !replaceAll &&
+            lg.nGroups == effGroups =>
+          lg.refs.map(r => r.group -> r.relPath).toMap
+        case _ => Map.empty
+      }
+      val priorByGroup: Map[Int, Seq[ManifestEntry]] =
+        if (replaceAll || priorFile.isEmpty) Map.empty
+        else if (priorRefs.nonEmpty) Map.empty // loaded lazily below
+        else assemble(fs, root, priorFile.get).entries
+          .groupBy(e => groupOf(e.partition, effGroups))
+      val touched: Set[Int] =
+        if (priorRefs.isEmpty)
+          // migration/bootstrap/replaceAll: every group is fresh
+          (stagedValues.map(groupOf(_, effGroups)) ++
+            priorByGroup.keySet).toSet
+        else (stagedValues ++ replacedPartitions)
+          .map(groupOf(_, effGroups))
+      val stagedByGroup = stagedWithStats
+        .groupBy(e => groupOf(e.partition, effGroups))
+      val newRefs = touched.toSeq.sorted.flatMap { g =>
+        val carried: Seq[ManifestEntry] =
+          if (priorRefs.contains(g)) {
+            val p = new Path(s"$root/${priorRefs(g)}")
+            if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+              s"manifest group $g of $root is missing its group " +
+                s"file ${priorRefs(g)} — run " +
+                "IndexAudit.auditManifestTable before publishing")
+            parseGroup(MetaSwap.readCommitted(fs, p))
+              .filterNot(e => dropped(e.partition))
+          } else priorByGroup.getOrElse(g, Seq.empty)
+            .filterNot(e => dropped(e.partition))
+        val entries = carried ++ stagedByGroup.getOrElse(g, Seq.empty)
+        if (entries.isEmpty) None // an emptied group leaves the list
+        else {
+          val rel = s"_manifests/$gen.d/$g"
+          MetaSwap.swap(fs, new Path(s"$root/$rel"),
+            serializeGroup(entries))
+          Some(GroupRef(g, rel))
+        }
+      }
+      val refs = priorRefs.view
+        .filterKeys(g => !touched(g))
+        .map { case (g, rel) => GroupRef(g, rel) }.toSeq ++ newRefs
+      MetaSwap.swap(fs, manifestPath(root, gen),
+        serializeList(ListGen(partCol, schemaDdl, publishedMs,
+          effStatsCols, effGroups, refs.sortBy(_.group))))
+    }
     beforeRepoint()
     // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
     // floor (raise or lower, an explicit operator decision); the
@@ -684,22 +964,58 @@ object ManifestStore {
           "publish IS committed); remove it manually or let the " +
           "next publish retry")
     val now = System.currentTimeMillis()
+    def genFile(g: Long): GenFile =
+      parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g)))
     def inGrace(g: Long): Boolean = retainMs > 0 &&
-      now - parseManifest(MetaSwap.readCommitted(fs,
-        manifestPath(root, g))).publishedMs < retainMs
+      now - genFile(g).publishedMs < retainMs
     // the kept set is decided FIRST (generation window OR wall-clock
     // grace), and the file sweep is railed on exactly that set — a
     // grace-retained manifest keeps every file it references, so it
     // stays SERVABLE for the whole floor, not just present
     val (kept, doomedGens) = allGens.partition(g =>
       g > gen - keep || (g <= gen && inGrace(g)))
+    val keptFiles = kept.map(g => g -> genFile(g)).toMap
     doomedGens.foreach(g =>
       verifiedDelete(manifestPath(root, g), "superseded manifest"))
-    val referenced = kept.filter(_ <= gen)
-      .flatMap(g => parseManifest(
-        MetaSwap.readCommitted(fs, manifestPath(root, g)))
-        .entries.map(_.relPath))
-      .toSet
+    // if ANY surviving generation's reference set is unknowable (a
+    // list referencing a gone group file — fsck territory), SKIP the
+    // sweeps: "unreferenced" cannot be proven and deleting on a guess
+    // would destroy live data; over-retention until the table is
+    // repaired is the safe failure mode
+    val lenient = keptFiles.view.mapValues(gf =>
+      assembleLenient(fs, root, gf)).toMap
+    if (lenient.values.exists(_._2.nonEmpty)) return
+    // group-manifest retention (the list layer): a surviving list may
+    // reference an OLDER generation's group files (metadata reuse),
+    // so group files sweep individually against the set every
+    // surviving list references — never by owning generation
+    val referencedGroups = keptFiles.values.collect {
+      case lg: ListGen => lg.refs.map(_.relPath)
+    }.flatten.toSet
+    fs.listStatus(mBase).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".d"))
+      .foreach { d =>
+        val owner = d.getPath.getName.stripSuffix(".d").toLongOption
+        // residue gens' (> gen) group dirs are the retried publish's
+        // business, exactly like residue manifests
+        if (owner.exists(_ <= gen)) {
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile &&
+              !f.getPath.getName.endsWith(".next"))
+            .foreach { f =>
+              val rel = s"_manifests/${d.getPath.getName}/" +
+                f.getPath.getName
+              if (!referencedGroups(rel))
+                verifiedDelete(f.getPath, "unreferenced group manifest")
+            }
+          if (fs.listStatus(d.getPath).isEmpty)
+            verifiedDelete(d.getPath, "emptied group dir")
+        }
+      }
+    val referenced = lenient.collect {
+      case (g, (entries, _)) if g <= gen =>
+        entries.map(_.relPath)
+    }.flatten.toSet
     val wBase = new Path(s"$root/_writes")
     if (!fs.exists(wBase)) return
     fs.listStatus(wBase).foreach { wd =>
@@ -773,7 +1089,7 @@ object ManifestStore {
                                          beforePublish: () => Unit)
       : Long = {
     val fs = Tables.fsFor(spark, root)
-    def plan(): (Long, Array[Byte], Manifest) = {
+    def plan(): (Long, Array[Byte], GenFile) = {
       val gen = currentGen(spark, root).getOrElse(
         throw new IllegalStateException(
           s"no published manifest table at $root — bootstrap with " +
@@ -782,10 +1098,10 @@ object ManifestStore {
       // compare-and-sets against them, so a promotion landing between
       // here and the swap fails loudly instead of being overwritten
       val raw = MetaSwap.readCommitted(fs, pointer(root))
-      (gen, raw, manifestAt(spark, root, gen))
+      (gen, raw, genFileAt(spark, root, gen))
     }
-    def attempt(gen: Long, raw: Array[Byte], m: Manifest): Long = {
-      val partCol = m.partCol
+    def attempt(gen: Long, raw: Array[Byte], gf: GenFile): Long = {
+      val partCol = gf.partCol
       val affected = batch
         .select(col(partCol).cast("string")).distinct()
         .collect().map(r => nullSafe(r.getString(0))).toSeq
@@ -817,15 +1133,16 @@ object ManifestStore {
       // typed: the merge was computed against rows the winner
       // replaced, and only the caller can re-derive its batch.
       case rs: RebaseSignal =>
-        val (gen1, raw1, m1) = plan()
+        val (gen1, raw1, gf1) = plan()
         // the planned-from manifest may have aged out under keep=1 —
         // then disjointness is unprovable and the race stays loud
         val plannedM =
           try manifestAt(spark, root, rs.plannedGen)
           catch { case _: graft.SnapshotUnavailable => throw rs.cause }
-        if ((touchedBetween(plannedM, m1) & rs.affected).nonEmpty)
+        if ((touchedBetween(plannedM,
+            assemble(fs, root, gf1)) & rs.affected).nonEmpty)
           throw rs.cause
-        try attempt(gen1, raw1, m1)
+        try attempt(gen1, raw1, gf1)
         catch { case rs2: RebaseSignal => throw rs2.cause }
     }
   }

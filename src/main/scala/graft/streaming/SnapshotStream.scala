@@ -57,8 +57,9 @@ object SnapshotStream {
     val M = graft.sources.ManifestStore
     val bid = graft.operators.Dedup.batchId(batch, idCol)
     M.currentGen(spark, root).foreach { g =>
-      if (M.manifestAt(spark, root, g).entries
-          .exists(_.partition == bid))
+      // one group parse on a list-layout table — the replay guard
+      // stays O(metadata) even when the manifest itself is two-level
+      if (M.partitionServed(spark, root, g, bid))
         throw new graft.BatchAlreadyLanded(
           s"snapshot promotion replay refused: batch $bid is already " +
             s"a partition of $root's serving manifest — re-promoting " +

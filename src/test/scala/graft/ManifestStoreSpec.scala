@@ -636,6 +636,132 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("manifest-list layout: untouched GROUP manifests are reused " +
+      "by reference, a single-partition read parses ONE group file, " +
+      "retention sweeps only unreferenced groups, fsck classifies a " +
+      "missing group") {
+    val dir = tmp("manilist")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey",
+        keep = 2, manifestGroups = 4)
+      val gf1 = ManifestStore.genFileAt(spark, root, 1L)
+      val lg1 = gf1.asInstanceOf[ManifestStore.ListGen]
+      assert(lg1.nGroups == 4 && lg1.refs.nonEmpty)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+      // partial promotion: ONLY region 2's group manifest is written;
+      // every other group's REFERENCE carries verbatim (still
+      // pointing into gen 1's .d dir — metadata-level reuse)
+      val v2part = nation.filter(col("n_regionkey") === 2)
+        .withColumn("n_name", lit("CHANGED"))
+      ManifestStore.publish(spark, v2part, root, "n_regionkey",
+        keep = 2)
+      val lg2 = ManifestStore.genFileAt(spark, root, 2L)
+        .asInstanceOf[ManifestStore.ListGen]
+      assert(lg2.nGroups == 4, "layout must inherit")
+      val g2 = ManifestStore.groupOf("2", 4)
+      val (touched, carried) = lg2.refs.partition(_.group == g2)
+      assert(touched.map(_.relPath) == Seq(s"_manifests/2.d/$g2"))
+      carried.foreach { r =>
+        assert(r.relPath.startsWith("_manifests/1.d/"),
+          s"untouched group ${r.group} was rewritten: ${r.relPath}")
+        assert(lg1.refs.find(_.group == r.group)
+          .exists(_.relPath == r.relPath))
+      }
+      // the metadata-pruning contract, literal: a single-partition
+      // read resolves exactly ONE group manifest
+      assert(ManifestStore.scopedGroupPaths(lg2, Seq("2")).size == 1)
+      assert(rows(ManifestStore.readPartitions(spark, root, Seq("2")))
+        == rows(v2part))
+      // full reads and time travel stay exact across the layout
+      val expect2 = nation.filter(col("n_regionkey") =!= 2)
+        .unionByName(v2part)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(expect2))
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) ==
+        rows(nation))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+      // retention: the third promotion prunes gen 1's LIST under
+      // keep=2, but every group file a surviving list references —
+      // including gen 1's untouched groups — survives; only gen 1's
+      // REPLACED group (superseded twice) is swept
+      ManifestStore.publish(spark,
+        nation.filter(col("n_regionkey") === 2), root, "n_regionkey",
+        keep = 2)
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 1L)
+      }
+      val lg3 = ManifestStore.genFileAt(spark, root, 3L)
+        .asInstanceOf[ManifestStore.ListGen]
+      lg3.refs.filter(_.group != g2).foreach(r =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/${r.relPath}")) &&
+          r.relPath.startsWith("_manifests/1.d/")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/1.d/$g2")),
+        "gen 1's twice-superseded group file must be swept")
+      assert(rows(ManifestStore.readAt(spark, root, 2L)) ==
+        rows(expect2), "a retained gen must stay FULLY servable")
+      // grouped maintenance: merge + deleteWhere keep the layout and
+      // the rows
+      import spark.implicits._
+      ManifestStore.mergePartitions(spark,
+        Seq((9999, "NEW", 1)).toDF("n_nationkey", "n_name",
+          "n_regionkey"), root, Seq("n_nationkey"), keep = 2)
+      assert(ManifestStore.genFileAt(spark, root, 4L)
+        .isInstanceOf[ManifestStore.ListGen])
+      assert(ManifestStore.readCurrent(spark, root).count() ==
+        nation.count() + 1)
+      ManifestStore.deleteWhere(spark, root,
+        col("n_nationkey") === 9999, keep = 2)
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+      // fsck: a LIST referencing a gone group file is UNHEALTHY and
+      // repair reports it unrepairable; restoring it heals
+      val victimRef = ManifestStore.genFileAt(spark, root, 5L)
+        .asInstanceOf[ManifestStore.ListGen].refs.head.relPath
+      val victimPath = new org.apache.hadoop.fs.Path(
+        s"$root/$victimRef")
+      val bytes = {
+        val in = fs.open(victimPath)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      require(fs.delete(victimPath, false))
+      assert(IndexAudit.auditManifestTable(spark, root).exists(f =>
+        f.kind == "group" && f.status == "manifest_missing_group" &&
+          !f.healthy))
+      assert(IndexAudit.repairManifestTable(spark, root).collect()
+        .exists(_.getString(2) == "unrepairable_missing_group"))
+      intercept[SnapshotUnavailable] {
+        ManifestStore.readCurrent(spark, root).count()
+      }
+      val out = fs.create(victimPath, true)
+      try out.write(bytes) finally out.close()
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(nation))
+      // flat → grouped migration on a live table preserves every row
+      val froot = dir.toString + "/flat"
+      ManifestStore.publish(spark, nation, froot, "n_regionkey")
+      ManifestStore.publish(spark, v2part, froot, "n_regionkey",
+        manifestGroups = 4)
+      assert(ManifestStore.genFileAt(spark, froot, 2L)
+        .isInstanceOf[ManifestStore.ListGen])
+      assert(rows(ManifestStore.readCurrent(spark, froot)) ==
+        rows(expect2))
+    } finally rmTree(dir)
+  }
+
   test("a zero-entry generation serves the recorded schema — " +
       "including through the SQL source") {
     val dir = tmp("manizero")
