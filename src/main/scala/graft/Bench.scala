@@ -183,8 +183,14 @@ object Bench {
     // contended, publishing the min — the artifact stays idle-valid
     // end-to-end without re-paying the whole sweep. `tail_retry_n`
     // records that the guard fired.
-    val ownLoadEst = math.max(2.0,
-      Runtime.getRuntime.availableProcessors() / 16.0)
+    // the bench's OWN steady-state loadavg contribution scales with
+    // the parallelism actually driving it (local[cpus]), NOT the host
+    // core count: measured ≈2 on the cpus=4 driver runs (0.5/thread
+    // with stage think-time), so cpus/2 floored at 2 — a cpus=32 dev
+    // sweep self-generates load ≈11-16, and estimating its own load
+    // at 2 would mis-flag every such run contended and fire the tail
+    // guard on the bench itself
+    val ownLoadEst = math.max(2.0, cpus.toDouble / 2.0)
     var tailRetryN = 0
     if (loadStart <= contendedThreshold &&
         (loadEnd - ownLoadEst) > contendedThreshold) {
@@ -301,13 +307,12 @@ object Bench {
     //    the r11-style slow ramp (spread 1.59) is caught by the
     //    load_end signal above, not this one.
     // the bench's own steady-state loadavg contribution, measured on
-    // idle round-close sweeps (r10/r11: end load ~2.05 on 32 cores)
+    // idle round-close sweeps (r10/r11: end load ~2.05 at cpus=4)
     // and scaled with the local[cpus] parallelism actually driving
-    // it — a constant calibrated on one box would false-flag every
-    // idle sweep on a larger host, training readers to ignore the
-    // bit (the floored-threshold argument above)
-    val ownLoad = math.max(2.0,
-      Runtime.getRuntime.availableProcessors() / 16.0)
+    // it — a constant calibrated on one configuration would
+    // false-flag every higher-parallelism sweep as contended,
+    // training readers to ignore the bit (see ownLoadEst above)
+    val ownLoad = ownLoadEst
     val contended = loadStart > contendedThreshold ||
       (loadEnd - ownLoad) > contendedThreshold ||
       spreadMed > 1.75
@@ -319,7 +324,7 @@ object Bench {
     // load_thr documents the threshold INSIDE the artifact so a
     // reader can audit the bit without re-deriving cores/8
     val diag =
-      s""""idle_wait_sec":$idleWaitSec,"tail_retry_n":$tailRetryN,"load_start":${fmt(loadStart, 2)},"load_end":${
+      s""""cpus":$cpus,"idle_wait_sec":$idleWaitSec,"tail_retry_n":$tailRetryN,"load_start":${fmt(loadStart, 2)},"load_end":${
         fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"load_thr":${
         fmt(contendedThreshold, 1)},"contended":$contended,"slow":${
         slowGates.map(g => "\"" + g.stripPrefix("q_") + "\"")
