@@ -2474,6 +2474,186 @@ object SparkEntry {
             "timetravel_intact", "fsck_healthy", "n_rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S21b row-level UPDATE on the manifest table, ----
+    // ---- driver-gated ----
+    // the DML triad's third leg: assignments evaluate against the
+    // row's OLD values (SQL UPDATE semantics, pinned by the swap-like
+    // o_totalprice/o_shipprio pair below), only partitions holding
+    // matched rows rewrite (untouched files byte-identical by literal
+    // path+mtime), pre-update generations stay time-travelable, and
+    // the fsck stays healthy. The aggregate row is the real oracle —
+    // DuckDB recomputes the post-update table with CASE WHEN.
+    "q_manifest_update" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-maniupd").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        // the update: 1996's URGENT orders get a 10% price cut and
+        // their priority stamped — both RHSs read OLD values, and
+        // only 1996's partition may be rewritten
+        M.updateWhere(s, root,
+          col("o_year") === "1996" && col("o_orderpriority")
+            .startsWith("1"),
+          Seq(
+            // decimal arithmetic end-to-end: exact in both engines,
+            // so the 10% reprice can't drift on an IEEE tie
+            "o_totalprice" -> round(
+              col("o_totalprice").cast("decimal(18,2)") *
+                lit("0.90").cast("decimal(3,2)"), 2),
+            "o_orderpriority" -> lit("9-REPRICED")))
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "1996").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val timetravelIntact = M.readAt(s, root, 1L)
+          .agg(round(sum(col("o_totalprice")
+            .cast("decimal(18,2)")), 2)).head().getDecimal(0) ==
+          orders.agg(round(sum(col("o_totalprice")
+            .cast("decimal(18,2)")), 2)).head().getDecimal(0)
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p"),
+          count(when(col("o_orderpriority") === "9-REPRICED",
+            lit(1))).as("u")).head()
+        import s.implicits._
+        Seq((untouchedReused, timetravelIntact, healthy,
+          agg.getLong(0), agg.getDouble(1), agg.getLong(2)))
+          .toDF("untouched_files_reused", "timetravel_intact",
+            "fsck_healthy", "n_rows_current", "revenue_after",
+            "n_updated")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S26 clustered OPTIMIZE on the manifest table, ----
+    // ---- driver-gated ----
+    // the maintenance that makes S22's entry stats actually prune: a
+    // fresh append's files each span the whole key range (nothing
+    // skips), range-clustering rewrites them into narrow disjoint
+    // slices — the gate asserts the same range read opens < half the
+    // bytes afterwards with row-identical results, and DuckDB
+    // recounts the range aggregate.
+    "q_manifest_cluster" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-maniclus").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year",
+          statsCols = Seq("o_custkey"))
+        val fs = Tables.fsFor(s, root)
+        // a narrow o_custkey range: pre-cluster every year file spans
+        // the whole key domain, so nothing prunes
+        val (lo, hi) = (100L, 199L)
+        def keptBytes(): Long =
+          M.statsPrunedEntries(s, root, "o_custkey", lo, hi)._2
+            .map(e => fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+              .getLen).sum
+        val preBytes = keptBytes()
+        val total = M.manifestAt(s, root, 1L).entries
+          .map(e => fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getLen).sum
+        val rewrote = M.clusterPartitions(s, root, Seq("o_custkey"),
+          targetBytesPerFile = math.max(1L, total / 32))
+        val postBytes = keptBytes()
+        val prunedUnderHalf = postBytes * 2 < preBytes
+        val pruned = M.readWhere(s, root, "o_custkey", lo, hi)
+        val unpruned = M.readCurrent(s, root)
+          .filter(col("o_custkey").between(lit(lo), lit(hi)))
+        val rowsEqual = pruned.exceptAll(unpruned).isEmpty &&
+          unpruned.exceptAll(pruned).isEmpty
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = pruned.agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((rewrote > 0, prunedUnderHalf, rowsEqual, healthy,
+          agg.getLong(0), agg.getDouble(1)))
+          .toDF("partitions_rewritten", "pruned_under_half",
+            "rows_equal_unpruned", "fsck_healthy", "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S25 named refs: tags + branches with WAP-on-branch ----
+    // ---- and metadata-only fast-forward, driver-gated ----
+    // the full write-audit-publish-on-a-branch cycle: a tag pins the
+    // pre-change table under a stable name, a branch stages a
+    // partition replacement invisibly to main, a C11 audit gates the
+    // promotion, and fast-forward moves main to the branch head
+    // METADATA-ONLY (untouched files byte-identical by path+mtime,
+    // changed partition served from the branch's own staged write).
+    // The aggregate row is the real oracle — DuckDB recomputes the
+    // post-promotion table from orders.
+    "q_table_refs" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manirefs").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        M.tag(s, root, "v1")
+        M.branch(s, root, "wap")
+        val fs = Tables.fsFor(s, root)
+        def mtimes(entries: Seq[graft.sources.ManifestStore.ManifestEntry]) =
+          entries.map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = mtimes(M.manifestAt(s, root, 1L).entries)
+        // the staged change: 1996 keeps only its O-status rows —
+        // published on the BRANCH, invisible to main
+        M.publishToBranch(s,
+          orders.filter(col("o_year") === "1996" &&
+            col("o_orderstatus") === "O"), root, "wap")
+        val mainIsolated =
+          M.readCurrent(s, root).count() == orders.count()
+        // audited, metadata-only promotion
+        val g = M.fastForward(s, root, "wap", Seq(
+          graft.operators.Cleaning.ExpectNotNull("o_orderkey")))
+        val promoted = M.manifestAt(s, root, g).entries
+        val after = mtimes(promoted)
+        val untouched = promoted.filter(_.partition != "1996")
+        val untouchedReused = untouched.nonEmpty && untouched.forall(
+          e => before.get(e.relPath).contains(after(e.relPath)))
+        val fromBranch = promoted.filter(_.partition == "1996")
+          .forall(_.relPath.startsWith("_writes/r-wap-1/"))
+        val tagServes =
+          M.readRef(s, root, "v1").count() == orders.count()
+        // the SQL surface: a ref-addressed view of the pinned tag
+        val sqlServes = s.read.format("graft-snapshot")
+          .option("ref", "v1").load(root).count() == orders.count()
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((mainIsolated, untouchedReused, fromBranch,
+          tagServes && sqlServes, healthy, agg.getLong(0),
+          agg.getDouble(1)))
+          .toDF("main_isolated", "untouched_files_reused",
+            "promoted_from_branch", "tag_serves_original",
+            "fsck_healthy", "n_rows_current", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S22 per-file column stats in manifest entries → ----
     // ---- scan-pruned manifest reads, driver-gated ----
     // S16's data skipping folded into the S20 metadata layer: entries
@@ -4100,6 +4280,47 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders
         |   WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
         |     AND year(o_orderdate) <> 2001) AS n_rows_current"""
+        .stripMargin,
+    // the post-update table recomputed from orders with CASE WHEN:
+    // 1996's URGENT rows repriced ×0.90 in exact decimal — the
+    // contract booleans ride along
+    "q_manifest_update" ->
+      """SELECT true AS untouched_files_reused,
+        |  true AS timetravel_intact, true AS fsck_healthy,
+        |  count(*) AS n_rows_current,
+        |  CAST(SUM(CASE
+        |    WHEN year(o_orderdate) = 1996 AND o_orderpriority LIKE '1%'
+        |    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(0.90 AS DECIMAL(3,2)), 2)
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_after,
+        |  COUNT(CASE
+        |    WHEN year(o_orderdate) = 1996 AND o_orderpriority LIKE '1%'
+        |    THEN 1 END) AS n_updated
+        |FROM orders""".stripMargin,
+    // clustering changes which FILES are opened, never the rows: the
+    // mirror is the plain range filter over the same table (the
+    // q_manifest_skipping discipline, post-OPTIMIZE)
+    "q_manifest_cluster" ->
+      """SELECT true AS partitions_rewritten, true AS pruned_under_half,
+        |  true AS rows_equal_unpruned, true AS fsck_healthy,
+        |  count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199""".stripMargin,
+    // the post-fast-forward table recomputed from orders: 1996 keeps
+    // only its O-status rows, every other year rides unchanged — the
+    // ref-protocol booleans ride along
+    "q_table_refs" ->
+      """SELECT true AS main_isolated, true AS untouched_files_reused,
+        |  true AS promoted_from_branch, true AS tag_serves_original,
+        |  true AS fsck_healthy,
+        |  count(*) AS n_rows_current,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) <> 1996 OR o_orderstatus = 'O'"""
         .stripMargin,
     // skipping changes which FILES are opened, never the rows: the
     // mirror is the plain range filter over the same table (the

@@ -525,6 +525,15 @@ object IndexAudit {
           if (gens.isEmpty || gens == Seq(1L)) Seq.empty
           else Seq(AuditFinding("pointer", "_current", "lost", false))
       }
+    // ref pins, needed BEFORE the per-gen classification: a tagged
+    // generation (or a fresh branch's base) beyond the keep window is
+    // "ref_pinned" — deliberate retention, NOT a crashed prune's
+    // over_retained leftover (which repair would reclaim)
+    val pinnedGens: Set[Long] = ManifestStore.rawRefs(fs, root)
+      .values.flatMap(ManifestStore.parsedRef).collect {
+        case ManifestStore.TagRef(g, _) => g
+        case ManifestStore.BranchRef(0L, base, _) => base
+      }.toSet
     val manifestRows = gens.flatMap { g =>
       val m0 = parsed(g)
       val status = cur match {
@@ -534,12 +543,16 @@ object IndexAudit {
         case Some(c) if g > c + 1L => "orphan_future"
         case Some(c) =>
           if (effKeep > 0 && g <= c - effKeep) {
-            // inside the pointer's wall-clock grace floor = the
-            // reader-contract inventory, not a crashed prune's
-            // leftover (the auditSnapshots grace_retained discipline)
-            val inGrace = persistedGrace.exists(gr => gr > 0 &&
-              m0.exists(m => nowMs - m.publishedMs < gr))
-            if (inGrace) "grace_retained" else "over_retained"
+            if (pinnedGens(g)) "ref_pinned"
+            else {
+              // inside the pointer's wall-clock grace floor = the
+              // reader-contract inventory, not a crashed prune's
+              // leftover (the auditSnapshots grace_retained
+              // discipline)
+              val inGrace = persistedGrace.exists(gr => gr > 0 &&
+                m0.exists(m => nowMs - m.publishedMs < gr))
+              if (inGrace) "grace_retained" else "over_retained"
+            }
           } else "superseded_retained"
         case None =>
           if (gens == Seq(1L)) "first_publish_residue" else "stranded"
@@ -557,7 +570,7 @@ object IndexAudit {
           // missing files are expected post-retention
           val checkFiles = status == "serving" ||
             status == "superseded_retained" ||
-            status == "grace_retained" ||
+            status == "grace_retained" || status == "ref_pinned" ||
             status == "over_retained" || status == "stranded"
           val (entries, missingGroups) =
             ManifestStore.assembleLenient(fs, root, gfile)
@@ -579,12 +592,76 @@ object IndexAudit {
           base +: (groupRows ++ missing)
       }
     }
+    // REFS (S25): tags must point at a present, parseable generation;
+    // a branch's head manifest (or its base, at head 0) must be
+    // servable — including every file it references, since the branch
+    // is a READABLE line, not just a marker. Corrupt markers are
+    // damage (the reference set becomes unknowable, which also
+    // suspends prune's sweeps).
+    val refsRaw = ManifestStore.rawRefs(fs, root)
+    def branchHeadParsed(name: String, h: Long)
+        : Option[graft.sources.ManifestStore.GenFile] = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/r-$name-$h")
+      if (!fs.exists(p)) None
+      else try Some(ManifestStore.parseGenFile(
+        MetaSwap.readCommitted(fs, p)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val refRows = refsRaw.toSeq.sortBy(_._1).flatMap {
+      case (name, bytes) =>
+        ManifestStore.parsedRef(bytes) match {
+          case None =>
+            Seq(AuditFinding("ref", name, "corrupt", false))
+          case Some(ManifestStore.TagRef(g, _)) =>
+            if (gens.contains(g) && parsed(g).isDefined)
+              Seq(AuditFinding("ref", name, "tag_ok", true))
+            else
+              Seq(AuditFinding("ref", name, "missing_target", false))
+          case Some(ManifestStore.BranchRef(h, base, _)) =>
+            val headFile =
+              if (h == 0L) {
+                if (gens.contains(base)) parsed(base) else None
+              } else branchHeadParsed(name, h)
+            headFile match {
+              case None =>
+                Seq(AuditFinding("ref", name,
+                  if (h == 0L) "missing_target" else "missing_head",
+                  false))
+              case Some(gf) =>
+                val (entries, missingGroups) =
+                  ManifestStore.assembleLenient(fs, root, gf)
+                val src = if (h == 0L) base.toString else s"r-$name-$h"
+                val groupRows = missingGroups.map(r =>
+                  AuditFinding("group", s"$src:${r.relPath}",
+                    "manifest_missing_group", false))
+                val fileRows = entries.filterNot(e => fs.exists(
+                    new org.apache.hadoop.fs.Path(
+                      s"$root/${e.relPath}")))
+                  .map(e => AuditFinding("file", s"$src:${e.relPath}",
+                    "manifest_missing_file", false))
+                AuditFinding("ref", name, "branch_ok", true) +:
+                  (groupRows ++ fileRows)
+            }
+        }
+    }
     // pool files no existing manifest references (any gen — residue
-    // manifests legitimately hold their staged files)
-    val referenced = gens.flatMap(g => parsed(g).toSeq
+    // manifests legitimately hold their staged files; branch heads
+    // reference pool files too, so they join the set — a file whose
+    // only reference is a living branch is NOT an orphan)
+    val branchHeadEntries = refsRaw.toSeq.flatMap { case (name, b) =>
+      ManifestStore.parsedRef(b) match {
+        case Some(ManifestStore.BranchRef(h, _, _)) if h >= 1L =>
+          branchHeadParsed(name, h).toSeq.flatMap(gf =>
+            ManifestStore.assembleLenient(fs, root, gf)._1
+              .map(_.relPath))
+        case _ => Seq.empty
+      }
+    }
+    val referenced = (gens.flatMap(g => parsed(g).toSeq
       .flatMap(gf =>
         ManifestStore.assembleLenient(fs, root, gf)._1
-          .map(_.relPath))).toSet
+          .map(_.relPath))) ++ branchHeadEntries).toSet
     val wBase = new org.apache.hadoop.fs.Path(s"$root/_writes")
     val writeRows =
       if (!fs.exists(wBase)) Seq.empty
@@ -608,7 +685,7 @@ object IndexAudit {
             else Seq.empty
           }
         }
-    residueRow ++ pointerRows ++ manifestRows ++ writeRows
+    residueRow ++ pointerRows ++ manifestRows ++ refRows ++ writeRows
   }
 
   /** [[auditManifestTable]] as a DataFrame (the [[audit]] shape). */
@@ -716,7 +793,11 @@ object IndexAudit {
     // same evidence-preservation rule as an unhealthy pointer)
     val referencesIncomplete = findings.exists(f =>
       (f.kind == "manifest" && f.status == "corrupt") ||
-        (f.kind == "group" && f.status == "manifest_missing_group"))
+        (f.kind == "group" && f.status == "manifest_missing_group") ||
+        // an unhealthy ref (corrupt marker, missing tag target or
+        // branch head) makes the ref's reference set unknowable —
+        // same suspension rule
+        (f.kind == "ref" && !f.healthy))
     val sweepActions =
       if (pointerUnhealthy || referencesIncomplete) findings.collect {
         case IndexProtocol.AuditFinding("writes", g,
@@ -727,16 +808,24 @@ object IndexAudit {
       }
       else {
         val mBase = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+        // EVERY manifest file counts — numeric generations AND branch
+        // manifests (`r-<name>-<seq>`): a pool file whose only
+        // reference is a living branch is live data, and stale branch
+        // manifests are prune's business (grace-aware), never
+        // repair's guess
         val referenced =
           if (!fs.exists(mBase)) Set.empty[String]
           else fs.listStatus(mBase).toSeq
-            .filterNot(_.getPath.getName.endsWith(".next"))
-            .flatMap(_.getPath.getName.toLongOption)
-            .flatMap { g =>
+            .filter(st => st.isFile &&
+              !st.getPath.getName.endsWith(".next"))
+            .filter(st =>
+              st.getPath.getName.toLongOption.isDefined ||
+                ManifestStore.parseBranchToken(st.getPath.getName)
+                  .isDefined)
+            .flatMap { st =>
               try ManifestStore.assembleLenient(fs, root,
                 ManifestStore.parseGenFile(MetaSwap.readCommitted(
-                  fs, new org.apache.hadoop.fs.Path(
-                    s"$root/_manifests/$g"))))._1
+                  fs, st.getPath)))._1
                 .map(_.relPath)
               catch { case scala.util.control.NonFatal(_) => Seq.empty }
             }.toSet

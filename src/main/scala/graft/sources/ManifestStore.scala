@@ -660,6 +660,86 @@ object ManifestStore {
       retainMs, Some(raw), replacedPartitions = affected)
   }
 
+  /** Row-level UPDATE (S21b — the third leg of the DML triad beside
+    * the S17 partition-scoped MERGE and the S21 DELETE): for every
+    * row where `predicate` is TRUE (SQL UPDATE semantics — a NULL
+    * predicate leaves the row unchanged), replace the columns named
+    * in `set` with their assignment expressions and publish the
+    * result as a new generation. Assignments follow the SQL rule:
+    * every right-hand side is evaluated against the ROW'S OLD VALUES
+    * (so `SET a = b, b = a` swaps), and each is cast to its target
+    * column's existing type so the table schema is invariant under
+    * updates (a widened column is a schema-evolution publish, not an
+    * UPDATE side effect — carried entries keep their footers, so a
+    * type drift here would split the table's schema mid-manifest).
+    *
+    * The partition column cannot be assigned: an update that moved a
+    * row across partitions would have to rewrite the TARGET
+    * partition too — and a target outside the affected set would
+    * have its carried entries silently replaced by the staged write
+    * (the same instability the S17 merge contract forbids). Model a
+    * partition move as DELETE + append, which names both sides
+    * explicitly.
+    *
+    * Cost shape is [[deleteWhere]]'s: one column-pruned predicate
+    * scan finds the affected partitions, then ONLY those partitions'
+    * rows rewrite (matched rows updated, unmatched carried within
+    * the rewritten files); every other partition's files ride into
+    * the new manifest byte-identical, per-file stats re-record for
+    * the rewritten files, and the publish CAS-checks against the
+    * generation the update was computed from. Returns the committed
+    * generation (the serving one when nothing matched).
+    */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Seq[(String, org.apache.spark.sql.Column)],
+                  expectations: Seq[graft.operators.Cleaning.Expectation] =
+                    Nil,
+                  keep: Int = 3, retainMs: Long = 0L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate assignment targets: ${set.map(_._1).mkString(",")}")
+    val fs = Tables.fsFor(spark, root)
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val m = manifestAt(spark, root, gen)
+    require(!set.exists(_._1 == m.partCol),
+      s"cannot assign the partition column ${m.partCol}: a " +
+        "cross-partition move must be an explicit DELETE + append")
+    val cur = readAt(spark, root, gen)
+    val fields = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    set.foreach { case (c, _) => require(fields.contains(c),
+      s"assignment target $c not in ${cur.columns.mkString(",")}") }
+    val affected = cur.filter(predicate)
+      .select(col(m.partCol).cast("string")).distinct()
+      .collect().map(r => nullSafe(r.getString(0))).toSet
+    if (affected.isEmpty) return gen
+    val part = readPartitions(spark, root, affected.toSeq, Some(gen))
+    // evaluate the predicate and every RHS against the OLD row once
+    // (temp columns), then swap — later assignments must not see
+    // earlier ones' results, and the flag must not drift as columns
+    // change under it
+    val flagged = part.withColumn("__graft_upd",
+      coalesce(predicate, lit(false)))
+    val withNew = set.zipWithIndex.foldLeft(flagged) {
+      case (df, ((c, rhs), i)) =>
+        df.withColumn(s"__graft_new_$i", rhs.cast(fields(c)))
+    }
+    val applied = set.zipWithIndex.foldLeft(withNew) {
+      case (df, ((c, _), i)) =>
+        df.withColumn(c, when(col("__graft_upd"),
+          col(s"__graft_new_$i")).otherwise(col(c)))
+    }
+    val updated = applied.drop(
+      "__graft_upd" +: set.indices.map(i => s"__graft_new_$i"): _*)
+    publishImpl(spark, updated, root, m.partCol, expectations, keep,
+      replaceAll = false, coalescePartitions = true, () => (),
+      retainMs, Some(raw), replacedPartitions = affected)
+  }
+
   /** Publish `df` as the next generation. `replaceAll = false` (the
     * steady-state promotion) REPLACES only the partitions `df`
     * contains rows for and CARRIES every other partition's file
@@ -736,10 +816,6 @@ object ManifestStore {
                                  manifestGroups: Int = 0): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
-    require(df.columns.contains(partCol),
-      s"partition column $partCol not in ${df.columns.mkString(",")}")
-    require(!df.columns.contains("graft_p"),
-      "column name graft_p is reserved for the staged layout")
     val fs = Tables.fsFor(spark, root)
     val p = pointer(root)
     MetaSwap.heal(fs, p)
@@ -759,11 +835,62 @@ object ManifestStore {
         "malformed manifest-table pointer: no parseable gen= line")))
     val priorFile = priorGen.map(g =>
       parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g))))
+    val gen = priorGen.getOrElse(0L) + 1L
+    stageGeneration(spark, df, root, partCol, expectations,
+      replaceAll, coalescePartitions, gen.toString, priorFile,
+      replacedPartitions, statsCols, manifestGroups)
+    beforeRepoint()
+    // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
+    // floor (raise or lower, an explicit operator decision); the
+    // default 0 means "unspecified" and INHERITS the grace the prior
+    // pointer committed — so a maintenance publish (merge, OPTIMIZE,
+    // streaming promotion) can never silently prune inside the reader
+    // window an earlier publish promised
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
+    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
+      .getBytes("UTF-8")
+    prior match {
+      case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
+      case None         => MetaSwap.swap(fs, p, bytes)
+    }
+    // retention AFTER the repoint: a crash anywhere above leaves
+    // residue nothing points at, never a gap
+    prune(fs, root, gen, keep, effRetain)
+    gen
+  }
+
+  /** Stage `df` and write the generation file for `token` — the
+    * shared middle of every manifest-table publish: the partitioned
+    * staged write under `_writes/<token>`, the blocking C11 audit,
+    * the per-file stats pass, and the flat-or-list generation file
+    * at `_manifests/<token>` carrying untouched entries (or group
+    * references) from `priorFile`. The MAIN publish calls this with
+    * the numeric next gen as token then swaps the serving pointer;
+    * a BRANCH publish ([[publishToBranch]]) calls it with its
+    * `r-<name>-<seq>` token then CASes the ref marker — same staged
+    * layout, same manifest format, different commit target.
+    */
+  private def stageGeneration(spark: SparkSession, df: DataFrame,
+                              root: String, partCol: String,
+                              expectations: Seq[graft.operators.Cleaning.Expectation],
+                              replaceAll: Boolean,
+                              coalescePartitions: Boolean,
+                              token: String,
+                              priorFile: Option[GenFile],
+                              replacedPartitions: Set[String],
+                              statsCols: Seq[String],
+                              manifestGroups: Int): Unit = {
+    require(df.columns.contains(partCol),
+      s"partition column $partCol not in ${df.columns.mkString(",")}")
+    require(!df.columns.contains("graft_p"),
+      "column name graft_p is reserved for the staged layout")
     priorFile.foreach(pf => require(pf.partCol == partCol,
       s"partition column mismatch: table is partitioned by " +
         s"${pf.partCol}, publish got $partCol"))
-    val gen = priorGen.getOrElse(0L) + 1L
-    val stagingDir = writesDir(root, gen)
+    val fs = Tables.fsFor(spark, root)
+    val stagingDir = s"$root/_writes/$token"
     // mode=overwrite consumes the one possible residue here: a prior
     // publish of THIS gen that crashed (or failed its audit) before
     // the repoint — nothing ever pointed at it
@@ -794,7 +921,7 @@ object ManifestStore {
             !f.getPath.getName.startsWith("."))
           .sortBy(_.getPath.getName)
           .map(f => ManifestEntry(value,
-            s"_writes/$gen/${dir.getPath.getName}/${f.getPath.getName}"))
+            s"_writes/$token/${dir.getPath.getName}/${f.getPath.getName}"))
       }
     // stat columns: explicit declaration wins, the default inherits
     // the table's declared set (the grace-inheritance pattern) — so
@@ -865,7 +992,7 @@ object ManifestStore {
         if (replaceAll || priorFile.isEmpty) stagedWithStats
         else assemble(fs, root, priorFile.get).entries
           .filterNot(e => dropped(e.partition)) ++ stagedWithStats
-      MetaSwap.swap(fs, manifestPath(root, gen),
+      MetaSwap.swap(fs, new Path(s"$root/_manifests/$token"),
         serializeManifest(Manifest(partCol, schemaDdl, entries,
           publishedMs, effStatsCols)))
     } else {
@@ -910,7 +1037,7 @@ object ManifestStore {
         val entries = carried ++ stagedByGroup.getOrElse(g, Seq.empty)
         if (entries.isEmpty) None // an emptied group leaves the list
         else {
-          val rel = s"_manifests/$gen.d/$g"
+          val rel = s"_manifests/$token.d/$g"
           MetaSwap.swap(fs, new Path(s"$root/$rel"),
             serializeGroup(entries))
           Some(GroupRef(g, rel))
@@ -919,28 +1046,355 @@ object ManifestStore {
       val refs = priorRefs.view
         .filterKeys(g => !touched(g))
         .map { case (g, rel) => GroupRef(g, rel) }.toSeq ++ newRefs
-      MetaSwap.swap(fs, manifestPath(root, gen),
+      MetaSwap.swap(fs, new Path(s"$root/_manifests/$token"),
         serializeList(ListGen(partCol, schemaDdl, publishedMs,
           effStatsCols, effGroups, refs.sortBy(_.group))))
     }
-    beforeRepoint()
-    // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
-    // floor (raise or lower, an explicit operator decision); the
-    // default 0 means "unspecified" and INHERITS the grace the prior
-    // pointer committed — so a maintenance publish (merge, OPTIMIZE,
-    // streaming promotion) can never silently prune inside the reader
-    // window an earlier publish promised
+  }
+
+  // ---- NAMED REFS: tags and branches (S25) -------------------------
+  // The manifest table's file-level indirection makes refs METADATA-
+  // ONLY (the Iceberg insight): a TAG pins a committed generation
+  // against retention under a stable name; a BRANCH is an independent
+  // line of manifests sharing the same immutable file pool, so a
+  // write-audit-publish cycle can stage whole promotions on a branch
+  // (readable, auditable, time-shared files) and FAST-FORWARD main to
+  // the branch head without rewriting a byte of data. Refs live as
+  // `_refs/<name>` markers committed through [[MetaSwap]]; branch
+  // generations are `_manifests/r-<name>-<seq>` over staged writes in
+  // `_writes/r-<name>-<seq>` — namespaced so they can NEVER collide
+  // with main's numeric gen allocation, which is what lets a branch
+  // publish run concurrently with a main promotion (disjoint commit
+  // targets, disjoint staging). Retention treats ref-reachable
+  // manifests as surviving: tagged gens (and a fresh branch's base)
+  // are pinned, branch heads join the reference set for the file and
+  // group sweeps, and a DROPPED ref's private files are reclaimed by
+  // the next main publish's prune. The snapshot table gets no branch
+  // form by design: its generations are full copies, so "branching"
+  // it would just be a second table.
+
+  /** A named ref, parsed from `_refs/<name>`. */
+  sealed trait Ref { def createdMs: Long }
+
+  /** An immutable pin of a committed generation. */
+  final case class TagRef(gen: Long, createdMs: Long) extends Ref
+
+  /** An independent line of manifests. `head` is the branch's own
+    * publish sequence (0 = no branch publishes yet — the branch
+    * serves `base`); `base` is the MAIN generation it was forked
+    * from.
+    */
+  final case class BranchRef(head: Long, base: Long,
+                             createdMs: Long) extends Ref
+
+  private def refPath(root: String, name: String) =
+    new Path(s"$root/_refs/$name")
+
+  private def branchToken(name: String, seq: Long) = s"r-$name-$seq"
+
+  /** Parse `r-<name>-<seq>` (the LAST dash splits — names may carry
+    * dashes). None for anything that is not a branch token.
+    */
+  private[graft] def parseBranchToken(s: String)
+      : Option[(String, Long)] =
+    if (!s.startsWith("r-")) None
+    else {
+      val body = s.stripPrefix("r-")
+      val i = body.lastIndexOf('-')
+      if (i <= 0) None
+      else body.drop(i + 1).toLongOption.map(k => (body.take(i), k))
+    }
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9_.-]*")
+
+  private[graft] def serializeRef(r: Ref): Array[Byte] = (r match {
+    case TagRef(g, c) => s"kind=tag\ngen=$g\ncreated=$c\n"
+    case BranchRef(h, b, c) =>
+      s"kind=branch\nhead=$h\nbase=$b\ncreated=$c\n"
+  }).getBytes("UTF-8")
+
+  /** None for corrupt bytes — the fsck classifies, never crashes. */
+  private[graft] def parsedRef(bytes: Array[Byte]): Option[Ref] = {
+    def f(k: String) = new String(bytes, "UTF-8").linesIterator
+      .collectFirst { case s if s.startsWith(s"$k=") =>
+        s.stripPrefix(s"$k=").trim }
+    f("kind") match {
+      case Some("tag") => for {
+        g <- f("gen").flatMap(_.toLongOption)
+        c <- f("created").flatMap(_.toLongOption)
+      } yield TagRef(g, c)
+      case Some("branch") => for {
+        h <- f("head").flatMap(_.toLongOption)
+        b <- f("base").flatMap(_.toLongOption)
+        c <- f("created").flatMap(_.toLongOption)
+      } yield BranchRef(h, b, c)
+      case _ => None
+    }
+  }
+
+  /** Every ref of the table, healed and parsed. Corrupt markers are
+    * OMITTED here (the fsck reports them); the retention sweeps use
+    * [[rawRefs]] and SUSPEND on damage instead.
+    */
+  def refs(spark: SparkSession, root: String): Map[String, Ref] =
+    rawRefs(Tables.fsFor(spark, root), root).flatMap {
+      case (n, bytes) => parsedRef(bytes).map(n -> _)
+    }
+
+  /** (name → committed marker bytes) of every ref. */
+  private[graft] def rawRefs(fs: org.apache.hadoop.fs.FileSystem,
+                             root: String): Map[String, Array[Byte]] = {
+    val base = new Path(s"$root/_refs")
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.endsWith(".next"))
+      .map { st =>
+        val p = st.getPath
+        p.getName -> MetaSwap.readCommitted(fs, p)
+      }.toMap
+  }
+
+  private[sources] def refAt(spark: SparkSession, root: String,
+                             name: String): Ref = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    parsedRef(MetaSwap.readCommitted(fs, p)).getOrElse(
+      throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditManifestTable"))
+  }
+
+  /** TAG `gen` (default: the serving generation) as `name`: the
+    * generation's manifest — and every file it references — is
+    * PINNED against retention until [[dropRef]]. Tags are immutable
+    * by contract: an existing ref under the name refuses.
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+          gen: Option[Long] = None): Long = {
+    requireRefName(name)
+    val fs = Tables.fsFor(spark, root)
+    val cur = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val g = gen.getOrElse(cur)
+    // must be a committed, still-retained generation (genFileAt's
+    // refusal semantics do the checking)
+    genFileAt(spark, root, g)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"ref '$name' already exists at $root — refs are immutable; " +
+        "dropRef first to rename on purpose")
+    MetaSwap.swap(fs, p, serializeRef(
+      TagRef(g, System.currentTimeMillis())))
+    g
+  }
+
+  /** Create BRANCH `name` forked from `fromGen` (default: the serving
+    * generation). Metadata-only — nothing is copied; until the first
+    * [[publishToBranch]] the branch serves its base generation (which
+    * is pinned against retention while the branch sits at head 0).
+    */
+  def branch(spark: SparkSession, root: String, name: String,
+             fromGen: Option[Long] = None): Unit = {
+    requireRefName(name)
+    val fs = Tables.fsFor(spark, root)
+    val cur = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val base = fromGen.getOrElse(cur)
+    genFileAt(spark, root, base)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"ref '$name' already exists at $root — refs are immutable; " +
+        "dropRef first to rename on purpose")
+    MetaSwap.swap(fs, p, serializeRef(
+      BranchRef(0L, base, System.currentTimeMillis())))
+  }
+
+  /** Drop ref `name`. A dropped TAG un-pins its generation (the
+    * normal window applies again); a dropped BRANCH's private
+    * manifests and files are reclaimed by the next main publish's
+    * prune — unless main fast-forwarded onto them, in which case the
+    * file-level reference sweep keeps exactly the referenced ones.
+    */
+  def dropRef(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    fs.delete(p, false)
+    fs.delete(new Path(p.getParent, p.getName + ".next"), false)
+    ()
+  }
+
+  /** The branch's generation file: its own head manifest, or the base
+    * generation's while head = 0.
+    */
+  private[sources] def branchGenFile(spark: SparkSession, root: String,
+                                     name: String, b: BranchRef): GenFile =
+    if (b.head == 0L) genFileAt(spark, root, b.base)
+    else {
+      val fs = Tables.fsFor(spark, root)
+      val p = new Path(
+        s"$root/_manifests/${branchToken(name, b.head)}")
+      if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+        s"branch '$name' of $root is missing its head manifest " +
+          s"${p.getName} — run IndexAudit.auditManifestTable")
+      parseGenFile(MetaSwap.readCommitted(fs, p))
+    }
+
+  /** Read the table a ref serves: a TAG reads its pinned generation,
+    * a BRANCH reads its head (the base generation while head = 0).
+    */
+  def readRef(spark: SparkSession, root: String,
+              name: String): DataFrame = refAt(spark, root, name) match {
+    case TagRef(g, _) => readAt(spark, root, g)
+    case b: BranchRef =>
+      val fs = Tables.fsFor(spark, root)
+      val m = assemble(fs, root, branchGenFile(spark, root, name, b))
+      readEntries(spark, root, m.schemaDdl, m.entries)
+  }
+
+  /** Publish `df` onto BRANCH `name` — the staged-promotion half of
+    * write-audit-publish on a branch: partition-replace semantics
+    * exactly like [[publish]]`(replaceAll = false)` (staged
+    * partitions replace, untouched entries carry byte-identical from
+    * the branch head), the same blocking C11 audit over the staged
+    * bytes, but the commit is a CAS of the REF marker, not the
+    * serving pointer — main's readers cannot see any of it until
+    * [[fastForward]]. Runs concurrently with main promotions by
+    * construction (disjoint staging `_writes/r-<name>-<seq>`,
+    * disjoint commit targets); two publishes racing on the SAME
+    * branch fail loudly ([[MetaSwap.CasFailed]]). Returns the new
+    * branch head sequence. No pruning here: branch garbage is the
+    * next main publish's business (single-pruner discipline).
+    */
+  def publishToBranch(spark: SparkSession, df: DataFrame,
+                      root: String, name: String,
+                      expectations: Seq[graft.operators.Cleaning.Expectation] =
+                        Nil,
+                      coalescePartitions: Boolean = true,
+                      statsCols: Seq[String] = Nil,
+                      manifestGroups: Int = 0): Long = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    val expect = MetaSwap.readCommitted(fs, p)
+    val b = parsedRef(expect) match {
+      case Some(br: BranchRef) => br
+      case Some(_: TagRef) => throw new IllegalStateException(
+        s"ref '$name' of $root is a TAG — tags are immutable pins; " +
+          "publish onto a branch")
+      case None => throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditManifestTable")
+    }
+    val priorFile = branchGenFile(spark, root, name, b)
+    val seq = b.head + 1L
+    stageGeneration(spark, df, root, priorFile.partCol, expectations,
+      replaceAll = false, coalescePartitions,
+      branchToken(name, seq), Some(priorFile),
+      replacedPartitions = Set.empty, statsCols, manifestGroups)
+    // CAS against the marker bytes this publish planned from — a
+    // racing publish on the same branch fails loudly, its staged
+    // token left as residue the retry overwrites
+    MetaSwap.swap(fs, p,
+      serializeRef(BranchRef(seq, b.base, b.createdMs)), expect)
+    seq
+  }
+
+  /** FAST-FORWARD main to branch `name`'s head — the publish half of
+    * write-audit-publish on a branch, and it is METADATA-ONLY: the
+    * new main generation's manifest carries the branch head's entry
+    * list (or its group references, on a list layout) verbatim; not
+    * one data file is rewritten, moved, or read — except by the
+    * optional `expectations`, which audit the WHOLE branch table
+    * (one C11 scan) before the repoint, refusing typed
+    * ([[graft.AuditFailed]]) with main untouched.
+    *
+    * True fast-forward only: if main has advanced past the branch's
+    * base, the branch no longer contains those promotions and
+    * repointing would silently drop them — refused typed unless
+    * `force = true` (an explicit "replace main with the branch
+    * state"). The branch ref survives (drop it when done); its base
+    * is advanced to the new main generation so a later publish
+    * continues from what main now serves.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String,
+                  expectations: Seq[graft.operators.Cleaning.Expectation] =
+                    Nil,
+                  keep: Int = 3, retainMs: Long = 0L,
+                  force: Boolean = false): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = Tables.fsFor(spark, root)
+    val ptr = pointer(root)
+    MetaSwap.heal(fs, ptr)
+    val prior = MetaSwap.readCommitted(fs, ptr)
+    val mainGen = SnapshotStore.parsedGen(prior).getOrElse(
+      throw new IllegalStateException(
+        "malformed manifest-table pointer: no parseable gen= line"))
+    val refMarker = refPath(root, name)
+    MetaSwap.heal(fs, refMarker)
+    if (!fs.exists(refMarker)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    val refBytes = MetaSwap.readCommitted(fs, refMarker)
+    val b = parsedRef(refBytes) match {
+      case Some(br: BranchRef) => br
+      case Some(_: TagRef) => throw new IllegalStateException(
+        s"ref '$name' of $root is a TAG — fast-forward needs a branch")
+      case None => throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditManifestTable")
+    }
+    if (!force && mainGen != b.base) throw new IllegalStateException(
+      s"cannot fast-forward $root to branch '$name': main is at " +
+        s"generation $mainGen but the branch forked from ${b.base} — " +
+        "promotions landed on main since; re-branch (or force = true " +
+        "to REPLACE main with the branch state)")
+    val headFile = branchGenFile(spark, root, name, b)
+    if (expectations.nonEmpty) {
+      val m = assemble(fs, root, headFile)
+      val report = graft.operators.Cleaning.validateExpectations(
+        readEntries(spark, root, m.schemaDdl, m.entries), expectations)
+      val failed = report.collect().filter(!_.getBoolean(5))
+      if (failed.nonEmpty) throw new graft.AuditFailed(
+        s"audit failed for branch '$name' of $root: " +
+          failed.map(r => s"${r.getString(0)}/${r.getString(1)}=" +
+            s"${r.getLong(4)} violations").mkString(", ") +
+          "; main untouched, branch left for inspection")
+    }
+    val gen = mainGen + 1L
+    val publishedMs = System.currentTimeMillis()
+    // the metadata-only promotion: the new main manifest carries the
+    // branch head's content verbatim (entry lines on a flat layout,
+    // group REFERENCES on a list layout — those group files are
+    // immutable and now shared between the branch and main)
+    val bytesOut = headFile match {
+      case FlatGen(m) => serializeManifest(
+        m.copy(publishedMs = publishedMs))
+      case lg: ListGen => serializeList(
+        lg.copy(publishedMs = publishedMs))
+    }
+    MetaSwap.swap(fs, manifestPath(root, gen), bytesOut)
     val effRetain =
       if (retainMs > 0) retainMs
-      else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
-    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
+      else SnapshotStore.parsedGrace(prior).getOrElse(0L)
+    val ptrBytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
-    prior match {
-      case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
-      case None         => MetaSwap.swap(fs, p, bytes)
-    }
-    // retention AFTER the repoint: a crash anywhere above leaves
-    // residue nothing points at, never a gap
+    MetaSwap.swap(fs, ptr, ptrBytes, prior)
+    // rebase the branch onto what main now serves, so the ref's
+    // retention claims stay minimal and a later branch publish
+    // continues from the promoted state (CAS: a publish racing the
+    // fast-forward on this branch fails one side loudly)
+    MetaSwap.swap(fs, refMarker,
+      serializeRef(BranchRef(b.head, gen, b.createdMs)), refBytes)
     prune(fs, root, gen, keep, effRetain)
     gen
   }
@@ -968,15 +1422,73 @@ object ManifestStore {
       parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g)))
     def inGrace(g: Long): Boolean = retainMs > 0 &&
       now - genFile(g).publishedMs < retainMs
-    // the kept set is decided FIRST (generation window OR wall-clock
-    // grace), and the file sweep is railed on exactly that set — a
-    // grace-retained manifest keeps every file it references, so it
-    // stays SERVABLE for the whole floor, not just present
+    // REFS participate in retention: tagged generations (and a fresh
+    // branch's base) are PINNED, branch heads join the surviving set
+    // for the reference sweeps. A corrupt ref marker makes the
+    // reference set unknowable → SUSPEND everything (the r14 rule:
+    // over-retention is the safe failure; fsck reports the damage).
+    val refByName: Map[String, Ref] = {
+      val raw = rawRefs(fs, root)
+      val parsed = raw.map { case (n, b) => n -> parsedRef(b) }
+      if (parsed.values.exists(_.isEmpty)) return
+      parsed.map { case (n, r) => n -> r.get }
+    }
+    val pinned: Set[Long] = refByName.values.collect {
+      case TagRef(g, _) => g
+      case BranchRef(0L, base, _) => base
+    }.toSet
+    // the kept set is decided FIRST (generation window, wall-clock
+    // grace, or a ref pin), and the file sweep is railed on exactly
+    // that set — a retained manifest keeps every file it references,
+    // so it stays SERVABLE, not just present
     val (kept, doomedGens) = allGens.partition(g =>
-      g > gen - keep || (g <= gen && inGrace(g)))
+      g > gen - keep || (g <= gen && inGrace(g)) || pinned(g))
     val keptFiles = kept.map(g => g -> genFile(g)).toMap
     doomedGens.foreach(g =>
       verifiedDelete(manifestPath(root, g), "superseded manifest"))
+    // BRANCH manifests (`r-<name>-<seq>`): the ref's head survives;
+    // a seq BEYOND the head is a crashed/in-flight publish's business
+    // (left whole, exactly like main's residue gens); stale heads and
+    // dropped branches' manifests go unless the wall-clock grace
+    // still covers an in-flight reader. Survivors join the reference
+    // sweeps; a corrupt survivor suspends them.
+    val branchManifests = fs.listStatus(mBase).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.endsWith(".next"))
+      .flatMap(st => parseBranchToken(st.getPath.getName)
+        .map { case (n, k) => (st.getPath, n, k) })
+    var suspendSweeps = false
+    val branchSurvivors = scala.collection.mutable
+      .ArrayBuffer[GenFile]()
+    branchManifests.foreach { case (p, n, k) =>
+      val head = refByName.get(n) match {
+        case Some(BranchRef(h, _, _)) => Some(h)
+        case _ => None
+      }
+      lazy val parsedBm =
+        try Some(parseGenFile(MetaSwap.readCommitted(fs, p)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      if (head.exists(k > _)) {
+        // in-flight/residue branch publish: leave it AND its staging
+        // alone (the retry overwrites); its unique files live under
+        // its own `_writes/r-…` token, which the sweep skips below
+      } else if (head.contains(k)) parsedBm match {
+        case Some(gfile) => branchSurvivors += gfile
+        case None => suspendSweeps = true // serving head corrupt
+      } else {
+        // stale (superseded head or dropped branch): wall-clock grace
+        // still applies — an unparseable stale manifest's grace claim
+        // is unknowable, so it suspends instead of being deleted on a
+        // guess
+        parsedBm match {
+          case Some(gfile) =>
+            if (retainMs > 0 && now - gfile.publishedMs < retainMs)
+              branchSurvivors += gfile
+            else verifiedDelete(p, "stale branch manifest")
+          case None => suspendSweeps = true
+        }
+      }
+    }
+    if (suspendSweeps) return
     // if ANY surviving generation's reference set is unknowable (a
     // list referencing a gone group file — fsck territory), SKIP the
     // sweeps: "unreferenced" cannot be proven and deleting on a guess
@@ -984,21 +1496,39 @@ object ManifestStore {
     // repaired is the safe failure mode
     val lenient = keptFiles.view.mapValues(gf =>
       assembleLenient(fs, root, gf)).toMap
-    if (lenient.values.exists(_._2.nonEmpty)) return
+    val branchLenient = branchSurvivors.toSeq.map(gf =>
+      assembleLenient(fs, root, gf))
+    if (lenient.values.exists(_._2.nonEmpty) ||
+        branchLenient.exists(_._2.nonEmpty)) return
     // group-manifest retention (the list layer): a surviving list may
     // reference an OLDER generation's group files (metadata reuse),
     // so group files sweep individually against the set every
     // surviving list references — never by owning generation
-    val referencedGroups = keptFiles.values.collect {
-      case lg: ListGen => lg.refs.map(_.relPath)
-    }.flatten.toSet
+    val referencedGroups =
+      (keptFiles.values ++ branchSurvivors).collect {
+        case lg: ListGen => lg.refs.map(_.relPath)
+      }.flatten.toSet
+    // does an existing branch ref hold a residue at this owner token?
+    def inFlightBranchToken(token: String): Boolean =
+      parseBranchToken(token).exists { case (n, k) =>
+        refByName.get(n) match {
+          case Some(BranchRef(h, _, _)) => k > h
+          case _ => false
+        }
+      }
     fs.listStatus(mBase).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.endsWith(".d"))
       .foreach { d =>
-        val owner = d.getPath.getName.stripSuffix(".d").toLongOption
-        // residue gens' (> gen) group dirs are the retried publish's
-        // business, exactly like residue manifests
-        if (owner.exists(_ <= gen)) {
+        val token = d.getPath.getName.stripSuffix(".d")
+        // residue owners' group dirs are the retried publish's
+        // business, exactly like residue manifests — numeric gens
+        // beyond the serving one, and branch seqs beyond the head
+        val sweepable = token.toLongOption match {
+          case Some(owner) => owner <= gen
+          case None => parseBranchToken(token).isDefined &&
+            !inFlightBranchToken(token)
+        }
+        if (sweepable) {
           fs.listStatus(d.getPath)
             .filter(f => f.isFile &&
               !f.getPath.getName.endsWith(".next"))
@@ -1012,21 +1542,28 @@ object ManifestStore {
             verifiedDelete(d.getPath, "emptied group dir")
         }
       }
-    val referenced = lenient.collect {
-      case (g, (entries, _)) if g <= gen =>
-        entries.map(_.relPath)
-    }.flatten.toSet
+    val referenced = (lenient.collect {
+      case (g, (entries, _)) if g <= gen => entries.map(_.relPath)
+    }.flatten ++ branchLenient.flatMap(_._1.map(_.relPath))).toSet
     val wBase = new Path(s"$root/_writes")
     if (!fs.exists(wBase)) return
     fs.listStatus(wBase).foreach { wd =>
-      wd.getPath.getName.toLongOption.foreach { g =>
+      val token = wd.getPath.getName
+      // numeric tokens sweep as before; branch tokens sweep unless
+      // they are an existing ref's in-flight residue (beyond head)
+      val sweepable = token.toLongOption match {
+        case Some(_) => true
+        case None => parseBranchToken(token).isDefined &&
+          !inFlightBranchToken(token)
+      }
+      if (sweepable) {
         var kept = false
         val it = fs.listFiles(wd.getPath, true)
         val doomed = scala.collection.mutable.ArrayBuffer[Path]()
         while (it.hasNext) {
           val f = it.next()
-          val rel = s"_writes/$g/" + f.getPath.toString
-            .split(s"/_writes/$g/", 2).last
+          val rel = s"_writes/$token/" + f.getPath.toString
+            .split(s"/_writes/$token/", 2).last
           val hidden = f.getPath.getName.startsWith("_") ||
             f.getPath.getName.startsWith(".")
           if (referenced(rel)) kept = true
@@ -1249,5 +1786,83 @@ object ManifestStore {
         retainMs, Some(raw))
       offenders.size
     }
+  }
+
+  /** CLUSTERED OPTIMIZE (S26): rewrite partitions with rows
+    * RANGE-CLUSTERED on `sortCols`, so each data file covers a
+    * narrow, disjoint slice of the sort key — which is what makes
+    * the S22 per-file stats actually PRUNE: a fresh append's files
+    * each span the whole key range (every file overlaps every
+    * predicate → nothing skips), while after clustering a range
+    * read's [lo, hi] intersects only the files whose slice overlaps
+    * it. The Z-ORDER/SORT-BY table maintenance of the big table
+    * formats, restated on the manifest layer (single-key clustering;
+    * for multi-key locality compose with [[Tables]]' S11 z-value as
+    * a derived sort column).
+    *
+    * `partitions = None` clusters the whole table; pass a list to
+    * cluster only hot partitions — every other partition's files
+    * ride into the new generation byte-identical (the S17 contract),
+    * so the maintenance cost is O(clustered partitions), never
+    * O(table). File sizing: the clustered rows split into
+    * ≈`targetBytesPerFile`-input-bytes files via one
+    * `repartitionByRange` over (partition, sortCols…) — Spark's
+    * range sampler draws the boundaries, each output task holds one
+    * contiguous slice, and a boundary task spanning two partition
+    * values still writes per-value files with disjoint slices. Rows
+    * are additionally sorted WITHIN files, so parquet row-group
+    * stats tighten too (min/max per page/group — the engine-level
+    * skip a pushed-down range filter uses on top of the entry-level
+    * prune).
+    *
+    * Same maintenance contract as [[compactSmallPartitions]]:
+    * fsck preflight (refuses typed on an unhealthy table), CAS
+    * against the generation the sizing was computed from, stats
+    * re-recorded for the rewritten files (statsCols inherit), grace
+    * honored. Returns the number of partitions rewritten.
+    */
+  def clusterPartitions(spark: SparkSession, root: String,
+                        sortCols: Seq[String],
+                        targetBytesPerFile: Long,
+                        partitions: Option[Seq[String]] = None,
+                        keep: Int = 3, retainMs: Long = 0L): Int = {
+    require(sortCols.nonEmpty, "clusterPartitions needs sort columns")
+    require(targetBytesPerFile > 0)
+    graft.operators.IndexAudit.auditManifestTable(spark, root)
+      .find(!_.healthy)
+      .foreach(f => throw new graft.IndexUnhealthy(
+        s"manifest table at $root is unhealthy " +
+          s"(${f.kind}/${f.name}: ${f.status}) — clustering would " +
+          "republish damaged state; run IndexAudit.auditManifestTable " +
+          "for the full report and repairManifestTable / restore the " +
+          "named file, then retry"))
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val fs = Tables.fsFor(spark, root)
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val m = manifestAt(spark, root, gen)
+    sortCols.foreach(c => require(
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .fieldNames.contains(c),
+      s"sort column $c not in the table schema"))
+    val served = m.entries.map(_.partition).distinct
+    val affected = partitions.map(_.map(nullSafe))
+      .getOrElse(served).filter(served.toSet)
+    if (affected.isEmpty) return 0
+    val bytes = m.entries.filter(e => affected.toSet(e.partition))
+      .map(e => fs.getFileStatus(new Path(s"$root/${e.relPath}"))
+        .getLen).sum
+    val nFiles = math.max(1L,
+      (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val rows = readPartitions(spark, root, affected, Some(gen))
+    val keyCols = col(m.partCol) +: sortCols.map(col)
+    val clustered = rows
+      .repartitionByRange(nFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    publishImpl(spark, clustered, root, m.partCol, Nil, keep,
+      replaceAll = false, coalescePartitions = false, () => (),
+      retainMs, Some(raw), replacedPartitions = affected.toSet)
+    affected.size
   }
 }

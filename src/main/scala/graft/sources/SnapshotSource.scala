@@ -21,7 +21,10 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
   * }}}
   *
   * Options: `path` (the table root), `versionAsOf` (a generation —
-  * omit for the serving one). The LAYOUT is probed from the root:
+  * omit for the serving one), `timestampAsOf` (time travel), `ref`
+  * (an S25 tag or branch name — manifest tables only; a tag view is
+  * pinned by construction, a branch view serves the head committed
+  * at creation). The LAYOUT is probed from the root:
   * a `_manifests/` tree means the S20 manifest table, otherwise the
   * S19 snapshot table — one source name for the whole pointer
   * family.
@@ -77,10 +80,36 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         s"versionAsOf must be a generation number, got '$v'"))
     }
     val tsOpt = parameters.get("timestampAsOf").map(parseTs)
-    require(genOpt.isEmpty || tsOpt.isEmpty,
-      "versionAsOf and timestampAsOf are mutually exclusive")
+    val refOpt = parameters.get("ref")
+    require(Seq(genOpt, tsOpt, refOpt).count(_.isDefined) <= 1,
+      "versionAsOf, timestampAsOf and ref are mutually exclusive")
     val isManifest = Tables.fsFor(spark, root).exists(
       new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+    // a REF resolves here at view creation, like everything else: a
+    // tag view is pinned by construction; a branch view serves the
+    // head that was committed at creation (re-create to follow)
+    if (refOpt.isDefined) {
+      val name = refOpt.get
+      if (!isManifest) throw new IllegalArgumentException(
+        s"ref '$name': refs exist on the manifest table only (the " +
+          "snapshot table's generations are full copies — tag it by " +
+          "generation with versionAsOf)")
+      ManifestStore.refAt(spark, root, name) match {
+        case ManifestStore.TagRef(g, _) =>
+          org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+            ManifestStore.readAt(spark, root, g))
+        case b: ManifestStore.BranchRef =>
+          val fs = Tables.fsFor(spark, root)
+          val m = ManifestStore.assemble(fs, root,
+            ManifestStore.branchGenFile(spark, root, name, b))
+          if (m.entries.isEmpty)
+            new EmptySnapshotRelation(sqlContext,
+              org.apache.spark.sql.types.StructType
+                .fromDDL(m.schemaDdl))
+          else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+            ManifestStore.readRef(spark, root, name))
+      }
+    } else {
     // time resolves to a generation ONCE, here — the view is then
     // pinned exactly like a versionAsOf view
     val gen = genOpt.orElse(tsOpt.map { t =>
@@ -108,6 +137,7 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         case None    => SnapshotStore.readCurrent(spark, root)
       }
       org.apache.spark.sql.GraftSqlBridge.fileRelationOf(df)
+    }
     }
   }
 }

@@ -593,6 +593,246 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("updateWhere: SQL UPDATE semantics — RHS reads OLD values " +
+      "(swap works), NULL predicates keep rows unchanged, only " +
+      "affected partitions rewrite, partition column unassignable") {
+    val dir = tmp("maniupd")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      val base = (1 to 100).map(i =>
+          (i, (i - 1) / 25, java.lang.Integer.valueOf(i),
+            java.lang.Integer.valueOf(1000 + i)))
+        .toDF("id", "p", "a", "b")
+        .unionByName(Seq((101, 2,
+          null.asInstanceOf[java.lang.Integer],
+          java.lang.Integer.valueOf(7)))
+          .toDF("id", "p", "a", "b"))
+      ManifestStore.publish(spark, base, root, "p")
+      val before = fileState(root, 1L)
+      // SET a = b, b = a on partition-1 rows (a in 26..50): must SWAP
+      // — each RHS evaluated against the OLD row. The null-a row's
+      // predicate is NULL → unchanged (SQL UPDATE semantics).
+      val g = ManifestStore.updateWhere(spark, root,
+        col("a").between(26, 50) || col("a") === 60,
+        Seq("a" -> col("b"), "b" -> col("a")))
+      assert(g == 2L)
+      val served = ManifestStore.readCurrent(spark, root)
+      val r30 = served.filter(col("id") === 30).head()
+      assert(r30.getAs[Int]("a") == 1030 &&
+        r30.getAs[Int]("b") == 30, "SET a=b, b=a must swap")
+      val r60 = served.filter(col("id") === 60).head()
+      assert(r60.getAs[Int]("a") == 1060 && r60.getAs[Int]("b") == 60)
+      val r10 = served.filter(col("id") === 10).head()
+      assert(r10.getAs[Int]("a") == 10 && r10.getAs[Int]("b") == 1010,
+        "unmatched rows unchanged")
+      val r101 = served.filter(col("id") === 101).head()
+      assert(r101.isNullAt(r101.fieldIndex("a")) &&
+        r101.getAs[Int]("b") == 7,
+        "a NULL predicate must leave the row unchanged")
+      // untouched partitions (0 and 3): same files, same mtimes;
+      // partitions 1 and 2 rewrote
+      val m2 = ManifestStore.manifestAt(spark, root, 2L)
+      val after = fileState(root, 2L)
+      m2.entries.filter(e => e.partition == "0" || e.partition == "3")
+        .foreach { e =>
+          assert(e.relPath.startsWith("_writes/1/"))
+          assert(before(e.relPath) == after(e.relPath))
+        }
+      assert(m2.entries.filter(_.partition == "1")
+        .forall(_.relPath.startsWith("_writes/2/")))
+      // schema invariant: names and types unchanged (nullability is
+      // a parquet round-trip artifact, not an update effect)
+      assert(served.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        == base.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      // time travel serves the pre-update rows
+      assert(ManifestStore.readAt(spark, root, 1L)
+        .filter(col("id") === 30).head().getAs[Int]("a") == 30)
+      // nothing matched → no new generation
+      assert(ManifestStore.updateWhere(spark, root,
+        col("a") === -1, Seq("b" -> lit(0))) == 2L)
+      // the partition column is unassignable (cross-partition moves
+      // must be explicit DELETE + append)
+      val e = intercept[IllegalArgumentException] {
+        ManifestStore.updateWhere(spark, root, col("a") === 1,
+          Seq("p" -> lit(9)))
+      }
+      assert(e.getMessage.contains("partition column"))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("refs/tags: a tag PINS its generation (and every file) " +
+      "against retention; dropRef releases the pin; tags are " +
+      "immutable; repair never reclaims a pinned gen") {
+    val dir = tmp("manitag")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      def batch(tag: String, ps: Seq[Int]) =
+        ps.flatMap(p => (1 to 5).map(i => (s"$tag-$p-$i", p)))
+          .toDF("id", "p")
+      ManifestStore.publish(spark, batch("g1", 0 to 3), root, "p",
+        keep = 1)
+      val v1Rows = rows(ManifestStore.readCurrent(spark, root))
+      assert(ManifestStore.tag(spark, root, "v1") == 1L)
+      // keep = 1 would normally sweep gen 1 on the next publish —
+      // the tag must pin the manifest AND its files
+      ManifestStore.publish(spark, batch("g2", Seq(0)), root, "p",
+        keep = 1)
+      ManifestStore.publish(spark, batch("g3", Seq(1)), root, "p",
+        keep = 1)
+      // gen 2 (untagged, superseded) is gone; gen 1 (tagged) serves
+      intercept[graft.SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 2L)
+      }
+      assert(rows(ManifestStore.readAt(spark, root, 1L)) == v1Rows)
+      assert(rows(ManifestStore.readRef(spark, root, "v1")) == v1Rows)
+      assert(ManifestStore.refs(spark, root).keySet == Set("v1"))
+      // pinned ≠ over-retained: audit stays healthy and repair
+      // reclaims NOTHING of the pinned gen
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+      val repaired = IndexAudit.repairManifestTable(spark, root)
+        .collect().map(r => (r.getString(0), r.getString(2))).toSet
+      assert(!repaired.exists(_._2.contains("pruned")),
+        s"repair must not touch the pinned gen: $repaired")
+      assert(rows(ManifestStore.readRef(spark, root, "v1")) == v1Rows)
+      // immutability: re-tagging the name refuses
+      intercept[IllegalStateException] {
+        ManifestStore.tag(spark, root, "v1", Some(3L))
+      }
+      // drop the pin: the next publish sweeps gen 1
+      ManifestStore.dropRef(spark, root, "v1")
+      ManifestStore.publish(spark, batch("g4", Seq(2)), root, "p",
+        keep = 1)
+      intercept[graft.SnapshotUnavailable] {
+        ManifestStore.readAt(spark, root, 1L)
+      }
+      intercept[graft.SnapshotUnavailable] {
+        ManifestStore.readRef(spark, root, "v1")
+      }
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
+  test("refs/branches: WAP on a branch — isolation from main, " +
+      "file-level sharing, metadata-only fast-forward, divergence " +
+      "refused, dropped branches reclaimed") {
+    val dir = tmp("manibr")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      import spark.implicits._
+      def batch(tag: String, ps: Seq[Int]) =
+        ps.flatMap(p => (1 to 5).map(i => (s"$tag-$p-$i", p)))
+          .toDF("id", "p")
+      ManifestStore.publish(spark, batch("g1", 0 to 3), root, "p")
+      val mainRows = rows(ManifestStore.readCurrent(spark, root))
+      val mainState = fileState(root, 1L)
+
+      // a fresh branch serves its base — and PINS it while head = 0
+      ManifestStore.branch(spark, root, "wap")
+      assert(rows(ManifestStore.readRef(spark, root, "wap"))
+        == mainRows)
+
+      // branch publish: replaces partition 2 on the BRANCH only
+      val seq = ManifestStore.publishToBranch(spark,
+        batch("b1", Seq(2)), root, "wap")
+      assert(seq == 1L)
+      // main is untouched — bit-identical serving view
+      assert(rows(ManifestStore.readCurrent(spark, root)) == mainRows)
+      // the branch serves base partitions 0,1,3 + its own 2 — via the
+      // Scala API and the SQL source's ref option alike
+      val branchRows = rows(ManifestStore.readRef(spark, root, "wap"))
+      assert(rows(spark.read.format("graft-snapshot")
+        .option("ref", "wap").load(root)) == branchRows)
+      assert(branchRows != mainRows)
+      assert(branchRows.count(_.last == 2) == 5)
+      assert(branchRows.filter(_.last != 2) ==
+        mainRows.filter(_.last != 2))
+      // FILE-LEVEL SHARING: untouched partitions' entries in the
+      // branch head are main's files, byte-identical (path + mtime)
+      val head = graft.sources.MetaSwap.readCommitted(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/r-wap-1"))
+      val headEntries = ManifestStore.parseManifest(head).entries
+      headEntries.filter(_.partition != "2").foreach { e =>
+        assert(e.relPath.startsWith("_writes/1/"))
+        assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/${e.relPath}")).getModificationTime
+          == mainState(e.relPath))
+      }
+      assert(headEntries.filter(_.partition == "2")
+        .forall(_.relPath.startsWith("_writes/r-wap-1/")))
+
+      // a failing audit refuses the fast-forward with main untouched
+      // (the branch's partition-2 ids are b1-*, violating the rule)
+      intercept[graft.AuditFailed] {
+        ManifestStore.fastForward(spark, root, "wap", Seq(
+          graft.operators.Cleaning.ExpectMatches("id", "^g1-")))
+      }
+      assert(ManifestStore.currentGen(spark, root).contains(1L))
+
+      // METADATA-ONLY fast-forward: main's new gen carries the branch
+      // head's entries verbatim — zero data files rewritten
+      val g2 = ManifestStore.fastForward(spark, root, "wap")
+      assert(g2 == 2L)
+      val promoted = ManifestStore.manifestAt(spark, root, 2L).entries
+      assert(promoted.map(e => e.partition -> e.relPath).toSet ==
+        headEntries.map(e => e.partition -> e.relPath).toSet,
+        "fast-forward must promote the branch head's file list verbatim")
+      assert(rows(ManifestStore.readCurrent(spark, root))
+        == branchRows)
+      // the branch ref survives, rebased onto the new main gen
+      ManifestStore.refs(spark, root)("wap") match {
+        case ManifestStore.BranchRef(h, base, _) =>
+          assert(h == 1L && base == 2L)
+        case other => fail(s"expected a branch ref, got $other")
+      }
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+
+      // DIVERGENCE: main advances past the branch base → refuse typed
+      ManifestStore.branch(spark, root, "stale", Some(2L))
+      ManifestStore.publishToBranch(spark, batch("s1", Seq(0)), root,
+        "stale")
+      ManifestStore.publish(spark, batch("g3", Seq(1)), root, "p")
+      val e = intercept[IllegalStateException] {
+        ManifestStore.fastForward(spark, root, "stale")
+      }
+      assert(e.getMessage.contains("fast-forward"))
+      // a tag refuses branch operations
+      ManifestStore.tag(spark, root, "rel", Some(3L))
+      intercept[IllegalStateException] {
+        ManifestStore.publishToBranch(spark, batch("x", Seq(0)), root,
+          "rel")
+      }
+      intercept[IllegalStateException] {
+        ManifestStore.fastForward(spark, root, "rel")
+      }
+
+      // DROP + RECLAIM: the dropped branch's private manifests and
+      // files are swept by the next main publish; files shared with
+      // main survive
+      val staleFiles = ManifestStore.parseManifest(
+        graft.sources.MetaSwap.readCommitted(fs,
+          new org.apache.hadoop.fs.Path(
+            s"$root/_manifests/r-stale-1"))).entries
+        .filter(_.relPath.startsWith("_writes/r-stale-1/"))
+      assert(staleFiles.nonEmpty)
+      ManifestStore.dropRef(spark, root, "stale")
+      ManifestStore.dropRef(spark, root, "wap")
+      ManifestStore.publish(spark, batch("g4", Seq(3)), root, "p")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/r-stale-1")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_writes/r-stale-1")))
+      // wap's branch files were fast-forwarded into main: still live
+      assert(ManifestStore.readCurrent(spark, root)
+        .filter(col("id").startsWith("b1-")).count() == 5L)
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("per-file stats: readWhere prunes the ENTRY LIST driver-side, " +
       "stats ride carried entries, results equal the unpruned read") {
     val dir = tmp("manistats")
@@ -633,6 +873,63 @@ class ManifestStoreSpec extends AnyFunSuite {
       val (_, kept3) = ManifestStore.statsPrunedEntries(spark, root,
         "id", 9, 10)
       assert(kept3.size == 1 && kept3.head.partition == "0")
+    } finally rmTree(dir)
+  }
+
+  test("clusterPartitions: range-clustered files make entry-stats " +
+      "skipping actually prune; scoped clustering reuses untouched " +
+      "partitions; rows identical") {
+    val dir = tmp("maniclus")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      import spark.implicits._
+      // v is SCRAMBLED within each partition, so a single-file layout
+      // has whole-range stats and a range read can prune nothing
+      val base = (1 to 4000).map(i =>
+          (i, i % 2, (i * 1117) % 4000)).toDF("id", "p", "v")
+      ManifestStore.publish(spark, base, root, "p",
+        statsCols = Seq("v"))
+      def keptBytes(): (Int, Long) = {
+        val (_, kept) = ManifestStore.statsPrunedEntries(spark, root,
+          "v", 100, 299)
+        (kept.size, kept.map(e => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+          .getLen).sum)
+      }
+      val expect = rows(ManifestStore.readWhere(spark, root, "v",
+        100, 299))
+      val (preN, preBytes) = keptBytes()
+      val total = ManifestStore.manifestAt(spark, root, 1L).entries
+        .map(e => fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/${e.relPath}")).getLen).sum
+      // cluster on v into ~8 files: each file now covers a narrow,
+      // disjoint v-slice, so the same range read opens a fraction
+      val rewrote = ManifestStore.clusterPartitions(spark, root,
+        Seq("v"), targetBytesPerFile = math.max(1L, total / 8))
+      assert(rewrote == 2)
+      val (postN, postBytes) = keptBytes()
+      assert(rows(ManifestStore.readWhere(spark, root, "v", 100, 299))
+        == expect, "clustering must not change results")
+      assert(rows(ManifestStore.readCurrent(spark, root))
+        == rows(base))
+      assert(postBytes * 2 < preBytes,
+        s"clustered read must open < half the bytes " +
+          s"(pre $preN/$preBytes post $postN/$postBytes)")
+      // scoped clustering: only the named partition rewrites
+      val st2 = fileState(root, 2L)
+      ManifestStore.clusterPartitions(spark, root, Seq("v"),
+        targetBytesPerFile = math.max(1L, total / 8),
+        partitions = Some(Seq("0")))
+      val m3 = ManifestStore.manifestAt(spark, root, 3L)
+      m3.entries.filter(_.partition == "1").foreach { e =>
+        assert(st2.get(e.relPath).contains(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+          .getModificationTime), "partition 1 must ride untouched")
+      }
+      assert(rows(ManifestStore.readCurrent(spark, root))
+        == rows(base))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
     } finally rmTree(dir)
   }
 
