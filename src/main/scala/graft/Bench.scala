@@ -156,7 +156,11 @@ object Bench {
       // takedown (a full corpus DAG + three index builds on local
       // disk) — same tmp-filesystem class, all Verify-gated
       "q_manifest_delete", "q_manifest_skipping", "q_manifest_list",
-      "q_snapshot_ts", "q_snapshot_cdc", "q_corpus_retract")
+      "q_snapshot_ts", "q_snapshot_cdc", "q_corpus_retract",
+      // the r15b protocol gates: temp-dir DML/refs/OPTIMIZE drives
+      // (updateWhere, tag/branch/fast-forward, range-clustering) —
+      // same tmp-filesystem class, all Verify-gated
+      "q_manifest_update", "q_table_refs", "q_manifest_cluster")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

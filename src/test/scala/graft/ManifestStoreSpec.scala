@@ -876,6 +876,57 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("refs/branches crash honesty: a crashed branch publish's " +
+      "residue (seq beyond the committed head) survives main's " +
+      "prune and is overwritten by the retry") {
+    val dir = tmp("manibrcrash")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      import spark.implicits._
+      def batch(tag: String, ps: Seq[Int]) =
+        ps.flatMap(p => (1 to 5).map(i => (s"$tag-$p-$i", p)))
+          .toDF("id", "p")
+      ManifestStore.publish(spark, batch("g1", 0 to 2), root, "p")
+      ManifestStore.branch(spark, root, "b")
+      ManifestStore.publishToBranch(spark, batch("b1", Seq(0)), root,
+        "b")
+      // fabricate a crashed seq-2 publish: staged write dir + written
+      // manifest, ref still at head 1 (the crash window is between
+      // the manifest write and the ref CAS)
+      val m1 = new org.apache.hadoop.fs.Path(s"$root/_manifests/r-b-1")
+      val m2 = new org.apache.hadoop.fs.Path(s"$root/_manifests/r-b-2")
+      org.apache.hadoop.fs.FileUtil.copy(fs, m1, fs, m2, false,
+        spark.sparkContext.hadoopConfiguration)
+      val w2 = new org.apache.hadoop.fs.Path(s"$root/_writes/r-b-2")
+      fs.mkdirs(w2)
+      val residueFile = new org.apache.hadoop.fs.Path(
+        s"$root/_writes/r-b-2/graft_p=0/part-residue.parquet")
+      fs.mkdirs(residueFile.getParent)
+      val out = fs.create(residueFile, true)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+      // a main promotion prunes — the in-flight branch residue is the
+      // retry's business, exactly like main's own residue gens
+      ManifestStore.publish(spark, batch("g2", Seq(1)), root, "p")
+      assert(fs.exists(m2), "residue branch manifest must survive")
+      assert(fs.exists(residueFile),
+        "residue branch staging must survive")
+      // the retry (the next publishToBranch commits seq 2) overwrites
+      // the residue and serves correctly
+      val seq = ManifestStore.publishToBranch(spark,
+        batch("b2", Seq(1)), root, "b")
+      assert(seq == 2L)
+      val served = rows(ManifestStore.readRef(spark, root, "b"))
+      assert(served.count(_.head.toString.startsWith("b2-")) == 5)
+      assert(served.count(_.head.toString.startsWith("b1-")) == 5)
+      // the fabricated junk file is gone (the retry's staged
+      // overwrite + the next prune reclaim the residue)
+      ManifestStore.publish(spark, batch("g3", Seq(2)), root, "p")
+      assert(!fs.exists(residueFile))
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("clusterPartitions: range-clustered files make entry-stats " +
       "skipping actually prune; scoped clustering reuses untouched " +
       "partitions; rows identical") {
