@@ -596,8 +596,9 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("manifest-table protocol matches a reference model under " +
-      "random full/partial/merge/crash/read interleavings; untouched " +
-      "partitions' files are reused through every step") {
+      "random full/partial/merge/crash/read/tag/branch " +
+      "interleavings; untouched partitions' files are reused and " +
+      "tag pins hold through every step") {
     import graft.sources.ManifestStore
     import graft.operators.IndexAudit
     import spark.implicits._
@@ -621,18 +622,27 @@ class PropertySpec extends AnyFunSuite {
       // partition); 2 whole-partition MERGE (same outcome as 1 by
       // construction); 3 crash-publish (dies before repoint);
       // 4 serving read; 5 time travel incl. pruned/residue gens;
-      // 6 structural partition read
+      // 6 structural partition read; 7 tag current (pin) — re-tag
+      // refuses; 8 full WAP-on-branch cycle (branch → publish →
+      // fast-forward → drop); 9 drop a tag (un-pin)
       val opsGen = Gen.listOfN(10, for {
-        op <- Gen.chooseNum(0, 6)
+        op <- Gen.chooseNum(0, 9)
         amt <- Gen.chooseNum(0, 11)
       } yield (op, amt))
       class Boom extends RuntimeException("injected")
       samples(opsGen, 5).zipWithIndex.foreach { case (ops, i) =>
         val root = s"$base/run$i"
         var cur = 0L
-        // model: per-gen partition→variant maps for retained gens
+        // model: per-gen partition→variant maps for retained gens,
+        // plus the tag pins (a tagged gen never evicts while tagged —
+        // prune's ref-pin rule)
         val gens =
           scala.collection.mutable.Map.empty[Long, Map[Int, Int]]
+        val tags = scala.collection.mutable.Map.empty[String, Long]
+        def evict(gen: Long, keep: Int): Unit =
+          gens.keys.toSeq.foreach(g =>
+            if (g <= gen - keep && !tags.values.exists(_ == g))
+              gens -= g)
         def parts = gens.getOrElse(cur, Map.empty)
         def expectedTable(m: Map[Int, Int]) =
           m.toSeq.flatMap { case (p, v) => expectRows(p)(v) }.toSet
@@ -658,8 +668,7 @@ class PropertySpec extends AnyFunSuite {
               assert(gen == cur + 1, s"run$i gen alloc")
               cur = gen
               gens(gen) = (0 until 4).map(_ -> v).toMap
-              gens.keys.toSeq.foreach(g =>
-                if (g <= gen - keep) gens -= g)
+              evict(gen, keep)
             case 1 | 2 if cur > 0 =>
               val before = ManifestStore.manifestAt(spark, root, cur)
                 .entries.map(e => e.relPath -> e.partition).toMap
@@ -672,8 +681,7 @@ class PropertySpec extends AnyFunSuite {
               assert(gen == cur + 1, s"run$i gen alloc ($op)")
               cur = gen
               gens(gen) = gens(gen - 1).updated(p, v)
-              gens.keys.toSeq.foreach(g =>
-                if (g <= gen - keep) gens -= g)
+              evict(gen, keep)
               reuseCheck(before)
             case 3 =>
               intercept[Boom] {
@@ -695,6 +703,45 @@ class PropertySpec extends AnyFunSuite {
               assert(rowsOf(ManifestStore.readPartitions(spark, root,
                 Seq(p.toString))) == expectRows(p)(parts(p)),
                 s"run$i readPartitions($p)")
+            case 7 if cur > 0 =>
+              val name = s"t${amt % 3}"
+              if (tags.contains(name))
+                intercept[IllegalStateException] {
+                  ManifestStore.tag(spark, root, name)
+                }
+              else {
+                assert(ManifestStore.tag(spark, root, name) == cur)
+                tags(name) = cur
+                assert(rowsOf(ManifestStore.readRef(spark, root, name))
+                  == expectedTable(parts), s"run$i tag read $name")
+              }
+            case 8 if cur > 0 =>
+              val name = s"b$amt"
+              val before = ManifestStore.manifestAt(spark, root, cur)
+                .entries.map(e => e.relPath -> e.partition).toMap
+              ManifestStore.branch(spark, root, name)
+              ManifestStore.publishToBranch(spark,
+                variants(v).filter(col("part") === p), root, name)
+              // main is untouched until the fast-forward
+              assert(rowsOf(ManifestStore.readCurrent(spark, root)) ==
+                expectedTable(parts), s"run$i branch isolation")
+              val gen = ManifestStore.fastForward(spark, root, name,
+                Nil, keep)
+              assert(gen == cur + 1, s"run$i ff gen alloc")
+              cur = gen
+              gens(gen) = gens(gen - 1).updated(p, v)
+              evict(gen, keep)
+              reuseCheck(before)
+              ManifestStore.dropRef(spark, root, name)
+            case 9 =>
+              val name = s"t${amt % 3}"
+              tags.get(name).foreach { g =>
+                assert(rowsOf(ManifestStore.readRef(spark, root, name))
+                  == expectedTable(gens(g)),
+                  s"run$i pinned read before drop $name")
+              }
+              ManifestStore.dropRef(spark, root, name)
+              tags -= name
             case _ => () // op precondition unmet: no-op
           }
           assert(ManifestStore.currentGen(spark, root)
