@@ -1143,16 +1143,27 @@ object ManifestStore {
       case (n, bytes) => parsedRef(bytes).map(n -> _)
     }
 
-  /** (name → committed marker bytes) of every ref. */
+  /** (name → committed marker bytes) of every ref. HEALS crashed
+    * swaps first: a ref CAS that died between its delete and rename
+    * leaves only `<name>.next` — skipping it here would make the
+    * branch invisible to prune (which would then reclaim the
+    * branch's live files) while the next [[refAt]] resurrects the
+    * ref pointing at swept data. Every reader of the full ref set
+    * must see what a healed read would see.
+    */
   private[graft] def rawRefs(fs: org.apache.hadoop.fs.FileSystem,
                              root: String): Map[String, Array[Byte]] = {
     val base = new Path(s"$root/_refs")
     if (!fs.exists(base)) Map.empty
     else fs.listStatus(base).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.endsWith(".next"))
-      .map { st =>
-        val p = st.getPath
-        p.getName -> MetaSwap.readCommitted(fs, p)
+      .filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".next"))
+      .distinct
+      .flatMap { n =>
+        val p = refPath(root, n)
+        MetaSwap.heal(fs, p)
+        if (!fs.exists(p)) None
+        else Some(n -> MetaSwap.readCommitted(fs, p))
       }.toMap
   }
 
@@ -1371,6 +1382,17 @@ object ManifestStore {
           "; main untouched, branch left for inspection")
     }
     val gen = mainGen + 1L
+    // fail-fast re-check AFTER the (possibly long) audit: writing
+    // the gen-file below would overwrite a racing promotion's
+    // committed manifest at the same number — this check shrinks
+    // that destructive window from the whole audit to the
+    // microseconds MetaSwap documents (the publishImpl pattern)
+    if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, ptr),
+        prior))
+      throw new MetaSwap.CasFailed(
+        s"concurrent promotion detected at $root: the serving " +
+          "pointer moved while the fast-forward audit ran — " +
+          "nothing was staged or lost; re-read and re-run")
     val publishedMs = System.currentTimeMillis()
     // the metadata-only promotion: the new main manifest carries the
     // branch head's content verbatim (entry lines on a flat layout,
@@ -1392,9 +1414,19 @@ object ManifestStore {
     // rebase the branch onto what main now serves, so the ref's
     // retention claims stay minimal and a later branch publish
     // continues from the promoted state (CAS: a publish racing the
-    // fast-forward on this branch fails one side loudly)
-    MetaSwap.swap(fs, refMarker,
+    // fast-forward on this branch fails one side loudly). The
+    // promotion above is already COMMITTED — a lost rebase must say
+    // so instead of implying nothing happened.
+    try MetaSwap.swap(fs, refMarker,
       serializeRef(BranchRef(b.head, gen, b.createdMs)), refBytes)
+    catch {
+      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
+        s"fast-forward of $root to branch '$name' COMMITTED (main " +
+          s"now serves generation $gen), but a branch publish raced " +
+          "the ref rebase — the branch keeps its old base and now " +
+          "carries content main does not; re-branch from the new " +
+          "main, or fast-forward again with force = true")
+    }
     prune(fs, root, gen, keep, effRetain)
     gen
   }
@@ -1440,10 +1472,19 @@ object ManifestStore {
     // the kept set is decided FIRST (generation window, wall-clock
     // grace, or a ref pin), and the file sweep is railed on exactly
     // that set — a retained manifest keeps every file it references,
-    // so it stays SERVABLE, not just present
-    val (kept, doomedGens) = allGens.partition(g =>
-      g > gen - keep || (g <= gen && inGrace(g)) || pinned(g))
-    val keptFiles = kept.map(g => g -> genFile(g)).toMap
+    // so it stays SERVABLE, not just present. An UNREADABLE kept
+    // manifest (corrupt bytes, a pinned gen whose file is gone —
+    // fsck territory) makes the kept set's reference claims
+    // unknowable: SUSPEND the whole prune instead of crashing a
+    // publish that already committed, or deleting on a guess.
+    val partitioned =
+      try {
+        val (kept, doomedGens) = allGens.partition(g =>
+          g > gen - keep || (g <= gen && inGrace(g)) || pinned(g))
+        Some((kept.map(g => g -> genFile(g)).toMap, doomedGens))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (partitioned.isEmpty) return
+    val (keptFiles, doomedGens) = partitioned.get
     doomedGens.foreach(g =>
       verifiedDelete(manifestPath(root, g), "superseded manifest"))
     // BRANCH manifests (`r-<name>-<seq>`): the ref's head survives;

@@ -927,6 +927,41 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("refs crash honesty: a ref CAS that died mid-swap (only " +
+      ".next present) is healed by every full-ref-set reader — " +
+      "prune must not treat the branch as dropped and sweep its " +
+      "live files") {
+    val dir = tmp("manirefswap")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      import spark.implicits._
+      def batch(tag: String, ps: Seq[Int]) =
+        ps.flatMap(p => (1 to 5).map(i => (s"$tag-$p-$i", p)))
+          .toDF("id", "p")
+      ManifestStore.publish(spark, batch("g1", 0 to 2), root, "p")
+      ManifestStore.branch(spark, root, "b")
+      ManifestStore.publishToBranch(spark, batch("b1", Seq(0)), root,
+        "b")
+      val branchRows = rows(ManifestStore.readRef(spark, root, "b"))
+      // simulate the crash window of the ref swap: the committed
+      // marker deleted, the staged .next not yet renamed in
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_refs/b")
+      val next = new org.apache.hadoop.fs.Path(s"$root/_refs/b.next")
+      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs, next, false,
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(marker, false))
+      // a main publish prunes — it must HEAL the ref first, keep the
+      // branch head manifest, and keep the branch's unique files
+      ManifestStore.publish(spark, batch("g2", Seq(1)), root, "p")
+      assert(fs.exists(marker), "prune must heal the crashed swap")
+      assert(rows(ManifestStore.readRef(spark, root, "b"))
+        == branchRows,
+        "the branch must serve in full after the healed prune")
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("clusterPartitions: range-clustered files make entry-stats " +
       "skipping actually prune; scoped clustering reuses untouched " +
       "partitions; rows identical") {
