@@ -2639,6 +2639,20 @@ object SparkEntry {
         // the SQL surface: a ref-addressed view of the pinned tag
         val sqlServes = s.read.format("graft-snapshot")
           .option("ref", "v1").load(root).count() == orders.count()
+        // tags pin on the SNAPSHOT layout too: keep=1 would sweep
+        // gen 1 on each publish — the tag must keep it servable
+        val S = graft.sources.SnapshotStore
+        val snapRoot = s"$tmp/nation_snap"
+        val nation = Tables.table(s, d, "nation")
+        S.publish(s, nation, snapRoot, Nil, keep = 1)
+        S.tag(s, snapRoot, "v1")
+        S.publish(s, nation.limit(10), snapRoot, Nil, keep = 1)
+        S.publish(s, nation.limit(5), snapRoot, Nil, keep = 1)
+        val snapTagPinned =
+          S.readRef(s, snapRoot, "v1").count() == nation.count() &&
+            s.read.format("graft-snapshot").option("ref", "v1")
+              .load(snapRoot).count() == nation.count() &&
+            graft.operators.IndexAudit.isSnapshotsHealthy(s, snapRoot)
         val healthy = graft.operators.IndexAudit
           .isManifestTableHealthy(s, root)
         val agg = M.readCurrent(s, root).agg(
@@ -2647,11 +2661,12 @@ object SparkEntry {
             .cast("double").as("p")).head()
         import s.implicits._
         Seq((mainIsolated, untouchedReused, fromBranch,
-          tagServes && sqlServes, healthy, agg.getLong(0),
-          agg.getDouble(1)))
+          tagServes && sqlServes, snapTagPinned, healthy,
+          agg.getLong(0), agg.getDouble(1)))
           .toDF("main_isolated", "untouched_files_reused",
             "promoted_from_branch", "tag_serves_original",
-            "fsck_healthy", "n_rows_current", "revenue")
+            "snapshot_tag_pinned", "fsck_healthy", "n_rows_current",
+            "revenue")
       } finally rmTree(new java.io.File(tmp))
     }),
     // ---- §2.1 S22 per-file column stats in manifest entries → ----
@@ -4315,7 +4330,7 @@ object SparkEntry {
     "q_table_refs" ->
       """SELECT true AS main_isolated, true AS untouched_files_reused,
         |  true AS promoted_from_branch, true AS tag_serves_original,
-        |  true AS fsck_healthy,
+        |  true AS snapshot_tag_pinned, true AS fsck_healthy,
         |  count(*) AS n_rows_current,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
         |    AS DOUBLE) AS revenue

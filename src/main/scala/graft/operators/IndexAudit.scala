@@ -383,6 +383,26 @@ object IndexAudit {
           if (gens.isEmpty || gens == Seq(1L)) Seq.empty
           else Seq(AuditFinding("pointer", "_current", "lost", false))
       }
+    // tag pins (S25): a pinned gen beyond the window is deliberate
+    // retention, never a crashed prune's over_retained leftover —
+    // repair must not reclaim it. Ref rows classify the markers
+    // themselves (a BRANCH marker has no meaning on this layout).
+    val refsParsed = graft.sources.ManifestStore
+      .rawRefs(fs, root).toSeq.sortBy(_._1)
+      .map { case (n, b) =>
+        n -> graft.sources.ManifestStore.parsedRef(b) }
+    val pinnedGens: Set[Long] = refsParsed.collect {
+      case (_, Some(graft.sources.ManifestStore.TagRef(g, _))) => g
+    }.toSet
+    val refRows = refsParsed.map {
+      case (n, None) => AuditFinding("ref", n, "corrupt", false)
+      case (n, Some(_: graft.sources.ManifestStore.BranchRef)) =>
+        AuditFinding("ref", n, "foreign_branch", false)
+      case (n, Some(graft.sources.ManifestStore.TagRef(g, _))) =>
+        if (gens.contains(g))
+          AuditFinding("ref", n, "tag_ok", true)
+        else AuditFinding("ref", n, "missing_target", false)
+    }
     val genRows = gens.map { g =>
       cur match {
         // a corrupt pointer makes every gen classification unknowable:
@@ -398,7 +418,9 @@ object IndexAudit {
         case Some(c) if g > c + 1L =>
           AuditFinding("gen", g.toString, "orphan_future", false)
         case Some(c) =>
-          if (effKeep > 0 && g <= c - effKeep) {
+          if (pinnedGens(g) && g <= c)
+            AuditFinding("gen", g.toString, "ref_pinned", true)
+          else if (effKeep > 0 && g <= c - effKeep) {
             // beyond the generation window — but a gen inside the
             // pointer's wall-clock grace floor is the READER
             // CONTRACT's inventory, not a crashed prune's leftover
@@ -418,7 +440,7 @@ object IndexAudit {
           else AuditFinding("gen", g.toString, "stranded", true)
       }
     }
-    residueRow ++ pointerRows ++ genRows
+    residueRow ++ pointerRows ++ refRows ++ genRows
   }
 
   /** [[auditSnapshots]] as a DataFrame (the [[audit]] shape). */

@@ -1105,7 +1105,7 @@ object ManifestStore {
       else body.drop(i + 1).toLongOption.map(k => (body.take(i), k))
     }
 
-  private def requireRefName(name: String): Unit =
+  private[sources] def requireRefName(name: String): Unit =
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
       s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9_.-]*")
 

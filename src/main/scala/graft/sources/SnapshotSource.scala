@@ -90,11 +90,13 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     // head that was committed at creation (re-create to follow)
     if (refOpt.isDefined) {
       val name = refOpt.get
-      if (!isManifest) throw new IllegalArgumentException(
-        s"ref '$name': refs exist on the manifest table only (the " +
-          "snapshot table's generations are full copies — tag it by " +
-          "generation with versionAsOf)")
-      ManifestStore.refAt(spark, root, name) match {
+      if (!isManifest)
+        // snapshot tables carry TAGS only (branches are
+        // manifest-layout territory); a tag resolves to its pinned
+        // generation's real file relation
+        org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+          SnapshotStore.readRef(spark, root, name))
+      else ManifestStore.refAt(spark, root, name) match {
         case ManifestStore.TagRef(g, _) =>
           org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
             ManifestStore.readAt(spark, root, g))

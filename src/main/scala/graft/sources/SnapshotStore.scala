@@ -225,6 +225,17 @@ object SnapshotStore {
                     gen: Long, keep: Int, retainMs: Long): Unit = {
     val base = new Path(s"$root/_snapshots")
     if (!fs.exists(base)) return
+    // TAG pins participate: a tagged generation survives any window.
+    // A corrupt ref marker — or a branch marker, which has no meaning
+    // on this layout — makes the pin set unknowable: SUSPEND the
+    // prune (over-retention is the safe failure; fsck reports it).
+    val parsedRefs = ManifestStore.rawRefs(fs, root)
+      .map { case (n, b) => n -> ManifestStore.parsedRef(b) }
+    if (parsedRefs.values.exists(r => r.isEmpty ||
+        r.exists(_.isInstanceOf[ManifestStore.BranchRef]))) return
+    val pinned: Set[Long] = parsedRefs.values.flatten.collect {
+      case ManifestStore.TagRef(g, _) => g
+    }.toSet
     val now = System.currentTimeMillis()
     fs.listStatus(base).foreach { st =>
       st.getPath.getName.toLongOption.foreach { g =>
@@ -235,7 +246,8 @@ object SnapshotStore {
         // verified delete (the protocol-wide discipline): a silently
         // surviving gen is over-retention, but an unreported failure
         // would hide a persistent FS problem across publishes
-        if (g <= gen - keep && !inGrace && !fs.delete(st.getPath, true))
+        if (g <= gen - keep && !inGrace && !pinned(g) &&
+            !fs.delete(st.getPath, true))
           throw new IllegalStateException(
             s"cannot prune superseded snapshot ${st.getPath} — " +
               "the pointer has moved (the publish IS committed); " +
@@ -334,6 +346,85 @@ object SnapshotStore {
            toGen: Long, keys: Seq[String]): DataFrame =
     graft.operators.Incremental.snapshotDiff(
       readAt(spark, root, fromGen), readAt(spark, root, toGen), keys)
+
+  // ---- TAGS (S25 on the snapshot table) ----------------------------
+  // A tag pins a committed generation against retention under a
+  // stable name — `_refs/<name>` markers with the SAME codec as the
+  // manifest table's ([[ManifestStore.parsedRef]]), so tooling reads
+  // one format. Only TAGS exist here: a snapshot generation is a full
+  // physical copy, so a "branch" of this table would just be a second
+  // table — branch workflows belong on the manifest layout, where
+  // they are metadata-only. The pin's cost is explicit: a pinned
+  // generation is a retained full copy (the right price for a bounded
+  // dimension; tag a 100 TB fact on its manifest form instead).
+
+  private def refPath(root: String, name: String) =
+    new Path(s"$root/_refs/$name")
+
+  /** TAG `gen` (default: the serving generation) as `name`: the
+    * generation directory is PINNED against retention until
+    * [[dropRef]]. Tags are immutable — an existing name refuses.
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+          gen: Option[Long] = None): Long = {
+    ManifestStore.requireRefName(name)
+    val fs = Tables.fsFor(spark, root)
+    val cur = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published snapshot at $root"))
+    val g = gen.getOrElse(cur)
+    if (g > cur || !fs.exists(genDir(root, g)))
+      throw new graft.SnapshotUnavailable(
+        s"cannot tag generation $g of $root: not a committed, " +
+          "retained generation")
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"ref '$name' already exists at $root — refs are immutable; " +
+        "dropRef first to rename on purpose")
+    MetaSwap.swap(fs, p, ManifestStore.serializeRef(
+      ManifestStore.TagRef(g, System.currentTimeMillis())))
+    g
+  }
+
+  /** Drop tag `name`; the generation it pinned rejoins the normal
+    * retention window at the next publish's prune.
+    */
+  def dropRef(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    fs.delete(p, false)
+    fs.delete(new Path(p.getParent, p.getName + ".next"), false)
+    ()
+  }
+
+  /** Every tag of the table: name → pinned generation. */
+  def refs(spark: SparkSession, root: String): Map[String, Long] =
+    ManifestStore.rawRefs(Tables.fsFor(spark, root), root).flatMap {
+      case (n, b) => ManifestStore.parsedRef(b).collect {
+        case ManifestStore.TagRef(g, _) => n -> g
+      }
+    }
+
+  /** Read the generation tag `name` pins ([[readAt]] semantics). */
+  def readRef(spark: SparkSession, root: String,
+              name: String): DataFrame = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    ManifestStore.parsedRef(MetaSwap.readCommitted(fs, p)) match {
+      case Some(ManifestStore.TagRef(g, _)) => readAt(spark, root, g)
+      case Some(_: ManifestStore.BranchRef) =>
+        throw new IllegalStateException(
+          s"ref '$name' of $root is a BRANCH marker, but branches " +
+            "exist on the manifest table only")
+      case None => throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditSnapshots")
+    }
+  }
 
   /** Zero-downtime OPTIMIZE: republish the CURRENT generation's rows
     * compacted to ≈`targetRowsPerFile`-sized files as a fresh

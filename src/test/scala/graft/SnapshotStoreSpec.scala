@@ -54,6 +54,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("tags pin snapshot generations against retention; the fsck " +
+      "classifies ref_pinned; repair never reclaims; drop releases") {
+    val dir = tmp("snaptag")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      def df(v: Int) = (1 to 10).map(i => (i, s"v$v-$i"))
+        .toDF("id", "payload")
+      SnapshotStore.publish(spark, df(1), root, Nil, keep = 1)
+      val v1 = rows(SnapshotStore.readCurrent(spark, root))
+      assert(SnapshotStore.tag(spark, root, "v1") == 1L)
+      // keep = 1 would sweep gen 1 on each publish — the tag pins it
+      SnapshotStore.publish(spark, df(2), root, Nil, keep = 1)
+      SnapshotStore.publish(spark, df(3), root, Nil, keep = 1)
+      intercept[graft.SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 2L)
+      }
+      assert(rows(SnapshotStore.readRef(spark, root, "v1")) == v1)
+      assert(SnapshotStore.refs(spark, root) == Map("v1" -> 1L))
+      // the SQL source resolves the tag on the snapshot layout too
+      assert(rows(spark.read.format("graft-snapshot")
+        .option("ref", "v1").load(root)) == v1)
+      // fsck: pinned ≠ over_retained; repair reclaims nothing pinned
+      val findings = graft.operators.IndexAudit
+        .auditSnapshots(spark, root)
+      assert(findings.exists(f => f.kind == "gen" &&
+        f.name == "1" && f.status == "ref_pinned" && f.healthy))
+      assert(findings.exists(f => f.kind == "ref" &&
+        f.name == "v1" && f.status == "tag_ok" && f.healthy))
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+      val repaired = graft.operators.IndexAudit
+        .repairSnapshots(spark, root).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(!repaired.exists(a => a._2 == "1" &&
+        a._3.contains("pruned")), s"repair touched the pin: ${repaired.toSeq}")
+      assert(rows(SnapshotStore.readRef(spark, root, "v1")) == v1)
+      // immutability + release
+      intercept[IllegalStateException] {
+        SnapshotStore.tag(spark, root, "v1")
+      }
+      SnapshotStore.dropRef(spark, root, "v1")
+      SnapshotStore.publish(spark, df(4), root, Nil, keep = 1)
+      intercept[graft.SnapshotUnavailable] {
+        SnapshotStore.readAt(spark, root, 1L)
+      }
+      intercept[graft.SnapshotUnavailable] {
+        SnapshotStore.readRef(spark, root, "v1")
+      }
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("a publish crash before the repoint never disturbs the serving " +
       "table; the retry consumes the residue generation") {
     val dir = tmp("snapcrash")
