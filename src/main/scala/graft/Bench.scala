@@ -160,7 +160,8 @@ object Bench {
       // the r15b protocol gates: temp-dir DML/refs/OPTIMIZE drives
       // (updateWhere, tag/branch/fast-forward, range-clustering) —
       // same tmp-filesystem class, all Verify-gated
-      "q_manifest_update", "q_table_refs", "q_manifest_cluster")
+      "q_manifest_update", "q_table_refs", "q_manifest_cluster",
+      "q_manifest_restore")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

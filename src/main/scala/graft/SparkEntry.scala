@@ -2537,6 +2537,61 @@ object SparkEntry {
             "n_updated")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S27 metadata-only RESTORE + explicit expire, ----
+    // ---- driver-gated ----
+    // rollback semantics: a bad promotion is undone by republishing
+    // the good generation's FILE LIST as the next generation — zero
+    // data files rewritten (path+mtime asserted), history not
+    // renumbered (the bad gen stays time-travelable). expire is the
+    // quiet-table janitor: it reclaims a dropped branch's private
+    // files with NO publish. DuckDB recounts the restored table.
+    "q_manifest_restore" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manirestore").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def mtimes(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val goodState = mtimes(1L)
+        // a bad promotion truncates 1996 to its O-status rows
+        M.publish(s, orders.filter(col("o_year") === "1996" &&
+          col("o_orderstatus") === "O"), root, "o_year")
+        // ROLLBACK: gen 3 carries gen 1's file list verbatim
+        val g = M.restore(s, root, 1L)
+        val after = mtimes(g)
+        val metadataOnly = g == 3L && after == goodState
+        val historyIntact = M.readAt(s, root, 2L).count() > 0
+        // EXPIRE: a dropped branch's garbage reclaims with no publish
+        M.branch(s, root, "tmpb")
+        M.publishToBranch(s, orders.filter(col("o_year") === "1997"),
+          root, "tmpb")
+        M.dropRef(s, root, "tmpb")
+        M.expire(s, root)
+        val reclaimed = !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_manifests/r-tmpb-1")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/_writes/r-tmpb-1"))
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((metadataOnly, historyIntact, reclaimed, healthy,
+          agg.getLong(0), agg.getDouble(1)))
+          .toDF("restore_metadata_only", "history_intact",
+            "expire_reclaimed_branch", "fsck_healthy",
+            "n_rows_current", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S26 clustered OPTIMIZE on the manifest table, ----
     // ---- driver-gated ----
     // the maintenance that makes S22's entry stats actually prune: a
@@ -4312,6 +4367,15 @@ object SparkEntry {
         |  COUNT(CASE
         |    WHEN year(o_orderdate) = 1996 AND o_orderpriority LIKE '1%'
         |    THEN 1 END) AS n_updated
+        |FROM orders""".stripMargin,
+    // the restored table IS the original orders — the rollback
+    // booleans ride along
+    "q_manifest_restore" ->
+      """SELECT true AS restore_metadata_only, true AS history_intact,
+        |  true AS expire_reclaimed_branch, true AS fsck_healthy,
+        |  count(*) AS n_rows_current,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
     // clustering changes which FILES are opened, never the rows: the
     // mirror is the plain range filter over the same table (the

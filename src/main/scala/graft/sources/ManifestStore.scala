@@ -1431,6 +1431,70 @@ object ManifestStore {
     gen
   }
 
+  /** METADATA-ONLY RESTORE (Delta's RESTORE semantics on the
+    * manifest layout): republish retained generation `gen`'s file
+    * list as the table's NEXT generation — a rollback that never
+    * rewrites, moves, or reads a data file, never renumbers history
+    * (time travel over the bad generations keeps working until
+    * retention lapses them), and goes through the same pointer CAS
+    * as every promotion. The restored generation carries the old
+    * manifest's entries (or group references) verbatim, exactly the
+    * [[fastForward]] mechanism pointed at the past instead of a
+    * branch. Refuses typed when `gen` is residue or aged out
+    * ([[genFileAt]]'s contract).
+    */
+  def restore(spark: SparkSession, root: String, gen: Long,
+              keep: Int = 3, retainMs: Long = 0L): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = Tables.fsFor(spark, root)
+    val ptr = pointer(root)
+    MetaSwap.heal(fs, ptr)
+    val prior = MetaSwap.readCommitted(fs, ptr)
+    val cur = SnapshotStore.parsedGen(prior).getOrElse(
+      throw new IllegalStateException(
+        "malformed manifest-table pointer: no parseable gen= line"))
+    val past = genFileAt(spark, root, gen)
+    val next = cur + 1L
+    val publishedMs = System.currentTimeMillis()
+    val bytesOut = past match {
+      case FlatGen(m) => serializeManifest(
+        m.copy(publishedMs = publishedMs))
+      case lg: ListGen => serializeList(
+        lg.copy(publishedMs = publishedMs))
+    }
+    MetaSwap.swap(fs, manifestPath(root, next), bytesOut)
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else SnapshotStore.parsedGrace(prior).getOrElse(0L)
+    MetaSwap.swap(fs, ptr,
+      s"gen=$next\nkeep=$keep\ngrace=$effRetain\n".getBytes("UTF-8"),
+      prior)
+    prune(fs, root, next, keep, effRetain)
+    next
+  }
+
+  /** Explicit retention maintenance: run the prune NOW, against the
+    * SERVING generation and the pointer's recorded keep/grace —
+    * without publishing anything. Prune otherwise runs only inside
+    * publishes, so a table that stops being promoted never reclaims
+    * its grace-expired generations, dropped branches, or stale
+    * branch manifests; this is the quiet-table janitor (Iceberg's
+    * expire_snapshots, under the same single-maintainer contract as
+    * every maintenance entry).
+    */
+  def expire(spark: SparkSession, root: String): Unit = {
+    val fs = Tables.fsFor(spark, root)
+    val ptr = pointer(root)
+    MetaSwap.heal(fs, ptr)
+    if (!fs.exists(ptr)) return
+    val raw = MetaSwap.readCommitted(fs, ptr)
+    val curOpt = SnapshotStore.parsedGen(raw)
+    if (curOpt.isEmpty) return // corrupt pointer: fsck territory
+    val keep = SnapshotStore.parsedKeep(raw).getOrElse(3)
+    val grace = SnapshotStore.parsedGrace(raw).getOrElse(0L)
+    prune(fs, root, curOpt.get, keep, grace)
+  }
+
   /** Retention: drop manifests older than the window, then every
     * data file NO surviving manifest references — this is what makes
     * `keep = N` hold deltas instead of N table copies, and it also

@@ -347,6 +347,38 @@ object SnapshotStore {
     graft.operators.Incremental.snapshotDiff(
       readAt(spark, root, fromGen), readAt(spark, root, toGen), keys)
 
+  /** RESTORE (rollback-by-republish): publish retained generation
+    * `gen`'s rows as the table's NEXT generation. On this layout the
+    * restore is a physical copy (generations are full copies — the
+    * manifest table's [[ManifestStore.restore]] is the metadata-only
+    * form); history is never renumbered, so time travel over the
+    * rolled-back generations keeps working until retention lapses
+    * them. Refuses typed when `gen` is residue or aged out.
+    */
+  def restore(spark: SparkSession, root: String, gen: Long,
+              keep: Int = 3, retainMs: Long = 0L): Long =
+    publish(spark, readAt(spark, root, gen), root, Nil, keep,
+      retainMs)
+
+  /** Explicit retention maintenance ([[ManifestStore.expire]] on
+    * this layout): run the prune NOW against the serving generation
+    * and the pointer's recorded keep/grace, without publishing — the
+    * quiet-table janitor that reclaims grace-expired generations
+    * when promotions have stopped.
+    */
+  def expire(spark: SparkSession, root: String): Unit = {
+    val fs = Tables.fsFor(spark, root)
+    val p = pointer(root)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) return
+    val raw = MetaSwap.readCommitted(fs, p)
+    val curOpt = parsedGen(raw)
+    if (curOpt.isEmpty) return // corrupt pointer: fsck territory
+    val keep = parsedKeep(raw).getOrElse(3)
+    val grace = parsedGrace(raw).getOrElse(0L)
+    prune(fs, root, curOpt.get, keep, grace)
+  }
+
   // ---- TAGS (S25 on the snapshot table) ----------------------------
   // A tag pins a committed generation against retention under a
   // stable name — `_refs/<name>` markers with the SAME codec as the

@@ -962,6 +962,61 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("restore: metadata-only rollback republishes a retained " +
+      "generation's file list verbatim; expire reclaims a quiet " +
+      "table's garbage without publishing") {
+    val dir = tmp("manirestore")
+    try {
+      val root = dir.toString + "/t"
+      val fs = Tables.fsFor(spark, root)
+      import spark.implicits._
+      def batch(tag: String, ps: Seq[Int]) =
+        ps.flatMap(p => (1 to 5).map(i => (s"$tag-$p-$i", p)))
+          .toDF("id", "p")
+      ManifestStore.publish(spark, batch("g1", 0 to 2), root, "p")
+      val good = rows(ManifestStore.readCurrent(spark, root))
+      val goodEntries = ManifestStore.manifestAt(spark, root, 1L)
+        .entries.map(e => e.partition -> e.relPath).toSet
+      val goodState = fileState(root, 1L)
+      // two bad promotions land
+      ManifestStore.publish(spark, batch("bad", Seq(0)), root, "p")
+      ManifestStore.publish(spark, batch("worse", Seq(1)), root, "p")
+      // ROLLBACK: gen 4 carries gen 1's file list verbatim — zero
+      // data files rewritten (path + mtime identical)
+      val g = ManifestStore.restore(spark, root, 1L)
+      assert(g == 4L)
+      val restored = ManifestStore.manifestAt(spark, root, 4L).entries
+      assert(restored.map(e => e.partition -> e.relPath).toSet
+        == goodEntries)
+      restored.foreach(e => assert(goodState(e.relPath) ==
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/${e.relPath}")).getModificationTime))
+      assert(rows(ManifestStore.readCurrent(spark, root)) == good)
+      // history is not renumbered: the bad gens stay time-travelable
+      // inside the window
+      assert(ManifestStore.readAt(spark, root, 3L)
+        .filter(col("id").startsWith("worse-")).count() == 5L)
+      // residue/aged gens refuse typed
+      intercept[graft.SnapshotUnavailable] {
+        ManifestStore.restore(spark, root, 9L)
+      }
+      // EXPIRE: a dropped branch's garbage lingers on a quiet table
+      // (prune only runs inside publishes) — expire reclaims it now
+      ManifestStore.branch(spark, root, "tmp")
+      ManifestStore.publishToBranch(spark, batch("b", Seq(2)), root,
+        "tmp")
+      ManifestStore.dropRef(spark, root, "tmp")
+      val bm = new org.apache.hadoop.fs.Path(s"$root/_manifests/r-tmp-1")
+      val bw = new org.apache.hadoop.fs.Path(s"$root/_writes/r-tmp-1")
+      assert(fs.exists(bm) && fs.exists(bw))
+      ManifestStore.expire(spark, root)
+      assert(!fs.exists(bm) && !fs.exists(bw),
+        "expire must reclaim the dropped branch without a publish")
+      assert(rows(ManifestStore.readCurrent(spark, root)) == good)
+      assert(IndexAudit.isManifestTableHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("clusterPartitions: range-clustered files make entry-stats " +
       "skipping actually prune; scoped clustering reuses untouched " +
       "partitions; rows identical") {

@@ -106,6 +106,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("restore republishes a retained generation; expire reclaims " +
+      "grace-expired generations on a quiet table") {
+    val dir = tmp("snaprestore")
+    try {
+      val root = dir.toString + "/t"
+      import spark.implicits._
+      def df(v: Int) = (1 to 10).map(i => (i, s"v$v-$i"))
+        .toDF("id", "payload")
+      SnapshotStore.publish(spark, df(1), root)
+      val good = rows(SnapshotStore.readCurrent(spark, root))
+      SnapshotStore.publish(spark, df(2), root)
+      assert(SnapshotStore.restore(spark, root, 1L) == 3L)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == good)
+      // history intact inside the window
+      assert(rows(SnapshotStore.readAt(spark, root, 2L))
+        == rows(df(2)))
+      // EXPIRE: keep=1 with a short grace keeps gen 3 alive at the
+      // publish of gen 4; after the grace lapses, only expire (no
+      // further publish) reclaims it
+      SnapshotStore.publish(spark, df(3), root, Nil, keep = 1,
+        retainMs = 5000L)
+      val fs = Tables.fsFor(spark, root)
+      val g3 = new org.apache.hadoop.fs.Path(s"$root/_snapshots/3")
+      assert(fs.exists(g3), "gen 3 must survive inside the grace")
+      // expire inside the grace is a no-op for the protected gen
+      SnapshotStore.expire(spark, root)
+      assert(fs.exists(g3), "expire must honor the grace floor")
+      Thread.sleep(5200L)
+      SnapshotStore.expire(spark, root)
+      assert(!fs.exists(g3),
+        "expire must reclaim the grace-expired gen without a publish")
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+    } finally rmTree(dir)
+  }
+
   test("a publish crash before the repoint never disturbs the serving " +
       "table; the retry consumes the residue generation") {
     val dir = tmp("snapcrash")
