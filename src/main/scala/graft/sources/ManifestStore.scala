@@ -1271,6 +1271,17 @@ object ManifestStore {
       readEntries(spark, root, m.schemaDdl, m.entries)
   }
 
+  /** The WAP review step: what would [[fastForward]]`(name)` change?
+    * One S12 diff (added/removed/changed per key) between the table
+    * MAIN serves and the branch head — both sides resolved once, so
+    * the answer is consistent even while promotions land elsewhere.
+    * Works for tags too (diff against the pinned generation).
+    */
+  def diffRef(spark: SparkSession, root: String, name: String,
+              keys: Seq[String]): DataFrame =
+    graft.operators.Incremental.snapshotDiff(
+      readCurrent(spark, root), readRef(spark, root, name), keys)
+
   /** Publish `df` onto BRANCH `name` — the staged-promotion half of
     * write-audit-publish on a branch: partition-replace semantics
     * exactly like [[publish]]`(replaceAll = false)` (staged

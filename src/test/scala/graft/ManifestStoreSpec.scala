@@ -765,6 +765,19 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(headEntries.filter(_.partition == "2")
         .forall(_.relPath.startsWith("_writes/r-wap-1/")))
 
+      // the WAP review step: diffRef previews exactly what the
+      // fast-forward will change — partition 2's rows swap, the rest
+      // is unchanged (and therefore absent from the change set)
+      val preview = ManifestStore.diffRef(spark, root, "wap",
+        Seq("id")).collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[String]("change"))
+      assert(preview.filter(_._2 == "added").map(_._1).toSet ==
+        (1 to 5).map(i => s"b1-2-$i").toSet)
+      assert(preview.filter(_._2 == "removed").map(_._1).toSet ==
+        (1 to 5).map(i => s"g1-2-$i").toSet)
+      assert(!preview.exists(_._2 == "changed"))
+      assert(preview.count(_._2 == "unchanged") == 15)
+
       // a failing audit refuses the fast-forward with main untouched
       // (the branch's partition-2 ids are b1-*, violating the rule)
       intercept[graft.AuditFailed] {
