@@ -58,32 +58,28 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // per-query t1/t2 spreads, accumulated for the artifact's
-    // median: a contended machine inflates BOTH runs AND their
+    // per-query evidence (two run times + the load sampled right
+    // after them), accumulated for the tail guard and the artifact's
+    // median spread: a contended machine inflates BOTH runs AND their
     // disagreement, so a wide median spread across many queries
     // fingerprints environmental noise from inside the JSON alone
-    val spreads = scala.collection.mutable.ArrayBuffer.empty[Double]
-
-    // per-query load sample (taken right after the query's two runs):
-    // what lets the tail guard below re-run EXACTLY the queries that
-    // saw a contended machine, not the whole sweep
-    val loadSeen = scala.collection.mutable.Map.empty[String, Double]
+    val evidence =
+      scala.collection.mutable.ArrayBuffer.empty[BenchGuard.Sample]
 
     def runOne(name: String): Double = {
       val t1 = once(name)
       if (t1 < 0) return -1.0
       val t2 = once(name)
       if (t2 < 0) return -1.0
-      loadSeen(name) = loadAvg
-      spreads += math.max(t1, t2) / math.min(t1, t2)
+      val s = BenchGuard.Sample(name, t1, t2, loadAvg)
+      evidence += s
       // per-query spread to STDERR: a wide t1/t2 ratio on many queries
       // is the signature of machine-load contention, not a code
       // regression — lets a reader of the bench log tell noise from
       // real change without a rerun
       System.err.println(f"[bench] $name%-28s t1=$t1%8.3f t2=$t2%8.3f " +
-        f"spread=${math.max(t1, t2) / math.min(t1, t2)}%5.2fx " +
-        f"load=$loadAvg%5.2f")
-      math.min(t1, t2)
+        f"spread=${s.spread}%5.2fx load=${s.load}%5.2f")
+      s.best
     }
 
     // threshold floored at 1.0: cores/8 collapses below one load-unit
@@ -182,28 +178,23 @@ object Bench {
     System.err.println(f"[bench] system load average at end: $loadEnd%.2f")
     // TAIL-CONTENTION GUARD: r14's driver artifact started clean
     // (the idle-wait above) but foreign load ramped MID-RUN and
-    // tripped load_end — the whole round's number needed a judge
-    // rerun to adjudicate. When only the tail trips, cool down again
-    // and re-run EXACTLY the queries whose per-query load sample was
-    // contended, publishing the min — the artifact stays idle-valid
-    // end-to-end without re-paying the whole sweep. `tail_retry_n`
-    // records that the guard fired.
-    // the bench's OWN steady-state loadavg contribution scales with
-    // the parallelism actually driving it (local[cpus]), NOT the host
-    // core count: measured ≈2 on the cpus=4 driver runs (0.5/thread
-    // with stage think-time), so cpus/2 floored at 2 — a cpus=32 dev
-    // sweep self-generates load ≈11-16, and estimating its own load
-    // at 2 would mis-flag every such run contended and fire the tail
-    // guard on the bench itself
-    val ownLoadEst = math.max(2.0, cpus.toDouble / 2.0)
+    // tripped load_end; r15's own-load ESTIMATE (cpus/2) then put the
+    // cpus=32 trip threshold at load > 20, so a foreign load of ~7
+    // inflated published values up to 7× with the guard never firing
+    // and the contended bit false. Now the own load is MEASURED (the
+    // minimum per-query load sample — foreign ramps only raise the
+    // others) and the per-query trigger is the t1/t2 SPREAD, which
+    // needs no load model at all: a query whose two runs disagree ≥2×
+    // saw two different machines. Suspects cool down and re-run,
+    // publishing the min — the artifact stays idle-valid end-to-end
+    // without re-paying the whole sweep. `tail_retry_n` records that
+    // the guard fired. (BenchGuard holds the pure logic; its spec
+    // drives the r15 shape through it and asserts the guard fires.)
+    val ownLoadMeas = BenchGuard.ownLoadMeasured(evidence.toSeq)
     var tailRetryN = 0
-    if (loadStart <= contendedThreshold &&
-        (loadEnd - ownLoadEst) > contendedThreshold) {
-      val suspects = results.collect {
-        case (n, v) if v >= 0 &&
-          loadSeen.get(n).exists(_ - ownLoadEst > contendedThreshold)
-          => n
-      }.toSet
+    if (loadStart <= contendedThreshold) {
+      val suspects = BenchGuard.suspects(evidence.toSeq, ownLoadMeas,
+        contendedThreshold)
       if (suspects.nonEmpty) {
         var wait = 0
         while (loadAvg > contendedThreshold && wait < 300) {
@@ -290,37 +281,29 @@ object Bench {
     // median t1/t2 spread in the JSON line, a contended run is
     // identifiable from the persisted artifact without a rerun —
     // idle box ≈ load ≤ a few, spread_med ≈ 1.0x
+    val allSpreads = evidence.map(_.spread).toSeq
     val spreadMed =
-      if (spreads.isEmpty) 0.0
-      else spreads.sorted.apply(spreads.size / 2)
+      if (allSpreads.isEmpty) 0.0
+      else allSpreads.sorted.apply(allSpreads.size / 2)
     // the VALIDITY BIT, not just the raw inputs: FIVE consecutive
     // driver artifacts were load-inflated and each cost a judge rerun
     // to adjudicate. The r11 flag sampled only load_start and missed
-    // a mid-run ramp (2.50 → 8.25 during the sweep), so the bit now
-    // trips on ANY of three signals:
+    // a mid-run ramp (2.50 → 8.25 during the sweep); the r15 flag
+    // estimated the bench's own load at cpus/2 and missed a ~7-load
+    // foreign ramp on a cpus=32 sweep. The bit now trips on ANY of
+    // three signals (BenchGuard.contended — spec-pinned):
     //  - load_start above the threshold (busy before any query ran);
-    //  - load_end, minus the bench's OWN steady-state contribution,
-    //    above the threshold — idle-box sweeps end near load ≈ 2
-    //    (short queries, the JVM never saturates the box for a full
-    //    minute of loadavg), so anything well past that is foreign
-    //    load that ramped during the run;
+    //  - load_end minus the MEASURED own load (the minimum per-query
+    //    sample — see BenchGuard.ownLoadMeasured) above the threshold
+    //    — foreign load that ramped during the run;
     //  - spread_med > 1.75 — a wide median t1/t2 spread means the two
     //    runs of the same query saw different machines. The threshold
     //    sits above the idle-box JIT noise (measured 1.49 at load
     //    0.45→2.14 — t1 pays first-run compilation, so idle spread is
-    //    NOT ≈1.0 on this catalog) and below r8's 2.73× contention;
-    //    the r11-style slow ramp (spread 1.59) is caught by the
-    //    load_end signal above, not this one.
-    // the bench's own steady-state loadavg contribution, measured on
-    // idle round-close sweeps (r10/r11: end load ~2.05 at cpus=4)
-    // and scaled with the local[cpus] parallelism actually driving
-    // it — a constant calibrated on one configuration would
-    // false-flag every higher-parallelism sweep as contended,
-    // training readers to ignore the bit (see ownLoadEst above)
-    val ownLoad = ownLoadEst
-    val contended = loadStart > contendedThreshold ||
-      (loadEnd - ownLoad) > contendedThreshold ||
-      spreadMed > 1.75
+    //    NOT ≈1.0 on this catalog) and below r8's 2.73× contention.
+    val ownLoad = ownLoadMeas
+    val contended = BenchGuard.contended(loadStart, loadEnd, ownLoad,
+      contendedThreshold, spreadMed)
     if (contended) System.err.println(
       f"[bench] CONTENDED: load_start $loadStart%.2f / load_end " +
         f"$loadEnd%.2f (own ≈ $ownLoad%.1f) vs threshold " +
@@ -330,7 +313,8 @@ object Bench {
     // reader can audit the bit without re-deriving cores/8
     val diag =
       s""""cpus":$cpus,"idle_wait_sec":$idleWaitSec,"tail_retry_n":$tailRetryN,"load_start":${fmt(loadStart, 2)},"load_end":${
-        fmt(loadEnd, 2)},"spread_med":${fmt(spreadMed, 2)},"load_thr":${
+        fmt(loadEnd, 2)},"own_load":${fmt(ownLoad, 2)},"spread_med":${
+        fmt(spreadMed, 2)},"load_thr":${
         fmt(contendedThreshold, 1)},"contended":$contended,"slow":${
         slowGates.map(g => "\"" + g.stripPrefix("q_") + "\"")
           .mkString("[", ",", "]")}"""

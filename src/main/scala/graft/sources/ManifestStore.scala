@@ -710,6 +710,14 @@ object ManifestStore {
       s"cannot assign the partition column ${m.partCol}: a " +
         "cross-partition move must be an explicit DELETE + append")
     val cur = readAt(spark, root, gen)
+    // the update path injects __graft_upd / __graft_new_<i> temp
+    // columns below; a table already carrying a __graft_-prefixed
+    // column would be silently overwritten and dropped — refuse, the
+    // same reservation the publish path makes for graft_p
+    require(!cur.columns.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ are reserved for the " +
+        s"update path: ${cur.columns.filter(_.startsWith("__graft_"))
+          .mkString(",")}")
     val fields = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     set.foreach { case (c, _) => require(fields.contains(c),
       s"assignment target $c not in ${cur.columns.mkString(",")}") }
@@ -1105,9 +1113,17 @@ object ManifestStore {
       else body.drop(i + 1).toLongOption.map(k => (body.take(i), k))
     }
 
-  private[sources] def requireRefName(name: String): Unit =
+  private[sources] def requireRefName(name: String): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
       s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9_.-]*")
+    // '.next' is MetaSwap's temp-marker suffix: a committed ref named
+    // 'foo.next' would read to rawRefs/heal as ref 'foo's crashed swap
+    // (silently renamed to '_refs/foo') and dropRef("foo") would
+    // delete it — a legally-named ref destroyed through normal calls
+    require(!name.endsWith(".next"),
+      s"ref name '$name' collides with the swap protocol's temp-" +
+        "marker suffix ('.next') — pick another name")
+  }
 
   private[graft] def serializeRef(r: Ref): Array[Byte] = (r match {
     case TagRef(g, c) => s"kind=tag\ngen=$g\ncreated=$c\n"
@@ -1201,7 +1217,11 @@ object ManifestStore {
     if (fs.exists(p)) throw new IllegalStateException(
       s"ref '$name' already exists at $root — refs are immutable; " +
         "dropRef first to rename on purpose")
-    MetaSwap.swap(fs, p, serializeRef(
+    // create-EXCLUSIVE, not bare swap: two racing creators of the
+    // same name collide on the one stage file and one side fails
+    // typed, instead of last-writer-wins silently violating the
+    // refs-are-immutable contract
+    MetaSwap.create(fs, p, serializeRef(
       TagRef(g, System.currentTimeMillis())))
     g
   }
@@ -1225,7 +1245,7 @@ object ManifestStore {
     if (fs.exists(p)) throw new IllegalStateException(
       s"ref '$name' already exists at $root — refs are immutable; " +
         "dropRef first to rename on purpose")
-    MetaSwap.swap(fs, p, serializeRef(
+    MetaSwap.create(fs, p, serializeRef(
       BranchRef(0L, base, System.currentTimeMillis())))
   }
 

@@ -87,6 +87,43 @@ private[graft] object MetaSwap {
     }
   }
 
+  /** CREATE-EXCLUSIVE commit (the expect-ABSENT form of the CAS): fail
+    * typed unless NO committed marker exists — what an immutable-ref
+    * creation needs, where two racing creators of the same name must
+    * fail one side loudly instead of last-writer-wins silently
+    * violating the refs-are-immutable contract. The exclusivity hinge
+    * is `fs.create(next, overwrite = false)`: two racing creators
+    * collide on the ONE `.next` stage file, so exactly one proceeds
+    * to the rename (the same window honesty as the CAS overload).
+    */
+  def create(fs: FileSystem, marker: Path, bytes: Array[Byte]): Unit = {
+    heal(fs, marker)
+    if (fs.exists(marker)) throw new CasFailed(
+      s"marker already committed at $marker — create-exclusive " +
+        "refuses to overwrite")
+    val next = nextOf(marker)
+    val out =
+      try fs.create(next, false)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(next) || fs.exists(marker)) throw new CasFailed(
+            s"racing creation detected at $marker: another writer " +
+              "staged the same marker first")
+          else throw e
+      }
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(next, marker)) {
+      // a concurrent reader's heal may have completed this commit
+      val committed =
+        if (!fs.exists(marker)) null else readAll(fs, marker)
+      if (committed == null ||
+          !java.util.Arrays.equals(committed, bytes))
+        throw new CasFailed(
+          s"racing creation detected at $marker: the committed " +
+            "content is not this writer's")
+    }
+  }
+
   /** COMPARE-AND-SET commit: refuse (typed, loud) unless the committed
     * marker still holds exactly `expect` — the bytes this writer read
     * when it planned its change. This is what turns the documented

@@ -98,7 +98,16 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           SnapshotStore.readRef(spark, root, name))
       else ManifestStore.refAt(spark, root, name) match {
         case ManifestStore.TagRef(g, _) =>
-          org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+          // same empty-entries handling as the plain-generation and
+          // branch paths: a tag pinning a zero-entry generation (a
+          // full-table deleteWhere's result) serves the recorded
+          // schema with no rows instead of fileRelationOf's refusal
+          val m = ManifestStore.manifestAt(spark, root, g)
+          if (m.entries.isEmpty)
+            new EmptySnapshotRelation(sqlContext,
+              org.apache.spark.sql.types.StructType
+                .fromDDL(m.schemaDdl))
+          else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
             ManifestStore.readAt(spark, root, g))
         case b: ManifestStore.BranchRef =>
           val fs = Tables.fsFor(spark, root)

@@ -414,7 +414,7 @@ object SnapshotStore {
     if (fs.exists(p)) throw new IllegalStateException(
       s"ref '$name' already exists at $root — refs are immutable; " +
         "dropRef first to rename on purpose")
-    MetaSwap.swap(fs, p, ManifestStore.serializeRef(
+    MetaSwap.create(fs, p, ManifestStore.serializeRef(
       ManifestStore.TagRef(g, System.currentTimeMillis())))
     g
   }

@@ -1237,4 +1237,85 @@ class ManifestStoreSpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("ref-name hygiene: '.next' suffix refuses (it is the swap " +
+      "protocol's temp-marker namespace), and a TAG pinning a " +
+      "zero-entry generation serves empty through the SQL ref view") {
+    val dir = tmp("manirefhyg")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      // 'foo.next' committed as a REF would read to heal/rawRefs as
+      // ref 'foo's crashed swap and be silently renamed over it
+      intercept[IllegalArgumentException] {
+        ManifestStore.tag(spark, root, "foo.next")
+      }
+      intercept[IllegalArgumentException] {
+        ManifestStore.branch(spark, root, "bar.next")
+      }
+      // a tag on a generation that a later full-table delete emptied:
+      // the ref=<tag> SQL path serves schema-with-no-rows, exactly
+      // like the plain-generation and branch paths
+      ManifestStore.publish(spark, nation.limit(0), root,
+        "n_regionkey", replaceAll = true)
+      ManifestStore.tag(spark, root, "empty-pin", Some(2L))
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tag_empty " +
+        s"USING graft.sources.SnapshotSource OPTIONS (path '$root', " +
+        "ref 'empty-pin')")
+      assert(spark.sql("SELECT count(*) FROM graft_tag_empty")
+        .head().getLong(0) == 0L)
+      spark.catalog.dropTempView("graft_tag_empty")
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("updateWhere refuses a table carrying reserved __graft_ " +
+      "columns instead of silently overwriting them") {
+    val dir = tmp("maniupdres")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+        .withColumn("__graft_upd", lit("user data"))
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val e = intercept[IllegalArgumentException] {
+        ManifestStore.updateWhere(spark, root,
+          col("n_regionkey") === 1,
+          Seq("n_name" -> lit("X")))
+      }
+      assert(e.getMessage.contains("__graft_"))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("racing creations of the same ref name: exactly one side " +
+      "commits, the loser fails typed (create-exclusive, not " +
+      "last-writer-wins)") {
+    val dir = tmp("manirefrace")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val fs = Tables.fsFor(spark, root)
+      // drive the race at the MetaSwap layer (the tag/branch calls
+      // both sit on create): two creators of one marker — the second
+      // must fail typed even though it never saw the first's marker
+      val p = new org.apache.hadoop.fs.Path(s"$root/_refs/winner")
+      graft.sources.MetaSwap.create(fs, p, "kind=tag\ngen=1\ncreated=1\n"
+        .getBytes("UTF-8"))
+      intercept[graft.sources.MetaSwap.CasFailed] {
+        graft.sources.MetaSwap.create(fs, p,
+          "kind=tag\ngen=1\ncreated=2\n".getBytes("UTF-8"))
+      }
+      // the committed marker is the winner's, verbatim
+      assert(new String(graft.sources.MetaSwap.readCommitted(fs, p),
+        "UTF-8").contains("created=1"))
+      // and the API-level duplicate refuses loudly too
+      ManifestStore.tag(spark, root, "t1")
+      intercept[IllegalStateException] {
+        ManifestStore.tag(spark, root, "t1")
+      }
+      ()
+    } finally rmTree(dir)
+  }
 }
