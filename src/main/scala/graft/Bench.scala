@@ -32,6 +32,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -157,7 +158,10 @@ object Bench {
       // (updateWhere, tag/branch/fast-forward, range-clustering) —
       // same tmp-filesystem class, all Verify-gated
       "q_manifest_update", "q_table_refs", "q_manifest_cluster",
-      "q_manifest_restore")
+      "q_manifest_restore",
+      // the r16 protocol gates: temp-dir DML/evolution/CDF drives —
+      // same tmp-filesystem class, all Verify-gated
+      "q_sql_dml")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

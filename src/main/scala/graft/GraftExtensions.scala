@@ -8,19 +8,26 @@ import graft.plans.{CountInSet, FreqSketchAgg, FreqSketchMergeAgg, MinRollingHas
 
 /** Spark extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT min_rolling_hash(text, 16)
-  * ...")` works next to the Column API.
+  * ...")` works next to the Column API — and injects the DML parser
+  * ([[graft.sources.GraftSqlParser]]) that routes `DELETE FROM` /
+  * `UPDATE` / `MERGE INTO` on `graft-snapshot` views to the pointer
+  * tables' Scala DML ops.
   *
   * Two registration paths:
   *  - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
   *    (constructor injection, works for every session of the app);
   *  - per-session: `GraftExtensions.register(spark)` on an existing
-  *    session (temp-function registry).
+  *    session (temp-function registry — functions only; the parser
+  *    can only be injected at session construction).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
+  }
 }
 
 object GraftExtensions {

@@ -2537,6 +2537,76 @@ object SparkEntry {
             "n_updated")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S28 SQL DML on pointer-served tables, driver-gated ----
+    // the statement-level write surface: DELETE FROM / UPDATE /
+    // MERGE INTO against a `graft-snapshot` view route through the
+    // injected parser (GraftExtensions → GraftSqlParser) to the
+    // manifest-table DML ops, each returning the committed gen. The
+    // gate drives all three through spark.sql on a real table,
+    // asserts the partition-scoped contract held (untouched files
+    // byte-identical after the DELETE), and DuckDB recomputes the
+    // final table from orders (delete → decimal reprice → canonical
+    // upsert with deterministic key-sampled source).
+    "q_sql_dml" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sqldml").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sql_dml_t USING " +
+          s"`graft-snapshot` OPTIONS (path '$root')")
+        val delGen = s.sql("DELETE FROM sql_dml_t WHERE " +
+          "o_year = '1996' AND o_orderstatus = 'F'").head().getLong(0)
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "1996").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val updGen = s.sql("UPDATE sql_dml_t SET o_totalprice = " +
+          "round(cast(o_totalprice as decimal(18,2)) * " +
+          "cast(0.95 as decimal(3,2)), 2) " +
+          "WHERE o_year = '1997' AND o_orderpriority LIKE '2%'")
+          .head().getLong(0)
+        // canonical upsert: matched rows re-land with status 'M',
+        // key-shifted copies insert — the source is key-sampled
+        // (o_orderkey % 997) so DuckDB can rebuild it exactly
+        val src = M.readCurrent(s, root)
+          .filter(col("o_orderkey") % 997 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+        src.unionByName(src.withColumn("o_orderkey",
+          col("o_orderkey") + 900000000L))
+          .createOrReplaceTempView("sql_dml_src")
+        val mrgGen = s.sql("MERGE INTO sql_dml_t t USING sql_dml_src " +
+          "s ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *").head().getLong(0)
+        val gensAdvance = delGen == 2L && updGen == 3L && mrgGen == 4L
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p"),
+          count(when(col("o_orderstatus") === "M", lit(1))).as("m"))
+          .head()
+        s.catalog.dropTempView("sql_dml_t")
+        s.catalog.dropTempView("sql_dml_src")
+        import s.implicits._
+        Seq((untouchedReused, gensAdvance, healthy,
+          agg.getLong(0), agg.getDouble(1), agg.getLong(2)))
+          .toDF("untouched_files_reused", "sql_returns_gen",
+            "fsck_healthy", "n_rows", "revenue", "n_status_m")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S27 metadata-only RESTORE + explicit expire, ----
     // ---- driver-gated ----
     // rollback semantics: a bad promotion is undone by republishing
@@ -4368,6 +4438,31 @@ object SparkEntry {
         |    WHEN year(o_orderdate) = 1996 AND o_orderpriority LIKE '1%'
         |    THEN 1 END) AS n_updated
         |FROM orders""".stripMargin,
+    // the three-statement DML trajectory recomputed from orders:
+    // delete 1996's F rows, reprice 1997's '2%'-priority rows ×0.95
+    // in exact decimal, then the canonical upsert — matched rows
+    // (o_orderkey % 997 = 0) re-land status-'M' at unchanged price,
+    // key-shifted copies insert, so rows/revenue/status counts are
+    // all derivable in closed form
+    "q_sql_dml" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN year(o_orderdate) = 1997
+        |           AND o_orderpriority LIKE '2%'
+        |      THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |        CAST(0.95 AS DECIMAL(3,2)), 2)
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
+        |), src AS (SELECT * FROM upd WHERE o_orderkey % 997 = 0)
+        |SELECT true AS untouched_files_reused, true AS sql_returns_gen,
+        |  true AS fsck_healthy,
+        |  (SELECT count(*) FROM upd) + (SELECT count(*) FROM src)
+        |    AS n_rows,
+        |  CAST(ROUND((SELECT SUM(price) FROM upd) +
+        |    (SELECT COALESCE(SUM(price), 0) FROM src), 2) AS DOUBLE)
+        |    AS revenue,
+        |  2 * (SELECT count(*) FROM src) AS n_status_m""".stripMargin,
     // the restored table IS the original orders — the rollback
     // booleans ride along
     "q_manifest_restore" ->

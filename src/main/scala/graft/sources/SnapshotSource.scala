@@ -106,7 +106,7 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           if (m.entries.isEmpty)
             new EmptySnapshotRelation(sqlContext,
               org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDdl))
+                .fromDDL(m.schemaDdl), root)
           else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
             ManifestStore.readAt(spark, root, g))
         case b: ManifestStore.BranchRef =>
@@ -116,7 +116,7 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           if (m.entries.isEmpty)
             new EmptySnapshotRelation(sqlContext,
               org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDdl))
+                .fromDDL(m.schemaDdl), root)
           else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
             ManifestStore.readRef(spark, root, name))
       }
@@ -139,7 +139,8 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
       // letting fileRelationOf refuse
       if (m.entries.isEmpty)
         new EmptySnapshotRelation(sqlContext,
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl),
+          root)
       else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
         ManifestStore.readAt(spark, root, g))
     } else {
@@ -156,10 +157,15 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
 /** The zero-entry manifest generation's SQL relation: the recorded
   * schema with no rows — what makes an emptied-by-retention (or
   * [[ManifestStore.deleteWhere]]-emptied) table still SELECTable.
+  * Carries the table `root` explicitly (there are no file paths to
+  * derive it from) so the SQL DML router ([[GraftSqlDml.targetOf]])
+  * can still address the table — a MERGE INTO an emptied table is a
+  * perfectly good way to refill it.
   */
 private[graft] class EmptySnapshotRelation(
     override val sqlContext: SQLContext,
-    override val schema: org.apache.spark.sql.types.StructType)
+    override val schema: org.apache.spark.sql.types.StructType,
+    val root: String)
     extends BaseRelation with org.apache.spark.sql.sources.TableScan {
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row]
