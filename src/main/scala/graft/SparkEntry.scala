@@ -2304,6 +2304,71 @@ object SparkEntry {
             "n_changed", "n_removed")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S23b change feed as a readStream SOURCE, ----
+    // ---- driver-gated ----
+    // the `graft-cdf` form of S23: offsets ARE generation numbers, so
+    // Spark's checkpointed offset log replaces the hand-rolled
+    // cursor and the feed composes with the whole streaming operator
+    // set. The gate drains a real two-promotion table (full-sync
+    // bootstrap + one diff), proves a checkpointed restart delivers
+    // nothing, proves startGen serves diffs-only, and recounts every
+    // streamed change class against DuckDB (the q_snapshot_cdc
+    // shapes).
+    "q_stream_cdf" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-cdfgate").toString
+      try {
+        val S = graft.sources.SnapshotStore
+        val root = s"$tmp/nation"
+        val nation = Tables.table(s, d, "nation")
+        S.publish(s, nation, root) // gen 1
+        val v2 = nation.filter(col("n_regionkey") < 3)
+          .withColumn("n_name", when(col("n_nationkey") === 0,
+            lit("RENAMED")).otherwise(col("n_name")))
+          .unionByName(nation.filter(col("n_regionkey") === 4)
+            .withColumn("n_nationkey", col("n_nationkey") + 1000))
+        S.publish(s, v2, root) // gen 2
+        def drain(ck: String, startGen: Option[Long])
+            : Map[Long, Seq[String]] = {
+          val buf = scala.collection.mutable.Map
+            .empty[Long, Seq[String]]
+          val reader = s.readStream.format("graft-cdf")
+            .option("keys", "n_nationkey")
+          val q = startGen.fold(reader)(g =>
+            reader.option("startGen", g.toString)).load(root)
+            .writeStream.option("checkpointLocation", ck)
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.collect()
+                  .groupBy(_.getAs[Long]("graft_gen"))
+                  .foreach { case (g, rs) =>
+                    buf(g) = buf.getOrElse(g, Seq.empty) ++
+                      rs.map(_.getAs[String]("change")) }
+            }.start()
+          q.processAllAvailable()
+          q.stop()
+          buf.toMap
+        }
+        val first = drain(s"$tmp/ck1", None)
+        val fullSyncAdded = first(1L).forall(_ == "added")
+        val restartNoop = drain(s"$tmp/ck1", None).isEmpty
+        // a "from gen 1" consumer skips the bootstrap and gets
+        // exactly promotion 2's diff
+        val fromG1 = drain(s"$tmp/ck2", Some(1L))
+        val startgenDiffsOnly = fromG1.keySet == Set(2L) &&
+          fromG1(2L).sorted == first(2L).sorted
+        val g2 = first(2L).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        import s.implicits._
+        Seq((fullSyncAdded, restartNoop, startgenDiffsOnly,
+          first(1L).size.toLong,
+          g2.getOrElse("added", 0L), g2.getOrElse("changed", 0L),
+          g2.getOrElse("removed", 0L)))
+          .toDF("full_sync_added", "restart_noop",
+            "startgen_diffs_only", "n_bootstrap", "n_added",
+            "n_changed", "n_removed")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S24 manifest-list layer (two-level metadata), ----
     // ---- driver-gated ----
     // the data layer's reuse trick applied to the METADATA layer: a
@@ -4395,6 +4460,17 @@ object SparkEntry {
     "q_snapshot_cdc" ->
       """SELECT true AS full_sync_added, true AS restart_noop,
         |  true AS crash_redelivers_exact,
+        |  (SELECT count(*) FROM nation) AS n_bootstrap,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 4)
+        |    AS n_added,
+        |  CAST(1 AS BIGINT) AS n_changed,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey >= 3)
+        |    AS n_removed""".stripMargin,
+    // the readStream form drains the same promotions: same
+    // data-derived change-class counts, engine-checkpointed offsets
+    "q_stream_cdf" ->
+      """SELECT true AS full_sync_added, true AS restart_noop,
+        |  true AS startgen_diffs_only,
         |  (SELECT count(*) FROM nation) AS n_bootstrap,
         |  (SELECT count(*) FROM nation WHERE n_regionkey = 4)
         |    AS n_added,

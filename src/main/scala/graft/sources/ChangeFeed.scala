@@ -55,14 +55,18 @@ object ChangeFeed {
   private def isManifest(spark: SparkSession, root: String): Boolean =
     Tables.fsFor(spark, root).exists(new Path(s"$root/_manifests"))
 
-  private def currentGen(spark: SparkSession, root: String): Long =
+  // shared with the readStream form of this feed
+  // ([[graft.streaming.CdfSource]]), which drains the same
+  // per-promotion diffs behind Spark's own checkpointed offsets
+  private[graft] def currentGen(spark: SparkSession,
+                                root: String): Long =
     (if (isManifest(spark, root)) ManifestStore.currentGen(spark, root)
      else SnapshotStore.currentGen(spark, root))
       .getOrElse(throw new graft.SnapshotUnavailable(
         s"no published table at $root — nothing to stream changes from"))
 
-  private def readAt(spark: SparkSession, root: String,
-                     gen: Long): DataFrame =
+  private[graft] def readAt(spark: SparkSession, root: String,
+                            gen: Long): DataFrame =
     if (isManifest(spark, root)) ManifestStore.readAt(spark, root, gen)
     else SnapshotStore.readAt(spark, root, gen)
 
@@ -97,8 +101,8 @@ object ChangeFeed {
   /** The oldest retained generation at or below the serving one —
     * where a first-contact consumer can start a FULL SYNC.
     */
-  private def oldestRetained(spark: SparkSession, root: String,
-                             cur: Long): Long = {
+  private[graft] def oldestRetained(spark: SparkSession, root: String,
+                                    cur: Long): Long = {
     val fs = Tables.fsFor(spark, root)
     val base = new Path(
       if (isManifest(spark, root)) s"$root/_manifests"

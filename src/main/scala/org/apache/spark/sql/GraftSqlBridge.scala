@@ -25,4 +25,17 @@ object GraftSqlBridge {
       case l: execution.datasources.LogicalRelation => l.relation
     }.getOrElse(throw new IllegalStateException(
       "no file relation in plan — expected a plain file-source read"))
+
+  /** Re-wrap a batch DataFrame as a STREAMING one — what a DSv1
+    * streaming [[execution.streaming.Source]]'s `getBatch` must
+    * return (MicroBatchExecution asserts `isStreaming` on the plan).
+    * `internalCreateDataFrame(isStreaming = true)` is the standard
+    * source-implementation technique (Spark's own FileStreamSource
+    * does exactly this); it is `private[sql]`, hence bridged here.
+    */
+  def asStreamingBatch(df: Dataset[Row]): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -399,4 +399,91 @@ class StreamingSpec extends AnyFunSuite {
         fseen(3L).forall(_.getAs[String]("change") == "added"))
     } finally rmTree(new java.io.File(out))
   }
+
+  test("graft-cdf: the change feed as a readStream SOURCE — offsets " +
+      "are generations, drains are exactly-once across restarts and " +
+      "equal the batch diffs, lag past retention fails typed") {
+    import graft.sources.{SnapshotStore, Tables}
+    val out = java.nio.file.Files.createTempDirectory("graft-cdfsrc")
+      .toString
+    try {
+      val root = s"$out/tbl"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root) // gen 1
+      val v2 = nation.filter(col("n_regionkey") < 3)
+        .withColumn("n_name", when(col("n_nationkey") === 0,
+          lit("RENAMED")).otherwise(col("n_name")))
+        .unionByName(nation.filter(col("n_regionkey") === 4)
+          .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      SnapshotStore.publish(spark, v2, root) // gen 2
+      val keys = Seq("n_nationkey")
+
+      // drain everything available through a checkpointed stream and
+      // bucket the rows by their generation stamp
+      def drain(ck: String, startGen: Option[Long] = None,
+                table: String = root)
+          : Map[Long, Set[org.apache.spark.sql.Row]] = {
+        val buf = scala.collection.mutable.Map
+          .empty[Long, Set[org.apache.spark.sql.Row]]
+        val reader = spark.readStream.format("graft-cdf")
+          .option("keys", keys.mkString(","))
+        val q = startGen.fold(reader)(g =>
+          reader.option("startGen", g.toString)).load(table)
+          .writeStream.option("checkpointLocation", ck)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.collect().groupBy(_.getAs[Long]("graft_gen"))
+                .foreach { case (g, rs) =>
+                  val stripped = rs.map { r =>
+                    org.apache.spark.sql.Row.fromSeq(
+                      r.toSeq.dropRight(1)) }.toSet
+                  buf(g) = buf.getOrElse(g, Set.empty) ++ stripped
+                }
+          }.start()
+        q.processAllAvailable()
+        q.stop()
+        buf.toMap
+      }
+      val first = drain(s"$out/ck1")
+      // full-sync bootstrap: the oldest retained gen as all-added
+      assert(first(1L).size == nation.count())
+      val g2expect = SnapshotStore.diff(spark, root, 1L, 2L, keys)
+        .filter(col("change") =!= "unchanged").collect().toSet
+      assert(first(2L) == g2expect)
+      // restart on the same checkpoint: nothing redelivered
+      assert(drain(s"$out/ck1").isEmpty)
+      // a new promotion: exactly one more generation's diff
+      SnapshotStore.publish(spark, nation, root) // gen 3
+      val third = drain(s"$out/ck1")
+      assert(third.keySet == Set(3L))
+      assert(third(3L) == SnapshotStore.diff(spark, root, 2L, 3L, keys)
+        .filter(col("change") =!= "unchanged").collect().toSet)
+      // startGen: a "from gen 2" consumer sees only promotion 3
+      val fromNow = drain(s"$out/ck2", startGen = Some(2L))
+      assert(fromNow.keySet == Set(3L) && fromNow(3L) == third(3L))
+      // lag past retention fails TYPED through the stream: a keep=1
+      // table prunes the predecessor a checkpointed consumer needs
+      val kroot = s"$out/ktbl"
+      SnapshotStore.publish(spark, nation, kroot, keep = 1)
+      drain(s"$out/ck3", table = kroot)
+      SnapshotStore.publish(spark, v2, kroot, keep = 1)
+      SnapshotStore.publish(spark, nation, kroot, keep = 1)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = spark.readStream.format("graft-cdf")
+          .option("keys", keys.mkString(",")).load(kroot)
+          .writeStream.option("checkpointLocation", s"$out/ck3")
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.count(); () }
+          .start()
+        try { q.processAllAvailable(); q.stop() }
+        finally if (q.isActive) q.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[SnapshotUnavailable]),
+        s"expected the typed lag refusal in the cause chain: $e")
+      ()
+    } finally rmTree(new java.io.File(out))
+  }
 }
