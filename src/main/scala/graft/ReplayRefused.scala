@@ -89,3 +89,17 @@ final class IndexUnhealthy(msg: String) extends IllegalStateException(msg)
   * like the other refusals on write paths.
   */
 final class AuditFailed(msg: String) extends IllegalStateException(msg)
+
+/** A partial (replaceAll = false) manifest-table publish whose schema
+  * DROPS, RENAMES, or RE-TYPES a column the prior generation records
+  * ([[graft.sources.ManifestStore.publish]]). Carried entries serve
+  * through ONE pinned DDL per generation, so a widened publish
+  * null-backfills older files by parquet's by-name resolution — but a
+  * drop/rename would silently hide carried rows' data and a re-type
+  * would split the table's schema mid-manifest. Both need the
+  * explicit `replaceAll = true` rebuild (every partition rewritten
+  * under the new schema), and refusing TYPED lets an orchestrator
+  * branch to that rebuild without message matching.
+  */
+final class SchemaMismatch(msg: String)
+  extends IllegalStateException(msg)

@@ -2672,6 +2672,130 @@ object SparkEntry {
             "fsck_healthy", "n_rows", "revenue", "n_status_m")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S29 manifest-table schema evolution, driver-gated ----
+    // the S14 contract pinned INSIDE S20: a partial publish may WIDEN
+    // — carried old-schema files serve null-backfilled through the
+    // new generation's one recorded DDL (parquet by-name resolution),
+    // untouched partitions byte-identical — while a drop/rename/
+    // re-type refuses typed (graft.SchemaMismatch; replaceAll is the
+    // honest rebuild). DuckDB recomputes rows/flags/revenue from
+    // orders.
+    "q_manifest_evolution" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manievol").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        // WIDEN: only 1996 re-publishes, carrying the new column
+        val widened = orders.filter(col("o_year") === "1996")
+          .withColumn("o_flag", lit("W"))
+        M.publish(s, widened, root, "o_year")
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "1996").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val cur = M.readCurrent(s, root)
+        // old-era rows null-backfill, the widened partition carries W
+        val backfilled = cur.columns.contains("o_flag") &&
+          cur.filter(col("o_year") =!= "1996")
+            .filter(col("o_flag").isNotNull).count() == 0L &&
+          cur.filter(col("o_year") === "1996")
+            .filter(col("o_flag") =!= "W").count() == 0L
+        val timetravelOldSchema =
+          M.readAt(s, root, 1L).schema == orders.schema
+        val dropRefused =
+          try { M.publish(s, widened.drop("o_orderpriority"), root,
+            "o_year"); false }
+          catch { case _: graft.SchemaMismatch => true }
+        val retypeRefused =
+          try { M.publish(s, widened.withColumn("o_orderkey",
+            col("o_orderkey").cast("string")), root, "o_year"); false }
+          catch { case _: graft.SchemaMismatch => true }
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = cur.agg(count(lit(1)).as("n"),
+          count(when(col("o_flag") === "W", lit(1))).as("f"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((untouchedReused, backfilled, timetravelOldSchema,
+          dropRefused, retypeRefused, healthy,
+          agg.getLong(0), agg.getLong(1), agg.getDouble(2)))
+          .toDF("untouched_files_reused", "old_era_null_backfilled",
+            "timetravel_old_schema", "drop_refused", "retype_refused",
+            "fsck_healthy", "n_rows", "n_flagged", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S30 hierarchical (multi-column) partitioning, ----
+    // ---- driver-gated ----
+    // the standard 100 TB fact layout (date × region) on the manifest
+    // table: `partCol = "o_year,o_month"` makes a partition the
+    // escaped component tuple, a MERGE touching one (year, month)
+    // cell rewrites ONLY that cell (every other cell byte-identical —
+    // asserted on path+mtime), tupleKey addresses cells for scoped
+    // reads, and readPartitionPrefix serves "all of 1996" opening
+    // exactly the prefix's files. DuckDB recomputes the merged table.
+    "q_manifest_multipart" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manimulti").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+          .withColumn("o_month", date_format(col("o_orderdate"), "MM"))
+        M.publish(s, orders, root, "o_year,o_month")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        val cellKey = M.tupleKey(Seq("1996", "03"))
+        // the cell-scoped upsert: a key-sampled slice of 1996-03
+        // doubles its price — everything else must carry untouched
+        val batch = orders.filter(col("o_year") === "1996" &&
+          col("o_month") === "03" && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice",
+            (col("o_totalprice").cast("decimal(18,2)") * 2)
+              .cast(orders.schema("o_totalprice").dataType))
+        M.mergePartitions(s, batch, root, Seq("o_orderkey"))
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != cellKey).map(_.relPath)
+        val cellScoped = untouched.nonEmpty && untouched.forall(p =>
+          before.get(p).contains(after(p)))
+        // the cell read opens only the cell's files and is exact
+        val cell = M.readPartitions(s, root, Seq(cellKey))
+        val nCell = cell.count()
+        // the prefix read: all of 1996, opening only 1996's files
+        val prefix = M.readPartitionPrefix(s, root, Seq("1996"))
+        val prefixScoped = prefix.inputFiles.nonEmpty &&
+          prefix.inputFiles.forall(_.contains("graft_p=1996"))
+        val nPrefix = prefix.count()
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((cellScoped, prefixScoped, healthy, nCell, nPrefix,
+          agg.getLong(0), agg.getDouble(1)))
+          .toDF("cell_scoped_rewrite", "prefix_read_scoped",
+            "fsck_healthy", "n_cell", "n_prefix", "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S27 metadata-only RESTORE + explicit expire, ----
     // ---- driver-gated ----
     // rollback semantics: a bad promotion is undone by republishing
@@ -4539,6 +4663,39 @@ object SparkEntry {
         |    (SELECT COALESCE(SUM(price), 0) FROM src), 2) AS DOUBLE)
         |    AS revenue,
         |  2 * (SELECT count(*) FROM src) AS n_status_m""".stripMargin,
+    // the widened table holds every original row (the 1996 partition
+    // re-published with the flag, every other era carried) — rows,
+    // flagged count and revenue all recomputed from orders
+    "q_manifest_evolution" ->
+      """SELECT true AS untouched_files_reused,
+        |  true AS old_era_null_backfilled,
+        |  true AS timetravel_old_schema, true AS drop_refused,
+        |  true AS retype_refused, true AS fsck_healthy,
+        |  count(*) AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1996)
+        |    AS n_flagged,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders""".stripMargin,
+    // the merged hierarchical table recomputed from orders: the
+    // (1996, 03) cell's key-sampled slice doubled its price, every
+    // other cell rides unchanged; cell/prefix counts are plain
+    // filters
+    "q_manifest_multipart" ->
+      """SELECT true AS cell_scoped_rewrite, true AS prefix_read_scoped,
+        |  true AS fsck_healthy,
+        |  (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1996
+        |     AND month(o_orderdate) = 3) AS n_cell,
+        |  (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1996)
+        |    AS n_prefix,
+        |  count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CASE
+        |    WHEN year(o_orderdate) = 1996 AND month(o_orderdate) = 3
+        |      AND o_orderkey % 3 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders""".stripMargin,
     // the restored table IS the original orders — the rollback
     // booleans ride along
     "q_manifest_restore" ->

@@ -424,9 +424,9 @@ object ManifestStore {
     * ignores dropped ones. A TYPE change of an existing column needs
     * a `replaceAll` rebuild, exactly like any parquet table.
     */
-  private def readEntries(spark: SparkSession, root: String,
-                          schemaDdl: String,
-                          entries: Seq[ManifestEntry]): DataFrame = {
+  private[sources] def readEntries(spark: SparkSession, root: String,
+                                   schemaDdl: String,
+                                   entries: Seq[ManifestEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL(schemaDdl)
     if (entries.isEmpty)
@@ -546,6 +546,108 @@ object ManifestStore {
         .DEFAULT_PARTITION_NAME
     else v
 
+  // ---- HIERARCHICAL (multi-column) partitioning -------------------
+  // `partCol` accepts a comma-separated column list ("o_year,o_month")
+  // — the standard 100 TB fact layout (date × region). The manifest
+  // format is UNCHANGED: a partition value is ONE string, which for
+  // the hierarchical form is the escaped tuple of the components
+  // joined on the unit separator; every scoped read/merge/DML keyed
+  // on full tuples works verbatim, and [[readPartitionPrefix]] adds
+  // the prefix-scoped read (all months of 1996). Encoding, not
+  // redesign: groupOf/stats/retention/refs all operate on the one
+  // partition string.
+
+  private[graft] val TupleSep = "\u001f"
+
+  /** The partition column NAMES of a spec (size 1 = the classic
+    * single-column table; >1 = hierarchical).
+    */
+  private[graft] def partColsOf(spec: String): Seq[String] =
+    spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** One tuple component, escaped so a value containing the
+    * separator (or '%') cannot forge tuple boundaries; null/empty map
+    * to the hive sentinel PER COMPONENT (the [[nullSafe]] rule,
+    * applied before joining because concat drops nulls).
+    */
+  private def escComp(v: String): String =
+    if (v == null || v.isEmpty)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+    else v.replace("%", "%25").replace(TupleSep, "%1F")
+
+  /** The partition-value KEY of a row with these component values —
+    * what [[readPartitions]]/[[mergePartitions]] callers pass for a
+    * hierarchical table. Single-column tables keep the raw
+    * (null-safe) value, so existing callers are untouched.
+    */
+  def tupleKey(values: Seq[String]): String =
+    if (values.size <= 1) nullSafe(values.headOption.orNull)
+    else values.map(escComp).mkString(TupleSep)
+
+  /** The row-side twin of [[tupleKey]]: the Column whose value is the
+    * staged `graft_p` / affected-partition key under `spec`.
+    */
+  private def partKeyExpr(spec: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat_ws, lit, regexp_replace, when}
+    val cols = partColsOf(spec)
+    if (cols.size == 1) col(cols.head).cast("string")
+    else concat_ws(TupleSep, cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull || s === lit(""),
+        lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME))
+        .otherwise(regexp_replace(
+          regexp_replace(s, "%", "%25"), TupleSep, "%1F"))
+    }: _*)
+  }
+
+  /** [[partKeyExpr]] with the single-column null/empty → sentinel
+    * mapping applied IN the expression — what must equal the
+    * manifest-recorded partition value exactly (the OPTIMIZE join
+    * key; the staged write keeps the raw cast for single columns and
+    * lets Spark's own dir escaping produce the sentinel).
+    */
+  private def partValueExpr(spec: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val cols = partColsOf(spec)
+    if (cols.size == 1) {
+      val s = col(cols.head).cast("string")
+      when(s.isNull || s === lit(""),
+        lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)).otherwise(s)
+    } else partKeyExpr(spec)
+  }
+
+  /** STRUCTURAL PREFIX pruning on a hierarchical table: read only the
+    * partitions whose first `prefix.size` components equal `prefix`
+    * ("all of 1996" on a (year, month) table). The decision is a
+    * driver pass over the entry list — files outside the prefix are
+    * never listed or opened. On a list-layout table the prefix cannot
+    * select groups (grouping hashes the FULL tuple), so all group
+    * manifests parse — metadata-sized — while the file scan stays
+    * prefix-bounded.
+    */
+  def readPartitionPrefix(spark: SparkSession, root: String,
+                          prefix: Seq[String],
+                          gen: Option[Long] = None): DataFrame = {
+    val g = gen.orElse(currentGen(spark, root)).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val m = manifestAt(spark, root, g)
+    val nCols = partColsOf(m.partCol).size
+    require(prefix.nonEmpty && prefix.size <= nCols,
+      s"prefix must name 1..$nCols leading components of " +
+        s"(${m.partCol}), got ${prefix.size}")
+    val want = prefix.map(escComp)
+    val entries = m.entries.filter { e =>
+      if (nCols == 1) e.partition == nullSafe(prefix.head)
+      else e.partition.split(TupleSep, -1).take(want.size)
+        .toSeq == want
+    }
+    readEntries(spark, root, m.schemaDdl, entries)
+  }
+
   /** TYPED comparison of two canonical stat strings under the
     * column's schema type: numerics and decimals parse (lexicographic
     * "9" > "10" would mis-prune), booleans parse, dates/timestamps/
@@ -640,24 +742,48 @@ object ManifestStore {
                   predicate: org.apache.spark.sql.Column,
                   expectations: Seq[graft.operators.Cleaning.Expectation] =
                     Nil,
-                  keep: Int = 3, retainMs: Long = 0L): Long = {
+                  keep: Int = 3, retainMs: Long = 0L): Long =
+    deleteWhereImpl(spark, root, predicate, expectations, keep,
+      retainMs, () => ())
+
+  /** [[deleteWhere]] with a hook fired between the planning read and
+    * the publish — the window a racing promotion can land in — so the
+    * disjoint-rebase and overlapping-refusal contracts are TESTED.
+    * A lost CAS against a DISJOINT winner replans from the winner's
+    * manifest and retries once ([[withDisjointRebase]]); the retry
+    * re-evaluates the predicate against the winner's rows, which is
+    * exactly the serial delete-after-winner semantics.
+    */
+  private[graft] def deleteWhereImpl(spark: SparkSession, root: String,
+                                     predicate: org.apache.spark.sql.Column,
+                                     expectations: Seq[graft.operators.Cleaning.Expectation],
+                                     keep: Int, retainMs: Long,
+                                     beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val fs = Tables.fsFor(spark, root)
-    val gen = currentGen(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"no published manifest table at $root"))
-    val raw = MetaSwap.readCommitted(fs, pointer(root))
-    val m = manifestAt(spark, root, gen)
-    val affected = readAt(spark, root, gen).filter(predicate)
-      .select(col(m.partCol).cast("string")).distinct()
-      .collect().map(r => nullSafe(r.getString(0))).toSet
-    if (affected.isEmpty) return gen
-    val remaining = readPartitions(spark, root, affected.toSeq,
-        Some(gen))
-      .filter(not(coalesce(predicate, lit(false))))
-    publishImpl(spark, remaining, root, m.partCol, expectations, keep,
-      replaceAll = false, coalescePartitions = true, () => (),
-      retainMs, Some(raw), replacedPartitions = affected)
+    def attempt(): Long = {
+      val gen = currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published manifest table at $root"))
+      val raw = MetaSwap.readCommitted(fs, pointer(root))
+      val m = manifestAt(spark, root, gen)
+      val affected = readAt(spark, root, gen).filter(predicate)
+        .select(partKeyExpr(m.partCol)).distinct()
+        .collect().map(r => nullSafe(r.getString(0))).toSet
+      if (affected.isEmpty) return gen
+      val remaining = readPartitions(spark, root, affected.toSeq,
+          Some(gen))
+        .filter(not(coalesce(predicate, lit(false))))
+      beforePublish()
+      try publishImpl(spark, remaining, root, m.partCol, expectations,
+        keep, replaceAll = false, coalescePartitions = true, () => (),
+        retainMs, Some(raw), replacedPartitions = affected)
+      catch {
+        case e: MetaSwap.CasFailed =>
+          throw new RebaseSignal(gen, affected, e)
+      }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
   }
 
   /** Row-level UPDATE (S21b — the third leg of the DML triad beside
@@ -695,19 +821,34 @@ object ManifestStore {
                   set: Seq[(String, org.apache.spark.sql.Column)],
                   expectations: Seq[graft.operators.Cleaning.Expectation] =
                     Nil,
-                  keep: Int = 3, retainMs: Long = 0L): Long = {
+                  keep: Int = 3, retainMs: Long = 0L): Long =
+    updateWhereImpl(spark, root, predicate, set, expectations, keep,
+      retainMs, () => ())
+
+  /** [[updateWhere]] with the race-window hook — the
+    * [[deleteWhereImpl]] pattern: disjoint races rebase once (the
+    * retry re-evaluates predicate and RHSs against the winner's
+    * rows — serial semantics), overlapping races stay loud.
+    */
+  private[graft] def updateWhereImpl(spark: SparkSession, root: String,
+                                     predicate: org.apache.spark.sql.Column,
+                                     set: Seq[(String, org.apache.spark.sql.Column)],
+                                     expectations: Seq[graft.operators.Cleaning.Expectation],
+                                     keep: Int, retainMs: Long,
+                                     beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate assignment targets: ${set.map(_._1).mkString(",")}")
     val fs = Tables.fsFor(spark, root)
+    def attempt(): Long = {
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
     val raw = MetaSwap.readCommitted(fs, pointer(root))
     val m = manifestAt(spark, root, gen)
-    require(!set.exists(_._1 == m.partCol),
-      s"cannot assign the partition column ${m.partCol}: a " +
+    require(!set.exists(kv => partColsOf(m.partCol).contains(kv._1)),
+      s"cannot assign a partition column (${m.partCol}): a " +
         "cross-partition move must be an explicit DELETE + append")
     val cur = readAt(spark, root, gen)
     // the update path injects __graft_upd / __graft_new_<i> temp
@@ -722,7 +863,7 @@ object ManifestStore {
     set.foreach { case (c, _) => require(fields.contains(c),
       s"assignment target $c not in ${cur.columns.mkString(",")}") }
     val affected = cur.filter(predicate)
-      .select(col(m.partCol).cast("string")).distinct()
+      .select(partKeyExpr(m.partCol)).distinct()
       .collect().map(r => nullSafe(r.getString(0))).toSet
     if (affected.isEmpty) return gen
     val part = readPartitions(spark, root, affected.toSeq, Some(gen))
@@ -743,9 +884,16 @@ object ManifestStore {
     }
     val updated = applied.drop(
       "__graft_upd" +: set.indices.map(i => s"__graft_new_$i"): _*)
-    publishImpl(spark, updated, root, m.partCol, expectations, keep,
-      replaceAll = false, coalescePartitions = true, () => (),
+    beforePublish()
+    try publishImpl(spark, updated, root, m.partCol, expectations,
+      keep, replaceAll = false, coalescePartitions = true, () => (),
       retainMs, Some(raw), replacedPartitions = affected)
+    catch {
+      case e: MetaSwap.CasFailed =>
+        throw new RebaseSignal(gen, affected, e)
+    }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
   }
 
   /** Publish `df` as the next generation. `replaceAll = false` (the
@@ -756,6 +904,12 @@ object ManifestStore {
     * makes the new manifest list exactly `df`'s partitions, so a
     * partition absent from a full rebuild stops being served (the
     * corpusGold stale-shard rule). Returns the committed generation.
+    *
+    * `partCol` accepts a comma-separated list for HIERARCHICAL
+    * partitioning ("o_year,o_region" — the standard date × region
+    * fact layout): a partition is then the escaped component tuple
+    * ([[tupleKey]] builds scoped-read/merge keys;
+    * [[readPartitionPrefix]] reads a leading-component slice).
     *
     * `coalescePartitions = true` (default) shuffles once on the
     * partition value so each partition lands as ONE file per publish
@@ -890,19 +1044,50 @@ object ManifestStore {
                               replacedPartitions: Set[String],
                               statsCols: Seq[String],
                               manifestGroups: Int): Unit = {
-    require(df.columns.contains(partCol),
-      s"partition column $partCol not in ${df.columns.mkString(",")}")
+    partColsOf(partCol).foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    require(partColsOf(partCol).nonEmpty,
+      s"empty partition-column spec: '$partCol'")
     require(!df.columns.contains("graft_p"),
       "column name graft_p is reserved for the staged layout")
     priorFile.foreach(pf => require(pf.partCol == partCol,
       s"partition column mismatch: table is partitioned by " +
         s"${pf.partCol}, publish got $partCol"))
+    // SCHEMA-EVOLUTION CONTRACT (S14 inside S20), enforced before
+    // anything stages: a partial publish may WIDEN (carried old-
+    // schema files serve null-backfilled through the new recorded
+    // DDL — parquet's by-name resolution) and may reorder; dropping,
+    // renaming, or re-typing a recorded column refuses TYPED — the
+    // carried entries would silently lose or split that column, and
+    // the honest path is the explicit replaceAll rebuild.
+    priorFile.filter(_ => !replaceAll).foreach { pf =>
+      val prior = org.apache.spark.sql.types.StructType
+        .fromDDL(pf.schemaDdl)
+      val curTypes = df.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val dropped = prior.fields.map(_.name)
+        .filterNot(curTypes.contains)
+      if (dropped.nonEmpty) throw new graft.SchemaMismatch(
+        s"partial publish to $root drops/renames recorded column(s) " +
+          s"${dropped.mkString(",")} — carried partitions still hold " +
+          "them and one generation serves ONE schema; rebuild with " +
+          "replaceAll = true to drop columns for real")
+      val retyped = prior.fields.filter(f =>
+        curTypes.get(f.name).exists(_ != f.dataType))
+      if (retyped.nonEmpty) throw new graft.SchemaMismatch(
+        s"partial publish to $root re-types recorded column(s) " +
+          retyped.map(f => s"${f.name}: ${f.dataType.sql} -> " +
+            s"${curTypes(f.name).sql}").mkString(", ") +
+          " — carried files keep their footers, so a type drift " +
+          "would split the table's schema mid-manifest; rebuild " +
+          "with replaceAll = true")
+    }
     val fs = Tables.fsFor(spark, root)
     val stagingDir = s"$root/_writes/$token"
     // mode=overwrite consumes the one possible residue here: a prior
     // publish of THIS gen that crashed (or failed its audit) before
     // the repoint — nothing ever pointed at it
-    val staged0 = df.withColumn("graft_p", col(partCol).cast("string"))
+    val staged0 = df.withColumn("graft_p", partKeyExpr(partCol))
     val staged = if (coalescePartitions)
       staged0.repartition(col("graft_p")) else staged0
     staged.write.mode("overwrite").partitionBy("graft_p")
@@ -1776,7 +1961,7 @@ object ManifestStore {
     def attempt(gen: Long, raw: Array[Byte], gf: GenFile): Long = {
       val partCol = gf.partCol
       val affected = batch
-        .select(col(partCol).cast("string")).distinct()
+        .select(partKeyExpr(partCol)).distinct()
         .collect().map(r => nullSafe(r.getString(0))).toSeq
       // an empty batch touches nothing: no staged write, no new
       // generation (the corpusGold no-shard-touched discipline)
@@ -1794,28 +1979,43 @@ object ManifestStore {
           throw new RebaseSignal(gen, affected.toSet, e)
       }
     }
-    val (gen0, raw0, m0) = plan()
-    try attempt(gen0, raw0, m0)
+    withDisjointRebase(spark, root) { () =>
+      val (gen0, raw0, m0) = plan()
+      attempt(gen0, raw0, m0)
+    }
+  }
+
+  /** OPTIMISTIC REBASE (the Iceberg commit-conflict rule), shared by
+    * every partition-scoped writer — merge, DELETE, UPDATE, and the
+    * two OPTIMIZE forms: run `attempt` (which plans from the serving
+    * generation and throws [[RebaseSignal]] on a lost pointer CAS);
+    * when the racing winner's promotion touched a DISJOINT partition
+    * set, re-running the attempt against the winner's manifest once
+    * is equal to either sequential order — the carried entries rebase
+    * for free because publish derives them from the NEW prior
+    * manifest, and the DML predicate/sizing re-evaluates against the
+    * winner's rows. An OVERLAPPING race rethrows the typed
+    * [[MetaSwap.CasFailed]]: the op was computed against rows the
+    * winner replaced, and only the caller can decide whether its
+    * intent still holds. One bounded retry — a second loss stays
+    * loud (pathological contention should page, not loop).
+    */
+  private def withDisjointRebase[T](spark: SparkSession, root: String)
+                                   (attempt: () => T): T = {
+    val fs = Tables.fsFor(spark, root)
+    try attempt()
     catch {
-      // OPTIMISTIC REBASE (the Iceberg commit-conflict rule): a race
-      // was lost, but if the winner's promotion touched a DISJOINT
-      // partition set, replanning from the winner's manifest and
-      // retrying once is equal to either sequential order — the
-      // carried entries rebase for free because publish derives them
-      // from the NEW prior manifest. An overlapping race rethrows
-      // typed: the merge was computed against rows the winner
-      // replaced, and only the caller can re-derive its batch.
       case rs: RebaseSignal =>
-        val (gen1, raw1, gf1) = plan()
         // the planned-from manifest may have aged out under keep=1 —
         // then disjointness is unprovable and the race stays loud
         val plannedM =
           try manifestAt(spark, root, rs.plannedGen)
           catch { case _: graft.SnapshotUnavailable => throw rs.cause }
-        if ((touchedBetween(plannedM,
-            assemble(fs, root, gf1)) & rs.affected).nonEmpty)
+        val nowGen = currentGen(spark, root).getOrElse(throw rs.cause)
+        val nowM = assemble(fs, root, genFileAt(spark, root, nowGen))
+        if ((touchedBetween(plannedM, nowM) & rs.affected).nonEmpty)
           throw rs.cause
-        try attempt(gen1, raw1, gf1)
+        try attempt()
         catch { case rs2: RebaseSignal => throw rs2.cause }
     }
   }
@@ -1850,7 +2050,22 @@ object ManifestStore {
     */
   def compactSmallPartitions(spark: SparkSession, root: String,
                              targetBytesPerFile: Long,
-                             keep: Int = 3, retainMs: Long = 0L): Int = {
+                             keep: Int = 3, retainMs: Long = 0L): Int =
+    compactSmallPartitionsImpl(spark, root, targetBytesPerFile, keep,
+      retainMs, () => ())
+
+  /** [[compactSmallPartitions]] with the race-window hook — disjoint
+    * races rebase once (the retry re-sizes against the winner's
+    * manifest), overlapping races stay loud
+    * ([[withDisjointRebase]]).
+    */
+  private[graft] def compactSmallPartitionsImpl(spark: SparkSession,
+                                                root: String,
+                                                targetBytesPerFile: Long,
+                                                keep: Int,
+                                                retainMs: Long,
+                                                beforePublish: () => Unit)
+      : Int = {
     require(targetBytesPerFile > 0)
     // maintenance PREFLIGHT (the compaction-entry discipline every
     // persisted store carries): an unhealthy table — a manifest
@@ -1867,6 +2082,7 @@ object ManifestStore {
           "republish damaged state; run IndexAudit.auditManifestTable " +
           "for the full report and repairManifestTable / restore the " +
           "named file, then retry"))
+    def attempt(): Int = {
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
@@ -1904,24 +2120,27 @@ object ManifestStore {
       val resized = rows
         // null AND empty-string partition rows land in the sentinel
         // directory (nullSafe's contract), so both must join their
-        // sentinel-keyed want row
-        .withColumn("__pv",
-          org.apache.spark.sql.functions.when(
-            col(m.partCol).isNull ||
-              col(m.partCol).cast("string") === lit(""),
-            lit(org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
-            .otherwise(col(m.partCol).cast("string")))
+        // sentinel-keyed want row; hierarchical tables key on the
+        // escaped tuple — partValueExpr matches the manifest-recorded
+        // value in both layouts
+        .withColumn("__pv", partValueExpr(m.partCol))
         .join(broadcast(want), Seq("__pv"))
         .withColumn("__salt",
           pmod(monotonically_increasing_id(), col("__want")))
         .repartition(col("__pv"), col("__salt"))
         .drop("__pv", "__want", "__salt")
-      publishImpl(spark, resized, root, m.partCol, Nil, keep,
+      beforePublish()
+      try publishImpl(spark, resized, root, m.partCol, Nil, keep,
         replaceAll = false, coalescePartitions = false, () => (),
         retainMs, Some(raw))
+      catch {
+        case e: MetaSwap.CasFailed =>
+          throw new RebaseSignal(gen, offenders.toSet, e)
+      }
       offenders.size
     }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
   }
 
   /** CLUSTERED OPTIMIZE (S26): rewrite partitions with rows
@@ -1961,7 +2180,22 @@ object ManifestStore {
                         sortCols: Seq[String],
                         targetBytesPerFile: Long,
                         partitions: Option[Seq[String]] = None,
-                        keep: Int = 3, retainMs: Long = 0L): Int = {
+                        keep: Int = 3, retainMs: Long = 0L): Int =
+    clusterPartitionsImpl(spark, root, sortCols, targetBytesPerFile,
+      partitions, keep, retainMs, () => ())
+
+  /** [[clusterPartitions]] with the race-window hook — disjoint races
+    * rebase once, overlapping races stay loud
+    * ([[withDisjointRebase]]).
+    */
+  private[graft] def clusterPartitionsImpl(spark: SparkSession,
+                                           root: String,
+                                           sortCols: Seq[String],
+                                           targetBytesPerFile: Long,
+                                           partitions: Option[Seq[String]],
+                                           keep: Int, retainMs: Long,
+                                           beforePublish: () => Unit)
+      : Int = {
     require(sortCols.nonEmpty, "clusterPartitions needs sort columns")
     require(targetBytesPerFile > 0)
     graft.operators.IndexAudit.auditManifestTable(spark, root)
@@ -1972,6 +2206,7 @@ object ManifestStore {
           "republish damaged state; run IndexAudit.auditManifestTable " +
           "for the full report and repairManifestTable / restore the " +
           "named file, then retry"))
+    def attempt(): Int = {
     val gen = currentGen(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
@@ -1992,13 +2227,20 @@ object ManifestStore {
     val nFiles = math.max(1L,
       (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     val rows = readPartitions(spark, root, affected, Some(gen))
-    val keyCols = col(m.partCol) +: sortCols.map(col)
+    val keyCols = partColsOf(m.partCol).map(col) ++ sortCols.map(col)
     val clustered = rows
       .repartitionByRange(nFiles, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-    publishImpl(spark, clustered, root, m.partCol, Nil, keep,
+    beforePublish()
+    try publishImpl(spark, clustered, root, m.partCol, Nil, keep,
       replaceAll = false, coalescePartitions = false, () => (),
       retainMs, Some(raw), replacedPartitions = affected.toSet)
+    catch {
+      case e: MetaSwap.CasFailed =>
+        throw new RebaseSignal(gen, affected.toSet, e)
+    }
     affected.size
+    }
+    withDisjointRebase(spark, root)(() => attempt())
   }
 }

@@ -68,6 +68,32 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
       }
     }
 
+  /** The manifest-table relation: empty generations serve an
+    * explicit empty relation; tables WITH declared stat columns serve
+    * through the stats-pruning FileIndex
+    * ([[org.apache.spark.sql.GraftSqlBridge.statsPrunedFileRelation]])
+    * so a pushed-down SQL range filter opens only the files whose
+    * recorded `[min, max]` can match (the S22 entry-level skip,
+    * now reachable from a SQL prompt); tables without stats keep the
+    * plain explicit-file relation — zero added planning cost.
+    */
+  private def manifestRelation(sqlContext: SQLContext, root: String,
+                               m: ManifestStore.Manifest)
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    if (m.entries.isEmpty)
+      new EmptySnapshotRelation(sqlContext, schema, root)
+    else if (m.statsCols.isEmpty)
+      org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries))
+    else org.apache.spark.sql.GraftSqlBridge.statsPrunedFileRelation(
+      spark, schema,
+      m.entries.map(e => s"$root/${e.relPath}" -> e.stats),
+      dt => ManifestStore.statCompare(dt))
+  }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
       : BaseRelation = {
@@ -98,27 +124,13 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           SnapshotStore.readRef(spark, root, name))
       else ManifestStore.refAt(spark, root, name) match {
         case ManifestStore.TagRef(g, _) =>
-          // same empty-entries handling as the plain-generation and
-          // branch paths: a tag pinning a zero-entry generation (a
-          // full-table deleteWhere's result) serves the recorded
-          // schema with no rows instead of fileRelationOf's refusal
-          val m = ManifestStore.manifestAt(spark, root, g)
-          if (m.entries.isEmpty)
-            new EmptySnapshotRelation(sqlContext,
-              org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDdl), root)
-          else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-            ManifestStore.readAt(spark, root, g))
+          manifestRelation(sqlContext, root,
+            ManifestStore.manifestAt(spark, root, g))
         case b: ManifestStore.BranchRef =>
           val fs = Tables.fsFor(spark, root)
-          val m = ManifestStore.assemble(fs, root,
-            ManifestStore.branchGenFile(spark, root, name, b))
-          if (m.entries.isEmpty)
-            new EmptySnapshotRelation(sqlContext,
-              org.apache.spark.sql.types.StructType
-                .fromDDL(m.schemaDdl), root)
-          else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-            ManifestStore.readRef(spark, root, name))
+          manifestRelation(sqlContext, root, ManifestStore.assemble(
+            fs, root,
+            ManifestStore.branchGenFile(spark, root, name, b)))
       }
     } else {
     // time resolves to a generation ONCE, here — the view is then
@@ -132,17 +144,8 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         ManifestStore.currentGen(spark, root).getOrElse(
           throw new IllegalStateException(
             s"no published manifest table at $root")))
-      val m = ManifestStore.manifestAt(spark, root, g)
-      // a zero-entry generation is servable via the recorded schema
-      // DDL, but its DataFrame is a LocalRelation with no file source
-      // inside — hand SQL an explicit empty relation instead of
-      // letting fileRelationOf refuse
-      if (m.entries.isEmpty)
-        new EmptySnapshotRelation(sqlContext,
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl),
-          root)
-      else org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-        ManifestStore.readAt(spark, root, g))
+      manifestRelation(sqlContext, root,
+        ManifestStore.manifestAt(spark, root, g))
     } else {
       val df = gen match {
         case Some(g) => SnapshotStore.readAt(spark, root, g)

@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Bridge into the `private[sql]` Column ↔ Expression converters so
   * graft's native Catalyst expressions can expose a public Column API
@@ -37,5 +40,136 @@ object GraftSqlBridge {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** A real parquet [[execution.datasources.HadoopFsRelation]] over
+    * an EXPLICIT file list whose [[execution.datasources.FileIndex]]
+    * additionally prunes on per-file column stats at PLANNING time —
+    * what wires the manifest table's entry-level `(min, max)` stats
+    * (graft's S22 layer) into the SQL surface: a pushed-down range
+    * filter reaches `listFiles` as `dataFilters`, and files whose
+    * recorded range provably cannot match are never opened, exactly
+    * the Delta/Iceberg data-skipping architecture (their FileIndex
+    * does the same against their own stats). Everything else about
+    * the scan stays native — FileSourceScanExec, vectorized parquet,
+    * row-group pushdown of the residual filter.
+    *
+    * `files` maps each absolute path to its stats (canonical strings;
+    * a column absent = no stats, never pruned on); `compare` is the
+    * TYPED comparator for a column's DataType (graft's statCompare —
+    * lexicographic "9" > "10" would mis-prune).
+    */
+  def statsPrunedFileRelation(spark: SparkSession,
+                              dataSchema: StructType,
+                              files: Seq[(String, Map[String, (String, String)])],
+                              compare: DataType => (String, String) => Int)
+      : sources.BaseRelation = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    val index = new GraftStatsFileIndex(cls, dataSchema, files, compare)
+    execution.datasources.HadoopFsRelation(
+      index,
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(cls)
+  }
+}
+
+/** The stats-pruning [[execution.datasources.FileIndex]] behind
+  * [[GraftSqlBridge.statsPrunedFileRelation]]: an
+  * [[execution.datasources.InMemoryFileIndex]] over the explicit file
+  * list (no directory-name partition inference — the same posture as
+  * `spark.read.parquet(files: _*)`), whose `listFiles` drops every
+  * file whose recorded `[min, max]` PROVES a pushed data filter
+  * cannot match. Unknown expressions, missing stats, and non-literal
+  * comparands all KEEP the file — pruning is an optimization, never a
+  * correctness decision.
+  */
+private[sql] class GraftStatsFileIndex(
+    session: classic.SparkSession,
+    dataSchema: StructType,
+    files: Seq[(String, Map[String, (String, String)])],
+    compare: DataType => (String, String) => Int)
+    extends execution.datasources.InMemoryFileIndex(
+      session, files.map(f => new Path(f._1)), Map.empty,
+      Some(dataSchema)) {
+
+  // keyed on the last two path segments (the staged partition dir +
+  // file name) — stable across scheme/authority renderings of the
+  // same file, the manifest stats pass's own key
+  private def keyOf(p: Path): String =
+    p.toUri.getPath.split('/').takeRight(2).mkString("/")
+
+  private val statsByKey: Map[String, Map[String, (String, String)]] =
+    files.map { case (p, st) => keyOf(new Path(p)) -> st }.toMap
+
+  private def ext(v: Any, dt: DataType): String =
+    CatalystTypeConverters.convertToScala(v, dt).toString
+
+  /** TRUE only when the filter PROVES the file holds no match. */
+  private def excludedBy(stats: Map[String, (String, String)],
+                         e: Expression): Boolean = e match {
+    case And(l, r) => excludedBy(stats, l) || excludedBy(stats, r)
+    case EqualTo(a: Attribute, Literal(v, dt)) => outside(stats, a, v,
+      dt, loOk = true, hiOk = true)
+    case EqualTo(Literal(v, dt), a: Attribute) => outside(stats, a, v,
+      dt, loOk = true, hiOk = true)
+    // a > v: impossible when max <= v; a >= v: impossible when max < v
+    case GreaterThan(a: Attribute, Literal(v, dt)) =>
+      maxCmp(stats, a, v, dt).exists(_ <= 0)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      maxCmp(stats, a, v, dt).exists(_ < 0)
+    case LessThan(a: Attribute, Literal(v, dt)) =>
+      minCmp(stats, a, v, dt).exists(_ >= 0)
+    case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      minCmp(stats, a, v, dt).exists(_ > 0)
+    // flipped operand orders: v OP a  ≡  a flipped-OP v
+    case GreaterThan(Literal(v, dt), a: Attribute) =>
+      minCmp(stats, a, v, dt).exists(_ >= 0)
+    case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+      minCmp(stats, a, v, dt).exists(_ > 0)
+    case LessThan(Literal(v, dt), a: Attribute) =>
+      maxCmp(stats, a, v, dt).exists(_ <= 0)
+    case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+      maxCmp(stats, a, v, dt).exists(_ < 0)
+    case _ => false
+  }
+
+  /** cmp(max, v), when the column has stats; None keeps the file. */
+  private def maxCmp(stats: Map[String, (String, String)],
+                     a: Attribute, v: Any, dt: DataType)
+      : Option[Int] =
+    if (v == null) None
+    else stats.get(a.name).map { case (_, mx) =>
+      compare(dt)(mx, ext(v, dt)) }
+
+  private def minCmp(stats: Map[String, (String, String)],
+                     a: Attribute, v: Any, dt: DataType)
+      : Option[Int] =
+    if (v == null) None
+    else stats.get(a.name).map { case (mn, _) =>
+      compare(dt)(mn, ext(v, dt)) }
+
+  private def outside(stats: Map[String, (String, String)],
+                      a: Attribute, v: Any, dt: DataType,
+                      loOk: Boolean, hiOk: Boolean): Boolean =
+    maxCmp(stats, a, v, dt).exists(_ < 0) ||
+      minCmp(stats, a, v, dt).exists(_ > 0)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[execution.datasources.PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    if (dataFilters.isEmpty) base
+    else base.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        statsByKey.get(keyOf(f.getPath)) match {
+          case Some(st) => !dataFilters.exists(excludedBy(st, _))
+          case None     => true
+        }
+      })
+    }
   }
 }

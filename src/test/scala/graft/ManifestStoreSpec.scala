@@ -1270,6 +1270,63 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("schema evolution: a WIDENED partial publish serves carried " +
+      "old-schema files null-backfilled through the new DDL; drops, " +
+      "renames and re-types refuse typed (replaceAll is the rebuild)") {
+    val dir = tmp("manievol")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      ManifestStore.publish(spark, nation, root, "n_regionkey")
+      val before = fileState(root, 1L)
+      // widen: only region 2 re-publishes, carrying a new column
+      val widened = nation.filter(col("n_regionkey") === 2)
+        .withColumn("note", lit("W"))
+      ManifestStore.publish(spark, widened, root, "n_regionkey")
+      // carried partitions' files untouched on disk
+      val after = fileState(root, 2L)
+      val untouched = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.filter(_.partition != "2").map(_.relPath)
+      assert(untouched.nonEmpty && untouched.forall(p =>
+        before.get(p).contains(after(p))))
+      // the serving read: ONE schema (the new DDL); old-era rows
+      // null-backfill the new column, the widened partition carries it
+      val cur = ManifestStore.readCurrent(spark, root)
+      assert(cur.columns.contains("note"))
+      assert(cur.count() == nation.count())
+      assert(cur.filter(col("n_regionkey") === 2)
+        .filter(col("note") =!= "W").count() == 0L)
+      assert(cur.filter(col("n_regionkey") =!= 2)
+        .filter(col("note").isNotNull).count() == 0L)
+      // time travel serves the OLD schema exactly
+      assert(ManifestStore.readAt(spark, root, 1L).schema ==
+        nation.schema)
+      // a partial publish DROPPING a recorded column refuses typed
+      intercept[graft.SchemaMismatch] {
+        ManifestStore.publish(spark,
+          widened.drop("n_name"), root, "n_regionkey")
+      }
+      // ... as does a RENAME (drop + add reads as a drop) ...
+      intercept[graft.SchemaMismatch] {
+        ManifestStore.publish(spark,
+          widened.withColumnRenamed("n_name", "name2"), root,
+          "n_regionkey")
+      }
+      // ... and a RE-TYPE of a recorded column
+      intercept[graft.SchemaMismatch] {
+        ManifestStore.publish(spark,
+          widened.withColumn("n_nationkey",
+            col("n_nationkey").cast("string")), root, "n_regionkey")
+      }
+      // the honest drop: an explicit replaceAll rebuild
+      ManifestStore.publish(spark, nation.drop("n_name"), root,
+        "n_regionkey", replaceAll = true)
+      assert(!ManifestStore.readCurrent(spark, root).columns
+        .contains("n_name"))
+      ()
+    } finally rmTree(dir)
+  }
+
   test("updateWhere refuses a table carrying reserved __graft_ " +
       "columns instead of silently overwriting them") {
     val dir = tmp("maniupdres")
@@ -1284,6 +1341,195 @@ class ManifestStoreSpec extends AnyFunSuite {
           Seq("n_name" -> lit("X")))
       }
       assert(e.getMessage.contains("__graft_"))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("hierarchical partitioning: a (year, month) table merges and " +
+      "deletes at cell scope — only the touched cell's files " +
+      "rewrite — and prefix reads open exactly the prefix's files") {
+    val dir = tmp("manimulti")
+    try {
+      val root = dir.toString + "/t"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        .withColumn("o_month", date_format(col("o_orderdate"), "MM"))
+      ManifestStore.publish(spark, orders, root, "o_year,o_month")
+      val cellKey = ManifestStore.tupleKey(Seq("1996", "03"))
+      val before = fileState(root, 1L)
+      // a cell-scoped MERGE: reprice a key-sampled slice of 1996-03
+      val batch = orders.filter(col("o_year") === "1996" &&
+        col("o_month") === "03" && col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ManifestStore.mergePartitions(spark, batch, root,
+        Seq("o_orderkey"))
+      val after = fileState(root, 2L)
+      val untouched = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.filter(_.partition != cellKey).map(_.relPath)
+      assert(untouched.nonEmpty && untouched.forall(p =>
+        before.get(p).contains(after(p))),
+        "a cell merge must rewrite ONLY the (year, month) cell")
+      // the cell read is exact vs the recomputed expectation
+      val cell = ManifestStore.readPartitions(spark, root, Seq(cellKey))
+      val expectCell = orders.filter(col("o_year") === "1996" &&
+        col("o_month") === "03")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      assert(cell.count() == expectCell.count() &&
+        cell.exceptAll(expectCell).isEmpty &&
+        expectCell.exceptAll(cell).isEmpty)
+      // prefix read: all of 1996, across its months, nothing else —
+      // and the opened files are exactly the prefix's entries
+      val prefix = ManifestStore.readPartitionPrefix(spark, root,
+        Seq("1996"))
+      assert(prefix.count() ==
+        orders.filter(col("o_year") === "1996").count())
+      assert(prefix.inputFiles.forall(_.contains("graft_p=1996")))
+      // cell-scoped DELETE rides the same keys
+      ManifestStore.deleteWhere(spark, root,
+        col("o_year") === "1997" && col("o_month") === "05")
+      val g3 = ManifestStore.manifestAt(spark, root, 3L)
+      assert(!g3.entries.exists(_.partition ==
+        ManifestStore.tupleKey(Seq("1997", "05"))))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("hierarchical partitioning: tuple components containing the " +
+      "separator, '%', empties and nulls round-trip (escaping, " +
+      "per-component sentinel)") {
+    val dir = tmp("manituple")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val df = Seq(
+        (Option("a%b"), "x\u001fy", 1), (Option("a%b"), "plain", 2),
+        (Option(""), "empty-first", 3), (Option("plain"), "", 4),
+        (None: Option[String], "nullv", 9))
+        .toDF("k1", "k2", "v")
+      ManifestStore.publish(spark, df, root, "k1,k2")
+      val m = ManifestStore.manifestAt(spark, root, 1L)
+      // five distinct cells — no two tuples collapsed by escaping,
+      // including a component CONTAINING the tuple separator itself
+      assert(m.entries.map(_.partition).distinct.size == 5)
+      // each cell reads back exactly its row
+      def cellOf(k1: String, k2: String) =
+        ManifestStore.readPartitions(spark, root,
+          Seq(ManifestStore.tupleKey(Seq(k1, k2))))
+      assert(cellOf("a%b", "x\u001fy").select("v").head().getInt(0) == 1)
+      assert(cellOf("a%b", "plain").select("v").head().getInt(0) == 2)
+      assert(cellOf("", "empty-first").select("v").head().getInt(0) == 3)
+      assert(cellOf("plain", "").select("v").head().getInt(0) == 4)
+      assert(cellOf(null, "nullv").select("v").head().getInt(0) == 9)
+      // prefix read on the escaped component
+      assert(ManifestStore.readPartitionPrefix(spark, root,
+        Seq("a%b")).count() == 2)
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("entry-stats pruning reaches the SQL surface: a pushed range " +
+      "filter opens fewer than half the files at planning time, " +
+      "results identical to the unpruned read") {
+    val dir = tmp("manisqlstats")
+    try {
+      val root = dir.toString + "/t"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      ManifestStore.publish(spark, orders, root, "o_year",
+        statsCols = Seq("o_custkey"))
+      // range-cluster on the stat column so per-file ranges are
+      // narrow and disjoint — the layout that makes stats prune
+      ManifestStore.clusterPartitions(spark, root, Seq("o_custkey"),
+        targetBytesPerFile = 2L * 1024)
+      val m = ManifestStore.manifestAt(spark, root,
+        ManifestStore.currentGen(spark, root).get)
+      assert(m.entries.size >= 4,
+        s"need several files to prove pruning, got ${m.entries.size}")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW stats_sql_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      val q = spark.sql("SELECT o_orderkey, o_custkey, o_totalprice " +
+        "FROM stats_sql_t WHERE o_custkey BETWEEN 100 AND 119")
+      val got = q.collect()
+      // the scan's planned file count, post-execution (AQE-aware)
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the SQL plan"))
+      val opened = scan.metrics("numFiles").value
+      assert(opened > 0 && opened < m.entries.size / 2,
+        s"stats must prune the SQL scan: opened $opened of " +
+          s"${m.entries.size} files")
+      // identical rows vs the unpruned structural read
+      val expect = ManifestStore.readCurrent(spark, root)
+        .filter(col("o_custkey").between(100, 119))
+        .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      assert(got.toSet == expect.toSet && got.length == expect.length)
+      spark.catalog.dropTempView("stats_sql_t")
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("disjoint-rebase on DML and maintenance: a racing promotion " +
+      "on OTHER partitions rebases and both land; a same-partition " +
+      "race refuses typed") {
+    val dir = tmp("manidmlrace")
+    try {
+      val root = dir.toString + "/t"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      ManifestStore.publish(spark, orders, root, "o_year")
+      // DISJOINT: a publish touching 1998 lands while a delete of
+      // 1996's F rows is staged — the delete rebases and commits
+      var fired = false
+      val gDel = ManifestStore.deleteWhereImpl(spark, root,
+        col("o_year") === "1996" && col("o_orderstatus") === "F",
+        Nil, 3, 0L, () => if (!fired) {
+          fired = true
+          ManifestStore.publish(spark,
+            orders.filter(col("o_year") === "1998")
+              .withColumn("o_orderpriority", lit("RACED")),
+            root, "o_year")
+        })
+      assert(gDel == 3L, "the rebased delete lands after the winner")
+      val cur = ManifestStore.readCurrent(spark, root)
+      assert(cur.filter(col("o_year") === "1996" &&
+        col("o_orderstatus") === "F").count() == 0L)
+      assert(cur.filter(col("o_year") === "1998")
+        .filter(col("o_orderpriority") =!= "RACED").count() == 0L,
+        "the racing winner's promotion must survive the rebase")
+      // SAME-PARTITION: an update racing a publish on the same year
+      // refuses typed — the op was computed against replaced rows
+      var fired2 = false
+      intercept[graft.sources.MetaSwap.CasFailed] {
+        ManifestStore.updateWhereImpl(spark, root,
+          col("o_year") === "1997",
+          Seq("o_orderpriority" -> lit("X")), Nil, 3, 0L,
+          () => if (!fired2) {
+            fired2 = true
+            ManifestStore.publish(spark,
+              orders.filter(col("o_year") === "1997"), root, "o_year")
+          })
+      }
+      // MAINTENANCE: clustering rebases over a disjoint promotion too
+      var fired3 = false
+      val n = ManifestStore.clusterPartitionsImpl(spark, root,
+        Seq("o_custkey"), 64L * 1024 * 1024, Some(Seq("1995")), 3, 0L,
+        () => if (!fired3) {
+          fired3 = true
+          ManifestStore.publish(spark,
+            orders.filter(col("o_year") === "1994"), root, "o_year")
+        })
+      assert(n == 1, "the rebased clustering lands after the winner")
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
       ()
     } finally rmTree(dir)
   }
