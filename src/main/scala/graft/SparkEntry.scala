@@ -2967,6 +2967,35 @@ object SparkEntry {
             s.read.format("graft-snapshot").option("ref", "v1")
               .load(snapRoot).count() == nation.count() &&
             graft.operators.IndexAudit.isSnapshotsHealthy(s, snapRoot)
+        // BRANCHES on the snapshot layout (layout parity): the WAP
+        // cycle at dimension scale — isolated full-copy publish,
+        // fast-forward by RENAME (the head copy's files carry into
+        // the promoted generation with their mtimes — no data moved)
+        val sbRoot = s"$tmp/nation_branch"
+        S.publish(s, nation, sbRoot)
+        S.branch(s, sbRoot, "wap")
+        S.publishToBranch(s,
+          nation.withColumn("n_name", concat(lit("B-"), col("n_name"))),
+          sbRoot, "wap")
+        val sbIsolated = S.currentGen(s, sbRoot).contains(1L) &&
+          S.readCurrent(s, sbRoot)
+            .filter(col("n_name").startsWith("B-")).count() == 0
+        val sbFs = Tables.fsFor(s, sbRoot)
+        val sbBefore = sbFs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$sbRoot/_snapshots/r-wap-1"))
+          .filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet"))
+          .map(f => f.getPath.getName -> f.getModificationTime).toMap
+        val sbGen = S.fastForwardBranch(s, sbRoot, "wap")
+        val sbAfter = sbFs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$sbRoot/_snapshots/$sbGen"))
+          .filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet"))
+          .map(f => f.getPath.getName -> f.getModificationTime).toMap
+        val snapBranchFf = sbIsolated && sbAfter == sbBefore &&
+          S.readCurrent(s, sbRoot)
+            .filter(!col("n_name").startsWith("B-")).count() == 0 &&
+          graft.operators.IndexAudit.isSnapshotsHealthy(s, sbRoot)
         val healthy = graft.operators.IndexAudit
           .isManifestTableHealthy(s, root)
         val agg = M.readCurrent(s, root).agg(
@@ -2975,12 +3004,12 @@ object SparkEntry {
             .cast("double").as("p")).head()
         import s.implicits._
         Seq((mainIsolated, untouchedReused, fromBranch,
-          tagServes && sqlServes, snapTagPinned, healthy,
+          tagServes && sqlServes, snapTagPinned, snapBranchFf, healthy,
           agg.getLong(0), agg.getDouble(1)))
           .toDF("main_isolated", "untouched_files_reused",
             "promoted_from_branch", "tag_serves_original",
-            "snapshot_tag_pinned", "fsck_healthy", "n_rows_current",
-            "revenue")
+            "snapshot_tag_pinned", "snapshot_branch_ff",
+            "fsck_healthy", "n_rows_current", "revenue")
       } finally rmTree(new java.io.File(tmp))
     }),
     // ---- §2.1 S22 per-file column stats in manifest entries → ----
@@ -4722,7 +4751,8 @@ object SparkEntry {
     "q_table_refs" ->
       """SELECT true AS main_isolated, true AS untouched_files_reused,
         |  true AS promoted_from_branch, true AS tag_serves_original,
-        |  true AS snapshot_tag_pinned, true AS fsck_healthy,
+        |  true AS snapshot_tag_pinned, true AS snapshot_branch_ff,
+        |  true AS fsck_healthy,
         |  count(*) AS n_rows_current,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
         |    AS DOUBLE) AS revenue

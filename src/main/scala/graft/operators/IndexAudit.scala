@@ -383,25 +383,60 @@ object IndexAudit {
           if (gens.isEmpty || gens == Seq(1L)) Seq.empty
           else Seq(AuditFinding("pointer", "_current", "lost", false))
       }
-    // tag pins (S25): a pinned gen beyond the window is deliberate
+    // ref pins (S25): a pinned gen beyond the window is deliberate
     // retention, never a crashed prune's over_retained leftover —
     // repair must not reclaim it. Ref rows classify the markers
-    // themselves (a BRANCH marker has no meaning on this layout).
+    // themselves; branch-copy DIRECTORIES (`r-<name>-<seq>`) classify
+    // below like generations do.
     val refsParsed = graft.sources.ManifestStore
       .rawRefs(fs, root).toSeq.sortBy(_._1)
       .map { case (n, b) =>
         n -> graft.sources.ManifestStore.parsedRef(b) }
     val pinnedGens: Set[Long] = refsParsed.collect {
       case (_, Some(graft.sources.ManifestStore.TagRef(g, _))) => g
+      case (_, Some(graft.sources.ManifestStore
+        .BranchRef(0L, b, _))) => b
     }.toSet
+    val branchDirs: Seq[(String, String, Long)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .flatMap(n => graft.sources.ManifestStore.parseBranchToken(n)
+          .map(t => (n, t._1, t._2)))
+    val branchHeads: Map[String, Long] = refsParsed.collect {
+      case (n, Some(graft.sources.ManifestStore
+        .BranchRef(h, _, _))) => n -> h
+    }.toMap
     val refRows = refsParsed.map {
       case (n, None) => AuditFinding("ref", n, "corrupt", false)
-      case (n, Some(_: graft.sources.ManifestStore.BranchRef)) =>
-        AuditFinding("ref", n, "foreign_branch", false)
+      case (n, Some(graft.sources.ManifestStore
+          .BranchRef(h, b, _))) =>
+        if (h == 0L) {
+          if (gens.contains(b)) AuditFinding("ref", n, "branch_ok",
+            true)
+          else AuditFinding("ref", n, "missing_target", false)
+        } else if (branchDirs.exists(d => d._2 == n && d._3 == h))
+          AuditFinding("ref", n, "branch_ok", true)
+        else AuditFinding("ref", n, "missing_head", false)
       case (n, Some(graft.sources.ManifestStore.TagRef(g, _))) =>
         if (gens.contains(g))
           AuditFinding("ref", n, "tag_ok", true)
         else AuditFinding("ref", n, "missing_target", false)
+    }
+    // branch copies classify like generations: the serving head, a
+    // crashed/in-flight publish beyond it (the retry overwrites), or
+    // a stale/dropped copy awaiting the next prune — all healthy
+    // inventory, never damage
+    val branchDirRows = branchDirs.sortBy(_._1).map {
+      case (dirName, bn, k) => branchHeads.get(bn) match {
+        case Some(h) if k == h =>
+          AuditFinding("branch", dirName, "head_ok", true)
+        case Some(h) if k > h =>
+          AuditFinding("branch", dirName, "publish_residue", true)
+        case Some(_) =>
+          AuditFinding("branch", dirName, "stale_retained", true)
+        case None =>
+          AuditFinding("branch", dirName, "dropped_retained", true)
+      }
     }
     val genRows = gens.map { g =>
       cur match {
@@ -440,7 +475,7 @@ object IndexAudit {
           else AuditFinding("gen", g.toString, "stranded", true)
       }
     }
-    residueRow ++ pointerRows ++ refRows ++ genRows
+    residueRow ++ pointerRows ++ refRows ++ branchDirRows ++ genRows
   }
 
   /** [[auditSnapshots]] as a DataFrame (the [[audit]] shape). */

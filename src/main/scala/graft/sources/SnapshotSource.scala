@@ -117,9 +117,9 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     if (refOpt.isDefined) {
       val name = refOpt.get
       if (!isManifest)
-        // snapshot tables carry TAGS only (branches are
-        // manifest-layout territory); a tag resolves to its pinned
-        // generation's real file relation
+        // snapshot-layout refs: a tag resolves to its pinned
+        // generation, a branch to its head copy (the base generation
+        // while head = 0) — both real file relations
         org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
           SnapshotStore.readRef(spark, root, name))
       else ManifestStore.refAt(spark, root, name) match {

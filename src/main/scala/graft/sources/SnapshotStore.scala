@@ -206,8 +206,12 @@ object SnapshotStore {
     * the pre-r14 prune behavior).
     */
   private[graft] def publishedAt(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: String, g: Long): Option[Long] = {
-    val m = new Path(genDir(root, g), "_published_at")
+                                 root: String, g: Long): Option[Long] =
+    publishedAtDir(fs, genDir(root, g))
+
+  private def publishedAtDir(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: Path): Option[Long] = {
+    val m = new Path(dir, "_published_at")
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
@@ -225,34 +229,54 @@ object SnapshotStore {
                     gen: Long, keep: Int, retainMs: Long): Unit = {
     val base = new Path(s"$root/_snapshots")
     if (!fs.exists(base)) return
-    // TAG pins participate: a tagged generation survives any window.
-    // A corrupt ref marker — or a branch marker, which has no meaning
-    // on this layout — makes the pin set unknowable: SUSPEND the
-    // prune (over-retention is the safe failure; fsck reports it).
+    // REFS participate: a tagged generation (and a fresh branch's
+    // base) survives any window; a branch's serving head copy
+    // survives; a seq BEYOND the head is an in-flight publish's
+    // business. A corrupt ref marker makes the pin set unknowable:
+    // SUSPEND the prune (over-retention is the safe failure; fsck
+    // reports it).
     val parsedRefs = ManifestStore.rawRefs(fs, root)
       .map { case (n, b) => n -> ManifestStore.parsedRef(b) }
-    if (parsedRefs.values.exists(r => r.isEmpty ||
-        r.exists(_.isInstanceOf[ManifestStore.BranchRef]))) return
-    val pinned: Set[Long] = parsedRefs.values.flatten.collect {
+    if (parsedRefs.values.exists(_.isEmpty)) return
+    val refs = parsedRefs.map { case (n, r) => n -> r.get }
+    val pinned: Set[Long] = refs.values.collect {
       case ManifestStore.TagRef(g, _) => g
+      case ManifestStore.BranchRef(0L, b, _) => b
     }.toSet
     val now = System.currentTimeMillis()
+    def verifiedDelete(p: Path): Unit =
+      if (!fs.delete(p, true)) throw new IllegalStateException(
+        s"cannot prune superseded snapshot $p — the pointer has " +
+          "moved (the publish IS committed); remove the directory " +
+          "manually or let the next publish retry")
     fs.listStatus(base).foreach { st =>
-      st.getPath.getName.toLongOption.foreach { g =>
-        // beyond the generation window AND past the wall-clock grace
-        // floor (a marker-less legacy gen has no grace claim)
-        val inGrace = retainMs > 0 && publishedAt(fs, root, g)
-          .exists(t => now - t < retainMs)
-        // verified delete (the protocol-wide discipline): a silently
-        // surviving gen is over-retention, but an unreported failure
-        // would hide a persistent FS problem across publishes
-        if (g <= gen - keep && !inGrace && !pinned(g) &&
-            !fs.delete(st.getPath, true))
-          throw new IllegalStateException(
-            s"cannot prune superseded snapshot ${st.getPath} — " +
-              "the pointer has moved (the publish IS committed); " +
-              "remove the directory manually or let the next " +
-              "publish retry")
+      val nm = st.getPath.getName
+      nm.toLongOption match {
+        case Some(g) =>
+          // beyond the generation window AND past the wall-clock
+          // grace floor (a marker-less legacy gen has no grace claim)
+          val inGrace = retainMs > 0 && publishedAt(fs, root, g)
+            .exists(t => now - t < retainMs)
+          if (g <= gen - keep && !inGrace && !pinned(g))
+            verifiedDelete(st.getPath)
+        case None => ManifestStore.parseBranchToken(nm).foreach {
+          case (bn, k) =>
+            val head = refs.get(bn) match {
+              case Some(ManifestStore.BranchRef(h, _, _)) => Some(h)
+              case _ => None
+            }
+            if (head.exists(k > _) || head.contains(k)) {
+              // serving head, or an in-flight/crashed publish the
+              // retry overwrites — both stay
+            } else {
+              // stale (superseded head) or dropped-branch copy:
+              // wall-clock grace still covers an in-flight reader
+              val inGrace = retainMs > 0 &&
+                publishedAtDir(fs, st.getPath)
+                  .exists(t => now - t < retainMs)
+              if (!inGrace) verifiedDelete(st.getPath)
+            }
+        }
       }
     }
   }
@@ -379,16 +403,19 @@ object SnapshotStore {
     prune(fs, root, curOpt.get, keep, grace)
   }
 
-  // ---- TAGS (S25 on the snapshot table) ----------------------------
-  // A tag pins a committed generation against retention under a
-  // stable name — `_refs/<name>` markers with the SAME codec as the
-  // manifest table's ([[ManifestStore.parsedRef]]), so tooling reads
-  // one format. Only TAGS exist here: a snapshot generation is a full
-  // physical copy, so a "branch" of this table would just be a second
-  // table — branch workflows belong on the manifest layout, where
-  // they are metadata-only. The pin's cost is explicit: a pinned
-  // generation is a retained full copy (the right price for a bounded
-  // dimension; tag a 100 TB fact on its manifest form instead).
+  // ---- TAGS AND BRANCHES (S25 on the snapshot table) ---------------
+  // `_refs/<name>` markers with the SAME codec as the manifest
+  // table's ([[ManifestStore.parsedRef]]), so tooling reads one
+  // format. A TAG pins a committed generation against retention. A
+  // BRANCH is the write-audit-publish workflow at DIMENSION scale:
+  // [[publishToBranch]] stages a FULL COPY at
+  // `_snapshots/r-<name>-<seq>` (generations here are full copies by
+  // design — cheap for a bounded dim; branch a 100 TB fact on its
+  // manifest form instead), auditable and readable in isolation, and
+  // [[fastForwardBranch]] promotes it by RENAMING the head directory
+  // to the next main generation — one filesystem metadata op, zero
+  // data bytes copied, the manifest table's metadata-only
+  // fast-forward restated on the full-copy layout.
 
   private def refPath(root: String, name: String) =
     new Path(s"$root/_refs/$name")
@@ -438,24 +465,216 @@ object SnapshotStore {
       }
     }
 
-  /** Read the generation tag `name` pins ([[readAt]] semantics). */
-  def readRef(spark: SparkSession, root: String,
-              name: String): DataFrame = {
+  private def branchDir(root: String, name: String, seq: Long) =
+    new Path(s"$root/_snapshots/r-$name-$seq")
+
+  private[graft] def refAt(spark: SparkSession, root: String,
+                           name: String): ManifestStore.Ref = {
     val fs = Tables.fsFor(spark, root)
     val p = refPath(root, name)
     MetaSwap.heal(fs, p)
     if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
       s"no ref '$name' at $root")
-    ManifestStore.parsedRef(MetaSwap.readCommitted(fs, p)) match {
-      case Some(ManifestStore.TagRef(g, _)) => readAt(spark, root, g)
-      case Some(_: ManifestStore.BranchRef) =>
+    ManifestStore.parsedRef(MetaSwap.readCommitted(fs, p)).getOrElse(
+      throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditSnapshots"))
+  }
+
+  /** Read what ref `name` serves: a TAG's pinned generation, or a
+    * BRANCH's head copy (the base generation while head = 0) —
+    * [[readAt]] semantics throughout.
+    */
+  def readRef(spark: SparkSession, root: String,
+              name: String): DataFrame = refAt(spark, root, name) match {
+    case ManifestStore.TagRef(g, _) => readAt(spark, root, g)
+    case ManifestStore.BranchRef(0L, base, _) =>
+      readAt(spark, root, base)
+    case ManifestStore.BranchRef(head, _, _) =>
+      val d = branchDir(root, name, head)
+      if (!Tables.fsFor(spark, root).exists(d))
+        throw new graft.SnapshotUnavailable(
+          s"branch '$name' of $root is missing its head copy " +
+            s"${d.getName} — run IndexAudit.auditSnapshots")
+      spark.read.parquet(d.toString)
+  }
+
+  /** Create BRANCH `name` forked from `fromGen` (default: the
+    * serving generation). Metadata-only; the base is PINNED against
+    * retention while the branch sits at head 0, exactly the manifest
+    * table's rule.
+    */
+  def branch(spark: SparkSession, root: String, name: String,
+             fromGen: Option[Long] = None): Unit = {
+    ManifestStore.requireRefName(name)
+    val fs = Tables.fsFor(spark, root)
+    val cur = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published snapshot at $root"))
+    val base = fromGen.getOrElse(cur)
+    if (base > cur || !fs.exists(genDir(root, base)))
+      throw new graft.SnapshotUnavailable(
+        s"cannot branch from generation $base of $root: not a " +
+          "committed, retained generation")
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"ref '$name' already exists at $root — refs are immutable; " +
+        "dropRef first to rename on purpose")
+    MetaSwap.create(fs, p, ManifestStore.serializeRef(
+      ManifestStore.BranchRef(0L, base, System.currentTimeMillis())))
+  }
+
+  /** Publish `df` onto BRANCH `name`: a FULL COPY staged at
+    * `_snapshots/r-<name>-<seq>` (this layout's generation shape),
+    * audited blocking, then committed by a CAS of the ref marker —
+    * main's readers see none of it until [[fastForwardBranch]]. Two
+    * publishes racing on the same branch fail one side loudly.
+    * Returns the new head sequence.
+    */
+  def publishToBranch(spark: SparkSession, df: DataFrame,
+                      root: String, name: String,
+                      expectations: Seq[graft.operators.Cleaning.Expectation] =
+                        Nil): Long = {
+    val fs = Tables.fsFor(spark, root)
+    val p = refPath(root, name)
+    MetaSwap.heal(fs, p)
+    if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    val expect = MetaSwap.readCommitted(fs, p)
+    val b = ManifestStore.parsedRef(expect) match {
+      case Some(br: ManifestStore.BranchRef) => br
+      case Some(_: ManifestStore.TagRef) =>
         throw new IllegalStateException(
-          s"ref '$name' of $root is a BRANCH marker, but branches " +
-            "exist on the manifest table only")
+          s"ref '$name' of $root is a TAG — tags are immutable pins; " +
+            "publish onto a branch")
       case None => throw new IllegalStateException(
         s"ref '$name' of $root is corrupt — run " +
           "IndexAudit.auditSnapshots")
     }
+    val seq = b.head + 1L
+    val dir = branchDir(root, name, seq)
+    // overwrite consumes a crashed prior publish of THIS seq (the
+    // numeric-generation residue rule)
+    df.write.mode("overwrite").parquet(dir.toString)
+    if (expectations.nonEmpty) {
+      Tables.auditStaged(spark, dir.toString, expectations)
+      ()
+    }
+    val stamp = fs.create(new Path(dir, "_published_at"), true)
+    try stamp.write(
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally stamp.close()
+    MetaSwap.swap(fs, p, ManifestStore.serializeRef(
+      ManifestStore.BranchRef(seq, b.base, b.createdMs)), expect)
+    seq
+  }
+
+  /** FAST-FORWARD main to branch `name`'s head — METADATA-ONLY on
+    * this layout too: the head directory is RENAMED to
+    * `_snapshots/<mainGen+1>` (one filesystem metadata op — no data
+    * bytes move; asserted in specs on the inner files' mtimes), the
+    * pointer CASes onto it, and the ref rebases to head 0 at the new
+    * base. `expectations` audit the whole head copy BEFORE the
+    * rename, refusing typed with main untouched. True fast-forward
+    * only unless `force`: if main advanced past the branch's base,
+    * repointing would drop those promotions.
+    *
+    * Crash honesty: a crash between the rename and the pointer swap
+    * leaves the promoted copy at `_snapshots/<mainGen+1>` with
+    * nothing pointing at it and the branch ref naming a head
+    * directory that no longer exists — the fsck reports both; the
+    * remedy is [[restore]]-style: re-publish the residue dir's rows,
+    * or rename it back. The window is one metadata op wide, the same
+    * honesty class as [[MetaSwap]]'s documented rename instant.
+    */
+  def fastForwardBranch(spark: SparkSession, root: String,
+                        name: String,
+                        expectations: Seq[graft.operators.Cleaning.Expectation] =
+                          Nil,
+                        keep: Int = 3, retainMs: Long = 0L,
+                        force: Boolean = false): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = Tables.fsFor(spark, root)
+    val ptr = pointer(root)
+    MetaSwap.heal(fs, ptr)
+    val prior = MetaSwap.readCommitted(fs, ptr)
+    val mainGen = parsedGen(prior).getOrElse(
+      throw new IllegalStateException(
+        "malformed snapshot pointer: no parseable gen= line"))
+    val refMarker = refPath(root, name)
+    MetaSwap.heal(fs, refMarker)
+    if (!fs.exists(refMarker)) throw new graft.SnapshotUnavailable(
+      s"no ref '$name' at $root")
+    val refBytes = MetaSwap.readCommitted(fs, refMarker)
+    val b = ManifestStore.parsedRef(refBytes) match {
+      case Some(br: ManifestStore.BranchRef) => br
+      case Some(_: ManifestStore.TagRef) =>
+        throw new IllegalStateException(
+          s"ref '$name' of $root is a TAG — fast-forward needs a branch")
+      case None => throw new IllegalStateException(
+        s"ref '$name' of $root is corrupt — run " +
+          "IndexAudit.auditSnapshots")
+    }
+    if (b.head == 0L) throw new IllegalStateException(
+      s"branch '$name' of $root has no publishes to fast-forward " +
+        "(head = 0 — it still serves its base)")
+    if (!force && mainGen != b.base) throw new IllegalStateException(
+      s"cannot fast-forward $root to branch '$name': main is at " +
+        s"generation $mainGen but the branch forked from ${b.base} — " +
+        "promotions landed on main since; re-branch (or force = true " +
+        "to REPLACE main with the branch state)")
+    val headDir = branchDir(root, name, b.head)
+    if (!fs.exists(headDir)) throw new graft.SnapshotUnavailable(
+      s"branch '$name' of $root is missing its head copy " +
+        s"${headDir.getName} — run IndexAudit.auditSnapshots")
+    if (expectations.nonEmpty) {
+      val report = graft.operators.Cleaning.validateExpectations(
+        spark.read.parquet(headDir.toString), expectations)
+      val failed = report.collect().filter(!_.getBoolean(5))
+      if (failed.nonEmpty) throw new graft.AuditFailed(
+        s"audit failed for branch '$name' of $root: " +
+          failed.map(r => s"${r.getString(0)}/${r.getString(1)}=" +
+            s"${r.getLong(4)} violations").mkString(", ") +
+          "; main untouched, branch left for inspection")
+    }
+    val gen = mainGen + 1L
+    // fail-fast re-check after the (possibly long) audit — the
+    // publishImpl pattern: the rename below would land on a racing
+    // promotion's committed directory number
+    if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, ptr),
+        prior))
+      throw new MetaSwap.CasFailed(
+        s"concurrent promotion detected at $root: the serving " +
+          "pointer moved while the fast-forward audit ran — " +
+          "nothing was renamed or lost; re-read and re-run")
+    // the metadata-only promotion: ONE rename, zero data bytes
+    val target = genDir(root, gen)
+    fs.delete(target, true) // a crashed publish's residue at cur+1
+    if (!fs.rename(headDir, target)) throw new IllegalStateException(
+      s"cannot promote branch '$name' of $root: rename " +
+        s"$headDir -> $target failed")
+    // refresh the publish instant: the PROMOTION is the served event
+    val stamp = fs.create(new Path(target, "_published_at"), true)
+    try stamp.write(
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally stamp.close()
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else parsedGrace(prior).getOrElse(0L)
+    MetaSwap.swap(fs, ptr,
+      s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n".getBytes("UTF-8"),
+      prior)
+    try MetaSwap.swap(fs, refMarker, ManifestStore.serializeRef(
+      ManifestStore.BranchRef(0L, gen, b.createdMs)), refBytes)
+    catch {
+      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
+        s"fast-forward of $root to branch '$name' COMMITTED (main " +
+          s"now serves generation $gen), but a branch publish raced " +
+          "the ref rebase — re-branch from the new main")
+    }
+    prune(fs, root, gen, keep, effRetain)
+    gen
   }
 
   /** Zero-downtime OPTIMIZE: republish the CURRENT generation's rows

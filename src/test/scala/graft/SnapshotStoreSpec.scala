@@ -762,4 +762,77 @@ class SnapshotStoreSpec extends AnyFunSuite {
       }
     } finally rmTree(dir)
   }
+
+  test("snapshot-table branches: WAP at dimension scale — isolated " +
+      "branch publishes, audited fast-forward by RENAME (zero data " +
+      "bytes copied), refusal when main moved, prune-safe") {
+    import graft.sources.SnapshotStore
+    val dir = tmp("snapbranch")
+    try {
+      val root = dir.toString + "/t"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root) // gen 1
+      SnapshotStore.branch(spark, root, "wap")
+      // head 0: the branch serves its base
+      assert(SnapshotStore.readRef(spark, root, "wap").count() ==
+        nation.count())
+      // an isolated branch publish: main untouched
+      val v2 = nation.withColumn("n_name", upper(col("n_name")))
+      val seq = SnapshotStore.publishToBranch(spark, v2, root, "wap")
+      assert(seq == 1L)
+      assert(SnapshotStore.currentGen(spark, root).contains(1L))
+      assert(SnapshotStore.readRef(spark, root, "wap")
+        .filter(col("n_name") =!= upper(col("n_name"))).count() == 0)
+      // the head copy's data files, by (name, mtime) — the rename
+      // must carry THESE, not rewrite them
+      val fs = Tables.fsFor(spark, root)
+      val headDir = new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/r-wap-1")
+      val beforeFiles = fs.listStatus(headDir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+      // a failing audit refuses with main untouched
+      intercept[graft.AuditFailed] {
+        SnapshotStore.fastForwardBranch(spark, root, "wap",
+          Seq(graft.operators.Cleaning.ExpectRange("n_regionkey",
+            1000, 2000)))
+      }
+      assert(SnapshotStore.currentGen(spark, root).contains(1L))
+      // the audited fast-forward: metadata-only promotion
+      val g = SnapshotStore.fastForwardBranch(spark, root, "wap",
+        Seq(graft.operators.Cleaning.ExpectMatches("n_name",
+          "^[^a-z]*$")))
+      assert(g == 2L)
+      val afterFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/2"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+      assert(afterFiles == beforeFiles,
+        "fast-forward must RENAME the head copy, not rewrite it")
+      assert(SnapshotStore.readCurrent(spark, root)
+        .filter(col("n_name") =!= upper(col("n_name"))).count() == 0)
+      // the ref rebased onto the new main
+      assert(SnapshotStore.refAt(spark, root, "wap") match {
+        case graft.sources.ManifestStore.BranchRef(0L, 2L, _) => true
+        case _ => false
+      })
+      // the fsck stays healthy through the whole cycle
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+      // a branch whose base main has moved past refuses un-forced
+      SnapshotStore.branch(spark, root, "late", Some(2L))
+      SnapshotStore.publishToBranch(spark, nation.limit(5), root,
+        "late")
+      SnapshotStore.publish(spark, nation, root) // main moves to 3
+      intercept[IllegalStateException] {
+        SnapshotStore.fastForwardBranch(spark, root, "late")
+      }
+      // dropped branch: its private copy reclaims on the next prune
+      SnapshotStore.dropRef(spark, root, "late")
+      SnapshotStore.expire(spark, root)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_snapshots/r-late-1")))
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
 }
