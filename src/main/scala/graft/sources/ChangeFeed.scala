@@ -70,10 +70,14 @@ object ChangeFeed {
     if (isManifest(spark, root)) ManifestStore.readAt(spark, root, gen)
     else SnapshotStore.readAt(spark, root, gen)
 
-  /** The committed cursor, if this checkpoint has ever consumed. */
+  /** The committed cursor, if this checkpoint has ever consumed.
+    * The filesystem is derived from the CHECKPOINT path, not the
+    * table root — a local checkpoint against an object-store table
+    * (or vice versa) must not throw Hadoop's "Wrong FS".
+    */
   def cursor(spark: SparkSession, root: String,
              checkpointDir: String): Option[Long] = {
-    val fs = Tables.fsFor(spark, root)
+    val fs = Tables.fsFor(spark, checkpointDir)
     val p = cursorPath(checkpointDir)
     MetaSwap.heal(fs, p)
     if (!fs.exists(p)) None
@@ -134,7 +138,10 @@ object ChangeFeed {
               keys: Seq[String],
               handler: (Long, DataFrame) => Unit,
               startGen: Long = 0L): Seq[Long] = {
-    val fs = Tables.fsFor(spark, root)
+    // cursor I/O on the CHECKPOINT's own filesystem (fsFor per path —
+    // the Tables discipline): an s3a table with a local checkpoint
+    // must not throw "Wrong FS"
+    val fs = Tables.fsFor(spark, checkpointDir)
     val cur = currentGen(spark, root)
     val processed = scala.collection.mutable.ArrayBuffer[Long]()
     def commit(g: Long): Unit = {

@@ -830,4 +830,37 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally SparkTestSession.rmTree(base)
   }
+
+  test("property: hierarchical tupleKey is injective — two different " +
+      "component tuples never collide, whatever the components " +
+      "contain (separators, percents, empties, nulls)") {
+    import graft.sources.ManifestStore
+    // components drawn from the adversarial alphabet: the separator
+    // itself, the escape marker, empties/nulls, and plain text
+    val comp: Gen[String] = Gen.oneOf(
+      Gen.const(null: String), Gen.const(""),
+      Gen.const("\u001f"), Gen.const("%"), Gen.const("%1F"),
+      Gen.const("%25"), Gen.const("a\u001fb"), Gen.const("a%b"),
+      Gen.alphaNumStr.map(_.take(8)))
+    val tuple: Gen[List[String]] =
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, comp))
+    val params = Gen.Parameters.default
+    var seed = Seed(0xC0FFEE)
+    val pairs = (1 to 300).map { _ =>
+      val a = tuple(params, seed).get; seed = seed.next
+      val b = tuple(params, seed).get; seed = seed.next
+      (a, b)
+    }
+    pairs.foreach { case (a, b) =>
+      val (ka, kb) = (ManifestStore.tupleKey(a),
+        ManifestStore.tupleKey(b))
+      // null and "" are the SAME partition address by contract (the
+      // hive sentinel), so normalize before comparing tuples
+      def norm(t: List[String]) =
+        t.map(c => if (c == null || c.isEmpty) "" else c)
+      if (norm(a) != norm(b))
+        assert(ka != kb, s"collision: $a vs $b -> $ka")
+      else assert(ka == kb, s"same tuple, different keys: $a vs $b")
+    }
+  }
 }
