@@ -194,7 +194,8 @@ object Bench {
     // without re-paying the whole sweep. `tail_retry_n` records that
     // the guard fired. (BenchGuard holds the pure logic; its spec
     // drives the r15 shape through it and asserts the guard fires.)
-    val ownLoadMeas = BenchGuard.ownLoadMeasured(evidence.toSeq)
+    val ownLoadMeas = BenchGuard.ownLoadAllowance(evidence.toSeq,
+      cpus.toInt)
     var tailRetryN = 0
     if (loadStart <= contendedThreshold) {
       val suspects = BenchGuard.suspects(evidence.toSeq, ownLoadMeas,

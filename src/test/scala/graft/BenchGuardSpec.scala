@@ -76,6 +76,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.contended(0.5, 2.5, 2.0, thr4, 1.49)) // idle
   }
 
+  test("EMA lag does not false-flag a high-parallelism sweep: the " +
+    "allowance raises the measured floor to cpus/4") {
+    // measured on an idle box at cpus=16 (the sf1 sweep): quiet-point
+    // min sample ~2.0, but right after the heavy tail the bench's OWN
+    // decaying 1-minute loadavg sits at ~6.6 — under the bare
+    // measured floor that read as a 4.6-unit foreign ramp and flagged
+    // the artifact contended on an idle machine
+    val ev = idle(30, 2.0) ++ idle(5, 9.0) // heavy stretch inflates
+    val allow16 = BenchGuard.ownLoadAllowance(ev, cpus = 16)
+    assert(allow16 == 4.0) // max(min sample 2.0, 16/4)
+    assert(!BenchGuard.contended(2.99, 6.60, allow16, thr32, 1.32))
+    // the r15-class detection SURVIVES the allowance: a 32-cpu sweep
+    // idling at own load ~11 keeps its measured floor (11 > 32/4),
+    // so a foreign ramp of ~7 still trips
+    val ev32 = idle(30, 11.0)
+    val allow32 = BenchGuard.ownLoadAllowance(ev32, cpus = 32)
+    assert(allow32 == 11.0)
+    assert(BenchGuard.contended(2.0, 18.0, allow32, thr32, 1.4))
+  }
+
   test("ownLoadMeasured is the minimum sample; empty sweep is 0") {
     assert(BenchGuard.ownLoadMeasured(Seq(
       Sample("a", 1, 1, 3.0), Sample("b", 1, 1, 2.2),

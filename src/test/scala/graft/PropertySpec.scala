@@ -831,6 +831,117 @@ class PropertySpec extends AnyFunSuite {
     } finally SparkTestSession.rmTree(base)
   }
 
+  test("snapshot-table BRANCH protocol matches a reference model " +
+      "under random publish/branch/fast-forward interleavings; " +
+      "isolation, pinning, and refusals hold at every step") {
+    import graft.sources.SnapshotStore
+    import graft.operators.IndexAudit
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snapbr-prop").toFile
+    try {
+      val variants = (0 to 2).map(v =>
+        (0 until 4).map(i => (v.toLong * 100 + i, s"v$v-$i"))
+          .toDF("id", "payload").localCheckpoint())
+      val expect = variants.map(_.collect().map(_.toSeq).toSet)
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // ops: 0 main publish (keep=3); 1 branch create; 2 branch
+      // publish; 3 fast-forward; 4 serving read; 5 readRef
+      val opsGen = Gen.listOfN(14, for {
+        op <- Gen.chooseNum(0, 5)
+        amt <- Gen.chooseNum(0, 5)
+      } yield (op, amt))
+      samples(opsGen, 5).zipWithIndex.foreach { case (ops, i) =>
+        val root = s"$base/run$i"
+        var cur = 0L
+        val content = scala.collection.mutable.Map.empty[Long, Int]
+        // the one branch's model: (head seq, base gen, head variant)
+        var branch: Option[(Long, Long, Int)] = None
+        def pinnedBase: Set[Long] = branch.collect {
+          case (0L, b, _) => b }.toSet
+        def pruneModel(gen: Long): Unit =
+          content.keys.toSeq.foreach(g =>
+            if (g <= gen - 3 && !pinnedBase(g)) content -= g)
+        ops.foreach { case (op, amt) =>
+          val v = amt % 3
+          op match {
+            case 0 =>
+              val gen = SnapshotStore.publish(spark, variants(v), root)
+              assert(gen == cur + 1, s"run$i gen alloc")
+              cur = gen
+              content(gen) = v
+              pruneModel(gen)
+            case 1 if cur > 0 =>
+              if (branch.isEmpty) {
+                SnapshotStore.branch(spark, root, "b")
+                branch = Some((0L, cur, -1))
+              } else intercept[IllegalStateException] {
+                SnapshotStore.branch(spark, root, "b")
+              }
+            case 2 if cur > 0 =>
+              branch match {
+                case Some((h, b, _)) =>
+                  val seq = SnapshotStore.publishToBranch(spark,
+                    variants(v), root, "b")
+                  assert(seq == h + 1, s"run$i branch seq")
+                  branch = Some((seq, b, v))
+                  // branch publishes are INVISIBLE to main
+                  assert(rowsOf(SnapshotStore.readCurrent(spark, root))
+                    == expect(content(cur)), s"run$i isolation")
+                case None => intercept[SnapshotUnavailable] {
+                  SnapshotStore.publishToBranch(spark, variants(v),
+                    root, "b")
+                }
+              }
+            case 3 if cur > 0 =>
+              branch match {
+                case Some((h, b, hv)) if h > 0 && b == cur =>
+                  val gen = SnapshotStore
+                    .fastForwardBranch(spark, root, "b")
+                  assert(gen == cur + 1, s"run$i ff gen")
+                  cur = gen
+                  content(gen) = hv
+                  branch = Some((0L, gen, -1))
+                  pruneModel(gen)
+                case Some((0L, _, _)) =>
+                  intercept[IllegalStateException] {
+                    SnapshotStore.fastForwardBranch(spark, root, "b")
+                  }
+                case Some(_) => // diverged base: refuses un-forced
+                  intercept[IllegalStateException] {
+                    SnapshotStore.fastForwardBranch(spark, root, "b")
+                  }
+                case None => intercept[SnapshotUnavailable] {
+                  SnapshotStore.fastForwardBranch(spark, root, "b")
+                }
+              }
+            case 4 if cur > 0 =>
+              assert(rowsOf(SnapshotStore.readCurrent(spark, root)) ==
+                expect(content(cur)), s"run$i serving read")
+            case 5 if cur > 0 => branch match {
+              case Some((0L, b, _)) =>
+                // head 0 serves the base — which the prune PINNED
+                assert(rowsOf(SnapshotStore.readRef(spark, root, "b"))
+                  == expect(content(b)), s"run$i readRef base")
+              case Some((_, _, hv)) =>
+                assert(rowsOf(SnapshotStore.readRef(spark, root, "b"))
+                  == expect(hv), s"run$i readRef head")
+              case None => intercept[SnapshotUnavailable] {
+                SnapshotStore.readRef(spark, root, "b").collect()
+              }
+            }
+            case _ => () // op before the first publish: no-op
+          }
+          assert(SnapshotStore.currentGen(spark, root)
+            .getOrElse(0L) == cur, s"run$i pointer after ($op,$amt)")
+          assert(IndexAudit.isSnapshotsHealthy(spark, root),
+            s"run$i health after ($op,$amt)")
+        }
+      }
+    } finally SparkTestSession.rmTree(base)
+  }
+
   test("property: hierarchical tupleKey is injective — two different " +
       "component tuples never collide, whatever the components " +
       "contain (separators, percents, empties, nulls)") {
