@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Bridge into the `private[sql]` Column ↔ Expression converters so
@@ -125,6 +125,19 @@ private[sql] class GraftStatsFileIndex(
       minCmp(stats, a, v, dt).exists(_ >= 0)
     case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
       minCmp(stats, a, v, dt).exists(_ > 0)
+    // IN: the predicate can only be TRUE on a non-null listed value
+    // (a NULL in the list yields NULL, which filters), so the file is
+    // provably empty of matches when EVERY non-null literal lies
+    // outside its recorded range — including the all-null/empty list
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.collect { case Literal(v, dt) if v != null => (v, dt) }
+        .forall { case (v, dt) =>
+          outside(stats, a, v, dt, loOk = true, hiOk = true) } &&
+        stats.contains(a.name)
+    case InSet(a: Attribute, hset) =>
+      hset.forall(v => v == null ||
+        outside(stats, a, v, a.dataType, loOk = true, hiOk = true)) &&
+        stats.contains(a.name)
     // flipped operand orders: v OP a  ≡  a flipped-OP v
     case GreaterThan(Literal(v, dt), a: Attribute) =>
       minCmp(stats, a, v, dt).exists(_ >= 0)

@@ -1472,6 +1472,23 @@ class ManifestStoreSpec extends AnyFunSuite {
         .filter(col("o_custkey").between(100, 119))
         .select("o_orderkey", "o_custkey", "o_totalprice").collect()
       assert(got.toSet == expect.toSet && got.length == expect.length)
+      // IN-lists prune too (point lookups are the other common shape)
+      val qIn = spark.sql("SELECT count(*) FROM stats_sql_t " +
+        "WHERE o_custkey IN (101, 102, 103)")
+      val nIn = qIn.head().getLong(0)
+      val planIn = qIn.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val openedIn = planIn.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.getOrElse(fail("no scan in the IN plan"))
+      assert(openedIn < m.entries.size / 2,
+        s"IN must prune: opened $openedIn of ${m.entries.size}")
+      assert(nIn == ManifestStore.readCurrent(spark, root)
+        .filter(col("o_custkey").isin(101, 102, 103)).count())
       spark.catalog.dropTempView("stats_sql_t")
       ()
     } finally rmTree(dir)

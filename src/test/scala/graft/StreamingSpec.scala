@@ -461,6 +461,27 @@ class StreamingSpec extends AnyFunSuite {
       // startGen: a "from gen 2" consumer sees only promotion 3
       val fromNow = drain(s"$out/ck2", startGen = Some(2L))
       assert(fromNow.keySet == Set(3L) && fromNow(3L) == third(3L))
+      // COMPOSABILITY — the point of being a real source: a stateful
+      // streaming aggregation runs directly over the feed (change
+      // class counts in complete mode), something the driver-side
+      // consume loop could never host
+      val agg = spark.readStream.format("graft-cdf")
+        .option("keys", keys.mkString(",")).load(root)
+        .groupBy(col("change")).count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$out/ckagg")
+        .format("memory").queryName("cdf_counts").start()
+      agg.processAllAvailable()
+      agg.stop()
+      val streamed = spark.table("cdf_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // expectation: gen1 full sync (all added) + diffs of 2 and 3
+      val expectCounts = (SnapshotStore.readAt(spark, root, 1L)
+        .count() +: Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+          SnapshotStore.diff(spark, root, a, b, keys)
+            .filter(col("change") === "added").count() }).sum
+      assert(streamed("added") == expectCounts,
+        s"streamed agg must equal the batch-derived counts: $streamed")
       // lag past retention fails TYPED through the stream: a keep=1
       // table prunes the predecessor a checkpointed consumer needs
       val kroot = s"$out/ktbl"
