@@ -2647,8 +2647,12 @@ object SparkEntry {
         val src = M.readCurrent(s, root)
           .filter(col("o_orderkey") % 997 === 0)
           .withColumn("o_orderstatus", lit("M"))
+        // insert keys NEGATED: provably outside the key domain at
+        // every scale factor (an additive shift collides with sf1's
+        // replicated key ranges and silently turns inserts into
+        // matches)
         src.unionByName(src.withColumn("o_orderkey",
-          col("o_orderkey") + 900000000L))
+          -col("o_orderkey")))
           .createOrReplaceTempView("sql_dml_src")
         val mrgGen = s.sql("MERGE INTO sql_dml_t t USING sql_dml_src " +
           "s ON t.o_orderkey = s.o_orderkey " +
