@@ -73,9 +73,19 @@ object GraftSqlDml {
     * graft pointer table: resolve the name, find the file relation,
     * and read the root off the first file path — `_writes/` (manifest
     * layout) and `_snapshots/` (snapshot layout) are this library's
-    * own directory grammar, so the probe cannot false-positive on a
-    * foreign parquet table. The zero-entry manifest relation carries
-    * its root explicitly (no files to read it from).
+    * own directory grammar. A path that merely CONTAINS one of those
+    * segments could still be a foreign table's, so the candidate root
+    * must also carry the pointer marker (`<root>/_current`) before
+    * the statement is rerouted — a foreign parquet table stays
+    * Spark's business. The zero-entry manifest relation carries its
+    * root explicitly (no files to read it from).
+    *
+    * A view resolved through an explicit pin
+    * (`versionAsOf`/`timestampAsOf`/`ref` —
+    * [[SnapshotSource.PinnedOption]] on the relation) REFUSES here:
+    * DML applies to the SERVING generation, and a statement typed
+    * against a pinned view would silently mutate state the view's
+    * reader never sees. Target an unpinned view instead.
     */
   private[sources] def targetOf(session: SparkSession,
                                 name: Seq[String]): Option[Target] = {
@@ -85,6 +95,16 @@ object GraftSqlDml {
       try session.table(quoted).queryExecution.analyzed
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return None }
+    def refusePinned(root: String): Nothing =
+      throw new IllegalStateException(
+        s"DML through a PINNED view of $root (versionAsOf/" +
+          "timestampAsOf/ref) is refused: statements apply to the " +
+          "SERVING generation, which this view does not read — " +
+          "create an unpinned view of the table root and issue the " +
+          "statement there")
+    def isGraftRoot(root: String): Boolean =
+      Tables.fsFor(session, root).exists(
+        new org.apache.hadoop.fs.Path(s"$root/_current"))
     analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation
@@ -93,13 +113,21 @@ object GraftSqlDml {
         h.location.rootPaths.headOption.map(_.toString).flatMap { p =>
           val w = p.indexOf("/_writes/")
           val s = p.indexOf("/_snapshots/")
-          if (w >= 0) Some(Target(p.take(w), manifestLayout = true))
-          else if (s >= 0)
-            Some(Target(p.take(s), manifestLayout = false))
-          else None
+          val t =
+            if (w >= 0) Some(Target(p.take(w), manifestLayout = true))
+            else if (s >= 0)
+              Some(Target(p.take(s), manifestLayout = false))
+            else None
+          t.filter(c => isGraftRoot(c.root)).map { c =>
+            if (org.apache.spark.sql.GraftSqlBridge
+                .relationOption(h, SnapshotSource.PinnedOption)
+                .contains("true")) refusePinned(c.root)
+            c
+          }
         }
-      case e: EmptySnapshotRelation => Some(Target(e.root,
-        manifestLayout = true))
+      case e: EmptySnapshotRelation =>
+        if (e.pinned) refusePinned(e.root)
+        Some(Target(e.root, manifestLayout = true))
       case _ => None
     }
   }

@@ -78,20 +78,25 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     * plain explicit-file relation — zero added planning cost.
     */
   private def manifestRelation(sqlContext: SQLContext, root: String,
-                               m: ManifestStore.Manifest)
+                               m: ManifestStore.Manifest,
+                               pinned: Boolean)
       : BaseRelation = {
     val spark = sqlContext.sparkSession
     val schema =
       org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    def mark(rel: BaseRelation): BaseRelation =
+      if (!pinned) rel
+      else org.apache.spark.sql.GraftSqlBridge.withRelationOption(
+        rel, SnapshotSource.PinnedOption, "true")
     if (m.entries.isEmpty)
-      new EmptySnapshotRelation(sqlContext, schema, root)
+      new EmptySnapshotRelation(sqlContext, schema, root, pinned)
     else if (m.statsCols.isEmpty)
-      org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries))
-    else org.apache.spark.sql.GraftSqlBridge.statsPrunedFileRelation(
+      mark(org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries)))
+    else mark(org.apache.spark.sql.GraftSqlBridge.statsPrunedFileRelation(
       spark, schema,
       m.entries.map(e => s"$root/${e.relPath}" -> e.stats),
-      dt => ManifestStore.statCompare(dt))
+      dt => ManifestStore.statCompare(dt)))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -109,6 +114,15 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     val refOpt = parameters.get("ref")
     require(Seq(genOpt, tsOpt, refOpt).count(_.isDefined) <= 1,
       "versionAsOf, timestampAsOf and ref are mutually exclusive")
+    // a view resolved through an EXPLICIT pin carries a marker the
+    // DML router reads: DML through it would mutate the SERVING
+    // generation while the reader sees the pinned one — refused there
+    val pinned =
+      genOpt.isDefined || tsOpt.isDefined || refOpt.isDefined
+    def mark(rel: BaseRelation): BaseRelation =
+      if (!pinned) rel
+      else org.apache.spark.sql.GraftSqlBridge.withRelationOption(
+        rel, SnapshotSource.PinnedOption, "true")
     val isManifest = Tables.fsFor(spark, root).exists(
       new org.apache.hadoop.fs.Path(s"$root/_manifests"))
     // a REF resolves here at view creation, like everything else: a
@@ -120,17 +134,17 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         // snapshot-layout refs: a tag resolves to its pinned
         // generation, a branch to its head copy (the base generation
         // while head = 0) — both real file relations
-        org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-          SnapshotStore.readRef(spark, root, name))
+        mark(org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
+          SnapshotStore.readRef(spark, root, name)))
       else ManifestStore.refAt(spark, root, name) match {
         case ManifestStore.TagRef(g, _) =>
           manifestRelation(sqlContext, root,
-            ManifestStore.manifestAt(spark, root, g))
+            ManifestStore.manifestAt(spark, root, g), pinned)
         case b: ManifestStore.BranchRef =>
           val fs = Tables.fsFor(spark, root)
           manifestRelation(sqlContext, root, ManifestStore.assemble(
             fs, root,
-            ManifestStore.branchGenFile(spark, root, name, b)))
+            ManifestStore.branchGenFile(spark, root, name, b)), pinned)
       }
     } else {
     // time resolves to a generation ONCE, here — the view is then
@@ -145,16 +159,24 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           throw new IllegalStateException(
             s"no published manifest table at $root")))
       manifestRelation(sqlContext, root,
-        ManifestStore.manifestAt(spark, root, g))
+        ManifestStore.manifestAt(spark, root, g), pinned)
     } else {
       val df = gen match {
         case Some(g) => SnapshotStore.readAt(spark, root, g)
         case None    => SnapshotStore.readCurrent(spark, root)
       }
-      org.apache.spark.sql.GraftSqlBridge.fileRelationOf(df)
+      mark(org.apache.spark.sql.GraftSqlBridge.fileRelationOf(df))
     }
     }
   }
+}
+
+object SnapshotSource {
+  /** The relation option marking a view resolved through an explicit
+    * pin (`versionAsOf`/`timestampAsOf`/`ref`) — read by
+    * [[GraftSqlDml.targetOf]] to refuse DML through such a view.
+    */
+  private[graft] val PinnedOption = "graft.pinned"
 }
 
 /** The zero-entry manifest generation's SQL relation: the recorded
@@ -168,7 +190,8 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
 private[graft] class EmptySnapshotRelation(
     override val sqlContext: SQLContext,
     override val schema: org.apache.spark.sql.types.StructType,
-    val root: String)
+    val root: String,
+    val pinned: Boolean = false)
     extends BaseRelation with org.apache.spark.sql.sources.TableScan {
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row]

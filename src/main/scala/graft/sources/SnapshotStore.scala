@@ -265,9 +265,15 @@ object SnapshotStore {
               case Some(ManifestStore.BranchRef(h, _, _)) => Some(h)
               case _ => None
             }
-            if (head.exists(k > _) || head.contains(k)) {
+            val superseded =
+              fs.exists(new Path(st.getPath, "_superseded"))
+            if ((head.exists(k > _) && !superseded) ||
+                head.contains(k)) {
               // serving head, or an in-flight/crashed publish the
-              // retry overwrites — both stay
+              // retry overwrites — both stay. A copy MARKED
+              // superseded (a fast-forward rebased past it while an
+              // in-flight reader held grace) is never in-flight:
+              // it falls through to the stale path below.
             } else {
               // stale (superseded head) or dropped-branch copy:
               // wall-clock grace still covers an in-flight reader
@@ -587,6 +593,17 @@ object SnapshotStore {
     * remedy is [[restore]]-style: re-publish the residue dir's rows,
     * or rename it back. The window is one metadata op wide, the same
     * honesty class as [[MetaSwap]]'s documented rename instant.
+    *
+    * CONCURRENCY: this op requires a SINGLE WRITER on the table for
+    * its duration. The pointer CAS catches a racing promotion that
+    * COMMITS first — the fast-forward then renames the branch head
+    * back and fails typed, and if that racer committed the same
+    * generation number its readers fail LOUDLY on the missing
+    * directory (never silently served branch rows). But a racer still
+    * STAGING into `_snapshots/<mainGen+1>` when the rename lands has
+    * no such guard — its in-flight tasks and this rename interleave
+    * at the filesystem level. Serialize fast-forwards with publishes
+    * the way any promotion pipeline already serializes its writers.
     */
   def fastForwardBranch(spark: SparkSession, root: String,
                         name: String,
@@ -662,9 +679,32 @@ object SnapshotStore {
     val effRetain =
       if (retainMs > 0) retainMs
       else parsedGrace(prior).getOrElse(0L)
-    MetaSwap.swap(fs, ptr,
+    try MetaSwap.swap(fs, ptr,
       s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n".getBytes("UTF-8"),
       prior)
+    catch {
+      case cas: MetaSwap.CasFailed =>
+        // a racing promotion committed between the fail-fast re-check
+        // and this swap. UNDO the rename so the branch head is back in
+        // place and nothing of the branch serves under the racer's
+        // generation — if the racer claimed this same gen number, its
+        // readers now fail LOUDLY on the missing directory (strictly
+        // better than silently serving branch rows); its data bytes
+        // were a staged copy this call consumed, which is the
+        // single-writer violation the scaladoc names.
+        if (fs.exists(target) && !fs.rename(target, headDir))
+          throw new IllegalStateException(
+            s"fast-forward of $root to branch '$name' lost the " +
+              s"pointer race AND could not restore the branch head " +
+              s"($target -> $headDir failed) — the promoted copy is " +
+              "a residue at the target; rename it back manually or " +
+              "run IndexAudit.auditSnapshots", cas)
+        throw new MetaSwap.CasFailed(
+          s"concurrent promotion committed at $root while the " +
+            s"fast-forward of branch '$name' ran — nothing was " +
+            "promoted, the branch head is restored; re-read and " +
+            "re-run (single-writer contract: see fastForwardBranch)")
+    }
     try MetaSwap.swap(fs, refMarker, ManifestStore.serializeRef(
       ManifestStore.BranchRef(0L, gen, b.createdMs)), refBytes)
     catch {
@@ -672,6 +712,30 @@ object SnapshotStore {
         s"fast-forward of $root to branch '$name' COMMITTED (main " +
           s"now serves generation $gen), but a branch publish raced " +
           "the ref rebase — re-branch from the new main")
+    }
+    // the SUPERSEDED branch copies (seq < the promoted head): after
+    // the rebase to head 0 they would read as in-flight publishes to
+    // prune's `k > head` rule and be retained forever — sweep them
+    // here, honoring the wall-clock grace an in-flight reader holds.
+    // seqs ABOVE the old head really are someone's in-flight publish
+    // and stay.
+    val now = System.currentTimeMillis()
+    (1L until b.head).foreach { k =>
+      val d = branchDir(root, name, k)
+      if (fs.exists(d)) {
+        val inGrace = effRetain > 0 && publishedAtDir(fs, d)
+          .exists(t => now - t < effRetain)
+        if (!inGrace) fs.delete(d, true)
+        else {
+          // an in-flight reader may hold this copy: mark it
+          // superseded so a LATER prune can reclaim it once grace
+          // lapses (to prune's head rule, `k > head(=0)` would
+          // otherwise read as an in-flight publish forever)
+          val m = fs.create(new Path(d, "_superseded"), true)
+          try m.write(now.toString.getBytes("UTF-8"))
+          finally m.close()
+        }
+      }
     }
     prune(fs, root, gen, keep, effRetain)
     gen

@@ -42,6 +42,29 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Re-tag a file relation with an extra option — how
+    * [[graft.sources.SnapshotSource]] marks a view resolved through an
+    * explicit pin (`versionAsOf`/`timestampAsOf`/`ref`) so the DML
+    * router can refuse writes through it (a pinned view names a
+    * non-serving state; mutating the SERVING generation through it
+    * would be a silent surprise). Non-file relations pass through —
+    * the caller marks those by its own means.
+    */
+  def withRelationOption(rel: sources.BaseRelation, key: String,
+                         value: String): sources.BaseRelation =
+    rel match {
+      case h: execution.datasources.HadoopFsRelation =>
+        h.copy(options = h.options + (key -> value))(h.sparkSession)
+      case other => other
+    }
+
+  /** Read an option off a file relation (None for other kinds). */
+  def relationOption(rel: sources.BaseRelation,
+                     key: String): Option[String] = rel match {
+    case h: execution.datasources.HadoopFsRelation => h.options.get(key)
+    case _ => None
+  }
+
   /** A real parquet [[execution.datasources.HadoopFsRelation]] over
     * an EXPLICIT file list whose [[execution.datasources.FileIndex]]
     * additionally prunes on per-file column stats at PLANNING time —
@@ -112,10 +135,8 @@ private[sql] class GraftStatsFileIndex(
   private def excludedBy(stats: Map[String, (String, String)],
                          e: Expression): Boolean = e match {
     case And(l, r) => excludedBy(stats, l) || excludedBy(stats, r)
-    case EqualTo(a: Attribute, Literal(v, dt)) => outside(stats, a, v,
-      dt, loOk = true, hiOk = true)
-    case EqualTo(Literal(v, dt), a: Attribute) => outside(stats, a, v,
-      dt, loOk = true, hiOk = true)
+    case EqualTo(a: Attribute, Literal(v, dt)) => outside(stats, a, v, dt)
+    case EqualTo(Literal(v, dt), a: Attribute) => outside(stats, a, v, dt)
     // a > v: impossible when max <= v; a >= v: impossible when max < v
     case GreaterThan(a: Attribute, Literal(v, dt)) =>
       maxCmp(stats, a, v, dt).exists(_ <= 0)
@@ -131,12 +152,11 @@ private[sql] class GraftStatsFileIndex(
     // outside its recorded range — including the all-null/empty list
     case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.collect { case Literal(v, dt) if v != null => (v, dt) }
-        .forall { case (v, dt) =>
-          outside(stats, a, v, dt, loOk = true, hiOk = true) } &&
+        .forall { case (v, dt) => outside(stats, a, v, dt) } &&
         stats.contains(a.name)
     case InSet(a: Attribute, hset) =>
       hset.forall(v => v == null ||
-        outside(stats, a, v, a.dataType, loOk = true, hiOk = true)) &&
+        outside(stats, a, v, a.dataType)) &&
         stats.contains(a.name)
     // flipped operand orders: v OP a  ≡  a flipped-OP v
     case GreaterThan(Literal(v, dt), a: Attribute) =>
@@ -166,8 +186,7 @@ private[sql] class GraftStatsFileIndex(
       compare(dt)(mn, ext(v, dt)) }
 
   private def outside(stats: Map[String, (String, String)],
-                      a: Attribute, v: Any, dt: DataType,
-                      loOk: Boolean, hiOk: Boolean): Boolean =
+                      a: Attribute, v: Any, dt: DataType): Boolean =
     maxCmp(stats, a, v, dt).exists(_ < 0) ||
       minCmp(stats, a, v, dt).exists(_ > 0)
 

@@ -835,4 +835,64 @@ class SnapshotStoreSpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("fast-forward sweeps the branch's SUPERSEDED head copies: " +
+      "out-of-grace seqs delete in the call, grace-held seqs are " +
+      "marked and reclaimed by a later prune — never retained as " +
+      "in-flight forever") {
+    import graft.sources.SnapshotStore
+    val dir = tmp("snapffsweep")
+    try {
+      val fs = Tables.fsFor(spark, dir.toString)
+      def copies(root: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$root/_snapshots")).map(_.getPath.getName)
+          .filter(_.startsWith("r-")).toSet
+      val nation = Tables.table(spark, sf, "nation")
+
+      // no grace: seqs 1..2 sweep inside the fast-forward call
+      val root = dir.toString + "/t"
+      SnapshotStore.publish(spark, nation, root)
+      SnapshotStore.branch(spark, root, "b")
+      (1 to 3).foreach { i =>
+        SnapshotStore.publishToBranch(spark,
+          nation.withColumn("n_name", concat(col("n_name"),
+            lit(s"-$i"))), root, "b")
+      }
+      assert(copies(root) == Set("r-b-1", "r-b-2", "r-b-3"))
+      SnapshotStore.fastForwardBranch(spark, root, "b")
+      assert(copies(root).isEmpty,
+        "superseded seqs 1..2 must sweep; 3 was renamed to main")
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark, root))
+
+      // with grace: superseded seqs survive the call MARKED, and a
+      // later prune (after the grace lapses) reclaims them
+      val root2 = dir.toString + "/t2"
+      SnapshotStore.publish(spark, nation, root2, keep = 3,
+        retainMs = 60000L)
+      SnapshotStore.branch(spark, root2, "b")
+      (1 to 2).foreach { i =>
+        SnapshotStore.publishToBranch(spark,
+          nation.withColumn("n_name", concat(col("n_name"),
+            lit(s"-$i"))), root2, "b")
+      }
+      SnapshotStore.fastForwardBranch(spark, root2, "b")
+      val held = new org.apache.hadoop.fs.Path(
+        s"$root2/_snapshots/r-b-1")
+      assert(fs.exists(held), "grace must hold the superseded copy")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(held,
+        "_superseded")), "the held copy must be MARKED superseded")
+      // age the copy past grace (backdate its publish instant), then
+      // any prune-carrying op reclaims it — here an expire
+      val stamp = fs.create(new org.apache.hadoop.fs.Path(held,
+        "_published_at"), true)
+      try stamp.write("1000".getBytes("UTF-8")) finally stamp.close()
+      SnapshotStore.expire(spark, root2)
+      assert(!fs.exists(held),
+        "a marked superseded copy must reclaim once grace lapses")
+      assert(graft.operators.IndexAudit.isSnapshotsHealthy(spark,
+        root2))
+      ()
+    } finally rmTree(dir)
+  }
 }

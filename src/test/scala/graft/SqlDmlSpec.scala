@@ -139,4 +139,64 @@ class SqlDmlSpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("DML through a PINNED view refuses typed (versionAsOf, " +
+      "timestampAsOf, ref): statements apply to the serving " +
+      "generation, which a pinned view does not read") {
+    val dir = tmp("sqldmlpin")
+    try {
+      val root = dir.toString + "/orders"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      ManifestStore.publish(spark, orders, root, "o_year")
+      ManifestStore.publish(spark,
+        orders.filter(col("o_year") === "1996")
+          .withColumn("o_orderstatus", lit("Z")), root, "o_year")
+      ManifestStore.tag(spark, root, "v1", Some(1L))
+      val pins = Seq(
+        s"versionAsOf '1'",
+        "ref 'v1'")
+      pins.foreach { pin =>
+        spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_pinned " +
+          s"USING `graft-snapshot` OPTIONS (path '$root', $pin)")
+        val e = intercept[IllegalStateException] {
+          spark.sql("DELETE FROM dml_pinned WHERE o_year = '1996'")
+        }
+        assert(e.getMessage.contains("PINNED"),
+          s"pin [$pin] must refuse typed, got $e")
+      }
+      // the serving state is untouched by the refused statements
+      assert(ManifestStore.currentGen(spark, root).contains(2L))
+      // an UNPINNED view of the same table still takes DML
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_unpinned " +
+        s"USING `graft-snapshot` OPTIONS (path '$root')")
+      val g = spark.sql("DELETE FROM dml_unpinned WHERE " +
+        "o_orderstatus = 'Z' AND o_orderkey % 2 = 0")
+        .head().getLong(0)
+      assert(g == 3L)
+      Seq("dml_pinned", "dml_unpinned")
+        .foreach(spark.catalog.dropTempView)
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("a foreign parquet table whose PATH contains the graft " +
+      "directory grammar is NOT hijacked: no pointer marker, no " +
+      "reroute — Spark's own DML handling applies") {
+    val dir = tmp("sqldmlforeign")
+    try {
+      // a path that merely contains /_writes/ — no _current pointer
+      val foreign = dir.toString + "/x/_writes/1/data"
+      Tables.table(spark, sf, "nation").write.parquet(foreign)
+      spark.read.parquet(foreign)
+        .createOrReplaceTempView("dml_foreign")
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM dml_foreign WHERE n_regionkey = 1")
+      }
+      assert(!e.getMessage.contains("graft"),
+        s"foreign table must reach Spark's own handler, got $e")
+      spark.catalog.dropTempView("dml_foreign")
+      ()
+    } finally rmTree(dir)
+  }
 }
