@@ -161,7 +161,10 @@ object Bench {
       "q_manifest_restore",
       // the r16 protocol gates: temp-dir DML/evolution/CDF drives —
       // same tmp-filesystem class, all Verify-gated
-      "q_sql_dml", "q_manifest_evolution", "q_manifest_multipart")
+      "q_sql_dml", "q_manifest_evolution", "q_manifest_multipart",
+      // the r17 protocol gates: temp-dir general-merge / INSERT /
+      // catalog drives — same tmp-filesystem class, all Verify-gated
+      "q_sql_merge", "q_sql_insert", "q_sql_catalog")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(session, delegate))
+    // catalog reads (graft.ns.table, VERSION/TIMESTAMP AS OF) resolve
+    // to the DSv1 stats-pruned relation — see GraftCatalogRule
+    e.injectResolutionRule(session =>
+      new graft.sources.GraftCatalogRule(session))
   }
 }
 

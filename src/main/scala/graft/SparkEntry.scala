@@ -2676,6 +2676,215 @@ object SparkEntry {
             "fsck_healthy", "n_rows", "revenue", "n_status_m")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S28b GENERAL SQL MERGE (CDC apply), driver-gated ----
+    // the full MERGE grammar Delta/Iceberg users write: conditional
+    // WHEN MATCHED clauses (update vs delete by row state),
+    // column-list assignments, a conditional INSERT of a THIN source,
+    // and WHEN NOT MATCHED BY SOURCE THEN DELETE — executed by
+    // ManifestStore.mergeInto as ONE generation commit. The source is
+    // key-sampled + negated-key closed form so DuckDB rebuilds the
+    // whole apply; partitions no clause touches must carry
+    // byte-identical.
+    "q_sql_merge" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sqlmerge").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sql_mrg_t USING " +
+          s"`graft-snapshot` OPTIONS (path '$root')")
+        // the CDC batch: 1996-1998 key-sampled rows (update/delete by
+        // status) + their negated keys (conditional inserts) — key 0
+        // excluded (its negation is itself); the other years stay
+        // untouched except the BY SOURCE retirement in 2000
+        val src = M.readCurrent(s, root)
+          .filter(col("o_orderkey") % 499 === 0 &&
+            col("o_orderkey") > 0 &&
+            col("o_year").between("1996", "1998"))
+          .select(col("o_orderkey"),
+            round(col("o_totalprice").cast("decimal(18,2)") * 2, 2)
+              .as("newprice"),
+            col("o_year"))
+        src.unionByName(src.select(
+          (-col("o_orderkey")).as("o_orderkey"), col("newprice"),
+          col("o_year")))
+          .createOrReplaceTempView("sql_mrg_src")
+        val g = s.sql("MERGE INTO sql_mrg_t t USING sql_mrg_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND t.o_orderstatus = 'F' THEN UPDATE SET " +
+          "o_totalprice = s.newprice, o_orderpriority = 'CDC' " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT " +
+          "(o_orderkey, o_year, o_totalprice) VALUES " +
+          "(s.o_orderkey, s.o_year, s.newprice) " +
+          "WHEN NOT MATCHED BY SOURCE AND o_year = '2000' AND " +
+          "o_orderkey % 10 = 0 THEN DELETE").head().getLong(0)
+        val oneGeneration = g == 2L
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filterNot(e => (e.partition >= "1996" &&
+            e.partition <= "1998") || e.partition == "2000")
+          .map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p"),
+          count(when(col("o_orderpriority") === "CDC", lit(1)))
+            .as("c"),
+          count(when(col("o_orderkey") < 0, lit(1))).as("i")).head()
+        s.catalog.dropTempView("sql_mrg_t")
+        s.catalog.dropTempView("sql_mrg_src")
+        import s.implicits._
+        Seq((untouchedReused, oneGeneration, healthy,
+          agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+          agg.getLong(3)))
+          .toDF("untouched_files_reused", "one_generation",
+            "fsck_healthy", "n_rows", "revenue", "n_cdc", "n_inserted")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S33 SQL INSERT INTO (append), driver-gated ----
+    // the fourth DML verb: INSERT INTO a graft view appends through
+    // ManifestStore.append — ONLY the partitions the new rows land in
+    // rewrite (existing rows union the new ones), everything else
+    // rides byte-identical; a column list NULL-fills the unnamed
+    // columns. Sources are closed-form (key-negated slices of the
+    // table itself) so DuckDB recounts the final state.
+    "q_sql_insert" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sqlins").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sql_ins_t USING " +
+          s"`graft-snapshot` OPTIONS (path '$root')")
+        // positional full-width append: 1996's rows re-land
+        // key-negated with priority NEW — only 1996 may rewrite
+        val g1 = s.sql("INSERT INTO sql_ins_t " +
+          "SELECT -o_orderkey, o_custkey, 'N', o_totalprice, " +
+          "o_orderdate, 'NEW', o_year FROM sql_ins_t " +
+          "WHERE o_year = '1996' AND o_orderkey > 0")
+          .head().getLong(0)
+        val after = state(2L)
+        val untouched = M.manifestAt(s, root, 2L).entries
+          .filter(_.partition != "1996").map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        // column-list append: unnamed columns land NULL (the
+        // key shift keeps the new keys disjoint from the first batch)
+        val g2 = s.sql("INSERT INTO sql_ins_t (o_orderkey, o_year) " +
+          "SELECT -(o_orderkey + 3000000), o_year FROM sql_ins_t " +
+          "WHERE o_year = '1997' AND o_orderkey > 0")
+          .head().getLong(0)
+        val gensAdvance = g1 == 2L && g2 == 3L
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p"),
+          count(when(col("o_orderpriority") === "NEW", lit(1)))
+            .as("w"),
+          count(when(col("o_totalprice").isNull, lit(1))).as("z"))
+          .head()
+        s.catalog.dropTempView("sql_ins_t")
+        import s.implicits._
+        Seq((untouchedReused, gensAdvance, healthy,
+          agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+          agg.getLong(3)))
+          .toDF("untouched_files_reused", "sql_returns_gen",
+            "fsck_healthy", "n_rows", "revenue", "n_new",
+            "n_nullfilled")
+      } finally rmTree(new java.io.File(tmp))
+    }),
+    // ---- §2.1 S34 DSv2 TableCatalog, driver-gated ----
+    // the temp-view ceremony removed: CREATE NAMESPACE / CREATE TABLE
+    // PARTITIONED BY / INSERT INTO / UPDATE / DELETE / SELECT with
+    // native VERSION AS OF + TIMESTAMP AS OF, all through spark.sql
+    // on `catalog.ns.table` identifiers (GraftCatalog resolves
+    // metadata; GraftCatalogRule swaps reads onto the S32
+    // stats-pruned relation; DML rides the S28/S33 parser routes).
+    // DuckDB recomputes the insert→update→delete trajectory.
+    "q_sql_catalog" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sqlcat").toString
+      // catalog instances cache by NAME per session — derive a fresh
+      // name from the temp dir so re-runs never see a stale warehouse
+      val cat = "gcat" + tmp.replaceAll("[^0-9a-zA-Z]", "")
+        .takeRight(8)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+        s.sql(s"CREATE NAMESPACE $cat.gold")
+        s.sql(s"CREATE TABLE $cat.gold.orders (" +
+          "o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING, o_year STRING) " +
+          "PARTITIONED BY (o_year)")
+        val listed = s.sql(s"SHOW TABLES IN $cat.gold").collect()
+          .exists(_.getString(1) == "orders")
+        Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"),
+            "yyyy"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"), col("o_year"))
+          .createOrReplaceTempView("cat_src")
+        val g1 = s.sql(s"INSERT INTO $cat.gold.orders " +
+          "SELECT * FROM cat_src").head().getLong(0)
+        val g2 = s.sql(s"UPDATE $cat.gold.orders SET o_totalprice = " +
+          "round(cast(o_totalprice as decimal(18,2)) * " +
+          "cast(0.95 as decimal(3,2)), 2) " +
+          "WHERE o_year = '1997' AND o_orderpriority LIKE '2%'")
+          .head().getLong(0)
+        val g3 = s.sql(s"DELETE FROM $cat.gold.orders WHERE " +
+          "o_year = '1996' AND o_orderstatus = 'F'").head().getLong(0)
+        val gens = g1 == 2L && g2 == 3L && g3 == 4L
+        // native time travel: the pre-update state by GENERATION and
+        // the serving state by a future TIMESTAMP
+        val nV2 = s.sql(s"SELECT count(*) AS n FROM $cat.gold.orders " +
+          "VERSION AS OF 2").head().getLong(0)
+        val nNow = s.sql(
+          s"SELECT count(*) AS n FROM $cat.gold.orders")
+          .head().getLong(0)
+        val tsServes = s.sql(s"SELECT count(*) AS n FROM " +
+          s"$cat.gold.orders TIMESTAMP AS OF '2050-01-01'")
+          .head().getLong(0) == nNow
+        val rev = s.sql("SELECT cast(round(sum(" +
+          "cast(o_totalprice as decimal(18,2))), 2) as double) AS r " +
+          s"FROM $cat.gold.orders").head().getDouble(0)
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, s"$tmp/gold/orders")
+        s.catalog.dropTempView("cat_src")
+        import s.implicits._
+        Seq((listed, gens, tsServes, healthy, nV2, nNow, rev))
+          .toDF("table_listed", "sql_returns_gen",
+            "timestamp_as_of_serves", "fsck_healthy", "n_version2",
+            "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S29 manifest-table schema evolution, driver-gated ----
     // the S14 contract pinned INSIDE S20: a partial publish may WIDEN
     // — carried old-schema files serve null-backfilled through the
@@ -4696,6 +4905,82 @@ object SparkEntry {
         |    (SELECT COALESCE(SUM(price), 0) FROM src), 2) AS DOUBLE)
         |    AS revenue,
         |  2 * (SELECT count(*) FROM src) AS n_status_m""".stripMargin,
+    // the general CDC apply recomputed from orders: 1996-1998
+    // key-sampled F rows reprice ×2 (decimal) and stamp CDC, their
+    // non-F siblings delete, even negated keys insert thin rows, and
+    // 2000's unmatched %10 rows retire — rows/revenue/counts all in
+    // closed form
+    "q_sql_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 2, 2)
+        |      AS newprice
+        |  FROM orders
+        |  WHERE o_orderkey % 499 = 0 AND o_orderkey > 0
+        |    AND year(o_orderdate) BETWEEN 1996 AND 1998
+        |), kept AS (
+        |  SELECT
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.newprice
+        |      ELSE CAST(o.o_totalprice AS DECIMAL(18,2)) END AS price,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'CDC'
+        |      ELSE o.o_orderpriority END AS prio
+        |  FROM orders o LEFT JOIN src s
+        |    ON o.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL
+        |      AND o.o_orderstatus <> 'F')
+        |    AND NOT (s.o_orderkey IS NULL
+        |      AND year(o.o_orderdate) = 2000 AND o.o_orderkey % 10 = 0)
+        |), ins AS (SELECT newprice FROM src WHERE o_orderkey % 2 = 0)
+        |SELECT true AS untouched_files_reused, true AS one_generation,
+        |  true AS fsck_healthy,
+        |  (SELECT count(*) FROM kept) + (SELECT count(*) FROM ins)
+        |    AS n_rows,
+        |  CAST(ROUND((SELECT SUM(price) FROM kept) +
+        |    (SELECT COALESCE(SUM(newprice), 0) FROM ins), 2)
+        |    AS DOUBLE) AS revenue,
+        |  (SELECT count(*) FROM kept WHERE prio = 'CDC') AS n_cdc,
+        |  (SELECT count(*) FROM ins) AS n_inserted""".stripMargin,
+    // two appends recomputed from orders: 1996's rows re-land
+    // key-negated at their original price with priority NEW, 1997's
+    // land key-only (every other column NULL)
+    "q_sql_insert" ->
+      """SELECT true AS untouched_files_reused,
+        |  true AS sql_returns_gen, true AS fsck_healthy,
+        |  (SELECT count(*) FROM orders) +
+        |  (SELECT count(*) FROM orders
+        |     WHERE year(o_orderdate) IN (1996, 1997)
+        |       AND o_orderkey > 0) AS n_rows,
+        |  CAST(ROUND(
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders) +
+        |    (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+        |       0) FROM orders
+        |       WHERE year(o_orderdate) = 1996 AND o_orderkey > 0),
+        |    2) AS DOUBLE) AS revenue,
+        |  (SELECT count(*) FROM orders
+        |     WHERE year(o_orderdate) = 1996 AND o_orderkey > 0)
+        |    AS n_new,
+        |  (SELECT count(*) FROM orders
+        |     WHERE year(o_orderdate) = 1997 AND o_orderkey > 0)
+        |    AS n_nullfilled""".stripMargin,
+    // the catalog trajectory recomputed from orders: everything
+    // inserted, 1997's '2%'-priority rows repriced ×0.95 in exact
+    // decimal, 1996's F rows deleted; VERSION AS OF 2 is the
+    // pre-update (full) row count
+    "q_sql_catalog" ->
+      """SELECT true AS table_listed, true AS sql_returns_gen,
+        |  true AS timestamp_as_of_serves, true AS fsck_healthy,
+        |  (SELECT count(*) FROM orders) AS n_version2,
+        |  count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CASE
+        |    WHEN year(o_orderdate) = 1997 AND o_orderpriority LIKE '2%'
+        |    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(0.95 AS DECIMAL(3,2)), 2)
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
+        |""".stripMargin,
     // the widened table holds every original row (the 1996 partition
     // re-published with the flag, every other era carried) — rows,
     // flagged count and revenue all recomputed from orders

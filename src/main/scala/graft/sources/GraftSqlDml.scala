@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.LongType
 
@@ -65,6 +65,28 @@ object GraftSqlDml {
   final case class ExprBox(e: Expression) {
     override def toString: String = e.sql
   }
+
+  /** Opaque plan carrier (the [[ExprBox]] idea for a whole subtree):
+    * lets [[GraftInsertCommand]] hold its INSERT query unresolved
+    * without the analyzer walking into it.
+    */
+  final case class PlanBox(plan: LogicalPlan) {
+    override def toString: String = plan.nodeName
+  }
+
+  /** A MERGE clause as parsed (expressions boxed unresolved;
+    * `set`/`values = None` is the star form). Bound to Columns and
+    * handed to [[ManifestStore.mergeInto]] at execution.
+    */
+  sealed trait SqlMergeClause
+  final case class SqlMergeUpdate(cond: Option[ExprBox],
+                                  set: Option[Seq[(String, ExprBox)]])
+      extends SqlMergeClause
+  final case class SqlMergeDelete(cond: Option[ExprBox])
+      extends SqlMergeClause
+  final case class SqlMergeInsert(cond: Option[ExprBox],
+                                  values: Option[Seq[(String, ExprBox)]])
+      extends SqlMergeClause
 
   /** A resolved DML target: the table root and its layout. */
   final case class Target(root: String, manifestLayout: Boolean)
@@ -165,6 +187,127 @@ object GraftSqlDml {
     case x         => Seq(x)
   }
 
+  /** The lower-cased qualifier prefixes that address a relation: its
+    * alias, or any suffix of its multipart name (`db.t` is reachable
+    * as `db.t.c` and `t.c`).
+    */
+  private def prefixesOf(name: Seq[String],
+                         alias: Option[String]): Set[Seq[String]] =
+    (alias.map(Seq(_)).toSeq ++ name.indices.map(i => name.drop(i)))
+      .map(_.map(_.toLowerCase)).toSet
+
+  /** Bind a MATCHED-clause expression (condition or assignment RHS)
+    * to [[ManifestStore.mergeInto]]'s evaluation frame: target
+    * columns stay bare, source columns take the `__graft_src_`
+    * prefix. Qualified references resolve by their qualifier; bare
+    * ones by which schema holds the name — present in BOTH refuses
+    * (qualify it), the SQL ambiguity rule.
+    */
+  private[sources] def bindMatched(e: Expression,
+                                   tName: Seq[String],
+                                   tAlias: Option[String],
+                                   sName: Seq[String],
+                                   sAlias: Option[String],
+                                   tCols: Set[String],
+                                   sCols: Set[String]): Expression = {
+    val tPre = prefixesOf(tName, tAlias)
+    val sPre = prefixesOf(sName, sAlias)
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        val q = a.nameParts.init.map(_.toLowerCase)
+        if (tPre(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        else if (sPre(q))
+          UnresolvedAttribute(Seq(s"__graft_src_${a.nameParts.last}"))
+        else a
+      case a: UnresolvedAttribute =>
+        val n = a.nameParts.head.toLowerCase
+        if (tCols(n) && sCols(n)) throw new IllegalArgumentException(
+          s"ambiguous column ${a.nameParts.head} in MERGE clause: it " +
+            "exists in both target and source — qualify it " +
+            "(t.col / s.col)")
+        else if (sCols(n))
+          UnresolvedAttribute(Seq(s"__graft_src_${a.nameParts.head}"))
+        else a
+    }
+  }
+
+  /** Bind a NOT-MATCHED (INSERT) expression: the frame is the SOURCE
+    * rows alone, so source references go bare and target references
+    * refuse (there is no matched target row to read).
+    */
+  private[sources] def bindInsert(e: Expression,
+                                  tName: Seq[String],
+                                  tAlias: Option[String],
+                                  sName: Seq[String],
+                                  sAlias: Option[String],
+                                  tCols: Set[String],
+                                  sCols: Set[String]): Expression = {
+    val tPre = prefixesOf(tName, tAlias)
+    val sPre = prefixesOf(sName, sAlias)
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        val q = a.nameParts.init.map(_.toLowerCase)
+        if (sPre(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        else if (tPre(q)) throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED clauses cannot reference target " +
+            s"columns (${a.nameParts.mkString(".")}): there is no " +
+            "matched target row")
+        else a
+    }
+  }
+
+  /** Bind a BY-SOURCE expression: the frame is the TARGET rows
+    * alone — source references refuse (there is no matched source
+    * row), the SQL rule.
+    */
+  private[sources] def bindBySource(e: Expression,
+                                    tName: Seq[String],
+                                    tAlias: Option[String],
+                                    sName: Seq[String],
+                                    sAlias: Option[String]): Expression = {
+    val tPre = prefixesOf(tName, tAlias)
+    val sPre = prefixesOf(sName, sAlias)
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        val q = a.nameParts.init.map(_.toLowerCase)
+        if (tPre(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        else if (sPre(q)) throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED BY SOURCE clauses cannot reference " +
+            s"source columns (${a.nameParts.mkString(".")}): there " +
+            "is no matched source row")
+        else a
+    }
+  }
+
+  /** The assignment target's bare column name — refusing qualifiers
+    * that name anything but the target relation.
+    */
+  private[sources] def assignTarget(a: Assignment,
+                                    tName: Seq[String],
+                                    tAlias: Option[String]): String =
+    a.key match {
+      case k: UnresolvedAttribute =>
+        if (k.nameParts.size > 1 &&
+            !prefixesOf(tName, tAlias)(
+              k.nameParts.init.map(_.toLowerCase)))
+          throw new IllegalArgumentException(
+            s"assignment target ${k.nameParts.mkString(".")} must " +
+              "name a TARGET column")
+        k.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "assignment targets must be plain column references, got " +
+          other.sql)
+    }
+
+  /** The lower-cased column set of a resolvable relation. */
+  private[sources] def columnsOf(session: SparkSession,
+                                 name: Seq[String]): Set[String] = {
+    val quoted = name.map(p => "`" + p.replace("`", "``") + "`")
+      .mkString(".")
+    session.table(quoted).schema.fieldNames
+      .map(_.toLowerCase).toSet
+  }
+
   /** The merge keys of a canonical-upsert ON clause: a conjunction of
     * same-name column equalities (`t.k = s.k [AND ...]`). Anything
     * else refuses with the supported form named.
@@ -244,6 +387,122 @@ case class GraftMergeCommand(table: Seq[String],
   }
 }
 
+/** The GENERAL `MERGE INTO` (the CDC-apply shape): conditional
+  * `WHEN MATCHED [AND cond] THEN UPDATE SET c = e / DELETE`,
+  * column-list assignments, conditional inserts, and
+  * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` — routed to
+  * [[ManifestStore.mergeInto]], ONE generation commit composing the
+  * partition-scoped primitives. Returns the committed generation.
+  * (The canonical star-only upsert keeps its dedicated
+  * [[GraftMergeCommand]] → [[ManifestStore.mergePartitions]] route.)
+  */
+case class GraftMergeIntoCommand(table: Seq[String],
+                                 target: GraftSqlDml.Target,
+                                 source: Seq[String],
+                                 keys: Seq[String],
+                                 matched: Seq[GraftSqlDml.SqlMergeClause],
+                                 notMatched: Seq[GraftSqlDml.SqlMergeClause],
+                                 bySource: Seq[GraftSqlDml.SqlMergeClause])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("gen", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlDml._
+    GraftSqlDml.requireManifest(target, "MERGE")
+    val quoted = source.map(p => "`" + p.replace("`", "``") + "`")
+      .mkString(".")
+    val toCol = org.apache.spark.sql.GraftSqlBridge.toColumn _
+    def conv(c: SqlMergeClause): ManifestStore.MergeClause = c match {
+      case SqlMergeUpdate(cond, set) => ManifestStore.MergeUpdate(
+        set.map(_.map { case (k, b) => k -> toCol(b.e) }),
+        cond.map(b => toCol(b.e)))
+      case SqlMergeDelete(cond) =>
+        ManifestStore.MergeDelete(cond.map(b => toCol(b.e)))
+      case SqlMergeInsert(cond, values) => ManifestStore.MergeInsert(
+        values.map(_.map { case (k, b) => k -> toCol(b.e) }),
+        cond.map(b => toCol(b.e)))
+    }
+    Seq(Row(ManifestStore.mergeInto(spark, spark.table(quoted),
+      target.root, keys, matched.map(conv), notMatched.map(conv),
+      bySource.map(conv))))
+  }
+}
+
+/** `INSERT INTO <graft view> [(cols)] <query>` (and
+  * `INSERT OVERWRITE`, the full-table replace) → the fourth DML
+  * verb: an append publish that rewrites ONLY the partitions the new
+  * rows land in ([[ManifestStore.append]]); OVERWRITE is the honest
+  * `replaceAll` rebuild. Column mapping follows Spark's own INSERT
+  * rules: positional with casts; a column list maps the query's
+  * output to the named columns (the rest land NULL); `BY NAME` maps
+  * by name. Returns the committed generation.
+  */
+case class GraftInsertCommand(table: Seq[String],
+                              target: GraftSqlDml.Target,
+                              query: GraftSqlDml.PlanBox,
+                              userCols: Seq[String],
+                              overwrite: Boolean,
+                              byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("gen", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    GraftSqlDml.requireManifest(target, "INSERT")
+    val df = org.apache.spark.sql.GraftSqlBridge.dfOf(spark,
+      query.plan)
+    val gen = ManifestStore.currentGen(spark, target.root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at ${target.root}"))
+    val m = ManifestStore.manifestAt(spark, target.root, gen)
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val aligned: org.apache.spark.sql.DataFrame =
+      if (byName) {
+        val missing =
+          schema.fieldNames.filterNot(df.columns.contains)
+        val unknown =
+          df.columns.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty && unknown.isEmpty,
+          s"INSERT BY NAME must carry exactly the table's columns; " +
+            s"missing [${missing.mkString(",")}], unknown " +
+            s"[${unknown.mkString(",")}]")
+        df.select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else if (userCols.nonEmpty) {
+        require(userCols.distinct.size == userCols.size,
+          s"duplicate INSERT columns: ${userCols.mkString(",")}")
+        userCols.foreach(c => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"INSERT column $c not in ${schema.fieldNames.mkString(",")}"))
+        require(df.columns.length == userCols.size,
+          s"INSERT column list has ${userCols.size} columns but the " +
+            s"query produces ${df.columns.length}")
+        val byTarget = userCols.map(_.toLowerCase)
+          .zip(df.columns.toSeq).toMap
+        df.select(schema.fields.toSeq.map { f =>
+          byTarget.get(f.name.toLowerCase)
+            .map(q => col(q).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+      } else {
+        require(df.columns.length == schema.fields.length,
+          s"INSERT query produces ${df.columns.length} columns but " +
+            s"the table has ${schema.fields.length} — positional " +
+            "INSERT needs the full width (use a column list)")
+        df.select(schema.fields.toSeq.zip(df.columns.toSeq).map {
+          case (f, q) => col(q).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    val committed =
+      if (overwrite)
+        ManifestStore.publish(spark, aligned, target.root, m.partCol,
+          replaceAll = true)
+      else ManifestStore.append(spark, aligned, target.root)
+    Seq(Row(committed))
+  }
+}
+
 /** The injected parser: Spark's parser for everything, plus the DML
   * routing described on [[GraftSqlDml]]. Statements whose target is
   * not a graft pointer view pass through byte-identical.
@@ -279,27 +538,94 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
       }.getOrElse(plan)
     case m: MergeIntoTable =>
-      nameOf(m.targetTable).flatMap { case (name, _) =>
+      nameOf(m.targetTable).flatMap { case (name, tAlias) =>
         targetOf(session, name).map { t =>
-          val src = nameOf(m.sourceTable).map(_._1).getOrElse(
+          val (src, sAlias) = nameOf(m.sourceTable).getOrElse(
             throw new IllegalArgumentException(
               "MERGE INTO a graft table needs a NAMED source table/" +
                 "view (register a subquery as a temp view first)"))
           if (m.withSchemaEvolution) throw new IllegalArgumentException(
             "MERGE ... WITH SCHEMA EVOLUTION is not supported on a " +
               "graft table — widen the schema with a publish first")
+          val keys = mergeKeysOf(m.mergeCondition)
           (m.matchedActions, m.notMatchedActions,
             m.notMatchedBySourceActions) match {
             case (Seq(UpdateStarAction(None)),
-                  Seq(InsertStarAction(None)), Seq()) => ()
-            case _ => throw new IllegalArgumentException(
-              "MERGE INTO a graft table supports the canonical " +
-                "upsert only: WHEN MATCHED THEN UPDATE SET * " +
-                "WHEN NOT MATCHED THEN INSERT * (no conditions, no " +
-                "column lists, no BY SOURCE clauses)")
+                  Seq(InsertStarAction(None)), Seq()) =>
+              // the canonical star upsert keeps its dedicated
+              // partition-scoped route (mergePartitions)
+              GraftMergeCommand(name, t, src, keys)
+            case (ma, nma, bsa) =>
+              // the GENERAL form: bind every clause expression to
+              // mergeInto's evaluation frames (schemas resolved here,
+              // at parse time — both relations are named views)
+              val tCols = columnsOf(session, name)
+              val sCols = columnsOf(session, src)
+              def mExpr(e: Expression): ExprBox = ExprBox(
+                bindMatched(e, name, tAlias, src, sAlias, tCols, sCols))
+              def iExpr(e: Expression): ExprBox = ExprBox(
+                bindInsert(e, name, tAlias, src, sAlias, tCols, sCols))
+              def bExpr(e: Expression): ExprBox = ExprBox(
+                bindBySource(e, name, tAlias, src, sAlias))
+              val matched = ma.map {
+                case UpdateStarAction(cond) =>
+                  SqlMergeUpdate(cond.map(mExpr), None)
+                case UpdateAction(cond, assigns, fromStar) =>
+                  if (fromStar) SqlMergeUpdate(cond.map(mExpr), None)
+                  else SqlMergeUpdate(cond.map(mExpr),
+                    Some(assigns.map(a =>
+                      assignTarget(a, name, tAlias) ->
+                        mExpr(a.value))))
+                case DeleteAction(cond) =>
+                  SqlMergeDelete(cond.map(mExpr))
+                case other => throw new IllegalArgumentException(
+                  s"unsupported WHEN MATCHED action: $other")
+              }
+              val notMatched = nma.map {
+                case InsertStarAction(cond) =>
+                  SqlMergeInsert(cond.map(iExpr), None)
+                case InsertAction(cond, assigns) =>
+                  SqlMergeInsert(cond.map(iExpr),
+                    Some(assigns.map(a =>
+                      assignTarget(a, name, tAlias) ->
+                        iExpr(a.value))))
+                case other => throw new IllegalArgumentException(
+                  s"unsupported WHEN NOT MATCHED action: $other")
+              }
+              val bySource = bsa.map {
+                case UpdateAction(cond, assigns, fromStar) =>
+                  if (fromStar) throw new IllegalArgumentException(
+                    "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * " +
+                      "— there is no source row to read; name the " +
+                      "assignments")
+                  else SqlMergeUpdate(cond.map(bExpr),
+                    Some(assigns.map(a =>
+                      assignTarget(a, name, tAlias) ->
+                        bExpr(a.value))))
+                case DeleteAction(cond) =>
+                  SqlMergeDelete(cond.map(bExpr))
+                case other => throw new IllegalArgumentException(
+                  s"unsupported WHEN NOT MATCHED BY SOURCE action: " +
+                    s"$other")
+              }
+              GraftMergeIntoCommand(name, t, src, keys, matched,
+                notMatched, bySource)
           }
-          GraftMergeCommand(name, t, src,
-            mergeKeysOf(m.mergeCondition))
+        }
+      }.getOrElse(plan)
+    case ins: InsertIntoStatement =>
+      nameOf(ins.table).flatMap { case (name, _) =>
+        targetOf(session, name).map { t =>
+          if (ins.partitionSpec.nonEmpty)
+            throw new IllegalArgumentException(
+              "INSERT with a static PARTITION spec is not supported " +
+                "on a graft table — partition values ride in the rows")
+          if (ins.ifPartitionNotExists)
+            throw new IllegalArgumentException(
+              "IF NOT EXISTS partitions are not supported on a graft " +
+                "table")
+          GraftInsertCommand(name, t, PlanBox(ins.query),
+            ins.userSpecifiedCols, ins.overwrite, ins.byName)
         }
       }.getOrElse(plan)
     case other => other

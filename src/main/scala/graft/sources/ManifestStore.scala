@@ -1985,6 +1985,408 @@ object ManifestStore {
     }
   }
 
+  /** A general-merge clause ([[mergeInto]]). Conditions and
+    * assignment right-hand sides are late-bound Columns over the
+    * MERGE evaluation frame: target columns under their own names,
+    * source columns under the [[srcCol]] prefix (matched clauses);
+    * INSERT clauses bind over the source rows alone (bare source
+    * names); BY SOURCE clauses over the target alone.
+    */
+  sealed trait MergeClause {
+    def cond: Option[org.apache.spark.sql.Column]
+  }
+  /** UPDATE SET — `set = None` is `SET *`: every source column that
+    * exists in the target by name, minus the partition columns
+    * (assigning those would move rows across partitions, which the
+    * S21b contract refuses — model a move as DELETE + append).
+    */
+  final case class MergeUpdate(
+      set: Option[Seq[(String, org.apache.spark.sql.Column)]],
+      cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeClause
+  final case class MergeDelete(
+      cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeClause
+  /** INSERT — `values = None` is `INSERT *` (same-name source
+    * columns; target columns absent from the source land NULL).
+    */
+  final case class MergeInsert(
+      values: Option[Seq[(String, org.apache.spark.sql.Column)]],
+      cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeClause
+
+  /** A SOURCE column inside a matched-clause condition or assignment
+    * RHS: the evaluation frame carries source columns under this
+    * prefix so `price = srcCol("price") * 2` reads unambiguously next
+    * to the target's own `col("price")`.
+    */
+  def srcCol(name: String): org.apache.spark.sql.Column =
+    col(s"__graft_src_$name")
+
+  /** GENERAL MERGE (the CDC-apply shape — conditional WHEN clauses,
+    * column-list assignments, `WHEN NOT MATCHED BY SOURCE`), executed
+    * as ONE generation commit over the partition-scoped publish:
+    *
+    *  - `matched` clauses ([[MergeUpdate]]/[[MergeDelete]]) apply to
+    *    target rows whose `keys` match a source row — FIRST clause
+    *    whose condition passes wins (SQL MERGE order semantics); no
+    *    clause firing carries the row unchanged.
+    *  - `notMatched` clauses ([[MergeInsert]]) apply to source rows
+    *    matching no target row.
+    *  - `notMatchedBySource` clauses apply to target rows matching no
+    *    source row — the clause family that makes one MERGE statement
+    *    a full CDC apply (`WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    *    retires rows the upstream no longer has).
+    *
+    * Matching is GLOBAL (a key matches wherever the row lives), but
+    * the REWRITE is partition-scoped: a planning pass finds the
+    * partitions where at least one clause actually fires (plus the
+    * partitions insert rows land in), and only those rewrite — every
+    * other partition's files ride into the new generation
+    * byte-identical. Without BY SOURCE clauses the planning pass
+    * scans only the key-matched join (inner, broadcast-able when the
+    * source is batch-sized); with them it is one full pass — the
+    * semantics read every row, so that cost is inherent. All
+    * assignment RHSs evaluate against the row's OLD values (the
+    * [[updateWhere]] rule: `SET a = b, b = a` swaps) and cast to the
+    * target column's existing type; the partition column is
+    * unassignable.
+    *
+    * The SQL cardinality rule is enforced: a source carrying
+    * duplicate keys that match the target refuses (which source row's
+    * values such a target row takes would be arbitrary). Returns the
+    * committed generation (the serving one when nothing fires).
+    * Commits CAS against the planned-from pointer; disjoint races
+    * rebase once ([[withDisjointRebase]]).
+    */
+  def mergeInto(spark: SparkSession, source: DataFrame, root: String,
+                keys: Seq[String],
+                matched: Seq[MergeClause] = Nil,
+                notMatched: Seq[MergeClause] = Nil,
+                notMatchedBySource: Seq[MergeClause] = Nil,
+                expectations: Seq[graft.operators.Cleaning.Expectation] =
+                  Nil,
+                keep: Int = 3, retainMs: Long = 0L): Long =
+    mergeIntoImpl(spark, source, root, keys, matched, notMatched,
+      notMatchedBySource, expectations, keep, retainMs, () => ())
+
+  /** [[mergeInto]] with the race-window hook (the [[deleteWhereImpl]]
+    * pattern: disjoint races rebase once, overlapping races stay
+    * loud).
+    */
+  private[graft] def mergeIntoImpl(spark: SparkSession,
+                                   source: DataFrame, root: String,
+                                   keys: Seq[String],
+                                   matched: Seq[MergeClause],
+                                   notMatched: Seq[MergeClause],
+                                   notMatchedBySource: Seq[MergeClause],
+                                   expectations: Seq[graft.operators.Cleaning.Expectation],
+                                   keep: Int, retainMs: Long,
+                                   beforePublish: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    import org.apache.spark.sql.Column
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN MATCHED takes UPDATE or DELETE clauses, not INSERT")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: MergeInsert => ()
+      case _ => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED takes INSERT clauses only")
+    }
+    notMatchedBySource.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE clauses, " +
+          "not INSERT (there is no source row to insert)")
+      case _ => ()
+    }
+    if (matched.isEmpty && notMatched.isEmpty &&
+        notMatchedBySource.isEmpty)
+      throw new IllegalArgumentException(
+        "mergeInto needs at least one WHEN clause")
+    val fs = Tables.fsFor(spark, root)
+    val srcPrefix = "__graft_src_"
+
+    def attempt(): Long = {
+      val gen = currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published manifest table at $root — bootstrap with " +
+            "ManifestStore.publish first"))
+      val raw = MetaSwap.readCommitted(fs, pointer(root))
+      val m = manifestAt(spark, root, gen)
+      val partCol = m.partCol
+      val partCols = partColsOf(partCol)
+      val schema =
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val fieldType =
+        schema.fields.map(f => f.name -> f.dataType).toMap
+      keys.foreach { k =>
+        require(fieldType.contains(k),
+          s"merge key $k not in target ${schema.fieldNames.mkString(",")}")
+        require(source.columns.contains(k),
+          s"merge key $k not in source ${source.columns.mkString(",")}")
+      }
+      require(!schema.fieldNames.exists(_.startsWith("__graft_")),
+        "column names starting with __graft_ are reserved for the " +
+          "merge evaluation frame")
+      // expand SET * / validate explicit SETs; star excludes the
+      // partition columns (unassignable), explicit SETs refuse them
+      def expandedSet(set: Option[Seq[(String, Column)]])
+          : Seq[(String, Column)] = set match {
+        case Some(s) =>
+          s.foreach { case (c, _) =>
+            require(fieldType.contains(c),
+              s"assignment target $c not in " +
+                schema.fieldNames.mkString(","))
+            require(!partCols.contains(c),
+              s"cannot assign partition column $c: a cross-partition " +
+                "move must be an explicit DELETE + append")
+          }
+          require(s.map(_._1).distinct.size == s.size,
+            s"duplicate assignment targets: ${s.map(_._1).mkString(",")}")
+          s
+        case None =>
+          schema.fieldNames.toSeq
+            .filter(c => source.columns.contains(c) &&
+              !partCols.contains(c))
+            .map(c => c -> srcCol(c))
+      }
+      val matchedX: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+        matched.map {
+          case MergeUpdate(set, cond) => (cond, Some(expandedSet(set)))
+          case MergeDelete(cond)      => (cond, None)
+          case _: MergeInsert => throw new IllegalStateException(
+            "unreachable: validated above")
+        }
+      val bySourceX: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+        notMatchedBySource.map {
+          case MergeUpdate(set, cond) => (cond, Some(expandedSet(set)))
+          case MergeDelete(cond)      => (cond, None)
+          case _: MergeInsert => throw new IllegalStateException(
+            "unreachable: validated above")
+        }
+
+      val cur = readAt(spark, root, gen)
+      val srcP = source.select(source.columns.toSeq
+        .map(c => col(c).as(s"$srcPrefix$c")): _*)
+
+      // the SQL cardinality rule: duplicate source keys that MATCH a
+      // target row make the matched result arbitrary — refuse. The
+      // duplicate probe is source-sized; the target semi-join runs
+      // only when duplicates exist at all.
+      if (matched.nonEmpty) {
+        val dup = source.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__graft_cnt"))
+          .filter(col("__graft_cnt") > 1)
+        if (dup.limit(1).count() > 0) {
+          val hit = dup.join(cur.select(keys.map(col): _*).distinct(),
+            keys, "left_semi").limit(1).count()
+          if (hit > 0) throw new IllegalArgumentException(
+            "MERGE source has multiple rows per key matching one " +
+              "target row (SQL cardinality violation) — dedupe the " +
+              s"source on (${keys.mkString(",")}) first")
+        }
+      }
+
+      // ---- the per-row action chain, shared by both passes ----
+      // matched clause i fires as action i; BY SOURCE clause j as
+      // 1000 + j; -1 carries the row. First match wins: fold from
+      // the LAST clause so earlier clauses sit outermost.
+      val mFlag = srcCol(keys.head).isNotNull
+      def actionCol: Column = {
+        val entries: Seq[(Int, Column)] =
+          matchedX.zipWithIndex.map { case ((cond, _), i) =>
+            i -> (mFlag &&
+              coalesce(cond.getOrElse(lit(true)), lit(false)))
+          } ++
+            bySourceX.zipWithIndex.map { case ((cond, _), j) =>
+              (1000 + j) -> (!mFlag &&
+                coalesce(cond.getOrElse(lit(true)), lit(false)))
+            }
+        entries.reverse.foldLeft(lit(-1)) { case (acc, (idx, pred)) =>
+          when(pred, lit(idx)).otherwise(acc)
+        }
+      }
+      val deleteIdx: Seq[Int] =
+        matchedX.zipWithIndex.collect { case ((_, None), i) => i } ++
+          bySourceX.zipWithIndex.collect {
+            case ((_, None), j) => 1000 + j }
+      val updates: Seq[(Int, Seq[(String, Column)])] =
+        matchedX.zipWithIndex.collect {
+          case ((_, Some(s)), i) => i -> s } ++
+          bySourceX.zipWithIndex.collect {
+            case ((_, Some(s)), j) => (1000 + j) -> s }
+
+      def joinKeys(left: DataFrame): Column =
+        keys.map(k => left(k) === srcP(s"$srcPrefix$k"))
+          .reduce(_ && _)
+
+      // ---- INSERT rows (source rows matching no target row) ----
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else {
+          val anti = source.join(
+            cur.select(keys.map(col): _*).distinct(), keys,
+            "left_anti")
+          val insAct = notMatched.reverse.zip(
+            (0 until notMatched.size).reverse)
+            .foldLeft(lit(-1)) { case (acc, (cl, i)) =>
+              when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)),
+                lit(i)).otherwise(acc)
+            }
+          val flagged = anti.withColumn("__graft_ins", insAct)
+          val perClause = notMatched.zipWithIndex.map {
+            case (MergeInsert(values, _), i) =>
+              val vals: Map[String, Column] = values match {
+                case Some(vs) =>
+                  vs.foreach { case (c, _) =>
+                    require(fieldType.contains(c),
+                      s"INSERT target $c not in " +
+                        schema.fieldNames.mkString(",")) }
+                  require(vs.map(_._1).distinct.size == vs.size,
+                    "duplicate INSERT targets: " +
+                      vs.map(_._1).mkString(","))
+                  vs.toMap
+                case None =>
+                  schema.fieldNames.toSeq
+                    .filter(source.columns.contains)
+                    .map(c => c -> col(c)).toMap
+              }
+              flagged.filter(col("__graft_ins") === i)
+                .select(schema.fields.toSeq.map(f =>
+                  vals.get(f.name)
+                    .map(_.cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType))
+                    .as(f.name)): _*)
+            case (other, _) => throw new IllegalStateException(
+              s"unreachable: $other validated above")
+          }
+          Some(perClause.reduce(_.unionByName(_)))
+        }
+
+      // ---- planning pass: partitions where anything fires ----
+      // without BY SOURCE clauses only key-matched rows can fire, so
+      // the scan is the inner join (batch-sized source broadcast);
+      // with them the semantics read every target row — one full pass
+      val planFrame =
+        if (bySourceX.isEmpty) cur.join(srcP, joinKeys(cur), "inner")
+        else cur.join(srcP, joinKeys(cur), "left")
+      val firedParts: Set[String] =
+        if (matchedX.isEmpty && bySourceX.isEmpty) Set.empty
+        else planFrame.withColumn("__graft_act", actionCol)
+          .filter(col("__graft_act") =!= -1)
+          .select(partKeyExpr(partCol)).distinct()
+          .collect().map(r => nullSafe(r.getString(0))).toSet
+      val insertParts: Set[String] = inserts match {
+        case None => Set.empty
+        case Some(ins) => ins.select(partKeyExpr(partCol)).distinct()
+          .collect().map(r => nullSafe(r.getString(0))).toSet
+      }
+      val affected = firedParts ++ insertParts
+      if (affected.isEmpty) return gen
+
+      // ---- rewrite pass: ONLY the affected partitions ----
+      val part = readPartitions(spark, root, affected.toSeq, Some(gen))
+      val j = part.join(srcP, joinKeys(part), "left")
+        .withColumn("__graft_act", actionCol)
+      // every assignment RHS evaluates against the OLD row (computed
+      // as fresh columns in one pass, then swapped in by select)
+      val assigned = updates.flatMap(_._2.map(_._1)).distinct
+      val withNew = assigned.foldLeft(j) { case (df, c) =>
+        val chain = updates.filter(_._2.exists(_._1 == c))
+          .foldRight(col(c): Column) { case ((idx, set), acc) =>
+            val rhs = set.find(_._1 == c).get._2
+            when(col("__graft_act") === idx,
+              rhs.cast(fieldType(c))).otherwise(acc)
+          }
+        df.withColumn(s"__graft_new_$c", chain)
+      }
+      val kept =
+        if (deleteIdx.isEmpty) withNew
+        else withNew.filter(!col("__graft_act")
+          .isin(deleteIdx.map(Integer.valueOf): _*))
+      val rewritten = kept.select(schema.fields.toSeq.map { f =>
+        (if (assigned.contains(f.name)) col(s"__graft_new_${f.name}")
+         else col(f.name)).as(f.name)
+      }: _*)
+      val out = inserts match {
+        case Some(ins) => rewritten.unionByName(ins)
+        case None      => rewritten
+      }
+      beforePublish()
+      try publishImpl(spark, out, root, partCol, expectations, keep,
+        replaceAll = false, coalescePartitions = true, () => (),
+        retainMs, Some(raw), replacedPartitions = affected)
+      catch {
+        case e: MetaSwap.CasFailed =>
+          throw new RebaseSignal(gen, affected, e)
+      }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
+  }
+
+  /** APPEND (SQL `INSERT INTO` semantics): add `df`'s rows to the
+    * table without touching any existing row — the fourth DML verb
+    * beside DELETE/UPDATE/MERGE. Only the partitions `df` lands rows
+    * in rewrite (their existing rows union the new ones); every
+    * other partition's files ride byte-identical. `df` must match
+    * the table schema BY NAME (each column casts to its recorded
+    * type; extra or missing columns refuse — widening is a publish,
+    * not an append side effect). Returns the committed generation
+    * (the serving one for an empty `df`). CAS + disjoint rebase as
+    * every partition-scoped writer.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             expectations: Seq[graft.operators.Cleaning.Expectation] =
+               Nil,
+             keep: Int = 3, retainMs: Long = 0L): Long =
+    appendImpl(spark, df, root, expectations, keep, retainMs, () => ())
+
+  private[graft] def appendImpl(spark: SparkSession, df: DataFrame,
+                                root: String,
+                                expectations: Seq[graft.operators.Cleaning.Expectation],
+                                keep: Int, retainMs: Long,
+                                beforePublish: () => Unit): Long = {
+    val fs = Tables.fsFor(spark, root)
+    def attempt(): Long = {
+      val gen = currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published manifest table at $root — bootstrap with " +
+            "ManifestStore.publish first"))
+      val raw = MetaSwap.readCommitted(fs, pointer(root))
+      val m = manifestAt(spark, root, gen)
+      val schema =
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val extra = df.columns.filterNot(schema.fieldNames.contains)
+      val missing = schema.fieldNames.filterNot(df.columns.contains)
+      require(extra.isEmpty && missing.isEmpty,
+        s"append must match the table schema by name: " +
+          (if (extra.nonEmpty) s"unknown [${extra.mkString(",")}] "
+           else "") +
+          (if (missing.nonEmpty) s"missing [${missing.mkString(",")}]"
+           else "") +
+          " — widen or project first (schema evolution is a publish)")
+      val aligned = df.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      val affected = aligned.select(partKeyExpr(m.partCol)).distinct()
+        .collect().map(r => nullSafe(r.getString(0))).toSet
+      if (affected.isEmpty) return gen
+      val existing = readPartitions(spark, root, affected.toSeq,
+        Some(gen))
+      beforePublish()
+      try publishImpl(spark, existing.unionByName(aligned), root,
+        m.partCol, expectations, keep, replaceAll = false,
+        coalescePartitions = true, () => (), retainMs, Some(raw))
+      catch {
+        case e: MetaSwap.CasFailed =>
+          throw new RebaseSignal(gen, affected, e)
+      }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
+  }
+
   /** OPTIMISTIC REBASE (the Iceberg commit-conflict rule), shared by
     * every partition-scoped writer — merge, DELETE, UPDATE, and the
     * two OPTIMIZE forms: run `attempt` (which plans from the serving

@@ -37,7 +37,14 @@ import graft.sources.ChangeFeed
   * AFTER this generation — "from now" = the serving gen; omit for the
   * full-sync bootstrap: the oldest retained generation delivered as
   * all-`added` rows, then diffs take over, the
-  * [[ChangeFeed.consume]] first-contact contract).
+  * [[ChangeFeed.consume]] first-contact contract), and
+  * `maxGensPerTrigger` (ADMISSION CONTROL: cap the generations one
+  * micro-batch drains, so a consumer restarting N promotions behind
+  * catches up in ceil(N / max) bounded batches instead of one
+  * N-promotion union plan — the maxFilesPerTrigger discipline; the
+  * cap is applied at OFFSET time, never inside a planned batch, so
+  * the checkpointed offset log always names exactly what was
+  * delivered).
   *
   * Retention honesty rides through [[ChangeFeed.changesAt]]: a
   * restart whose checkpointed offset lags past the retention window
@@ -51,7 +58,8 @@ import graft.sources.ChangeFeed
   * history length, and nothing is ever copied into a side log.
   */
 class CdfSource(spark: SparkSession, root: String, keys: Seq[String],
-                startGenOpt: Option[Long]) extends Source {
+                startGenOpt: Option[Long],
+                maxGensPerTrigger: Option[Long] = None) extends Source {
 
   import graft.operators.Incremental
 
@@ -64,11 +72,31 @@ class CdfSource(spark: SparkSession, root: String, keys: Seq[String],
 
   private def genOf(o: Offset): Long = o.json.toLong
 
-  override def getOffset: Option[Offset] =
+  // the newest generation a PLANNED batch ended at — written by
+  // getBatch, which the engine calls on restart for the recovered
+  // range before any new offset is requested (the FileStreamSource
+  // recovery pattern), so the admission cap below never regresses
+  // the offset log
+  @volatile private var lastPlannedEnd: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
     // one pointer read; when this equals the checkpointed offset the
     // engine plans no batch (an explicit startGen at-or-past the
     // serving gen therefore idles until the next promotion)
-    Some(CdfSource.GenOffset(ChangeFeed.currentGen(spark, root)))
+    val cur = ChangeFeed.currentGen(spark, root)
+    maxGensPerTrigger match {
+      case None => Some(CdfSource.GenOffset(cur))
+      case Some(mx) =>
+        val base = lastPlannedEnd.getOrElse(startGenOpt.getOrElse(
+          ChangeFeed.oldestRetained(spark, root, cur) - 1L))
+        val capped = math.max(base, math.min(cur, base + mx))
+        if (capped < cur)
+          System.err.println(s"[graft-cdf] $root: admission control " +
+            s"capped this trigger at generation $capped " +
+            s"(${cur - capped} promotions still pending)")
+        Some(CdfSource.GenOffset(capped))
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset)
       : DataFrame = {
@@ -98,6 +126,7 @@ class CdfSource(spark: SparkSession, root: String, keys: Seq[String],
     val out = parts.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    lastPlannedEnd = Some(endGen)
     org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(
       out.select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
@@ -132,7 +161,7 @@ class CdfSourceProvider extends StreamSourceProvider
   override def shortName(): String = "graft-cdf"
 
   private def parse(parameters: Map[String, String])
-      : (String, Seq[String], Option[Long]) = {
+      : (String, Seq[String], Option[Long], Option[Long]) = {
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-cdf needs a path option (the table root)"))
@@ -144,7 +173,15 @@ class CdfSourceProvider extends StreamSourceProvider
     val startGen = parameters.get("startGen").map(v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"startGen must be a generation number, got '$v'")))
-    (root, keys, startGen)
+    val maxGens = parameters.get("maxGensPerTrigger").map { v =>
+      val n = v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"maxGensPerTrigger must be a positive number, got '$v'"))
+      require(n > 0,
+        s"maxGensPerTrigger must be a positive number, got $n")
+      n
+    }
+    (root, keys, startGen, maxGens)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -152,7 +189,7 @@ class CdfSourceProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
-    val (root, keys, _) = parse(parameters)
+    val (root, keys, _, _) = parse(parameters)
     (shortName(),
       CdfSource.schemaFor(sqlContext.sparkSession, root, keys))
   }
@@ -162,7 +199,8 @@ class CdfSourceProvider extends StreamSourceProvider
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (root, keys, startGen) = parse(parameters)
-    new CdfSource(sqlContext.sparkSession, root, keys, startGen)
+    val (root, keys, startGen, maxGens) = parse(parameters)
+    new CdfSource(sqlContext.sparkSession, root, keys, startGen,
+      maxGens)
   }
 }

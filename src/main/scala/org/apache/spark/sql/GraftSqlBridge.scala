@@ -15,6 +15,17 @@ object GraftSqlBridge {
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over an unresolved logical plan — what lets the DML
+    * router carry an `INSERT INTO ... SELECT` statement's query
+    * subtree into its command and analyze it at execution
+    * (`Dataset.ofRows` is `private[sql]`, hence bridged).
+    */
+  def dfOf(spark: SparkSession,
+           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      plan)
+
   /** The file-source [[sources.BaseRelation]] inside a DataFrame's
     * analyzed plan — what lets graft's pointer-resolving data source
     * ([[graft.sources.SnapshotSource]]) hand Spark the REAL

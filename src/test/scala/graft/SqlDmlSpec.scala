@@ -102,13 +102,14 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_t USING " +
         s"`graft-snapshot` OPTIONS (path '$root')")
       orders.limit(3).createOrReplaceTempView("dml_s")
-      // a column-list MATCHED action is not the canonical upsert
+      // a BARE column existing in BOTH relations is ambiguous — the
+      // SQL rule; qualify it (t./s.)
       val e1 = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO dml_t t USING dml_s s " +
           "ON t.o_orderkey = s.o_orderkey " +
-          "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.o_orderstatus")
+          "WHEN MATCHED THEN UPDATE SET o_orderpriority = o_orderstatus")
       }
-      assert(e1.getMessage.contains("canonical upsert"))
+      assert(e1.getMessage.contains("ambiguous"))
       // a non-equi ON clause refuses too
       val e2 = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO dml_t t USING dml_s s " +
@@ -175,6 +176,199 @@ class SqlDmlSpec extends AnyFunSuite {
         .head().getLong(0)
       assert(g == 3L)
       Seq("dml_pinned", "dml_unpinned")
+        .foreach(spark.catalog.dropTempView)
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("GENERAL MERGE: conditional WHEN clauses, column-list " +
+      "assignments, conditional INSERT, and NOT MATCHED BY SOURCE " +
+      "DELETE — one generation commit, untouched partitions " +
+      "byte-identical, result row-exact vs an independent build") {
+    val dir = tmp("sqlgmerge")
+    try {
+      val root = dir.toString + "/orders"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      ManifestStore.publish(spark, orders, root, "o_year")
+      val before = fileState(root, 1L)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW gm_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      // a THIN source (not the target's shape): key-sampled rows of
+      // 1996/97 to match, negated keys to insert
+      // key 0 exists in the testdata and is its own negation — keep
+      // the insert keys (negated) provably disjoint from the domain
+      val base = orders
+        .filter(col("o_year").isin("1996", "1997") &&
+          col("o_orderkey") % 97 === 0 && col("o_orderkey") > 0)
+      val src = base.select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("newprice"), col("o_year"))
+        .unionByName(base.select((-col("o_orderkey")).as("o_orderkey"),
+          lit(1000.0).as("newprice"), col("o_year")))
+      src.createOrReplaceTempView("gm_src")
+      val g = spark.sql(
+        "MERGE INTO gm_t t USING gm_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND t.o_orderstatus = 'F' THEN UPDATE SET " +
+          "o_totalprice = s.newprice, o_orderpriority = 'REPRICED' " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT " +
+          "(o_orderkey, o_year, o_totalprice) VALUES " +
+          "(s.o_orderkey, s.o_year, s.newprice) " +
+          "WHEN NOT MATCHED BY SOURCE AND o_year = '1998' AND " +
+          "o_orderkey % 10 = 0 THEN DELETE").head().getLong(0)
+      assert(g == 2L, "the whole CDC apply must be ONE generation")
+
+      // independent expected build (plain DataFrame algebra)
+      val withNew = orders.join(
+        src.filter(col("o_orderkey") > 0)
+          .select(col("o_orderkey"), col("newprice")),
+        Seq("o_orderkey"), "left")
+      val matchedF = col("newprice").isNotNull
+      val expectedKept = withNew
+        .filter(!(matchedF && col("o_orderstatus") =!= "F"))
+        .filter(!(col("newprice").isNull && col("o_year") === "1998" &&
+          col("o_orderkey") % 10 === 0))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          when(matchedF, col("newprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"),
+          when(matchedF, lit("REPRICED"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+          col("o_year"))
+      val expectedIns = src
+        .filter(col("o_orderkey") < 0 && col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          col("newprice").as("o_totalprice"),
+          lit(null).cast(orders.schema("o_orderdate").dataType)
+            .as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"),
+          col("o_year"))
+      val expected = expectedKept.unionByName(expectedIns)
+      val actual = ManifestStore.readCurrent(spark, root)
+      assert(actual.count() == expected.count())
+      assert(actual.exceptAll(expected).isEmpty &&
+        expected.exceptAll(actual).isEmpty,
+        "merge result must be row-exact vs the independent build")
+
+      // partitions outside {1996, 1997, 1998} never rewrite
+      val after = fileState(root, 2L)
+      val untouched = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.filterNot(e =>
+          Set("1996", "1997", "1998").contains(e.partition))
+        .map(_.relPath)
+      assert(untouched.nonEmpty && untouched.forall(p =>
+        before.get(p).contains(after(p))),
+        "partitions no clause touches must carry byte-identical")
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+
+      // SQL cardinality rule: duplicate matching source keys refuse
+      src.unionByName(src).createOrReplaceTempView("gm_dup")
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO gm_t t USING gm_dup s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET o_totalprice = s.newprice")
+      }
+      assert(e.getMessage.contains("cardinality"))
+      // BY SOURCE clauses cannot reference SOURCE columns (no
+      // matched source row) — refused typed at parse time
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO gm_t t USING gm_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET " +
+          "o_totalprice = s.newprice")
+      }
+      assert(e2.getMessage.contains("BY SOURCE"))
+      Seq("gm_t", "gm_src", "gm_dup")
+        .foreach(spark.catalog.dropTempView)
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("INSERT INTO a graft view: positional append rewrites only " +
+      "the landed partitions; a column list NULL-fills; OVERWRITE " +
+      "is the full replace; snapshot layout refuses") {
+    val dir = tmp("sqlinsert")
+    try {
+      val root = dir.toString + "/orders"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      ManifestStore.publish(spark, orders, root, "o_year")
+      val n0 = orders.count()
+      val before = fileState(root, 1L)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ins_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      orders.filter(col("o_year") === "1996").limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + 500000000L)
+        .withColumn("o_orderpriority", lit("NEW"))
+        .createOrReplaceTempView("ins_src")
+
+      // positional full-width INSERT ... SELECT
+      val g = spark.sql("INSERT INTO ins_t SELECT * FROM ins_src")
+        .head().getLong(0)
+      assert(g == 2L)
+      val cur = ManifestStore.readCurrent(spark, root)
+      assert(cur.count() == n0 + 50)
+      assert(cur.filter(col("o_orderpriority") === "NEW")
+        .count() == 50)
+      // existing 1996 rows still there (append, not replace)
+      assert(cur.filter(col("o_year") === "1996" &&
+        col("o_orderpriority") =!= "NEW").count() ==
+        orders.filter(col("o_year") === "1996").count())
+      val after = fileState(root, 2L)
+      val untouched = ManifestStore.manifestAt(spark, root, 2L)
+        .entries.filter(_.partition != "1996").map(_.relPath)
+      assert(untouched.nonEmpty && untouched.forall(p =>
+        before.get(p).contains(after(p))),
+        "INSERT must rewrite only the partitions it lands rows in")
+
+      // column list: unnamed columns land NULL
+      val g2 = spark.sql("INSERT INTO ins_t (o_orderkey, o_year) " +
+        "SELECT o_orderkey + 600000000, o_year FROM ins_src")
+        .head().getLong(0)
+      assert(g2 == 3L)
+      val cur2 = ManifestStore.readCurrent(spark, root)
+      assert(cur2.filter(col("o_orderkey") > 600000000L)
+        .filter(col("o_totalprice").isNotNull).count() == 0L)
+      assert(cur2.count() == n0 + 100)
+
+      // INSERT OVERWRITE: the honest full replace
+      val g3 = spark.sql("INSERT OVERWRITE ins_t " +
+        "SELECT * FROM ins_src").head().getLong(0)
+      assert(g3 == 4L)
+      assert(ManifestStore.readCurrent(spark, root).count() == 50)
+      // time travel still serves the pre-overwrite state
+      assert(ManifestStore.readAt(spark, root, 3L).count() == n0 + 100)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+
+      // width mismatch refuses (positional needs full width)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO ins_t SELECT o_orderkey FROM ins_src")
+      }
+      assert(e.getMessage.contains("positional"))
+      // static PARTITION spec refuses
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO ins_t PARTITION (o_year='1996') " +
+          "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "o_totalprice, o_orderdate, o_orderpriority FROM ins_src")
+      }
+      assert(e2.getMessage.contains("PARTITION"))
+      // snapshot layout: full-copy generations take no row DML
+      val snapRoot = dir.toString + "/snap"
+      SnapshotStore.publish(spark,
+        Tables.table(spark, sf, "nation"), snapRoot)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ins_snap USING " +
+        s"`graft-snapshot` OPTIONS (path '$snapRoot')")
+      val e3 = intercept[IllegalStateException] {
+        spark.sql("INSERT INTO ins_snap SELECT * FROM ins_snap")
+      }
+      assert(e3.getMessage.contains("manifest layout"))
+      Seq("ins_t", "ins_src", "ins_snap")
         .foreach(spark.catalog.dropTempView)
       ()
     } finally rmTree(dir)

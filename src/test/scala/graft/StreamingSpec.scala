@@ -507,4 +507,71 @@ class StreamingSpec extends AnyFunSuite {
       ()
     } finally rmTree(new java.io.File(out))
   }
+
+  test("graft-cdf admission control: maxGensPerTrigger drains a " +
+      "lagged checkpoint in bounded micro-batches whose union " +
+      "equals the unbounded drain") {
+    import graft.sources.{SnapshotStore, Tables}
+    val out = java.nio.file.Files.createTempDirectory("graft-cdfcap")
+      .toString
+    try {
+      val root = s"$out/tbl"
+      val nation = Tables.table(spark, sf, "nation")
+      SnapshotStore.publish(spark, nation, root, keep = 10) // gen 1
+      val keys = Seq("n_nationkey")
+
+      // drain with an optional cap; returns (batches-with-rows,
+      // rows bucketed by generation stamp)
+      def drain(ck: String, maxGens: Option[Long])
+          : (Int, Map[Long, Set[org.apache.spark.sql.Row]]) = {
+        val buf = scala.collection.mutable.Map
+          .empty[Long, Set[org.apache.spark.sql.Row]]
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val reader = spark.readStream.format("graft-cdf")
+          .option("keys", keys.mkString(","))
+        val q = maxGens.fold(reader)(m =>
+          reader.option("maxGensPerTrigger", m.toString)).load(root)
+          .writeStream.option("checkpointLocation", ck)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              val rows = df.collect()
+              if (rows.nonEmpty) batches.incrementAndGet()
+              rows.groupBy(_.getAs[Long]("graft_gen")).foreach {
+                case (g, rs) =>
+                  buf(g) = buf.getOrElse(g, Set.empty) ++
+                    rs.map(r => org.apache.spark.sql.Row.fromSeq(
+                      r.toSeq.dropRight(1))).toSet
+              }
+          }.start()
+        q.processAllAvailable()
+        q.stop()
+        (batches.get(), buf.toMap)
+      }
+
+      // consume gen 1, then fall 5 promotions behind
+      val (_, _) = drain(s"$out/ckCap", None)
+      (2 to 6).foreach { i =>
+        SnapshotStore.publish(spark,
+          nation.withColumn("n_name", concat(col("n_name"),
+            lit(s"-$i"))), root, keep = 10)
+      }
+      // the capped catch-up: 5 pending gens / 2 per trigger = 3
+      // bounded batches, same rows as one unbounded drain
+      val (nCapped, capped) = drain(s"$out/ckCap", Some(2L))
+      assert(nCapped == 3,
+        s"5 pending generations at maxGensPerTrigger=2 must drain " +
+          s"in 3 batches, got $nCapped")
+      val (nUnbounded, unbounded) = drain(s"$out/ckRef", None)
+      // the reference drain bootstraps (gen-1 full sync) — compare
+      // the lagged generations only
+      assert(capped.keySet == Set(2L, 3L, 4L, 5L, 6L))
+      (2L to 6L).foreach { g =>
+        assert(capped(g) == unbounded(g),
+          s"generation $g must deliver the same rows capped or not")
+      }
+      assert(nUnbounded == 1,
+        "the unbounded reference must drain in one batch")
+      ()
+    } finally rmTree(new java.io.File(out))
+  }
 }
