@@ -141,7 +141,8 @@ object ManifestStore {
                                           publishedMs: Long,
                                           statsCols: Seq[String],
                                           nGroups: Int,
-                                          refs: Seq[GroupRef])
+                                          refs: Seq[GroupRef],
+                                          groupByPrefix: Boolean = false)
       extends GenFile
 
   /** The partition group of a raw partition-value string. Stability
@@ -151,6 +152,21 @@ object ManifestStore {
     */
   private[graft] def groupOf(value: String, nGroups: Int): Int =
     math.floorMod(value.hashCode, nGroups)
+
+  /** The string a partition value is GROUPED on. Prefix-aware list
+    * layouts (`groupkey=prefix` — every list generation this library
+    * now writes) hash the LEADING tuple component, so all of a
+    * leading value's partitions share a group and
+    * [[readPartitionPrefix]] parses O(1) group manifests instead of
+    * all of them; legacy list generations hash the full tuple and
+    * keep their recorded assignment (each generation file is
+    * self-describing). Single-column tables have no separator, so
+    * both modes group identically there.
+    */
+  private[graft] def groupKeyOf(partition: String,
+                                byPrefix: Boolean): String =
+    if (!byPrefix) partition
+    else partition.split(TupleSep, -1).head
 
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
@@ -242,6 +258,7 @@ object ManifestStore {
       g.statsCols)
     sb.append("list=v1\n")
     sb.append("groups=").append(g.nGroups).append('\n')
+    if (g.groupByPrefix) sb.append("groupkey=prefix\n")
     g.refs.sortBy(_.group).foreach { r =>
       sb.append(r.group).append('\t').append(r.relPath).append('\n')
     }
@@ -289,7 +306,8 @@ object ManifestStore {
         GroupRef(l.take(i).toInt, l.drop(i + 1))
       }
       ListGen(header("partcol"), header("schema"), published,
-        statsCols, n, refs)
+        statsCols, n, refs,
+        groupByPrefix = lines.contains("groupkey=prefix"))
     } else {
       val entries = lines.filter(_.contains('\t')).map(parseEntryLine)
       FlatGen(Manifest(header("partcol"), header("schema"), entries,
@@ -388,7 +406,8 @@ object ManifestStore {
       : Seq[GroupRef] = gf match {
     case _: FlatGen => Seq.empty
     case lg: ListGen =>
-      val wanted = values.map(v => groupOf(nullSafe(v), lg.nGroups))
+      val wanted = values.map(v =>
+        groupOf(groupKeyOf(nullSafe(v), lg.groupByPrefix), lg.nGroups))
         .toSet
       lg.refs.filter(r => wanted(r.group))
   }
@@ -623,10 +642,12 @@ object ManifestStore {
     * partitions whose first `prefix.size` components equal `prefix`
     * ("all of 1996" on a (year, month) table). The decision is a
     * driver pass over the entry list — files outside the prefix are
-    * never listed or opened. On a list-layout table the prefix cannot
-    * select groups (grouping hashes the FULL tuple), so all group
-    * manifests parse — metadata-sized — while the file scan stays
-    * prefix-bounded.
+    * never listed or opened. On a PREFIX-GROUPED list layout
+    * (`groupkey=prefix` — the default for every list generation this
+    * library writes) the leading component selects its ONE group, so
+    * only O(prefix) group manifests parse; a legacy full-tuple-hashed
+    * list generation parses all groups (metadata-sized) while the
+    * file scan stays prefix-bounded either way.
     */
   def readPartitionPrefix(spark: SparkSession, root: String,
                           prefix: Seq[String],
@@ -634,19 +655,49 @@ object ManifestStore {
     val g = gen.orElse(currentGen(spark, root)).getOrElse(
       throw new IllegalStateException(
         s"no published manifest table at $root"))
-    val m = manifestAt(spark, root, g)
-    val nCols = partColsOf(m.partCol).size
+    val gf = genFileAt(spark, root, g)
+    val nCols = partColsOf(gf.partCol).size
     require(prefix.nonEmpty && prefix.size <= nCols,
       s"prefix must name 1..$nCols leading components of " +
-        s"(${m.partCol}), got ${prefix.size}")
+        s"(${gf.partCol}), got ${prefix.size}")
+    val fs = Tables.fsFor(spark, root)
     val want = prefix.map(escComp)
-    val entries = m.entries.filter { e =>
+    val candidates = gf match {
+      case lg: ListGen =>
+        prefixGroupRefs(lg, prefix).flatMap { r =>
+          val p = new Path(s"$root/${r.relPath}")
+          if (!fs.exists(p)) throw new graft.SnapshotUnavailable(
+            s"manifest group ${r.group} of $root is missing its " +
+              s"group file ${r.relPath} — run " +
+              "IndexAudit.auditManifestTable")
+          parseGroup(MetaSwap.readCommitted(fs, p))
+        }
+      case _ => assemble(fs, root, gf).entries
+    }
+    val entries = candidates.filter { e =>
       if (nCols == 1) e.partition == nullSafe(prefix.head)
       else e.partition.split(TupleSep, -1).take(want.size)
         .toSeq == want
     }
-    readEntries(spark, root, m.schemaDdl, entries)
+    readEntries(spark, root, gf.schemaDdl, entries)
   }
+
+  /** The group references a prefix read must parse: ONE group on a
+    * prefix-grouped layout (the leading component's hash), all of
+    * them on a legacy full-tuple layout. Factored out so the
+    * group-parse count is spec-assertable on the literal ref list.
+    */
+  private[graft] def prefixGroupRefs(lg: ListGen,
+                                     prefix: Seq[String])
+      : Seq[GroupRef] =
+    if (!lg.groupByPrefix) lg.refs
+    else {
+      val nCols = partColsOf(lg.partCol).size
+      val headKey =
+        if (nCols == 1) nullSafe(prefix.head) else escComp(prefix.head)
+      val grp = groupOf(headKey, lg.nGroups)
+      lg.refs.filter(_.group == grp)
+    }
 
   /** TYPED comparison of two canonical stat strings under the
     * column's schema type: numerics and decimals parse (lexicographic
@@ -1173,12 +1224,21 @@ object ManifestStore {
     // keeps its group count) — the statsCols/grace inheritance
     // pattern. Once grouped, a table stays grouped (re-group by
     // publishing with a different manifestGroups).
+    val priorList = priorFile.collect { case lg: ListGen => lg }
     val effGroups =
       if (manifestGroups > 0) manifestGroups
-      else priorFile match {
-        case Some(lg: ListGen) => lg.nGroups
-        case _                 => 0
-      }
+      else priorList.map(_.nGroups).getOrElse(0)
+    // the GROUPING KEY mode: a table keeping its layout INHERITS its
+    // recorded mode (verbatim group reuse depends on identical
+    // assignment); a fresh or re-grouped list layout adopts the
+    // prefix-aware default (leading-component hashing — prefix reads
+    // parse O(prefix groups) instead of all of them)
+    val effPrefix = priorList match {
+      case Some(lg) if lg.nGroups == effGroups => lg.groupByPrefix
+      case _                                   => true
+    }
+    def grpOf(partition: String): Int =
+      groupOf(groupKeyOf(partition, effPrefix), effGroups)
     if (effGroups == 0) {
       // FLAT: one generation file carrying every entry line
       val entries =
@@ -1205,16 +1265,15 @@ object ManifestStore {
         if (replaceAll || priorFile.isEmpty) Map.empty
         else if (priorRefs.nonEmpty) Map.empty // loaded lazily below
         else assemble(fs, root, priorFile.get).entries
-          .groupBy(e => groupOf(e.partition, effGroups))
+          .groupBy(e => grpOf(e.partition))
       val touched: Set[Int] =
         if (priorRefs.isEmpty)
           // migration/bootstrap/replaceAll: every group is fresh
-          (stagedValues.map(groupOf(_, effGroups)) ++
+          (stagedValues.map(grpOf) ++
             priorByGroup.keySet).toSet
-        else (stagedValues ++ replacedPartitions)
-          .map(groupOf(_, effGroups))
+        else (stagedValues ++ replacedPartitions).map(grpOf)
       val stagedByGroup = stagedWithStats
-        .groupBy(e => groupOf(e.partition, effGroups))
+        .groupBy(e => grpOf(e.partition))
       val newRefs = touched.toSeq.sorted.flatMap { g =>
         val carried: Seq[ManifestEntry] =
           if (priorRefs.contains(g)) {
@@ -1241,7 +1300,7 @@ object ManifestStore {
         .map { case (g, rel) => GroupRef(g, rel) }.toSeq ++ newRefs
       MetaSwap.swap(fs, new Path(s"$root/_manifests/$token"),
         serializeList(ListGen(partCol, schemaDdl, publishedMs,
-          effStatsCols, effGroups, refs.sortBy(_.group))))
+          effStatsCols, effGroups, refs.sortBy(_.group), effPrefix)))
     }
   }
 

@@ -1581,4 +1581,79 @@ class ManifestStoreSpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("prefix-aware list grouping: a (year,month) list table " +
+      "parses ONE group per prefix read, cells stay one-group, " +
+      "reuse survives steady state, legacy full-tuple generations " +
+      "keep their recorded assignment") {
+    val dir = tmp("maniprefixgrp")
+    try {
+      val root = dir.toString + "/orders"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        .withColumn("o_month", date_format(col("o_orderdate"), "MM"))
+      ManifestStore.publish(spark, orders, root, "o_year,o_month",
+        manifestGroups = 8)
+      val lg1 = ManifestStore.genFileAt(spark, root, 1L)
+        .asInstanceOf[ManifestStore.ListGen]
+      assert(lg1.groupByPrefix,
+        "new list layouts must group by the leading component")
+      assert(lg1.refs.size > 1, "the fixture needs several groups")
+      // ALL of a leading value's cells hash to ONE group — the
+      // group-parse count a prefix read pays
+      val refs96 = ManifestStore.prefixGroupRefs(lg1, Seq("1996"))
+      assert(refs96.size == 1,
+        s"a prefix read must parse ONE group, got ${refs96.size}")
+      // and the prefix read is row-exact vs the predicate
+      assert(rows(ManifestStore.readPartitionPrefix(spark, root,
+        Seq("1996"))) ==
+        rows(orders.filter(col("o_year") === "1996")))
+      // a full-tuple cell read still resolves exactly one group
+      assert(ManifestStore.scopedGroupPaths(lg1,
+        Seq(ManifestStore.tupleKey(Seq("1996", "03")))).size == 1)
+      assert(rows(ManifestStore.readPartitions(spark, root,
+        Seq(ManifestStore.tupleKey(Seq("1996", "03"))))) ==
+        rows(orders.filter(col("o_year") === "1996" &&
+          col("o_month") === "03")))
+      // steady state: a cell-scoped promotion touches ONLY its
+      // leading value's group; every other group's ref carries
+      // verbatim into gen 1's .d dir
+      val cell = orders.filter(col("o_year") === "1996" &&
+        col("o_month") === "03").withColumn("o_orderpriority",
+        lit("X"))
+      ManifestStore.publish(spark, cell, root, "o_year,o_month")
+      val lg2 = ManifestStore.genFileAt(spark, root, 2L)
+        .asInstanceOf[ManifestStore.ListGen]
+      assert(lg2.groupByPrefix, "the mode must inherit")
+      val touchedGroup = refs96.head.group
+      val (touched, carried) =
+        lg2.refs.partition(_.group == touchedGroup)
+      assert(touched.map(_.relPath) ==
+        Seq(s"_manifests/2.d/$touchedGroup"))
+      carried.foreach { r =>
+        assert(r.relPath.startsWith("_manifests/1.d/"),
+          s"untouched group ${r.group} was rewritten: ${r.relPath}")
+      }
+      // LEGACY generations (no groupkey header) parse with full-tuple
+      // hashing and keep their recorded assignment — round-trip the
+      // header absence and the scoping through the serializer
+      val legacy = lg1.copy(groupByPrefix = false)
+      val reparsed = ManifestStore
+        .parseGenFile(ManifestStore.serializeList(legacy))
+        .asInstanceOf[ManifestStore.ListGen]
+      assert(!reparsed.groupByPrefix,
+        "a list gen without the header must stay full-tuple-hashed")
+      val cellKey = ManifestStore.tupleKey(Seq("1996", "03"))
+      val legacyGroup = ManifestStore.groupOf(cellKey, 8)
+      assert(ManifestStore.scopedGroupPaths(reparsed, Seq(cellKey))
+        .forall(_.group == legacyGroup))
+      // a legacy gen's prefix read declares ALL groups (it cannot
+      // prefix-select) — correctness over optimization
+      assert(ManifestStore.prefixGroupRefs(reparsed, Seq("1996"))
+        .size == reparsed.refs.size)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
 }
