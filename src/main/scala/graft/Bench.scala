@@ -175,7 +175,8 @@ object Bench {
       "q_sql_dml", "q_manifest_evolution", "q_manifest_multipart",
       // the r17 protocol gates: temp-dir general-merge / INSERT /
       // catalog drives — same tmp-filesystem class, all Verify-gated
-      "q_sql_merge", "q_sql_insert", "q_sql_catalog")
+      "q_sql_merge", "q_sql_insert", "q_sql_catalog",
+      "q_manifest_repartition")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

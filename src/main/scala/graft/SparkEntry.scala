@@ -2975,6 +2975,68 @@ object SparkEntry {
     // asserted on path+mtime), tupleKey addresses cells for scoped
     // reads, and readPartitionPrefix serves "all of 1996" opening
     // exactly the prefix's files. DuckDB recomputes the merged table.
+    // ---- §2.1 S35 partition-spec migration, driver-gated ----
+    // the one-call spec change (ManifestStore.repartitionTable): a
+    // year-partitioned table rebuilds under (year, month) in ONE
+    // replaceAll generation; the OLD generation stays time-travelable
+    // under its own recorded spec, and a cell-scoped merge on the NEW
+    // spec rewrites only its (year, month) cell — untouched cells
+    // byte-identical. DuckDB recomputes rows/revenue in closed form.
+    "q_manifest_repartition" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manirepart").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+          .withColumn("o_month", date_format(col("o_orderdate"), "MM"))
+        M.publish(s, orders, root, "o_year")
+        val migGen = M.repartitionTable(s, root, "o_year,o_month")
+        val specMigrated = migGen == 2L &&
+          M.manifestAt(s, root, 2L).partCol == "o_year,o_month" &&
+          M.manifestAt(s, root, 1L).partCol == "o_year"
+        // old generation still serves under ITS spec
+        val timetravelOldSpec =
+          M.readPartitions(s, root, Seq("1996"), Some(1L)).count() ==
+            orders.filter(col("o_year") === "1996").count()
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(2L)
+        // a cell-scoped merge on the NEW spec: (1996, 03)'s
+        // key-sampled slice doubles its price
+        val cell = M.readCurrent(s, root)
+          .filter(col("o_year") === "1996" && col("o_month") === "03"
+            && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice",
+            round(col("o_totalprice").cast("decimal(18,2)") * 2, 2)
+              .cast("double"))
+        M.mergePartitions(s, cell, root, Seq("o_orderkey"))
+        val after = state(3L)
+        val cellKey = M.tupleKey(Seq("1996", "03"))
+        val untouched = M.manifestAt(s, root, 3L).entries
+          .filter(_.partition != cellKey).map(_.relPath)
+        val untouchedReused = untouched.nonEmpty &&
+          untouched.forall(p => before.get(p).contains(after(p)))
+        val prefixScoped = M.readPartitionPrefix(s, root, Seq("1996"))
+          .count() == orders.filter(col("o_year") === "1996").count()
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("p")).head()
+        import s.implicits._
+        Seq((specMigrated, timetravelOldSpec, untouchedReused,
+          prefixScoped, healthy, agg.getLong(0), agg.getDouble(1)))
+          .toDF("spec_migrated", "timetravel_old_spec",
+            "untouched_cells_reused", "prefix_read_scoped",
+            "fsck_healthy", "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     "q_manifest_multipart" -> ((s, d) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-manimulti").toString
@@ -5010,6 +5072,21 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1996)
         |    AS n_flagged,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders""".stripMargin,
+    // the migrated-then-merged table recomputed from orders: the
+    // (1996, 03) cell's %3 slice doubled its price after the spec
+    // change, everything else rides unchanged
+    "q_manifest_repartition" ->
+      """SELECT true AS spec_migrated, true AS timetravel_old_spec,
+        |  true AS untouched_cells_reused, true AS prefix_read_scoped,
+        |  true AS fsck_healthy,
+        |  count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CASE
+        |    WHEN year(o_orderdate) = 1996 AND month(o_orderdate) = 3
+        |      AND o_orderkey % 3 = 0
+        |    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 2, 2)
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
         |    AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
     // the merged hierarchical table recomputed from orders: the

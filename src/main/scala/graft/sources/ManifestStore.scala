@@ -1101,9 +1101,18 @@ object ManifestStore {
       s"empty partition-column spec: '$partCol'")
     require(!df.columns.contains("graft_p"),
       "column name graft_p is reserved for the staged layout")
-    priorFile.foreach(pf => require(pf.partCol == partCol,
-      s"partition column mismatch: table is partitioned by " +
-        s"${pf.partCol}, publish got $partCol"))
+    // PARTITION-SPEC EVOLUTION: a PARTIAL publish must keep the
+    // recorded spec (carried entries' partition keys live in the old
+    // spec's key space — mixing specs would corrupt every scoped
+    // read); a replaceAll rebuild carries NOTHING, so it may change
+    // the spec — that is the documented one-call migration
+    // ([[repartitionTable]]). Old generations keep their own
+    // recorded spec and stay time-travelable under it.
+    priorFile.filter(_ => !replaceAll).foreach(pf =>
+      require(pf.partCol == partCol,
+        s"partition column mismatch: table is partitioned by " +
+          s"${pf.partCol}, publish got $partCol — change the spec " +
+          "with a replaceAll rebuild (ManifestStore.repartitionTable)"))
     // SCHEMA-EVOLUTION CONTRACT (S14 inside S20), enforced before
     // anything stages: a partial publish may WIDEN (carried old-
     // schema files serve null-backfilled through the new recorded
@@ -2444,6 +2453,51 @@ object ManifestStore {
       }
     }
     withDisjointRebase(spark, root)(() => attempt())
+  }
+
+  /** PARTITION-SPEC MIGRATION, one call: republish the serving rows
+    * under `newPartCol` as a `replaceAll` generation — the honest
+    * form of spec evolution on a file-reuse layout (a lazy
+    * two-spec manifest would make every scoped read consult two key
+    * spaces forever; one bounded rewrite makes the steady state
+    * simple). Old generations keep their recorded spec and stay
+    * time-travelable under it (each manifest is self-describing);
+    * every scoped op picks up the new spec from the serving manifest
+    * on its next plan. Cost: one full read + partitioned write of
+    * the CURRENT rows (bounded by table size, metadata excluded) —
+    * the same bill as Iceberg's rewrite-data-files after a spec
+    * change, paid once, up front, explicitly. Retention then ages
+    * the old layout out normally. Returns the committed generation.
+    * The commit CASes against the generation the rows were read
+    * from, so a racing promotion fails loudly rather than being
+    * silently dropped from the rebuilt table.
+    */
+  def repartitionTable(spark: SparkSession, root: String,
+                       newPartCol: String,
+                       expectations: Seq[graft.operators.Cleaning.Expectation] =
+                         Nil,
+                       keep: Int = 3, retainMs: Long = 0L,
+                       statsCols: Seq[String] = Nil,
+                       manifestGroups: Int = 0): Long = {
+    val fs = Tables.fsFor(spark, root)
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val m = manifestAt(spark, root, gen)
+    require(partColsOf(newPartCol).nonEmpty,
+      s"empty partition-column spec: '$newPartCol'")
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    partColsOf(newPartCol).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in ${schema.fieldNames.mkString(",")}"))
+    require(newPartCol != m.partCol,
+      s"$root is already partitioned by $newPartCol")
+    publishImpl(spark, readAt(spark, root, gen), root, newPartCol,
+      expectations, keep, replaceAll = true,
+      coalescePartitions = true, () => (), retainMs, Some(raw),
+      statsCols = statsCols, manifestGroups = manifestGroups)
   }
 
   /** OPTIMISTIC REBASE (the Iceberg commit-conflict rule), shared by

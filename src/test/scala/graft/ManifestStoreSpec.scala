@@ -1656,4 +1656,54 @@ class ManifestStoreSpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("partition-spec migration: repartitionTable rebuilds under " +
+      "the new spec in one generation; partial publishes still " +
+      "refuse a spec change; old generations time-travel under " +
+      "their own recorded spec") {
+    val dir = tmp("manirepart")
+    try {
+      val root = dir.toString + "/orders"
+      val orders = Tables.table(spark, sf, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        .withColumn("o_month", date_format(col("o_orderdate"), "MM"))
+      ManifestStore.publish(spark, orders, root, "o_year")
+      // a PARTIAL publish must not smuggle a spec change in
+      val e = intercept[IllegalArgumentException] {
+        ManifestStore.publish(spark,
+          orders.filter(col("o_year") === "1996"), root,
+          "o_year,o_month")
+      }
+      assert(e.getMessage.contains("repartitionTable"))
+      // the migration: one replaceAll generation under the new spec
+      val g = ManifestStore.repartitionTable(spark, root,
+        "o_year,o_month")
+      assert(g == 2L)
+      assert(ManifestStore.manifestAt(spark, root, 2L).partCol ==
+        "o_year,o_month")
+      assert(ManifestStore.manifestAt(spark, root, 1L).partCol ==
+        "o_year")
+      assert(rows(ManifestStore.readCurrent(spark, root)) ==
+        rows(orders))
+      // old gen: scoped reads under ITS spec
+      assert(rows(ManifestStore.readPartitions(spark, root,
+        Seq("1996"), Some(1L))) ==
+        rows(orders.filter(col("o_year") === "1996")))
+      // new spec: a cell-scoped DML rewrites only its cell
+      val delGen = ManifestStore.deleteWhere(spark, root,
+        col("o_year") === "1996" && col("o_month") === "03")
+      assert(delGen == 3L)
+      assert(ManifestStore.readCurrent(spark, root).count() ==
+        orders.filter(!(col("o_year") === "1996" &&
+          col("o_month") === "03")).count())
+      // re-running with the same spec refuses
+      val e2 = intercept[IllegalArgumentException] {
+        ManifestStore.repartitionTable(spark, root, "o_year,o_month")
+      }
+      assert(e2.getMessage.contains("already partitioned"))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
 }
