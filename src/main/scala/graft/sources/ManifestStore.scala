@@ -168,6 +168,55 @@ object ManifestStore {
     if (!byPrefix) partition
     else partition.split(TupleSep, -1).head
 
+  // ---- EXCLUSIVE STAGING LOCK --------------------------------------
+  // The pointer CAS makes COMMITS safe under concurrency, but two
+  // writers that both planned from generation N stage into the SAME
+  // `_writes/<N+1>` directory — overwrite-mode staging then deletes
+  // the other writer's in-flight (or even just-committed) files
+  // before any CAS can catch it. True-concurrency stress surfaced
+  // exactly that interleaving, so staging takes a per-token lock:
+  // created exclusively ([[MetaSwap.create]]'s one-`.next` hinge),
+  // held across stage + pointer swap, and re-validating the planned-
+  // from pointer INSIDE the lock so a loser fails typed BEFORE its
+  // overwrite can destroy anything. A crashed stager's lock expires
+  // after [[StagingLeaseMs]] (size it above the longest staging
+  // write, the standard lease contract).
+
+  private val StagingLeaseMs = 15L * 60 * 1000L
+
+  private def lockPath(root: String, token: String) =
+    new Path(s"$root/_writes/.lock-$token")
+
+  private def acquireStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: String, token: String): Unit = {
+    val lock = lockPath(root, token)
+    fs.mkdirs(new Path(s"$root/_writes"))
+    if (fs.exists(lock) && System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime > StagingLeaseMs) {
+      // a crashed stager's residue: steal after the lease
+      fs.delete(lock, false)
+      fs.delete(new Path(lock.getParent, lock.getName + ".next"),
+        false)
+      ()
+    }
+    try MetaSwap.create(fs, lock,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    catch {
+      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
+        s"another writer is STAGING generation $token of $root " +
+          s"right now (_writes/.lock-$token) — concurrent stagers " +
+          "of one generation would overwrite each other's files; " +
+          "re-read and re-run (a crashed stager's lock expires " +
+          s"after ${StagingLeaseMs / 60000} minutes)")
+    }
+  }
+
+  private def releaseStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: String, token: String): Unit = {
+    fs.delete(lockPath(root, token), false)
+    ()
+  }
+
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
     new Path(s"$root/_manifests/$gen")
@@ -1049,29 +1098,47 @@ object ManifestStore {
     val priorFile = priorGen.map(g =>
       parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g))))
     val gen = priorGen.getOrElse(0L) + 1L
-    stageGeneration(spark, df, root, partCol, expectations,
-      replaceAll, coalescePartitions, gen.toString, priorFile,
-      replacedPartitions, statsCols, manifestGroups)
-    beforeRepoint()
-    // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
-    // floor (raise or lower, an explicit operator decision); the
-    // default 0 means "unspecified" and INHERITS the grace the prior
-    // pointer committed — so a maintenance publish (merge, OPTIMIZE,
-    // streaming promotion) can never silently prune inside the reader
-    // window an earlier publish promised
-    val effRetain =
-      if (retainMs > 0) retainMs
-      else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
-    val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
-      .getBytes("UTF-8")
-    prior match {
-      case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
-      case None         => MetaSwap.swap(fs, p, bytes)
-    }
-    // retention AFTER the repoint: a crash anywhere above leaves
-    // residue nothing points at, never a gap
-    prune(fs, root, gen, keep, effRetain)
-    gen
+    acquireStagingLock(fs, root, gen.toString)
+    try {
+      // RE-VALIDATE inside the lock: a winner may have committed this
+      // very generation between the read above and the lock — staging
+      // now would overwrite its committed files. Nothing has staged
+      // yet, so the refusal is free.
+      val nowBytes =
+        if (fs.exists(p)) Some(MetaSwap.readCommitted(fs, p)) else None
+      val unchanged = (prior, nowBytes) match {
+        case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+        case (None, None)       => true
+        case _                  => false
+      }
+      if (!unchanged) throw new MetaSwap.CasFailed(
+        s"concurrent promotion committed at $root while this writer " +
+          "acquired the staging lock — nothing was staged or lost; " +
+          "re-read and re-run")
+      stageGeneration(spark, df, root, partCol, expectations,
+        replaceAll, coalescePartitions, gen.toString, priorFile,
+        replacedPartitions, statsCols, manifestGroups)
+      beforeRepoint()
+      // grace INHERITANCE: retainMs > 0 SETS the table's wall-clock
+      // floor (raise or lower, an explicit operator decision); the
+      // default 0 means "unspecified" and INHERITS the grace the prior
+      // pointer committed — so a maintenance publish (merge, OPTIMIZE,
+      // streaming promotion) can never silently prune inside the
+      // reader window an earlier publish promised
+      val effRetain =
+        if (retainMs > 0) retainMs
+        else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
+      val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
+        .getBytes("UTF-8")
+      prior match {
+        case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
+        case None         => MetaSwap.swap(fs, p, bytes)
+      }
+      // retention AFTER the repoint: a crash anywhere above leaves
+      // residue nothing points at, never a gap
+      prune(fs, root, gen, keep, effRetain)
+      gen
+    } finally releaseStagingLock(fs, root, gen.toString)
   }
 
   /** Stage `df` and write the generation file for `token` — the
@@ -1593,16 +1660,28 @@ object ManifestStore {
     }
     val priorFile = branchGenFile(spark, root, name, b)
     val seq = b.head + 1L
-    stageGeneration(spark, df, root, priorFile.partCol, expectations,
-      replaceAll = false, coalescePartitions,
-      branchToken(name, seq), Some(priorFile),
-      replacedPartitions = Set.empty, statsCols, manifestGroups)
-    // CAS against the marker bytes this publish planned from — a
-    // racing publish on the same branch fails loudly, its staged
-    // token left as residue the retry overwrites
-    MetaSwap.swap(fs, p,
-      serializeRef(BranchRef(seq, b.base, b.createdMs)), expect)
-    seq
+    val token = branchToken(name, seq)
+    acquireStagingLock(fs, root, token)
+    try {
+      // re-validate the ref inside the lock (the publishImpl rule):
+      // a racing branch publish that committed this seq must fail
+      // this writer BEFORE its staging can overwrite anything
+      if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, p),
+          expect)) throw new MetaSwap.CasFailed(
+        s"concurrent publish committed on branch '$name' of $root " +
+          "while this writer acquired the staging lock — nothing " +
+          "was staged or lost; re-read and re-run")
+      stageGeneration(spark, df, root, priorFile.partCol, expectations,
+        replaceAll = false, coalescePartitions,
+        token, Some(priorFile),
+        replacedPartitions = Set.empty, statsCols, manifestGroups)
+      // CAS against the marker bytes this publish planned from — a
+      // racing publish on the same branch fails loudly, its staged
+      // token left as residue the retry overwrites
+      MetaSwap.swap(fs, p,
+        serializeRef(BranchRef(seq, b.base, b.createdMs)), expect)
+      seq
+    } finally releaseStagingLock(fs, root, token)
   }
 
   /** FAST-FORWARD main to branch `name`'s head — the publish half of
@@ -1666,11 +1745,17 @@ object ManifestStore {
           "; main untouched, branch left for inspection")
     }
     val gen = mainGen + 1L
-    // fail-fast re-check AFTER the (possibly long) audit: writing
-    // the gen-file below would overwrite a racing promotion's
-    // committed manifest at the same number — this check shrinks
-    // that destructive window from the whole audit to the
-    // microseconds MetaSwap documents (the publishImpl pattern)
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else SnapshotStore.parsedGrace(prior).getOrElse(0L)
+    // the staging LOCK on the target generation: a concurrent writer
+    // staging this same number holds it across its stage + swap, so
+    // the gen-file write below can never overwrite (or be overwritten
+    // by) a stager's manifest — and the pointer re-check inside the
+    // lock shrinks the racing-commit window to the microseconds
+    // MetaSwap documents (the publishImpl pattern)
+    acquireStagingLock(fs, root, gen.toString)
+    try {
     if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, ptr),
         prior))
       throw new MetaSwap.CasFailed(
@@ -1689,12 +1774,10 @@ object ManifestStore {
         lg.copy(publishedMs = publishedMs))
     }
     MetaSwap.swap(fs, manifestPath(root, gen), bytesOut)
-    val effRetain =
-      if (retainMs > 0) retainMs
-      else SnapshotStore.parsedGrace(prior).getOrElse(0L)
     val ptrBytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
     MetaSwap.swap(fs, ptr, ptrBytes, prior)
+    } finally releaseStagingLock(fs, root, gen.toString)
     // rebase the branch onto what main now serves, so the ref's
     // retention claims stay minimal and a later branch publish
     // continues from the promoted state (CAS: a publish racing the
@@ -1938,6 +2021,15 @@ object ManifestStore {
     if (!fs.exists(wBase)) return
     fs.listStatus(wBase).foreach { wd =>
       val token = wd.getPath.getName
+      // a crashed stager's EXPIRED lock is residue; a live one is a
+      // writer mid-staging and stays (its own finally releases it).
+      // Lock markers are files, never write dirs — they skip the
+      // reference sweep below entirely.
+      if (token.startsWith(".lock-")) {
+        if (System.currentTimeMillis() -
+            wd.getModificationTime > StagingLeaseMs)
+          verifiedDelete(wd.getPath, "expired staging lock")
+      } else {
       // numeric tokens sweep as before; branch tokens sweep unless
       // they are an existing ref's in-flight residue (beyond head)
       val sweepable = token.toLongOption match {
@@ -1945,7 +2037,17 @@ object ManifestStore {
         case None => parseBranchToken(token).isDefined &&
           !inFlightBranchToken(token)
       }
-      if (sweepable) {
+      // the sweep itself takes the token's STAGING LOCK (try-lock:
+      // contention = a writer is staging this token right now, whose
+      // files are unreferenced by construction — sweeping them is the
+      // concurrent-prune corruption the stress spec caught; skip and
+      // let a later prune reclaim). A crashed stager's lock expires
+      // after the lease and the next prune proceeds.
+      val locked = sweepable && {
+        try { acquireStagingLock(fs, root, token); true }
+        catch { case _: MetaSwap.CasFailed => false }
+      }
+      if (locked) try {
         var kept = false
         val it = fs.listFiles(wd.getPath, true)
         val doomed = scala.collection.mutable.ArrayBuffer[Path]()
@@ -1974,6 +2076,7 @@ object ManifestStore {
             .foreach(st =>
               verifiedDelete(st.getPath, "emptied partition dir"))
         }
+      } finally releaseStagingLock(fs, root, token)
       }
     }
   }
