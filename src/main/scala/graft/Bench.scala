@@ -39,6 +39,16 @@ object Bench {
     val annQueryCap = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES",
       "200")
     System.setProperty("graft.ann.maxQueries", annQueryCap)
+    // the ivfpq gate's coarse-cell count also scales with the corpus
+    // (nlist = n/37), which makes its ENCODE pass n×nlist — the
+    // second quadratic term; fixed cell count for the timed form
+    val annCellCap = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "256")
+    System.setProperty("graft.ann.maxCells", annCellCap)
+    // the PQ codebook's modulo seed recipe (kept for oracle replay)
+    // also scales with the corpus: k = n/17 seeds at k·n per Lloyd
+    // round — the measured 911 s sf1 melt; fixed seed count here
+    val annSeedCap = sys.env.getOrElse("SPARK_GRAFT_ANN_SEEDS", "128")
+    System.setProperty("graft.ann.maxTrainSeeds", annSeedCap)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -332,7 +342,7 @@ object Bench {
     // load_thr documents the threshold INSIDE the artifact so a
     // reader can audit the bit without re-deriving cores/8
     val diag =
-      s""""cpus":$cpus,"ann_query_cap":$annQueryCap,"idle_wait_sec":$idleWaitSec,"tail_retry_n":$tailRetryN,"load_start":${fmt(loadStart, 2)},"load_end":${
+      s""""cpus":$cpus,"ann_query_cap":$annQueryCap,"ann_cell_cap":$annCellCap,"ann_seed_cap":$annSeedCap,"idle_wait_sec":$idleWaitSec,"tail_retry_n":$tailRetryN,"load_start":${fmt(loadStart, 2)},"load_end":${
         fmt(loadEnd, 2)},"own_load":${fmt(ownLoad, 2)},"spread_med":${
         fmt(spreadMed, 2)},"load_thr":${
         fmt(contendedThreshold, 1)},"contended":$contended,"slow":${

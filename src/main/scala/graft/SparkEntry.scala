@@ -103,6 +103,34 @@ object SparkEntry {
       .map(q => base && col("vec_id") < 50L * q).getOrElse(base)
   }
 
+  /** The IVFPQ gate's coarse-cell seed predicate: every 37th vector —
+    * nlist ∝ corpus, which makes the gate's ENCODE pass (every vector
+    * assigned to its nearest of n/37 cells) the second O(corpus²/37)
+    * term beside the probe set. Same discipline as [[annQueryPred]]:
+    * the bench pins `graft.ann.maxCells` for a fixed cell count at
+    * any scale; Verify keeps the full corpus-proportional form its
+    * recall/candidate-fraction floors are calibrated for.
+    */
+  private def annCellPred: org.apache.spark.sql.Column = {
+    val base = col("vec_id") % 37 === 1
+    sys.props.get("graft.ann.maxCells").flatMap(_.toLongOption)
+      .map(c => base && col("vec_id") < 37L * c).getOrElse(base)
+  }
+
+  /** The PQ gates' codebook SEED predicate: every 17th vector — a
+    * k ∝ corpus/17 codebook whose Lloyd rounds cost k·corpus each
+    * (the measured 911 s sf1 melt; the production form is
+    * [[graft.operators.Similarity.pqTrainFixedK]], k a model
+    * constant). The modulo init stays because the DuckDB oracle
+    * replays it; the bench pins `graft.ann.maxTrainSeeds` for a
+    * fixed seed count at any scale.
+    */
+  private def annSeedPred: org.apache.spark.sql.Column = {
+    val base = col("vec_id") % 17 === 5
+    sys.props.get("graft.ann.maxTrainSeeds").flatMap(_.toLongOption)
+      .map(c => base && col("vec_id") < 17L * c).getOrElse(base)
+  }
+
   /** The three persisted-ANN gates (q_ann_pq, q_ann_ivfpq,
     * q_ann_index) train the IDENTICAL PQ codebook — same corpus, same
     * (m, dim, init, rounds) — so a gate sweep redid ~3 s of identical
@@ -123,11 +151,14 @@ object SparkEntry {
   // predicate is pinned here and is part of the memo's contract
   private def sharedPqCodebook(s: SparkSession, d: String, m: Int,
                                dim: Int, rounds: Int): DataFrame = {
+    // the bench's seed cap changes the trained codebook, so it is
+    // part of the memo key (a Verify JVM never sets it)
+    val capKey = sys.props.getOrElse("graft.ann.maxTrainSeeds", "")
     val (rows, schema) =
-      pqCbCache.computeIfAbsent((d, m, dim, rounds), _ => {
+      pqCbCache.computeIfAbsent((s"$d|$capKey", m, dim, rounds), _ => {
         val cb = Similarity.pqTrain(Tables.table(s, d, "embeddings"),
           "vec_id", "embedding", m, dim,
-          initPred = col("vec_id") % 17 === 5, rounds = rounds)
+          initPred = annSeedPred, rounds = rounds)
         (cb.collect(), cb.schema)
       })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -1229,7 +1260,7 @@ object SparkEntry {
       val qp = annQueryPred
       val cb = sharedPqCodebook(s, d, m, dim, rounds = 3).persist()
       try {
-        val cents = emb.filter(col("vec_id") % 37 === 1)
+        val cents = emb.filter(annCellPred)
           .select(col("vec_id").as("cell"), col("embedding").as("centv"))
         val cellCodes = graft.Checkpoints.truncate(
           Similarity.pqEncodeCells(emb, "vec_id", "embedding", cents,

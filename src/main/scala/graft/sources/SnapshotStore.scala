@@ -55,6 +55,50 @@ object SnapshotStore {
   private def genDir(root: String, gen: Long) =
     new Path(s"$root/_snapshots/$gen")
 
+  // ---- EXCLUSIVE STAGING LOCK (the ManifestStore discipline on this
+  // layout): two publishes planning from generation N both stage the
+  // SAME `_snapshots/<N+1>` directory — overwrite-mode staging then
+  // destroys the other's in-flight files before the pointer CAS can
+  // catch the race. Staging takes a leased per-token lock (sibling
+  // `_snapshots/.lock-<token>`, created exclusively through
+  // MetaSwap's one-`.next` hinge), re-validating the planned-from
+  // pointer INSIDE the lock; branch publishes and the fast-forward
+  // rename take the same lock for their target directory.
+
+  private val StagingLeaseMs = 15L * 60 * 1000L
+
+  private def lockPath(root: String, token: String) =
+    new Path(s"$root/_snapshots/.lock-$token")
+
+  private def acquireStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: String, token: String): Unit = {
+    val lock = lockPath(root, token)
+    fs.mkdirs(new Path(s"$root/_snapshots"))
+    if (fs.exists(lock) && System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime > StagingLeaseMs) {
+      fs.delete(lock, false)
+      fs.delete(new Path(lock.getParent, lock.getName + ".next"),
+        false)
+      ()
+    }
+    try MetaSwap.create(fs, lock,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    catch {
+      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
+        s"another writer is STAGING generation $token of $root " +
+          s"right now (_snapshots/.lock-$token) — concurrent stagers " +
+          "of one generation would overwrite each other's files; " +
+          "re-read and re-run (a crashed stager's lock expires " +
+          s"after ${StagingLeaseMs / 60000} minutes)")
+    }
+  }
+
+  private def releaseStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: String, token: String): Unit = {
+    fs.delete(lockPath(root, token), false)
+    ()
+  }
+
   /** The pointer bytes' committed generation, or None when the bytes
     * are CORRUPT (no `gen=` line, or a non-numeric value) — the
     * tolerant form the fsck classifies with ([[graft.operators
@@ -148,16 +192,49 @@ object SnapshotStore {
                                  expectations: Seq[graft.operators.Cleaning.Expectation],
                                  keep: Int,
                                  beforeRepoint: () => Unit,
-                                 retainMs: Long = 0L): Long = {
+                                 retainMs: Long = 0L,
+                                 expectPointer: Option[Array[Byte]] =
+                                   None): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     val fs = Tables.fsFor(spark, root)
     val p = pointer(root)
     MetaSwap.heal(fs, p)
-    val prior =
+    val committedNow =
       if (fs.exists(p)) Some(MetaSwap.readCommitted(fs, p)) else None
+    // a caller that PLANNED from a generation it read earlier (the
+    // OPTIMIZE forms re-publish the rows of the gen they sized)
+    // passes those pointer bytes: a promotion landing in between
+    // fails loudly here instead of being silently replaced by a
+    // republish of the older rows (the ManifestStore expectPointer
+    // rule)
+    expectPointer.foreach { exp =>
+      if (!committedNow.exists(java.util.Arrays.equals(_, exp)))
+        throw new MetaSwap.CasFailed(
+          s"concurrent promotion detected at $root: the serving " +
+            "pointer changed since this writer read the table it " +
+            "planned from — nothing was staged or lost; re-read " +
+            "and re-run")
+    }
+    val prior = expectPointer.orElse(committedNow)
     val gen = prior.map(parseGen).getOrElse(0L) + 1L
     val dir = genDir(root, gen)
+    acquireStagingLock(fs, root, gen.toString)
+    try {
+    // RE-VALIDATE inside the lock (the ManifestStore rule): a winner
+    // may have committed this very generation between the read above
+    // and the lock — staging now would overwrite its committed files
+    val nowBytes =
+      if (fs.exists(p)) Some(MetaSwap.readCommitted(fs, p)) else None
+    val unchanged = (prior, nowBytes) match {
+      case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+      case (None, None)       => true
+      case _                  => false
+    }
+    if (!unchanged) throw new MetaSwap.CasFailed(
+      s"concurrent promotion committed at $root while this writer " +
+        "acquired the staging lock — nothing was staged or lost; " +
+        "re-read and re-run")
     // mode=overwrite consumes the one possible residue here: a prior
     // publish of THIS gen that crashed (or failed its audit) before
     // the repoint — nothing ever pointed at it
@@ -199,6 +276,7 @@ object SnapshotStore {
     // old gens (over-retention, pruned next publish), never a gap
     prune(fs, root, gen, keep, effRetain)
     gen
+    } finally releaseStagingLock(fs, root, gen.toString)
   }
 
   /** The `_published_at` instant of generation `g`, or None for a gen
@@ -258,6 +336,11 @@ object SnapshotStore {
           val inGrace = retainMs > 0 && publishedAt(fs, root, g)
             .exists(t => now - t < retainMs)
           if (g <= gen - keep && !inGrace && !pinned(g))
+            verifiedDelete(st.getPath)
+        case None if nm.startsWith(".lock-") =>
+          // a crashed stager's EXPIRED lock is residue; a live one is
+          // a writer mid-staging (its own finally releases it)
+          if (now - st.getModificationTime > StagingLeaseMs)
             verifiedDelete(st.getPath)
         case None => ManifestStore.parseBranchToken(nm).foreach {
           case (bn, k) =>
@@ -560,6 +643,16 @@ object SnapshotStore {
     }
     val seq = b.head + 1L
     val dir = branchDir(root, name, seq)
+    acquireStagingLock(fs, root, dir.getName)
+    try {
+    // re-validate the ref inside the lock (the publish rule): a
+    // racing branch publish that committed this seq must fail this
+    // writer BEFORE its staging can overwrite anything
+    if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, p),
+        expect)) throw new MetaSwap.CasFailed(
+      s"concurrent publish committed on branch '$name' of $root " +
+        "while this writer acquired the staging lock — nothing was " +
+        "staged or lost; re-read and re-run")
     // overwrite consumes a crashed prior publish of THIS seq (the
     // numeric-generation residue rule)
     df.write.mode("overwrite").parquet(dir.toString)
@@ -574,6 +667,7 @@ object SnapshotStore {
     MetaSwap.swap(fs, p, ManifestStore.serializeRef(
       ManifestStore.BranchRef(seq, b.base, b.createdMs)), expect)
     seq
+    } finally releaseStagingLock(fs, root, dir.getName)
   }
 
   /** FAST-FORWARD main to branch `name`'s head — METADATA-ONLY on
@@ -656,6 +750,15 @@ object SnapshotStore {
           "; main untouched, branch left for inspection")
     }
     val gen = mainGen + 1L
+    val effRetain =
+      if (retainMs > 0) retainMs
+      else parsedGrace(prior).getOrElse(0L)
+    // the staging LOCK on the target generation (the publish path's
+    // discipline): a writer staging this same number holds it across
+    // its stage + swap, so the delete/rename below can never clobber
+    // (or be clobbered by) an in-flight staging
+    acquireStagingLock(fs, root, gen.toString)
+    try {
     // fail-fast re-check after the (possibly long) audit — the
     // publishImpl pattern: the rename below would land on a racing
     // promotion's committed directory number
@@ -676,9 +779,6 @@ object SnapshotStore {
     try stamp.write(
       System.currentTimeMillis().toString.getBytes("UTF-8"))
     finally stamp.close()
-    val effRetain =
-      if (retainMs > 0) retainMs
-      else parsedGrace(prior).getOrElse(0L)
     try MetaSwap.swap(fs, ptr,
       s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n".getBytes("UTF-8"),
       prior)
@@ -705,6 +805,7 @@ object SnapshotStore {
             "promoted, the branch head is restored; re-read and " +
             "re-run (single-writer contract: see fastForwardBranch)")
     }
+    } finally releaseStagingLock(fs, root, gen.toString)
     try MetaSwap.swap(fs, refMarker, ManifestStore.serializeRef(
       ManifestStore.BranchRef(0L, gen, b.createdMs)), refBytes)
     catch {
@@ -753,11 +854,23 @@ object SnapshotStore {
                      targetRowsPerFile: Long, keep: Int = 3,
                      retainMs: Long = 0L): Int = {
     require(targetRowsPerFile > 0)
-    val df = readCurrent(spark, root)
+    val fs = Tables.fsFor(spark, root)
+    MetaSwap.heal(fs, pointer(root))
+    val raw =
+      try MetaSwap.readCommitted(fs, pointer(root))
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalStateException(
+          s"no published snapshot at $root — nothing has been " +
+            "promoted yet (SnapshotStore.publish)") }
+    val df = spark.read.parquet(genDir(root, parseGen(raw)).toString)
     val n = df.count()
     val files = math.max(1L,
       (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    publish(spark, df.repartition(files), root, Nil, keep, retainMs)
+    // CAS against the generation THIS sizing read — a promotion
+    // landing mid-compact must fail loudly, not be replaced by a
+    // republish of the older rows
+    publishImpl(spark, df.repartition(files), root, Nil, keep,
+      () => (), retainMs, expectPointer = Some(raw))
     files
   }
 
@@ -773,18 +886,24 @@ object SnapshotStore {
                           targetBytesPerFile: Long,
                           keep: Int = 3, retainMs: Long = 0L): Int = {
     require(targetBytesPerFile > 0)
-    val gen = currentGen(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"no published snapshot at $root — nothing has been " +
-          "promoted yet (SnapshotStore.publish)"))
+    val fs = Tables.fsFor(spark, root)
+    MetaSwap.heal(fs, pointer(root))
+    val raw =
+      try MetaSwap.readCommitted(fs, pointer(root))
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalStateException(
+          s"no published snapshot at $root — nothing has been " +
+            "promoted yet (SnapshotStore.publish)") }
+    val gen = parseGen(raw)
     // sidecar-aware like Tables.compactBytes: a stats index or other
     // underscore tree inside the generation must not inflate sizing
     val total = Tables.tableDataBytes(spark, genDir(root, gen).toString)
     val files = math.max(1L,
       (total + targetBytesPerFile - 1) / targetBytesPerFile).toInt
-    publish(spark,
+    // CAS against the generation THIS sizing read (see compactCurrent)
+    publishImpl(spark,
       spark.read.parquet(genDir(root, gen).toString).repartition(files),
-      root, Nil, keep, retainMs)
+      root, Nil, keep, () => (), retainMs, expectPointer = Some(raw))
     files
   }
 }

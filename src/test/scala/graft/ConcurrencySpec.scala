@@ -167,4 +167,67 @@ class ConcurrencySpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  test("snapshot-layout racers: real threads race full-copy " +
+      "publishes + OPTIMIZE + expire; every committed generation " +
+      "is one publish's rows (serializable), losers fail typed") {
+    import graft.sources.SnapshotStore
+    val dir = tmp("snaprace")
+    try {
+      import spark.implicits._
+      (1 to 3).foreach { seed =>
+        val root = s"$dir/s$seed"
+        val base = (0L until 20L).map(k => (k, 0L))
+        SnapshotStore.publish(spark, base.toDF("k", "v"), root,
+          keep = 100)
+        val claims = new java.util.concurrent.ConcurrentHashMap[
+          Long, Long]() // gen -> the publish's tag
+        val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+        val threads = (0 until 4).map { t =>
+          new Thread(() => {
+            val rnd = new scala.util.Random(seed * 77 + t)
+            (0 until 3).foreach { i =>
+              val tag = seed * 1000L + t * 100L + i
+              try rnd.nextInt(3) match {
+                case 0 =>
+                  val g = SnapshotStore.publish(spark,
+                    (0L until 20L).map(k => (k, tag)).toDF("k", "v"),
+                    root, keep = 100)
+                  val prev = claims.putIfAbsent(g, tag)
+                  assert(prev == null,
+                    s"two publishes claim generation $g")
+                case 1 =>
+                  SnapshotStore.compactCurrentBytes(spark, root,
+                    targetBytesPerFile = 1L << 30, keep = 100)
+                  ()
+                case 2 =>
+                  SnapshotStore.expire(spark, root)
+              } catch {
+                case _: MetaSwap.CasFailed =>
+                  aborted.incrementAndGet()
+              }
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(300000))
+        assert(threads.forall(!_.isAlive), "a racer hung")
+        val maxGen = SnapshotStore.currentGen(spark, root).get
+        var lastTag = 0L
+        (1L to maxGen).foreach { g =>
+          Option(claims.get(g)).foreach(t => lastTag = t)
+          val served = SnapshotStore.readAt(spark, root, g)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val model = (0L until 20L).map(k => (k, lastTag)).toSet
+          assert(served == model,
+            s"seed $seed snapshot generation $g is not the serial " +
+              s"outcome (expected tag $lastTag)")
+        }
+        System.err.println(s"[race] snapshot seed $seed: " +
+          s"${claims.size()} committed, ${aborted.get()} typed " +
+          s"aborts, maxGen $maxGen")
+      }
+      ()
+    } finally rmTree(dir)
+  }
 }

@@ -203,8 +203,9 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
-  test("two racing promotions: the CAS fails the loser loudly and the " +
-      "winner's generation stands") {
+  test("two racing promotions: the interleaved stager fails TYPED at " +
+      "the staging lock with nothing staged — it can no longer " +
+      "overwrite the in-flight writer's files (the pre-lock hazard)") {
     val dir = tmp("snapcas")
     try {
       val root = dir.toString + "/t"
@@ -212,17 +213,28 @@ class SnapshotStoreSpec extends AnyFunSuite {
       val vA = nation.filter(col("n_regionkey") === 1)
       val vB = nation.filter(col("n_regionkey") === 2)
       SnapshotStore.publish(spark, nation, root)
-      // the interleaved promotion commits between the loser's staged
-      // write and its repoint — the single-promoter violation the
-      // CAS exists to catch
-      intercept[MetaSwap.CasFailed] {
+      // the interleaved promotion lands between the first writer's
+      // staged write and its repoint. Pre-lock, it would OVERWRITE
+      // the staged files of the same generation number; now it fails
+      // typed at the staging lock, having staged nothing — and the
+      // refusal propagates through the hook, aborting the outer
+      // publish too (its residue is consumed by the next retry).
+      val e = intercept[MetaSwap.CasFailed] {
         SnapshotStore.publishImpl(spark, vA, root, Nil, 3, () => {
           SnapshotStore.publish(spark, vB, root); ()
         })
       }
-      assert(SnapshotStore.currentGen(spark, root).contains(2L))
-      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(vB),
-        "the losing promotion overwrote the winner")
+      assert(e.getMessage.contains("STAGING"),
+        s"expected the staging-lock refusal, got $e")
+      // nothing committed: the table still serves generation 1
+      assert(SnapshotStore.currentGen(spark, root).contains(1L))
+      assert(rows(SnapshotStore.readCurrent(spark, root)) ==
+        rows(nation))
+      // both writers retry cleanly: the lock was released, the
+      // residue is overwritten, generations allocate serially
+      assert(SnapshotStore.publish(spark, vB, root) == 2L)
+      assert(SnapshotStore.publish(spark, vA, root) == 3L)
+      assert(rows(SnapshotStore.readCurrent(spark, root)) == rows(vA))
     } finally rmTree(dir)
   }
 
