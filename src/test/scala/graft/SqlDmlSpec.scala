@@ -374,6 +374,58 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("Scala mergeInto (the Column API surface): srcCol binds " +
+      "source columns in matched clauses, SET * excludes partition " +
+      "columns, BY SOURCE updates see target rows only") {
+    val dir = tmp("scalamerge")
+    try {
+      val root = dir.toString + "/nation"
+      val M = ManifestStore
+      val nation = Tables.table(spark, sf, "nation")
+      M.publish(spark, nation, root, "n_regionkey")
+      // thin source: half the keys, a replacement name
+      val src = nation.filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey"),
+          concat(lit("NEW-"), col("n_name")).as("newname"))
+      val g = M.mergeInto(spark, src, root, Seq("n_nationkey"),
+        matched = Seq(
+          M.MergeUpdate(
+            Some(Seq("n_name" -> M.srcCol("newname"))),
+            cond = Some(col("n_regionkey") === 1)),
+          M.MergeDelete(cond = Some(col("n_regionkey") === 2))),
+        notMatchedBySource = Seq(
+          M.MergeUpdate(Some(Seq("n_name" ->
+            concat(col("n_name"), lit("-KEPT")))),
+            cond = Some(col("n_regionkey") === 3))))
+      assert(g == 2L)
+      val cur = M.readCurrent(spark, root)
+      val matchedKeys = (k: org.apache.spark.sql.Column) => k % 2 === 0
+      // matched + region 1 -> renamed from the SOURCE value
+      assert(cur.filter(col("n_regionkey") === 1 &&
+        matchedKeys(col("n_nationkey")))
+        .filter(!col("n_name").startsWith("NEW-")).count() == 0L)
+      // matched + region 2 -> deleted
+      assert(cur.filter(col("n_regionkey") === 2 &&
+        matchedKeys(col("n_nationkey"))).count() == 0L)
+      // NOT matched + region 3 -> BY SOURCE update (old target value)
+      assert(cur.filter(col("n_regionkey") === 3 &&
+        col("n_nationkey") % 2 === 1)
+        .filter(!col("n_name").endsWith("-KEPT")).count() == 0L)
+      // everything else carries
+      assert(cur.filter(col("n_regionkey") === 0)
+        .count() == nation.filter(col("n_regionkey") === 0).count())
+      // refusals: partition column unassignable; unknown srcCol
+      // binding fails at execution (late binding, loud)
+      val e = intercept[IllegalArgumentException] {
+        M.mergeInto(spark, src, root, Seq("n_nationkey"),
+          matched = Seq(M.MergeUpdate(
+            Some(Seq("n_regionkey" -> M.srcCol("newname"))))))
+      }
+      assert(e.getMessage.contains("partition column"))
+      ()
+    } finally rmTree(dir)
+  }
+
   test("a foreign parquet table whose PATH contains the graft " +
       "directory grammar is NOT hijacked: no pointer marker, no " +
       "reroute — Spark's own DML handling applies") {
