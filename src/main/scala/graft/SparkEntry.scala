@@ -2587,6 +2587,67 @@ object SparkEntry {
             "timetravel_intact", "fsck_healthy", "n_rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S37 MERGE-ON-READ delete (deletion vectors), ----
+    // ---- driver-gated ----
+    // outcome contract: a sparse takedown lands as position delete
+    // files with EVERY data file byte-identical (path+mtime — not
+    // one partition rewrites), reads/CDC/time travel see the
+    // DV-applied rows, the fsck stays healthy, and OPTIMIZE folds
+    // the vectors back into plain data files. n_rows_current is the
+    // real oracle row — DuckDB recomputes the post-delete table.
+    "q_manifest_dv" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manidv").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def mtime(rel: String) = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          .getModificationTime
+        val before = M.manifestAt(s, root, 1L).entries
+          .map(e => e.relPath -> mtime(e.relPath)).toMap
+        // the sparse takedown: a handful of keys across partitions —
+        // merge-on-read, so NO data file may be rewritten
+        M.deleteWhereMor(s, root, col("o_orderkey") % 997 === 0)
+        val m2 = M.manifestAt(s, root, 2L)
+        val (dv2, data2) = m2.entries.partition(M.isDeleteEntry)
+        val dataByteIdentical =
+          data2.map(_.relPath).toSet == before.keySet &&
+            data2.forall(e => before(e.relPath) == mtime(e.relPath))
+        val dvAdded = dv2.nonEmpty
+        val nDeleted = orders.filter(col("o_orderkey") % 997 === 0)
+          .count()
+        // the change feed sees exactly the removed rows
+        val cdfRemovedExact = graft.sources.ChangeFeed
+          .changesAt(s, root, 2L, Seq("o_orderkey"))
+          .filter(col("change") === "removed").count() == nDeleted
+        val timetravelIntact =
+          M.readAt(s, root, 1L).count() == orders.count()
+        // a second, partition-dense DV delete stacks on the first
+        M.deleteWhereMor(s, root, col("o_year") === "1996" &&
+          col("o_orderstatus") === "F")
+        val healthyWithDv = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        // OPTIMIZE folds the vectors into plain data files
+        M.compactSmallPartitions(s, root,
+          targetBytesPerFile = 1L << 30)
+        val curGen = M.currentGen(s, root).get
+        val dvFolded = M.manifestAt(s, root, curGen).entries
+          .forall(e => !M.isDeleteEntry(e))
+        val nCur = M.readCurrent(s, root).count()
+        import s.implicits._
+        Seq((dataByteIdentical, dvAdded, cdfRemovedExact,
+          timetravelIntact, healthyWithDv, dvFolded, nCur))
+          .toDF("data_files_byte_identical", "dv_entries_added",
+            "cdf_removed_exact", "timetravel_intact",
+            "fsck_healthy_with_dv", "dv_folded_by_compaction",
+            "n_rows_current")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S21b row-level UPDATE on the manifest table, ----
     // ---- driver-gated ----
     // the DML triad's third leg: assignments evaluate against the
@@ -4972,6 +5033,19 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders
         |   WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
         |     AND year(o_orderdate) <> 2001) AS n_rows_current"""
+        .stripMargin,
+    // the post-DV-delete table recomputed from orders: the sparse
+    // key takedown plus 1996's F rows gone — the merge-on-read
+    // contract booleans ride along
+    "q_manifest_dv" ->
+      """SELECT true AS data_files_byte_identical,
+        |  true AS dv_entries_added, true AS cdf_removed_exact,
+        |  true AS timetravel_intact, true AS fsck_healthy_with_dv,
+        |  true AS dv_folded_by_compaction,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 997 <> 0
+        |     AND NOT (year(o_orderdate) = 1996
+        |              AND o_orderstatus = 'F')) AS n_rows_current"""
         .stripMargin,
     // the post-update table recomputed from orders with CASE WHEN:
     // 1996's URGENT rows repriced ×0.90 in exact decimal — the

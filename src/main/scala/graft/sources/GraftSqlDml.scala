@@ -150,6 +150,11 @@ object GraftSqlDml {
       case e: EmptySnapshotRelation =>
         if (e.pinned) refusePinned(e.root)
         Some(Target(e.root, manifestLayout = true))
+      case d: DvSnapshotRelation =>
+        // a DV-bearing generation is an ordinary manifest table to
+        // DML (a COW statement folds its vectors)
+        if (d.pinned) refusePinned(d.root)
+        Some(Target(d.root, manifestLayout = true))
       case _ => None
     }
   }

@@ -174,48 +174,34 @@ object ManifestStore {
   // `_writes/<N+1>` directory — overwrite-mode staging then deletes
   // the other writer's in-flight (or even just-committed) files
   // before any CAS can catch it. True-concurrency stress surfaced
-  // exactly that interleaving, so staging takes a per-token lock:
-  // created exclusively ([[MetaSwap.create]]'s one-`.next` hinge),
-  // held across stage + pointer swap, and re-validating the planned-
-  // from pointer INSIDE the lock so a loser fails typed BEFORE its
-  // overwrite can destroy anything. A crashed stager's lock expires
-  // after [[StagingLeaseMs]] (size it above the longest staging
-  // write, the standard lease contract).
+  // exactly that interleaving, so staging takes a per-token OWNED
+  // lock ([[StagingLock]], shared with the snapshot layout): held
+  // across stage + pointer swap, re-validating the planned-from
+  // pointer INSIDE the lock, with ownership VERIFIED again right
+  // before every commit so a stolen lock (crash recovery after the
+  // lease) fails the victim typed instead of letting two stagers
+  // overwrite each other.
 
-  private val StagingLeaseMs = 15L * 60 * 1000L
+  private val StagingLeaseMs = StagingLock.LeaseMs
 
   private def lockPath(root: String, token: String) =
     new Path(s"$root/_writes/.lock-$token")
 
   private def acquireStagingLock(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: String, token: String): Unit = {
-    val lock = lockPath(root, token)
-    fs.mkdirs(new Path(s"$root/_writes"))
-    if (fs.exists(lock) && System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime > StagingLeaseMs) {
-      // a crashed stager's residue: steal after the lease
-      fs.delete(lock, false)
-      fs.delete(new Path(lock.getParent, lock.getName + ".next"),
-        false)
-      ()
-    }
-    try MetaSwap.create(fs, lock,
-      System.currentTimeMillis().toString.getBytes("UTF-8"))
-    catch {
-      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
-        s"another writer is STAGING generation $token of $root " +
-          s"right now (_writes/.lock-$token) — concurrent stagers " +
-          "of one generation would overwrite each other's files; " +
-          "re-read and re-run (a crashed stager's lock expires " +
-          s"after ${StagingLeaseMs / 60000} minutes)")
-    }
-  }
+                                 root: String,
+                                 token: String): Array[Byte] =
+    StagingLock.acquire(fs, lockPath(root, token),
+      s"generation $token of $root (_writes/.lock-$token)")
+
+  private def verifyStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String, token: String,
+                                owner: Array[Byte]): Unit =
+    StagingLock.verify(fs, lockPath(root, token), owner,
+      s"generation $token of $root (_writes/.lock-$token)")
 
   private def releaseStagingLock(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: String, token: String): Unit = {
-    fs.delete(lockPath(root, token), false)
-    ()
-  }
+                                 root: String, token: String): Unit =
+    StagingLock.release(fs, lockPath(root, token))
 
   private def pointer(root: String) = new Path(s"$root/_current")
   private def manifestPath(root: String, gen: Long) =
@@ -497,16 +483,34 @@ object ManifestStore {
                                    entries: Seq[ManifestEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL(schemaDdl)
-    if (entries.isEmpty)
+    val (dels, datas) = entries.partition(isDeleteEntry)
+    if (datas.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else
+    else {
       // explicit FILE paths: each file's parent is its own base path,
       // so no directory-name partition inference runs (the partition
       // column is IN the data); the declared schema pins column order
       // across write directories from different publishes
-      spark.read.schema(schema)
-        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      val base = spark.read.schema(schema)
+        .parquet(datas.map(e => s"$root/${e.relPath}"): _*)
+      if (dels.isEmpty) base
+      else {
+        // MERGE-ON-READ (S37): anti-join the recorded deletion
+        // vectors out on (file key, row position). The DV side is
+        // delete-file-sized (tiny until compaction folds it), so
+        // Catalyst broadcasts it and the data-side scan plan is
+        // unchanged — filters/pruning still reach parquet; only the
+        // final projection pays the join
+        val dv = spark.read.parquet(
+          dels.map(e => s"$root/${e.relPath}"): _*)
+          .select(col(DvFileCol), col(DvPosCol))
+        base.withColumn(DvFileCol, dvFileKeyExpr)
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+          .select(schema.fieldNames.toSeq.map(col): _*)
+      }
+    }
   }
 
   /** The serving view: resolve the pointer once, read that immutable
@@ -742,8 +746,16 @@ object ManifestStore {
     if (!lg.groupByPrefix) lg.refs
     else {
       val nCols = partColsOf(lg.partCol).size
+      // the reader must hash EXACTLY what the writer grouped on:
+      // writers run groupKeyOf over the STORED value, which splits on
+      // TupleSep even for single-column tables (whose values are
+      // stored unescaped, so a value containing the separator byte
+      // groups under its pre-separator head) — probing the full raw
+      // string here would parse the wrong group and serve no rows
       val headKey =
-        if (nCols == 1) nullSafe(prefix.head) else escComp(prefix.head)
+        if (nCols == 1)
+          groupKeyOf(nullSafe(prefix.head), byPrefix = true)
+        else escComp(prefix.head)
       val grp = groupOf(headKey, lg.nGroups)
       lg.refs.filter(_.group == grp)
     }
@@ -882,6 +894,209 @@ object ManifestStore {
         case e: MetaSwap.CasFailed =>
           throw new RebaseSignal(gen, affected, e)
       }
+    }
+    withDisjointRebase(spark, root)(() => attempt())
+  }
+
+  // ---- MERGE-ON-READ DELETE: deletion vectors (S37) ----------------
+  // Copy-on-write DELETE ([[deleteWhere]]) rewrites every affected
+  // partition — the right cost when deletes are partition-dense, the
+  // wrong one for a 10-row takedown across 10 hot partitions of a
+  // 100 TB fact. A DV delete instead lands O(matched rows) of
+  // POSITION DELETE FILES (the Iceberg v2 / Delta deletion-vector
+  // discipline) as ordinary manifest entries under the generation's
+  // `_writes/<gen>/_deletes/` directory: not one data file is
+  // rewritten, moved, or re-read by the commit; reads anti-join the
+  // recorded positions out ([[readEntries]]); every partition-scoped
+  // REWRITE (COW delete/update/merge/OPTIMIZE) folds its partitions'
+  // vectors into plain data files because it reads DV-applied rows
+  // and replaces the partition's whole entry set. Retention, fsck,
+  // time travel, and the change feed see delete files as entries and
+  // DV generations as ordinary generations — no special cases.
+
+  private[graft] val DeleteDirName = "_deletes"
+
+  /** A position-delete manifest entry, recognized structurally: its
+    * file lives under the generation's `_deletes/` subdirectory. The
+    * entry format itself is unchanged (partition + relPath), so every
+    * manifest/list/group serializer, the retention sweep, and the
+    * fsck existence checks handle DVs with zero format changes.
+    */
+  private[graft] def isDeleteEntry(e: ManifestEntry): Boolean =
+    e.relPath.contains(s"/$DeleteDirName/")
+
+  private[graft] val DvFileCol = "__graft_dv_file"
+  private[graft] val DvPosCol = "__graft_dv_pos"
+
+  /** The file-identity key a deletion vector records: the last three
+    * path segments of the scan's `_metadata.file_path` —
+    * `<token>/graft_p=<escaped>/<file>`, unique within a table
+    * because staged tokens are unique and file names are unique
+    * within their directory. Writer and reader derive it from the
+    * SAME metadata column of the same scan machinery, so the key is
+    * self-consistent by construction and independent of filesystem
+    * scheme/authority renderings (the [[GraftStatsFileIndex]] keyOf
+    * posture, one segment deeper).
+    */
+  private def dvFileKeyExpr: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat_ws, slice, split}
+    concat_ws("/",
+      slice(split(col("_metadata.file_path"), "/"), -3, 3))
+  }
+
+  /** MERGE-ON-READ row-level DELETE: mark every row where `predicate`
+    * is TRUE deleted by recording its (file, position) in a position
+    * delete file, committed as a new generation that carries EVERY
+    * prior entry verbatim — data files byte-identical, the commit
+    * writes only the delete files and the manifest. Cost: one
+    * column-pruned predicate scan (the COW planning pass) plus
+    * O(matched rows) of delete bytes — no partition rewrite.
+    *
+    * Reads of the new generation anti-join the vectors out; rows
+    * already deleted by an earlier vector cannot re-record (the scan
+    * that plans this delete is itself DV-applied). An emptied
+    * partition keeps its (fully-masked) files until a COW rewrite or
+    * [[compactSmallPartitions]] folds it. Returns the committed
+    * generation (the serving one when nothing matches). Disjoint
+    * races rebase once, the [[deleteWhereImpl]] contract.
+    */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     keep: Int = 3, retainMs: Long = 0L): Long =
+    deleteWhereMorImpl(spark, root, predicate, keep, retainMs,
+      () => ())
+
+  /** [[deleteWhereMor]] with the race-window hook (the
+    * [[deleteWhereImpl]] pattern).
+    */
+  private[graft] def deleteWhereMorImpl(spark: SparkSession,
+                                        root: String,
+                                        predicate: org.apache.spark.sql.Column,
+                                        keep: Int, retainMs: Long,
+                                        beforePublish: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = Tables.fsFor(spark, root)
+    def attempt(): Long = {
+      val gen = currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published manifest table at $root"))
+      val raw = MetaSwap.readCommitted(fs, pointer(root))
+      val gf = genFileAt(spark, root, gen)
+      val m = assemble(fs, root, gf)
+      val (dels, datas) = m.entries.partition(isDeleteEntry)
+      if (datas.isEmpty) return gen
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(m.schemaDdl)
+      // the planning scan carries (file key, position) alongside the
+      // data columns and is itself DV-APPLIED, so an already-deleted
+      // row can never re-record its position
+      val keyed = spark.read.schema(schema)
+        .parquet(datas.map(e => s"$root/${e.relPath}"): _*)
+        .withColumn(DvFileCol, dvFileKeyExpr)
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      val live =
+        if (dels.isEmpty) keyed
+        else keyed.join(
+          spark.read.parquet(dels.map(e => s"$root/${e.relPath}"): _*)
+            .select(col(DvFileCol), col(DvPosCol)),
+          Seq(DvFileCol, DvPosCol), "left_anti")
+      // SQL DELETE semantics: a NULL predicate keeps the row
+      val matched = live.filter(coalesce(predicate, lit(false)))
+      if (matched.head(1).isEmpty) return gen
+      val newGen = gen + 1L
+      val token = newGen.toString
+      val lockOwner = acquireStagingLock(fs, root, token)
+      try {
+        // re-validate inside the lock (the publishImpl rule)
+        if (!java.util.Arrays.equals(
+            MetaSwap.readCommitted(fs, pointer(root)), raw))
+          throw new MetaSwap.CasFailed(
+            s"concurrent promotion committed at $root while this " +
+              "DV delete acquired the staging lock — nothing was " +
+              "staged or lost; re-read and re-run")
+        // stage the vectors: one partitioned write of O(matched)
+        // rows under the generation's _deletes dir
+        val dvDir = s"${writesDir(root, newGen)}/$DeleteDirName"
+        matched
+          .select(partKeyExpr(m.partCol).as("graft_p"),
+            col(DvFileCol), col(DvPosCol))
+          .repartition(col("graft_p"))
+          .write.mode("overwrite").partitionBy("graft_p")
+          .parquet(dvDir)
+        val dvEntries = fs.listStatus(new Path(dvDir)).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(PartDirPrefix))
+          .sortBy(_.getPath.getName)
+          .flatMap { dir =>
+            val value = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(
+                dir.getPath.getName.stripPrefix(PartDirPrefix))
+            fs.listStatus(dir.getPath).toSeq
+              .filter(f => f.isFile &&
+                f.getPath.getName.endsWith(".parquet") &&
+                !f.getPath.getName.startsWith("_") &&
+                !f.getPath.getName.startsWith("."))
+              .sortBy(_.getPath.getName)
+              .map(f => ManifestEntry(value,
+                s"_writes/$newGen/$DeleteDirName/" +
+                  s"${dir.getPath.getName}/${f.getPath.getName}"))
+          }
+        if (dvEntries.isEmpty)
+          // the predicate matched between plan and stage only via
+          // race — nothing staged, serve the current generation
+          return gen
+        val publishedMs = System.currentTimeMillis()
+        // the new generation carries EVERY prior entry verbatim and
+        // appends the vectors — flat or list, the layout is kept
+        gf match {
+          case FlatGen(mm) =>
+            MetaSwap.swap(fs, manifestPath(root, newGen),
+              serializeManifest(mm.copy(
+                entries = mm.entries ++ dvEntries,
+                publishedMs = publishedMs)))
+          case lg: ListGen =>
+            def grpOf(p: String): Int =
+              groupOf(groupKeyOf(p, lg.groupByPrefix), lg.nGroups)
+            val byGroup = dvEntries.groupBy(e => grpOf(e.partition))
+            val newRefs = byGroup.toSeq.sortBy(_._1).map {
+              case (g, es) =>
+                val carried = lg.refs.find(_.group == g).map { r =>
+                  val p = new Path(s"$root/${r.relPath}")
+                  if (!fs.exists(p))
+                    throw new graft.SnapshotUnavailable(
+                      s"manifest group $g of $root is missing its " +
+                        s"group file ${r.relPath} — run " +
+                        "IndexAudit.auditManifestTable")
+                  parseGroup(MetaSwap.readCommitted(fs, p))
+                }.getOrElse(Seq.empty)
+                val rel = s"_manifests/$newGen.d/$g"
+                MetaSwap.swap(fs, new Path(s"$root/$rel"),
+                  serializeGroup(carried ++ es))
+                GroupRef(g, rel)
+            }
+            val refs = lg.refs.filterNot(r =>
+              byGroup.contains(r.group)) ++ newRefs
+            MetaSwap.swap(fs, manifestPath(root, newGen),
+              serializeList(lg.copy(publishedMs = publishedMs,
+                refs = refs.sortBy(_.group))))
+        }
+        beforePublish()
+        val effRetain =
+          if (retainMs > 0) retainMs
+          else SnapshotStore.parsedGrace(raw).getOrElse(0L)
+        val bytes = s"gen=$newGen\nkeep=$keep\ngrace=$effRetain\n"
+          .getBytes("UTF-8")
+        verifyStagingLock(fs, root, token, lockOwner)
+        try MetaSwap.swap(fs, pointer(root), bytes, raw)
+        catch {
+          case e: MetaSwap.CasFailed =>
+            val affected = dvEntries.map(_.partition).toSet
+            throw new RebaseSignal(gen, affected, e)
+        }
+        prune(fs, root, newGen, keep, effRetain)
+        newGen
+      } finally releaseStagingLock(fs, root, token)
     }
     withDisjointRebase(spark, root)(() => attempt())
   }
@@ -1098,7 +1313,7 @@ object ManifestStore {
     val priorFile = priorGen.map(g =>
       parseGenFile(MetaSwap.readCommitted(fs, manifestPath(root, g))))
     val gen = priorGen.getOrElse(0L) + 1L
-    acquireStagingLock(fs, root, gen.toString)
+    val lockOwner = acquireStagingLock(fs, root, gen.toString)
     try {
       // RE-VALIDATE inside the lock: a winner may have committed this
       // very generation between the read above and the lock — staging
@@ -1130,6 +1345,10 @@ object ManifestStore {
         else prior.flatMap(SnapshotStore.parsedGrace).getOrElse(0L)
       val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
         .getBytes("UTF-8")
+      // ownership check before the commit: a stage that outlived the
+      // lease and lost its lock to a recoverer must fail TYPED here,
+      // never repoint over the new holder's staging
+      verifyStagingLock(fs, root, gen.toString, lockOwner)
       prior match {
         case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
         case None         => MetaSwap.swap(fs, p, bytes)
@@ -1661,7 +1880,7 @@ object ManifestStore {
     val priorFile = branchGenFile(spark, root, name, b)
     val seq = b.head + 1L
     val token = branchToken(name, seq)
-    acquireStagingLock(fs, root, token)
+    val lockOwner = acquireStagingLock(fs, root, token)
     try {
       // re-validate the ref inside the lock (the publishImpl rule):
       // a racing branch publish that committed this seq must fail
@@ -1678,6 +1897,7 @@ object ManifestStore {
       // CAS against the marker bytes this publish planned from — a
       // racing publish on the same branch fails loudly, its staged
       // token left as residue the retry overwrites
+      verifyStagingLock(fs, root, token, lockOwner)
       MetaSwap.swap(fs, p,
         serializeRef(BranchRef(seq, b.base, b.createdMs)), expect)
       seq
@@ -1754,7 +1974,7 @@ object ManifestStore {
     // by) a stager's manifest — and the pointer re-check inside the
     // lock shrinks the racing-commit window to the microseconds
     // MetaSwap documents (the publishImpl pattern)
-    acquireStagingLock(fs, root, gen.toString)
+    val lockOwner = acquireStagingLock(fs, root, gen.toString)
     try {
     if (!java.util.Arrays.equals(MetaSwap.readCommitted(fs, ptr),
         prior))
@@ -1773,6 +1993,7 @@ object ManifestStore {
       case lg: ListGen => serializeList(
         lg.copy(publishedMs = publishedMs))
     }
+    verifyStagingLock(fs, root, gen.toString, lockOwner)
     MetaSwap.swap(fs, manifestPath(root, gen), bytesOut)
     val ptrBytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
@@ -2043,11 +2264,11 @@ object ManifestStore {
       // concurrent-prune corruption the stress spec caught; skip and
       // let a later prune reclaim). A crashed stager's lock expires
       // after the lease and the next prune proceeds.
-      val locked = sweepable && {
-        try { acquireStagingLock(fs, root, token); true }
-        catch { case _: MetaSwap.CasFailed => false }
-      }
-      if (locked) try {
+      val sweepOwner: Option[Array[Byte]] =
+        if (!sweepable) None
+        else try Some(acquireStagingLock(fs, root, token))
+        catch { case _: MetaSwap.CasFailed => None }
+      if (sweepOwner.isDefined) try {
         var kept = false
         val it = fs.listFiles(wd.getPath, true)
         val doomed = scala.collection.mutable.ArrayBuffer[Path]()
@@ -2060,6 +2281,10 @@ object ManifestStore {
           if (referenced(rel)) kept = true
           else if (!hidden) doomed += f.getPath
         }
+        // re-verify lock ownership before anything destructive: a
+        // sweep that somehow outlived the lease and lost its lock to
+        // a stager must not delete that stager's in-flight files
+        sweepOwner.foreach(verifyStagingLock(fs, root, token, _))
         if (!kept)
           // no surviving manifest references this publish at all:
           // reclaim the whole write directory (markers included)
@@ -2293,10 +2518,19 @@ object ManifestStore {
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
       val fieldType =
         schema.fields.map(f => f.name -> f.dataType).toMap
+      // source columns resolve under the session's rules: Spark is
+      // case-insensitive by default, so a source column differing
+      // only in case from a target column (or key) IS that column —
+      // an exact-case probe would silently skip it on UPDATE SET *
+      // and NULL-fill it on INSERT *
+      val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+      def sourceHas(target: String): Boolean =
+        if (caseSensitive) source.columns.contains(target)
+        else source.columns.exists(_.equalsIgnoreCase(target))
       keys.foreach { k =>
         require(fieldType.contains(k),
           s"merge key $k not in target ${schema.fieldNames.mkString(",")}")
-        require(source.columns.contains(k),
+        require(sourceHas(k),
           s"merge key $k not in source ${source.columns.mkString(",")}")
       }
       require(!schema.fieldNames.exists(_.startsWith("__graft_")),
@@ -2320,8 +2554,7 @@ object ManifestStore {
           s
         case None =>
           schema.fieldNames.toSeq
-            .filter(c => source.columns.contains(c) &&
-              !partCols.contains(c))
+            .filter(c => sourceHas(c) && !partCols.contains(c))
             .map(c => c -> srcCol(c))
       }
       val matchedX: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
@@ -2390,8 +2623,8 @@ object ManifestStore {
           bySourceX.zipWithIndex.collect {
             case ((_, Some(s)), j) => (1000 + j) -> s }
 
-      def joinKeys(left: DataFrame): Column =
-        keys.map(k => left(k) === srcP(s"$srcPrefix$k"))
+      def joinKeys(left: DataFrame, src: DataFrame): Column =
+        keys.map(k => left(k) === src(s"$srcPrefix$k"))
           .reduce(_ && _)
 
       // ---- INSERT rows (source rows matching no target row) ----
@@ -2422,7 +2655,7 @@ object ManifestStore {
                   vs.toMap
                 case None =>
                   schema.fieldNames.toSeq
-                    .filter(source.columns.contains)
+                    .filter(sourceHas)
                     .map(c => c -> col(c)).toMap
               }
               flagged.filter(col("__graft_ins") === i)
@@ -2442,8 +2675,9 @@ object ManifestStore {
       // the scan is the inner join (batch-sized source broadcast);
       // with them the semantics read every target row — one full pass
       val planFrame =
-        if (bySourceX.isEmpty) cur.join(srcP, joinKeys(cur), "inner")
-        else cur.join(srcP, joinKeys(cur), "left")
+        if (bySourceX.isEmpty)
+          cur.join(srcP, joinKeys(cur, srcP), "inner")
+        else cur.join(srcP, joinKeys(cur, srcP), "left")
       val firedParts: Set[String] =
         if (matchedX.isEmpty && bySourceX.isEmpty) Set.empty
         else planFrame.withColumn("__graft_act", actionCol)
@@ -2459,8 +2693,18 @@ object ManifestStore {
       if (affected.isEmpty) return gen
 
       // ---- rewrite pass: ONLY the affected partitions ----
+      // the left join must stay 1:<=1 per target row. With MATCHED
+      // clauses the cardinality probe above refused duplicate keys
+      // that match a target row; WITHOUT them duplicates are legal
+      // SQL (an insert-only merge simply skips its matched copies),
+      // so collapse the source to one row per key here — the join
+      // consults only the match flag, and BY SOURCE clauses cannot
+      // reference source columns (they are NULL on every fired row)
+      val srcJ =
+        if (matchedX.nonEmpty) srcP
+        else srcP.dropDuplicates(keys.map(k => s"$srcPrefix$k"))
       val part = readPartitions(spark, root, affected.toSeq, Some(gen))
-      val j = part.join(srcP, joinKeys(part), "left")
+      val j = part.join(srcJ, joinKeys(part, srcJ), "left")
         .withColumn("__graft_act", actionCol)
       // every assignment RHS evaluates against the OLD row (computed
       // as fresh columns in one pass, then swapped in by select)
@@ -2748,9 +2992,14 @@ object ManifestStore {
         .repartition(col("__pv"), col("__salt"))
         .drop("__pv", "__want", "__salt")
       beforePublish()
+      // replacedPartitions names every offender explicitly: a
+      // partition whose rows are FULLY masked by deletion vectors
+      // (S37) stages no rows, and without the explicit drop its old
+      // entries (data + vectors) would carry forever — naming it
+      // reclaims it (it serves zero rows either way)
       try publishImpl(spark, resized, root, m.partCol, Nil, keep,
         replaceAll = false, coalescePartitions = false, () => (),
-        retainMs, Some(raw))
+        retainMs, Some(raw), replacedPartitions = offenders.toSet)
       catch {
         case e: MetaSwap.CasFailed =>
           throw new RebaseSignal(gen, offenders.toSet, e)

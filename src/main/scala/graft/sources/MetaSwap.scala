@@ -44,6 +44,19 @@ private[graft] object MetaSwap {
     } finally in.close()
   }
 
+  /** The marker's bytes if it exists right now, None otherwise —
+    * the tolerant read the staging-lock protocol probes with, where
+    * "gone between exists and open" is an expected race (another
+    * writer released or stole the lock), not an error. No heal: a
+    * lock observer must see the marker exactly as committed.
+    */
+  def readIfExists(fs: FileSystem, marker: Path): Option[Array[Byte]] =
+    try {
+      if (fs.exists(marker)) Some(readAll(fs, marker)) else None
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+
   /** Complete a crashed swap: `.next` present without the committed
     * marker renames in. No-op otherwise.
     */

@@ -90,6 +90,16 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         rel, SnapshotSource.PinnedOption, "true")
     if (m.entries.isEmpty)
       new EmptySnapshotRelation(sqlContext, schema, root, pinned)
+    else if (m.entries.exists(ManifestStore.isDeleteEntry))
+      // a generation carrying DELETION VECTORS (S37) cannot serve as
+      // a bare file relation — the scan must anti-join the recorded
+      // positions out. Serve the DV-applied DataFrame through a
+      // pruned-scan wrapper; the state is transient (any COW rewrite
+      // or OPTIMIZE folds the vectors), so the plain file relation
+      // returns with it
+      new DvSnapshotRelation(sqlContext, schema, root,
+        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries),
+        pinned)
     else if (m.statsCols.isEmpty)
       mark(org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
         ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries)))
@@ -195,4 +205,29 @@ private[graft] class EmptySnapshotRelation(
     extends BaseRelation with org.apache.spark.sql.sources.TableScan {
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+}
+
+/** The SQL relation of a generation carrying DELETION VECTORS (S37):
+  * wraps the DV-applied DataFrame (data scan anti-joined with the
+  * recorded positions). Column pruning pushes into the wrapped plan
+  * (the parquet scan reads only the requested columns plus the join
+  * key); filters apply above the anti-join — sound, and cheap in the
+  * state this relation exists for (vectors pending the next COW
+  * rewrite/OPTIMIZE, which folds them and restores the plain pushed-
+  * down file relation). Carries `root`/`pinned` explicitly for the
+  * DML router ([[GraftSqlDml.targetOf]]), the
+  * [[EmptySnapshotRelation]] posture.
+  */
+private[graft] class DvSnapshotRelation(
+    override val sqlContext: SQLContext,
+    override val schema: org.apache.spark.sql.types.StructType,
+    val root: String,
+    df: org.apache.spark.sql.DataFrame,
+    val pinned: Boolean = false)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+  override def buildScan(requiredColumns: Array[String])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.toSeq.map(
+       org.apache.spark.sql.functions.col): _*)).rdd
 }

@@ -65,39 +65,26 @@ object SnapshotStore {
   // pointer INSIDE the lock; branch publishes and the fast-forward
   // rename take the same lock for their target directory.
 
-  private val StagingLeaseMs = 15L * 60 * 1000L
+  private val StagingLeaseMs = StagingLock.LeaseMs
 
   private def lockPath(root: String, token: String) =
     new Path(s"$root/_snapshots/.lock-$token")
 
   private def acquireStagingLock(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: String, token: String): Unit = {
-    val lock = lockPath(root, token)
-    fs.mkdirs(new Path(s"$root/_snapshots"))
-    if (fs.exists(lock) && System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime > StagingLeaseMs) {
-      fs.delete(lock, false)
-      fs.delete(new Path(lock.getParent, lock.getName + ".next"),
-        false)
-      ()
-    }
-    try MetaSwap.create(fs, lock,
-      System.currentTimeMillis().toString.getBytes("UTF-8"))
-    catch {
-      case _: MetaSwap.CasFailed => throw new MetaSwap.CasFailed(
-        s"another writer is STAGING generation $token of $root " +
-          s"right now (_snapshots/.lock-$token) — concurrent stagers " +
-          "of one generation would overwrite each other's files; " +
-          "re-read and re-run (a crashed stager's lock expires " +
-          s"after ${StagingLeaseMs / 60000} minutes)")
-    }
-  }
+                                 root: String,
+                                 token: String): Array[Byte] =
+    StagingLock.acquire(fs, lockPath(root, token),
+      s"generation $token of $root (_snapshots/.lock-$token)")
+
+  private def verifyStagingLock(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String, token: String,
+                                owner: Array[Byte]): Unit =
+    StagingLock.verify(fs, lockPath(root, token), owner,
+      s"generation $token of $root (_snapshots/.lock-$token)")
 
   private def releaseStagingLock(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: String, token: String): Unit = {
-    fs.delete(lockPath(root, token), false)
-    ()
-  }
+                                 root: String, token: String): Unit =
+    StagingLock.release(fs, lockPath(root, token))
 
   /** The pointer bytes' committed generation, or None when the bytes
     * are CORRUPT (no `gen=` line, or a non-numeric value) — the
@@ -219,7 +206,7 @@ object SnapshotStore {
     val prior = expectPointer.orElse(committedNow)
     val gen = prior.map(parseGen).getOrElse(0L) + 1L
     val dir = genDir(root, gen)
-    acquireStagingLock(fs, root, gen.toString)
+    val lockOwner = acquireStagingLock(fs, root, gen.toString)
     try {
     // RE-VALIDATE inside the lock (the ManifestStore rule): a winner
     // may have committed this very generation between the read above
@@ -268,6 +255,10 @@ object SnapshotStore {
       else prior.flatMap(parsedGrace).getOrElse(0L)
     val bytes = s"gen=$gen\nkeep=$keep\ngrace=$effRetain\n"
       .getBytes("UTF-8")
+    // ownership check before the commit (the StagingLock discipline):
+    // a stage that outlived the lease and lost its lock must fail
+    // TYPED here, never repoint over the new holder's staging
+    verifyStagingLock(fs, root, gen.toString, lockOwner)
     prior match {
       case Some(expect) => MetaSwap.swap(fs, p, bytes, expect)
       case None         => MetaSwap.swap(fs, p, bytes)
@@ -643,7 +634,7 @@ object SnapshotStore {
     }
     val seq = b.head + 1L
     val dir = branchDir(root, name, seq)
-    acquireStagingLock(fs, root, dir.getName)
+    val lockOwner = acquireStagingLock(fs, root, dir.getName)
     try {
     // re-validate the ref inside the lock (the publish rule): a
     // racing branch publish that committed this seq must fail this
@@ -664,6 +655,7 @@ object SnapshotStore {
     try stamp.write(
       System.currentTimeMillis().toString.getBytes("UTF-8"))
     finally stamp.close()
+    verifyStagingLock(fs, root, dir.getName, lockOwner)
     MetaSwap.swap(fs, p, ManifestStore.serializeRef(
       ManifestStore.BranchRef(seq, b.base, b.createdMs)), expect)
     seq
@@ -757,7 +749,7 @@ object SnapshotStore {
     // discipline): a writer staging this same number holds it across
     // its stage + swap, so the delete/rename below can never clobber
     // (or be clobbered by) an in-flight staging
-    acquireStagingLock(fs, root, gen.toString)
+    val lockOwner = acquireStagingLock(fs, root, gen.toString)
     try {
     // fail-fast re-check after the (possibly long) audit — the
     // publishImpl pattern: the rename below would land on a racing
@@ -768,7 +760,10 @@ object SnapshotStore {
         s"concurrent promotion detected at $root: the serving " +
           "pointer moved while the fast-forward audit ran — " +
           "nothing was renamed or lost; re-read and re-run")
-    // the metadata-only promotion: ONE rename, zero data bytes
+    // the metadata-only promotion: ONE rename, zero data bytes —
+    // ownership re-verified first: the delete below must never
+    // consume a lock-stealing stager's in-flight directory
+    verifyStagingLock(fs, root, gen.toString, lockOwner)
     val target = genDir(root, gen)
     fs.delete(target, true) // a crashed publish's residue at cur+1
     if (!fs.rename(headDir, target)) throw new IllegalStateException(

@@ -230,4 +230,128 @@ class ConcurrencySpec extends AnyFunSuite {
       ()
     } finally rmTree(dir)
   }
+
+  // ---- staging-lock lease-steal races (seam-driven, deterministic) --
+  // The r17 verdict's one defect: two recoverers of an EXPIRED lock
+  // could both delete-then-create and both proceed. The steal is now
+  // an atomic rename to a unique tombstone + content verify; these
+  // schedules force the exact interleavings through the stealSeam.
+
+  import graft.sources.StagingLock
+  import org.apache.hadoop.fs.Path
+
+  private def localFs(): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Plant a lock whose mtime is past the lease — a crashed stager. */
+  private def plantExpiredLock(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: Path): Unit = {
+    val out = fs.create(lock, true)
+    try out.write("ts=0\nowner=crashed\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.setTimes(lock,
+      System.currentTimeMillis() - StagingLock.LeaseMs - 60000L, -1L)
+  }
+
+  test("double-steal of an expired staging lock: the recoverer that " +
+      "arrives second grabs the winner's FRESH lock, detects the " +
+      "mismatch, restores it, and loses typed — one owner survives") {
+    val dir = tmp("steal")
+    try {
+      val fs = localFs()
+      val lock = new Path(s"$dir/_writes/.lock-7")
+      plantExpiredLock(fs, lock)
+      // the late recoverer (this thread) observes the expired lock,
+      // then parks at the seam while a FAST recoverer completes the
+      // whole steal + re-create; on resume it must lose typed and
+      // leave the fast recoverer's lock untouched
+      var fastOwner: Array[Byte] = null
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      StagingLock.stealSeam = { p =>
+        if (fired.compareAndSet(false, true)) {
+          // the fast recoverer runs INSIDE the late one's window
+          fastOwner = StagingLock.acquire(fs, p, "gen 7 (fast)")
+        }
+      }
+      try {
+        val e = intercept[MetaSwap.CasFailed] {
+          StagingLock.acquire(fs, lock, "gen 7 (late)")
+        }
+        assert(e.getMessage.contains("re-read and re-run"))
+      } finally StagingLock.stealSeam = _ => ()
+      assert(fastOwner != null, "the fast recoverer never acquired")
+      // the surviving lock is the fast recoverer's, byte-exact, and
+      // its pre-commit verify still passes; no tombstone residue
+      StagingLock.verify(fs, lock, fastOwner, "gen 7 (fast)")
+      val residue = fs.listStatus(new Path(s"$dir/_writes"))
+        .map(_.getPath.getName).filter(_.contains(".tomb-"))
+      assert(residue.isEmpty,
+        s"tombstone residue after the race: ${residue.mkString(",")}")
+    } finally rmTree(dir)
+  }
+
+  test("lease exceeded MID-STAGE: a recoverer steals the expired " +
+      "lock; the original holder's pre-commit verify refuses typed " +
+      "instead of committing over the new owner") {
+    val dir = tmp("lease")
+    try {
+      val fs = localFs()
+      val lock = new Path(s"$dir/_writes/.lock-9")
+      val victim = StagingLock.acquire(fs, lock, "gen 9 (victim)")
+      // the victim's stage outlives the lease (simulated by aging the
+      // lock), and a recoverer legitimately steals it
+      fs.setTimes(lock,
+        System.currentTimeMillis() - StagingLock.LeaseMs - 60000L, -1L)
+      val thief = StagingLock.acquire(fs, lock, "gen 9 (recoverer)")
+      // the victim must now fail TYPED at its commit gate
+      val e = intercept[MetaSwap.CasFailed] {
+        StagingLock.verify(fs, lock, victim, "gen 9 (victim)")
+      }
+      assert(e.getMessage.contains("taken over"))
+      // ... while the recoverer's ownership stands
+      StagingLock.verify(fs, lock, thief, "gen 9 (recoverer)")
+    } finally rmTree(dir)
+  }
+
+  test("publish onto a crashed stager's expired lock while a seam-" +
+      "injected competitor steals it first: the publish fails typed " +
+      "with NOTHING staged; after the competitor releases, the " +
+      "retry commits normally") {
+    val dir = tmp("stealpub")
+    try {
+      import spark.implicits._
+      val root = s"$dir/t"
+      val fs = localFs()
+      ManifestStore.publish(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), root, "p",
+        keep = 10)
+      // a crashed stager of generation 2 left an expired lock
+      val lock = new Path(s"$root/_writes/.lock-2")
+      plantExpiredLock(fs, lock)
+      var competitor: Array[Byte] = null
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      StagingLock.stealSeam = { p =>
+        if (fired.compareAndSet(false, true))
+          competitor = StagingLock.acquire(fs, p, "gen 2 (competitor)")
+      }
+      val e = try intercept[MetaSwap.CasFailed] {
+        ManifestStore.publish(spark,
+          Seq((1L, "a")).toDF("k", "p"), root, "p", keep = 10)
+      } finally StagingLock.stealSeam = _ => ()
+      assert(e.getMessage.contains("re-read and re-run"))
+      // NOTHING staged by the loser, pointer unmoved
+      assert(!fs.exists(new Path(s"$root/_writes/2")),
+        "the losing publish staged files")
+      assert(ManifestStore.currentGen(spark, root).contains(1L))
+      // competitor done → release; the retry serves generation 2
+      StagingLock.release(fs, lock)
+      assert(competitor != null)
+      val g = ManifestStore.publish(spark,
+        Seq((9L, "a")).toDF("k", "p"), root, "p", keep = 10)
+      assert(g == 2L)
+      assert(ManifestStore.readCurrent(spark, root).where("p = 'a'")
+        .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    } finally rmTree(dir)
+  }
 }

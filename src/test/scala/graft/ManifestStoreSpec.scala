@@ -1657,6 +1657,173 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("single-column list table with a partition VALUE containing " +
+      "the tuple-separator byte: reader and writer hash the same " +
+      "group key, so the prefix read serves the rows (not silently " +
+      "none)") {
+    val dir = tmp("manisep")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      // single-column values are stored unescaped — "a\u001Fb" keeps
+      // its raw separator byte; the writer groups it under its
+      // pre-separator head ("a"), and the reader must probe the same
+      val weird = "a\u001Fb"
+      val df = Seq((1L, weird), (2L, weird), (3L, "plain"),
+        (4L, "other")).toDF("k", "p")
+      ManifestStore.publish(spark, df, root, "p", manifestGroups = 8)
+      val got = ManifestStore.readPartitionPrefix(spark, root,
+        Seq(weird)).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L),
+        s"the separator-bearing partition must serve its rows, got $got")
+      // the scoped read agrees (full-value path)
+      assert(ManifestStore.readPartitions(spark, root, Seq(weird))
+        .count() == 2L)
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("deletion vectors (S37): a MOR delete rewrites NO data file, " +
+      "stacks, is idempotent, serves DV-applied rows through " +
+      "reads/time travel/SQL, and COW update / OPTIMIZE fold the " +
+      "vectors; a fully-masked partition serves zero rows and is " +
+      "reclaimed by compaction") {
+    val dir = tmp("manidv")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val M = ManifestStore
+      val df = (0L until 400L).map(k => (k, k * 10L, (k % 4).toString))
+        .toDF("k", "v", "p")
+      M.publish(spark, df, root, "p")
+      val fs = Tables.fsFor(spark, root)
+      def mtime(rel: String) = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$rel"))
+        .getModificationTime
+      val before = M.manifestAt(spark, root, 1L).entries
+        .map(e => e.relPath -> mtime(e.relPath)).toMap
+      // ---- sparse MOR delete across partitions ----
+      val g2 = M.deleteWhereMor(spark, root, col("k") % 100L === 7L)
+      assert(g2 == 2L)
+      val m2 = M.manifestAt(spark, root, 2L)
+      val (dv2, data2) = m2.entries.partition(M.isDeleteEntry)
+      assert(dv2.nonEmpty, "no delete entries recorded")
+      assert(data2.map(_.relPath).toSet == before.keySet &&
+        data2.forall(e => before(e.relPath) == mtime(e.relPath)),
+        "a MOR delete must leave every data file byte-identical")
+      assert(M.readCurrent(spark, root).count() == 396L)
+      assert(M.readCurrent(spark, root)
+        .filter(col("k") % 100L === 7L).count() == 0L)
+      // partition-scoped reads are DV-applied too (k=7,107,207,307
+      // all live in p=3)
+      assert(M.readPartitions(spark, root, Seq("3")).count() == 96L)
+      assert(M.readAt(spark, root, 1L).count() == 400L,
+        "pre-DV generations must time-travel intact")
+      // ---- idempotence: re-deleting the same rows commits nothing
+      assert(M.deleteWhereMor(spark, root,
+        col("k") % 100L === 7L) == 2L)
+      // ---- stacking: a second DV on top of the first ----
+      val g3 = M.deleteWhereMor(spark, root,
+        col("p") === "2" && col("k") < 100L)
+      assert(g3 == 3L)
+      // first DV removed k=7,107,207,307 (4); second removes p=2's
+      // k<100 rows (k=2,6,...,98 — 25, disjoint from the first set)
+      assert(M.readCurrent(spark, root).count() == 371L,
+        s"stacked DV count, got ${M.readCurrent(spark, root).count()}")
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      // ---- SQL reads route through the DV-applied relation ----
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW dv_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      assert(spark.sql("SELECT count(*) FROM dv_t").head().getLong(0)
+        == 371L)
+      assert(spark.sql(
+        "SELECT count(*) FROM dv_t WHERE k % 100 = 7").head()
+        .getLong(0) == 0L)
+      // DML through the view still works (COW folds as it goes)
+      val g4 = spark.sql("DELETE FROM dv_t WHERE k = 11")
+        .head().getLong(0)
+      assert(g4 == 4L)
+      assert(M.readCurrent(spark, root).count() == 370L)
+      // the COW rewrite folded partition 3's vectors (k=11 lives in
+      // p=3; its rewrite replaced ALL of p=3's entries, DVs included)
+      val m4 = M.manifestAt(spark, root, 4L)
+      assert(m4.entries.filter(_.partition == "3")
+        .forall(e => !M.isDeleteEntry(e)))
+      spark.catalog.dropTempView("dv_t")
+      // ---- COW update folds ONLY its partition's vectors ----
+      val g5 = M.updateWhere(spark, root, col("p") === "0",
+        Seq("v" -> (col("v") + 1L)))
+      assert(g5 == 5L)
+      val m5 = M.manifestAt(spark, root, 5L)
+      assert(m5.entries.filter(_.partition == "0")
+        .forall(e => !M.isDeleteEntry(e)))
+      assert(m5.entries.filter(_.partition == "2")
+        .exists(M.isDeleteEntry), "p=2 vectors must still stand")
+      // ---- fully-masked partition: serves zero, compaction " +
+      // reclaims it ----
+      val g6 = M.deleteWhereMor(spark, root, col("p") === "1")
+      assert(M.readPartitions(spark, root, Seq("1")).count() == 0L)
+      assert(M.readCurrent(spark, root)
+        .filter(col("p") === "1").count() == 0L)
+      val folded = M.compactSmallPartitions(spark, root,
+        targetBytesPerFile = 1L << 30)
+      assert(folded > 0)
+      val curGen = M.currentGen(spark, root).get
+      val mF = M.manifestAt(spark, root, curGen)
+      assert(mF.entries.forall(e => !M.isDeleteEntry(e)),
+        "compaction must fold every vector")
+      assert(mF.entries.forall(_.partition != "1"),
+        "a fully-masked partition must be reclaimed by the fold")
+      assert(M.readCurrent(spark, root).count() ==
+        M.readAt(spark, root, g6).count(),
+        "the fold must not change served rows")
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("deletion vectors on the LIST layout: untouched groups' " +
+      "manifests carry VERBATIM through a DV commit; prefix and " +
+      "scoped reads stay DV-applied") {
+    val dir = tmp("manidvlist")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val M = ManifestStore
+      val df = (0L until 400L).map(k => (k, (k % 8).toString))
+        .toDF("k", "p")
+      M.publish(spark, df, root, "p", manifestGroups = 8)
+      val lg1 = M.genFileAt(spark, root, 1L)
+        .asInstanceOf[M.ListGen]
+      // DV-delete rows of ONE partition: only its group's manifest
+      // may be rewritten
+      val g2 = M.deleteWhereMor(spark, root,
+        col("p") === "5" && col("k") < 100L)
+      assert(g2 == 2L)
+      val lg2 = M.genFileAt(spark, root, 2L)
+        .asInstanceOf[M.ListGen]
+      val touchedGroup = M.prefixGroupRefs(lg1, Seq("5")).head.group
+      val (touched, carried) =
+        lg2.refs.partition(_.group == touchedGroup)
+      assert(touched.map(_.relPath) ==
+        Seq(s"_manifests/2.d/$touchedGroup"))
+      carried.foreach(r => assert(
+        r.relPath.startsWith("_manifests/1.d/"),
+        s"group ${r.group} must carry verbatim, got ${r.relPath}"))
+      // 12 rows gone (k=5,13,...,93)
+      assert(M.readCurrent(spark, root).count() == 400L - 12L)
+      assert(M.readPartitions(spark, root, Seq("5")).count() ==
+        50L - 12L)
+      assert(M.readPartitionPrefix(spark, root, Seq("5")).count() ==
+        50L - 12L)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
+
   test("partition-spec migration: repartitionTable rebuilds under " +
       "the new spec in one generation; partial publishes still " +
       "refuse a spec change; old generations time-travel under " +

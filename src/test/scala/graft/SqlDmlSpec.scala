@@ -426,6 +426,83 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("mergeInto with ONLY insert / BY SOURCE clauses and a source " +
+      "carrying DUPLICATE keys that match existing target rows: the " +
+      "matched rows carry through exactly once (no join-fanout " +
+      "duplication), unmatched duplicates insert per SQL") {
+    val dir = tmp("mergedup")
+    try {
+      import spark.implicits._
+      val M = ManifestStore
+      // ---- insert-only merge ----
+      val root = dir.toString + "/t"
+      M.publish(spark,
+        Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+          .toDF("k", "v", "p"), root, "p")
+      // key 1 matches the target THREE times; key 9 is new twice —
+      // SQL: matched copies do nothing, each unmatched row inserts
+      val src = Seq((1L, "x", "a"), (1L, "y", "a"), (1L, "z", "a"),
+        (9L, "n1", "b"), (9L, "n2", "b")).toDF("k", "v", "p")
+      M.mergeInto(spark, src, root, Seq("k"),
+        notMatched = Seq(M.MergeInsert(None)))
+      val cur = M.readCurrent(spark, root)
+      assert(cur.filter(col("k") === 1L).count() == 1L,
+        "duplicate-key source fanned out a matched target row")
+      assert(cur.filter(col("k") === 9L).count() == 2L,
+        "each unmatched source duplicate inserts (SQL semantics)")
+      assert(cur.count() == 5L)
+      // ---- BY-SOURCE-only merge, duplicate matching keys ----
+      val root2 = dir.toString + "/t2"
+      M.publish(spark,
+        Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+          .toDF("k", "v", "p"), root2, "p")
+      M.mergeInto(spark,
+        Seq((1L, "x", "a"), (1L, "y", "a")).toDF("k", "v", "p"),
+        root2, Seq("k"),
+        notMatchedBySource = Seq(M.MergeUpdate(
+          Some(Seq("v" -> concat(col("v"), lit("-STALE")))))))
+      val cur2 = M.readCurrent(spark, root2)
+      assert(cur2.filter(col("k") === 1L).count() == 1L,
+        "duplicate-key source fanned out a carried target row")
+      assert(cur2.filter(col("k") === 1L).head().getString(1) == "one")
+      assert(cur2.filter(col("v").endsWith("-STALE")).count() == 2L)
+      // with a MATCHED clause present the duplicates stay refused
+      val e = intercept[IllegalArgumentException] {
+        M.mergeInto(spark,
+          Seq((1L, "x", "a"), (1L, "y", "a")).toDF("k", "v", "p"),
+          root2, Seq("k"),
+          matched = Seq(M.MergeUpdate(None)))
+      }
+      assert(e.getMessage.contains("cardinality"))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("SET * / INSERT * expansion resolves source columns CASE-" +
+      "INSENSITIVELY (Spark's default resolution): a source column " +
+      "differing only in case assigns, not NULL-fills") {
+    val dir = tmp("mergecase")
+    try {
+      import spark.implicits._
+      val M = ManifestStore
+      val root = dir.toString + "/t"
+      M.publish(spark,
+        Seq((1L, "one", "a"), (2L, "two", "a")).toDF("k", "v", "p"),
+        root, "p")
+      // source spells the value column "V" — Spark resolves it to v
+      val src = Seq((2L, "TWO", "a"), (7L, "SEVEN", "a"))
+        .toDF("K", "V", "p")
+      M.mergeInto(spark, src, root, Seq("k"),
+        matched = Seq(M.MergeUpdate(None)),       // SET *
+        notMatched = Seq(M.MergeInsert(None)))        // INSERT *
+      val cur = M.readCurrent(spark, root).orderBy("k").collect()
+      assert(cur.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "one"), (2L, "TWO"), (7L, "SEVEN")),
+        "case-different source columns must assign on SET */INSERT *")
+      ()
+    } finally rmTree(dir)
+  }
+
   test("a foreign parquet table whose PATH contains the graft " +
       "directory grammar is NOT hijacked: no pointer marker, no " +
       "reroute — Spark's own DML handling applies") {
