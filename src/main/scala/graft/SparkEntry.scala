@@ -2648,6 +2648,51 @@ object SparkEntry {
             "n_rows_current")
       } finally rmTree(new java.io.File(tmp))
     }),
+    // ---- §2.1 S40 metadata-only column RENAME, driver-gated ----
+    // the name mapping: one manifest publish renames the column with
+    // every data file byte-identical; old files serve under the NEW
+    // name (per-era footer resolution), pre-rename generations
+    // time-travel under their own schema, DML binds the new name,
+    // and the fsck stays healthy. DuckDB recomputes rows + the
+    // post-update revenue under the renamed column.
+    "q_manifest_rename" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-maniren").toString
+      try {
+        val root = s"$tmp/orders"
+        val M = graft.sources.ManifestStore
+        val orders = Tables.table(s, d, "orders")
+          .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        M.publish(s, orders, root, "o_year")
+        val fs = Tables.fsFor(s, root)
+        def state(g: Long) = M.manifestAt(s, root, g).entries
+          .map(e => e.relPath -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+            .getModificationTime).toMap
+        val before = state(1L)
+        M.renameColumn(s, root, "o_totalprice", "price")
+        val dataIdentical = state(2L) == before
+        val timetravelOldSchema =
+          M.readAt(s, root, 1L).schema == orders.schema
+        // DML binds the NEW name over files carrying the OLD one:
+        // 1996 reprices ×0.90 in exact decimal
+        M.updateWhere(s, root, col("o_year") === "1996",
+          Seq("price" -> round(
+            col("price").cast("decimal(18,2)") *
+              lit("0.90").cast("decimal(3,2)"), 2)))
+        val healthy = graft.operators.IndexAudit
+          .isManifestTableHealthy(s, root)
+        val agg = M.readCurrent(s, root).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("price").cast("decimal(18,2)")), 2)
+            .cast("double").as("r")).head()
+        import s.implicits._
+        Seq((dataIdentical, timetravelOldSchema, healthy,
+          agg.getLong(0), agg.getDouble(1)))
+          .toDF("data_files_byte_identical", "timetravel_old_schema",
+            "fsck_healthy", "n_rows", "revenue")
+      } finally rmTree(new java.io.File(tmp))
+    }),
     // ---- §2.1 S21b row-level UPDATE on the manifest table, ----
     // ---- driver-gated ----
     // the DML triad's third leg: assignments evaluate against the
@@ -2986,12 +3031,59 @@ object SparkEntry {
           s"FROM $cat.gold.orders").head().getDouble(0)
         val healthy = graft.operators.IndexAudit
           .isManifestTableHealthy(s, s"$tmp/gold/orders")
-        s.catalog.dropTempView("cat_src")
+        // ---- CTAS: one statement, the rows ARE generation 1 ----
+        s.sql(s"CREATE TABLE $cat.gold.byyear PARTITIONED BY " +
+          s"(o_year) AS SELECT o_year, o_orderkey, o_totalprice " +
+          s"FROM $cat.gold.orders")
+        val byyearRoot = s"$tmp/gold/byyear"
+        val M = graft.sources.ManifestStore
+        val ctasOneGen = M.currentGen(s, byyearRoot).contains(1L)
+        val nCtas = s.sql(s"SELECT count(*) FROM $cat.gold.byyear")
+          .head().getLong(0)
+        // ---- ALTER ADD COLUMNS: the S29 widening publish, ----
+        // ---- metadata-only (files byte-identical) ----
+        val fsB = Tables.fsFor(s, byyearRoot)
+        def mt(g: Long) = M.manifestAt(s, byyearRoot, g).entries
+          .map(e => e.relPath -> fsB.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$byyearRoot/${e.relPath}"))
+            .getModificationTime).toMap
+        val preAlter = mt(1L)
+        s.sql(s"ALTER TABLE $cat.gold.byyear ADD COLUMNS " +
+          "(o_note STRING)")
+        val alterMetadataOnly = mt(2L) == preAlter
+        val alterBackfills = s.sql(s"SELECT count(*) FROM " +
+          s"$cat.gold.byyear WHERE o_note IS NULL").head()
+          .getLong(0) == nCtas
+        // ---- writer-V2: dynamic partition overwrite carries ----
+        // ---- untouched partitions byte-identical ----
+        val preOv = mt(2L)
+        s.table(s"$cat.gold.byyear")
+          .filter(col("o_year") === "1997")
+          .withColumn("o_note", lit("OV"))
+          .writeTo(s"$cat.gold.byyear").overwritePartitions()
+        val postOv = mt(3L)
+        val ovCarried = M.manifestAt(s, byyearRoot, 3L).entries
+          .filter(_.partition != "1997").map(_.relPath)
+        val overwriteCarries = ovCarried.nonEmpty &&
+          ovCarried.forall(p => preOv.get(p).contains(postOv(p)))
+        val nOv1997 = s.sql(s"SELECT count(*) FROM $cat.gold.byyear " +
+          "WHERE o_note = 'OV'").head().getLong(0)
+        // ---- writer-V2 append ----
         import s.implicits._
-        Seq((listed, gens, tsServes, healthy, nV2, nNow, rev))
+        Seq(("1996", -1L, 0.0, "APPENDED"))
+          .toDF("o_year", "o_orderkey", "o_totalprice", "o_note")
+          .writeTo(s"$cat.gold.byyear").append()
+        val nAfterAppend = s.sql(
+          s"SELECT count(*) FROM $cat.gold.byyear").head().getLong(0)
+        s.catalog.dropTempView("cat_src")
+        Seq((listed, gens, tsServes, healthy, ctasOneGen,
+          alterMetadataOnly, alterBackfills, overwriteCarries,
+          nV2, nNow, rev, nCtas, nOv1997, nAfterAppend))
           .toDF("table_listed", "sql_returns_gen",
-            "timestamp_as_of_serves", "fsck_healthy", "n_version2",
-            "n_rows", "revenue")
+            "timestamp_as_of_serves", "fsck_healthy", "ctas_one_gen",
+            "alter_metadata_only", "alter_backfills",
+            "overwrite_carries", "n_version2", "n_rows", "revenue",
+            "n_ctas", "n_overwritten_1997", "n_after_append")
       } finally rmTree(new java.io.File(tmp))
     }),
     // ---- §2.1 S29 manifest-table schema evolution, driver-gated ----
@@ -5047,6 +5139,20 @@ object SparkEntry {
         |     AND NOT (year(o_orderdate) = 1996
         |              AND o_orderstatus = 'F')) AS n_rows_current"""
         .stripMargin,
+    // the renamed-then-updated table recomputed from orders: 1996
+    // repriced ×0.90 in exact decimal under the renamed column —
+    // the metadata-only contract booleans ride along
+    "q_manifest_rename" ->
+      """SELECT true AS data_files_byte_identical,
+        |  true AS timetravel_old_schema, true AS fsck_healthy,
+        |  count(*) AS n_rows,
+        |  CAST(ROUND(SUM(CASE
+        |    WHEN year(o_orderdate) = 1996
+        |    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(0.90 AS DECIMAL(3,2)), 2)
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders""".stripMargin,
     // the post-update table recomputed from orders with CASE WHEN:
     // 1996's URGENT rows repriced ×0.90 in exact decimal — the
     // contract booleans ride along
@@ -5154,6 +5260,8 @@ object SparkEntry {
     "q_sql_catalog" ->
       """SELECT true AS table_listed, true AS sql_returns_gen,
         |  true AS timestamp_as_of_serves, true AS fsck_healthy,
+        |  true AS ctas_one_gen, true AS alter_metadata_only,
+        |  true AS alter_backfills, true AS overwrite_carries,
         |  (SELECT count(*) FROM orders) AS n_version2,
         |  count(*) AS n_rows,
         |  CAST(ROUND(SUM(CASE
@@ -5161,7 +5269,11 @@ object SparkEntry {
         |    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2)) *
         |      CAST(0.95 AS DECIMAL(3,2)), 2)
         |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
-        |    AS DOUBLE) AS revenue
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_ctas,
+        |  (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1997)
+        |    AS n_overwritten_1997,
+        |  count(*) + 1 AS n_after_append
         |FROM orders
         |WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
         |""".stripMargin,

@@ -80,6 +80,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def rootOf(ident: Identifier): String =
     dirOf(ident.namespace.toSeq, ident.name)
 
+  /** The directory an identifier addresses — what the CTAS command
+    * ([[GraftCtasCommand]]) publishes into before the table exists.
+    */
+  private[sources] def rootFor(ident: Identifier): String =
+    rootOf(ident)
+
   private def isTable(root: String): Boolean =
     Tables.fsFor(spark, root).exists(new Path(s"$root/_current"))
 
@@ -170,12 +176,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(fullName(ident), root, None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` routes to the S29 WIDENING
+    * publish — metadata-only (every prior entry carries verbatim
+    * under the widened DDL; old files serve the new columns
+    * null-backfilled) — and `RENAME COLUMN` to the S40 metadata-only
+    * name mapping ([[ManifestStore.renameColumn]]). Everything else
+    * keeps the S29 refusal: drops/re-types need the explicit
+    * replaceAll rebuild.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on a graft table: widen the " +
-        "schema with a publish (S29's evolution contract), or " +
-        "replaceAll for anything else")
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.RenameColumn =>
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on a graft " +
+          "table: ADD COLUMNS widens (S29), RENAME COLUMN maps " +
+          "names (S40); drop/re-type need an explicit replaceAll " +
+          "rebuild")
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        "ADD COLUMNS on a graft table adds TOP-LEVEL columns " +
+          s"(got nested ${a.fieldNames.mkString(".")})")
+      require(a.isNullable,
+        s"added column ${a.fieldNames.head} must be nullable — " +
+          "carried files null-backfill it (S29)")
+      require(a.position() == null,
+        "ADD COLUMNS appends at the end on a graft table (FIRST/" +
+          "AFTER would reorder the recorded DDL under carried files)")
+      org.apache.spark.sql.types.StructField(a.fieldNames.head,
+        a.dataType, nullable = true)
+    }
+    if (adds.nonEmpty) GraftAlterTable.addColumns(spark, root, adds)
+    changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        "RENAME COLUMN on a graft table renames TOP-LEVEL columns " +
+          s"(got nested ${r.fieldNames.mkString(".")})")
+      ManifestStore.renameColumn(spark, root, r.fieldNames.head,
+        r.newName)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -109,8 +109,44 @@ object GraftSqlDml {
     * against a pinned view would silently mutate state the view's
     * reader never sees. Target an unpinned view instead.
     */
+  /** Cheap PRE-PROBE before the full analysis [[targetOf]] runs: a
+    * name that CANNOT be a graft target (no temp view of that name,
+    * no graft catalog qualifying it, no session-catalog entry whose
+    * recorded provider is graft's) skips the duplicated analysis
+    * pass every parsed DML statement used to pay — the r17 advisory.
+    * Catalog/metastore lookups only, no plan is built. A false
+    * negative on an exotic shape degrades to Spark's own handling of
+    * the statement (loud), never to a silent reroute.
+    */
+  private def mightBeGraft(session: SparkSession,
+                           name: Seq[String]): Boolean = {
+    val cat = session.sessionState.catalog
+    def sessionProviderIsGraft: Boolean =
+      try {
+        val id = name.size match {
+          case 1 => org.apache.spark.sql.catalyst
+            .TableIdentifier(name.head)
+          case 2 => org.apache.spark.sql.catalyst
+            .TableIdentifier(name(1), Some(name.head))
+          case _ => return false
+        }
+        cat.getTempViewOrPermanentTableMetadata(id)
+          .provider.exists(_.contains("graft"))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    def headIsGraftCatalog: Boolean =
+      name.size >= 2 && {
+        try session.sessionState.catalogManager.catalog(name.head)
+          .isInstanceOf[GraftCatalog]
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    (name.size == 1 && cat.getRawTempView(name.head).isDefined) ||
+      (name.size >= 2 && name.head == "global_temp") ||
+      headIsGraftCatalog || sessionProviderIsGraft
+  }
+
   private[sources] def targetOf(session: SparkSession,
                                 name: Seq[String]): Option[Target] = {
+    if (!mightBeGraft(session, name)) return None
     val quoted = name.map(p => "`" + p.replace("`", "``") + "`")
       .mkString(".")
     val analyzed =
@@ -158,6 +194,26 @@ object GraftSqlDml {
       case _ => None
     }
   }
+
+  /** Resolve a STREAMING surface's target string — either a
+    * filesystem path (passed through) or a catalog/view identifier
+    * (`cat.ns.table`, a `graft-snapshot` view name) resolved to its
+    * graft table root via the same analysis [[targetOf]] uses. A
+    * string containing a path separator is always a path; an
+    * identifier that does not resolve to a graft table falls back to
+    * being treated as a path (the caller's own typed errors then
+    * name it).
+    */
+  private[graft] def resolveTableOrPath(session: SparkSession,
+                                        s: String): String =
+    if (s.contains('/') || s.contains('\\')) s
+    else {
+      val parts =
+        try session.sessionState.sqlParser.parseMultipartIdentifier(s)
+        catch { case _: Exception => return s }
+      try targetOf(session, parts).map(_.root).getOrElse(s)
+      catch { case _: Exception => s }
+    }
 
   /** The (multipart name, alias) of a DML target plan — an
     * `UnresolvedRelation`, optionally aliased.
@@ -517,6 +573,61 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   import GraftSqlDml._
 
+  // ---- the MAINTENANCE verbs (tried BEFORE Spark's grammar: ----
+  // OPTIMIZE/VACUUM/FSCK are not Spark statements; DESCRIBE
+  // HISTORY would mis-parse as a column describe; SHOW PARTITIONS
+  // would refuse on a DSv2 table). A statement whose target is not
+  // a graft table falls through to the delegate untouched.
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([^\s;()]+)(?:\s+TARGET\s+(\d+))?(?:\s+SORT\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([^\s;()]+)\s*;?\s*$""".r
+  private val FsckRe =
+    """(?is)^\s*FSCK\s+(REPAIR\s+)?TABLE\s+([^\s;()]+)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([^\s;()]+)\s*;?\s*$""".r
+  private val ShowPartsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([^\s;()]+)\s*;?\s*$""".r
+
+  private def graftTarget(ident: String)
+      : Option[(Seq[String], Target)] = {
+    val name =
+      try delegate.parseMultipartIdentifier(ident)
+      catch { case _: Exception => return None }
+    targetOf(session, name).map(t => (name, t))
+  }
+
+  private def maintenance(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(ident, tgt, sort) =>
+        graftTarget(ident).map { case (name, t) =>
+          GraftOptimizeCommand(name, t,
+            Option(tgt).map(_.toLong),
+            Option(sort).toSeq.flatMap(_.split(','))
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty))
+        }
+      case VacuumRe(ident) =>
+        graftTarget(ident).map { case (name, t) =>
+          GraftVacuumCommand(name, t)
+        }
+      case FsckRe(repair, ident) =>
+        graftTarget(ident).map { case (name, t) =>
+          if (repair != null) GraftFsckRepairCommand(name, t)
+          else GraftFsckCommand(name, t)
+        }
+      case HistoryRe(ident) =>
+        graftTarget(ident).map { case (name, t) =>
+          GraftHistoryCommand(name, t)
+        }
+      case ShowPartsRe(ident) =>
+        graftTarget(ident).map { case (name, t) =>
+          GraftShowPartitionsCommand(name, t)
+        }
+      case _ => None
+    }
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable =>
       nameOf(d.table).flatMap { case (name, alias) =>
@@ -637,11 +748,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    maintenance(sqlText).getOrElse(
+      rewrite(delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext)
       : LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    maintenance(sqlText).getOrElse(
+      rewrite(delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -100,7 +100,8 @@ object ManifestStore {
                             entries: Seq[ManifestEntry],
                             publishedMs: Long = 0L,
                             statsCols: Seq[String] = Nil,
-                            nGroups: Int = 0)
+                            nGroups: Int = 0,
+                            renames: Seq[(String, String)] = Nil)
 
   // ---- the MANIFEST-LIST layer (S24) ------------------------------
   // A generation's metadata file is either FLAT (header + every entry
@@ -122,12 +123,22 @@ object ManifestStore {
     */
   private[graft] final case class GroupRef(group: Int, relPath: String)
 
-  /** A parsed generation file, layout made explicit. */
+  /** A parsed generation file, layout made explicit. `renames` is
+    * the COLUMN NAME MAPPING (S40): the chronological `(old, new)`
+    * chain of metadata-only column renames this generation serves
+    * under — carried files written before a rename still hold the
+    * old physical name, and the read path resolves each staging
+    * token's files by the name its footers actually carry
+    * ([[readEntries]]); empty on tables that never renamed (zero
+    * cost), cleared by a replaceAll rebuild (fresh files carry
+    * current names only).
+    */
   private[graft] sealed trait GenFile {
     def partCol: String
     def schemaDdl: String
     def publishedMs: Long
     def statsCols: Seq[String]
+    def renames: Seq[(String, String)]
   }
   private[graft] final case class FlatGen(manifest: Manifest)
       extends GenFile {
@@ -135,6 +146,7 @@ object ManifestStore {
     def schemaDdl: String = manifest.schemaDdl
     def publishedMs: Long = manifest.publishedMs
     def statsCols: Seq[String] = manifest.statsCols
+    def renames: Seq[(String, String)] = manifest.renames
   }
   private[graft] final case class ListGen(partCol: String,
                                           schemaDdl: String,
@@ -142,7 +154,9 @@ object ManifestStore {
                                           statsCols: Seq[String],
                                           nGroups: Int,
                                           refs: Seq[GroupRef],
-                                          groupByPrefix: Boolean = false)
+                                          groupByPrefix: Boolean = false,
+                                          renames: Seq[(String, String)] =
+                                            Nil)
       extends GenFile
 
   /** The partition group of a raw partition-value string. Stability
@@ -270,7 +284,9 @@ object ManifestStore {
 
   private def headerBlock(partCol: String, schemaDdl: String,
                           publishedMs: Long,
-                          statsCols: Seq[String]): StringBuilder = {
+                          statsCols: Seq[String],
+                          renames: Seq[(String, String)])
+      : StringBuilder = {
     val sb = new StringBuilder
     sb.append("partcol=").append(partCol).append('\n')
     sb.append("schema=").append(schemaDdl).append('\n')
@@ -278,19 +294,23 @@ object ManifestStore {
     if (statsCols.nonEmpty)
       sb.append("statscols=").append(statsCols.map(enc).mkString(","))
         .append('\n')
+    if (renames.nonEmpty)
+      sb.append("renames=").append(renames
+        .map { case (o, n) => s"${enc(o)}>${enc(n)}" }.mkString(";"))
+        .append('\n')
     sb
   }
 
   private[graft] def serializeManifest(m: Manifest): Array[Byte] = {
     val sb = headerBlock(m.partCol, m.schemaDdl, m.publishedMs,
-      m.statsCols)
+      m.statsCols, m.renames)
     m.entries.foreach(serializeEntry(sb, _))
     sb.toString.getBytes("UTF-8")
   }
 
   private[graft] def serializeList(g: ListGen): Array[Byte] = {
     val sb = headerBlock(g.partCol, g.schemaDdl, g.publishedMs,
-      g.statsCols)
+      g.statsCols, g.renames)
     sb.append("list=v1\n")
     sb.append("groups=").append(g.nGroups).append('\n')
     if (g.groupByPrefix) sb.append("groupkey=prefix\n")
@@ -333,6 +353,15 @@ object ManifestStore {
         s.stripPrefix("statscols=").split(',').toSeq
           .filter(_.nonEmpty).map(dec)
     }.getOrElse(Nil)
+    val renames = lines.collectFirst {
+      case s if s.startsWith("renames=") =>
+        s.stripPrefix("renames=").split(';').toSeq
+          .filter(_.nonEmpty).map { pair =>
+            val i = pair.indexOf('>')
+            require(i > 0, s"malformed renames header token: $pair")
+            (dec(pair.take(i)), dec(pair.drop(i + 1)))
+          }
+    }.getOrElse(Nil)
     if (lines.contains("list=v1")) {
       val n = header("groups").toInt
       require(n >= 1, s"malformed manifest list: groups=$n")
@@ -342,11 +371,12 @@ object ManifestStore {
       }
       ListGen(header("partcol"), header("schema"), published,
         statsCols, n, refs,
-        groupByPrefix = lines.contains("groupkey=prefix"))
+        groupByPrefix = lines.contains("groupkey=prefix"),
+        renames = renames)
     } else {
       val entries = lines.filter(_.contains('\t')).map(parseEntryLine)
       FlatGen(Manifest(header("partcol"), header("schema"), entries,
-        published, statsCols))
+        published, statsCols, renames = renames))
     }
   }
 
@@ -370,7 +400,7 @@ object ManifestStore {
           parseGroup(MetaSwap.readCommitted(fs, p))
         }
         Manifest(lg.partCol, lg.schemaDdl, entries, lg.publishedMs,
-          lg.statsCols, lg.nGroups)
+          lg.statsCols, lg.nGroups, lg.renames)
     }
 
   /** [[assemble]] for the fsck: reports missing group files instead
@@ -480,7 +510,9 @@ object ManifestStore {
     */
   private[sources] def readEntries(spark: SparkSession, root: String,
                                    schemaDdl: String,
-                                   entries: Seq[ManifestEntry]): DataFrame = {
+                                   entries: Seq[ManifestEntry],
+                                   renames: Seq[(String, String)] =
+                                     Nil): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL(schemaDdl)
     val (dels, datas) = entries.partition(isDeleteEntry)
@@ -491,10 +523,16 @@ object ManifestStore {
       // explicit FILE paths: each file's parent is its own base path,
       // so no directory-name partition inference runs (the partition
       // column is IN the data); the declared schema pins column order
-      // across write directories from different publishes
-      val base = spark.read.schema(schema)
-        .parquet(datas.map(e => s"$root/${e.relPath}"): _*)
-      if (dels.isEmpty) base
+      // across write directories from different publishes. With a
+      // RENAME MAPPING (S40) the scan splits into one branch per
+      // physical-name VARIANT (almost always two: pre- and
+      // post-rename files), each read under the names its footers
+      // carry and aliased to the current names — renames.isEmpty
+      // keeps the single-scan fast path bit-for-bit.
+      val withDv = dels.nonEmpty
+      val unioned = dataScan(spark, root, schema, datas, renames,
+        withDv)
+      if (!withDv) unioned
       else {
         // MERGE-ON-READ (S37): anti-join the recorded deletion
         // vectors out on (file key, row position). The DV side is
@@ -505,12 +543,105 @@ object ManifestStore {
         val dv = spark.read.parquet(
           dels.map(e => s"$root/${e.relPath}"): _*)
           .select(col(DvFileCol), col(DvPosCol))
-        base.withColumn(DvFileCol, dvFileKeyExpr)
-          .withColumn(DvPosCol, col("_metadata.row_index"))
-          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+        unioned.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
     }
+  }
+
+  /** The union-of-variants DATA scan shared by [[readEntries]] and
+    * the DV planning pass ([[deleteWhereMorImpl]]): each
+    * physical-name variant reads under the names its footers carry
+    * and aliases to the CURRENT names; `dvCols = true` additionally
+    * carries the (file key, row position) pair the deletion-vector
+    * machinery joins on. One scan, bit-for-bit the old plan, when
+    * the table never renamed.
+    */
+  private def dataScan(spark: SparkSession, root: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       datas: Seq[ManifestEntry],
+                       renames: Seq[(String, String)],
+                       dvCols: Boolean): DataFrame = {
+    val variants: Seq[(org.apache.spark.sql.types.StructType,
+        Seq[ManifestEntry])] =
+      if (renames.isEmpty) Seq((schema, datas))
+      else renameVariants(spark, root, schema, datas, renames)
+    variants.map { case (readSchema, es) =>
+      val base = spark.read.schema(readSchema)
+        .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+      val keyed =
+        if (!dvCols) base
+        else base.withColumn(DvFileCol, dvFileKeyExpr)
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+      // physical -> current names, positionally (same field count
+      // and order — only names differ between variants)
+      val aliased = schema.fields.toSeq.zip(readSchema.fields.toSeq)
+        .map { case (cur, rd) => col(rd.name).as(cur.name) }
+      val extras =
+        if (!dvCols) Seq.empty
+        else Seq(col(DvFileCol), col(DvPosCol))
+      keyed.select(aliased ++ extras: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Group `datas` into physical-name VARIANTS under the rename
+    * mapping: per STAGING TOKEN (the write directory — one per
+    * publish), ONE file's parquet footer is probed on the driver for
+    * which name each renamed column actually carries (current name
+    * preferred; else the newest historical name present; else the
+    * column predates the era entirely and null-backfills through
+    * by-name absence). Cost: O(distinct tokens) footer metadata
+    * reads, only on tables that ever renamed.
+    */
+  private def renameVariants(spark: SparkSession, root: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             datas: Seq[ManifestEntry],
+                             renames: Seq[(String, String)])
+      : Seq[(org.apache.spark.sql.types.StructType,
+          Seq[ManifestEntry])] = {
+    // historical names of each current column, NEWEST first — walk
+    // the chronological chain backwards from the current name
+    // (a→b→c gives c the history [b, a])
+    def historyOf(current: String): Seq[String] = {
+      var names = List(current) // oldest-first accumulator
+      renames.reverse.foreach { case (o, n) =>
+        if (n == names.head) names = o :: names
+      }
+      names.init.reverse // all but the current name, newest first
+    }
+    val histories: Map[String, Seq[String]] = schema.fieldNames
+      .map(c => c -> historyOf(c)).toMap
+      .filter(_._2.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    def tokenOf(e: ManifestEntry): String =
+      e.relPath.split('/')(1)
+    val byToken = datas.groupBy(tokenOf)
+    val variantOf: Map[String, Map[String, String]] =
+      byToken.map { case (tok, es) =>
+        val probe = new Path(s"$root/${es.head.relPath}")
+        val footer = org.apache.parquet.hadoop.ParquetFileReader
+          .readFooter(conf, probe,
+            org.apache.parquet.format.converter
+              .ParquetMetadataConverter.NO_FILTER)
+          .getFileMetaData.getSchema
+        val present = footer.getFields.toArray.map(
+          _.asInstanceOf[org.apache.parquet.schema.Type].getName)
+          .toSet
+        val mapping = schema.fieldNames.map { c =>
+          val physical =
+            if (present(c)) c
+            else histories.getOrElse(c, Nil).find(present)
+              .getOrElse(c) // absent era: by-name null-backfill
+          c -> physical
+        }.toMap
+        tok -> mapping
+      }
+    byToken.groupBy { case (tok, _) => variantOf(tok) }.toSeq
+      .map { case (mapping, toks) =>
+        val readSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => f.copy(name = mapping(f.name))))
+        (readSchema, toks.values.flatten.toSeq)
+      }
   }
 
   /** The serving view: resolve the pointer once, read that immutable
@@ -530,7 +661,7 @@ object ManifestStore {
     */
   def readAt(spark: SparkSession, root: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, root, gen)
-    readEntries(spark, root, m.schemaDdl, m.entries)
+    readEntries(spark, root, m.schemaDdl, m.entries, m.renames)
   }
 
   /** TIME-based travel ([[SnapshotStore.genAsOfTimestamp]] on the
@@ -591,7 +722,7 @@ object ManifestStore {
     // the file-level pruning below
     val gf = genFileAt(spark, root, g)
     readEntries(spark, root, gf.schemaDdl,
-      scopedEntries(spark, root, gf, values))
+      scopedEntries(spark, root, gf, values), gf.renames)
   }
 
   /** Is `value` a served partition of generation `gen`? One group
@@ -732,7 +863,7 @@ object ManifestStore {
       else e.partition.split(TupleSep, -1).take(want.size)
         .toSeq == want
     }
-    readEntries(spark, root, gf.schemaDdl, entries)
+    readEntries(spark, root, gf.schemaDdl, entries, gf.renames)
   }
 
   /** The group references a prefix read must parse: ONE group on a
@@ -823,7 +954,7 @@ object ManifestStore {
       : DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (m, kept) = statsPrunedEntries(spark, root, column, lo, hi, gen)
-    readEntries(spark, root, m.schemaDdl, kept)
+    readEntries(spark, root, m.schemaDdl, kept, m.renames)
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
@@ -989,12 +1120,11 @@ object ManifestStore {
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL(m.schemaDdl)
       // the planning scan carries (file key, position) alongside the
-      // data columns and is itself DV-APPLIED, so an already-deleted
-      // row can never re-record its position
-      val keyed = spark.read.schema(schema)
-        .parquet(datas.map(e => s"$root/${e.relPath}"): _*)
-        .withColumn(DvFileCol, dvFileKeyExpr)
-        .withColumn(DvPosCol, col("_metadata.row_index"))
+      // data columns (rename-aware — old files resolve under their
+      // physical names) and is itself DV-APPLIED, so an
+      // already-deleted row can never re-record its position
+      val keyed = dataScan(spark, root, schema, datas, m.renames,
+        dvCols = true)
       val live =
         if (dels.isEmpty) keyed
         else keyed.join(
@@ -1427,6 +1557,17 @@ object ManifestStore {
           " — carried files keep their footers, so a type drift " +
           "would split the table's schema mid-manifest; rebuild " +
           "with replaceAll = true")
+      // a WIDENING column may not resurrect a name a rename retired
+      // (S40): the per-era footer resolution would find the old name
+      // in new files and mis-map carried ones
+      val retired = pf.renames.map(_._1).toSet
+      val resurrected = df.columns.filter(retired)
+      if (resurrected.nonEmpty) throw new graft.SchemaMismatch(
+        s"partial publish to $root adds column(s) " +
+          s"${resurrected.mkString(",")} whose name a previous " +
+          "RENAME retired — re-using it would make per-era file " +
+          "resolution ambiguous; pick another name or rebuild with " +
+          "replaceAll = true")
     }
     val fs = Tables.fsFor(spark, root)
     val stagingDir = s"$root/_writes/$token"
@@ -1514,6 +1655,12 @@ object ManifestStore {
       stagedValues(v) || replacedPartitions(v)
     val schemaDdl = df.drop("graft_p").schema.toDDL
     val publishedMs = System.currentTimeMillis()
+    // the RENAME MAPPING (S40) inherits on a partial publish (carried
+    // files still hold historical names) and CLEARS on a replaceAll
+    // rebuild (fresh files carry current names only)
+    val effRenames =
+      if (replaceAll) Nil
+      else priorFile.map(_.renames).getOrElse(Nil)
     // layout: explicit manifestGroups wins; the default inherits the
     // prior generation's layout (flat stays flat, a grouped table
     // keeps its group count) — the statsCols/grace inheritance
@@ -1542,7 +1689,7 @@ object ManifestStore {
           .filterNot(e => dropped(e.partition)) ++ stagedWithStats
       MetaSwap.swap(fs, new Path(s"$root/_manifests/$token"),
         serializeManifest(Manifest(partCol, schemaDdl, entries,
-          publishedMs, effStatsCols)))
+          publishedMs, effStatsCols, renames = effRenames)))
     } else {
       // LIST: write ONLY the touched groups' manifests under this
       // generation's `.d` dir; every untouched group's REFERENCE is
@@ -1595,7 +1742,8 @@ object ManifestStore {
         .map { case (g, rel) => GroupRef(g, rel) }.toSeq ++ newRefs
       MetaSwap.swap(fs, new Path(s"$root/_manifests/$token"),
         serializeList(ListGen(partCol, schemaDdl, publishedMs,
-          effStatsCols, effGroups, refs.sortBy(_.group), effPrefix)))
+          effStatsCols, effGroups, refs.sortBy(_.group), effPrefix,
+          renames = effRenames)))
     }
   }
 
@@ -1827,7 +1975,7 @@ object ManifestStore {
     case b: BranchRef =>
       val fs = Tables.fsFor(spark, root)
       val m = assemble(fs, root, branchGenFile(spark, root, name, b))
-      readEntries(spark, root, m.schemaDdl, m.entries)
+      readEntries(spark, root, m.schemaDdl, m.entries, m.renames)
   }
 
   /** The WAP review step: what would [[fastForward]]`(name)` change?
@@ -1956,7 +2104,7 @@ object ManifestStore {
     if (expectations.nonEmpty) {
       val m = assemble(fs, root, headFile)
       val report = graft.operators.Cleaning.validateExpectations(
-        readEntries(spark, root, m.schemaDdl, m.entries), expectations)
+        readEntries(spark, root, m.schemaDdl, m.entries, m.renames), expectations)
       val failed = report.collect().filter(!_.getBoolean(5))
       if (failed.nonEmpty) throw new graft.AuditFailed(
         s"audit failed for branch '$name' of $root: " +
@@ -2845,6 +2993,90 @@ object ManifestStore {
       expectations, keep, replaceAll = true,
       coalescePartitions = true, () => (), retainMs, Some(raw),
       statsCols = statsCols, manifestGroups = manifestGroups)
+  }
+
+  /** METADATA-ONLY COLUMN RENAME (S40 — the lakehouse formats' name
+    * mapping, on the manifest layout): commit ONE new generation
+    * whose entries (and, on a list layout, whose GROUP REFERENCES)
+    * carry verbatim, whose recorded DDL renames the column, and
+    * whose rename mapping gains `(old, new)` — not one data byte
+    * moves, lists, or re-reads. Reads resolve each file era by the
+    * physical name its parquet footers carry ([[readEntries]]'s
+    * per-staging-token probe), so old files serve under the NEW name
+    * and every pre-rename generation time-travels under its own
+    * recorded schema.
+    *
+    * Refusals (all typed, nothing staged): unknown/duplicate names;
+    * a PARTITION column (its name is baked into the recorded spec
+    * and every scoped read — migrate with [[repartitionTable]]); a
+    * HISTORICAL name (re-using a name a previous rename retired
+    * would make the per-era footer resolution ambiguous). Declared
+    * stat columns follow the rename; per-file stats recorded under
+    * the old name stay conservative (never pruned on) until the
+    * files rewrite. The mapping clears on a replaceAll rebuild —
+    * fresh files carry current names only.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String,
+                   keep: Int = 3, retainMs: Long = 0L): Long = {
+    val fs = Tables.fsFor(spark, root)
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published manifest table at $root"))
+    val raw = MetaSwap.readCommitted(fs, pointer(root))
+    val gf = genFileAt(spark, root, gen)
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL(gf.schemaDdl)
+    require(schema.fieldNames.contains(oldName),
+      s"column $oldName not in ${schema.fieldNames.mkString(",")}")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists in " +
+        schema.fieldNames.mkString(","))
+    require(!partColsOf(gf.partCol).contains(oldName),
+      s"cannot rename partition column $oldName: the recorded spec " +
+        "and every scoped read key on it — migrate the spec with " +
+        "repartitionTable")
+    require(!gf.renames.exists(_._1 == newName),
+      s"cannot rename to $newName: a previous rename retired that " +
+        "name, and re-using it would make the per-era file " +
+        "resolution ambiguous — pick another name or rebuild with " +
+        "repartitionTable/replaceAll")
+    val newDdl = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)).toDDL
+    val newStats = gf.statsCols.map(c =>
+      if (c == oldName) newName else c)
+    val newRenames = gf.renames :+ (oldName -> newName)
+    val newGen = gen + 1L
+    val token = newGen.toString
+    val lockOwner = acquireStagingLock(fs, root, token)
+    try {
+      if (!java.util.Arrays.equals(
+          MetaSwap.readCommitted(fs, pointer(root)), raw))
+        throw new MetaSwap.CasFailed(
+          s"concurrent promotion committed at $root while this " +
+            "rename acquired the staging lock — nothing was staged " +
+            "or lost; re-read and re-run")
+      val publishedMs = System.currentTimeMillis()
+      val bytesOut = gf match {
+        case FlatGen(m) => serializeManifest(m.copy(
+          schemaDdl = newDdl, statsCols = newStats,
+          renames = newRenames, publishedMs = publishedMs))
+        case lg: ListGen => serializeList(lg.copy(
+          schemaDdl = newDdl, statsCols = newStats,
+          renames = newRenames, publishedMs = publishedMs))
+      }
+      MetaSwap.swap(fs, manifestPath(root, newGen), bytesOut)
+      val effRetain =
+        if (retainMs > 0) retainMs
+        else SnapshotStore.parsedGrace(raw).getOrElse(0L)
+      verifyStagingLock(fs, root, token, lockOwner)
+      MetaSwap.swap(fs, pointer(root),
+        s"gen=$newGen\nkeep=$keep\ngrace=$effRetain\n"
+          .getBytes("UTF-8"), raw)
+      prune(fs, root, newGen, keep, effRetain)
+      newGen
+    } finally releaseStagingLock(fs, root, token)
   }
 
   /** OPTIMISTIC REBASE (the Iceberg commit-conflict rule), shared by

@@ -90,19 +90,23 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         rel, SnapshotSource.PinnedOption, "true")
     if (m.entries.isEmpty)
       new EmptySnapshotRelation(sqlContext, schema, root, pinned)
-    else if (m.entries.exists(ManifestStore.isDeleteEntry))
-      // a generation carrying DELETION VECTORS (S37) cannot serve as
-      // a bare file relation — the scan must anti-join the recorded
-      // positions out. Serve the DV-applied DataFrame through a
-      // pruned-scan wrapper; the state is transient (any COW rewrite
-      // or OPTIMIZE folds the vectors), so the plain file relation
-      // returns with it
+    else if (m.entries.exists(ManifestStore.isDeleteEntry) ||
+        m.renames.nonEmpty)
+      // a generation carrying DELETION VECTORS (S37) or a column
+      // RENAME MAPPING (S40) cannot serve as a bare file relation —
+      // the scan must anti-join recorded positions out / read each
+      // file era under its physical names. Serve the applied
+      // DataFrame through a pruned-scan wrapper; the DV state is
+      // transient (any COW rewrite or OPTIMIZE folds the vectors),
+      // and a replaceAll rebuild clears the mapping
       new DvSnapshotRelation(sqlContext, schema, root,
-        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries),
+        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries,
+          m.renames),
         pinned)
     else if (m.statsCols.isEmpty)
       mark(org.apache.spark.sql.GraftSqlBridge.fileRelationOf(
-        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries)))
+        ManifestStore.readEntries(spark, root, m.schemaDdl, m.entries,
+          m.renames)))
     else mark(org.apache.spark.sql.GraftSqlBridge.statsPrunedFileRelation(
       spark, schema,
       m.entries.map(e => s"$root/${e.relPath}" -> e.stats),

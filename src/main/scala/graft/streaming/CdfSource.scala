@@ -162,9 +162,16 @@ class CdfSourceProvider extends StreamSourceProvider
 
   private def parse(parameters: Map[String, String])
       : (String, Seq[String], Option[Long], Option[Long]) = {
-    val root = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-cdf needs a path option (the table root)"))
+    // `path` (a table root, or `.load("cat.ns.t")`) or `table` (a
+    // catalog/view identifier) — identifiers resolve to their graft
+    // root through the same analysis the SQL DML router uses
+    val raw = parameters.get("path")
+      .orElse(parameters.get("table"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-cdf needs a path option (the table root) or a table " +
+          "option (a catalog/view identifier)"))
+    val root = graft.sources.GraftSqlDml.resolveTableOrPath(
+      SparkSession.active, raw)
     val keys = parameters.getOrElse("keys",
       throw new IllegalArgumentException(
         "graft-cdf needs a keys option (comma-separated diff keys)"))

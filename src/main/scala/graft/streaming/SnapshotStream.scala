@@ -51,10 +51,15 @@ object SnapshotStream {
     * lists the batch's content id — the O(metadata) replay guard.
     * Returns the committed generation.
     */
-  def publishBatch(spark: SparkSession, batch: DataFrame, root: String,
+  def publishBatch(spark: SparkSession, batch: DataFrame,
+                   rootOrTable: String,
                    idCol: String, keep: Int = 3,
                    retainMs: Long = 0L): Long = {
     val M = graft.sources.ManifestStore
+    // the target accepts a catalog/view identifier next to the raw
+    // root path (resolved once, the graft-cdf discipline)
+    val root = graft.sources.GraftSqlDml.resolveTableOrPath(spark,
+      rootOrTable)
     val bid = graft.operators.Dedup.batchId(batch, idCol)
     M.currentGen(spark, root).foreach { g =>
       // one group parse on a list-layout table — the replay guard
@@ -89,12 +94,15 @@ object SnapshotStream {
     * micro-batch boundaries, not asserted.
     */
   private[graft] def snapshotSinkWithProbe(stream: DataFrame,
-                                           root: String,
+                                           rootOrTable: String,
                                            checkpointDir: String,
                                            idCol: String, keep: Int,
                                            afterBatch: () => Unit,
                                            retainMs: Long = 0L)
       : StreamingQuery = {
+    // identifiers resolve ONCE, here — not per micro-batch
+    val root = graft.sources.GraftSqlDml.resolveTableOrPath(
+      stream.sparkSession, rootOrTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>

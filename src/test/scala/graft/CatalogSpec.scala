@@ -101,7 +101,7 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("catalog refusals: CREATE without PARTITIONED BY, " +
-      "non-identity transforms, ALTER, missing tables") {
+      "non-identity transforms, destructive ALTER, missing tables") {
     val (cat, tmp) = freshCatalog("catref")
     try {
       spark.sql(s"CREATE NAMESPACE $cat.db")
@@ -116,10 +116,13 @@ class CatalogSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("VALUES"))
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
         "PARTITIONED BY (v)")
+      // ADD COLUMNS is now the S29 widening publish (its own spec);
+      // the DESTRUCTIVE alters keep refusing with the remedy
       val e3 = intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN w STRING")
+        spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE STRING")
       }
-      assert(e3.getMessage.contains("publish"))
+      assert(e3.getMessage.contains("replaceAll") ||
+        e3.getMessage.toLowerCase.contains("not supported"))
       val e4 = intercept[Exception] {
         spark.sql(s"SELECT * FROM $cat.db.missing")
       }
@@ -149,6 +152,161 @@ class CatalogSpec extends AnyFunSuite {
       assert(graft.operators.IndexAudit.isManifestTableHealthy(spark,
         s"$tmp/db/t"))
       Seq("cat_h1", "cat_h2").foreach(spark.catalog.dropTempView)
+      ()
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  test("CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lands " +
+      "the query rows as ONE generation (no empty-gen window); " +
+      "IF NOT EXISTS no-ops on an existing table; missing " +
+      "PARTITIONED BY refuses") {
+    val (cat, tmp) = freshCatalog("catctas")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.range(10)
+        .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS y")
+        .createOrReplaceTempView("ctas_src")
+      spark.sql(s"CREATE TABLE $cat.db.t PARTITIONED BY (y) " +
+        "AS SELECT * FROM ctas_src")
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 10L)
+      // ONE generation: the rows ARE generation 1
+      assert(ManifestStore.currentGen(spark, s"$tmp/db/t")
+        .contains(1L))
+      // IF NOT EXISTS: existing table survives untouched
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.t " +
+        "PARTITIONED BY (y) AS SELECT * FROM ctas_src WHERE k < 2")
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 10L)
+      // without IF NOT EXISTS: typed refusal
+      val e1 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.t PARTITIONED BY (y) " +
+          "AS SELECT * FROM ctas_src")
+      }
+      assert(e1.getMessage.toLowerCase.contains("exists"))
+      // CTAS without PARTITIONED BY refuses with the why
+      val e2 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.t2 AS SELECT * FROM ctas_src")
+      }
+      assert(e2.getMessage.contains("PARTITIONED BY"))
+      spark.catalog.dropTempView("ctas_src")
+      ()
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  test("ALTER TABLE ADD COLUMNS routes to the S29 widening publish " +
+      "(metadata-only: every data file carries byte-identical; old " +
+      "rows serve the new column null-backfilled); drop/rename/" +
+      "re-type keep refusing") {
+    val (cat, tmp) = freshCatalog("catalter")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.range(6)
+        .selectExpr("id AS k", "CAST(id % 2 AS STRING) AS y")
+        .createOrReplaceTempView("alter_src")
+      spark.sql(s"CREATE TABLE $cat.db.t PARTITIONED BY (y) " +
+        "AS SELECT * FROM alter_src")
+      val root = s"$tmp/db/t"
+      val fs = Tables.fsFor(spark, root)
+      def mtimes(g: Long) = ManifestStore.manifestAt(spark, root, g)
+        .entries.map(e => e.relPath -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+          .getModificationTime).toMap
+      val before = mtimes(1L)
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (score DOUBLE)")
+      // metadata-only: gen 2 carries gen 1's files byte-identical
+      val after = mtimes(2L)
+      assert(after == before,
+        "a widening ALTER must carry every data file verbatim")
+      val cur = spark.sql(s"SELECT * FROM $cat.db.t")
+      assert(cur.columns.toSeq == Seq("k", "y", "score"))
+      assert(cur.filter(col("score").isNotNull).count() == 0L)
+      // the widened column takes writes
+      spark.sql(s"UPDATE $cat.db.t SET score = CAST(k AS DOUBLE) " +
+        "WHERE y = '0'")
+      assert(spark.sql(s"SELECT * FROM $cat.db.t " +
+        "WHERE y = '0' AND score IS NULL").count() == 0L)
+      // time travel serves the old era under its own schema
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 1")
+        .columns.toSeq == Seq("k", "y"))
+      // drops/re-types keep the S29 refusal
+      val e1 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN score")
+      }
+      assert(e1.getMessage.contains("replaceAll") ||
+        e1.getMessage.toLowerCase.contains("not supported"))
+      // RENAME COLUMN is the S40 metadata-only name mapping: files
+      // byte-identical, old rows serve under the new name
+      val preRename = mtimes(
+        ManifestStore.currentGen(spark, root).get)
+      spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN k TO kk")
+      val gR = ManifestStore.currentGen(spark, root).get
+      assert(mtimes(gR) == preRename,
+        "a RENAME must carry every data file verbatim")
+      val renamed = spark.sql(s"SELECT * FROM $cat.db.t")
+      assert(renamed.columns.toSeq == Seq("kk", "y", "score"))
+      assert(renamed.selectExpr("sum(kk)").head().getLong(0) ==
+        (0L until 6L).sum)
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      spark.catalog.dropTempView("alter_src")
+      ()
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  test("writer-V2 surface: df.writeTo(t).append() / " +
+      ".overwritePartitions() / .overwrite(lit(true)) land as " +
+      "generations with partition byte-identity; arbitrary " +
+      "overwrite conditions refuse typed") {
+    val (cat, tmp) = freshCatalog("catwrite")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, y STRING) " +
+        "PARTITIONED BY (y)")
+      val root = s"$tmp/db/t"
+      val fs = Tables.fsFor(spark, root)
+      def mtimes(g: Long) = ManifestStore.manifestAt(spark, root, g)
+        .entries.map(e => e.relPath -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+          .getModificationTime).toMap
+      // append: INSERT INTO semantics
+      spark.range(6).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS y")
+        .writeTo(s"$cat.db.t").append()
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 6L)
+      assert(ManifestStore.currentGen(spark, root).contains(2L))
+      val before = mtimes(2L)
+      // dynamic partition overwrite: only y='0' replaces; y='1'
+      // rides byte-identical
+      spark.range(100, 102)
+        .selectExpr("id AS k", "'0' AS y")
+        .writeTo(s"$cat.db.t").overwritePartitions()
+      val after = mtimes(3L)
+      val carried = ManifestStore.manifestAt(spark, root, 3L).entries
+        .filter(_.partition == "1").map(_.relPath)
+      assert(carried.nonEmpty && carried.forall(p =>
+        before.get(p).contains(after(p))),
+        "untouched partitions must carry byte-identical")
+      val cur = spark.sql(s"SELECT * FROM $cat.db.t")
+      assert(cur.filter(col("y") === "0").count() == 2L)
+      assert(cur.filter(col("y") === "1").count() == 3L)
+      // whole-table overwrite
+      spark.range(4).selectExpr("id AS k", "'z' AS y")
+        .writeTo(s"$cat.db.t").overwrite(lit(true))
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 4L)
+      assert(ManifestStore.currentGen(spark, root).contains(4L))
+      // arbitrary overwrite conditions refuse with the remedies
+      val e = intercept[Exception] {
+        spark.range(1).selectExpr("id AS k", "'z' AS y")
+          .writeTo(s"$cat.db.t").overwrite(col("y") === "z")
+      }
+      assert(e.getMessage.contains("overwritePartitions"))
+      // wrong columns refuse loudly
+      val e2 = intercept[Exception] {
+        spark.range(1).selectExpr("id AS k", "'z' AS y",
+          "id AS extra").writeTo(s"$cat.db.t").append()
+      }
+      assert(e2.getMessage.toLowerCase.contains("column") ||
+        e2.getMessage.contains("schema"))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
       ()
     } finally rmTree(new java.io.File(tmp))
   }

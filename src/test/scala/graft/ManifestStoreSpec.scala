@@ -1824,6 +1824,137 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("metadata-only column RENAME (S40): one manifest publish, " +
+      "every data file byte-identical; old files serve under the " +
+      "new name across mixed eras, DML works on the new name, time " +
+      "travel serves each era's own schema, chains compose, and a " +
+      "replaceAll rebuild clears the mapping") {
+    val dir = tmp("manirename")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val M = ManifestStore
+      M.publish(spark, (0L until 100L)
+        .map(k => (k, k * 2L, (k % 4).toString)).toDF("k", "v", "p"),
+        root, "p")
+      val fs = Tables.fsFor(spark, root)
+      def mtimes(g: Long) = M.manifestAt(spark, root, g).entries
+        .map(e => e.relPath -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))
+          .getModificationTime).toMap
+      val before = mtimes(1L)
+      // ---- the rename: pure metadata ----
+      val g2 = M.renameColumn(spark, root, "v", "val2")
+      assert(g2 == 2L)
+      assert(mtimes(2L) == before,
+        "a rename must carry every data file verbatim")
+      val cur = M.readCurrent(spark, root)
+      assert(cur.columns.toSeq == Seq("k", "val2", "p"))
+      assert(cur.selectExpr("sum(val2)").head().getLong(0) ==
+        (0L until 100L).map(_ * 2L).sum)
+      // scoped + predicate reads resolve the old physical name
+      assert(M.readPartitions(spark, root, Seq("1"))
+        .filter(col("val2") === 2L).count() == 1L)
+      // time travel: the old era under its own schema
+      assert(M.readAt(spark, root, 1L).columns.toSeq ==
+        Seq("k", "v", "p"))
+      // ---- mixed eras: a partial publish under the NEW name ----
+      val g3 = M.publish(spark, Seq((1000L, 7L, "0"))
+        .toDF("k", "val2", "p"), root, "p")
+      assert(g3 == 3L)
+      val mixed = M.readCurrent(spark, root)
+      assert(mixed.count() == 76L) // p=0 replaced (25 rows) + 1 new
+      assert(mixed.filter(col("k") === 1000L)
+        .head().getLong(1) == 7L)
+      assert(mixed.filter(col("p") === "1")
+        .selectExpr("sum(val2)").head().getLong(0) ==
+        (0L until 100L).filter(_ % 4 == 1).map(_ * 2L).sum)
+      // DML binds the new name across eras
+      val g4 = M.updateWhere(spark, root, col("p") === "1",
+        Seq("val2" -> (col("val2") + 1L)))
+      assert(g4 == 4L)
+      assert(M.readCurrent(spark, root).filter(col("p") === "1")
+        .selectExpr("sum(val2)").head().getLong(0) ==
+        (0L until 100L).filter(_ % 4 == 1).map(_ * 2L + 1L).sum)
+      // ---- chain: rename AGAIN; three eras serve coherently ----
+      val g5 = M.renameColumn(spark, root, "val2", "w")
+      assert(g5 == 5L)
+      val chained = M.readCurrent(spark, root)
+      assert(chained.columns.toSeq == Seq("k", "w", "p"))
+      assert(chained.filter(col("p") === "2")
+        .selectExpr("sum(w)").head().getLong(0) ==
+        (0L until 100L).filter(_ % 4 == 2).map(_ * 2L).sum)
+      // SQL serves the renamed table
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ren_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      assert(spark.sql("SELECT sum(w) FROM ren_t WHERE p = '2'")
+        .head().getLong(0) ==
+        (0L until 100L).filter(_ % 4 == 2).map(_ * 2L).sum)
+      spark.catalog.dropTempView("ren_t")
+      // ---- refusals ----
+      val e1 = intercept[IllegalArgumentException] {
+        M.renameColumn(spark, root, "p", "part")
+      }
+      assert(e1.getMessage.contains("partition column"))
+      val e2 = intercept[IllegalArgumentException] {
+        M.renameColumn(spark, root, "k", "w")
+      }
+      assert(e2.getMessage.contains("already exists"))
+      // resurrecting a retired name refuses — rename target AND
+      // widening publish
+      val e3 = intercept[IllegalArgumentException] {
+        M.renameColumn(spark, root, "k", "val2")
+      }
+      assert(e3.getMessage.contains("retired"))
+      val e4 = intercept[graft.SchemaMismatch] {
+        M.publish(spark, Seq((1L, 2L, "0", "x"))
+          .toDF("k", "w", "p", "v"), root, "p")
+      }
+      assert(e4.getMessage.contains("RENAME"))
+      // ---- DV on a renamed table ----
+      val g6 = M.deleteWhereMor(spark, root, col("w") === 4L)
+      assert(M.readCurrent(spark, root)
+        .filter(col("w") === 4L).count() == 0L)
+      assert(g6 == 6L)
+      // ---- replaceAll clears the mapping ----
+      val g7 = M.publish(spark,
+        M.readCurrent(spark, root).toDF(), root, "p",
+        replaceAll = true)
+      assert(M.genFileAt(spark, root, g7).renames.isEmpty,
+        "a replaceAll rebuild must clear the rename mapping")
+      assert(M.readCurrent(spark, root).columns.toSeq ==
+        Seq("k", "w", "p"))
+      assert(graft.operators.IndexAudit
+        .isManifestTableHealthy(spark, root))
+      ()
+    } finally rmTree(dir)
+  }
+
+  test("column RENAME on the LIST layout is one gen-file write: " +
+      "every group reference carries VERBATIM; reads stay exact") {
+    val dir = tmp("manirenlist")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val M = ManifestStore
+      M.publish(spark, (0L until 200L)
+        .map(k => (k, k.toString, (k % 8).toString))
+        .toDF("k", "txt", "p"), root, "p", manifestGroups = 8)
+      val lg1 = M.genFileAt(spark, root, 1L).asInstanceOf[M.ListGen]
+      val g2 = M.renameColumn(spark, root, "txt", "body")
+      assert(g2 == 2L)
+      val lg2 = M.genFileAt(spark, root, 2L).asInstanceOf[M.ListGen]
+      assert(lg2.refs == lg1.refs,
+        "a rename must carry every group reference verbatim")
+      assert(lg2.renames == Seq("txt" -> "body"))
+      assert(M.readCurrent(spark, root).columns.toSeq ==
+        Seq("k", "body", "p"))
+      assert(M.readPartitionPrefix(spark, root, Seq("3"))
+        .filter(col("body") === "3").count() == 1L)
+      ()
+    } finally rmTree(dir)
+  }
+
   test("partition-spec migration: repartitionTable rebuilds under " +
       "the new spec in one generation; partial publishes still " +
       "refuse a spec change; old generations time-travel under " +

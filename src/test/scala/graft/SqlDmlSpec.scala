@@ -503,6 +503,80 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("SQL maintenance verbs: OPTIMIZE [SORT BY] / VACUUM / FSCK " +
+      "[REPAIR] TABLE / DESCRIBE HISTORY / SHOW PARTITIONS run the " +
+      "store maintenance ops and return generations / reclaim " +
+      "counts / findings; non-graft targets pass through") {
+    val dir = tmp("sqlmaint")
+    try {
+      import spark.implicits._
+      val root = dir.toString + "/t"
+      val M = ManifestStore
+      // several small files per partition so OPTIMIZE has offenders
+      val df = (0L until 200L).map(k => (k, (k % 2).toString))
+        .toDF("k", "p").repartition(6)
+      M.publish(spark, df, root, "p", coalescePartitions = false,
+        keep = 4)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW maint_t USING " +
+        s"`graft-snapshot` OPTIONS (path '$root')")
+      // SHOW PARTITIONS: manifest inventory, no data read
+      val parts = spark.sql("SHOW PARTITIONS maint_t").collect()
+      assert(parts.map(_.getString(0)).sorted.toSeq == Seq("0", "1"))
+      assert(parts.forall(_.getLong(1) > 1L),
+        "the fixture needs multi-file partitions")
+      // OPTIMIZE: compaction commits a generation, reports count
+      val opt = spark.sql("OPTIMIZE maint_t").head()
+      assert(opt.getLong(0) == 2L && opt.getLong(1) == 2L)
+      assert(M.readCurrent(spark, root).count() == 200L)
+      assert(spark.sql("SHOW PARTITIONS maint_t").collect()
+        .forall(_.getLong(1) == 1L))
+      // OPTIMIZE ... SORT BY: range clustering
+      val opt2 = spark.sql("OPTIMIZE maint_t SORT BY (k)").head()
+      assert(opt2.getLong(0) == 3L)
+      // DESCRIBE HISTORY: newest first, fsck statuses
+      val hist = spark.sql("DESCRIBE HISTORY maint_t").collect()
+      assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+      assert(hist.head.getString(2) == "serving")
+      assert(hist.last.getString(2) != "serving")
+      // VACUUM: a dropped branch's private manifests + staged files
+      // reclaim on the explicit prune (keep=4 retains all main gens)
+      M.branch(spark, root, "wip")
+      M.publishToBranch(spark,
+        Seq((9999L, "0")).toDF("k", "p"), root, "wip")
+      M.dropRef(spark, root, "wip")
+      val vac = spark.sql("VACUUM maint_t").head()
+      assert(vac.getLong(1) >= 1L, s"reclaimed_files: $vac")
+      assert(vac.getLong(2) == 3L, s"retained_generations: $vac")
+      // FSCK TABLE: healthy findings
+      val fsck = spark.sql("FSCK TABLE maint_t").collect()
+      assert(fsck.nonEmpty && fsck.forall(_.getBoolean(3)),
+        s"fsck must be healthy, got ${fsck.mkString(";")}")
+      // FSCK REPAIR on damage: plant a residue manifest, repair
+      // reclaims it
+      val fs = Tables.fsFor(spark, root)
+      val residue = new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/4")
+      val out = fs.create(residue, true)
+      try out.write(M.serializeManifest(
+        M.manifestAt(spark, root, 3L)))
+      finally out.close()
+      val rep = spark.sql("FSCK REPAIR TABLE maint_t").collect()
+      assert(rep.exists(r => r.getString(2).contains("residue")),
+        s"repair must reclaim the planted residue, got " +
+          rep.mkString(";"))
+      assert(!fs.exists(residue))
+      // non-graft targets: DESCRIBE HISTORY falls through to Spark
+      spark.range(3).createOrReplaceTempView("history")
+      val plain = spark.sql("DESCRIBE HISTORY id")
+      assert(plain.columns.exists(_.toLowerCase.contains("col")) ||
+        plain.columns.exists(_.toLowerCase.contains("name")),
+        "a non-graft DESCRIBE must reach Spark's own describe")
+      spark.catalog.dropTempView("history")
+      spark.catalog.dropTempView("maint_t")
+      ()
+    } finally rmTree(dir)
+  }
+
   test("a foreign parquet table whose PATH contains the graft " +
       "directory grammar is NOT hijacked: no pointer marker, no " +
       "reroute — Spark's own DML handling applies") {

@@ -303,6 +303,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(out))
   }
 
+  test("catalog identifiers on the streaming surfaces: graft-cdf " +
+      "reads `table = cat.ns.t` and snapshotSink promotes into an " +
+      "identifier — full round trip with no path in sight") {
+    import graft.sources.ManifestStore
+    import graft.streaming.SnapshotStream
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-streamident").toString
+    try {
+      val cat = "sc" + out.replaceAll("[^0-9a-zA-Z]", "").takeRight(8)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", out)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      // ---- sink through the identifier ----
+      spark.sql(s"CREATE TABLE $cat.db.gold " +
+        "(k BIGINT, snapshot_batch STRING) " +
+        "PARTITIONED BY (snapshot_batch)")
+      val src = s"$out/incoming"
+      spark.range(30).selectExpr("id AS k").repartition(3)
+        .write.json(src)
+      SnapshotStream.snapshotSink(
+        spark.readStream.schema("k BIGINT")
+          .option("maxFilesPerTrigger", "1").json(src),
+        s"$cat.db.gold", s"$out/ck", "k")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.gold")
+        .head().getLong(0) == 30L)
+      // ---- graft-cdf through the identifier (table option) ----
+      val drained = scala.collection.mutable.Set
+        .empty[Long]
+      val q = spark.readStream.format("graft-cdf")
+        .option("keys", "k")
+        .option("table", s"$cat.db.gold").load()
+        .writeStream.option("checkpointLocation", s"$out/ckcdf")
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.filter(col("change") === "added").collect()
+              .foreach(r => drained += r.getAs[Long]("k"))
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      assert(drained == (0L until 30L).toSet,
+        s"cdf through the identifier must replay every row, got " +
+          s"${drained.size}")
+      // the identifier resolved to the real warehouse directory
+      assert(ManifestStore.currentGen(spark, s"$out/db/gold")
+        .isDefined)
+      ()
+    } finally rmTree(new java.io.File(out))
+  }
+
   test("change feed: per-promotion diffs stream in order with a " +
       "persisted cursor — full-sync bootstrap, restart no-op, " +
       "crash redelivery, retention lag refused typed") {
