@@ -43,9 +43,62 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
   * the typed ones the Scala API throws ([[graft.SnapshotUnavailable]]
   * for a residue or pruned gen).
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The STREAMING SINK form (`writeStream.format("graft-snapshot")`
+    * — the `.toTable` ergonomics for the pointer family): every
+    * micro-batch promotes through
+    * [[graft.streaming.SnapshotStream.publishBatch]] — one
+    * content-keyed partition per batch, atomically pointer-swapped,
+    * exactly-once by the checkpoint plus the content-id replay guard
+    * (a redelivered batch's typed refusal is treated as
+    * already-done). Options: `path` (table root) or `table` (a
+    * catalog identifier — S39 resolution), `idCol` (the
+    * content-derivation key, required), `keep`, `retainMs`.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "the graft-snapshot sink partitions on the batch content id " +
+        "by construction — drop partitionBy")
+    val target = parameters.get("path")
+      .orElse(parameters.get("table"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft-snapshot sink needs a path option (the table " +
+          "root) or a table option (a catalog identifier)"))
+    val idCol = parameters.getOrElse("idCol",
+      throw new IllegalArgumentException(
+        "the graft-snapshot sink needs an idCol option (the " +
+          "column its content-derived batch ids key on)"))
+    val keep = parameters.get("keep").map(_.toInt).getOrElse(3)
+    val retainMs = parameters.get("retainMs").map(_.toLong)
+      .getOrElse(0L)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val batch = org.apache.spark.sql.GraftSqlBridge.asBatch(data)
+        if (!batch.isEmpty) {
+          try {
+            graft.streaming.SnapshotStream.publishBatch(
+              batch.sparkSession, batch, target, idCol, keep,
+              retainMs)
+            ()
+          } catch {
+            // redelivery: this exact batch already promoted
+            case _: graft.BatchAlreadyLanded => ()
+          }
+        }
+      }
+    }
+  }
 
   /** `timestampAsOf` accepts epoch milliseconds or an ISO-ish local
     * timestamp (`yyyy-MM-dd[ HH:mm:ss[.fff]]`, `T` separator fine),

@@ -39,6 +39,33 @@ object Explore {
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
+    if (args.headOption.contains("dv")) {
+      // S37/S40 plan capture: the DV-applied read (broadcast
+      // anti-join over the untouched data scan) and the renamed
+      // table's union-of-eras read
+      val M = graft.sources.ManifestStore
+      val root = "/tmp/graft-explore-dv/orders"
+      graft.sources.Tables.fsFor(spark, root).delete(
+        new org.apache.hadoop.fs.Path("/tmp/graft-explore-dv"), true)
+      val orders = Tables.table(spark, sfDir, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      M.publish(spark, orders, root, "o_year")
+      M.deleteWhereMor(spark, root, col("o_orderkey") % 997 === 0)
+      println("==== DV-applied read (filter + projection) ====")
+      M.readCurrent(spark, root)
+        .filter(col("o_year") === "1996")
+        .select("o_orderkey", "o_totalprice")
+        .explain("formatted")
+      M.renameColumn(spark, root, "o_totalprice", "price")
+      M.publish(spark, M.readCurrent(spark, root)
+        .filter(col("o_year") === "1997"), root, "o_year")
+      println("==== renamed-table read (mixed eras) ====")
+      M.readCurrent(spark, root)
+        .filter(col("o_year").isin("1996", "1997"))
+        .select("o_orderkey", "price")
+        .explain("formatted")
+      spark.stop(); return
+    }
     if (args.headOption.contains("ivfpq")) {
       // IVFPQ floor measurement: reranked recall + candidate fraction
       // across nprobe/rerank, vs the global-ADC baseline

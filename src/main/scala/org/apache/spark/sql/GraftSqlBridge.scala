@@ -53,6 +53,19 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse: re-wrap the DataFrame a DSv1 [[execution.streaming
+    * .Sink]]'s `addBatch` receives (a streaming-tagged plan) as a
+    * plain BATCH frame the store ops can publish — the standard
+    * sink-implementation technique (Delta's DeltaSink does exactly
+    * this); `internalCreateDataFrame` is `private[sql]`, hence
+    * bridged here.
+    */
+  def asBatch(df: Dataset[Row]): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Re-tag a file relation with an extra option — how
     * [[graft.sources.SnapshotSource]] marks a view resolved through an
     * explicit pin (`versionAsOf`/`timestampAsOf`/`ref`) so the DML

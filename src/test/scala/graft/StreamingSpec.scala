@@ -353,6 +353,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(out))
   }
 
+  test("writeStream.format(graft-snapshot): the sink form of the " +
+      "streaming promotion — micro-batches land as content-keyed " +
+      "generations, restart is a no-op, fresh-checkpoint redelivery " +
+      "is refused by the replay guard") {
+    import graft.sources.ManifestStore
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-fmtsink").toString
+    try {
+      val root = s"$out/gold"
+      val src = s"$out/incoming"
+      spark.range(24).selectExpr("id AS k").repartition(3)
+        .write.json(src)
+      def run(ck: String): Unit = {
+        val q = spark.readStream.schema("k BIGINT")
+          .option("maxFilesPerTrigger", "1").json(src)
+          .writeStream.format("graft-snapshot")
+          .option("path", root).option("idCol", "k")
+          .option("checkpointLocation", s"$out/$ck")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      run("ck1")
+      assert(ManifestStore.readCurrent(spark, root).count() == 24L)
+      val gen = ManifestStore.currentGen(spark, root).get
+      assert(gen == 3L, s"one generation per micro-batch, got $gen")
+      // restart: the checkpoint stops re-reads
+      run("ck1")
+      assert(ManifestStore.currentGen(spark, root).contains(gen))
+      // fresh checkpoint: full redelivery, all refused by the guard
+      run("ck2")
+      assert(ManifestStore.currentGen(spark, root).contains(gen))
+      assert(ManifestStore.readCurrent(spark, root).count() == 24L)
+      ()
+    } finally rmTree(new java.io.File(out))
+  }
+
   test("change feed: per-promotion diffs stream in order with a " +
       "persisted cursor — full-sync bootstrap, restart no-op, " +
       "crash redelivery, retention lag refused typed") {
