@@ -186,7 +186,13 @@ object Bench {
       // the r17 protocol gates: temp-dir general-merge / INSERT /
       // catalog drives — same tmp-filesystem class, all Verify-gated
       "q_sql_merge", "q_sql_insert", "q_sql_catalog",
-      "q_manifest_repartition")
+      "q_manifest_repartition",
+      // the r18 protocol gates: temp-dir deletion-vector and
+      // column-rename drives (publish + DV commit + era reads on a
+      // tmp store) — same tmp-filesystem class, all Verify-gated.
+      // (The r18 build round added the gates but not this exclusion;
+      // finishing its own convention.)
+      "q_manifest_dv", "q_manifest_rename")
     // by-construction-expensive gates, tagged machine-readably so a
     // reader of the artifact can separate train-heavy/iterative gate
     // time (the value measures round count or in-gate training, not

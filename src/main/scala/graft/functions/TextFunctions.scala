@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of a trimmed string. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens of a trimmed string. Scanner kernel
+    * ([[graft.plans.WsTokenize]]) with exact value parity to the
+    * previous `split(trim(c), "\\s+")` form — same elements, same
+    * leading/trailing-empty semantics — at a fraction of the regex
+    * cost (no Pattern/Matcher machinery, no String copy per row).
+    */
+  def tokens(c: Column): Column = graft.plans.TokenizeApi.ws_tokenize(c)
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -41,10 +46,16 @@ object TextFunctions {
     * (see the lambda-recompute warning on
     * [[graft.operators.Dedup.shinglesFromTokens]]).
     */
-  def bpeTokens(c: Column): Column = expr_extract_all(c, BpePattern)
+  def bpeTokens(c: Column): Column =
+    graft.plans.TokenizeApi.bpe_tokenize(c) // scanner twin of
+  // `regexp_extract_all(c, BpePattern, 0)` — value-identical match
+  // stream (see graft.plans.Tokenize.bpeTokenize's parity contract)
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
-  private def expr_extract_all(c: Column, pattern: String): Column =
+  /** Kept for differential parity specs: the regex twin the scanner
+    * kernels are value-checked against (TokenizeParitySpec).
+    */
+  private[graft] def regexExtractAll(c: Column, pattern: String): Column =
     regexp_extract_all(c, lit(pattern), lit(0))
 
   /** Count of tokens that appear in `words` — a native codegen
@@ -72,7 +83,8 @@ object TextFunctions {
   def langId(c: Column): Column = {
     val scores = Stopwords.map { case (l, ws) => l -> stopwordCount(c, ws) }
     val Seq(en, es, de, fr) = scores.map(_._2)
-    val zh = size(expr_extract_all(c, "[\\x{4e00}-\\x{9fff}]"))
+    val zh = graft.plans.TokenizeApi.count_cjk(c) // scanner twin of
+    // size(regexp_extract_all(c, "[\\x{4e00}-\\x{9fff}]"))
     when(zh > 0, "zh")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
@@ -80,15 +92,24 @@ object TextFunctions {
       .otherwise("fr")
   }
 
-  /** Alphabetic-character ratio over total length (0 for empty). */
+  /** Alphabetic-character ratio over total length (0 for empty).
+    * Scanner count ([[graft.plans.CountAsciiLetters]]), value-
+    * identical to `size(regexp_extract_all(c, "[A-Za-z]"))`.
+    */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, 0.0).otherwise(
-      size(expr_extract_all(c, "[A-Za-z]")).cast("double") / length(c))
+      graft.plans.TokenizeApi.count_ascii_letters(c).cast("double") /
+        length(c))
 
-  /** Punctuation-character ratio over total length. */
+  /** Punctuation-character ratio over total length. Scanner count
+    * ([[graft.plans.CountNonAlnumWs]]), value-identical to
+    * `size(regexp_extract_all(c, "[^A-Za-z0-9\\s]"))` — one match per
+    * code point outside ASCII alnum/whitespace.
+    */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, 0.0).otherwise(
-      size(expr_extract_all(c, "[^A-Za-z0-9\\s]")).cast("double") / length(c))
+      graft.plans.TokenizeApi.count_non_alnum_ws(c).cast("double") /
+        length(c))
 
   /** Stopword-token ratio (language-agnostic union list). */
   def stopwordRatio(c: Column): Column = {

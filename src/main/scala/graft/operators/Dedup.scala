@@ -36,10 +36,11 @@ object Dedup {
     * sf0.1 corpus.
     */
   def shinglesFromTokens(ws: Column, n: Int = 3): Column =
-    when(size(ws) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(ws, i + j + 1)): _*)))
+    graft.plans.TokenizeApi.shingles(ws, n)
+  // Scanner kernel ([[graft.plans.Shingles]]): value-identical to the
+  // previous `when(size < n, array()).otherwise(transform(sequence,
+  // concat_ws(...)))` HOF chain, whose lambdas ran interpreted per
+  // element — one fused loop per row instead.
 
   /** Word n-gram shingles of a text column (empty array below n
     * words). Convenience form for single-expression use; pipelines
