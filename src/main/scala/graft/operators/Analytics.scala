@@ -32,8 +32,14 @@ object Analytics {
     * so it can never drift per-query.
     */
   private def discPrice: Column =
-    dec(col("l_extendedprice")) *
-      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    graft.plans.Decimal128Api.mul_compact(dec(col("l_extendedprice")),
+      (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+  // mul_compact (graft.plans.Decimal128) is the bit-identical
+  // integer twin of the decimal multiply for products that fit 18
+  // digits — same result type and values, no per-row BigDecimal (see
+  // Decimal128 scaladoc; parity pinned by Decimal128Spec + the
+  // oracle sweep). The sums stay Spark's `sum`: at these magnitudes
+  // the accumulator rides Decimal's compact long fast path.
 
   /** Exact decimal sum, rounded to `scale`, emitted as double.
     * Deterministic: the decimal sum is exact; round bounds magnitude so
@@ -110,8 +116,9 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(dec(col("l_extendedprice")) *
-        dec(col("l_discount"), 4, 2)), 2).cast("double").as("revenue"),
+      .agg(round(sum(graft.plans.Decimal128Api.mul_compact(
+        dec(col("l_extendedprice")),
+        dec(col("l_discount"), 4, 2))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 

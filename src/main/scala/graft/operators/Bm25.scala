@@ -93,9 +93,11 @@ object Bm25 {
           avgdl))
     val perTerm = tf.join(broadcast(dfT), Seq("term"))
       .select(col(idCol),
-        round(idf * tfNorm, 9).cast("decimal(18,9)").as("__s"))
+        graft.plans.Decimal128Api.unscaled(
+          round(idf * tfNorm, 9).cast("decimal(18,9)")).as("__s"))
     val scored = perTerm.groupBy(col(idCol))
-      .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
+      .agg(round(graft.plans.Decimal128Api.sum128Long(col("__s"), 18, 9)
+        .cast("double"), 6).as("score"))
     // ranking runs on the ROUNDED score (id tie-break), so float
     // noise cannot reorder ranks across engines; the top-k itself is
     // the combinable bounded aggregate — k rows ship per partition,

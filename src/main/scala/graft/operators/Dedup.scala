@@ -1426,8 +1426,13 @@ object Dedup {
       .select(col(idCol),
         array_join(
           when(col("__pos").isNull, col("__ws")).otherwise(
-            filter(col("__ws"),
-              (_, i) => !array_contains(col("__pos"), i.cast("bigint")))),
+            // scanner kernel (graft.plans.DropIndexed): same kept
+            // tokens as the interpreted
+            // `filter(ws, (x, i) => !array_contains(pos, i))` HOF,
+            // one hash probe per token instead of a position-list
+            // scan per token
+            graft.plans.DropIndexed.drop_indexed(col("__ws"),
+              col("__pos"))),
           " ").as("trimmed_text"))
   }
 }

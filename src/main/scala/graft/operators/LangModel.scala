@@ -104,7 +104,8 @@ object LangModel {
       .join(uni, Seq("w1"), "left")
     val scored =
       if (lambda == 1.0) scored0.select(col(idCol),
-        round(log(pBi), 9).cast("decimal(18,9)").as("__lp"))
+        graft.plans.Decimal128Api.unscaled(
+          round(log(pBi), 9).cast("decimal(18,9)")).as("__lp"))
       else {
         val uniR = bigrams.groupBy(col("w2"))
           .agg(sum(col("n12")).as("c2"))
@@ -122,13 +123,15 @@ object LangModel {
             (n.toDouble + alpha * vocab)
         scored0.join(uniR, Seq("w2"), "left")
           .select(col(idCol),
-            round(log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni), 9)
-              .cast("decimal(18,9)").as("__lp"))
+            graft.plans.Decimal128Api.unscaled(
+              round(log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni), 9)
+                .cast("decimal(18,9)")).as("__lp"))
       }
     scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(negate(sum(col("__lp")).cast("double")) /
+        round(negate(graft.plans.Decimal128Api
+          .sum128Long(col("__lp"), 18, 9).cast("double")) /
           count(lit(1)).cast("double"), 6).as("nll"))
   }
 
@@ -262,10 +265,12 @@ object LangModel {
       .join(uniL, Seq("w2"), "left")
       .join(uniR, Seq("w3"), "left")
       .select(col(idCol),
-        round(log(p), 9).cast("decimal(18,9)").as("__lp"))
+        graft.plans.Decimal128Api.unscaled(
+          round(log(p), 9).cast("decimal(18,9)")).as("__lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
-        round(negate(sum(col("__lp")).cast("double")) /
+        round(negate(graft.plans.Decimal128Api
+          .sum128Long(col("__lp"), 18, 9).cast("double")) /
           count(lit(1)).cast("double"), 6).as("nll"))
   }
 

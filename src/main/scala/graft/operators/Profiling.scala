@@ -444,21 +444,51 @@ object Profiling {
     // the exact form to well under 1e-9 — pinned by spec). The row
     // predicate stays the POST-CAST one in both modes, so both forms
     // select identical rows and n stays in lock-step.
+    // post-cast nullness: a value overflowing decimal(18,6) casts
+    // to NULL in non-ANSI mode, so gating on the cast keeps n in
+    // lock-step with the sums instead of silently skewing r.
+    // EXACT PATH PLAN SHAPE: the gated casts are projected ONCE per
+    // pair (a codegen'd Project over the scan), so the 6 aggregates
+    // per pair consume bare column refs instead of each re-evaluating
+    // the CASE WHEN + three decimal casts per row; the sums themselves
+    // are the limb-sum kernels (graft.plans.Decimal128) — bit-
+    // identical to sum(when(both, dec·dec)) by exact integer
+    // arithmetic on the unscaled values, without the per-row
+    // BigDecimal multiply+add the decimal(37,12) product sums
+    // otherwise pay. Same rows, same values, one fewer plan quirk.
+    val exactIn =
+      if (!exact) df
+      else df.select(pairs.zipWithIndex.flatMap { case ((x, y), k) =>
+        val both = dec(x).isNotNull && dec(y).isNotNull
+        import graft.plans.Decimal128Api.unscaled
+        Seq(unscaled(when(both, dec(x))).as(s"__ux$k"),
+          unscaled(when(both, dec(y))).as(s"__uy$k"))
+      }: _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
-      // post-cast nullness: a value overflowing decimal(18,6) casts
-      // to NULL in non-ANSI mode, so gating on the cast keeps n in
-      // lock-step with the sums instead of silently skewing r
-      val both = dec(x).isNotNull && dec(y).isNotNull
-      def s(e: Column, name: String) =
-        sum(when(both, e)).as(s"__${name}$k")
-      def v(c: String) = if (exact) dec(c) else col(c).cast("double")
-      Seq(
-        count(when(both, 1)).as(s"__n$k"),
-        s(v(x), "sx"), s(v(y), "sy"),
-        s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"),
-        s(v(x) * v(y), "sxy"))
+      if (exact) {
+        import graft.plans.Decimal128Api.{prodSum128Long, sum128Long}
+        val ux = col(s"__ux$k")
+        val uy = col(s"__uy$k")
+        Seq(
+          count(when(ux.isNotNull, 1)).as(s"__n$k"),
+          sum128Long(ux, 18, 6).as(s"__sx$k"),
+          sum128Long(uy, 18, 6).as(s"__sy$k"),
+          prodSum128Long(ux, ux, 18, 6, 18, 6).as(s"__sxx$k"),
+          prodSum128Long(uy, uy, 18, 6, 18, 6).as(s"__syy$k"),
+          prodSum128Long(ux, uy, 18, 6, 18, 6).as(s"__sxy$k"))
+      } else {
+        val both = dec(x).isNotNull && dec(y).isNotNull
+        def s(e: Column, name: String) =
+          sum(when(both, e)).as(s"__${name}$k")
+        def v(c: String) = col(c).cast("double")
+        Seq(
+          count(when(both, 1)).as(s"__n$k"),
+          s(v(x), "sx"), s(v(y), "sy"),
+          s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"),
+          s(v(x) * v(y), "sxy"))
+      }
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = exactIn.agg(aggs.head, aggs.tail: _*)
     val long = row.select(explode(array(pairs.zipWithIndex.map {
       case ((x, y), k) =>
         struct(lit(x).as("col_x"), lit(y).as("col_y"),

@@ -653,8 +653,25 @@ object Similarity {
         col("subvec"))
       .join(codebook, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
-        dot(col("subvec"), col("centv")).as("qc"),
-        dot(col("centv"), col("centv")).as("cc"))
+        // the (38,18) fixed-point limbs of the per-subspace dot
+        // products, computed ONCE on the broadcast-sized LUT: the
+        // big-side ADC aggregation then sums bare longs
+        // (graft.plans.Decimal128.LimbSumLongs) instead of paying a
+        // double->decimal(38,18) BigDecimal conversion per joined row
+        // per buffer slot — value-identical to the previous
+        // sum(qc.cast(decimal(38,18))) exact-decimal sums
+        graft.plans.Decimal128Api.unscaled_lo(
+          dot(col("subvec"), col("centv")).cast("decimal(38,18)"))
+          .as("__qcl"),
+        graft.plans.Decimal128Api.unscaled_hi(
+          dot(col("subvec"), col("centv")).cast("decimal(38,18)"))
+          .as("__qch"),
+        graft.plans.Decimal128Api.unscaled_lo(
+          dot(col("centv"), col("centv")).cast("decimal(38,18)"))
+          .as("__ccl"),
+        graft.plans.Decimal128Api.unscaled_hi(
+          dot(col("centv"), col("centv")).cast("decimal(38,18)"))
+          .as("__cch"))
     val qnorm = queries.select(col(idCol).as("query_id"),
       norm(col(vecCol)).as("qn"))
     rankTopK(codes.join(broadcast(lut), Seq("subspace", "code"))
@@ -670,9 +687,11 @@ object Similarity {
       // indexed serve ≠ in-memory serve at 10× replication). Decimal
       // addition is order-free, so the ADC score — and therefore the
       // shortlist — is bit-identical however the codes are stored.
-      .agg(sum(col("qc").cast("decimal(38,18)")).cast("double")
+      .agg(graft.plans.Decimal128Api
+          .sum128Wide(col("__qcl"), col("__qch"), 38, 18).cast("double")
           .as("qdot"),
-        sum(col("cc").cast("decimal(38,18)")).cast("double")
+        graft.plans.Decimal128Api
+          .sum128Wide(col("__ccl"), col("__cch"), 38, 18).cast("double")
           .as("cn2"))
       .join(broadcast(qnorm), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
@@ -793,8 +812,25 @@ object Similarity {
         col("subvec"))
       .join(codebook, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
-        dot(col("subvec"), col("centv")).as("qc"),
-        dot(col("centv"), col("centv")).as("cc"))
+        // the (38,18) fixed-point limbs of the per-subspace dot
+        // products, computed ONCE on the broadcast-sized LUT: the
+        // big-side ADC aggregation then sums bare longs
+        // (graft.plans.Decimal128.LimbSumLongs) instead of paying a
+        // double->decimal(38,18) BigDecimal conversion per joined row
+        // per buffer slot — value-identical to the previous
+        // sum(qc.cast(decimal(38,18))) exact-decimal sums
+        graft.plans.Decimal128Api.unscaled_lo(
+          dot(col("subvec"), col("centv")).cast("decimal(38,18)"))
+          .as("__qcl"),
+        graft.plans.Decimal128Api.unscaled_hi(
+          dot(col("subvec"), col("centv")).cast("decimal(38,18)"))
+          .as("__qch"),
+        graft.plans.Decimal128Api.unscaled_lo(
+          dot(col("centv"), col("centv")).cast("decimal(38,18)"))
+          .as("__ccl"),
+        graft.plans.Decimal128Api.unscaled_hi(
+          dot(col("centv"), col("centv")).cast("decimal(38,18)"))
+          .as("__cch"))
     val qnorm = queries.select(col(idCol).as("query_id"),
       norm(col(vecCol)).as("qn"))
     rankTopK(cellCodes.join(broadcast(probed), Seq("cell"))
@@ -811,9 +847,11 @@ object Similarity {
       // indexed serve ≠ in-memory serve at 10× replication). Decimal
       // addition is order-free, so the ADC score — and therefore the
       // shortlist — is bit-identical however the codes are stored.
-      .agg(sum(col("qc").cast("decimal(38,18)")).cast("double")
+      .agg(graft.plans.Decimal128Api
+          .sum128Wide(col("__qcl"), col("__qch"), 38, 18).cast("double")
           .as("qdot"),
-        sum(col("cc").cast("decimal(38,18)")).cast("double")
+        graft.plans.Decimal128Api
+          .sum128Wide(col("__ccl"), col("__cch"), 38, 18).cast("double")
           .as("cn2"))
       .join(broadcast(qnorm), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -332,4 +332,59 @@ object TokenizeApi {
       CountNonAlnumWs(GraftSqlBridge.toExpression(c)))
   def count_cjk(c: Column): Column =
     GraftSqlBridge.toColumn(CountCjk(GraftSqlBridge.toExpression(c)))
+}
+
+/** `array<string>` with the elements at 0-based indices in `pos`
+  * (an `array<bigint>`) removed — the scanner form of
+  * `filter(ws, (x, i) -> !array_contains(pos, CAST(i AS BIGINT)))`:
+  * one hash-set build per row plus one linear pass, instead of the
+  * interpreted HOF lambda probing the position list per element.
+  * Value parity: same kept elements in order; null in either child
+  * propagates null (the callers guard the null-position case
+  * upstream exactly as before).
+  */
+case class DropIndexed(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"DropIndexed needs (array<string>, array<bigint>), got $a, $b")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DropIndexed.drop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.DropIndexed.drop($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropIndexed =
+    copy(left = newLeft, right = newRight)
+}
+
+object DropIndexed {
+  def drop(ws: ArrayData, pos: ArrayData): ArrayData = {
+    val np = pos.numElements()
+    val set = new java.util.HashSet[java.lang.Long](np * 2)
+    var i = 0
+    while (i < np) {
+      if (!pos.isNullAt(i)) set.add(pos.getLong(i))
+      i += 1
+    }
+    val n = ws.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    i = 0
+    while (i < n) {
+      if (!set.contains(i.toLong))
+        out.add(if (ws.isNullAt(i)) null else ws.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def drop_indexed(ws: Column, pos: Column): Column =
+    GraftSqlBridge.toColumn(DropIndexed(
+      GraftSqlBridge.toExpression(ws), GraftSqlBridge.toExpression(pos)))
 }

@@ -66,6 +66,101 @@ object Explore {
         .explain("formatted")
       spark.stop(); return
     }
+    if (args.headOption.contains("q")) {
+      // isolated re-timing of named SparkEntry queries: noop sink,
+      // N reps each, cache cleared between reps (the Bench discipline)
+      val reps = args(1).toInt
+      args.drop(2).foreach { name =>
+        (1 to reps).foreach { r =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[explore] $name rep$r ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("corr")) {
+      // profile_corr dissection: scan floor vs double sums vs old
+      // decimal sums vs the limb kernels
+      val li = Tables.table(spark, sfDir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+      def t(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
+        (1 to 3).foreach { r =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"[explore] $name rep$r ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      def dec(c: String) = col(c).cast("decimal(18,6)")
+      t("scan only")(li)
+      t("double sums x15")(li.agg(
+        sum(col("l_quantity")), sum(col("l_extendedprice")),
+        sum(col("l_quantity") * col("l_extendedprice")),
+        sum(col("l_quantity") * col("l_quantity")),
+        sum(col("l_extendedprice") * col("l_extendedprice")),
+        sum(col("l_quantity") * col("l_discount")),
+        sum(col("l_discount") * col("l_discount")),
+        sum(col("l_extendedprice") * col("l_discount")),
+        count(lit(1))))
+      t("old decimal sums (1 pair)")(li.agg(
+        sum(dec("l_quantity")), sum(dec("l_extendedprice")),
+        sum(dec("l_quantity") * dec("l_quantity")),
+        sum(dec("l_extendedprice") * dec("l_extendedprice")),
+        sum(dec("l_quantity") * dec("l_extendedprice"))))
+      t("limb sums (1 pair)")(li.agg(
+        graft.plans.Decimal128Api.sum128(dec("l_quantity")),
+        graft.plans.Decimal128Api.sum128(dec("l_extendedprice")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_quantity"), dec("l_quantity")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_extendedprice"), dec("l_extendedprice")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_quantity"), dec("l_extendedprice"))))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      t("limb sums (1 pair) NOCODEGEN")(li.agg(
+        graft.plans.Decimal128Api.sum128(dec("l_quantity")),
+        graft.plans.Decimal128Api.sum128(dec("l_extendedprice")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_quantity"), dec("l_quantity")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_extendedprice"), dec("l_extendedprice")),
+        graft.plans.Decimal128Api.prodSum128(dec("l_quantity"), dec("l_extendedprice"))))
+      t("old decimal sums NOCODEGEN")(li.agg(
+        sum(dec("l_quantity")), sum(dec("l_extendedprice")),
+        sum(dec("l_quantity") * dec("l_quantity")),
+        sum(dec("l_extendedprice") * dec("l_extendedprice")),
+        sum(dec("l_quantity") * dec("l_extendedprice"))))
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      t("full corr exact")(graft.operators.Profiling
+        .correlationReport(Tables.table(spark, sfDir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount")))
+      t("full corr exact=false")(graft.operators.Profiling
+        .correlationReport(Tables.table(spark, sfDir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exact = false))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("groups")) {
+      // dedup_groups dissection: minhash pair generation vs the
+      // iterative label propagation
+      val doc = Tables.table(spark, sfDir, "documents")
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[explore] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      (1 to 2).foreach { round =>
+        spark.catalog.clearCache()
+        val pairs = t(s"r$round minhash pairs")(
+          Dedup.minhashDedup(doc, "doc_id", "text")
+            .select(org.apache.spark.sql.functions.col("id_a"),
+              org.apache.spark.sql.functions.col("id_b"))
+            .localCheckpoint())
+        t(s"r$round resolveGroups")(
+          Dedup.resolveGroups(
+            doc.select(org.apache.spark.sql.functions.col("doc_id")
+              .as("id")), pairs)
+            .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("ivfpq")) {
       // IVFPQ floor measurement: reranked recall + candidate fraction
       // across nprobe/rerank, vs the global-ADC baseline

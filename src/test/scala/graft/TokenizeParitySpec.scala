@@ -91,6 +91,28 @@ class TokenizeParitySpec extends AnyFunSuite {
       not(col("kp") <=> col("rp")) || not(col("kz") <=> col("rz"))))
   }
 
+  test("drop_indexed == filter/array_contains HOF on trim shapes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(Seq("a", "b", "c", "d", "e"), Seq(0L, 2L)),
+      Row(Seq("a", "b"), Seq.empty[Long]),
+      Row(Seq.empty[String], Seq(1L)),
+      Row(Seq("x", "y", "z"), Seq(0L, 1L, 2L)),
+      Row(Seq("k"), Seq(5L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("ws", ArrayType(StringType)),
+        StructField("pos", ArrayType(LongType)))))
+    val d = df.select(
+      graft.plans.DropIndexed.drop_indexed(col("ws"), col("pos")).as("k"),
+      filter(col("ws"),
+        (_, i) => not(array_contains(col("pos"), i.cast("bigint"))))
+        .as("r"))
+    assertNoDiff(d.filter(not(col("k") <=> col("r"))))
+  }
+
   test("null propagates like the regex form") {
     val row = spark.sql("SELECT CAST(NULL AS STRING) AS text")
       .select(
