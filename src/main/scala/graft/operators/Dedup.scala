@@ -1106,7 +1106,8 @@ object Dedup {
     * `ids` must expose column `id`; `pairs` columns `id_a`,`id_b`.
     */
   def resolveGroups(ids: DataFrame, pairs: DataFrame,
-                    maxRounds: Int = 25): DataFrame = {
+                    maxRounds: Int = 25,
+                    tinyThreshold: Long = 2000000L): DataFrame = {
     // both edge directions from ONE pass over `pairs` (a union of two
     // projections would execute the upstream pair pipeline — e.g. the
     // whole MinHash verify chain — once per branch)
@@ -1126,7 +1127,76 @@ object Dedup {
       sym.unpersist()
       return ids.select(col("id"), col("id").as("group_id"))
     }
-    val tiny = edgeRows <= 2000000L
+    val tiny = edgeRows <= tinyThreshold
+    // Below the threshold AND with long ids (every corpus id in this
+    // engine), the components are computed by ONE EXECUTOR TASK: the
+    // symmetric edge list coalesces to a single partition and a
+    // union–find (path-halving, min-label per root) labels every
+    // edge-touching node in O(E α(E)) — the same result the iterative
+    // min-label propagation converges to (components are unique;
+    // both paths label a node with the MINIMUM id reachable through
+    // the pair graph — spec-pinned equal on real minhash pairs and
+    // random graphs). What the driver sees is unchanged (no collect —
+    // the fold runs on an executor, like a broadcast build side);
+    // what disappears is ~log(diameter) rounds × (checkpoint +
+    // convergence-sum + broadcast) Spark jobs, which dominated the
+    // gate's wall clock at ~1.4k pairs (measured 2.6 s → 0.3 s).
+    // Above the threshold (real scale) the shuffle-join iteration
+    // below runs exactly as before.
+    val idIsLong = ids.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tiny && idIsLong) {
+      import org.apache.spark.sql.Row
+      val labelled = sym.select(col("src").cast("long"),
+          col("dst").cast("long"))
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) {
+              val p = parent.get(r)
+              parent.put(r, parent.get(p)) // path halving
+              r = parent.get(p)
+            }
+            r
+          }
+          it.foreach { row =>
+            val a = row.getLong(0); val b = row.getLong(1)
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+          }
+          val minOf = new java.util.HashMap[Long, Long]()
+          val nodes = parent.keySet().iterator()
+          while (nodes.hasNext) {
+            val n = nodes.next(); val r = find(n)
+            val cur = minOf.getOrDefault(r, Long.MaxValue)
+            if (n < cur) minOf.put(r, n)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val it2 = parent.keySet().iterator()
+          while (it2.hasNext) {
+            val n = it2.next()
+            out += Row(n, minOf.get(find(n)))
+          }
+          out.iterator
+        }(org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__g",
+              org.apache.spark.sql.types.LongType, nullable = false)))))
+      // materialize the (small) edge-touching labels before releasing
+      // the edge cache; the full-corpus join back stays lazy exactly
+      // like the iterative path's return
+      val labCp = graft.Checkpoints.truncate(labelled.toDF())
+      sym.unpersist()
+      return ids.join(broadcast(labCp), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__g"), col("id")).as("group_id"))
+    }
     def small(df: DataFrame): DataFrame = if (tiny) broadcast(df) else df
     // below the threshold the whole iteration state fits one task:
     // coalesced checkpoints make each round a handful of tasks instead

@@ -318,12 +318,17 @@ object LangModel {
       .join(tUni, Seq("w1"), "left")
       .join(rBg, Seq("w1", "w2"), "left")
       .join(rUni, Seq("w1"), "left")
-      .select(col(idCol), lp("t_", targetVocab).as("__tlp"),
-        lp("r_", rawVocab).as("__rlp"))
+      .select(col(idCol),
+        graft.plans.Decimal128Api.unscaled(lp("t_", targetVocab))
+          .as("__tlp"),
+        graft.plans.Decimal128Api.unscaled(lp("r_", rawVocab))
+          .as("__rlp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        nllOf(sum(col("__tlp"))).as("nll_target"),
-        nllOf(sum(col("__rlp"))).as("nll_raw"))
+        nllOf(graft.plans.Decimal128Api.sum128Long(col("__tlp"), 18, 9))
+          .as("nll_target"),
+        nllOf(graft.plans.Decimal128Api.sum128Long(col("__rlp"), 18, 9))
+          .as("nll_raw"))
       .withColumn("log_ratio",
         round(col("nll_raw") - col("nll_target"), 6))
   }
