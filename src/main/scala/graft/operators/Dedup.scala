@@ -194,17 +194,28 @@ object Dedup {
     jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
   }
 
-  /** Drop shingles whose document frequency exceeds `maxDocFreq`. The
-    * df count is a window over the shingle key — the SAME key the
-    * downstream self-join shuffles on, so the partitioning is computed
-    * once and reused; no extra shuffle.
+  /** Drop shingles whose document frequency exceeds `maxDocFreq`.
+    * Shape (r18): a map-side-combinable df aggregate filtered to the
+    * OVER-CAP shingles (the boilerplate set — a sliver of the
+    * vocabulary by construction) and a left-anti join back. The
+    * previous `count over Window.partitionBy(sh)` shuffled AND
+    * per-partition-sorted the whole index; here the index itself is
+    * never sorted, the aggregate ships per-partition distinct
+    * shingles, and AQE broadcasts the (tiny) blocklist so the big
+    * side is not shuffled at all — with a graceful fallback to a
+    * plain shuffle anti-join if an adversarial corpus makes the
+    * blocklist large. Same rows survive: df is counted over the same
+    * index and the filter keeps df <= maxDocFreq exactly.
     */
-  def capDocFreq(sh: DataFrame, maxDocFreq: Int): DataFrame = {
-    val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    sh.withColumn("__df", count(lit(1)).over(bySh))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-  }
+  def capDocFreq(sh: DataFrame, maxDocFreq: Int): DataFrame =
+    sh.join(
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq)
+        .select(col("sh")),
+      Seq("sh"), "left_anti")
+      // the join key moves to the front — restore the caller's column
+      // order (same columns, same rows either way)
+      .select(sh.columns.map(col): _*)
 
   /** D4 — exact n-gram Jaccard over all pairs sharing at least one
     * shingle, straight from the co-occurrence aggregation.

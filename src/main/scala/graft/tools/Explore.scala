@@ -81,6 +81,122 @@ object Explore {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("mh")) {
+      // minhashDedup internals on the llm wrap (df-cap 100)
+      val tf = graft.functions.TextFunctions
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[explore] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      val normed = Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          tf.stripMarkup(
+            concat(lit("<div class=\"doc\"><p>"), col("text"),
+              lit("</p></div> source: https://example.com/doc?id="),
+              col("doc_id"),
+              lit(" &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;")))
+            .as("clean_text"))
+        .withColumn("norm_text", tf.normalizeText(col("clean_text")))
+        .localCheckpoint()
+      (1 to 2).foreach { round =>
+        spark.catalog.clearCache()
+        val all = Dedup.shingleIndex(normed, "doc_id", "norm_text")
+        val sh = Dedup.capDocFreq(all, 100).persist()
+        t(s"r$round index+cap")(sh.write.format("noop")
+          .mode("overwrite").save())
+        val sig = Dedup.signatureFromIndex(sh)
+        t(s"r$round signature")(sig.write.format("noop")
+          .mode("overwrite").save())
+        val cand = Dedup.lshCandidatePairs(sig)
+        val candCp = t(s"r$round candidates")(cand.localCheckpoint())
+        t(s"r$round verify")(
+          Dedup.jaccardVerify(sh, Some(candCp), 1, 2)
+            .write.format("noop").mode("overwrite").save())
+        t(s"r$round uncapped index")(
+          Dedup.shingleIndex(normed, "doc_id", "norm_text")
+            .write.format("noop").mode("overwrite").save())
+        sh.unpersist()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("llm")) {
+      // llm_pipeline stage dissection (mirrors SparkEntry's chain)
+      val tf = graft.functions.TextFunctions
+      val R = Corpus.TrainingRecipe.Default
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[explore] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      (1 to 2).foreach { round =>
+        spark.catalog.clearCache()
+        val normed = Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"),
+            tf.stripMarkup(
+              concat(lit("<div class=\"doc\"><p>"), col("text"),
+                lit("</p></div> source: https://example.com/doc?id="),
+                col("doc_id"),
+                lit(" &amp; more&nbsp;it&#39;s &#x2019;quoted&#x2019;")))
+              .as("clean_text"))
+          .withColumn("norm_text", tf.normalizeText(col("clean_text")))
+          .persist()
+        t(s"r$round normed")(normed.write.format("noop")
+          .mode("overwrite").save())
+        val mhPairs = t(s"r$round mhPairs")(
+          Dedup.minhashDedup(normed, "doc_id", "norm_text",
+            maxDocFreq = Some(100))
+            .select(col("id_a"), col("id_b")).localCheckpoint())
+        val hashed = normed.select(col("doc_id"),
+          sha2(col("norm_text"), 256).as("h"))
+        val exactPairs = t(s"r$round exactPairs")(hashed.join(
+            hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep")),
+            Seq("h"))
+          .filter(col("doc_id") =!= col("keep"))
+          .select(col("keep").as("id_a"), col("doc_id").as("id_b"))
+          .localCheckpoint())
+        val groups = t(s"r$round groups")(Dedup.resolveGroups(
+            normed.select(col("doc_id").as("id")),
+            mhPairs.unionByName(exactPairs))
+          .withColumnRenamed("id", "doc_id").localCheckpoint())
+        val canon = Dedup.keepCanonical(
+          normed.join(groups, Seq("doc_id"))
+            .withColumn("q", tf.qualityScore(col("clean_text"))),
+          "doc_id", "group_id", "q")
+        val kept = canon
+          .withColumn("n_bpe_tokens",
+            tf.bpeTokenCount(col("clean_text")).cast("bigint"))
+          .filter(col("q") >= R.minQuality &&
+            col("n_bpe_tokens").between(R.minTokens, R.maxTokens))
+          .select(col("doc_id"), col("n_bpe_tokens"), col("lang"),
+            col("clean_text"))
+        val mixed = Corpus.mixtureSample(kept, "doc_id", "lang",
+          R.mixtureSalt, R.mixtureDen, R.mixtureRates.toMap)
+        val train = t(s"r$round canon..train")(
+          Corpus.splitByHash(mixed, "doc_id", R.splitSalt,
+            R.splitWeights)
+          .filter(col("split") === "train")
+          .withColumn("shard",
+            Corpus.hashBucket(col("doc_id"), R.shardSalt, R.shards))
+          .localCheckpoint())
+        val bins = Corpus.packGreedy(train, "doc_id", "n_bpe_tokens",
+          "shard", Seq("doc_id"), R.packBudget)
+        val packed = Corpus.materializePacked(
+            train.join(bins.drop("shard"), Seq("doc_id")),
+            "doc_id", "clean_text", "shard", "bin_id")
+          .withColumn("pack_id",
+            concat_ws("/", col("shard"), col("bin_id")))
+        val ranked = Corpus.epochOrder(packed, "pack_id", "shard",
+          epoch = 1)
+        t(s"r$round pack..final")(packed
+          .join(ranked.select("pack_id", "epoch_rank"), Seq("pack_id"))
+          .select(col("shard"), col("bin_id"), col("n_docs"),
+            col("epoch_rank"), col("packed_text"))
+          .write.format("noop").mode("overwrite").save())
+        normed.unpersist()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("corr")) {
       // profile_corr dissection: scan floor vs double sums vs old
       // decimal sums vs the limb kernels

@@ -37,8 +37,13 @@ class CorpusSpec extends AnyFunSuite {
     val n = 40L
     val ids = (1L to n).toDF("id")
     val path = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // force the ITERATIVE path (tinyThreshold = -1): the r18
+    // single-task union-find branch converges regardless of
+    // maxRounds, so the non-convergence contract belongs to the
+    // iterative propagation alone
     val e = intercept[IllegalStateException] {
-      Dedup.resolveGroups(ids, path, maxRounds = 1).collect()
+      Dedup.resolveGroups(ids, path, maxRounds = 1,
+        tinyThreshold = -1L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // the same graph converges with the default budget
