@@ -235,7 +235,10 @@ object Dedup {
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol)
     val capped =
-      if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq)
+      (if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq))
+        .persist() // the verify join reads the index three times
+                   // (x side, y side, sizes) — one tokenize+shingle
+                   // pass instead of three (the minhashDedup pattern)
     jaccardVerify(capped, None, thresholdNum, thresholdDen)
   }
 
@@ -260,7 +263,8 @@ object Dedup {
                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol)
     val capped =
-      if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq)
+      (if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq))
+        .persist() // read three times (pair self-join ×2 + sizes)
     val sizes = capped.groupBy(col("sid")).agg(count(lit(1)).as("n"))
     cooccurrence(capped)
       .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
