@@ -188,10 +188,18 @@ object Dedup {
     // The shingle index feeds the signature build AND the verify join
     // sides — persist it once instead of re-deriving it four times.
     // (Cheap: |docs|·avg-shingles rows of (long, short string).)
+    // EXPLICIT LIFETIME (r19): the verified pairs (≪ index-sized)
+    // materialize eagerly so the index releases before returning —
+    // a composed session (Verify runs 189 queries in one) must not
+    // accumulate corpus-sized cache entries, and a leaked entry also
+    // shadows sibling queries' plan fragments via the cache manager.
     val all = shingleIndex(df, idCol, textCol)
     val sh = maxDocFreq.fold(all)(capDocFreq(all, _)).persist()
-    val cand = lshCandidatePairs(signatureFromIndex(sh))
-    jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen)
+    try {
+      val cand = lshCandidatePairs(signatureFromIndex(sh))
+      graft.Checkpoints.truncate(
+        jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen))
+    } finally { sh.unpersist(); () }
   }
 
   /** Drop shingles whose document frequency exceeds `maxDocFreq`.
@@ -239,7 +247,11 @@ object Dedup {
         .persist() // the verify join reads the index three times
                    // (x side, y side, sizes) — one tokenize+shingle
                    // pass instead of three (the minhashDedup pattern)
-    jaccardVerify(capped, None, thresholdNum, thresholdDen)
+    // pairs materialize eagerly → the index cache releases before the
+    // caller sees the result (see minhashDedup's lifetime rationale)
+    try graft.Checkpoints.truncate(
+      jaccardVerify(capped, None, thresholdNum, thresholdDen))
+    finally { capped.unpersist(); () }
   }
 
   /** D13 — shingle CONTAINMENT pairs: `|A∩B| / min(|A|, |B|)` over
@@ -266,7 +278,9 @@ object Dedup {
       (if (maxDocFreq == Int.MaxValue) sh else capDocFreq(sh, maxDocFreq))
         .persist() // read three times (pair self-join ×2 + sizes)
     val sizes = capped.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    cooccurrence(capped)
+    // pairs materialize eagerly → the index cache releases before the
+    // caller sees the result (see minhashDedup's lifetime rationale)
+    try graft.Checkpoints.truncate(cooccurrence(capped)
       .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
       .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
       .filter(col("i") * thresholdDen >=
@@ -276,7 +290,8 @@ object Dedup {
         col("i").as("n_shared"),
         round(col("i").cast("double") /
           least(col("sa.n"), col("sb.n")).cast("double"), 6)
-          .as("containment"))
+          .as("containment")))
+    finally { capped.unpersist(); () }
   }
 
   /** D3 — 64-bit SimHash per document: per-bit majority vote over

@@ -81,6 +81,194 @@ object Explore {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("vj")) {
+      // dedup_jaccard / dedup_containment dissection: persist vs
+      // recompute vs localCheckpoint of the capped shingle index, and
+      // the cap's own cost (r19 item 1)
+      val doc = Tables.table(spark, sfDir, "documents")
+      def t(name: String)(f: => Unit): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f
+        println(f"[explore] $name%-36s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { r =>
+        t(s"r$r index only")(noop(Dedup.shingleIndex(doc, "doc_id", "text")))
+        t(s"r$r index+cap1000")(noop(
+          Dedup.capDocFreq(Dedup.shingleIndex(doc, "doc_id", "text"), 1000)))
+        t(s"r$r jac persist(cur)")(noop(
+          Dedup.ngramJaccardPairs(doc, "doc_id", "text", maxDocFreq = 1000)))
+        t(s"r$r jac nopersist") {
+          val sh = Dedup.capDocFreq(
+            Dedup.shingleIndex(doc, "doc_id", "text"), 1000)
+          noop(Dedup.jaccardVerify(sh, None, 3, 10))
+        }
+        t(s"r$r jac nocap-nopersist") {
+          val sh = Dedup.shingleIndex(doc, "doc_id", "text")
+          noop(Dedup.jaccardVerify(sh, None, 3, 10))
+        }
+        t(s"r$r jac localckpt") {
+          val sh = Dedup.capDocFreq(
+            Dedup.shingleIndex(doc, "doc_id", "text"), 1000).localCheckpoint()
+          noop(Dedup.jaccardVerify(sh, None, 3, 10))
+        }
+        t(s"r$r cont persist(cur)")(noop(
+          Dedup.containmentPairs(doc, "doc_id", "text", maxDocFreq = 20)))
+        t(s"r$r cont nopersist") {
+          val capped = Dedup.capDocFreq(
+            Dedup.shingleIndex(doc, "doc_id", "text"), 20)
+          val sizes = capped.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+          noop(Dedup.cooccurrence(capped)
+            .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
+            .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
+            .filter(col("i") * 10 >=
+              least(col("sa.n"), col("sb.n")) * 3)
+            .select(col("id_a"), col("id_b"),
+              col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+              col("i").as("n_shared"),
+              round(col("i").cast("double") /
+                least(col("sa.n"), col("sb.n")).cast("double"), 6)
+                .as("containment")))
+        }
+        t(s"r$r cont localckpt") {
+          val capped = Dedup.capDocFreq(
+            Dedup.shingleIndex(doc, "doc_id", "text"), 20).localCheckpoint()
+          val sizes = capped.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+          noop(Dedup.cooccurrence(capped)
+            .join(sizes.as("sa"), col("sa.sid") === col("id_a"))
+            .join(sizes.as("sb"), col("sb.sid") === col("id_b"))
+            .filter(col("i") * 10 >=
+              least(col("sa.n"), col("sb.n")) * 3)
+            .select(col("id_a"), col("id_b"),
+              col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+              col("i").as("n_shared"),
+              round(col("i").cast("double") /
+                least(col("sa.n"), col("sb.n")).cast("double"), 6)
+                .as("containment")))
+        }
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("km")) {
+      // embed_kmeans dissection (r19 item 2): whole query, then the
+      // per-stage costs of the 2-round Lloyd loop
+      def t(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[explore] $name%-36s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { r =>
+        spark.catalog.clearCache()
+        t(s"r$r q_embed_kmeans whole")(noop(
+          Similarity.kmeansIterate(emb, "vec_id", "embedding",
+            initPred = col("vec_id") % 37 === 1, maxIter = 2,
+            tol = -1.0)._1))
+      }
+      (1 to 2).foreach { r =>
+        spark.catalog.clearCache()
+        val base = Tables.fanOut(
+          emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")))
+          .persist()
+        t(s"r$r base persist+count")(base.count(): Unit)
+        val cent0 = emb.filter(col("vec_id") % 37 === 1)
+          .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+          .localCheckpoint()
+        t(s"r$r assign noop")(noop(
+          Similarity.assignToCentroids(base, "cand_id", "cv", cent0)))
+        t(s"r$r stats noop")(noop(Similarity.centroidStats(
+          Similarity.assignToCentroids(base, "cand_id", "cv", cent0))))
+        var c1: org.apache.spark.sql.DataFrame = null
+        t(s"r$r centroidTable+ckpt") {
+          c1 = Similarity.centroidTable(Similarity.centroidStats(
+            Similarity.assignToCentroids(base, "cand_id", "cv", cent0)))
+            .localCheckpoint()
+        }
+        def longForm(c: org.apache.spark.sql.DataFrame, vAs: String) =
+          c.select(col("cell"), posexplode(col("centv")).as(Seq("pos", "v")))
+            .select(col("cell"), (col("pos") + 1).cast("bigint").as("pos"),
+              round(col("v").cast("double"), 6).cast("decimal(18,6)").as(vAs))
+        t(s"r$r movement")(longForm(cent0, "o")
+          .join(longForm(c1, "n"), Seq("cell", "pos"))
+          .agg(coalesce(sum(abs(col("o") - col("n"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double"))
+          .head(): Unit)
+        base.unpersist()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("bm")) {
+      // text_bm25 score-tail A/B (r19 item 4): limb-sum vs plain
+      // decimal sum on the per-term scores, full inline-probe shape
+      val tf0 = graft.functions.TextFunctions
+      val query = args.lift(1).getOrElse("fast vector hash join")
+      val (k, k1, b) = (20, 1.2, 0.75)
+      val terms = Bm25.queryTerms(query)
+      def t(name: String)(f: => Unit): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f
+        println(f"[explore] $name%-36s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def run(limb: Boolean): Unit = {
+        val docs = Tables.table(spark, sfDir, "documents")
+        val base = Tables.fanOut(
+            docs.select(col("doc_id"),
+              tf0.bpeTokens(lower(col("text"))).as("__t")))
+          .withColumn("__len", size(col("__t")).cast("bigint"))
+          .persist()
+        try {
+          val s = base.agg(count(lit(1)).as("n"), sum(col("__len")).as("sl"))
+            .head()
+          val n = s.getLong(0); val sl = s.getLong(1)
+          val tf = base
+            .select(col("doc_id"), col("__len"), explode(col("__t")).as("term"))
+            .filter(col("term").isin(terms: _*))
+            .groupBy(col("doc_id"), col("__len"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+          val avgdl = sl.toDouble / n.toDouble
+          val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          val idf = log(lit(1.0) +
+            (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5))
+          val tfNorm = col("tf").cast("double") /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") /
+                avgdl))
+          val scored =
+            if (limb) {
+              tf.join(broadcast(dfT), Seq("term"))
+                .select(col("doc_id"),
+                  graft.plans.Decimal128Api.unscaled(
+                    round(idf * tfNorm, 9).cast("decimal(18,9)")).as("__s"))
+                .groupBy(col("doc_id"))
+                .agg(round(graft.plans.Decimal128Api
+                  .sum128Long(col("__s"), 18, 9)
+                  .cast("double"), 6).as("score"))
+            } else {
+              tf.join(broadcast(dfT), Seq("term"))
+                .select(col("doc_id"),
+                  round(idf * tfNorm, 9).cast("decimal(18,9)").as("__s"))
+                .groupBy(col("doc_id"))
+                .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
+            }
+          noop(scored
+            .agg(Similarity.topKByAgg(col("score"), col("doc_id"), k)
+              .as("__tk"))
+            .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+            .select(col("__e.id").as("doc_id"),
+              col("__e.score").as("score"),
+              (col("__pos") + 1).cast("bigint").as("rank")))
+        } finally { base.unpersist(); () }
+      }
+      (1 to 3).foreach { r =>
+        t(s"r$r bm25 limb (cur)")(run(limb = true))
+        t(s"r$r bm25 plain-sum")(run(limb = false))
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("mh")) {
       // minhashDedup internals on the llm wrap (df-cap 100)
       val tf = graft.functions.TextFunctions
