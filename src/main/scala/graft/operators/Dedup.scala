@@ -82,12 +82,30 @@ object Dedup {
     // so it must satisfy 3(k-1)+8 <= 64; beyond k=19 it would run off
     // the 64-char digest and silently degrade the signature
     require(k >= 1 && k <= 19, s"k must be in [1,19], got $k")
-    sh.withColumn("dg", sha2(col("sh"), 256))
+    // r19: the k windows compute as LONGS in one pass over the digest
+    // bytes and aggregate through fixed-width `min(long)` buffers —
+    // a HashAggregate where `min(substring(hex, ...))` forced a
+    // SortAggregate (full sort of the shingle index per signature
+    // build, on both sides of the partial/final split). Values are
+    // IDENTICAL: fixed-width lowercase hex orders as its numeric
+    // value, and format_string("%08x") re-renders the chosen minimum
+    // to the exact same 8-char window string (see
+    // [[graft.plans.MinhashSlices]]; pinned by MinhashParitySpec).
+    sh.select(col("sid"),
+        graft.plans.MinhashSlicesApi.minhash_longs(col("sh"), k)
+          .as("__xs"))
       .groupBy(col("sid"))
       .agg(
-        min(substring(col("dg"), 1, 8)).as("mh0"),
+        min(element_at(col("__xs"), 1)).as("m0"),
         (1 until k).map(i =>
-          min(substring(col("dg"), 1 + 3 * i, 8)).as(s"mh$i")): _*)
+          min(element_at(col("__xs"), i + 1)).as(s"m$i")): _*)
+      .select(col("sid") +:
+        (0 until k).map(i =>
+          // when() keeps the column NULLABLE like min(substring) was
+          // (min over a group is never null here — groups come from
+          // existing rows — but the schema must not drift)
+          when(col(s"m$i").isNotNull,
+            format_string("%08x", col(s"m$i"))).as(s"mh$i")): _*)
   }
 
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
@@ -112,14 +130,22 @@ object Dedup {
     * equi-self-join → candidate pairs. bandsOf rows per band.
     */
   def lshCandidatePairs(sig: DataFrame, k: Int = 16,
-                        rowsPerBand: Int = 2): DataFrame = {
-    val buckets = bandBuckets(sig, k, rowsPerBand)
+                        rowsPerBand: Int = 2): DataFrame =
+    candidatesFromBuckets(bandBuckets(sig, k, rowsPerBand))
+
+  /** The band-bucket self-join of [[lshCandidatePairs]] over an
+    * already-built bucket table — callers that can persist the
+    * buckets (a tiny bands-per-doc table) pay the signature
+    * aggregation ONCE instead of once per join side (the planner
+    * does not reuse the aggregation subtree across the self-join's
+    * aliases).
+    */
+  private[graft] def candidatesFromBuckets(buckets: DataFrame): DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .distinct()
-  }
 
   /** Shared-shingle co-occurrence counts per ordered doc pair — the
     * inverted-index self-join aggregated IN PLACE. Join fan-out is
@@ -195,11 +221,15 @@ object Dedup {
     // shadows sibling queries' plan fragments via the cache manager.
     val all = shingleIndex(df, idCol, textCol)
     val sh = maxDocFreq.fold(all)(capDocFreq(all, _)).persist()
+    // the band-bucket table (bands-per-doc rows — tiny next to the
+    // index) persists too, so the signature aggregation runs once,
+    // not once per side of the candidate self-join
+    val buckets = bandBuckets(signatureFromIndex(sh)).persist()
     try {
-      val cand = lshCandidatePairs(signatureFromIndex(sh))
+      val cand = candidatesFromBuckets(buckets)
       graft.Checkpoints.truncate(
         jaccardVerify(sh, Some(cand), thresholdNum, thresholdDen))
-    } finally { sh.unpersist(); () }
+    } finally { sh.unpersist(); buckets.unpersist(); () }
   }
 
   /** Drop shingles whose document frequency exceeds `maxDocFreq`.
