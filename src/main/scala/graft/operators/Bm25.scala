@@ -91,13 +91,17 @@ object Bm25 {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") /
           avgdl))
+    // plain decimal sum, DELIBERATELY (r19): a document's score sums
+    // ≤|query| per-term values, so the (28,9) accumulator stays on
+    // Decimal's compact-long fast path; the r18 limb wiring (unscaled
+    // projection + sum128Long) was re-measured isolated and lost
+    // ~10-30% here — reverted by the same empirical rule as the
+    // warehouse sums (guide §1.1).
     val perTerm = tf.join(broadcast(dfT), Seq("term"))
       .select(col(idCol),
-        graft.plans.Decimal128Api.unscaled(
-          round(idf * tfNorm, 9).cast("decimal(18,9)")).as("__s"))
+        round(idf * tfNorm, 9).cast("decimal(18,9)").as("__s"))
     val scored = perTerm.groupBy(col(idCol))
-      .agg(round(graft.plans.Decimal128Api.sum128Long(col("__s"), 18, 9)
-        .cast("double"), 6).as("score"))
+      .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
     // ranking runs on the ROUNDED score (id tie-break), so float
     // noise cannot reorder ranks across engines; the top-k itself is
     // the combinable bounded aggregate — k rows ship per partition,
