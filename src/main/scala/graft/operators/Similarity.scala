@@ -173,14 +173,45 @@ object Similarity {
     */
   def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame =
-    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .join(broadcast(centroids))
-      .groupBy(col("cand_id"))
-      .agg(min(struct(
-        negate(cosine(col("cv"), col("centv"))).as("negcos"),
-        col("cell"), col("cv"))).as("__w"))
+    assignMin(emb, idCol, vecCol, centroids, carryVec = true)
       .select(col("cand_id"), col("__w.cv").as("cv"),
         col("__w.cell").as("cell"))
+
+  /** [[assignToCentroids]] without the vector column in the output —
+    * the form for consumers that only need the label (the k-means
+    * final assignment). Identical cell per id: `cell` is unique per
+    * centroid row, so the struct comparison never reaches the dropped
+    * `cv` field — and not carrying it keeps the per-row min buffer at
+    * (double, id) instead of (double, id, dim×double) (§4).
+    */
+  private[graft] def assignCellOnly(emb: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    centroids: DataFrame): DataFrame =
+    assignMin(emb, idCol, vecCol, centroids, carryVec = false)
+      .select(col("cand_id"), col("__w.cell").as("cell"))
+
+  /** Shared argmax-cosine core: norms are computed ONCE per vector and
+    * ONCE per centroid instead of per (vector, centroid) pair — the
+    * [[prepped]] discipline (cosine is dot/(norm·norm) with the same
+    * operand order, so scores stay bit-identical); per pair only the
+    * cross dot product remains (one [[dot]] instead of three).
+    */
+  private def assignMin(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame,
+                        carryVec: Boolean): DataFrame = {
+    val cents = centroids.select(col("cell"), col("centv"),
+      norm(col("centv")).as("__cn"))
+    val negcos = negate(dotPre(col("cv"), col("centv")) /
+      (col("__vn") * col("__cn"))).as("negcos")
+    val fields =
+      if (carryVec) Seq(negcos, col("cell"), col("cv"))
+      else Seq(negcos, col("cell"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("__vn", norm(col("cv")))
+      .join(broadcast(cents))
+      .groupBy(col("cand_id"))
+      .agg(min(struct(fields: _*)).as("__w"))
+  }
 
   /** Nearest-centroid assignment where the centroids are emb rows
     * picked by `centroidPred`: every vector → (cand_id, cv, cell).
@@ -340,24 +371,50 @@ object Similarity {
     val moves = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
     var converged = false
+    // r19: with early stopping disabled (tol < 0) the per-round
+    // movement scalar gates nothing — so instead of one driver action
+    // PER ROUND (a full job over tiny checkpointed tables, pure
+    // scheduling overhead at low SF), the round pairs are remembered
+    // and all movements compute in ONE batched job after the loop
+    // (identical arithmetic: same per-round inner join, same exact-
+    // decimal sum, grouped by round tag). With tol >= 0 the per-round
+    // action stays — it decides the loop.
+    val batchMoves = tol < 0
+    val pending =
+      scala.collection.mutable.ArrayBuffer.empty[(DataFrame, DataFrame)]
     while (iter < maxIter && !converged) {
       val newCent = graft.Checkpoints.truncate(centroidTable(
         centroidStats(assignToCentroids(base, "cand_id", "cv", cent))))
-      // inner join: a cell that lost all members contributes no
-      // movement (it no longer exists to move)
-      val mv = longForm(cent, "o").join(longForm(newCent, "n"),
-          Seq("cell", "pos"))
-        .agg(coalesce(sum(abs(col("o") - col("n"))),
-          lit(java.math.BigDecimal.ZERO)).cast("double"))
-        .head().getDouble(0)
-      moves += mv
+      if (batchMoves) pending += ((cent, newCent))
+      else {
+        // inner join: a cell that lost all members contributes no
+        // movement (it no longer exists to move)
+        val mv = longForm(cent, "o").join(longForm(newCent, "n"),
+            Seq("cell", "pos"))
+          .agg(coalesce(sum(abs(col("o") - col("n"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double"))
+          .head().getDouble(0)
+        moves += mv
+        if (mv <= tol) converged = true
+      }
       cent = newCent
       iter += 1
-      if (mv <= tol) converged = true
+    }
+    if (pending.nonEmpty) {
+      val byRound = pending.zipWithIndex.map { case ((o, n), i) =>
+          longForm(o, "o").join(longForm(n, "n"), Seq("cell", "pos"))
+            .select(lit(i).as("__round"),
+              abs(col("o") - col("n")).as("__d"))
+        }.reduce(_ unionByName _)
+        .groupBy(col("__round"))
+        .agg(sum(col("__d")).cast("double").as("__mv"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // a round whose join was empty has no group — its movement is 0
+      // (exactly the per-round coalesce above)
+      pending.indices.foreach(i => moves += byRound.getOrElse(i, 0.0))
     }
     val finalAssign = graft.Checkpoints.truncate( // materialize before
-      assignToCentroids(base, "cand_id", "cv", cent) // base.unpersist
-        .select(col("cand_id"), col("cell")))
+      assignCellOnly(base, "cand_id", "cv", cent)) // base.unpersist
     base.unpersist()
     (finalAssign, cent, moves.toSeq)
   }
