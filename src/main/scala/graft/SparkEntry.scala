@@ -1893,11 +1893,19 @@ object SparkEntry {
         Profiling.quantileSketches(o, lit(1), col("o_totalprice"),
           lo, hi, bins), 0.5, lo, hi, bins)
         .head().getDouble(0)
-      val disc = o.agg(org.apache.spark.sql.functions.expr(
-          "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"))
-        .head().getDouble(0)
-      val exact = o.agg(org.apache.spark.sql.functions
-        .expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+      // r19: the two exact percentiles ride ONE aggregate action
+      // instead of two (same scalars, same output row, one fewer
+      // pass over orders — guide §1.2). Caching the projected scan
+      // was also tried and measured SLOWER at bench scale (cache
+      // build ≥ the scan it saves), so the actions read the parquet
+      // directly, deliberately.
+      val pcts = o.agg(
+        org.apache.spark.sql.functions.expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"),
+        org.apache.spark.sql.functions
+          .expr("percentile(o_totalprice, 0.5)")).head()
+      val disc = pcts.getDouble(0)
+      val exact = pcts.getDouble(1)
       import s.implicits._
       Seq((unionEst == globalEst,
         unionEst >= disc && unionEst - disc <= (hi - lo) / bins, exact))
@@ -1940,14 +1948,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("exact")).persist()
       try {
         val n = exact.agg(sum(col("exact"))).head().getLong(0)
-        val heavy = exact.filter(col("exact") * k > lit(n))
-        val missed = heavy.join(merged,
-          heavy("tok") === merged("item"), "left_anti").count()
-        val outOfBound = merged.join(exact,
-          merged("item") === exact("tok"))
-          .filter(col("est") > col("exact") ||
-            (col("exact") - col("est")) * (k + 1) > lit(n)).count()
-        val nHeavy = heavy.count()
+        // r19: the three counting actions (missed heavy hitters,
+        // guarantee violations, heavy count) fuse into ONE aggregate
+        // over a single exact⟕merged join — merged items are unique
+        // (one exploded map) and exact is keyed by tok, so the outer
+        // join preserves exactly the rows the three separate
+        // count()s classified. Same integers, one pass (guide §1.2).
+        val fused = exact.join(merged,
+            exact("tok") === merged("item"), "left_outer")
+          .agg(
+            sum(when(col("exact") * k > lit(n) && col("item").isNull,
+              1L).otherwise(0L)).as("missed"),
+            sum(when(col("item").isNotNull &&
+              (col("est") > col("exact") ||
+                (col("exact") - col("est")) * (k + 1) > lit(n)),
+              1L).otherwise(0L)).as("oob"),
+            sum(when(col("exact") * k > lit(n), 1L).otherwise(0L))
+              .as("nheavy"))
+          .head()
+        val missed = fused.getLong(0)
+        val outOfBound = fused.getLong(1)
+        val nHeavy = fused.getLong(2)
         import s.implicits._
         Seq((missed == 0L, outOfBound == 0L, nHeavy, n))
           .toDF("union_contains_all_heavy", "counters_within_guarantee",
