@@ -549,9 +549,6 @@ object Similarity {
     * three. Not a distance (can be negative); only its within-group
     * order is meaningful.
     */
-  private def l2key(a: Column, b: Column, ccCol: Column): Column =
-    ccCol - lit(2.0) * dot(a, b)
-
   /** The `m` contiguous subspace slices of a vector column, exploded
     * long: (…, subspace, subvec). `dim` must divide evenly — a PQ
     * layout is a declared contract, not an inference.
@@ -602,16 +599,17 @@ object Similarity {
         .select(col("subspace"), col("cand_id").as("cell"),
           col("subvec").as("centv"))
       (0 until rounds).foreach { _ =>
+        // r19: the assign step is a per-row argmin (see pqEncode) —
+        // the collected-codebook kernel replaces the n·M·K broadcast
+        // join + struct-min; the struct's subvec tie field was dead
+        // (cell is unique per code, so comparison never reached it)
+        val book = graft.plans.PqBook.fromCodebook(cent, m,
+          "subspace", "cell", "centv")
         val stats = long
-          .join(broadcast(
-            cent.withColumn("cc", dot(col("centv"), col("centv")))),
-            Seq("subspace"))
-          .groupBy(col("cand_id"), col("subspace"))
-          .agg(min(struct(
-            l2key(col("subvec"), col("centv"), col("cc")).as("cdist"),
-            col("cell"), col("subvec"))).as("__w"))
-          .select(col("subspace"), col("__w.cell").as("cell"),
-            posexplode(col("__w.subvec")).as(Seq("pos", "v")))
+          .select(col("subspace"),
+            graft.plans.PqArgminApi.nearest_code(col("subspace"),
+              col("subvec"), book).as("cell"),
+            posexplode(col("subvec")).as(Seq("pos", "v")))
           .select(col("subspace"), col("cell"),
             (col("pos") + 1).cast("bigint").as("pos"),
             round(col("v").cast("double"), 6).cast("decimal(18,6)")
@@ -669,17 +667,20 @@ object Similarity {
     * n·M·|codebook| rows reduce to n·M inside the scan stage.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               codebook: DataFrame, m: Int, dim: Int): DataFrame =
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    // r19: `sliced` emits ONE row per (id, subspace), so the previous
+    // broadcast join + min(struct) reduced singleton groups — a
+    // per-row argmin phrased as an n·M·K join. The collected-codebook
+    // kernel ([[graft.plans.PqBook]]) computes the same argmin (same
+    // fold, same cc, same tie order — see its parity contract) in a
+    // pure map: no join rows, no aggregation, no exchange.
+    val book = graft.plans.PqBook.fromCodebook(codebook, m,
+      "subspace", "code", "centv")
     sliced(emb, idCol, vecCol, m, dim)
-      .join(broadcast(
-        codebook.withColumn("cc", dot(col("centv"), col("centv")))),
-        Seq("subspace"))
-      .groupBy(col("cand_id"), col("subspace"))
-      .agg(min(struct(
-        l2key(col("subvec"), col("centv"), col("cc")).as("cdist"),
-        col("code"))).as("__w"))
       .select(col("cand_id").as("id"), col("subspace"),
-        col("__w.code").as("code"))
+        graft.plans.PqArgminApi.nearest_code(col("subspace"),
+          col("subvec"), book).as("code"))
+  }
 
   /** Reconstruct x̂ from codes (centroid concatenation, subspace
     * order) — the decode side, used to measure quantization error.

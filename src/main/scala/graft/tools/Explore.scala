@@ -269,6 +269,40 @@ object Explore {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("pq")) {
+      // q_ann_pq stage dissection (r19 item 7): train vs encode vs
+      // shortlist vs rerank vs bruteforce vs recon
+      val (m, dim) = (8, 64)
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[explore] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { r =>
+        spark.catalog.clearCache()
+        val cb = t(s"r$r train(3 rounds)")(
+          Similarity.pqTrain(emb, "vec_id", "embedding", m, dim,
+            initPred = col("vec_id") % 17 === 5, rounds = 3)
+            .localCheckpoint())
+        val codes = t(s"r$r encode")(graft.Checkpoints.truncate(
+          Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, dim)))
+        val shortlist = t(s"r$r shortlist(adc k=100)")(
+          graft.Checkpoints.truncate(Similarity.pqTopK(
+            emb.filter(qp), "vec_id", "embedding", codes, cb, m, dim,
+            k = 100)))
+        t(s"r$r rerank")(noop(Similarity.pqRerank(
+          emb, "vec_id", "embedding", qp, shortlist, k = 10)))
+        t(s"r$r bruteforce")(noop(Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qp)))
+        t(s"r$r recon")(Similarity.pqDecode(codes, cb)
+          .join(emb, col("id") === col("vec_id"))
+          .agg(avg(Similarity.cosine(col("decoded"), col("embedding"))))
+          .head(): Unit)
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("mh")) {
       // minhashDedup internals on the llm wrap (df-cap 100)
       val tf = graft.functions.TextFunctions
