@@ -391,16 +391,19 @@ object Dedup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1).as("key"))
     }
+    // persist + eager release, as in simhashPairsPortable: the
+    // simhash aggregation must not run once per join side
     val keyed = sh.select(col("sid"), col("simhash"),
-      explode(array(blocks: _*)).as("bk"))
-    keyed.as("a")
+      explode(array(blocks: _*)).as("bk")).persist()
+    try graft.Checkpoints.truncate(keyed.as("a")
       .join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming))
+    finally { keyed.unpersist(); () }
   }
 
   /** D3 (portable pair step) — SimHash near-dup candidate pairs over
@@ -421,16 +424,22 @@ object Dedup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1).as("key"))
     }
+    // the simhash aggregation (60 per-bit sums over every token) would
+    // otherwise run once PER SIDE of the block self-join (the planner
+    // does not reuse the subtree across aliases — the minhashDedup
+    // finding); persist the tiny keyed table, materialize the pairs,
+    // release
     val keyed = sh.select(col("sid"), col("simhash"),
-      explode(array(blocks: _*)).as("bk"))
-    keyed.as("a")
+      explode(array(blocks: _*)).as("bk")).persist()
+    try graft.Checkpoints.truncate(keyed.as("a")
       .join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("bigint").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming))
+    finally { keyed.unpersist(); () }
   }
 
   /** D8 — INCREMENTAL MinHash dedup: check only a NEW batch of
@@ -1398,19 +1407,33 @@ object Dedup {
     */
   def noveltyReport(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n)
-    val dfc = idx.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-    val per = idx.join(dfc, Seq("sh"))
-      .groupBy(col("sid"))
-      .agg(count(lit(1)).as("__nsh"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__nnov"))
-    df.select(col(idCol).as("sid"))
-      .join(per, Seq("sid"), "left")
-      .select(col("sid").as(idCol),
-        coalesce(col("__nsh"), lit(0L)).as("n_shingles"),
-        coalesce(col("__nnov"), lit(0L)).as("n_novel"),
-        round(col("__nnov").cast("double")
-          / col("__nsh").cast("double"), 6).as("novelty"))
+    // r19: the old shape joined the corpus-sized index against its
+    // own df aggregate (index shuffled by sh, the join re-grouped by
+    // sid) and derived the index twice. A df-1 shingle lives in
+    // EXACTLY ONE document — its min(sid) — so the novel counts come
+    // from the df aggregate alone: two aggregations over one
+    // persisted index, doc-sized join at the end, no index-sized
+    // join. Identical rows (oracle-pinned).
+    val idx = shingleIndex(df, idCol, textCol, n).persist()
+    try {
+      val per = idx.groupBy(col("sid")).agg(count(lit(1)).as("__nsh"))
+      val nov = idx.groupBy(col("sh"))
+        .agg(count(lit(1)).as("__df"), min(col("sid")).as("__owner"))
+        .filter(col("__df") === 1)
+        .groupBy(col("__owner")).agg(count(lit(1)).as("__nnov"))
+        .withColumnRenamed("__owner", "sid")
+      graft.Checkpoints.truncate(df.select(col(idCol).as("sid"))
+        .join(per, Seq("sid"), "left")
+        .join(nov, Seq("sid"), "left")
+        .select(col("sid").as(idCol),
+          coalesce(col("__nsh"), lit(0L)).as("n_shingles"),
+          // a doc absent from `nov` has zero novel shingles; a doc
+          // absent from `per` divides 0 by null -> null novelty,
+          // exactly the old single-join rendering
+          coalesce(col("__nnov"), lit(0L)).as("n_novel"),
+          round(coalesce(col("__nnov"), lit(0L)).cast("double")
+            / col("__nsh").cast("double"), 6).as("novelty")))
+    } finally { idx.unpersist(); () }
   }
 
   /** D12 — duplicated token-WINDOW hashes: every w-token window of
