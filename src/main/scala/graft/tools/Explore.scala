@@ -269,6 +269,27 @@ object Explore {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("pqplan")) {
+      // plan capture for the r19 PQ argmin evidence (the gates hide
+      // the encode behind driver actions): args(1) = output path
+      val (m, dim) = (8, 64)
+      val sd = dim / m
+      val slices = array((0 until m).map(j =>
+        slice(col("embedding"), j * sd + 1, sd)): _*)
+      val cb = emb.filter(col("vec_id") % 17 === 5)
+        .select(col("vec_id").as("code"),
+          posexplode(slices).as(Seq("subspace", "centv")))
+        .select(col("subspace"), col("code"), col("centv"))
+        .localCheckpoint()
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, dim)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(args(1)),
+        enc.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
+      println(s"[explore] wrote ${args(1)}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("pq")) {
       // q_ann_pq stage dissection (r19 item 7): train vs encode vs
       // shortlist vs rerank vs bruteforce vs recon
